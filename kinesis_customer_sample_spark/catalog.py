@@ -1,0 +1,54 @@
+"""Table catalog over the driver-generated parquet fixtures (TESTDATA.md).
+
+Ten tables per scale-factor directory: TPC-H-ish `region nation customer
+supplier part orders lineitem` plus `events documents embeddings`
+(FIXTURES.md §A). All reads are plain parquet scans so Catalyst gets predicate
+pushdown + column pruning for free (SURVEY.md §4.2).
+
+One normalization lives here: `events.ts` is written with nanosecond
+precision, which Spark's parquet reader rejects; with
+`spark.sql.legacy.parquet.nanosAsLong` it arrives as a long which we convert
+to `timestamp_ntz` using integer arithmetic (`div`, not double division —
+ns-since-epoch exceeds 2^53 so float division would corrupt microseconds).
+Truncation to micros matches DuckDB's read of the same file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.session import ensure_engine_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    ensure_engine_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql queries)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

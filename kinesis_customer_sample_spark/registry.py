@@ -1,0 +1,64 @@
+"""Named-query registry — the implementation contract of SURVEY.md §2B.
+
+Every operator the engine claims is declared here as a named query: a
+callable `(spark, sf_dir) -> DataFrame` plus, when the semantics are
+ANSI-SQL-expressible, the equivalent DuckDB oracle SQL. The driver's verify
+harness hash-compares the two at sf0.01 (`__spark_entry__.py` contract);
+`tests/test_oracle.py` runs the same comparison locally.
+
+Oracle-parity rules (learned the hard way, documented once):
+- alias every computed column identically on both sides (the comparator
+  sorts columns by name before hashing);
+- round floating aggregates *inside* the query on both sides so summation
+  order can't flip a ulp across engines;
+- emit timestamps as `timestamp_ntz`/date/strings, never session-TZ values;
+- arrays destined for the oracle are joined to strings (list hashing is
+  representation-sensitive across engines).
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None → driver does rows-only check
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register `fn` as a named query, optionally with oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=textwrap.dedent(oracle).strip() if oracle else None,
+            tags=tuple(tags),
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return fn
+
+    return deco
+
+
+def load_registry() -> dict[str, Query]:
+    """Import all query modules (triggering registration) and return the map."""
+    import kinesis_customer_sample_spark.queries  # noqa: F401  (side-effect import)
+
+    return REGISTRY
