@@ -26,6 +26,15 @@ from kinesis_customer_sample_spark.session import get_spark
 # SURVEY.md §2B as coverage widens).
 HEADLINE = [
     "q01_pricing_summary",
+    "q06_join_broadcast_dims",
+    "q07_join_left_outer",
+    "q12_join_range",
+    "q13_join_asof",
+    "q19_agg_cube",
+    "q22_agg_stats",
+    "q26_win_frames",
+    "q30_topk_global",
+    "q35_sql_shipping_priority",
 ]
 
 

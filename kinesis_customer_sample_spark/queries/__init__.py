@@ -13,4 +13,10 @@ Module map (mirrors SURVEY.md §2B groups):
 - llm_similarity  — cosine, top-k ANN, all-pairs, kNN vote, multimodal (M5)
 """
 
-from kinesis_customer_sample_spark.queries import flagship  # noqa: F401
+from kinesis_customer_sample_spark.queries import (  # noqa: F401
+    aggregation,
+    flagship,
+    relational,
+    setops,
+    windows,
+)

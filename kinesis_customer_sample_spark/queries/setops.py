@@ -1,0 +1,188 @@
+"""Sort / limit / top-k and set operations, plus the SQL entry point.
+
+Order-insensitive hashing can't see sort order directly, so every sort query
+pairs the sort with a LIMIT over a unique total order — the selected set is
+then exactly the sort's prefix, making sort correctness observable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import register_views, table
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q29_sort_nulls_limit",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_np, o_totalprice
+    FROM orders
+    ORDER BY status_np ASC NULLS LAST, o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("sort",),
+)
+def sort_nulls_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit null placement + limit (TopK exec)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("status_np").asc_nulls_last(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q30_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "topk"),
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    no full sort, no full shuffle. The right plan at any scale."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q31_union_all",
+    oracle="""
+    SELECT custkey, count(*) AS n_sources FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+    ) u
+    GROUP BY custkey
+    """,
+    tags=("setop",),
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) — multiplicity surfaced via group-count."""
+    rich = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return rich.unionByName(big).groupBy("custkey").agg(F.count(F.lit(1)).alias("n_sources"))
+
+
+@query(
+    "q32_union_distinct",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+    UNION
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+    tags=("setop",),
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set semantics) = unionByName + distinct."""
+    rich = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 8000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return rich.unionByName(big).distinct()
+
+
+@query(
+    "q33_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers holding both finished and open orders."""
+    o = table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return f_cust.intersect(o_cust)
+
+
+@query(
+    "q34_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    tags=("setop",),
+)
+def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with finished orders and no pending ones."""
+    o = table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    p_cust = o.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("custkey"))
+    return f_cust.subtract(p_cust)  # EXCEPT (distinct) semantics
+
+
+@query(
+    "q35_sql_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("relational", "sql"),
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query (TPC-H Q3 shape) via the spark.sql entry point
+    over registered views — same Catalyst plan as the DataFrame API."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 20
+        """
+    )
