@@ -16,6 +16,7 @@ Module map (mirrors SURVEY.md §2B groups):
 from kinesis_customer_sample_spark.queries import (  # noqa: F401
     aggregation,
     flagship,
+    functions_scalar,
     relational,
     setops,
     windows,
