@@ -15,6 +15,7 @@ Module map (mirrors SURVEY.md §2B groups):
 
 from kinesis_customer_sample_spark.queries import (  # noqa: F401
     aggregation,
+    content_ops,
     flagship,
     functions_scalar,
     relational,

@@ -1,0 +1,188 @@
+"""Content-operation pipeline, batch form (SURVEY.md §2A R2-R14).
+
+The golden fixture (fixtures.py) carries the guide:126-134 interleave, the
+referent-update cascades, all four document types, a second branch, a late
+ingestion-priority event, and a second org. Spark runs the DataFrame
+pipeline; the oracle re-derives the same result in DuckDB from a VALUES CTE
+generated from the identical Python literals — so R9-R14 key semantics are
+hash-checked by the driver, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.fixtures import (
+    DUCKDB_TS_FMT,
+    SPARK_TS_FMT,
+    content_ops_df,
+    content_ops_values_sql,
+    kinesis_records_df,
+)
+from kinesis_customer_sample_spark.registry import query
+from kinesis_customer_sample_spark.session import ensure_engine_conf
+
+_CTE = f"WITH content_ops AS (SELECT * FROM {content_ops_values_sql()})"
+
+KEY = ["organization_id", "id", "branch", "published"]  # guide:78-82,137-139
+
+
+def _ops(spark: SparkSession) -> DataFrame:
+    ensure_engine_conf(spark)
+    df = content_ops_df(spark)
+    return df.withColumn(
+        "event_time", F.to_timestamp("date", SPARK_TS_FMT).cast("timestamp_ntz")
+    )
+
+
+@query(
+    "q46_contentops_decode",
+    oracle=None,  # gzip decode is not SQL-expressible; golden-tested in pytest
+    tags=("contentops", "decode", "udf"),
+)
+def contentops_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-R6 decode path on wire-form records: gunzip → pointer-deref (fake
+    S3 store) → error→NULL → envelope validation → projection. Includes
+    spilled, expired, wrong-type, and corrupt records; only valid ops
+    survive. Rows-only here; exact golden assertions live in
+    tests/test_decode.py."""
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+
+    ensure_engine_conf(spark)
+    records, s3_store = kinesis_records_df(spark)
+    fetch = s3_store.__getitem__  # dict-backed fake fetcher (tests/no network)
+    return decode_records(records, fetch=fetch)
+
+
+@query(
+    "q47_contentops_latest_state",
+    oracle=f"""
+    {_CTE}
+    SELECT organization_id, id, branch, published,
+           operation AS last_operation,
+           strptime(date, '{DUCKDB_TS_FMT}') AS last_time,
+           body
+    FROM content_ops
+    QUALIFY row_number() OVER (
+      PARTITION BY organization_id, id, branch, published
+      ORDER BY strptime(date, '{DUCKDB_TS_FMT}') DESC, op_id DESC) = 1
+      AND operation LIKE 'insert-%'
+    """,
+    tags=("contentops", "latest-state"),
+)
+def contentops_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9/R10: keyed latest-state — one current document per (org, id,
+    branch, published); insert replaces, delete removes (guide:72,143).
+    Draft and published copies never conflate (guide:137-139): gal-1 drops
+    (last op is delete), story-1/published survives its mid-stream delete."""
+    ops = _ops(spark)
+    w = W.partitionBy(*KEY).orderBy(F.col("event_time").desc(), F.col("op_id").desc())
+    return (
+        ops.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("operation").startswith("insert-"))
+        .select(
+            *KEY,
+            F.col("operation").alias("last_operation"),
+            F.col("event_time").alias("last_time"),
+            "body",
+        )
+    )
+
+
+@query(
+    "q48_contentops_publish_events",
+    oracle=f"""
+    {_CTE}
+    SELECT op_id, organization_id, id, branch,
+           strptime(date, '{DUCKDB_TS_FMT}') AS event_time,
+           CASE WHEN operation LIKE 'insert-%' THEN 'publish'
+                ELSE 'unpublish' END AS kind
+    FROM content_ops
+    WHERE published
+      AND ((operation LIKE 'insert-%' AND created) OR operation LIKE 'delete-%')
+    """,
+    tags=("contentops", "publish-detection"),
+)
+def contentops_publish_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 stateless proxy (guide:141-145): created=true on a published
+    insert ≈ publish; a delete on published ≈ unpublish. The exact stateful
+    variant lives in the streaming module; this is the documented
+    accuracy-for-state tradeoff."""
+    ops = _ops(spark)
+    publishes = ops.filter(
+        F.col("published") & F.col("created") & F.col("operation").startswith("insert-")
+    ).withColumn("kind", F.lit("publish"))
+    unpublishes = ops.filter(
+        F.col("published") & F.col("operation").startswith("delete-")
+    ).withColumn("kind", F.lit("unpublish"))
+    return publishes.unionByName(unpublishes).select(
+        "op_id", "organization_id", "id", "branch", "event_time", "kind"
+    )
+
+
+@query(
+    "q49_contentops_provenance",
+    oracle=f"""
+    {_CTE}
+    SELECT op_id, id, operation, trigger_priority,
+           regexp_extract(operation, '^(?:insert|delete)-(.+)$', 1) AS doc_type,
+           (trigger_id = id AND
+            trigger_type = regexp_extract(operation, '^(?:insert|delete)-(.+)$', 1))
+                                       AS is_direct,
+           trigger_referent_update     AS is_referent
+    FROM content_ops
+    """,
+    tags=("contentops", "provenance"),
+)
+def contentops_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12/R13: direct vs downstream classification (trigger (type,id) vs
+    affected (type,id), guide:90) + the referent_update flag and priority
+    class for routing (guide:100-106)."""
+    from kinesis_customer_sample_spark.sources.decode import operation_doc_type
+
+    ops = _ops(spark)
+    doc_type = operation_doc_type(F.col("operation"))
+    return ops.select(
+        "op_id",
+        "id",
+        "operation",
+        "trigger_priority",
+        doc_type.alias("doc_type"),
+        (
+            (F.col("trigger_id") == F.col("id")) & (F.col("trigger_type") == doc_type)
+        ).alias("is_direct"),
+        F.col("trigger_referent_update").alias("is_referent"),
+    )
+
+
+@query(
+    "q50_contentops_analytics",
+    oracle=f"""
+    {_CTE}
+    SELECT date_trunc('hour', strptime(date, '{DUCKDB_TS_FMT}')) AS hour,
+           operation,
+           count(*)                                   AS n_ops,
+           count(*) FILTER (WHERE published)          AS n_published,
+           count(DISTINCT id)                         AS n_docs
+    FROM content_ops
+    GROUP BY hour, operation
+    """,
+    tags=("contentops", "analytics"),
+)
+def contentops_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 batch form: 'limited real-time analytics on publishing changes'
+    (guide:3) — hourly operation counts; the streaming twin adds the
+    watermark (streaming/pipelines.py)."""
+    ops = _ops(spark)
+    return (
+        ops.groupBy(
+            F.date_trunc("hour", "event_time").alias("hour"),
+            "operation",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.count_if(F.col("published")).alias("n_published"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+    )
