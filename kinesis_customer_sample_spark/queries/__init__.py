@@ -20,5 +20,6 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     functions_scalar,
     relational,
     setops,
+    streaming_queries,
     windows,
 )

@@ -1,0 +1,199 @@
+"""Streaming operator queries (SURVEY.md §2B "Streaming-only").
+
+q51/q52/q57 genuinely execute Structured Streaming micro-batches inside the
+query function (file-source replay → availableNow → memory sink) and return
+the final table — so the driver's DuckDB oracle checks the *streaming*
+result against an independent batch derivation: stream/batch equivalence as
+a first-class correctness gate, not just a unit test.
+
+q53/q56 are the batch twins of session windows and exact publish detection
+(same code paths the streaming variants share), oracle-checked directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.fixtures import content_ops_values_sql
+from kinesis_customer_sample_spark.queries.content_ops import _ops
+from kinesis_customer_sample_spark.registry import query
+from kinesis_customer_sample_spark.streaming.replay import events_stream, run_to_completion
+
+
+@query(
+    "q51_stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a watermark (R14 streaming
+    form, guide:3): executed as a real micro-batch stream, oracle-checked
+    against DuckDB's batch time_bucket — stream/batch equivalence."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q52_stream_sliding_window",
+    oracle="""
+    SELECT wstart AS window_start, count(*) AS n
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS wstart
+      FROM events
+    ) t
+    GROUP BY wstart
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): every event lands in two
+    overlapping windows; oracle derives the same assignment set-theoretically."""
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.select(F.col("window.start").alias("window_start"), "n")
+
+
+@query(
+    "q53_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)                      AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+)
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via the native session_window
+    operator; the oracle recomputes sessions with gaps-and-islands SQL.
+    Batch form here; tests assert the streaming variant agrees."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q56_contentops_publish_exact",
+    oracle=f"""
+    WITH content_ops AS (SELECT * FROM {content_ops_values_sql()}),
+    pub AS (
+      SELECT op_id, organization_id, id, branch, operation,
+             strptime(date, '%Y-%m-%dT%H:%M:%SZ') AS event_time,
+             lag(operation) OVER (
+               PARTITION BY organization_id, id, branch
+               ORDER BY op_id) AS prev_op
+      FROM content_ops WHERE published
+    )
+    SELECT op_id, organization_id, id, branch, event_time,
+           CASE WHEN operation LIKE 'insert-%' THEN 'publish'
+                ELSE 'unpublish' END AS kind
+    FROM pub
+    WHERE (operation LIKE 'insert-%' AND (prev_op IS NULL OR prev_op LIKE 'delete-%'))
+       OR (operation LIKE 'delete-%' AND prev_op LIKE 'insert-%')
+    """,
+    tags=("contentops", "publish-detection", "stateful"),
+)
+def contentops_publish_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 exact (stateful) publish detection, batch form: liveness
+    transitions via lag over the per-key published stream (guide:141-145).
+    Differs from the q48 proxy on replace-inserts after deletes and double
+    deletes; the streaming applyInPandasWithState twin is asserted equal in
+    tests/test_streaming.py.
+
+    Ordered by arrival sequence (op_id ≈ shard sequence number, guide:13),
+    not event time: the consumer's state machine sees records in shard
+    order, so a late ingestion-priority record transitions state when it
+    arrives — matching the streaming operator exactly."""
+    ops = _ops(spark).filter(F.col("published"))
+    w = W.partitionBy("organization_id", "id", "branch").orderBy("op_id")
+    prev_op = F.lag("operation").over(w)
+    is_insert = F.col("operation").startswith("insert-")
+    is_delete = F.col("operation").startswith("delete-")
+    return (
+        ops.withColumn("prev_op", prev_op)
+        .filter(
+            (is_insert & (F.col("prev_op").isNull() | F.col("prev_op").startswith("delete-")))
+            | (is_delete & F.col("prev_op").startswith("insert-"))
+        )
+        .select(
+            "op_id",
+            "organization_id",
+            "id",
+            "branch",
+            "event_time",
+            F.when(is_insert, "publish").otherwise("unpublish").alias("kind"),
+        )
+    )
+
+
+@query(
+    "q57_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch), then aggregated —
+    executed as a real stream, oracle-checked against the batch join."""
+    ev = events_stream(spark, sf_dir)
+    cust = F.broadcast(table(spark, sf_dir, "customer"))
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return run_to_completion(agg, output_mode="complete")

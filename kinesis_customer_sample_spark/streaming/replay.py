@@ -1,0 +1,76 @@
+"""Replay sources + run-to-completion helper for streaming queries.
+
+`events_stream` file-streams the events table (the driver's stream-shaped
+fixture, FIXTURES.md §A); `run_to_completion` drives any streaming DataFrame
+through an availableNow trigger into a memory sink and returns the result as
+a batch DataFrame — which is how streaming operators get oracle-checked by
+the driver (batch-equivalence, SURVEY.md §5.2.3).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_customer_sample_spark.session import ensure_engine_conf
+
+# physical schema under spark.sql.legacy.parquet.nanosAsLong=true:
+# ts arrives as long (nanoseconds)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str, name: str) -> str:
+    """File-stream sources need a directory; expose `<sf_dir>/<name>.parquet`
+    (a single file) through a symlinked temp directory."""
+    td = os.path.join(tempfile.gettempdir(), f"kcss_stream_{name}_{abs(hash(sf_dir))}")
+    os.makedirs(td, exist_ok=True)
+    link = os.path.join(td, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), link)
+    return td
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """The events table as a file-source stream (per-partition ordering ≈
+    per-shard ordering, guide:13)."""
+    ensure_engine_conf(spark)
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(_stream_dir(sf_dir, "events"))
+    # session-TZ timestamp (not NTZ): watermarks require TIMESTAMP, and the
+    # session is pinned to UTC so the wall clock matches the batch catalog
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(
+    sdf: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to exhaustion (availableNow) via a
+    memory sink; return the final result as a batch DataFrame."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

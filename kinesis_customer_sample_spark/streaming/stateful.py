@@ -1,0 +1,132 @@
+"""Stateful streaming operators: keyed latest-state (R9) and exact
+publish-event detection (R11), per guide:143 "requires statefulness on the
+application side".
+
+Both use `applyInPandasWithState` — keyed state in the state store
+(RocksDB-backed in production), Arrow-batched per group. Out-of-order input
+within a micro-batch is handled by sorting each batch by event time; the
+state carries the newest-seen event time so a late older record can never
+overwrite newer state (the guide:104-106 ingestion-lag case).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# key: (organization_id, id, branch, published)
+STATE_SCHEMA = "last_us long, last_operation string, body string"
+LATEST_OUT_SCHEMA = (
+    "organization_id string, id string, branch string, published boolean, "
+    "last_operation string, last_us long, body string"
+)
+PUBLISH_OUT_SCHEMA = (
+    "organization_id string, id string, branch string, event_us long, kind string"
+)
+
+
+def _sorted_concat(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    return pdf.sort_values(["event_us", "op_id"], kind="mergesort")
+
+
+def latest_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """R9: newest insert wins; delete clears. Emits the key's current state
+    after each micro-batch (update-style output)."""
+    last_us, last_op, body = state.get if state.exists else (-1, None, None)
+    for row in _sorted_concat(pdfs).itertuples(index=False):
+        if row.event_us < last_us:
+            continue  # stale out-of-order record (guide:104-106)
+        last_us, last_op = row.event_us, row.operation
+        body = row.body if row.operation.startswith("insert-") else None
+    state.update((last_us, last_op, body))
+    org, doc_id, branch, published = key
+    yield pd.DataFrame(
+        [
+            {
+                "organization_id": org,
+                "id": doc_id,
+                "branch": branch,
+                "published": published,
+                "last_operation": last_op,
+                "last_us": last_us,
+                "body": body,
+            }
+        ]
+    )
+
+
+def publish_events_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """R11 exact: track liveness of the published copy; emit `publish` on a
+    dead→live insert and `unpublish` on a live→dead delete (guide:141-145).
+    Unlike the stateless proxy, a replace-insert (created=false) after a
+    delete still counts as a publish, and double deletes emit nothing."""
+    live, last_seq = state.get if state.exists else (False, -1)
+    org, doc_id, branch = key
+    out: list[dict[str, Any]] = []
+    # arrival (shard-sequence) order, guide:13 — NOT event time: a late
+    # ingestion-priority record is still processed when it arrives
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("op_id", kind="mergesort")
+    for row in pdf.itertuples(index=False):
+        last_seq = row.op_id
+        if row.operation.startswith("insert-") and not live:
+            live = True
+            out.append({"event_us": row.event_us, "kind": "publish"})
+        elif row.operation.startswith("delete-") and live:
+            live = False
+            out.append({"event_us": row.event_us, "kind": "unpublish"})
+    state.update((live, last_seq))
+    yield pd.DataFrame(
+        [
+            {"organization_id": org, "id": doc_id, "branch": branch, **o}
+            for o in out
+        ],
+        columns=["organization_id", "id", "branch", "event_us", "kind"],
+    )
+
+
+def _with_event_us(ops: DataFrame) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    return ops.withColumn(
+        "event_us", F.unix_micros(F.col("event_time").cast("timestamp"))
+    )
+
+
+def latest_state_stream(ops: DataFrame) -> DataFrame:
+    """Streaming keyed latest-state over decoded content operations."""
+    return (
+        _with_event_us(ops)
+        .groupBy("organization_id", "id", "branch", "published")
+        .applyInPandasWithState(
+            latest_state_fn,
+            outputStructType=LATEST_OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def publish_events_stream(ops: DataFrame) -> DataFrame:
+    """Streaming exact publish/unpublish detection over the published copies."""
+    from pyspark.sql import functions as F
+
+    return (
+        _with_event_us(ops.filter(F.col("published")))
+        .groupBy("organization_id", "id", "branch")
+        .applyInPandasWithState(
+            publish_events_fn,
+            outputStructType=PUBLISH_OUT_SCHEMA,
+            stateStructType="live boolean, last_seq long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

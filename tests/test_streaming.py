@@ -1,0 +1,239 @@
+"""Streaming semantics: stream/batch equivalence, stateful operators vs
+their batch twins, watermark late-data handling, dedup, foreachBatch upsert
+(SURVEY.md §5.2.3; guide:104-145 behaviors)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.fixtures import SPARK_TS_FMT, content_ops_df
+from kinesis_customer_sample_spark.queries.content_ops import (
+    contentops_latest_state,
+)
+from kinesis_customer_sample_spark.queries.streaming_queries import (
+    contentops_publish_exact,
+)
+from kinesis_customer_sample_spark.streaming.replay import events_stream, run_to_completion
+from kinesis_customer_sample_spark.streaming.sinks import foreach_batch_upsert, merge_latest
+from kinesis_customer_sample_spark.streaming.stateful import (
+    latest_state_stream,
+    publish_events_stream,
+)
+
+
+def _ops_with_us(spark):
+    return (
+        content_ops_df(spark)
+        .withColumn("event_time", F.to_timestamp("date", SPARK_TS_FMT).cast("timestamp_ntz"))
+    )
+
+
+def _ops_stream(spark, tmpdir: str, n_files: int = 2, split: str = "round_robin"):
+    """Replay the content-ops fixture as a file-source stream split across
+    micro-batch files.
+
+    split="round_robin" scatters ops across batches out of order — valid for
+    order-insensitive operators (latest-state guards on event time).
+    split="ordered" chunks by arrival sequence — the per-shard ordering the
+    reference guarantees (guide:13), required by order-sensitive operators
+    like exact publish detection.
+    """
+    ops = _ops_with_us(spark)
+    pdf = ops.toPandas()
+    # write micro-precision timestamps (pandas defaults to ns, which Spark's
+    # parquet reader can't map back to timestamp_ntz)
+    pdf["event_time"] = pdf["event_time"].astype("datetime64[us]")
+    if split == "ordered":
+        pdf = pdf.sort_values("op_id", ignore_index=True)
+        chunk = (len(pdf) + n_files - 1) // n_files
+        parts = [pdf.iloc[i * chunk : (i + 1) * chunk] for i in range(n_files)]
+    else:
+        parts = [pdf[pdf.index % n_files == i] for i in range(n_files)]
+    for i, part in enumerate(parts):
+        part.to_parquet(os.path.join(tmpdir, f"part-{i}.parquet"), index=False)
+    return (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmpdir)
+    )
+
+
+def test_stateful_latest_state_equals_batch(spark):
+    """applyInPandasWithState latest-state == batch window latest-state (R9),
+    across multiple micro-batches with out-of-order delivery."""
+    with tempfile.TemporaryDirectory() as td:
+        stream = _ops_stream(spark, td)
+        out = run_to_completion(latest_state_stream(stream), output_mode="update")
+        # update-mode memory sink appends each batch's emissions; keep newest per key
+        final = (
+            out.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(
+                        "organization_id", "id", "branch", "published"
+                    ).orderBy(F.col("last_us").desc())
+                ),
+            )
+            .filter("rn = 1")
+            .filter(F.col("last_operation").startswith("insert-"))
+        )
+        got = {
+            (r.organization_id, r.id, r.branch, r.published): r.body
+            for r in final.collect()
+        }
+    batch = contentops_latest_state(spark, "")
+    want = {
+        (r.organization_id, r.id, r.branch, r.published): r.body for r in batch.collect()
+    }
+    assert got == want and len(want) == 7
+
+
+def test_stateful_publish_exact_equals_batch(spark):
+    """Streaming exact publish detection (R11) == batch lag derivation.
+    In-order delivery per key (the guide:13 per-shard contract) — publish
+    detection is a state machine over the op sequence, so unlike latest-state
+    it is not robust to arbitrary reordering."""
+    with tempfile.TemporaryDirectory() as td:
+        stream = _ops_stream(spark, td, split="ordered")
+        out = run_to_completion(publish_events_stream(stream), output_mode="append")
+        got = {(r.organization_id, r.id, r.branch, r.event_us, r.kind) for r in out.collect()}
+    batch = contentops_publish_exact(spark, "")
+    want = {
+        (
+            r.organization_id,
+            r.id,
+            r.branch,
+            int(r.event_time.timestamp() * 1_000_000),
+            r.kind,
+        )
+        for r in batch.collect()
+    }
+    assert got == want
+    # exact-vs-proxy difference: the op4 delete->op5 republish chain emits
+    # publish/unpublish/publish for story-1/published
+    story1 = sorted(k[3:] for k in got if k[1] == "story-1" and k[2] == "default")
+    assert [k[1] for k in story1] == ["publish", "unpublish", "publish"]
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicates on a stream (R10): injected duplicate event_ids
+    collapse to the batch-distinct count."""
+    ev = events_stream(spark, sf_dir)
+    duped = ev.unionByName(ev)  # every record twice
+    dd = duped.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = dd.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    out = run_to_completion(agg, output_mode="complete")
+    from kinesis_customer_sample_spark.catalog import table
+
+    assert out.collect()[0].n == table(spark, sf_dir, "events").count()
+
+
+def test_watermark_drops_late_data(spark):
+    """A record older than (max seen ts - watermark) arriving in a later
+    micro-batch is dropped from append-mode windowed aggregation
+    (guide:104-106 ingestion lag → late-data policy)."""
+    with tempfile.TemporaryDirectory() as td:
+        on_time = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00:00", "2024-01-01 20:00:00"]
+                ).astype("datetime64[us]"),
+                "value": [1.0, 1.0],
+            }
+        )
+        late = pd.DataFrame(
+            {
+                "event_id": [3],
+                "ts": pd.to_datetime(["2024-01-01 10:30:00"]).astype(
+                    "datetime64[us]"
+                ),  # 9.5h late < wm
+                "value": [100.0],
+            }
+        )
+        on_time.to_parquet(os.path.join(td, "a-first.parquet"), index=False)
+
+        schema = "event_id long, ts timestamp, value double"
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(td)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.sum("value").alias("total"))
+        )
+        import uuid
+
+        name = f"late_{uuid.uuid4().hex[:8]}"
+        ckpt = tempfile.mkdtemp()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        q.processAllAvailable()  # batch 1: watermark -> 19:00
+        late.to_parquet(os.path.join(td, "b-late.parquet"), index=False)
+        q.processAllAvailable()  # batch 2: late row dropped
+        # one more empty-ish cycle to let the 10:00 window finalize
+        q.processAllAvailable()
+        q.stop()
+        rows = {r["window"].start.isoformat(): r.total for r in spark.table(name).collect()}
+        # the 10:00 window closed with ONLY the on-time value; late 100.0 dropped
+        assert rows.get("2024-01-01T10:00:00") == 1.0
+
+
+def test_foreach_batch_upsert_sink(spark):
+    """R15 CMS-sync sink: per-batch newest-wins merge into a parquet table
+    converges to the batch latest-state (guide:3)."""
+    ops = _ops_with_us(spark).withColumn(
+        "last_us", F.unix_micros(F.col("event_time").cast("timestamp"))
+    )
+    half1 = ops.filter(F.col("op_id") <= 8).select(
+        "organization_id", "id", "branch", "published",
+        F.col("operation").alias("last_operation"), "last_us", "body",
+    )
+    half2 = ops.filter(F.col("op_id") > 8).select(
+        "organization_id", "id", "branch", "published",
+        F.col("operation").alias("last_operation"), "last_us", "body",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        target = os.path.join(td, "cms_table")
+        upsert = foreach_batch_upsert(target)
+        upsert(half1, 0)
+        upsert(half2, 1)
+        got = {
+            (r.organization_id, r.id, r.branch, r.published): r.body
+            for r in spark.read.parquet(target).collect()
+        }
+    want = {
+        (r.organization_id, r.id, r.branch, r.published): r.body
+        for r in contentops_latest_state(spark, "").collect()
+    }
+    assert got == want
+
+
+def test_merge_latest_delete_wins_then_reinsert(spark):
+    """Unit: merge_latest removes deleted keys and revives reinserted ones."""
+    a = spark.createDataFrame(
+        [("w", "d1", "default", True, "insert-story", 100, "{}")],
+        "organization_id string, id string, branch string, published boolean,"
+        " last_operation string, last_us long, body string",
+    )
+    b = spark.createDataFrame(
+        [("w", "d1", "default", True, "delete-story", 200, None)],
+        a.schema,
+    )
+    assert merge_latest(a, b).count() == 0
+    c = spark.createDataFrame(
+        [("w", "d1", "default", True, "insert-story", 300, "{}")], a.schema
+    )
+    merged = merge_latest(merge_latest(a, b), c)
+    assert merged.count() == 1 and merged.collect()[0].last_us == 300
