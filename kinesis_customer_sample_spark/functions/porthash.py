@@ -1,0 +1,76 @@
+"""Portable deterministic hashing + vector math, defined ONCE and emitted in
+two SQL dialects (Spark SQL and DuckDB) so hash-dependent operators —
+MinHash-LSH, SimHash, winnowing fingerprints — are *hash-match*
+oracle-checkable instead of rows-only (SURVEY.md §2B marks these ◐; this
+module upgrades them to ✅).
+
+Design constraints:
+- Pure int64 arithmetic, every step reduced mod P = 1e9+7 so no intermediate
+  exceeds ~9e10 (int64-safe in both engines; DuckDB errors on overflow
+  rather than wrapping, so native xxhash64/md5-to-int tricks are out).
+- Only functions with identical cross-engine semantics: `ascii` (codepoint),
+  `length`, `substring`, lambda transform/reduce. Spark's `aggregate` takes
+  an init value; DuckDB's `list_reduce` does not, so the init is prepended.
+
+At 100 TB the same expressions run unchanged: they are whole-stage-codegen'd
+JVM expressions (no Python), linear in token count, and shuffle nothing by
+themselves.
+"""
+
+from __future__ import annotations
+
+MOD_P = 1_000_000_007
+
+# fixed odd multiplier / offset streams for the minhash permutation family
+_PERM_MUL_BASE = 17
+_PERM_OFF = 2_654_435_761 % MOD_P  # Knuth multiplicative constant, reduced
+
+
+def _char_codes(s: str, *, dialect: str) -> str:
+    if dialect == "spark":
+        return f"transform(sequence(1, length({s})), i -> ascii(substring({s}, i, 1)))"
+    return f"list_transform(generate_series(1, length({s})), i -> ascii(substring({s}, i, 1)))"
+
+
+def tok_hash_expr(s: str, *, dialect: str) -> str:
+    """Polynomial rolling hash of a string: h=7; h = (h*31 + code) % P."""
+    codes = _char_codes(s, dialect=dialect)
+    if dialect == "spark":
+        return (
+            f"aggregate({codes}, CAST(7 AS BIGINT), "
+            f"(a, c) -> (a * 31 + c) % {MOD_P})"
+        )
+    return (
+        f"list_reduce(list_prepend(7::BIGINT, {codes}), "
+        f"(a, c) -> (a * 31 + c) % {MOD_P})"
+    )
+
+
+def minhash_perm_expr(h: str, i: int) -> str:
+    """The i-th universal-hash permutation of an already-reduced hash value.
+    Same text in both dialects (pure arithmetic)."""
+    mul = _PERM_MUL_BASE + 2 * i
+    return f"(({h} * {mul} + {i} * {_PERM_OFF}) % {MOD_P})"
+
+
+def band_hash_expr(parts: list[str]) -> str:
+    """Combine minhash values of one LSH band into a single bucket id.
+    Same text in both dialects (pure arithmetic, left fold)."""
+    acc = "7"
+    for p in parts:
+        acc = f"(({acc}) * 31 + ({p})) % {MOD_P}"
+    return acc
+
+
+def cosine_expr(a: str, b: str, *, dialect: str, digits: int = 6) -> str:
+    """Cosine similarity of two float arrays, rounded in-query (registry
+    rule: round inside so float32→double summation can't drift a ulp)."""
+    if dialect == "spark":
+        dot = (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        n1 = f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        n2 = f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
+        return f"round({dot} / ({n1} * {n2}), {digits})"
+    return f"round(list_cosine_similarity({a}, {b})::DOUBLE, {digits})"

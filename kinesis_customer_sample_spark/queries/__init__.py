@@ -21,5 +21,6 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     relational,
     setops,
     streaming_queries,
+    text_analysis,
     windows,
 )
