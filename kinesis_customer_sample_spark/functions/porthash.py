@@ -73,4 +73,7 @@ def cosine_expr(a: str, b: str, *, dialect: str, digits: int = 6) -> str:
         n1 = f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
         n2 = f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))"
         return f"round({dot} / ({n1} * {n2}), {digits})"
-    return f"round(list_cosine_similarity({a}, {b})::DOUBLE, {digits})"
+    # cast to DOUBLE[] *before* the similarity: DuckDB accumulates FLOAT[]
+    # inputs in float32, which diverges from Spark's double math in the 6th
+    # decimal on ~1/500 pairs
+    return f"round(list_cosine_similarity({a}::DOUBLE[], {b}::DOUBLE[])::DOUBLE, {digits})"

