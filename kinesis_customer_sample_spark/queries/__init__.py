@@ -16,11 +16,12 @@ Module map (mirrors SURVEY.md §2B groups):
 from kinesis_customer_sample_spark.queries import (  # noqa: F401
     aggregation,
     content_ops,
+    dedup,
     flagship,
     functions_scalar,
     relational,
     setops,
-    dedup,
+    similarity,
     streaming_queries,
     text_analysis,
     windows,

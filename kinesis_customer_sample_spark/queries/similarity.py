@@ -1,0 +1,357 @@
+"""Similarity-search operators over `embeddings` / `events` (SURVEY.md §2B:
+cosine top-k, ANN via random-hyperplane LSH, kNN classification, IVF-style
+probe search, time-series similarity).
+
+Scale posture (100 TB): the brute-force scorer (q72) is the correctness
+baseline — one broadcast query vector, one scan, no shuffle but the top-k.
+The scale paths are bucketed: q73 restricts scoring to the query's LSH
+bucket, q75 to the top-probed IVF partitions, q74 blocks on the train/test
+split semantics — all shapes where candidate generation is a join on a
+bucket key, so cost tracks bucket size, not corpus size. All vector math is
+higher-order-function expressions (zip_with/aggregate) — JVM codegen, no
+Python UDF, no driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import MOD_P, cosine_expr
+from kinesis_customer_sample_spark.registry import query
+
+_QUERY_VEC_ID = 0  # the fixed "query vector" for top-k demos
+
+
+@query(
+    "q72_cosine_topk_brute",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT e.vec_id, e.label,
+           {cosine_expr("e.embedding", "q.qv", dialect="duckdb")} AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id != {_QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "topk", "cosine"),
+)
+def cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector — the ANN correctness
+    baseline. The query vector is a 1-row broadcast; scoring is a map-only
+    scan (Spark's TakeOrderedAndProject handles the top-k without a global
+    sort). Ties broken by vec_id for cross-engine determinism."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(F.col("embedding").alias("qv"))
+    )
+    return (
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+_N_PLANES = 8
+_PLANE_MUL = 2_654_435_761 % MOD_P
+
+
+def _hyperplane_bucket(emb: str, *, dialect: str) -> str:
+    """Sign-bucket id from 8 deterministic integer hyperplanes: plane p,
+    dim d has weight ((p·64+d)·K mod P) mod 17 − 8 ∈ [−8, 8]. Portable
+    integer weights → identical bucket ids in both engines."""
+    w = f"(((CAST(p * 64 + d AS BIGINT) * {_PLANE_MUL}) % {MOD_P}) % 17 - 8)"
+    if dialect == "spark":
+        dot = (
+            f"aggregate(transform(sequence(0, 63), "
+            f"d -> {w} * CAST(element_at({emb}, d + 1) AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        return (
+            f"aggregate(transform(sequence(0, {_N_PLANES - 1}), "
+            f"p -> CASE WHEN {dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+    dot = (
+        f"list_sum(list_transform(generate_series(0, 63), "
+        f"d -> {w} * {emb}[d + 1]::DOUBLE))"
+    )
+    return (
+        f"list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), "
+        f"p -> CASE WHEN {dot} > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))"
+    )
+
+
+@query(
+    "q73_ann_lsh_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_hyperplane_bucket("embedding", dialect="duckdb")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qbucket FROM b WHERE vec_id = {_QUERY_VEC_ID})
+    SELECT b.vec_id, b.label, b.bucket,
+           {cosine_expr("b.embedding", "q.qv", dialect="duckdb")} AS cos_sim
+    FROM b CROSS JOIN q
+    WHERE b.bucket = q.qbucket AND b.vec_id != {_QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, b.vec_id
+    LIMIT 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, scale path: random-hyperplane LSH (SimHash-for-vectors) buckets
+    every embedding into one of 2^8 sign buckets; search only the query's
+    bucket. Candidate generation is an equi-join on `bucket` — at 100 TB
+    this is the partition key, so a probe touches 1/256th of the corpus
+    (multi-probe = also join neighboring buckets). Hyperplanes use portable
+    integer weights so bucket ids oracle-match exactly."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark"))
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+        )
+    )
+    return (
+        e.join(q, e.bucket == q.qbucket)
+        .filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(5)
+    )
+
+
+@query(
+    "q74_knn_vote",
+    oracle=f"""
+    WITH test AS (SELECT * FROM embeddings WHERE vec_id % 25 = 0),
+    train AS (SELECT * FROM embeddings WHERE vec_id % 25 != 0),
+    scored AS (
+      SELECT t.vec_id AS query_id, t.label AS true_label, n.label AS cand_label,
+             {cosine_expr("t.embedding", "n.embedding", dialect="duckdb")} AS cos_sim,
+             row_number() OVER (
+               PARTITION BY t.vec_id
+               ORDER BY {cosine_expr("t.embedding", "n.embedding", dialect="duckdb")} DESC,
+                        n.vec_id) AS rk
+      FROM test t CROSS JOIN train n
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, count(*) AS n_votes,
+             round(max(cos_sim), 6) AS best_sim
+      FROM scored WHERE rk <= 5
+      GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label,
+           cand_label AS pred_label, n_votes, best_sim,
+           cand_label = true_label AS is_correct
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, cand_label) AS vrk
+          FROM votes)
+    WHERE vrk = 1
+    """,
+    tags=("similarity", "knn", "classify"),
+)
+def knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-vote classification: 20 held-out queries (vec_id % 25 = 0) score
+    against the train split, k=5 neighbors vote, majority label wins (ties
+    → smaller label). The test side is tiny → broadcast, so the "cross"
+    join is really a broadcast nested loop over one corpus scan — the same
+    plan a 1000-executor batch scorer wants."""
+    e = table(spark, sf_dir, "embeddings")
+    test = F.broadcast(
+        e.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    train = e.filter(F.col("vec_id") % 25 != 0)
+    cos = F.expr(cosine_expr("qv", "embedding", dialect="spark"))
+    scored = test.crossJoin(train).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("cand_label"),
+        F.col("vec_id"),
+        cos.alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    votes = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("query_id", "true_label", "cand_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"), F.round(F.max("cos_sim"), 6).alias("best_sim"))
+    )
+    vw = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "cand_label")
+    return (
+        votes.withColumn("vrk", F.row_number().over(vw))
+        .filter(F.col("vrk") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("cand_label").alias("pred_label"),
+            "n_votes",
+            "best_sim",
+            (F.col("cand_label") == F.col("true_label")).alias("is_correct"),
+        )
+    )
+
+
+@query(
+    "q75_ivf_probe_search",
+    oracle=f"""
+    WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i),
+    centroid AS (
+      SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings CROSS JOIN pos
+      GROUP BY label, i
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+    qc AS (
+      SELECT q.query_id, centroid.label,
+             round(sum(qv[i]::DOUBLE * c)
+                   / (sqrt(sum(qv[i]::DOUBLE * qv[i]::DOUBLE)) * sqrt(sum(c * c))), 6) AS ccos
+      FROM q JOIN centroid ON true
+      WHERE qv[i] IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT query_id, label, ccos,
+             row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, label) AS prk
+      FROM qc
+    ),
+    cand AS (
+      SELECT p.query_id, e.vec_id, e.label,
+             {cosine_expr("qq.qv", "e.embedding", dialect="duckdb")} AS cos_sim
+      FROM probes p
+      JOIN q qq ON qq.query_id = p.query_id
+      JOIN embeddings e ON e.label = p.label AND e.vec_id != p.query_id
+      WHERE p.prk <= 2
+    )
+    SELECT query_id, vec_id, label, cos_sim, rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rk
+          FROM cand)
+    WHERE rk <= 3
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label mean centroid (the label
+    stands in for a k-means partition id); each query probes its top-2
+    centroids and scores only those partitions — the inverted-file pattern
+    where search cost is (n_probes/n_lists) of the corpus. Centroids are
+    computed positionally (explode by dimension → avg → rounded), so the
+    whole pipeline stays in SQL expressions and oracle-matches."""
+    e = table(spark, sf_dir, "embeddings")
+    pos = F.explode(F.sequence(F.lit(1), F.lit(64))).alias("i")
+    centroid = (
+        e.select("label", pos, "embedding")
+        .select("label", "i", F.element_at("embedding", F.col("i")).cast("double").alias("v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qpos = q.select(
+        "query_id", "qv", pos
+    ).select("query_id", "qv", "i", F.element_at("qv", F.col("i")).cast("double").alias("qvi"))
+    qc = (
+        qpos.join(F.broadcast(centroid), "i")
+        .groupBy("query_id", "label")
+        .agg(
+            F.round(
+                F.sum(F.col("qvi") * F.col("c"))
+                / (
+                    F.sqrt(F.sum(F.col("qvi") * F.col("qvi")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c")))
+                ),
+                6,
+            ).alias("ccos")
+        )
+    )
+    pw = W.partitionBy("query_id").orderBy(F.col("ccos").desc(), "label")
+    probes = qc.withColumn("prk", F.row_number().over(pw)).filter(F.col("prk") <= 2)
+    cand = (
+        probes.join(q, "query_id")
+        .join(e, "label")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.expr(cosine_expr("qv", "embedding", dialect="spark")).alias("cos_sim"),
+        )
+    )
+    rw = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "label", "cos_sim", "rk")
+    )
+
+
+@query(
+    "q76_timeseries_similarity",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             [round(count(*)::DOUBLE, 4),
+              round(avg(value), 4),
+              round(stddev_samp(value), 4),
+              round(min(value), 4),
+              round(max(value), 4)] AS fv
+      FROM events GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           round(list_cosine_similarity(a.fv, b.fv)::DOUBLE, 6) AS cos_sim
+    FROM feat a JOIN feat b ON a.user_id < b.user_id
+    ORDER BY cos_sim DESC, user_a, user_b
+    LIMIT 20
+    """,
+    tags=("similarity", "timeseries"),
+)
+def timeseries_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-profile similarity: each user's event-value series
+    is summarized to a feature vector (count, mean, stddev, min, max —
+    rounded before comparison so cross-engine float aggregation order can't
+    drift), then the top-20 most-similar user pairs by cosine. The feature
+    agg reduces the series BEFORE the pair join — at 100 TB you never join
+    raw series, only fixed-width profiles."""
+    ev = table(spark, sf_dir, "events")
+    feat = ev.groupBy("user_id").agg(
+        F.array(
+            F.round(F.count(F.lit(1)).cast("double"), 4),
+            F.round(F.avg("value"), 4),
+            F.round(F.stddev_samp("value"), 4),
+            F.round(F.min("value"), 4),
+            F.round(F.max("value"), 4),
+        ).alias("fv")
+    )
+    a = feat.select(F.col("user_id").alias("user_a"), F.col("fv").alias("fa"))
+    b = feat.select(F.col("user_id").alias("user_b"), F.col("fv").alias("fb"))
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            F.expr(cosine_expr("fa", "fb", dialect="spark")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "user_a", "user_b")
+        .limit(20)
+    )
