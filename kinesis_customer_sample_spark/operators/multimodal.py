@@ -1,0 +1,129 @@
+"""Multimodal column handling: opaque binary media + typed metadata, with
+decode / feature-extract / frame-sample as Arrow-batched `mapInPandas`
+stages (SURVEY.md §2B "multimodal column handling").
+
+The container has no image/audio codecs, so the *codec call* is stubbed:
+`decode_image_real` raises NotImplementedError, and the pipeline falls back
+to a deterministic byte-level featurizer. Everything around the stub — the
+media schema, the binary column, Arrow batch shapes, the mapInPandas
+signatures, partition behavior — is real and tested; swapping in PIL/ffmpeg
+later changes one function body, not the plan.
+
+Scale posture: media bytes never shuffle. Feature extraction is map-only
+(mapInPandas preserves partitioning, no exchange); only the small extracted
+feature rows flow into joins/aggs downstream. At 100 TB keep blobs in their
+own parquet column so column pruning skips them unless a decode stage runs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# typed metadata travels beside the opaque payload — never inside it
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, data binary, "
+    "meta struct<mime: string, declared_bytes: bigint>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id bigint, kind string, n_bytes bigint, content_md5 string, "
+    "width int, height int, decoder string"
+)
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_off bigint, frame_md5 string"
+
+
+def decode_image_real(data: bytes) -> tuple[int, int]:
+    """Real codec entry point — STUB. The container ships no imaging libs;
+    production swaps this body for PIL/libvips and nothing else changes."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "pipeline uses the deterministic byte-level featurizer"
+    )
+
+
+def _fake_dims(n_bytes: int) -> tuple[int, int]:
+    """Deterministic stand-in for decoded dimensions (pure function of
+    payload size, reproducible in any engine)."""
+    return (n_bytes % 640 + 1, n_bytes % 480 + 1)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Turn `documents` into a media table: utf-8 text bytes act as the
+    opaque payload, with typed metadata assembled alongside."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit("image/x-fixture").alias("mime"),
+            F.length(F.encode("text", "utf-8")).cast("bigint").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column. Tries the
+    real codec once per batch; on NotImplementedError degrades to the
+    deterministic featurizer for the whole batch (mirrors the reference's
+    error→null/degrade posture, guide:36-39)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for media_id, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                raw = bytes(data)
+                try:
+                    width, height = decode_image_real(raw)
+                    decoder = "codec"
+                except NotImplementedError:
+                    width, height = _fake_dims(len(raw))
+                    decoder = "fake"
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(raw),
+                        "content_md5": hashlib.md5(raw).hexdigest(),
+                        "width": width,
+                        "height": height,
+                        "decoder": decoder,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.split()[0] for f in FEATURE_SCHEMA.split(", ")])
+
+    return media.mapInPandas(featurize, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int = 64) -> DataFrame:
+    """Frame sampling for video-shaped payloads: emit one row per `stride`
+    bytes (stand-in for one frame per N ms), each with its offset and a
+    content hash of the frame window. One-to-many mapInPandas — the UDTF
+    shape — so downstream per-frame ops are ordinary rows."""
+
+    def sampler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                raw = bytes(data)
+                for idx, off in enumerate(range(0, len(raw), stride)):
+                    window = raw[off : off + stride]
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "frame_off": off,
+                            "frame_md5": hashlib.md5(window).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_off", "frame_md5"])
+
+    return media.mapInPandas(sampler, schema=FRAME_SCHEMA)

@@ -19,6 +19,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     dedup,
     flagship,
     functions_scalar,
+    multimodal,
     relational,
     setops,
     similarity,

@@ -1,0 +1,112 @@
+"""Multimodal-column queries (SURVEY.md §2B): struct assembly across
+modalities, and the binary decode / feature-extract / frame-sample pipeline
+from operators/multimodal.py.
+
+The decode stages run through real Arrow-batched `mapInPandas` plumbing;
+because the stub featurizer is a pure function of the payload bytes and the
+fixture text is ASCII (byte == char), DuckDB can recompute every feature in
+SQL — so even the Python-side pipeline is hash-match oracle-checked, not
+rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    sample_frames,
+)
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q77_multimodal_assembly",
+    oracle="""
+    SELECT d.doc_id,
+           d.lang,
+           d.source,
+           d.n_chars,
+           e.label,
+           len(e.embedding)                             AS dim,
+           round(e.embedding[1]::DOUBLE, 6)             AS e_head,
+           round(list_sum(list_transform(e.embedding, x -> x::DOUBLE)), 6) AS e_sum
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("multimodal", "assembly"),
+)
+def multimodal_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per item carrying both modalities: document metadata joined
+    to its embedding (text ⋈ vector on the shared id — FIXTURES.md:57), with
+    vector summary columns. The 1:1 id join is the multimodal-table spine;
+    at 100 TB both sides bucket by id so assembly is shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e_head"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"
+            ),
+            6,
+        ).alias("e_sum"),
+    )
+
+
+@query(
+    "q78_media_feature_extract",
+    oracle="""
+    SELECT doc_id                         AS media_id,
+           'image'                        AS kind,
+           length(text)::BIGINT           AS n_bytes,
+           md5(text)                      AS content_md5,
+           (length(text) % 640 + 1)::INT  AS width,
+           (length(text) % 480 + 1)::INT  AS height,
+           'fake'                         AS decoder
+    FROM documents
+    """,
+    tags=("multimodal", "decode", "mapinpandas"),
+)
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode + feature extraction through the real mapInPandas
+    pipeline: documents → opaque binary media rows (typed metadata struct
+    alongside) → Arrow-batched featurizer (size, md5, dimensions). The
+    codec call is the stubbed edge (operators/multimodal.py); the batch
+    plumbing this query proves is exactly what a PIL-backed decode runs
+    through. Map-only: no shuffle, blobs never leave their partition."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@query(
+    "q79_media_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id AS media_id,
+             unnest(generate_series(0, (length(text) - 1) // 64)) AS frame_idx
+      FROM documents
+    )
+    SELECT f.media_id,
+           f.frame_idx::INT                                   AS frame_idx,
+           (f.frame_idx * 64)::BIGINT                         AS frame_off,
+           md5(substring(d.text, f.frame_idx::INT * 64 + 1, 64)) AS frame_md5
+    FROM frames f JOIN documents d ON d.doc_id = f.media_id
+    """,
+    tags=("multimodal", "frames", "mapinpandas"),
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling as a one-to-many mapInPandas (the UDTF shape): one
+    row per 64-byte window with offset + window hash — the video
+    frame-every-N-ms pattern with the codec stubbed to byte windows.
+    Oracle re-derives every frame row and hash in SQL."""
+    media = attach_media(table(spark, sf_dir, "documents"))
+    return sample_frames(media, stride=64)
