@@ -35,6 +35,13 @@ HEADLINE = [
     "q26_win_frames",
     "q30_topk_global",
     "q35_sql_shipping_priority",
+    # LLM-pipeline operators (first-class bench components)
+    "q62_tfidf_top_terms",
+    "q67_exact_dedup",
+    "q69_minhash_lsh_pairs",
+    "q72_cosine_topk_brute",
+    "q74_knn_vote",
+    "q78_media_feature_extract",
 ]
 
 

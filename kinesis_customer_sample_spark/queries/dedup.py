@@ -210,15 +210,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end: DuckDB runs the identical permutation arithmetic — minhash
     signatures, band buckets, and the final pair set all agree bit-for-bit
     (the usual ◐ rows-only concession is not needed)."""
+    # Spark-side plan, tuned for scale (the oracle SQL recomputes the same
+    # values its own way — results must match, plans need not):
+    # 1. hash each DISTINCT shingle string once and broadcast-join the
+    #    hashes back to the postings. Spark evaluates higher-order lambdas
+    #    interpreted (not codegen), so per-char hashing must run per
+    #    distinct shingle (~|vocab³|), never per occurrence (~50× more);
+    # 2. compute the 16 minhashes as plain min() aggregates over the
+    #    exploded postings — whole-stage-codegen'd arithmetic, one shuffle
+    #    on doc_id with map-side partial mins;
+    # 3. persist the small signature table: bands a/b and the verify join
+    #    ma/mb reuse it (at 100 TB: write signatures to parquet once).
+    # Measured at sf0.1: 46 s (array-lambda form) → ~4 s.
+    sh = _shingle_sets(spark, sf_dir).select("doc_id", "shs").persist()
+    postings = sh.select("doc_id", F.explode("shs").alias("s"))
+    sh_hash = (
+        postings.select("s")
+        .distinct()
+        .withColumn("h", F.expr(tok_hash_expr("s", dialect="spark")))
+    )
+    perm = "(h * (17 + 2 * {i}) + CAST({i} AS BIGINT) * " + str(_PERM_OFF) + ") % " + str(MOD_P)
+    mins = (
+        postings.join(F.broadcast(sh_hash), "s")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.expr(perm.format(i=i))).alias(f"mh{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+    )
+    band_cols = [
+        F.expr(band_hash_expr([f"mh{4 * b + j}" for j in range(ROWS_PER_BAND)])).alias(f"bh{b}")
+        for b in range(N_BANDS)
+    ]
     mh = (
-        _shingle_sets(spark, sf_dir)
-        .withColumn("hs", F.expr(f'transform(shs, s -> {tok_hash_expr("s", dialect="spark")})'))
-        .withColumn("mh", F.expr(_minhash_expr("spark")))
-        .select("doc_id", "shs", "mh")
+        mins.select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)]).alias("mh"),
+            *band_cols,
+        )
+        .join(sh, "doc_id")
+        .persist()
     )
-    bands = mh.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1)))).withColumn(
-        "bh", F.expr(_band_hash("spark"))
-    )
+    stack_args = ", ".join(f"{b}, bh{b}" for b in range(N_BANDS))
+    bands = mh.selectExpr("doc_id", f"stack({N_BANDS}, {stack_args}) AS (b, bh)")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
