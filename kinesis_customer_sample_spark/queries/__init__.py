@@ -23,6 +23,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     relational,
     setops,
     similarity,
+    sources_scan,
     streaming_queries,
     text_analysis,
     windows,

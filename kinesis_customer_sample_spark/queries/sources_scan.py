@@ -1,0 +1,120 @@
+"""File-source scans beyond parquet (SURVEY.md §2B "Scans / sources /
+sinks"): CSV and JSON-lines readers with explicit schemas, plus the batch
+parquet sink round-trip.
+
+Pattern: export a fixture table to the alternate format under the repo's
+scratch dir, read it back with an *explicit* StructType (schema inference on
+a production source is both slow — extra full pass — and unstable across
+runs; SURVEY.md §1.3), and aggregate. The oracle computes the same result
+straight from the canonical table, so the scan path itself is what's being
+verified. Writes stay inside the repo scratch dir (never the read-only
+testdata)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SCRATCH, sf_tag, name)
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.LongType()),
+    ]
+)
+
+
+@query(
+    "q80_csv_scan",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name, max(n_name) AS last_name
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("source", "csv"),
+)
+def csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source: export nation → CSV with header, read back with an
+    explicit schema (no inference pass), aggregate. The oracle aggregates
+    the canonical table directly, so a hash-match proves the CSV
+    write/read path is lossless for these types."""
+    path = _scratch(sf_dir, "nation_csv")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = spark.read.schema(_NATION_SCHEMA).option("header", "true").csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+        F.max("n_name").alias("last_name"),
+    )
+
+
+@query(
+    "q81_jsonl_scan",
+    oracle="""
+    SELECT r_regionkey, r_name, length(r_name) AS name_len
+    FROM region
+    """,
+    tags=("source", "json"),
+)
+def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: export region → JSONL, read back with an explicit
+    schema. Mirrors the reference's decoded-payload shape (each line one
+    JSON document, guide:56-58) minus the gzip/S3 envelope handled in
+    sources/decode.py."""
+    path = _scratch(sf_dir, "region_jsonl")
+    region = table(spark, sf_dir, "region")
+    region.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.LongType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.select("r_regionkey", "r_name", F.length("r_name").alias("name_len"))
+
+
+@query(
+    "q82_parquet_sink_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sink", "parquet"),
+)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sink: aggregate → write parquet (the foreachBatch/CMS-sync
+    target shape, guide:3) → read back. Hash-match against the oracle's
+    direct aggregation proves the sink round-trip preserves values, which
+    is the invariant the streaming upsert sink (streaming/sinks.py) builds
+    on."""
+    path = _scratch(sf_dir, "custagg_parquet")
+    agg = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -285,3 +285,82 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(fp).alias("fingerprint"),
         )
     )
+
+
+# (token, weight) sentiment lexicon over the fixture vocabulary — positive
+# performance words up, negative words down (weights are arbitrary but fixed)
+_SENTIMENT = [
+    ("fast", 2), ("small", 1), ("big", 1),
+    ("slow", -2), ("error", -2), ("dup", -1),
+]
+
+
+@query(
+    "q83_lexicon_sentiment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents),
+    lex(tok, weight) AS (VALUES
+      {", ".join(f"('{tok}', {w})" for tok, w in _SENTIMENT)}),
+    scores AS (
+      SELECT t.doc_id, sum(l.weight) AS raw_score, count(*) AS n_hits
+      FROM toks t JOIN lex l USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.raw_score, 0)  AS raw_score,
+           coalesce(s.n_hits, 0)     AS n_hits,
+           CASE WHEN coalesce(s.raw_score, 0) > 0 THEN 'positive'
+                WHEN coalesce(s.raw_score, 0) < 0 THEN 'negative'
+                ELSE 'neutral' END   AS polarity
+    FROM documents d LEFT JOIN scores s USING (doc_id)
+    """,
+    tags=("text", "sentiment", "lexicon"),
+)
+def lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment/keyword scoring (SURVEY.md §2B, PAPERS.md:5):
+    token explode ⋈ broadcast weighted lexicon → signed sum → polarity
+    label. The lexicon is a broadcast hash join against a handful of rows;
+    at 100 TB the explode side still partial-aggregates map-side, so the
+    shuffle is one row per (doc, hit) group."""
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        d.sparkSession.createDataFrame(_SENTIMENT, "tok string, weight int")
+    )
+    toks = _docs_with_tokens(spark, sf_dir).select("doc_id", F.explode("toks").alias("tok"))
+    scores = (
+        toks.join(lex, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").alias("raw_score"), F.count(F.lit(1)).alias("n_hits"))
+    )
+    raw = F.coalesce("raw_score", F.lit(0))
+    return d.join(scores, "doc_id", "left").select(
+        "doc_id",
+        raw.cast("long").alias("raw_score"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.when(raw > 0, "positive").when(raw < 0, "negative").otherwise("neutral").alias("polarity"),
+    )
+
+
+@query(
+    "q84_pandas_centroid_udaf",
+    oracle="""
+    WITH pos AS (SELECT unnest(generate_series(1, 64)) AS i)
+    SELECT label, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+    FROM embeddings CROSS JOIN pos
+    GROUP BY label, i
+    """,
+    tags=("udaf", "pandas", "vector"),
+)
+def pandas_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDAF: per-label mean embedding computed by numpy
+    over Arrow batches (operators/vector_udafs.py), then posexploded to
+    (label, dimension, value) rows so DuckDB can recompute it positionally
+    — the custom-UDAF path and the pure-SQL path provably agree."""
+    from kinesis_customer_sample_spark.operators.vector_udafs import centroid_udaf
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.groupBy("label").agg(centroid_udaf("embedding").alias("centroid"))
+    return (
+        cent.select("label", F.posexplode("centroid").alias("p", "v"))
+        .select("label", (F.col("p") + 1).alias("i"), F.round("v", 6).alias("c"))
+    )
