@@ -1,0 +1,72 @@
+"""Physical-plan audits (SURVEY.md §4.2 "rely; verify with explain()"):
+the optimizations we depend on for 100 TB must actually appear in the
+plans, and a regression (lost pushdown, a join degrading to cartesian)
+should fail CI, not surface in a cluster bill."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from kinesis_customer_sample_spark.registry import load_registry
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    # the shipdate predicate must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    # partial + final aggregation (map-side combine before the shuffle)
+    assert "partial_sum" in plan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q06_join_broadcast_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_no_global_sort_exchange(spark, sf_dir):
+    # top-k must use TakeOrderedAndProject, not sort-the-world
+    plan = plan_of(spark, sf_dir, "q30_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q69_minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    # the distinct-shingle hash table must broadcast back to postings
+    assert "BroadcastHashJoin" in plan
+
+
+def test_feature_extract_map_only(spark, sf_dir):
+    # decode/featurize must not shuffle media bytes
+    plan = plan_of(spark, sf_dir, "q78_media_feature_extract")
+    assert "Exchange" not in plan
+
+
+def test_brute_topk_broadcasts_query_vector(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q72_cosine_topk_brute")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q05_join_inner", "q07_join_left_outer", "q12_join_range", "q13_join_asof"],
+)
+def test_join_family_no_cartesian(spark, sf_dir, name):
+    assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
