@@ -237,3 +237,74 @@ def test_merge_latest_delete_wins_then_reinsert(spark):
     )
     merged = merge_latest(merge_latest(a, b), c)
     assert merged.count() == 1 and merged.collect()[0].last_us == 300
+
+
+def test_session_window_stream_equals_batch(spark, sf_dir):
+    """Streaming session windows (30-min gap, watermarked) == the batch
+    session_window derivation used by q53 — the sessionization operator is
+    trigger-invariant."""
+    from kinesis_customer_sample_spark.catalog import table
+
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, output_mode="complete")
+    got = {
+        (r.user_id, r["session_window"].start, r["session_window"].end): r.n_events
+        for r in out.collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {
+        (r.user_id, r["session_window"].start, r["session_window"].end): r.n_events
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stateful_latest_state_on_rocksdb_provider(spark):
+    """The stateful operators run unchanged on the RocksDB state store —
+    the provider production uses at 100 TB key cardinality (SURVEY.md §4.2;
+    keyed state no longer bounded by executor heap)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            stream = _ops_stream(spark, td)
+            out = run_to_completion(latest_state_stream(stream), output_mode="update")
+            final = (
+                out.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy(
+                            "organization_id", "id", "branch", "published"
+                        ).orderBy(F.col("last_us").desc())
+                    ),
+                )
+                .filter("rn = 1")
+                .filter(F.col("last_operation").startswith("insert-"))
+            )
+            got = {
+                (r.organization_id, r.id, r.branch, r.published): r.body
+                for r in final.collect()
+            }
+        want = {
+            (r.organization_id, r.id, r.branch, r.published): r.body
+            for r in contentops_latest_state(spark, "").collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
