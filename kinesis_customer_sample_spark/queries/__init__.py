@@ -21,6 +21,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     functions_scalar,
     multimodal,
     relational,
+    scale_patterns,
     setops,
     similarity,
     sources_scan,

@@ -1,0 +1,79 @@
+"""Scale-pattern operators: Variant semi-structured access (the Spark 4
+upgrade path for the reference's open-ended ANS `body`, SURVEY.md §1.3) and
+explicit two-stage salted aggregation for skewed keys (SURVEY.md §4.2 —
+AQE handles skewed *joins*; pre-shuffle salting is the standing pattern for
+skewed high-cardinality aggregation input)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q85_variant_json",
+    oracle="""
+    SELECT event_type,
+           count(*)                                    AS n,
+           sum(json_extract(props, '$.k')::INT)        AS k_sum,
+           max(json_extract(props, '$.k')::INT)        AS k_max,
+           count(json_extract(props, '$.missing'))     AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("json", "variant"),
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through VariantType (Spark 4): parse the JSON
+    column once into a variant, extract typed paths with variant_get.
+    Variant keeps a binary-encoded tree — repeated path access avoids
+    re-parsing the string per extraction, the upgrade path for the
+    reference's unbounded ANS `body` documents (guide:112-114) where a 100
+    TB scan cannot afford string re-parsing per projected field. Missing
+    paths yield NULL via try_variant_get (the R4 error→null posture)."""
+    ev = table(spark, sf_dir, "events").withColumn("v", F.parse_json("props"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("variant_get(v, '$.k', 'int')")).alias("k_sum"),
+        F.max(F.expr("variant_get(v, '$.k', 'int')")).alias("k_max"),
+        F.count(F.expr("try_variant_get(v, '$.missing', 'string')")).alias("n_missing"),
+    )
+
+
+_N_SALTS = 16
+
+
+@query(
+    "q86_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           count(*)               AS n,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("skew", "salting", "aggregation"),
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 groups by (key, salt) — the
+    hot key's rows spread over 16 reducers — stage 2 merges the partials by
+    key. `event_type` has cardinality 5 over millions of rows, the classic
+    skewed-agg shape. Results are provably identical to the direct group-by
+    (the oracle IS the direct group-by); count/sum decompose losslessly.
+    Note Spark's own partial aggregation already covers this case when the
+    map side can combine — explicit salting is for when stage-1 state per
+    key is too big to combine map-side (e.g. distinct sets), and this query
+    is the pattern's executable documentation."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS))
+    )
+    partial = ev.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("pv"), 2).alias("total_value"),
+    )

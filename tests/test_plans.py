@@ -9,6 +9,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.registry import load_registry
 
@@ -70,3 +71,60 @@ def test_brute_topk_broadcasts_query_vector(spark, sf_dir):
 )
 def test_join_family_no_cartesian(spark, sf_dir, name):
     assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides on the key pre-distributes the data so the
+    join needs NO Exchange — the co-located-join layout for repeated 100 TB
+    fact⋈fact joins (SURVEY.md §4.2). Written once, joined shuffle-free
+    forever after."""
+    from kinesis_customer_sample_spark.catalog import table
+
+    # tables land in the default spark-warehouse/ (gitignored) and are
+    # dropped below — warehouse.dir is a static conf, not settable per-test
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    table(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    table(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("b_lineitem")
+    # disable broadcast so the join strategy is the bucketed sort-merge path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert joined.count() == table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style date partitioning (the 100 TB layout, SURVEY.md §4.2):
+    a filter on the partition column must prune at planning time —
+    PartitionFilters in the scan, not a post-scan Filter."""
+    from kinesis_customer_sample_spark.catalog import table
+
+    path = str(tmp_path / "events_by_day")
+    ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    want = ev.filter(F.col("day") == "2024-01-05").count()
+    assert back.count() == want and want > 0
