@@ -53,15 +53,33 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
 
     spark = get_spark(app_name="kcss-bench")
-    # warm the JVM + parquet footer caches with a trivial action
-    spark.range(1).count()
+    # Warm-up: JVM codegen paths, shuffle machinery, and — critically — the
+    # Python worker pool (mapInPandas/pandas_udf spawn one worker per core
+    # on first use, ~5-8 s; workers are reused afterwards, so without this
+    # the first Python-edge query is billed the pool spin-up).
+    from pyspark.sql import functions as F
 
+    spark.range(100_000).groupBy(F.col("id") % 7).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    spark.range(100_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # Two executions per query, report the min: single-JVM timings here show
+    # multi-second transient stalls (GC / JIT deopt) that land on arbitrary
+    # queries — min-of-2 measures the plan, not the pause. Plans are rebuilt
+    # per execution, so no result caching is involved (noop sink: everything
+    # computes, nothing transfers to the driver).
     timings: dict[str, float] = {}
     for name in names:
-        df = registry[name].fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = registry[name].fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

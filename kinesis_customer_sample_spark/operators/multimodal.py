@@ -55,6 +55,9 @@ def _fake_dims(n_bytes: int) -> tuple[int, int]:
 def attach_media(docs: DataFrame) -> DataFrame:
     """Turn `documents` into a media table: utf-8 text bytes act as the
     opaque payload, with typed metadata assembled alongside."""
+    # spread the corpus before the Python featurize stages: one input file
+    # would otherwise pin every mapInPandas worker onto a single task
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),

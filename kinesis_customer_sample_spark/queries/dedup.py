@@ -76,8 +76,11 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parallelize the single-file scan before the interpreted shingle
+    # lambdas (same rationale as text_analysis._docs_with_tokens)
     return (
         table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("toks", F.expr(_SPARK_TOKS))
         .filter(F.size("toks") >= 3)
         .withColumn("shs", F.expr(_SPARK_SHINGLES))

@@ -30,7 +30,16 @@ _DUCK_TOKS = (
 
 
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return table(spark, sf_dir, "documents").withColumn("toks", F.expr(_SPARK_TOKS))
+    # spread the corpus across all cores BEFORE the (interpreted) tokenize
+    # lambda: the fixture is one small parquet file → one input partition,
+    # which would serialize every downstream text operator onto one task.
+    # At 100 TB scans arrive well-partitioned and this repartition is a
+    # no-op decision; locally it models the executor spread (measured 4.5×
+    # on the kNN scorer's identical shape).
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.withColumn("toks", F.expr(_SPARK_TOKS))
 
 
 @query(
@@ -100,7 +109,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort."""
     toks = _docs_with_tokens(spark, sf_dir).select("doc_id", F.explode("toks").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # doc frequency derived FROM tf — (doc_id, tok) rows are already
+    # distinct — so the tokenize+explode subtree runs once, not twice
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df), "tok")

@@ -54,9 +54,16 @@ def test_minhash_no_cartesian(spark, sf_dir):
 
 
 def test_feature_extract_map_only(spark, sf_dir):
-    # decode/featurize must not shuffle media bytes
+    # the only Exchange allowed is the deliberate round-robin spread of the
+    # single-file scan BEFORE featurize; extracted features must not
+    # shuffle afterwards, and the spread must not hash on blob contents
     plan = plan_of(spark, sf_dir, "q78_media_feature_extract")
-    assert "Exchange" not in plan
+    n_exchanges = plan.count("(") and len(
+        [l for l in plan.splitlines() if l.strip().startswith("Exchange") or ") Exchange" in l]
+    )
+    assert n_exchanges <= 1
+    assert "RoundRobinPartitioning" in plan  # the explicit spread
+    assert "hashpartitioning" not in plan.lower()
 
 
 def test_brute_topk_broadcasts_query_vector(spark, sf_dir):
