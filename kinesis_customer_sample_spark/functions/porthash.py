@@ -28,7 +28,13 @@ _PERM_OFF = 2_654_435_761 % MOD_P  # Knuth multiplicative constant, reduced
 
 def _char_codes(s: str, *, dialect: str) -> str:
     if dialect == "spark":
-        return f"transform(sequence(1, length({s})), i -> ascii(substring({s}, i, 1)))"
+        # NOT sequence(1, length(s)): Spark's sequence steps DOWNWARD when
+        # start > stop, so an empty string yields indices [1, 0] and a
+        # nonzero hash while DuckDB's generate_series(1, 0) is empty
+        # (caught by tests/test_properties.py). sequence(0, n) is always
+        # ascending; slicing off the leading 0 gives [] for n = 0.
+        idx = f"slice(sequence(0, length({s})), 2, length({s}))"
+        return f"transform({idx}, i -> ascii(substring({s}, i, 1)))"
     return f"list_transform(generate_series(1, length({s})), i -> ascii(substring({s}, i, 1)))"
 
 

@@ -1,75 +1,72 @@
 """Physical-plan audits (SURVEY.md §4.2 "rely; verify with explain()"):
 the optimizations we depend on for 100 TB must actually appear in the
 plans, and a regression (lost pushdown, a join degrading to cartesian)
-should fail CI, not surface in a cluster bill."""
+should fail CI, not surface in a cluster bill. Assertions go through
+kinesis_customer_sample_spark.plans.audit so the facts are parsed, not
+string-matched ad hoc."""
 
 from __future__ import annotations
-
-import contextlib
-import io
 
 import pytest
 from pyspark.sql import functions as F
 
+from kinesis_customer_sample_spark.plans import audit
 from kinesis_customer_sample_spark.registry import load_registry
 
 REGISTRY = load_registry()
 
 
-def plan_of(spark, sf_dir, name: str) -> str:
-    df = REGISTRY[name].fn(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+def audit_of(spark, sf_dir, name: str):
+    return audit(REGISTRY[name].fn(spark, sf_dir))
 
 
 def test_flagship_pushdown_and_pruning(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    facts = audit_of(spark, sf_dir, "q01_pricing_summary")
     # the shipdate predicate must reach the parquet scan
-    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert any("LessThanOrEqual(l_shipdate" in f for f in facts.pushed_filters)
     # column pruning: the scan must not read unused lineitem columns
-    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+    assert not facts.scans_read_column("l_orderkey")
     # partial + final aggregation (map-side combine before the shuffle)
-    assert "partial_sum" in plan
+    assert facts.has_partial_agg
 
 
 def test_dimension_joins_broadcast(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q06_join_broadcast_dims")
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    facts = audit_of(spark, sf_dir, "q06_join_broadcast_dims")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
 
 
 def test_topk_no_global_sort_exchange(spark, sf_dir):
     # top-k must use TakeOrderedAndProject, not sort-the-world
-    plan = plan_of(spark, sf_dir, "q30_topk_global")
-    assert "TakeOrderedAndProject" in plan
+    facts = audit_of(spark, sf_dir, "q30_topk_global")
+    assert "TakeOrderedAndProject" in facts.text
 
 
 def test_minhash_no_cartesian(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q69_minhash_lsh_pairs")
-    assert "CartesianProduct" not in plan
+    facts = audit_of(spark, sf_dir, "q69_minhash_lsh_pairs")
+    assert not facts.has_cartesian
     # the distinct-shingle hash table must broadcast back to postings
-    assert "BroadcastHashJoin" in plan
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
 
 
 def test_feature_extract_map_only(spark, sf_dir):
     # the only Exchange allowed is the deliberate round-robin spread of the
     # single-file scan BEFORE featurize; extracted features must not
-    # shuffle afterwards, and the spread must not hash on blob contents
-    plan = plan_of(spark, sf_dir, "q78_media_feature_extract")
-    n_exchanges = plan.count("(") and len(
-        [l for l in plan.splitlines() if l.strip().startswith("Exchange") or ") Exchange" in l]
-    )
-    assert n_exchanges <= 1
-    assert "RoundRobinPartitioning" in plan  # the explicit spread
-    assert "hashpartitioning" not in plan.lower()
+    # shuffle afterwards, and nothing may hash-partition blob contents
+    facts = audit_of(spark, sf_dir, "q78_media_feature_extract")
+    assert facts.n_exchanges <= 1
+    assert facts.round_robin_exchanges == facts.n_exchanges
+    assert "hashpartitioning" not in facts.text.lower()
 
 
 def test_brute_topk_broadcasts_query_vector(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "q72_cosine_topk_brute")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    facts = audit_of(spark, sf_dir, "q72_cosine_topk_brute")
+    assert (
+        facts.join_strategies.get("BroadcastNestedLoopJoin", 0)
+        + facts.join_strategies.get("BroadcastHashJoin", 0)
+        >= 1
+    )
+    assert "SortMergeJoin" not in facts.join_strategies
 
 
 @pytest.mark.parametrize(
@@ -77,7 +74,7 @@ def test_brute_topk_broadcasts_query_vector(spark, sf_dir):
     ["q05_join_inner", "q07_join_left_outer", "q12_join_range", "q13_join_asof"],
 )
 def test_join_family_no_cartesian(spark, sf_dir, name):
-    assert "CartesianProduct" not in plan_of(spark, sf_dir, name)
+    assert not audit_of(spark, sf_dir, name).has_cartesian
 
 
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
@@ -105,12 +102,9 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
             spark.table("b_lineitem"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            joined.explain("formatted")
-        plan = buf.getvalue()
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        facts = audit(joined)
+        assert facts.join_strategies.get("SortMergeJoin", 0) == 1
+        assert facts.n_exchanges == 0  # co-located: no shuffle on either side
         assert joined.count() == table(spark, sf_dir, "lineitem").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -128,10 +122,7 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     ev = table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     back = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        back.explain("formatted")
-    plan = buf.getvalue()
-    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    facts = audit(back)
+    assert any("2024-01-05" in f for f in facts.partition_filters)
     want = ev.filter(F.col("day") == "2024-01-05").count()
     assert back.count() == want and want > 0

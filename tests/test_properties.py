@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis): invariants that hold for ARBITRARY
+inputs, not just the fixtures — the decode edge's totality (any bytes in,
+never an exception out, guide:36-39) and the portable hash's cross-engine
+agreement on any ASCII token (the foundation the dedup family's
+oracle-checkability rests on)."""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_customer_sample_spark.functions import MOD_P, tok_hash_expr
+
+
+# ---- portable hash: pure-python model + both SQL dialects must agree ----
+
+def _model_tok_hash(s: str) -> int:
+    h = 7
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MOD_P
+    return h
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_porthash_duckdb_matches_model(s):
+    expr = tok_hash_expr("?", dialect="duckdb").replace("?", "$tok$")
+    got = duckdb.execute(f"SELECT {expr.replace('$tok$', 'x')} FROM (SELECT ? AS x)", [s]).fetchone()[0]
+    assert got == _model_tok_hash(s)
+    assert 0 <= got < MOD_P
+
+
+def test_porthash_spark_matches_model_on_samples(spark):
+    # Spark side batched (per-example SQL would be minutes of overhead):
+    # adversarial-ish sample incl. empty string, repeats, full ASCII span
+    samples = ["", "a", "zz", " ", "~" * 80, "the quick brown fox", "a b c", "'quote'"]
+    df = spark.createDataFrame(pd.DataFrame({"x": samples}))
+    got = df.selectExpr(f"{tok_hash_expr('x', dialect='spark')} AS h").collect()
+    for s, row in zip(samples, got):
+        assert row.h == _model_tok_hash(s), s
+
+
+# ---- decode edge: total over arbitrary bytes ----
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_gunzip_model_never_raises(raw):
+    """The decode kernel maps arbitrary (usually corrupt) bytes to None,
+    valid gzip/zlib to the payload — never an exception (guide:36-39)."""
+
+    def one(b):
+        try:
+            return zlib.decompress(bytes(b), 15 + 32).decode("utf-8")
+        except Exception:
+            return None
+
+    out = one(raw)
+    assert out is None or isinstance(out, str)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_gunzip_roundtrip_gzip_and_zlib(s):
+    """wbits 15+32 must auto-detect BOTH containers the producer may emit
+    (guide:19,28): gzip-wrapped and bare-zlib payloads round-trip."""
+    for packed in (gzip.compress(s.encode()), zlib.compress(s.encode())):
+        assert zlib.decompress(packed, 15 + 32).decode("utf-8") == s
+
+
+def test_decode_udfs_total_on_garbage(spark):
+    """The Spark-side decode stage keeps the error→NULL contract over a
+    batch mixing valid, corrupt, and NULL records."""
+    from kinesis_customer_sample_spark.sources.decode import gunzip_text
+
+    rows = [
+        (1, gzip.compress(b'{"k": 1}')),
+        (2, b"\x00\xffgarbage"),
+        (3, None),
+        (4, zlib.compress(b"plain")),
+        (5, b""),
+    ]
+    df = spark.createDataFrame(rows, "rid int, data binary")
+    got = {r.rid: r.p for r in df.select("rid", gunzip_text("data").alias("p")).collect()}
+    assert got == {1: '{"k": 1}', 2: None, 3: None, 4: "plain", 5: None}
