@@ -1,0 +1,99 @@
+"""R1 — the stream source (guide:13 "consume from each shard in sequence").
+
+Two interchangeable record sources with the same output contract
+(`shard_id string, sequence_number bigint, data binary` — fixtures.py
+RECORD_SCHEMA), so the whole decode→state pipeline is source-agnostic:
+
+- `kinesis_stream`: the production source, `readStream.format("aws-kinesis")`
+  (the Amazon Kinesis connector for Structured Streaming; `format("kinesis")`
+  on Databricks-shaped runtimes). The connector jar is NOT bundled with
+  Apache Spark, so construction degrades to a clear error when absent —
+  this container has no network/AWS anyway.
+- `file_record_stream`: the replay double — identical schema from a
+  directory of parquet files, one file per micro-batch
+  (`maxFilesPerTrigger=1`), per-shard ordering preserved inside files the
+  way records are ordered within a shard (guide:13). Tests drive the full
+  wire-decode pipeline through it (tests/test_kinesis_source.py).
+
+Shard→partition mapping: the Kinesis connector yields one partition per
+shard, so `repartition("shard_id")` is never needed for ordering-sensitive
+stateful ops — keyed state (streaming/stateful.py) re-sorts within group by
+sequence anyway, which also covers shard merges/splits (resharding changes
+shard_id mid-stream).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.fixtures import RECORD_SCHEMA
+from kinesis_customer_sample_spark.sources.decode import Fetch, decode_records, http_fetch
+
+_KINESIS_FORMAT = "aws-kinesis"
+
+
+def kinesis_stream(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    *,
+    endpoint_url: str | None = None,
+    starting_position: str = "TRIM_HORIZON",
+) -> DataFrame:
+    """Production Kinesis source. Normalizes the connector's output columns
+    (`partitionKey`/`sequenceNumber`/`data`) to RECORD_SCHEMA."""
+    reader = (
+        spark.readStream.format(_KINESIS_FORMAT)
+        .option("streamName", stream_name)
+        .option("region", region)
+        .option("startingPosition", starting_position)
+    )
+    if endpoint_url:
+        reader = reader.option("endpointUrl", endpoint_url)
+    try:
+        raw = reader.load()
+    except Exception as ex:  # connector jar absent in this environment
+        raise RuntimeError(
+            "Kinesis connector not on the classpath; add the "
+            "spark-streaming-sql-kinesis connector jar, or use "
+            "file_record_stream() for replay/testing"
+        ) from ex
+    return raw.select(
+        F.col("partitionKey").alias("shard_id"),
+        F.col("sequenceNumber").cast("long").alias("sequence_number"),
+        F.col("data"),
+    )
+
+
+def file_record_stream(spark: SparkSession, records_dir: str) -> DataFrame:
+    """Replay double: Kinesis-shaped records from parquet files, one file
+    per micro-batch."""
+    return (
+        spark.readStream.schema(RECORD_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(records_dir)
+    )
+
+
+def write_record_batches(df_records, out_dir: str, n_batches: int = 2) -> None:
+    """Split a batch records DataFrame into `n_batches` replay files,
+    preserving per-shard sequence order within and across files (earlier
+    sequence numbers land in earlier files — guide:13's contract)."""
+    pdf = df_records.toPandas().sort_values("sequence_number", ignore_index=True)
+    chunk = (len(pdf) + n_batches - 1) // n_batches
+    os.makedirs(out_dir, exist_ok=True)
+    for i in range(n_batches):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(os.path.join(out_dir, f"batch-{i:04d}.parquet"), index=False)
+
+
+def content_operation_stream(records: DataFrame, fetch: Fetch = http_fetch) -> DataFrame:
+    """records (batch OR stream) → decoded, validated content operations.
+    The decode stage is the same code path either way (R2-R6): pandas-UDF
+    gunzip → pointer dereference → error→null → from_json envelope →
+    projection."""
+    return decode_records(records, fetch=fetch)
