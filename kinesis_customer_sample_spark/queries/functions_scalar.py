@@ -333,3 +333,40 @@ def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v.avg_chars"), 2).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "q89_fn_map_json_zip",
+    oracle="""
+    SELECT event_id,
+           'event_type·user' AS meta_keys,
+           event_type || '·' || CAST(user_id AS VARCHAR)  AS meta_values,
+           json_extract_string(props, '$.k')              AS k_str,
+           floor(epoch(ts))::BIGINT                       AS ts_epoch,
+           to_json(struct_pack(id := event_id, t := event_type)) AS packed_json
+    FROM events
+    WHERE event_id < 1000
+    """,
+    tags=("functions", "map", "json"),
+)
+def fn_map_json_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leftover function-family corners: create_map → map_keys/map_values
+    (joined to strings for the oracle — map ordering follows insertion in
+    both engines here), json_tuple single-path extraction, unix_timestamp,
+    and to_json over a struct (Spark and DuckDB agree on compact JSON
+    formatting for string/int fields)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    m = F.create_map(
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.concat_ws("·", F.map_keys(m)).alias("meta_keys"),
+        F.concat_ws("·", F.map_values(m)).alias("meta_values"),
+        F.json_tuple("props", "k").alias("k_str"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_epoch"),
+        F.to_json(F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("t"))).alias(
+            "packed_json"
+        ),
+    )
