@@ -20,6 +20,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     flagship,
     functions_scalar,
     multimodal,
+    pipeline_ops,
     relational,
     scale_patterns,
     setops,

@@ -1,0 +1,186 @@
+"""Training-data pipeline resolution operators: near-dup pairs → dedup
+CLUSTERS with keeper election, deterministic dataset splits, token-budget
+shard packing. These are the steps after pair generation that an LLM data
+pipeline actually ships.
+
+The connected-components oracle is a DuckDB *recursive CTE* while Spark
+runs distributed min-label propagation — two completely different
+algorithms required to land on the identical fixpoint, which is a stronger
+check than re-running the same plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import tok_hash_expr
+from kinesis_customer_sample_spark.queries.dedup import ngram_jaccard_pairs
+from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS
+from kinesis_customer_sample_spark.registry import query
+
+# shared pair-generation SQL (mirrors q68's oracle, jaccard >= 0.5)
+_DUCK_PAIRS = f"""
+    sh AS (
+      SELECT doc_id, lang, list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                                          for i in range(1, len(toks) - 1)]) AS shs
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    postings AS (SELECT doc_id, lang, unnest(shs) AS sh FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM postings a JOIN postings b
+        ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE n_common::DOUBLE / (len(sa.shs) + len(sb.shs) - n_common) >= 0.5
+    )
+"""
+
+
+@query(
+    "q90_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src
+    ),
+    comp AS (SELECT doc AS doc_id, min(lbl) AS component_id FROM reach GROUP BY doc)
+    SELECT c.doc_id, c.component_id,
+           count(*) OVER (PARTITION BY c.component_id) AS component_size,
+           c.doc_id = min(c.doc_id) OVER (PARTITION BY c.component_id) AS is_keeper
+    FROM comp c
+    """,
+    tags=("dedup", "clusters", "connected-components", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair graph → connected components → keeper election (min
+    doc_id per cluster): the resolution step that turns pairwise dedup
+    signals into drop decisions. Spark side is distributed min-label
+    propagation — each iteration one join + min-agg, state checkpointed to
+    break lineage — converging in O(component diameter) rounds (dup
+    clusters are shallow; at 100 TB this is the standard large-graph CC
+    loop, alternating-algorithm variants cut rounds further). The oracle
+    reaches the same fixpoint via a recursive CTE — a genuinely different
+    algorithm, so agreement checks the semantics, not the plan."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "component_id", F.col("doc_id")
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("component_id", F.coalesce("nbr_min", "component_id")).alias(
+                    "component_id"
+                ),
+            )
+            .localCheckpoint()  # truncate lineage each round
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.component_id") != F.col("l.component_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    w = W.partitionBy("component_id")
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+
+
+@query(
+    "q91_deterministic_split",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             {tok_hash_expr("doc_id::VARCHAR", dialect="duckdb")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM hashed
+    """,
+    tags=("sampling", "split", "porthash"),
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split by content-stable
+    hash of the document id — no RNG, no seed coordination: any engine,
+    any rerun, any shard of the fleet assigns the same document to the
+    same split (the property that keeps eval sets uncontaminated across
+    pipeline versions). Map-only; the hash is the portable polynomial."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(f"{tok_hash_expr('CAST(doc_id AS STRING)', dialect='spark')} % 100")
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+_SHARD_BUDGET = 10_000  # chars per training shard (token proxy)
+
+
+@query(
+    "q92_token_budget_packing",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_chars
+      FROM documents
+    )
+    SELECT doc_id, n_chars, offset_chars,
+           (offset_chars // {_SHARD_BUDGET})::BIGINT AS shard_id
+    FROM ordered
+    """,
+    tags=("packing", "sharding", "window"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: documents stream into fixed-budget
+    training shards by running size (greedy sequential fill — the
+    sequence-packing front end). The running sum here is one global window
+    for oracle parity; at 100 TB packing runs per date/source partition
+    (two-level: pack within partition, offset by per-partition totals
+    computed from a tiny partition-summary table), never a single ordered
+    window over the corpus."""
+    d = table(spark, sf_dir, "documents")
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    offset = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        offset.alias("offset_chars"),
+        (offset / _SHARD_BUDGET).cast("bigint").alias("shard_id"),
+    )
