@@ -67,3 +67,23 @@ def shingle_udtf(df, text_col: str = "text", n: int = 3):
             yield pd.DataFrame(rows, columns=["doc_id", "shingle_idx", "shingle"])
 
     return df.mapInPandas(gen, schema="doc_id bigint, shingle_idx int, shingle string")
+
+
+def make_shingle_udtf(n: int = 3):
+    """The same shingle generator as a REAL Spark 4 `@udtf` (lateral-join
+    table function): `SELECT s.* FROM docs, LATERAL shingles(doc_id, text) s`.
+    Row-at-a-time Python — prefer `shingle_udtf` (Arrow-batched) or the SQL
+    expression form on hot paths; this exists to cover the native UDTF
+    surface and is tested equal to both."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, shingle_idx: int, shingle: string")
+    class ShingleUdtf:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            toks = [t for t in re.sub(r"[^a-z ]", "", text.lower()).split(" ") if t]
+            for i in range(len(toks) - n + 1):
+                yield doc_id, i, " ".join(toks[i : i + n])
+
+    return ShingleUdtf

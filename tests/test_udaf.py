@@ -53,3 +53,21 @@ def test_shingle_udtf_matches_expr(spark, sf_dir):
     assert len(via_udtf) == len(via_expr)
     for r in via_expr:
         assert via_udtf[(r.doc_id, r.shingle_idx)] == r.shingle
+
+
+def test_native_udtf_matches_mapinpandas(spark, sf_dir):
+    from kinesis_customer_sample_spark.operators.vector_udafs import make_shingle_udtf
+
+    docs = table(spark, sf_dir, "documents").limit(10)
+    spark.udtf.register("shingles", make_shingle_udtf())
+    docs.createOrReplaceTempView("udtf_docs")
+    via_native = {
+        (r.doc_id, r.shingle_idx): r.shingle
+        for r in spark.sql(
+            "SELECT s.* FROM udtf_docs, LATERAL shingles(doc_id, text) s"
+        ).collect()
+    }
+    via_batched = {
+        (r.doc_id, r.shingle_idx): r.shingle for r in shingle_udtf(docs).collect()
+    }
+    assert via_native == via_batched and len(via_native) > 0
