@@ -375,3 +375,33 @@ def pandas_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent.select("label", F.posexplode("centroid").alias("p", "v"))
         .select("label", (F.col("p") + 1).alias("i"), F.round("v", 6).alias("c"))
     )
+
+
+@query(
+    "q93_text_stats_breakdown",
+    oracle=f"""
+    SELECT lang, source,
+           count(*)                                   AS n_docs,
+           sum(n_chars)                               AS total_chars,
+           round(avg(n_chars), 4)                     AS avg_chars,
+           min(n_chars)                               AS min_chars,
+           max(n_chars)                               AS max_chars,
+           sum(len({_DUCK_TOKS}))                     AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "stats"),
+)
+def text_stats_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition breakdown by (lang, source) — the dataset-card
+    aggregate every training-data pipeline reports. Plain hash agg; token
+    counts fold into the same map-side partials as the char stats."""
+    d = _docs_with_tokens(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
