@@ -301,7 +301,13 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     a = ev.alias("a")
-    b = ev.alias("b")
+    # merge hint: at test scale events fits under the broadcast threshold,
+    # and Spark's BroadcastHashJoin evaluates the interval predicate on the
+    # (single-file → single-task) streamed side — measured 3-8× slower AND
+    # the opposite of the at-scale plan, where a fact table can never
+    # broadcast. Forcing sort-merge keeps the local plan identical to the
+    # 100 TB plan and deterministic across runs.
+    b = ev.hint("merge").alias("b")
     return (
         a.join(
             b,

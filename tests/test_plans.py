@@ -77,6 +77,15 @@ def test_join_family_no_cartesian(spark, sf_dir, name):
     assert not audit_of(spark, sf_dir, name).has_cartesian
 
 
+def test_range_join_is_sort_merge(spark, sf_dir):
+    # the fact⋈fact interval join must take the shuffle path (a fact table
+    # can never broadcast at scale; locally the broadcast pick is also the
+    # slow one — see q12's merge hint)
+    facts = audit_of(spark, sf_dir, "q12_join_range")
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 1
+    assert "BroadcastHashJoin" not in facts.join_strategies
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both join sides on the key pre-distributes the data so the
     join needs NO Exchange — the co-located-join layout for repeated 100 TB
