@@ -77,3 +77,77 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.round(F.sum("pv"), 2).alias("total_value"),
     )
+
+
+@query(
+    "q94_time_hierarchy_rollup",
+    oracle="""
+    SELECT 'week'::VARCHAR AS grain, date_trunc('week', ts) AS bucket,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY bucket
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), count(*), round(sum(value), 2)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts), count(*), round(sum(value), 2)
+    FROM events GROUP BY 2
+    """,
+    tags=("rollup", "timeseries", "grouping-sets"),
+)
+def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: one pass over events producing
+    week/day/hour aggregate grains via GROUPING SETS — the continuous-
+    aggregate materialization a time-series store keeps. Spark computes all
+    three grains in a single scan + expand (the oracle unions three
+    group-bys; same result, our plan reads the fact table once). At 100 TB
+    these grains are materialized incrementally by the streaming path
+    (q51's windows) and this batch form backfills them."""
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    g = ev.groupingSets(
+        [["week"], ["day"], ["hour"]],
+        F.col("week"), F.col("day"), F.col("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    grain = (
+        F.when(F.col("week").isNotNull(), "week")
+        .when(F.col("day").isNotNull(), "day")
+        .otherwise("hour")
+    )
+    return g.select(
+        grain.alias("grain"),
+        F.coalesce("week", "day", "hour").alias("bucket"),
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q95_pivot",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'view')     AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events
+    GROUP BY cohort
+    """,
+    tags=("pivot", "aggregation"),
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): event counts per user cohort, one column per
+    event type. The pivot values are declared explicitly — at scale an
+    undeclared pivot needs an extra distinct-scan to discover columns, and
+    unbounded-cardinality pivots belong in maps, not columns."""
+    ev = table(spark, sf_dir, "events").withColumn("cohort", F.col("user_id") % 10)
+    return (
+        ev.groupBy("cohort")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
