@@ -97,7 +97,7 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q38_fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice / 100, 2)            AS price_h,
+           floor(l_extendedprice + 0.5) / 100         AS price_h,
            CAST(floor(l_quantity) AS BIGINT)          AS qty_floor,
            CAST(ceil(l_discount * 100) AS BIGINT)     AS disc_pct_ceil,
            abs(l_quantity - 25)                       AS qty_dev,
@@ -119,7 +119,11 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") / 100, 2).alias("price_h"),
+        # NOT round(x/100, 2): extendedprice/100 lands EXACTLY on .xx5 ties,
+        # where Spark rounds the shortest-decimal repr (HALF_UP on "x.xx5")
+        # but DuckDB rounds the binary double — 20 rows diverged at sf0.1.
+        # floor(x + 0.5)/100 is tie-safe identical arithmetic in both.
+        (F.floor(F.col("l_extendedprice") + 0.5) / 100).alias("price_h"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
         F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
