@@ -42,6 +42,11 @@ HEADLINE = [
     "q72_cosine_topk_brute",
     "q74_knn_vote",
     "q78_media_feature_extract",
+    "q76_timeseries_similarity",
+    "q85_variant_json",
+    "q91_deterministic_split",
+    "q92_token_budget_packing",
+    "q94_time_hierarchy_rollup",
 ]
 
 
