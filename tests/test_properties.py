@@ -87,3 +87,63 @@ def test_decode_udfs_total_on_garbage(spark):
     df = spark.createDataFrame(rows, "rid int, data binary")
     got = {r.rid: r.p for r in df.select("rid", gunzip_text("data").alias("p")).collect()}
     assert got == {1: '{"k": 1}', 2: None, 3: None, 4: "plain", 5: None}
+
+
+# ---- streaming fold invariant: any batch split converges to batch state ----
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2", "d3"]),          # doc id
+            st.booleans(),                                 # published copy
+            st.sampled_from(["insert-story", "delete-story"]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    n_splits=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_merge_latest_fold_equals_batch_latest(spark, ops, n_splits):
+    """R15's exactly-once foundation: folding merge_latest over ANY
+    micro-batch partitioning of an op sequence equals the batch
+    latest-state (window row_number over the whole history). If this holds
+    for arbitrary sequences/splits, sink replays and batch boundaries
+    cannot change the converged table."""
+    from kinesis_customer_sample_spark.streaming.sinks import merge_latest
+
+    schema = (
+        "organization_id string, id string, branch string, published boolean,"
+        " last_operation string, last_us long, body string"
+    )
+    rows = [
+        ("org", doc, "default", pub, op, i, "{}" if op.startswith("insert-") else None)
+        for i, (doc, pub, op) in enumerate(ops)
+    ]
+    full = spark.createDataFrame(rows, schema)
+
+    # batch truth: newest op per key wins; delete-winners drop out
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("organization_id", "id", "branch", "published").orderBy(
+        F.col("last_us").desc()
+    )
+    want = {
+        (r.id, r.published): r.last_us
+        for r in full.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter(F.col("last_operation").startswith("insert-"))
+        .collect()
+    }
+
+    # streaming fold over contiguous chunks
+    chunk = (len(rows) + n_splits - 1) // n_splits
+    state = None
+    for i in range(n_splits):
+        part = rows[i * chunk : (i + 1) * chunk]
+        if not part:
+            continue
+        state = merge_latest(state, spark.createDataFrame(part, schema))
+    got = {(r.id, r.published): r.last_us for r in state.collect()}
+    assert got == want
