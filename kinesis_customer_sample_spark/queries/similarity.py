@@ -7,9 +7,10 @@ baseline — one broadcast query vector, one scan, no shuffle but the top-k.
 The scale paths are bucketed: q73 restricts scoring to the query's LSH
 bucket, q75 to the top-probed IVF partitions, q74 blocks on the train/test
 split semantics — all shapes where candidate generation is a join on a
-bucket key, so cost tracks bucket size, not corpus size. All vector math is
-higher-order-function expressions (zip_with/aggregate) — JVM codegen, no
-Python UDF, no driver-side collect.
+bucket key, so cost tracks bucket size, not corpus size. Vector math is
+JVM expressions, no Python UDF, no driver-side collect; the hot pair
+scorer (q74) unrolls the dot product into codegen arithmetic because
+Spark's higher-order lambdas evaluate interpreted (see dot64_expr).
 """
 
 from __future__ import annotations
@@ -19,6 +20,7 @@ from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.functions import MOD_P, cosine_expr
+from kinesis_customer_sample_spark.functions.porthash import dot64_expr, norm_expr
 from kinesis_customer_sample_spark.registry import query
 
 _QUERY_VEC_ID = 0  # the fixed "query vector" for top-k demos
@@ -178,14 +180,18 @@ def knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("true_label"),
             F.col("embedding").alias("qv"),
+            F.expr(norm_expr("embedding")).alias("qn"),
         )
     )
     # one parquet file → one partition: spread the train corpus so the
-    # broadcast-nested-loop scorer uses every core (measured 4.5× at sf0.1)
-    train = e.filter(F.col("vec_id") % 25 != 0).repartition(
-        spark.sparkContext.defaultParallelism
+    # broadcast-nested-loop scorer uses every core (measured 4.5× at sf0.1);
+    # norms precomputed per row, per-pair work is the unrolled codegen dot
+    train = (
+        e.filter(F.col("vec_id") % 25 != 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("en", F.expr(norm_expr("embedding")))
     )
-    cos = F.expr(cosine_expr("qv", "embedding", dialect="spark"))
+    cos = F.round(F.expr(dot64_expr("qv", "embedding")) / (F.col("qn") * F.col("en")), 6)
     scored = test.crossJoin(train).select(
         "query_id",
         "true_label",
