@@ -186,3 +186,87 @@ def contentops_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("id").alias("n_docs"),
         )
     )
+
+
+@query(
+    "q96_wire_decode_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           'washpost'           AS organization_id,
+           'insert-story'       AS operation,
+           'doc-' || doc_id     AS id,
+           true                 AS published,
+           text                 AS body_text,
+           length(text)::BIGINT AS body_len
+    FROM documents
+    """,
+    tags=("contentops", "decode", "wire"),
+)
+def wire_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL wire decode path under the oracle gate: every document is
+    wrapped into a gzip-compressed content-operation record (the producer
+    side of guide:17-19), then decoded by the production pipeline
+    (sources/decode.py: gunzip pandas-UDF → envelope from_json → type
+    validation → projection, R2/R5/R6). The oracle states what must come
+    out the other end; a hash-match proves encode∘decode is lossless over
+    the whole corpus, not just the 18-record fixture."""
+    import gzip as _gzip
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _json.dumps(
+                    {
+                        "type": "content-operation",
+                        "organization_id": "washpost",
+                        "operation": "insert-story",
+                        "date": "2024-01-01T00:00:00Z",
+                        "id": f"doc-{doc_id}",
+                        "branch": "default",
+                        "published": True,
+                        "created": True,
+                        "trigger": {
+                            "type": "story",
+                            "id": f"doc-{doc_id}",
+                            "referent_update": False,
+                            "priority": "standard",
+                            "app_name": "fixture",
+                        },
+                        "body": {"text": text},
+                    },
+                    sort_keys=True,
+                )
+                out.append(
+                    {
+                        "shard_id": f"shard-{doc_id % 4}",
+                        "sequence_number": doc_id,
+                        "data": _gzip.compress(payload.encode("utf-8")),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["shard_id", "sequence_number", "data"])
+
+    records = docs.mapInPandas(
+        encode, schema="shard_id string, sequence_number bigint, data binary"
+    )
+    decoded = decode_records(records)
+    return decoded.select(
+        F.col("sequence_number").alias("doc_id"),
+        "organization_id",
+        "operation",
+        "id",
+        "published",
+        F.get_json_object("body", "$.text").alias("body_text"),
+        F.length(F.get_json_object("body", "$.text")).cast("bigint").alias("body_len"),
+    )
