@@ -130,3 +130,54 @@ def sample_frames(media: DataFrame, stride: int = 64) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_off", "frame_md5"])
 
     return media.mapInPandas(sampler, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id bigint, kind string, data binary, "
+    "meta struct<mime: string, declared_bytes: bigint>, "
+    "width int, height int, resized_md5 string"
+)
+
+
+def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+    """Resize stage: map each payload to a fixed target size. The real
+    codec path (decode → scale → re-encode) is stubbed like
+    `decode_image_real`; the deterministic fallback samples every k-th
+    byte so output size is exactly target_w×target_h — which keeps the
+    Spark-side contract (fixed-size binary out, metadata updated, map-only,
+    no shuffle) fully exercised and testable."""
+
+    def resizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        n_out = target_w * target_h
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                raw = bytes(row.data)
+                try:
+                    decode_image_real(raw)  # would be decode→scale→encode
+                    raise AssertionError("codec path unavailable here")
+                except NotImplementedError:
+                    if len(raw) >= n_out:
+                        step = len(raw) / n_out
+                        resized = bytes(raw[int(i * step)] for i in range(n_out))
+                    else:  # pad by cycling
+                        resized = (raw * (n_out // max(len(raw), 1) + 1))[:n_out]
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "data": resized,
+                        "meta": row.meta,
+                        "width": target_w,
+                        "height": target_h,
+                        "resized_md5": hashlib.md5(resized).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "kind", "data", "meta", "width", "height", "resized_md5"],
+            )
+
+    return media.mapInPandas(resizer, schema=RESIZE_SCHEMA)

@@ -64,3 +64,16 @@ def test_frame_sample_fanout_and_offsets(spark, sf_dir):
         n = len(rows)
         assert n == (sizes[media_id] + 63) // 64
         assert [r.frame_off for r in rows] == [i * 64 for i in range(n)]
+
+
+def test_resize_fixed_output_size_and_deterministic(spark, sf_dir):
+    from kinesis_customer_sample_spark.operators.multimodal import resize_media
+
+    media = attach_media(table(spark, sf_dir, "documents")).limit(8)
+    out1 = {r.media_id: (len(r.data), r.resized_md5, r.width, r.height)
+            for r in resize_media(media, 64, 48).collect()}
+    out2 = {r.media_id: (len(r.data), r.resized_md5, r.width, r.height)
+            for r in resize_media(media, 64, 48).collect()}
+    assert out1 == out2  # deterministic
+    for n_bytes, _, w, h in out1.values():
+        assert n_bytes == 64 * 48 and (w, h) == (64, 48)
