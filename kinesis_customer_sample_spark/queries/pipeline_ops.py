@@ -184,3 +184,43 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         offset.alias("offset_chars"),
         (offset / _SHARD_BUDGET).cast("bigint").alias("shard_id"),
     )
+
+
+@query(
+    "q100_stratified_sample",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, lang, source, n_chars,
+             {tok_hash_expr("'strat-' || doc_id::VARCHAR", dialect="duckdb")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled,
+           sum(n_chars)   AS sampled_chars,
+           min(doc_id)    AS first_doc
+    FROM hashed
+    WHERE bucket < 20
+    GROUP BY lang
+    """,
+    tags=("sampling", "stratified", "porthash"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: ~20% per language stratum via the
+    portable content-stable hash (salted with a sampling key so different
+    samples draw independent buckets from the same ids). No RNG, no
+    `sampleBy` seed coordination — every engine and rerun draws the same
+    sample, the audit requirement for training-data lineage. Map-only
+    filter + per-stratum aggregate."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"{tok_hash_expr(chr(39) + 'strat-' + chr(39) + ' || CAST(doc_id AS STRING)', dialect='spark')} % 100"
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
