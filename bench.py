@@ -35,6 +35,7 @@ HEADLINE = [
     "q26_win_frames",
     "q30_topk_global",
     "q35_sql_shipping_priority",
+    "q97_local_supplier_revenue",
     # LLM-pipeline operators (first-class bench components)
     "q62_tfidf_top_terms",
     "q67_exact_dedup",
