@@ -75,17 +75,23 @@ def main() -> None:
     # Two executions per query, report the min: single-JVM timings here show
     # multi-second transient stalls (GC / JIT deopt) that land on arbitrary
     # queries — min-of-2 measures the plan, not the pause. Plans are rebuilt
-    # per execution, so no result caching is involved (noop sink: everything
-    # computes, nothing transfers to the driver).
+    # per execution AND the cache is cleared between runs: queries that
+    # .persist() intermediates (q69's signature table) would otherwise have
+    # Spark's CacheManager substitute the still-cached InMemoryRelation into
+    # the plan-identical second run, making min-of-2 a cache-assisted number
+    # (round-1 advice). clearCache also unpersists those intermediates so
+    # they can't leak executor memory across the suite.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(2):
+            spark.catalog.clearCache()  # both runs compute from source
             df = registry[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -2,20 +2,26 @@
 
 Runs a registered query on Spark and its oracle SQL on DuckDB over the same
 parquet directory, canonicalizes both results (columns sorted by name, rows
-order-insensitive, values normalized), and reports an exact comparison —
-the same row-count + schema + value-level strictness the driver applies.
+order-insensitive, values normalized), and reports an exact comparison.
+
+Dtype-faithful by construction (round-1 lesson): both sides are fetched as
+Arrow tables — never pandas — so SQL NULL stays None (not NaN), integers
+stay integers, and floats stay floats. Every cell is normalized to a
+*kind-tagged* token: an int64 `5` and a float64 `5.0` canonicalize to
+different tokens and can never compare equal, which is exactly the
+distinction the driver's value hash makes (DuckDB HUGEINT aggregates that
+surface as float64 caused 6 driver hash-fails in round 1 while the old
+numeric-equality comparator passed them locally).
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 
 import duckdb
-import numpy as np
-import pandas as pd
 
 from kinesis_customer_sample_spark.catalog import TABLES
 from kinesis_customer_sample_spark.registry import Query
@@ -33,43 +39,62 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_value(v):
-    """Normalize one cell to an engine-neutral comparable value."""
+    """Normalize one cell to a kind-tagged, engine-neutral token.
+
+    Kinds: None (SQL NULL), b=bool, i=integer (width-collapsed), f=binary
+    float (repr-canonical, NaN sentinel, -0.0 collapsed), s=str, y=bytes,
+    t=temporal ISO string, plus recursive tuples for lists/structs/maps.
+    A float NEVER equals an int of the same magnitude — that is the point.
+    Decimal is tagged 'f' via float() (both engines surface fixed-point
+    aggregates as decimal or double interchangeably; collapsing them is safe
+    because the queries round decimals explicitly).
+    """
     if v is None:
         return None
-    if isinstance(v, (np.floating, float)):
-        f = float(v)
-        if math.isnan(f):
-            return "NaN"
-        if f == 0.0:  # collapse -0.0 vs 0.0
-            return 0.0
-        return f
-    if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
-        return int(v)
-    if isinstance(v, np.bool_):
-        return bool(v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "NaN")
+        if v == 0.0:  # collapse -0.0 vs 0.0
+            return ("f", "0.0")
+        return ("f", repr(v))
     if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, pd.Timestamp):
-        return v.to_pydatetime().isoformat()
+        f = float(v)
+        return ("f", "0.0" if f == 0.0 else repr(f))
+    if isinstance(v, str):
+        return ("s", v)
+    if isinstance(v, bytes):
+        return ("y", v)
     if isinstance(v, datetime):
-        return v.isoformat()
+        # driver parity: pandas-based harnesses localize tz-aware Spark
+        # timestamps to naive session time (session tz is UTC here) — do
+        # the same so a session-TZ timestamp vs a naive one compares equal
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return ("t", v.isoformat())
     if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
+        # driver parity: pandas widens DATE to midnight datetime64
+        return ("t", datetime(v.year, v.month, v.day).isoformat())
+    if isinstance(v, (list, tuple)):
         return tuple(_norm_value(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_value(x)) for k, x in v.items()))
-    return v
+    return ("?", repr(v))
 
 
-def canonicalize(pdf: pd.DataFrame) -> tuple[list[str], list[tuple]]:
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols]
-    # mask pandas NaN-for-null in object/float columns back to None
-    rows = [
-        tuple(_norm_value(v) if not (isinstance(v, float) and pd.isna(v)) else None for v in tup)
-        for tup in pdf.itertuples(index=False, name=None)
-    ]
+def _arrow_rows(tbl) -> tuple[list[str], list[tuple]]:
+    """Arrow table → (sorted column names, canonical sorted row tuples).
+
+    Arrow (unlike pandas) keeps NULL distinct from NaN and never widens
+    int columns to float, so what we compare is what each engine computed.
+    """
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    pylist = tbl.to_pylist()  # native python: int/float/None/str/list/dict
+    rows = [tuple(_norm_value(rec[c]) for c in cols) for rec in pylist]
     rows.sort(key=lambda r: tuple(repr(x) for x in r))
     return cols, rows
 
@@ -97,14 +122,14 @@ def compare_query(spark, q: Query, sf_dir: str, con=None) -> CompareResult:
     if own_con:
         con = duckdb_connection(sf_dir)
     try:
-        spark_pdf = q.fn(spark, sf_dir).toPandas()
-        duck_pdf = con.execute(q.oracle).df()
+        spark_tbl = q.fn(spark, sf_dir).toArrow()
+        duck_tbl = con.execute(q.oracle).arrow()
     finally:
         if own_con:
             con.close()
 
-    s_cols, s_rows = canonicalize(spark_pdf)
-    d_cols, d_rows = canonicalize(duck_pdf)
+    s_cols, s_rows = _arrow_rows(spark_tbl)
+    d_cols, d_rows = _arrow_rows(duck_tbl)
     res = CompareResult(q.name, True, len(s_rows), len(d_rows))
 
     if s_cols != d_cols:

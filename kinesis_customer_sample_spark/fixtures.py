@@ -121,6 +121,18 @@ def content_ops_values_sql() -> str:
 
 # ------------------------------------------------------------- wire encoding
 
+# Kinesis sequence numbers are ~56-digit decimal STRINGS — they overflow
+# int64 (and decimal(38,0)), so the wire schema carries them as strings and
+# ordering-sensitive consumers sort numerically via (length, value) or a
+# zero-padded form. The fixture base makes every generated number the same
+# width, so plain lexicographic order is already numeric order.
+_SEQ_BASE = 49590338271490256608559692538361571095921575989136588898
+
+
+def wire_seq(i: int) -> str:
+    """The fixture's Kinesis-shaped sequence number for record index i."""
+    return str(_SEQ_BASE + i)
+
 
 def payload_json(row: tuple) -> str:
     """Render one fixture row as the content-operation JSON document
@@ -158,9 +170,10 @@ def encode_records(
     store, so a fetch fails and decode must yield NULL (guide:36-39).
 
     Returns (records, s3_store): records = (shard_id, sequence_number, data);
+    sequence numbers are Kinesis-shaped 56-digit decimal strings (wire_seq);
     s3_store maps URL → gzipped payload bytes.
     """
-    records: list[tuple[str, int, bytes]] = []
+    records: list[tuple[str, str, bytes]] = []
     s3_store: dict[str, bytes] = {}
     for i, row in enumerate(CONTENT_OPS):
         body = payload_json(row).encode("utf-8")
@@ -169,22 +182,24 @@ def encode_records(
             url = f"https://example-bucket.s3.test/ops/{row[0]}?sig=deadbeef"
             if (i + 1) % expire_every != 0:
                 s3_store[url] = gzip.compress(body)
-            records.append((shard, i, gzip.compress(url.encode("utf-8"))))
+            records.append((shard, wire_seq(i), gzip.compress(url.encode("utf-8"))))
         else:
-            records.append((shard, i, gzip.compress(body)))
+            records.append((shard, wire_seq(i), gzip.compress(body)))
     # a few malformed records: wrong envelope type (guide:62-64) + junk bytes
     records.append(
-        ("shard-0", len(CONTENT_OPS),
+        ("shard-0", wire_seq(len(CONTENT_OPS)),
          gzip.compress(json.dumps({"type": "not-content-operation"}).encode())),
     )
-    records.append(("shard-1", len(CONTENT_OPS) + 1, b"\x00not-gzip"))
+    records.append(("shard-1", wire_seq(len(CONTENT_OPS) + 1), b"\x00not-gzip"))
     return records, s3_store
 
 
 RECORD_SCHEMA = T.StructType(
     [
         T.StructField("shard_id", T.StringType()),
-        T.StructField("sequence_number", T.LongType()),
+        # string, NOT long: real Kinesis sequence numbers are ~56-digit
+        # decimals that overflow int64 (cast would NULL / throw under ANSI)
+        T.StructField("sequence_number", T.StringType()),
         T.StructField("data", T.BinaryType()),
     ]
 )

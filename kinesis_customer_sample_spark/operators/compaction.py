@@ -13,7 +13,14 @@ rewrites a table directory into few large, key-sorted, ZSTD files:
   axis);
 - `sortWithinPartitions(key)` → runs inside each file give parquet page
   stats their selectivity;
-- atomic swap via rename, so readers never see a half-compacted table.
+- swap via two renames. NOT atomic: there is a window between the renames
+  where `table_dir` does not exist and a concurrent reader errors (POSIX
+  rename can't swap two directories in one step; a truly atomic publish
+  needs a versioned directory + symlink flip, or a table format with a
+  metadata pointer — Delta/Iceberg — which is the production answer).
+  Crash-safety is handled instead: stale `.old`/staging leftovers from a
+  crashed prior run are removed up front, and the staging dir is cleaned
+  on write failure, so a crashed compaction never wedges the next one.
 """
 
 from __future__ import annotations
@@ -48,18 +55,32 @@ def compact_table(
             if f.endswith(".parquet")
         ]
 
+    # a crashed prior run can leave .old (swap interrupted) or compact_*
+    # staging dirs (write interrupted) — both would wedge this run's renames
+    parent = os.path.dirname(table_dir.rstrip("/"))
+    old = table_dir.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    for leftover in os.listdir(parent):
+        if leftover.startswith("compact_"):
+            shutil.rmtree(os.path.join(parent, leftover), ignore_errors=True)
+
     before = _parquet_files(table_dir)
     df = spark.read.parquet(table_dir)
     rows = df.count()
-    staging = tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(table_dir.rstrip("/")))
-    (
-        df.repartitionByRange(target_files, *sort_keys)
-        .sortWithinPartitions(*sort_keys)
-        .write.mode("overwrite")
-        .option("compression", codec)
-        .parquet(staging)
-    )
-    old = table_dir.rstrip("/") + ".old"
+    staging = tempfile.mkdtemp(prefix="compact_", dir=parent)
+    try:
+        (
+            df.repartitionByRange(target_files, *sort_keys)
+            .sortWithinPartitions(*sort_keys)
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(staging)
+        )
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)  # don't leak staging
+        raise
+    # non-atomic window between the renames — see module docstring
     os.rename(table_dir, old)
     os.rename(staging, table_dir)
     shutil.rmtree(old)

@@ -251,18 +251,20 @@ def wire_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append(
                     {
                         "shard_id": f"shard-{doc_id % 4}",
-                        "sequence_number": doc_id,
+                        # string per the RECORD_SCHEMA wire contract (real
+                        # Kinesis sequence numbers overflow int64)
+                        "sequence_number": str(doc_id),
                         "data": _gzip.compress(payload.encode("utf-8")),
                     }
                 )
             yield pd.DataFrame(out, columns=["shard_id", "sequence_number", "data"])
 
     records = docs.mapInPandas(
-        encode, schema="shard_id string, sequence_number bigint, data binary"
+        encode, schema="shard_id string, sequence_number string, data binary"
     )
     decoded = decode_records(records)
     return decoded.select(
-        F.col("sequence_number").alias("doc_id"),
+        F.col("sequence_number").cast("bigint").alias("doc_id"),
         "organization_id",
         "operation",
         "id",

@@ -307,9 +307,11 @@ def _simhash_expr(dialect: str) -> str:
             f"CAST(0 AS BIGINT), (a, v) -> a + v)"
         )
     vote = f"list_sum(list_transform(hs, h -> CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END))"
+    # outer ::BIGINT: DuckDB list_sum is HUGEINT, which surfaces as float64
+    # and hash-mismatches Spark's int64 signature (round-1 driver FAIL q70)
     return (
         f"list_sum(list_transform(generate_series(0, {_SIMHASH_BITS - 1}), "
-        f"j -> CASE WHEN {vote} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))"
+        f"j -> CASE WHEN {vote} > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT"
     )
 
 
@@ -325,7 +327,7 @@ def _simhash_expr(dialect: str) -> str:
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            a.simhash AS simhash_a, b.simhash AS simhash_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
     FROM h a JOIN h b
       ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2

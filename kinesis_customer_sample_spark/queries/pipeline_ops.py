@@ -155,34 +155,65 @@ _SHARD_BUDGET = 10_000  # chars per training shard (token proxy)
 @query(
     "q92_token_budget_packing",
     oracle=f"""
-    WITH ordered AS (
-      SELECT doc_id, n_chars,
-             coalesce(sum(n_chars) OVER (ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_chars
+    WITH local AS (
+      SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS local_offset
       FROM documents
+    ),
+    totals AS (
+      SELECT source, sum(n_chars)::BIGINT AS part_chars FROM documents GROUP BY source
+    ),
+    starts AS (
+      SELECT a.source, coalesce(sum(b.part_chars), 0)::BIGINT AS part_start
+      FROM totals a LEFT JOIN totals b ON b.source < a.source
+      GROUP BY a.source
     )
-    SELECT doc_id, n_chars, offset_chars,
-           (offset_chars // {_SHARD_BUDGET})::BIGINT AS shard_id
-    FROM ordered
+    SELECT l.doc_id, l.source, l.n_chars,
+           (s.part_start + l.local_offset)::BIGINT                    AS offset_chars,
+           ((s.part_start + l.local_offset) // {_SHARD_BUDGET})::BIGINT AS shard_id
+    FROM local l JOIN starts s USING (source)
     """,
     tags=("packing", "sharding", "window"),
 )
 def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: documents stream into fixed-budget
     training shards by running size (greedy sequential fill — the
-    sequence-packing front end). The running sum here is one global window
-    for oracle parity; at 100 TB packing runs per date/source partition
-    (two-level: pack within partition, offset by per-partition totals
-    computed from a tiny partition-summary table), never a single ordered
-    window over the corpus."""
+    sequence-packing front end). TWO-LEVEL, never one global window: each
+    `source` partition packs independently under a partitioned running-sum
+    window (parallel across the cluster), then a tiny per-partition summary
+    (one row per source) is turned into global start offsets via a
+    triangular self-join — no unpartitioned WindowExec anywhere, so the
+    corpus never serializes through a single task. Shards stay globally
+    contiguous: partition k's docs occupy [part_start_k, part_start_k +
+    part_chars_k). At 100 TB the summary table is O(#partitions) rows and
+    broadcasts; everything heavy is partition-parallel."""
     d = table(spark, sf_dir, "documents")
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    offset = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
-    return d.select(
+    w_local = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    local = d.select(
         "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w_local), F.lit(0)).alias("local_offset"),
+    )
+    totals = d.groupBy("source").agg(F.sum("n_chars").alias("part_chars"))
+    # cumulative start per partition WITHOUT an unpartitioned window: the
+    # summary is tiny (one row per source/date partition), so a triangular
+    # self-join is O(k²) on k≈dozens and keeps WindowExec fully partitioned
+    starts = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.source") < F.col("a.source"), "left")
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(F.coalesce(F.sum("b.part_chars"), F.lit(0)).alias("part_start"))
+    )
+    offset = F.col("part_start") + F.col("local_offset")
+    return local.join(F.broadcast(starts), "source").select(
+        "doc_id",
+        "source",
         "n_chars",
         offset.alias("offset_chars"),
-        (offset / _SHARD_BUDGET).cast("bigint").alias("shard_id"),
+        F.floor(offset / _SHARD_BUDGET).cast("bigint").alias("shard_id"),
     )
 
 
@@ -195,8 +226,9 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT lang, count(*) AS n_sampled,
-           sum(n_chars)   AS sampled_chars,
-           min(doc_id)    AS first_doc
+           -- ::BIGINT: sum(INT) is HUGEINT → float64 (round-1 driver FAIL q100)
+           sum(n_chars)::BIGINT AS sampled_chars,
+           min(doc_id)          AS first_doc
     FROM hashed
     WHERE bucket < 20
     GROUP BY lang

@@ -18,7 +18,8 @@ from kinesis_customer_sample_spark.registry import query
     oracle="""
     SELECT event_type,
            count(*)                                    AS n,
-           sum(json_extract(props, '$.k')::INT)        AS k_sum,
+           -- ::BIGINT: sum(INT) is HUGEINT → float64 (driver hash trap)
+           sum(json_extract(props, '$.k')::INT)::BIGINT AS k_sum,
            max(json_extract(props, '$.k')::INT)        AS k_max,
            count(json_extract(props, '$.missing'))     AS n_missing
     FROM events

@@ -85,9 +85,11 @@ def _hyperplane_bucket(emb: str, *, dialect: str) -> str:
         f"list_sum(list_transform(generate_series(0, 63), "
         f"d -> {w} * {emb}[d + 1]::DOUBLE))"
     )
+    # outer ::BIGINT: DuckDB list_sum is HUGEINT → float64 via Arrow,
+    # which hash-mismatches Spark's int64 bucket id (same trap as q70)
     return (
         f"list_sum(list_transform(generate_series(0, {_N_PLANES - 1}), "
-        f"p -> CASE WHEN {dot} > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))"
+        f"p -> CASE WHEN {dot} > 0 THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT"
     )
 
 

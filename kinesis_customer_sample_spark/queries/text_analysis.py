@@ -155,8 +155,10 @@ _LEXICON = [
       FROM votes
     )
     SELECT d.doc_id, d.lang,
-           coalesce(b.cand_lang, 'und') AS pred_lang,
-           coalesce(b.score, 0)         AS score,
+           coalesce(b.cand_lang, 'und')  AS pred_lang,
+           -- ::BIGINT: DuckDB sum(INT) is HUGEINT, which surfaces as float64
+           -- and hash-mismatches Spark's int64 (round-1 driver FAIL q63)
+           coalesce(b.score, 0)::BIGINT  AS score,
            coalesce(b.cand_lang, 'und') = d.lang AS is_correct
     FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
     """,
@@ -318,8 +320,9 @@ _SENTIMENT = [
       GROUP BY t.doc_id
     )
     SELECT d.doc_id,
-           coalesce(s.raw_score, 0)  AS raw_score,
-           coalesce(s.n_hits, 0)     AS n_hits,
+           -- ::BIGINT: sum(INT) is HUGEINT → float64 (round-1 driver FAIL q83)
+           coalesce(s.raw_score, 0)::BIGINT  AS raw_score,
+           coalesce(s.n_hits, 0)::BIGINT     AS n_hits,
            CASE WHEN coalesce(s.raw_score, 0) > 0 THEN 'positive'
                 WHEN coalesce(s.raw_score, 0) < 0 THEN 'negative'
                 ELSE 'neutral' END   AS polarity
@@ -382,11 +385,13 @@ def pandas_centroid_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, source,
            count(*)                                   AS n_docs,
-           sum(n_chars)                               AS total_chars,
+           -- ::BIGINT on the sums: DuckDB HUGEINT → float64 otherwise
+           -- (round-1 driver FAIL q93)
+           sum(n_chars)::BIGINT                       AS total_chars,
            round(avg(n_chars), 4)                     AS avg_chars,
            min(n_chars)                               AS min_chars,
            max(n_chars)                               AS max_chars,
-           sum(len({_DUCK_TOKS}))                     AS total_tokens
+           sum(len({_DUCK_TOKS}))::BIGINT             AS total_tokens
     FROM documents
     GROUP BY lang, source
     """,

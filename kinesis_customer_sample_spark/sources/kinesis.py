@@ -1,8 +1,10 @@
 """R1 — the stream source (guide:13 "consume from each shard in sequence").
 
 Two interchangeable record sources with the same output contract
-(`shard_id string, sequence_number bigint, data binary` — fixtures.py
-RECORD_SCHEMA), so the whole decode→state pipeline is source-agnostic:
+(`shard_id string, sequence_number string, data binary` — fixtures.py
+RECORD_SCHEMA; sequence numbers are ~56-digit decimal strings on the real
+wire, so they stay strings and order numerically via (length, value)), so
+the whole decode→state pipeline is source-agnostic:
 
 - `kinesis_stream`: the production source, `readStream.format("aws-kinesis")`
   (the Amazon Kinesis connector for Structured Streaming; `format("kinesis")`
@@ -44,7 +46,13 @@ def kinesis_stream(
     starting_position: str = "TRIM_HORIZON",
 ) -> DataFrame:
     """Production Kinesis source. Normalizes the connector's output columns
-    (`partitionKey`/`sequenceNumber`/`data`) to RECORD_SCHEMA."""
+    (`shardId`/`sequenceNumber`/`data`) to RECORD_SCHEMA.
+
+    `shardId` (NOT `partitionKey` — that is the producer's routing key) maps
+    to shard_id, preserving the guide:13 per-shard ordering contract; the
+    sequence number stays a string because real values are ~56-digit
+    decimals that overflow int64 (a cast('long') would NULL them, or throw
+    under ANSI mode)."""
     reader = (
         spark.readStream.format(_KINESIS_FORMAT)
         .option("streamName", stream_name)
@@ -62,10 +70,18 @@ def kinesis_stream(
             "file_record_stream() for replay/testing"
         ) from ex
     return raw.select(
-        F.col("partitionKey").alias("shard_id"),
-        F.col("sequenceNumber").cast("long").alias("sequence_number"),
+        F.col("shardId").alias("shard_id"),
+        F.col("sequenceNumber").cast("string").alias("sequence_number"),
         F.col("data"),
     )
+
+
+def seq_sort_cols() -> list:
+    """Numeric-order sort columns for the string sequence_number: shorter
+    decimal strings are smaller, equal lengths compare lexicographically.
+    Correct for any non-negative decimal without leading zeros — no int64
+    (or decimal(38,0)) overflow for 56-digit Kinesis values."""
+    return [F.length("sequence_number"), F.col("sequence_number")]
 
 
 def file_record_stream(spark: SparkSession, records_dir: str) -> DataFrame:
@@ -82,7 +98,11 @@ def write_record_batches(df_records, out_dir: str, n_batches: int = 2) -> None:
     """Split a batch records DataFrame into `n_batches` replay files,
     preserving per-shard sequence order within and across files (earlier
     sequence numbers land in earlier files — guide:13's contract)."""
-    pdf = df_records.toPandas().sort_values("sequence_number", ignore_index=True)
+    pdf = df_records.toPandas()
+    # numeric order over decimal strings: (length, value)
+    pdf = pdf.iloc[
+        pdf["sequence_number"].map(lambda s: (len(s), s)).argsort(kind="mergesort")
+    ].reset_index(drop=True)
     chunk = (len(pdf) + n_batches - 1) // n_batches
     os.makedirs(out_dir, exist_ok=True)
     for i in range(n_batches):

@@ -7,6 +7,14 @@ Both use `applyInPandasWithState` — keyed state in the state store
 within a micro-batch is handled by sorting each batch by event time; the
 state carries the newest-seen event time so a late older record can never
 overwrite newer state (the guide:104-106 ingestion-lag case).
+
+Arrival ordering contract: both operators key arrival order on
+`arrival_seq`, derived by `_with_arrival_seq` from whichever ordering
+column the input carries — the wire `sequence_number` (decode_records
+output; a ~56-digit decimal STRING, zero-padded so lexicographic order is
+numeric order) or the fixture's `op_id`. Within one Kinesis partition key
+all records land on one shard, so per-key sequence order IS arrival order
+(guide:13) even across resharding.
 """
 
 from __future__ import annotations
@@ -27,10 +35,14 @@ PUBLISH_OUT_SCHEMA = (
     "organization_id string, id string, branch string, event_us long, kind string"
 )
 
+# wide enough for Kinesis's ~56-digit sequence numbers: zero-padding to a
+# fixed width makes lexicographic order equal numeric order
+_SEQ_PAD = 64
+
 
 def _sorted_concat(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
     pdf = pd.concat(list(pdfs), ignore_index=True)
-    return pdf.sort_values(["event_us", "op_id"], kind="mergesort")
+    return pdf.sort_values(["event_us", "arrival_seq"], kind="mergesort")
 
 
 def latest_state_fn(
@@ -68,14 +80,16 @@ def publish_events_fn(
     dead→live insert and `unpublish` on a live→dead delete (guide:141-145).
     Unlike the stateless proxy, a replace-insert (created=false) after a
     delete still counts as a publish, and double deletes emit nothing."""
-    live, last_seq = state.get if state.exists else (False, -1)
+    live, last_seq = state.get if state.exists else (False, "")
     org, doc_id, branch = key
     out: list[dict[str, Any]] = []
     # arrival (shard-sequence) order, guide:13 — NOT event time: a late
     # ingestion-priority record is still processed when it arrives
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("op_id", kind="mergesort")
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        "arrival_seq", kind="mergesort"
+    )
     for row in pdf.itertuples(index=False):
-        last_seq = row.op_id
+        last_seq = row.arrival_seq
         if row.operation.startswith("insert-") and not live:
             live = True
             out.append({"event_us": row.event_us, "kind": "publish"})
@@ -100,10 +114,28 @@ def _with_event_us(ops: DataFrame) -> DataFrame:
     )
 
 
+def _with_arrival_seq(ops: DataFrame) -> DataFrame:
+    """Derive the canonical arrival-order column from whatever the input
+    carries: the wire `sequence_number` (decoded production stream) or the
+    fixture `op_id`. Zero-padded so plain string sort is numeric sort."""
+    from pyspark.sql import functions as F
+
+    if "sequence_number" in ops.columns:
+        src = F.col("sequence_number").cast("string")
+    elif "op_id" in ops.columns:
+        src = F.col("op_id").cast("string")
+    else:
+        raise ValueError(
+            "stateful operators need an arrival-order column: "
+            "sequence_number (wire) or op_id (fixture)"
+        )
+    return ops.withColumn("arrival_seq", F.lpad(src, _SEQ_PAD, "0"))
+
+
 def latest_state_stream(ops: DataFrame) -> DataFrame:
     """Streaming keyed latest-state over decoded content operations."""
     return (
-        _with_event_us(ops)
+        _with_arrival_seq(_with_event_us(ops))
         .groupBy("organization_id", "id", "branch", "published")
         .applyInPandasWithState(
             latest_state_fn,
@@ -120,12 +152,12 @@ def publish_events_stream(ops: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return (
-        _with_event_us(ops.filter(F.col("published")))
+        _with_arrival_seq(_with_event_us(ops.filter(F.col("published"))))
         .groupBy("organization_id", "id", "branch")
         .applyInPandasWithState(
             publish_events_fn,
             outputStructType=PUBLISH_OUT_SCHEMA,
-            stateStructType="live boolean, last_seq long",
+            stateStructType="live boolean, last_seq string",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

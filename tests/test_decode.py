@@ -7,7 +7,7 @@ import gzip
 
 from pyspark.sql import functions as F
 
-from kinesis_customer_sample_spark.fixtures import CONTENT_OPS, kinesis_records_df
+from kinesis_customer_sample_spark.fixtures import CONTENT_OPS, kinesis_records_df, wire_seq
 from kinesis_customer_sample_spark.queries.content_ops import (
     contentops_latest_state,
     contentops_provenance,
@@ -31,17 +31,17 @@ def test_decode_records_end_to_end(spark):
     # 16 fixture ops; op 10 (index 9) was spilled AND expired -> NULL -> dropped;
     # the wrong-type and corrupt-bytes records are rejected (guide:36-39,62-64)
     assert len(rows) == len(CONTENT_OPS) - 1
-    assert 9 not in rows  # expired pre-signed URL (guide:36-39)
+    assert wire_seq(9) not in rows  # expired pre-signed URL (guide:36-39)
     # spilled-but-live records decode through the S3 path (guide:32-44)
-    assert rows[4].operation == "insert-story" and rows[4].id == "story-1"
-    assert rows[14].id == "story-2"
+    assert rows[wire_seq(4)].operation == "insert-story" and rows[wire_seq(4)].id == "story-1"
+    assert rows[wire_seq(14)].id == "story-2"
     # event-time parse (R8) + body kept as raw JSON string (guide:112-114)
-    assert rows[0].event_time.isoformat() == "2024-05-01T10:00:00"
+    assert rows[wire_seq(0)].event_time.isoformat() == "2024-05-01T10:00:00"
     # note: get_json_object re-serializes extracted objects compactly
-    assert rows[0].body == '{"headline":"draft v1"}'
+    assert rows[wire_seq(0)].body == '{"headline":"draft v1"}'
     # trigger struct survives (guide:88-110)
-    assert rows[7].trigger.referent_update is True
-    assert rows[7].trigger.priority == "ingestion"
+    assert rows[wire_seq(7)].trigger.referent_update is True
+    assert rows[wire_seq(7)].trigger.priority == "ingestion"
 
 
 def test_latest_state_guide_interleave(spark):

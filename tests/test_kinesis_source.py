@@ -5,6 +5,7 @@ unchanged."""
 
 from __future__ import annotations
 
+import json
 import tempfile
 
 from pyspark.sql import functions as F
@@ -47,6 +48,52 @@ def test_stream_decode_drops_invalid_and_expired(spark):
     assert decoded.count() == n_records - 2 - n_expired
     # every surviving row carries its shard provenance
     assert decoded.filter(F.col("shard_id").isNull()).count() == 0
+
+
+def test_wire_stream_feeds_stateful_latest_state(spark):
+    """The documented source→decode→stateful wiring runs end-to-end on the
+    REAL wire columns: content_operation_stream output (sequence_number,
+    no fixture op_id) drives latest_state_stream, and the converged state
+    equals the batch latest-state derivation. (Round-1 advice: the stateful
+    ops previously keyed arrival order on the fixture-only op_id column and
+    would KeyError on the production stream.)"""
+    from pyspark.sql import Window
+
+    from kinesis_customer_sample_spark.fixtures import kinesis_records_df
+    from kinesis_customer_sample_spark.queries.content_ops import contentops_latest_state
+    from kinesis_customer_sample_spark.streaming.stateful import latest_state_stream
+
+    records, s3_store = kinesis_records_df(spark)
+    fetch = s3_store.__getitem__
+    with tempfile.TemporaryDirectory() as td:
+        write_record_batches(records, td, n_batches=3)
+        decoded = content_operation_stream(file_record_stream(spark, td), fetch=fetch)
+        out = run_to_completion(latest_state_stream(decoded), output_mode="update")
+        final = (
+            out.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(
+                        "organization_id", "id", "branch", "published"
+                    ).orderBy(F.col("last_us").desc())
+                ),
+            )
+            .filter("rn = 1")
+            .filter(F.col("last_operation").startswith("insert-"))
+        )
+        got = {
+            (r.organization_id, r.id, r.branch, r.published): json.loads(r.body)
+            for r in final.collect()
+        }
+    # the one wire-dropped record (expired URL = op 10, insert-gallery) is
+    # superseded by op 13's delete-gallery, so the converged state matches
+    # the full-fixture batch derivation exactly (bodies compared as parsed
+    # JSON — the wire path re-serializes compactly)
+    want = {
+        (r.organization_id, r.id, r.branch, r.published): json.loads(r.body)
+        for r in contentops_latest_state(spark, "").collect()
+    }
+    assert got == want and len(want) == 7
 
 
 def test_kinesis_production_source_degrades_clearly(spark):
