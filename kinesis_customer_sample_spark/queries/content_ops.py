@@ -189,6 +189,68 @@ def contentops_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q101_priority_routing",
+    oracle=f"""
+    {_CTE}
+    SELECT trigger_priority,
+           count(*)::BIGINT                                     AS n_ops,
+           count(DISTINCT id)::BIGINT                           AS n_docs,
+           count(*) FILTER (WHERE trigger_referent_update)::BIGINT
+                                                                AS n_referent,
+           max(late_sec)::BIGINT                                AS max_late_sec,
+           round(avg(late_sec), 3)                              AS avg_late_sec
+    FROM (
+      SELECT trigger_priority, id, trigger_referent_update,
+             greatest(0, date_diff('second',
+               strptime(date, '{DUCKDB_TS_FMT}'),
+               max(strptime(date, '{DUCKDB_TS_FMT}')) OVER (
+                 PARTITION BY organization_id
+                 ORDER BY op_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+               AS late_sec
+      FROM content_ops)
+    GROUP BY trigger_priority
+    """,
+    tags=("contentops", "priority-routing"),
+)
+def priority_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 priority routing (guide:104-106): ingestion-triggered operations
+    are routed to a lower-priority queue so editor ('standard') changes are
+    never delayed behind bulk ingests. Per priority class: op/doc/referent
+    counts plus a queue-lag proxy — how far behind the per-org arrival
+    watermark (running max event_time in op_id arrival order) each event
+    lands. The fixture's deliberately late ingestion event (op 15,
+    fixtures.py:64-66) makes ingestion's max lag 10800 s while standard
+    stays 0. Window is partitioned by organization_id — per-tenant streams
+    scale independently; no global ordering anywhere."""
+    ops = _ops(spark)
+    w = (
+        W.partitionBy("organization_id")
+        .orderBy("op_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    late = (
+        ops.withColumn("wm", F.max("event_time").over(w))
+        .select(
+            "trigger_priority",
+            "id",
+            "trigger_referent_update",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr("timestampdiff(SECOND, event_time, wm)"),
+            ).alias("late_sec"),
+        )
+    )
+    return late.groupBy("trigger_priority").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.countDistinct("id").alias("n_docs"),
+        F.count_if(F.col("trigger_referent_update")).alias("n_referent"),
+        F.max("late_sec").alias("max_late_sec"),
+        F.round(F.avg("late_sec"), 3).alias("avg_late_sec"),
+    )
+
+
+@query(
     "q96_wire_decode_roundtrip",
     oracle="""
     SELECT doc_id,

@@ -342,13 +342,21 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near pairs must collide on ≥ 1 chunk — same pigeonhole trick as LSH),
     which this plan's join shape already supports. Signature arithmetic is
     portable, so signatures AND pairs hash-match the oracle."""
+    # the signature expression is an interpreted higher-order lambda
+    # (24 bits × tokens per doc): spread the single-file scan across all
+    # cores first, and materialize ONCE (localCheckpoint) so the self-join
+    # below doesn't evaluate signatures twice — at sf0.1 this is the
+    # difference between ~65 s and ~4 s. At 100 TB: write the signature
+    # table to parquet once, then join (same shape).
     h = (
         table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn(
             "hs", F.expr(f"transform({_SPARK_TOKS}, t -> {tok_hash_expr('t', dialect='spark')})")
         )
         .withColumn("simhash", F.expr(_simhash_expr("spark")))
         .select("doc_id", "lang", "simhash")
+        .localCheckpoint()
     )
     a, b = h.alias("a"), h.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")

@@ -76,7 +76,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop, alternating-algorithm variants cut rounds further). The oracle
     reaches the same fixpoint via a recursive CTE — a genuinely different
     algorithm, so agreement checks the semantics, not the plan."""
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the pair list ONCE: the q68 postings subtree (tokenize +
+    # shingle + inverted-index join) is the expensive part, and building
+    # edges as pairs ∪ swap(pairs) would otherwise evaluate it twice
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -89,25 +92,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("component_id").alias("nbr_min"))
         )
+        # one pass per round: carry a changed flag through the (eager)
+        # localCheckpoint instead of re-joining new labels against old
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least("component_id", F.coalesce("nbr_min", "component_id")).alias(
-                    "component_id"
+                    "new_component_id"
                 ),
+                (
+                    F.least("component_id", F.coalesce("nbr_min", "component_id"))
+                    != F.col("component_id")
+                ).alias("changed"),
             )
             .localCheckpoint()  # truncate lineage each round
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.component_id") != F.col("l.component_id"))
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("changed").count()  # scan of checkpointed rows
+        labels = updated.select("doc_id", F.col("new_component_id").alias("component_id"))
         if changed == 0:
             break
+    edges.unpersist()
     w = W.partitionBy("component_id")
     return labels.select(
         "doc_id",
