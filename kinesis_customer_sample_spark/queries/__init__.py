@@ -13,20 +13,27 @@ Module map (mirrors SURVEY.md §2B groups):
 - llm_similarity  — cosine, top-k ANN, all-pairs, kNN vote, multimodal (M5)
 """
 
+# Import order IS driver-visit order (the registry is an insertion-ordered
+# dict, and the round-1 driver walked it front-to-back and stopped after 50
+# entries). Families with no driver-green row yet register FIRST so a
+# count- or time-capped harness reaches them this round; the families that
+# went green in round 1 re-verify at the tail. Dependency constraints:
+# streaming_queries imports content_ops; dedup imports text_analysis;
+# pipeline_ops imports dedup.
 from kinesis_customer_sample_spark.queries import (  # noqa: F401
-    aggregation,
+    relational,
+    windows,
+    setops,
+    scale_patterns,
+    sources_scan,
+    similarity,
     content_ops,
+    streaming_queries,
+    aggregation,
+    text_analysis,
     dedup,
     flagship,
     functions_scalar,
     multimodal,
     pipeline_ops,
-    relational,
-    scale_patterns,
-    setops,
-    similarity,
-    sources_scan,
-    streaming_queries,
-    text_analysis,
-    windows,
 )
