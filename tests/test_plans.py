@@ -7,6 +7,8 @@ string-matched ad hoc."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -84,6 +86,44 @@ def test_range_join_is_sort_merge(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q12_join_range")
     assert facts.join_strategies.get("SortMergeJoin", 0) == 1
     assert "BroadcastHashJoin" not in facts.join_strategies
+
+
+def test_q97_composite_plan(spark, sf_dir):
+    """The TPC-H Q5 shape's headline plan must not drift: dims broadcast,
+    date + region filters pushed to the scans, map-side partial agg, and
+    no cartesian anywhere in the six-table tree."""
+    facts = audit_of(spark, sf_dir, "q97_local_supplier_revenue")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    pushed = ",".join(facts.pushed_filters)
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
+    assert "EqualTo(r_name,ASIA)" in pushed
+    # column pruning on the widest fact: lineitem's comment column never read
+    assert not facts.scans_read_column("l_comment")
+
+
+def test_q98_composite_plan(spark, sf_dir):
+    """TPC-H Q10 shape: returnflag + date filters pushed, nation broadcast,
+    top-20 via TakeOrderedAndProject (never a global sort)."""
+    facts = audit_of(spark, sf_dir, "q98_returned_item_report")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert any("l_returnflag" in f for f in facts.pushed_filters)
+    assert any("o_orderdate" in f for f in facts.pushed_filters)
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_q92_no_unpartitioned_window(spark, sf_dir):
+    """The token-packing window must stay partitioned (two-level design):
+    an empty windowspecdefinition partition list means the whole corpus
+    serializes through one task — the round-1 scale-killer."""
+    facts = audit_of(spark, sf_dir, "q92_token_budget_packing")
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", facts.text):
+        spec = m.group(1)
+        # spec = "part1, ..., ORDER-BY..., specifiedwindowframe(...)"; an
+        # unpartitioned window starts straight at the ORDER BY column list
+        assert "pack_key" in spec or "source" in spec, facts.text
 
 
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
