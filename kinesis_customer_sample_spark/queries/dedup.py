@@ -41,6 +41,32 @@ N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
+# Document-frequency cap for the postings self-join (q68): a shingle that
+# appears in more than DF_CAP documents contributes O(df²) candidate pairs
+# — one viral boilerplate line can dominate the whole shuffle. Shingles
+# above the cap carry near-zero Jaccard signal (they are stopword-like),
+# so production pipelines drop them before the join. The default sits far
+# above the test corpus's max df (14 at sf0.1), so oracle results are
+# unchanged at test scale; at 100 TB, tune it to bound the hottest posting
+# list at df²·rows ≈ one task's worth of pairs.
+DF_CAP = 128
+
+
+def capped_postings(postings: DataFrame, cap: int = DF_CAP) -> DataFrame:
+    """Drop postings whose (lang, shingle) document frequency exceeds `cap`.
+
+    The hot-key set is tiny by construction (only keys with df > cap), so
+    it broadcasts and the filter is a map-side anti-join — no extra shuffle
+    on the postings themselves; the df aggregation shuffles only (lang, sh,
+    count) triples with map-side partial counts."""
+    hot = (
+        postings.groupBy("lang", "sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("lang", "sh")
+    )
+    return postings.join(F.broadcast(hot), ["lang", "sh"], "left_anti")
+
 
 @query(
     "q67_exact_dedup",
@@ -115,12 +141,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-token-shingle Jaccard ≥ 0.5, found via an
     inverted-index (postings) self-join blocked on (lang, shingle) — the
     co-occurrence count per pair IS the intersection size, so no pair ever
-    materializes unless it shares a shingle. At 100 TB add a
-    document-frequency cap on postings (drop shingles appearing in > K
-    docs) to bound the hottest posting list; AQE skew-split covers the
-    rest."""
+    materializes unless it shares a shingle. The document-frequency cap
+    (capped_postings, DF_CAP) bounds the hottest posting list so one viral
+    shingle can't generate O(df²) pairs; AQE skew-split covers moderate
+    skew below the cap."""
     sh = _shingle_sets(spark, sf_dir).select("doc_id", "lang", "shs")
-    postings = sh.select("doc_id", "lang", F.explode("shs").alias("sh"))
+    postings = capped_postings(
+        sh.select("doc_id", "lang", F.explode("shs").alias("sh"))
+    )
     a, b = postings.alias("a"), postings.alias("b")
     common = (
         a.join(
