@@ -36,4 +36,5 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     functions_scalar,
     multimodal,
     pipeline_ops,
+    composites2,
 )

@@ -126,6 +126,31 @@ def test_q92_no_unpartitioned_window(spark, sf_dir):
         assert "pack_key" in spec or "source" in spec, facts.text
 
 
+def test_q102_volume_shipping_plan(spark, sf_dir):
+    # both nation aliases broadcast; facts never cartesian
+    facts = audit_of(spark, sf_dir, "q102_volume_shipping")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_q103_waiting_suppliers_plan(spark, sf_dir):
+    # EXISTS/NOT EXISTS must stay equi-keyed semi/anti joins on the order
+    # key (residual supplier inequality), never a cartesian or BNL join
+    facts = audit_of(spark, sf_dir, "q103_waiting_suppliers")
+    assert not facts.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in facts.join_strategies
+    assert "LeftSemi" in facts.text and "LeftAnti" in facts.text
+
+
+def test_q104_priority_sample_topk(spark, sf_dir):
+    # weighted sampling is map-only scoring + TakeOrderedAndProject —
+    # a global sort exchange would be the 100 TB anti-pattern
+    facts = audit_of(spark, sf_dir, "q104_weighted_priority_sample")
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.n_exchanges == 0
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     """Bucketing both join sides on the key pre-distributes the data so the
     join needs NO Exchange — the co-located-join layout for repeated 100 TB
