@@ -36,6 +36,8 @@ HEADLINE = [
     "q30_topk_global",
     "q35_sql_shipping_priority",
     "q97_local_supplier_revenue",
+    "q102_volume_shipping",
+    "q103_waiting_suppliers",
     # LLM-pipeline operators (first-class bench components)
     "q62_tfidf_top_terms",
     "q67_exact_dedup",
@@ -48,6 +50,7 @@ HEADLINE = [
     "q91_deterministic_split",
     "q92_token_budget_packing",
     "q94_time_hierarchy_rollup",
+    "q104_weighted_priority_sample",
 ]
 
 

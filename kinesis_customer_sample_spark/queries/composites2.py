@@ -24,10 +24,12 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as WINDOW
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.functions import MOD_P, tok_hash_expr
+from kinesis_customer_sample_spark.queries.pipeline_ops import _DUCK_PAIRS as _DUCK_PAIRS_REF
 from kinesis_customer_sample_spark.registry import query
 
 _LATE_DAYS = 60
@@ -49,8 +51,8 @@ _LATE_DAYS = 60
       JOIN customer ON c_custkey = o_custkey
       JOIN nation n1 ON s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     GROUP BY supp_nation, cust_nation, l_year
     """,
     tags=("relational", "join", "composite", "tpch-q7"),
@@ -69,8 +71,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")))
-    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2") | (
-        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    pair = (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19") | (
+        (F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18")
     )
     return (
         s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
@@ -211,6 +213,105 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("priority_raw").desc(), "doc_id")
         .limit(_SAMPLE_K)
         .select("doc_id", "lang", "weight", F.round("priority_raw", 4).alias("priority"))
+    )
+
+
+def _large_star(edges_can: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node connects its LARGER neighbors to its
+    smallest neighbor-or-self. Input/output: canonical edges (a > b)."""
+    sym = edges_can.select("a", "b").unionByName(
+        edges_can.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    # m = least(a, min-neighbor); emit (v, m) for neighbors v > a — v > a >= m,
+    # so output is canonical and self-loop-free by construction
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(
+            F.col("b").alias("a"), F.least(F.col("a"), F.col("mn")).alias("b")
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges_can: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its SMALLER neighbors (and
+    itself) to its smallest neighbor. Preserves canonical orientation."""
+    mins = edges_can.groupBy("a").agg(F.min("b").alias("m"))
+    leaves = (
+        edges_can.join(mins, "a")
+        .filter(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    centers = mins.select("a", F.col("m").alias("b"))
+    return leaves.unionByName(centers).distinct()
+
+
+@query(
+    "q106_dedup_clusters_altstar",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS_REF},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src
+    ),
+    comp AS (SELECT doc AS doc_id, min(lbl) AS component_id FROM reach GROUP BY doc)
+    SELECT c.doc_id, c.component_id,
+           count(*) OVER (PARTITION BY c.component_id) AS component_size,
+           c.doc_id = min(c.doc_id) OVER (PARTITION BY c.component_id) AS is_keeper
+    FROM comp c
+    """,
+    tags=("dedup", "clusters", "connected-components", "alternating", "iterative"),
+)
+def dedup_clusters_altstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via the ALTERNATING algorithm (large-star /
+    small-star, Kiveris et al. 2014): q90's scale path. Min-label
+    propagation (q90) needs O(component diameter) rounds — fine for
+    shallow dup clusters, quadratic pain on chain-shaped components at
+    100 TB. Star contraction halves component height every alternation,
+    converging in O(log n) rounds regardless of diameter, each round two
+    self-aggregating joins on the (checkpointed) edge list. Same oracle
+    fixpoint as q90: three algorithms — recursive CTE, label propagation,
+    star contraction — must all agree on the component structure."""
+    from kinesis_customer_sample_spark.queries.dedup import ngram_jaccard_pairs
+
+    edges = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))  # a > b
+        .localCheckpoint()
+    )
+    while True:
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        # exact convergence, one job per round: symmetric multiset difference
+        changed = (
+            nxt.exceptAll(edges).unionAll(edges.exceptAll(nxt)).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+    # converged: edges are min-rooted stars (leaf -> component min);
+    # centers label themselves
+    labels = (
+        edges.select(F.col("a").alias("doc_id"), F.col("b").alias("component_id"))
+        .unionByName(
+            edges.select(F.col("b").alias("doc_id"), F.col("b").alias("component_id"))
+        )
+        .distinct()
+    )
+    w = WINDOW.partitionBy("component_id")
+    return labels.select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("component_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
     )
 
 
