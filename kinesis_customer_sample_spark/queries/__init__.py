@@ -37,4 +37,5 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     multimodal,
     pipeline_ops,
     composites2,
+    composites3,
 )

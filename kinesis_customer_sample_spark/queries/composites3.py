@@ -1,0 +1,325 @@
+"""Third wave: market-share composite, batch sessionization, corpus
+curation, Z-order clustering.
+
+Registered LAST (queries/__init__.py ordering contract): new-this-round
+queries must not displace proven-green families in a time-capped driver
+walk.
+
+- q107: TPC-H Q8 shape (nation market share inside a region) — the widest
+  join tree in the repo: 8 relations, two roles for nation.
+- q108: batch sessionization (gaps-and-islands) — the batch twin of the
+  q53 streaming session window, built from lag + conditional cumulative
+  sum; the standard sessionize shape for event logs at rest.
+- q109: corpus curation — the end-to-end training-data gate: exact-dup
+  keeper election ∧ quality threshold ∧ language-ID vote, composed into
+  one dataset-card rollup. Each stage reuses the exact arithmetic of its
+  standalone query (q67/q64/q63) so the composition is oracle-verified
+  too.
+- q110: Z-order clustering — multi-column data layout for scan pruning;
+  write path + lossless round-trip proven by the oracle, clustering
+  effectiveness proven by footer-stats assertions in tests/test_zorder.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.operators.zorder import zorder_key
+from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _LEXICON
+from kinesis_customer_sample_spark.registry import query
+
+_MKT_NATION = "NATION_18"
+_MKT_REGION = "EUROPE"
+_MKT_PTYPE = "PROMO"
+
+
+@query(
+    "q107_market_share",
+    oracle=f"""
+    SELECT o_year,
+           round(round(sum(CASE WHEN supp_nation = '{_MKT_NATION}'
+                                THEN volume ELSE 0 END), 2)
+                 / round(sum(volume), 2), 6)  AS mkt_share,
+           round(sum(volume), 2)              AS total_volume,
+           count(*)::BIGINT                   AS n_items
+    FROM (
+      SELECT year(o_orderdate)::BIGINT AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = '{_MKT_REGION}' AND p_type = '{_MKT_PTYPE}')
+    GROUP BY o_year
+    """,
+    tags=("relational", "join", "composite", "tpch-q8"),
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: {nation}'s share of {ptype} order volume sold to
+    {region} customers, by order year. Eight-relation join tree — the
+    widest in the repo — with nation playing two roles. Plan posture at
+    100 TB: part/lineitem/orders/customer/supplier are all fact-scale, so
+    they shuffle on their join keys (the p_type filter is pushed into the
+    part scan, shrinking the first build side before its shuffle); only
+    nation (×2, distinct roles) and region broadcast. The share divides
+    two already-rounded sums so the ratio is deterministic across engines
+    (registry parity rules)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == _MKT_PTYPE).select("p_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = F.broadcast(table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")))
+    n2 = F.broadcast(table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")))
+    r = F.broadcast(
+        table(spark, sf_dir, "region").filter(F.col("r_name") == _MKT_REGION).select("r_regionkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == _MKT_NATION, vol).otherwise(F.lit(0.0))
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(r, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.round(F.sum(nation_vol), 2) / F.round(F.sum(vol), 2), 6
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h: events median inter-gap ≈ 7.3h
+
+
+@query(
+    "q108_sessionize_batch",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, value, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+      FROM g
+    )
+    SELECT user_id, session_seq,
+           count(*)::BIGINT                                   AS n_events,
+           -- exact integer microseconds: seconds-with-round lands on .xxx5
+           -- ties that HALF_UP (Spark) and binary-double (DuckDB) split
+           min(epoch_us(ts))::BIGINT                          AS session_start_us,
+           (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT    AS duration_us,
+           round(sum(value), 2)                               AS total_value,
+           count(DISTINCT event_type)::BIGINT                 AS n_event_types
+    FROM s
+    GROUP BY user_id, session_seq
+    """,
+    tags=("window", "sessionize", "gaps-and-islands"),
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks when the
+    per-user inter-event gap exceeds 12h. lag → boundary flag → cumulative
+    sum assigns session ids, then one hash agg per (user, session). The
+    batch twin of the q53 streaming session window. Scale posture: both
+    windows and the final agg partition by user_id — one shuffle on the
+    natural key, each user's timeline sorted independently; no global
+    ordering anywhere."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > _SESSION_GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+        )
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).cast("bigint").alias("session_start_us"),
+        (F.max(us) - F.min(us)).cast("bigint").alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
+    )
+
+
+_QUALITY_MIN = 0.70  # keeps ~60% of the fixture corpus (p10 ≈ 0.67, median ≈ 0.72)
+
+
+@query(
+    "q109_corpus_curation",
+    oracle=f"""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY sha256(lower(trim(text)))
+    ),
+    t AS (SELECT doc_id, source, n_chars, {_DUCK_TOKS} AS toks FROM documents),
+    q AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+             round(0.4 * (len(list_distinct(toks))::DOUBLE / len(toks))
+                 + 0.3 * (1 - len(list_filter(toks, x -> x IN ('a', 'the')))::DOUBLE
+                              / len(toks))
+                 + 0.3 * least(len(toks) / 60.0, 1.0), 6) AS quality
+      FROM t
+    ),
+    toks AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    lex(cand_lang, tok, weight) AS (VALUES
+      {", ".join(f"('{lang}', '{tok}', {w})" for lang, tok, w in _LEXICON)}),
+    votes AS (
+      SELECT t.doc_id, l.cand_lang, sum(l.weight) AS score
+      FROM toks t JOIN lex l USING (tok)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, cand_lang,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rk
+      FROM votes
+    ),
+    curated AS (
+      SELECT q.doc_id, q.source, q.n_tokens, q.quality,
+             coalesce(b.cand_lang, 'und') AS pred_lang
+      FROM q
+      JOIN keepers k ON q.doc_id = k.doc_id
+      LEFT JOIN best b ON q.doc_id = b.doc_id AND b.rk = 1
+      WHERE q.quality >= {_QUALITY_MIN}
+    )
+    SELECT source, pred_lang,
+           count(*)::BIGINT          AS n_docs,
+           sum(n_tokens)::BIGINT     AS total_tokens,
+           -- quality is already round(…,6); sum it as exact micro-units so
+           -- the mean is summation-order-independent across engines
+           round(sum(round(quality * 1000000)::BIGINT)::DOUBLE
+                 / count(*) / 1000000.0, 6) AS avg_quality
+    FROM curated
+    GROUP BY source, pred_lang
+    """,
+    tags=("pipeline", "curation", "composite", "dedup", "quality", "lang-id"),
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation gate: keep each exact-dup
+    group's keeper (q67's sha256 election), require heuristic quality ≥
+    0.70 (q64's formula), tag with the language-ID vote (q63's lexicon
+    argmax), and report the dataset card per (source, predicted lang).
+    Every stage reuses the standalone query's exact arithmetic, so the
+    composite is hash-verified end to end. Scale posture: one tokenize
+    pass feeds quality and the vote; the keeper election is a hash agg on
+    the content hash with the winner set semi-joined back (no row
+    payloads through the dup shuffle); the lexicon broadcasts; final agg
+    is a plain map-side-partial rollup."""
+    d = table(spark, sf_dir, "documents")
+    keepers = (
+        d.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), t -> t != '')"
+        ).alias("toks"),
+    )
+    n = F.size("toks").cast("double")
+    ttr = F.size(F.array_distinct("toks")) / n
+    stop = F.size(F.filter("toks", lambda x: x.isin("a", "the"))) / n
+    q = t.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            0.4 * ttr + 0.3 * (1 - stop) + 0.3 * F.least(n / 60.0, F.lit(1.0)), 6
+        ).alias("quality"),
+    )
+    lex = F.broadcast(
+        d.sparkSession.createDataFrame(_LEXICON, "cand_lang string, tok string, weight int")
+    )
+    votes = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .join(lex, "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    wv = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
+    best = votes.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") == 1)
+    curated = (
+        q.filter(F.col("quality") >= _QUALITY_MIN)
+        .join(keepers, "doc_id", "left_semi")
+        .join(best.select("doc_id", "cand_lang"), "doc_id", "left")
+        .withColumn("pred_lang", F.coalesce("cand_lang", F.lit("und")))
+    )
+    micro_q = F.round(F.col("quality") * 1_000_000).cast("bigint")
+    return curated.groupBy("source", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(micro_q).cast("double") / F.count(F.lit(1)) / 1_000_000.0, 6
+        ).alias("avg_quality"),
+    )
+
+
+ZORDER_OUT = os.path.join("/tmp", "spark_graft_zorder")
+
+
+@query(
+    "q110_zorder_clustering",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice
+    FROM orders
+    """,
+    tags=("layout", "zorder", "clustering", "sink"),
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering of the orders table on (o_custkey, o_orderdate):
+    interleave the two key columns' bits into one Morton key, range-
+    partition and sort the data by it, and write parquet. Every output
+    file then covers a small rectangle of the (customer, date) plane, so
+    parquet min/max footer stats prune files/row-groups for predicates on
+    EITHER column — the multi-dimensional generalization of the one-key
+    range compaction in operators/compaction.py, and the layout Delta's
+    OPTIMIZE ZORDER produces at 100 TB. The oracle states the source
+    rows, so the hash match proves the re-layout is lossless; clustering
+    effectiveness (per-file bounding boxes ≪ global extent) is asserted
+    from real footer stats in tests/test_zorder.py."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    x = (F.col("o_custkey") % 65536).cast("long")
+    y = (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 65536).cast("long")
+    clustered = (
+        o.withColumn("zkey", zorder_key(x, y, bits=16))
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+    )
+    clustered.write.mode("overwrite").parquet(ZORDER_OUT)
+    return spark.read.parquet(ZORDER_OUT)

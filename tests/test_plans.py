@@ -200,3 +200,43 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert any("2024-01-05" in f for f in facts.partition_filters)
     want = ev.filter(F.col("day") == "2024-01-05").count()
     assert back.count() == want and want > 0
+
+
+def test_q107_market_share_plan(spark, sf_dir):
+    """TPC-H Q8 shape: the widest join tree in the repo. Fact-fact edges
+    shuffle; only nation (×2) and region broadcast (at 100 TB part/
+    supplier/customer are fact-scale — broadcasting them is the trap);
+    the p_type filter is pushed into the part scan so the first build
+    side shrinks before its shuffle."""
+    facts = audit_of(spark, sf_dir, "q107_market_share")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3  # n1, n2, region
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    pushed = ",".join(facts.pushed_filters)
+    assert "EqualTo(p_type" in pushed
+    assert not facts.scans_read_column("p_retailprice")
+
+
+def test_q108_sessionize_single_user_shuffle(spark, sf_dir):
+    """Sessionization must reuse ONE hash partitioning on user_id for the
+    lag window, the cumulative-sum window, and the final agg — no second
+    shuffle of the event stream, and never a global (unpartitioned)
+    window."""
+    facts = audit_of(spark, sf_dir, "q108_sessionize_batch")
+    plan_text = facts.text
+    assert "hashpartitioning(user_id" in plan_text
+    # exactly one exchange of the fact stream (AQE may add an empty-keyed
+    # read side but no second hashpartitioning of events)
+    assert plan_text.count("hashpartitioning(user_id") <= 2
+    assert facts.n_exchanges == 1
+    assert "SinglePartition" not in plan_text
+
+
+def test_q109_curation_plan(spark, sf_dir):
+    """The curation composite: lexicon broadcasts, keeper election joins
+    back as a semi join (no row payloads through the dup shuffle), final
+    rollup partial-aggregates map-side."""
+    facts = audit_of(spark, sf_dir, "q109_corpus_curation")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2  # lexicon + keepers/best
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
