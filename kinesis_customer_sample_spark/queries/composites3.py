@@ -323,3 +323,60 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clustered.write.mode("overwrite").parquet(ZORDER_OUT)
     return spark.read.parquet(ZORDER_OUT)
+
+
+@query(
+    "q111_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           count(*)::BIGINT                   AS n_attributed,
+           count(DISTINCT p.event_id)::BIGINT AS n_purchases,
+           round(sum(p.value), 2)             AS attributed_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 72 HOUR AND p.ts
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "stream-stream", "interval"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the last Structured Streaming join
+    family: click→purchase attribution pairing each purchase with the
+    same user's clicks in the preceding 72h. Both sides are REAL streams
+    (two file-source replays of events) with 1h watermarks; the
+    event-time range condition lets Spark bound the join state — without
+    it, both sides' state grows forever, the canonical stream-stream
+    scale failure. Executed to exhaustion via availableNow, then the
+    emitted pairs roll up per user; the oracle is the equivalent batch
+    self-join, so the driver hash-checks stream/batch equivalence.
+
+    State posture at 100 TB: state is keyed by user_id (the equi-key) and
+    expired by watermark + range, so steady-state size ≈ one click-window
+    per active user, independent of stream length."""
+    from kinesis_customer_sample_spark.streaming.replay import events_stream, run_to_completion
+
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 72 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    rows = run_to_completion(pairs, output_mode="append")
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.countDistinct("event_id").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+    )
