@@ -38,6 +38,8 @@ HEADLINE = [
     "q97_local_supplier_revenue",
     "q102_volume_shipping",
     "q103_waiting_suppliers",
+    "q107_market_share",
+    "q108_sessionize_batch",
     # LLM-pipeline operators (first-class bench components)
     "q62_tfidf_top_terms",
     "q67_exact_dedup",
@@ -51,6 +53,7 @@ HEADLINE = [
     "q92_token_budget_packing",
     "q94_time_hierarchy_rollup",
     "q104_weighted_priority_sample",
+    "q109_corpus_curation",
 ]
 
 

@@ -380,3 +380,110 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_purchases"),
         F.round(F.sum("value"), 2).alias("attributed_value"),
     )
+
+
+_BIGORDER_QTY = 300
+
+
+@query(
+    "q112_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {_BIGORDER_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2)     AS o_totalprice,
+           round(sum(l_quantity), 2)  AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("relational", "join", "composite", "subquery-in", "tpch-q18"),
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over an aggregated subquery: orders whose total
+    line quantity exceeds a threshold, joined back to their customers. The IN
+    lands as a left-semi join against the HAVING-filtered aggregate; at
+    100 TB the qualifying-order set is tiny (heavy-hitter detection), so
+    Catalyst broadcasts it and the fact tables never reshuffle for the
+    membership test. Top-100 via TakeOrderedAndProject, never a global
+    sort."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > _BIGORDER_QTY)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("big_okey"), "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q17_BRAND = "Brand#9"
+
+
+@query(
+    "q113_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qty_cut
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT count(*)::BIGINT                               AS n_small_lines,
+           round(sum(l_extendedprice) / 7.0, 2)           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = '{_Q17_BRAND}'
+      AND l_quantity < qty_cut
+    """,
+    tags=("relational", "join", "composite", "correlated-subquery", "tpch-q17"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity), decorrelated into an aggregate + equi-join: the only form
+    that scales (a correlated re-scan per outer row is quadratic). The
+    per-part averages are one map-side-partial agg over lineitem keyed on
+    l_partkey — the same key the join needs, so AQE reuses the shuffle
+    partitioning; the brand filter is pushed into the part scan and
+    shrinks the probe before the join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg((0.2 * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND).select("p_partkey")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )

@@ -240,3 +240,27 @@ def test_q109_curation_plan(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2  # lexicon + keepers/best
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+
+
+def test_q112_large_volume_plan(spark, sf_dir):
+    """TPC-H Q18 shape: the IN-subquery must land as a semi join against
+    the HAVING-filtered aggregate, top-100 via TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q112_large_volume_customers")
+    assert "LeftSemi" in facts.text
+    assert "TakeOrderedAndProject" in facts.text
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_q113_decorrelated_plan(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated scalar subquery must be a single
+    aggregate + equi-join (never a per-row re-scan), with the brand
+    filter pushed into the part scan."""
+    facts = audit_of(spark, sf_dir, "q113_small_quantity_revenue")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    pushed = ",".join(facts.pushed_filters)
+    assert "EqualTo(p_brand" in pushed
+    # lineitem appears exactly twice (probe + avg subquery) — a correlated
+    # rewrite would scan it once per outer row
+    assert facts.text.count("lineitem.parquet") <= 4  # 2 logical scans, AQE may repeat
