@@ -264,3 +264,44 @@ def test_q113_decorrelated_plan(spark, sf_dir):
     # lineitem appears exactly twice (probe + avg subquery) — a correlated
     # rewrite would scan it once per outer row
     assert facts.text.count("lineitem.parquet") <= 4  # 2 logical scans, AQE may repeat
+
+
+def test_runtime_bloom_filter_reduces_fact_probe(spark, sf_dir):
+    """Spark's runtime bloom-filter semi-join reduction (on by default,
+    spark.sql.optimizer.runtime.bloomFilter.enabled): a selective filter
+    on one fact side should inject bloom_filter_agg on the build side and
+    a MightContain probe into the other fact's scan — rows that cannot
+    join are dropped BEFORE the shuffle, the single biggest shuffle-volume
+    lever for selective fact⋈fact joins at 100 TB. The size gates
+    (applicationSideScanSizeThreshold 10GB default) are met naturally by
+    real cluster scans; locally we lower them to pin the plan shape."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.plans import plan_text
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = table(spark, sf_dir, "lineitem")
+        o = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderdate") >= "1997-06-01")
+            .select("o_orderkey", "o_orderdate")
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "o_orderdate"
+        ).count()
+        text = plan_text(j)
+        assert "bloom_filter_agg" in text
+        assert "BloomFilterMightContain" in text or "might_contain" in text
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_app,
+        )
