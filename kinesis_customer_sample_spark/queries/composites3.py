@@ -487,3 +487,157 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
         )
     )
+
+
+_HIST_BUCKET = 25_000
+
+
+@query(
+    "q114_histogram",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / {_HIST_BUCKET}) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / {_HIST_BUCKET}) AS BIGINT) * {_HIST_BUCKET}
+                                         AS bucket_lo,
+           count(*)::BIGINT              AS n_orders,
+           round(sum(o_totalprice), 2)   AS bucket_value,
+           round(100.0 * count(*) / (SELECT count(*) FROM orders), 4)
+                                         AS pct
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("aggregation", "histogram", "profiling"),
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value — the distribution-profiling
+    primitive (data cards, skew diagnosis, partition-size planning). One
+    map-side-partial hash agg over ~20 bucket keys plus a broadcast scalar
+    for the percentage; bucket ids are exact floor division of 2-decimal
+    values so both engines bin identically."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_BUCKET).cast("bigint")
+    total = o.count()  # scalar subquery twin; one lightweight count job
+    return (
+        o.groupBy(
+            bucket.alias("bucket"), (bucket * _HIST_BUCKET).alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+        .withColumn(
+            "pct", F.round(100.0 * F.col("n_orders") / F.lit(total), 4)
+        )
+    )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "q115_data_profile",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}'                              AS column_name,
+           count(*)::BIGINT                   AS n_rows,
+           (count(*) - count({c}))::BIGINT    AS n_nulls,
+           count(DISTINCT {c})::BIGINT        AS n_distinct,
+           substring(min(CAST({c} AS VARCHAR)), 1, 16) AS min_val,
+           substring(max(CAST({c} AS VARCHAR)), 1, 16) AS max_val
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("profiling", "metadata", "aggregation"),
+)
+def data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile (row/null/distinct counts, lexicographic
+    min/max) — the schema-audit every ingestion run records. One scan per
+    column batched into a single union plan; every branch is a map-side-
+    partial global agg, so the whole profile costs one pass worth of I/O
+    with column pruning per branch. String casts make the output schema
+    uniform; min/max truncate to 16 chars so payload columns don't ship
+    megabytes to the profile table."""
+    d = table(spark, sf_dir, "documents")
+    parts = []
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        parts.append(
+            d.select(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.substring(F.min(s), 1, 16).alias("min_val"),
+                F.substring(F.max(s), 1, 16).alias("max_val"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mix_fold(terms: list[str]) -> str:
+    """Nested ((a*31 + b) % P) fold over already-reduced int64 terms —
+    identical text in both SQL dialects (pure arithmetic + CAST)."""
+    from kinesis_customer_sample_spark.functions import MOD_P
+
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = f"(({acc}) * 31 + ({t})) % {MOD_P}"
+    return acc
+
+
+def _lineitem_row_mix(dialect: str) -> str:
+    from kinesis_customer_sample_spark.functions import MOD_P
+
+    if dialect == "spark":
+        days = "datediff(l_shipdate, DATE '1992-01-01')"
+    else:
+        days = "datediff('day', DATE '1992-01-01', l_shipdate)"
+    return _mix_fold(
+        [
+            f"l_orderkey % {MOD_P}",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "CAST(round(l_quantity * 100) AS BIGINT)",
+            "CAST(round(l_extendedprice * 100) AS BIGINT)",
+            "CAST(round(l_discount * 100) AS BIGINT)",
+            "CAST(round(l_tax * 100) AS BIGINT)",
+            "ascii(l_returnflag)",
+            "ascii(l_linestatus)",
+            days,
+        ]
+    )
+
+
+@query(
+    "q116_table_checksum",
+    oracle=f"""
+    WITH mixed AS (SELECT {_lineitem_row_mix("duckdb")} AS row_mix FROM lineitem)
+    SELECT count(*)::BIGINT    AS n_rows,
+           bit_xor(row_mix)    AS xor_checksum,
+           min(row_mix)        AS min_mix,
+           max(row_mix)        AS max_mix
+    FROM mixed
+    """,
+    tags=("validation", "checksum", "porthash"),
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive whole-table checksum: every row folds its columns
+    through the portable (a*31+b) % P mix (pure codegen'd int64
+    arithmetic — no per-character lambdas on the hot path), then XOR-
+    aggregates. The 100 TB data-validation primitive: map-only scan, one
+    scalar result, commutative so partition order / resharding / engine
+    never changes it — the cheap way to prove a migration, replication,
+    or compaction moved every row intact (same role as ORC/Iceberg
+    content checksums). XOR (not sum) so the aggregate can't overflow at
+    any row count."""
+    li = table(spark, sf_dir, "lineitem")
+    mixed = li.select(F.expr(_lineitem_row_mix("spark")).alias("row_mix"))
+    return mixed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(row_mix)").alias("xor_checksum"),
+        F.min("row_mix").alias("min_mix"),
+        F.max("row_mix").alias("max_mix"),
+    )
