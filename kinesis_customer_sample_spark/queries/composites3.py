@@ -230,51 +230,61 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.70 (q64's formula), tag with the language-ID vote (q63's lexicon
     argmax), and report the dataset card per (source, predicted lang).
     Every stage reuses the standalone query's exact arithmetic, so the
-    composite is hash-verified end to end. Scale posture: one tokenize
-    pass feeds quality and the vote; the keeper election is a hash agg on
-    the content hash with the winner set semi-joined back (no row
-    payloads through the dup shuffle); the lexicon broadcasts; final agg
-    is a plain map-side-partial rollup."""
+    composite is hash-verified end to end. Scale posture: ONE tokenize +
+    explode pass feeds both scorers — the lexicon is small enough to fold
+    into the per-doc aggregation as conditional sums (one score column
+    per language), so the vote needs no lexicon join, no second window,
+    and no re-tokenize; the argmax is a codegen'd greatest()/when chain.
+    The keeper election is a hash agg on the content hash with the winner
+    set semi-joined back (no row payloads through the dup shuffle); final
+    agg is a plain map-side-partial rollup."""
     d = table(spark, sf_dir, "documents")
     keepers = (
         d.groupBy(F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    t = d.select(
+    ex = d.select(
         "doc_id",
         "source",
-        F.expr(
-            "filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), t -> t != '')"
-        ).alias("toks"),
+        F.explode_outer(
+            F.expr(
+                "filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), t -> t != '')"
+            )
+        ).alias("tok"),
     )
-    n = F.size("toks").cast("double")
-    ttr = F.size(F.array_distinct("toks")) / n
-    stop = F.size(F.filter("toks", lambda x: x.isin("a", "the"))) / n
-    q = t.select(
-        "doc_id",
-        "source",
-        F.size("toks").alias("n_tokens"),
-        F.round(
-            0.4 * ttr + 0.3 * (1 - stop) + 0.3 * F.least(n / 60.0, F.lit(1.0)), 6
-        ).alias("quality"),
+    langs = sorted({lang for lang, _, _ in _LEXICON})
+    score_cols = []
+    for lang in langs:
+        expr = None
+        for lg, tok, w in _LEXICON:
+            if lg != lang:
+                continue
+            term = F.when(F.col("tok") == tok, F.lit(w))
+            expr = term if expr is None else expr.when(F.col("tok") == tok, F.lit(w))
+        score_cols.append(F.coalesce(F.sum(expr), F.lit(0)).alias(f"s_{lang}"))
+    per_doc = ex.groupBy("doc_id", "source").agg(
+        F.count("tok").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.count(F.when(F.col("tok").isin("a", "the"), 1)).alias("n_stop"),
+        *score_cols,
     )
-    lex = F.broadcast(
-        d.sparkSession.createDataFrame(_LEXICON, "cand_lang string, tok string, weight int")
+    n = F.col("n_tokens").cast("double")
+    quality = F.round(
+        0.4 * (F.col("n_distinct") / n)
+        + 0.3 * (1 - F.col("n_stop") / n)
+        + 0.3 * F.least(n / 60.0, F.lit(1.0)),
+        6,
     )
-    votes = (
-        t.select("doc_id", F.explode("toks").alias("tok"))
-        .join(lex, "tok")
-        .groupBy("doc_id", "cand_lang")
-        .agg(F.sum("weight").alias("score"))
-    )
-    wv = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand_lang"))
-    best = votes.withColumn("rk", F.row_number().over(wv)).filter(F.col("rk") == 1)
+    best_score = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pred = F.when(best_score <= 0, F.lit("und"))
+    for lang in langs:  # alphabetical = q63's (score DESC, lang ASC) tie-break
+        pred = pred.when(F.col(f"s_{lang}") == best_score, F.lit(lang))
     curated = (
-        q.filter(F.col("quality") >= _QUALITY_MIN)
+        per_doc.withColumn("quality", quality)
+        .withColumn("pred_lang", pred)
+        .filter(F.col("quality") >= _QUALITY_MIN)
         .join(keepers, "doc_id", "left_semi")
-        .join(best.select("doc_id", "cand_lang"), "doc_id", "left")
-        .withColumn("pred_lang", F.coalesce("cand_lang", F.lit("und")))
     )
     micro_q = F.round(F.col("quality") * 1_000_000).cast("bigint")
     return curated.groupBy("source", "pred_lang").agg(

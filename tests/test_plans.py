@@ -233,13 +233,18 @@ def test_q108_sessionize_single_user_shuffle(spark, sf_dir):
 
 
 def test_q109_curation_plan(spark, sf_dir):
-    """The curation composite: lexicon broadcasts, keeper election joins
-    back as a semi join (no row payloads through the dup shuffle), final
-    rollup partial-aggregates map-side."""
+    """The curation composite: ONE tokenize/explode pass (the lexicon vote
+    is conditional sums inside the same aggregation — no lexicon join, no
+    window, no re-tokenize), keeper election joins back as a semi join
+    (no row payloads through the dup shuffle), final rollup partial-
+    aggregates map-side."""
     facts = audit_of(spark, sf_dir, "q109_corpus_curation")
-    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2  # lexicon + keepers/best
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1  # keepers semi
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+    # single explode of the corpus and no window operator anywhere
+    assert facts.text.count("Generate ") <= 1
+    assert "Window" not in facts.text
 
 
 def test_q112_large_volume_plan(spark, sf_dir):
