@@ -147,3 +147,78 @@ def test_merge_latest_fold_equals_batch_latest(spark, ops, n_splits):
         state = merge_latest(state, spark.createDataFrame(part, schema))
     got = {(r.id, r.published): r.last_us for r in state.collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_zorder_key_is_injective(spark, pts):
+    """The Morton interleave must be a bijection on [0,2^16)² — a collision
+    would merge distinct key-plane points and silently corrupt the
+    clustering order."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.operators.zorder import zorder_key
+
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "z", zorder_key(F.col("x"), F.col("y"), bits=16)
+    )
+    rows = df.collect()
+    assert len({r.z for r in rows}) == len(pts)
+    # decode back: even bits -> x, odd bits -> y
+    for r in rows:
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x, y) == (r.x, r.y)
+
+
+def test_table_checksum_is_partition_order_invariant(spark, sf_dir):
+    """q116's claim: the XOR checksum must not change under any
+    repartitioning / row order — that is what makes it usable to compare
+    two 100 TB copies written by different jobs."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    q = load_registry()["q116_table_checksum"]
+    base = q.fn(spark, sf_dir).collect()[0]
+
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.composites3 import _lineitem_row_mix
+
+    shuffled = (
+        table(spark, sf_dir, "lineitem")
+        .repartition(7, F.col("l_suppkey"))  # different layout, same rows
+        .select(F.expr(_lineitem_row_mix("spark")).alias("row_mix"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(row_mix)").alias("xor_checksum"),
+        )
+        .collect()[0]
+    )
+    assert shuffled.n_rows == base.n_rows
+    assert shuffled.xor_checksum == base.xor_checksum
+
+
+def test_sessionize_conserves_events(spark, sf_dir):
+    """q108's sessions must partition the event stream exactly: total
+    n_events equals the table's row count and every (user, session) id
+    pair is unique."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    q = load_registry()["q108_sessionize_batch"]
+    sess = q.fn(spark, sf_dir)
+    total = table(spark, sf_dir, "events").count()
+    agg = sess.groupBy().sum("n_events").collect()[0][0]
+    assert agg == total
+    assert sess.count() == sess.select("user_id", "session_seq").distinct().count()
