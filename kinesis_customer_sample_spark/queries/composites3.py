@@ -651,3 +651,37 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_mix").alias("min_mix"),
         F.max("row_mix").alias("max_mix"),
     )
+
+
+@query(
+    "q117_stream_dedup_watermark",
+    oracle="""
+    SELECT event_id, event_type, user_id, round(value, 2) AS value
+    FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication with bounded state: the events stream is
+    unioned with a second replay of itself (every record arrives twice —
+    the at-least-once delivery the reference's Kinesis consumers must
+    tolerate, guide:13) and `dropDuplicatesWithinWatermark` on event_id
+    emits each event exactly once. The watermark bounds the dedup state:
+    keys older than the watermark are expired, so state size tracks the
+    duplicate-arrival window, not the stream length — the property that
+    makes exactly-once-per-key feasible on an unbounded 100 TB stream.
+    Oracle: the batch table itself (each event once) — stream/batch
+    equivalence, hash-checked."""
+    from kinesis_customer_sample_spark.streaming.replay import events_stream, run_to_completion
+
+    ev1 = events_stream(spark, sf_dir)
+    ev2 = events_stream(spark, sf_dir)
+    deduped = (
+        ev1.unionByName(ev2)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    rows = run_to_completion(deduped, output_mode="append")
+    return rows.select(
+        "event_id", "event_type", "user_id", F.round("value", 2).alias("value")
+    )
