@@ -310,3 +310,35 @@ def test_runtime_bloom_filter_reduces_fact_probe(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_app,
         )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling (on in every session, session.py): when one
+    join key dominates, the final adaptive plan must split the skewed
+    shuffle partition — SortMergeJoin(skew=true) — instead of serializing
+    the hot key through one straggler task. This is the runtime half of
+    the skew story (q86's salting is the compile-time half); thresholds
+    are lowered so the tiny fixture exhibits what a hot key does at
+    100 TB."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(60000).select(
+            F.when(F.col("id") < 50000, 0).otherwise(F.col("id") % 100).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),  # widen rows
+        )
+        right = spark.range(2000).select((F.col("id") % 100).alias("k"), F.col("id").alias("w"))
+        j = left.join(right, "k")
+        j.foreachPartition(lambda it: None)  # execute THIS plan so AQE finalizes it
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
