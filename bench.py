@@ -78,19 +78,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # Two executions per query, report the min: single-JVM timings here show
-    # multi-second transient stalls (GC / JIT deopt) that land on arbitrary
-    # queries — min-of-2 measures the plan, not the pause. Plans are rebuilt
+    # Three executions per query, report the min: single-JVM timings here
+    # show multi-second transient stalls (GC / JIT deopt) that land on
+    # arbitrary queries — the min measures the plan, not the pause (min-of-2
+    # still let one stall through per ~30-query suite). Plans are rebuilt
     # per execution AND the cache is cleared between runs: queries that
     # .persist() intermediates (q69's signature table) would otherwise have
     # Spark's CacheManager substitute the still-cached InMemoryRelation into
-    # the plan-identical second run, making min-of-2 a cache-assisted number
+    # the plan-identical second run, making the min a cache-assisted number
     # (round-1 advice). clearCache also unpersists those intermediates so
     # they can't leak executor memory across the suite.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()  # both runs compute from source
             df = registry[name].fn(spark, sf_dir)
             t0 = time.perf_counter()
