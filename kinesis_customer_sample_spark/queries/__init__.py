@@ -38,4 +38,5 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     pipeline_ops,
     composites2,
     composites3,
+    composites4,
 )

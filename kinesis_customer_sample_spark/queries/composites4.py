@@ -1,0 +1,584 @@
+"""Fourth wave: warehouse-history, fuzzy-match, graph, vector-compression
+and incremental-rollup operators.
+
+Registered LAST (queries/__init__.py ordering contract): new-this-round
+queries must not displace proven-green families in a time-capped driver
+walk.
+
+- q118: SCD2 history build — run-length-collapse each user's event_type
+  timeline into type-2 dimension rows (valid_from/valid_to/is_current);
+  the standard warehouse "track attribute changes over time" operator.
+- q119: fuzzy self-join via levenshtein — blocked edit-distance matching,
+  the record-linkage primitive for near-identical records that exact or
+  shingle dedup misses (typos, OCR noise).
+- q120: co-purchase graph BFS — min-hop distances from a source part over
+  the "appeared in the same order" graph; frontier-join BFS (the Pregel
+  shape) oracle-checked against a recursive CTE.
+- q121: SQ8 scalar-quantized ANN with exact rerank — the vector-index
+  compression path: per-dimension min/max train → uint8 codes → integer
+  L2 candidate scan → exact cosine rerank of the shortlist.
+- q122: token-pair lift — corpus co-occurrence mining with document-
+  frequency banding; the phrase/collocation-discovery operator.
+- q123: cascaded rollup — hour → day → month re-aggregation proving the
+  partial-agg cascade (incremental/hypertable rollups) is lossless.
+- q124: update-mode streaming upsert — multi-micro-batch running
+  aggregate emitted in UPDATE mode through a foreachBatch epoch-versioned
+  upsert; the final store equals the batch aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions.porthash import cosine_expr
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q118_scd2_history",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+      FROM g
+    ),
+    runs AS (
+      SELECT user_id, version_seq,
+             min(event_type)                 AS state,
+             count(*)::BIGINT                AS n_events,
+             min(epoch_us(ts))::BIGINT       AS valid_from_us,
+             max(epoch_us(ts))::BIGINT       AS last_seen_us
+      FROM v
+      GROUP BY user_id, version_seq
+    )
+    SELECT user_id, version_seq, state, n_events, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version_seq)  AS valid_to_us,
+           CASE WHEN lead(valid_from_us) OVER (PARTITION BY user_id
+                                               ORDER BY version_seq) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM runs
+    """,
+    tags=("window", "scd2", "history", "gaps-and-islands"),
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: collapse each user's event_type timeline
+    into change-runs and emit one dimension row per run with
+    [valid_from, valid_to) validity and an is_current flag — the standard
+    warehouse operator for tracking attribute changes over time (the batch
+    ancestor of the R9 latest-state operator: latest-state is SCD2 keeping
+    only is_current=1). Scale posture: both windows and the run-collapse
+    aggregate partition by user_id, so the whole build is ONE shuffle on
+    the natural key; the second window (lead over runs) reuses the same
+    partitioning on far fewer rows. Validity bounds are exact integer
+    microseconds (registry parity rules — no rounded-seconds ties)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag("event_type").over(w)
+    is_change = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.withColumn("is_change", is_change)
+        .withColumn(
+            "version_seq",
+            F.sum("is_change").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .groupBy("user_id", "version_seq")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).cast("bigint").alias("valid_from_us"),
+            F.max(us).cast("bigint").alias("last_seen_us"),
+        )
+    )
+    w2 = W.partitionBy("user_id").orderBy("version_seq")
+    valid_to = F.lead("valid_from_us").over(w2)
+    return runs.select(
+        "user_id",
+        "version_seq",
+        "state",
+        "n_events",
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+    )
+
+
+_FUZZ_PREFIX = 48  # compare the first 48 normalized chars
+_FUZZ_MAX_DIST = 8
+_FUZZ_BAND = 32  # docs block together when n_chars lands in the same 32-char band
+
+_DUCK_NORM = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+_SPARK_NORM = "regexp_replace(lower(text), '[^a-z ]', '')"
+
+
+@query(
+    "q119_fuzzy_join_levenshtein",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lang, n_chars // {_FUZZ_BAND} AS band,
+             substring({_DUCK_NORM}, 1, {_FUZZ_PREFIX}) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           levenshtein(a.pfx, b.pfx)::BIGINT AS edit_dist
+    FROM n a JOIN n b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx) <= {_FUZZ_MAX_DIST}
+    """,
+    tags=("dedup", "fuzzy", "levenshtein", "record-linkage"),
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: doc pairs whose normalized 48-char prefixes
+    are within edit distance 8, blocked on (lang, length band) so the
+    quadratic levenshtein only runs inside small candidate blocks — the
+    typo/OCR-noise matcher that exact-hash (q67) and shingle (q68) dedup
+    both miss. Scale posture: the self-join shuffles once on the block
+    key; cost is Σ(block²·prefix²), bounded by the band width, never
+    corpus² — the same blocked-join discipline as the LSH family. The
+    edit distance runs on a fixed 48-char prefix so the per-pair cost is
+    constant, not O(doc²). levenshtein is a JVM intrinsic on both engines
+    (unit costs, exact integers)."""
+    d = table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / _FUZZ_BAND).cast("bigint").alias("band"),
+        F.substring(F.expr(_SPARK_NORM), 1, _FUZZ_PREFIX).alias("pfx"),
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    dist = F.levenshtein(F.col("a.pfx"), F.col("b.pfx"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(dist <= _FUZZ_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+_BFS_MAX_HOPS = 3
+
+
+@query(
+    "q120_copurchase_bfs",
+    oracle=f"""
+    WITH RECURSIVE und AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    bidir AS (
+      SELECT src, dst FROM und
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM und
+    ),
+    root AS (SELECT min(l_partkey) AS node FROM lineitem),
+    walk AS (
+      SELECT node, 0 AS dist FROM root
+      UNION ALL
+      SELECT e.dst AS node, w.dist + 1 AS dist
+      FROM walk w JOIN bidir e ON e.src = w.node
+      WHERE w.dist < {_BFS_MAX_HOPS}
+    )
+    SELECT node AS part_key, min(dist)::BIGINT AS hops
+    FROM walk
+    GROUP BY node
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def copurchase_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first search over the part co-purchase graph (two parts are
+    adjacent when they appear in the same order): min-hop distance from
+    the smallest part key, capped at 3 hops. The frontier-join loop is
+    the Pregel/GraphFrames BFS shape: each round joins the current
+    frontier against the edge list, anti-joins out already-visited nodes,
+    and localCheckpoints to cut lineage — O(diameter) rounds, each a
+    shuffle on node id, state = visited set (node, dist), never
+    all-paths. The recursive-CTE oracle enumerates every ≤3-hop walk and
+    takes min(dist), which equals BFS's first-visit distance — the
+    cross-check that the iterative operator implements shortest-hops, not
+    reachability order."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    bidir = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()  # materialize once; reused every round
+    root = li.agg(F.min("l_partkey")).collect()[0][0]  # scalar seed, one light job
+    visited = spark.createDataFrame(
+        [(int(root), 0)], "part_key bigint, hops int"
+    )
+    frontier = visited
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        frontier = (
+            frontier.join(bidir, frontier["part_key"] == bidir["src"])
+            .select(F.col("dst").alias("part_key"))
+            .distinct()
+            .join(visited, "part_key", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint()
+        )
+        if not frontier.take(1):
+            break
+        visited = visited.unionAll(frontier)
+    return visited.select("part_key", F.col("hops").cast("bigint").alias("hops"))
+
+
+_SQ_QUERY_VEC = 7
+_SQ_SHORTLIST = 20
+_SQ_TOPK = 10
+_SQ_DIM = 64
+
+
+def _sq_code_expr(emb: str, mn: str, mx: str) -> str:
+    """Spark: uint8 scalar quantization code array for a float embedding,
+    given broadcast per-dim min/max arrays. All-double arithmetic + floor
+    → exact integer codes (identical in DuckDB's long-form CTE)."""
+    lo = f"element_at({mn}, d + 1)"
+    hi = f"element_at({mx}, d + 1)"
+    v = f"CAST(element_at({emb}, d + 1) AS DOUBLE)"
+    code = f"CAST(floor(({v} - {lo}) * 255.0 / nullif({hi} - {lo}, 0.0)) AS BIGINT)"
+    return (
+        f"transform(sequence(0, {_SQ_DIM - 1}), "
+        f"d -> coalesce(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), {code})), CAST(0 AS BIGINT)))"
+    )
+
+
+@query(
+    "q121_sq8_ann_rerank",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    stats AS (
+      SELECT d, min(emb[d + 1]) AS mn, max(emb[d + 1]) AS mx
+      FROM e, range({_SQ_DIM}) t(d)
+      GROUP BY d
+    ),
+    codes AS (
+      SELECT e.vec_id, t.d,
+             coalesce(least(255, greatest(0,
+               CAST(floor((e.emb[t.d + 1] - s.mn) * 255.0
+                          / nullif(s.mx - s.mn, 0.0)) AS BIGINT))), 0) AS code
+      FROM e, range({_SQ_DIM}) t(d)
+      JOIN stats s ON s.d = t.d
+    ),
+    adists AS (
+      SELECT c.vec_id,
+             sum((c.code - q.code) * (c.code - q.code))::BIGINT AS approx_l2
+      FROM codes c
+      JOIN codes q ON q.d = c.d AND q.vec_id = {_SQ_QUERY_VEC}
+      WHERE c.vec_id != {_SQ_QUERY_VEC}
+      GROUP BY c.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id, approx_l2 FROM adists
+      ORDER BY approx_l2, vec_id LIMIT {_SQ_SHORTLIST}
+    ),
+    qv AS (SELECT emb AS qemb FROM e WHERE vec_id = {_SQ_QUERY_VEC})
+    SELECT s.vec_id, e.label, s.approx_l2,
+           {cosine_expr("e.emb", "qv.qemb", dialect="duckdb")} AS cos_sim
+    FROM shortlist s
+    JOIN e ON e.vec_id = s.vec_id
+    CROSS JOIN qv
+    ORDER BY cos_sim DESC, s.vec_id
+    LIMIT {_SQ_TOPK}
+    """,
+    tags=("similarity", "ann", "quantization", "rerank"),
+)
+def sq8_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN with exact rerank — the vector-index
+    compression path every large ANN system ships: train per-dimension
+    min/max (one global agg → a 2×64-double broadcast), encode every
+    embedding as 64 uint8 codes (4× smaller than float32, 8× smaller than
+    the double math), scan candidates by integer L2 distance in code
+    space, keep a 20-vector shortlist, then rerank the shortlist with
+    exact cosine. Scale posture: training aggregates 64 doubles total
+    (map-side partial); encoding + the candidate scan are map-only over a
+    broadcast stats row — no shuffle until the 20-row TakeOrdered; the
+    exact rerank touches only the shortlist. Code-space distances are
+    pure integers, so the shortlist is bit-identical across engines; only
+    the rerank does float math (rounded per registry rules)."""
+    e = table(spark, sf_dir, "embeddings")
+    stats = (
+        e.select(F.posexplode("embedding").alias("d", "v"))
+        .groupBy("d")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(d, mn))), x -> x.mn)").alias("mn"),
+            F.expr("transform(array_sort(collect_list(struct(d, mx))), x -> x.mx)").alias("mx"),
+        )
+    )
+    coded = (
+        e.crossJoin(F.broadcast(stats))
+        .withColumn("code", F.expr(_sq_code_expr("embedding", "mn", "mx")))
+    )
+    qrow = F.broadcast(
+        coded.filter(F.col("vec_id") == _SQ_QUERY_VEC).select(
+            F.col("code").alias("qcode"),
+            F.col("embedding").alias("qemb"),
+        )
+    )
+    approx = F.expr(
+        "aggregate(zip_with(code, qcode, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    shortlist = (
+        coded.filter(F.col("vec_id") != _SQ_QUERY_VEC)
+        .crossJoin(qrow)
+        .select("vec_id", "label", "embedding", "qemb", approx.alias("approx_l2"))
+        .orderBy("approx_l2", "vec_id")
+        .limit(_SQ_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id",
+            "label",
+            "approx_l2",
+            F.expr(cosine_expr("embedding", "qemb", dialect="spark")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(_SQ_TOPK)
+    )
+
+
+_LIFT_TOKS_DUCK = (
+    "list_distinct(list_filter(string_split("
+    "regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' '), t -> t != ''))"
+)
+
+
+@query(
+    "q122_token_pair_lift",
+    oracle=f"""
+    WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    tok AS (
+      SELECT doc_id, unnest({_LIFT_TOKS_DUCK}) AS tok FROM documents
+    ),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY tok),
+    keep AS (
+      SELECT tok, df FROM df, n
+      WHERE df >= greatest(3, n_docs // 100) AND df <= (n_docs * 9) // 10
+    ),
+    tk AS (SELECT t.doc_id, t.tok, k.df FROM tok t JOIN keep k USING (tok)),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             a.df AS df_a, b.df AS df_b, count(*)::BIGINT AS n_pair
+      FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT tok_a, tok_b, n_pair, df_a, df_b,
+           (1000000 * n_pair * n_docs) // (df_a * df_b) AS lift_micro
+    FROM pairs, n
+    WHERE n_pair >= greatest(3, n_docs // 100)
+    """,
+    tags=("text", "cooccurrence", "lift", "collocation"),
+)
+def token_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair lift (collocation mining): for token pairs co-occurring
+    in ≥1% of documents, lift = P(a,b) / (P(a)·P(b)) — the
+    phrase-discovery / topic-coherence primitive, emitted as exact
+    integer micro-units (lift·10⁶ by integer division) so no log/float
+    enters the hash. Scale posture: document-frequency banding (1%–90%)
+    is applied BEFORE the per-doc pair join — stopwords (the quadratic
+    hot keys) and hapaxes never reach it, the same DF-cap discipline as
+    the shingle-postings join (dedup.py); the pair join shuffles on
+    doc_id and the pair agg is map-side partial on a bounded
+    (band-filtered) vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar twin of the oracle's n CTE; one light job
+    lo = max(3, n_docs // 100)
+    hi = (n_docs * 9) // 10
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(filter(split(regexp_replace(lower(text), '[^a-z ]', ''), ' '), t -> t != ''))"
+            )
+        ).alias("tok"),
+    )
+    df_t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    keep = df_t.filter((F.col("df") >= lo) & (F.col("df") <= hi))
+    tk = tok.join(F.broadcast(keep), "tok")
+    a = tk.alias("a")
+    b = tk.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= lo)
+    )
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        "n_pair",
+        "df_a",
+        "df_b",
+        F.expr(f"(1000000 * n_pair * CAST({n_docs} AS BIGINT)) div (df_a * df_b)").alias(
+            "lift_micro"
+        ),
+    )
+
+
+@query(
+    "q123_cascaded_rollup",
+    oracle="""
+    SELECT date_trunc('month', ts)::DATE  AS month,
+           event_type,
+           count(*)::BIGINT               AS n_events,
+           sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS value_micro
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("aggregation", "rollup", "incremental", "hypertable"),
+)
+def cascaded_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded time rollup: hour → day → month, each level re-aggregating
+    the previous one's partials — the hypertable / materialized-rollup
+    pattern (store the hourly table, serve coarser grains by re-rolling
+    it, never rescan the raw events). The oracle aggregates the raw
+    events straight to month, so the hash match proves the cascade is
+    LOSSLESS: counts and integer micro-unit value sums are associative,
+    which is exactly why the measures are counts and
+    floor(value·10⁶+0.5) fixed-point sums, not double sums or averages
+    (averages re-derive as sum/count at read time). Scale posture: the
+    raw scan happens once at the finest grain; every re-roll shuffles the
+    already-tiny previous level."""
+    ev = table(spark, sf_dir, "events")
+    v_us = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(v_us).alias("value_micro"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("value_micro").alias("value_micro"))
+    )
+    return (
+        daily.groupBy(
+            F.date_trunc("month", "day").cast("date").alias("month"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("value_micro").cast("bigint").alias("value_micro"),
+        )
+    )
+
+
+@query(
+    "q124_stream_update_upsert",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))::BIGINT AS value_micro
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "update-mode", "sink", "foreachBatch"),
+)
+def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode streaming aggregation through an epoch-versioned upsert
+    sink: the events table is re-sharded into 4 files and replayed one
+    file per micro-batch, a running per-user aggregate emits ONLY the
+    users updated in each batch (update mode — the delta contract BI
+    upsert sinks depend on), and foreachBatch appends each delta stamped
+    with its epoch. The final store keeps the newest epoch per user,
+    which must equal the batch aggregate over all events — the oracle
+    hash-checks exactly that. Completes the output-mode matrix (append:
+    q51+, complete: run_to_completion default, update: here). Scale
+    posture: update mode ships per-batch deltas, not full state (complete
+    mode re-emits everything — unusable on an unbounded key space); the
+    upsert is newest-epoch-wins, so replays/retries are idempotent."""
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    base = os.path.join(
+        tempfile.gettempdir(), f"kcss_q124_{abs(hash(sf_dir))}"
+    )
+    src_dir = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    for p in (src_dir, out_dir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    ev.repartition(4).write.parquet(src_dir)
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    v_us = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum(v_us).alias("value_micro")
+    )
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.withColumn("_epoch", F.lit(epoch_id)).write.mode("append").parquet(out_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_q124_")
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = W.partitionBy("user_id").orderBy(F.col("_epoch").desc())
+    return (
+        spark.read.parquet(out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "value_micro")
+    )
