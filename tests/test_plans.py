@@ -342,3 +342,64 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_q118_scd2_single_user_shuffle(spark, sf_dir):
+    """The SCD2 build must pay ONE shuffle of the event stream: the change
+    window, the cumulative sum, the run-collapse agg (keys (user_id,
+    version_seq) — co-partitioned by user_id) and the validity lead window
+    all reuse the same hashpartitioning(user_id); never a global window."""
+    facts = audit_of(spark, sf_dir, "q118_scd2_history")
+    assert facts.n_exchanges == 1
+    assert facts.text.count("hashpartitioning(user_id") >= 1
+    assert "SinglePartition" not in facts.text
+
+
+def test_q119_fuzzy_join_is_blocked_equi_join(spark, sf_dir):
+    """The levenshtein matcher must run as an EQUI join on the (lang,
+    band) block key — never a cartesian/nested-loop pairing of the corpus
+    (quadratic at 100 TB). The edit-distance predicate is a post-join
+    filter inside bounded blocks."""
+    facts = audit_of(spark, sf_dir, "q119_fuzzy_join_levenshtein")
+    assert not facts.has_cartesian
+    equi = (
+        facts.join_strategies.get("BroadcastHashJoin", 0)
+        + facts.join_strategies.get("SortMergeJoin", 0)
+        + facts.join_strategies.get("ShuffledHashJoin", 0)
+    )
+    assert equi >= 1
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_q121_sq8_broadcast_stats_and_topk(spark, sf_dir):
+    """SQ8 ANN: the 2×64-double stats row and the query-vector row must
+    BROADCAST to the corpus scan (map-only encode + candidate scan), the
+    shortlist must come from TakeOrderedAndProject, and nothing may
+    sort-merge or cartesian-pair the corpus."""
+    facts = audit_of(spark, sf_dir, "q121_sq8_ann_rerank")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 2
+    assert "SortMergeJoin" not in facts.join_strategies
+    assert not facts.has_cartesian
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_q122_lift_no_cartesian(spark, sf_dir):
+    """Collocation mining: the DF-band filter joins tokens as a broadcast
+    hash join and the pair join is an equi join on doc_id — never a
+    cartesian of the vocabulary, and the pair counts partial-aggregate
+    map-side."""
+    facts = audit_of(spark, sf_dir, "q122_token_pair_lift")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+
+
+def test_q123_rollup_cascade_partial_aggs(spark, sf_dir):
+    """The hour→day→month cascade: every level partial-aggregates before
+    its exchange (map-side combine), there are exactly the three level
+    exchanges (each carrying an already-tiny aggregate), and no window
+    operator sneaks in."""
+    facts = audit_of(spark, sf_dir, "q123_cascaded_rollup")
+    assert facts.has_partial_agg
+    assert facts.n_exchanges <= 3
+    assert "Window" not in facts.text

@@ -222,3 +222,78 @@ def test_sessionize_conserves_events(spark, sf_dir):
     agg = sess.groupBy().sum("n_events").collect()[0][0]
     assert agg == total
     assert sess.count() == sess.select("user_id", "session_seq").distinct().count()
+
+
+# ---- fourth-wave operator invariants (q118 / q120 / q121) ----
+
+def test_scd2_conserves_events_and_tiles_time(spark):
+    """SCD2 invariants on the fixture: per-user version counts conserve the
+    event count; consecutive versions tile time (valid_to == next
+    valid_from); exactly one current version per user; state actually
+    changes across consecutive versions (no un-collapsed runs)."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    sf = "/root/testdata/sf0.001"
+    hist = load_registry()["q118_scd2_history"].fn(spark, sf).toPandas()
+    ev = table(spark, sf, "events").toPandas()
+    assert hist.groupby("user_id")["n_events"].sum().to_dict() == \
+        ev.groupby("user_id")["event_id"].count().to_dict()
+    assert (hist.groupby("user_id")["is_current"].sum() == 1).all()
+    for _, g in hist.sort_values(["user_id", "version_seq"]).groupby("user_id"):
+        assert (g["valid_to_us"].iloc[:-1].values == g["valid_from_us"].iloc[1:].values).all()
+        states = g["state"].tolist()
+        assert all(a != b for a, b in zip(states, states[1:]))
+
+
+def test_bfs_hops_are_shortest(spark):
+    """BFS invariants: root at 0 hops; every node at hop k>0 has ≥1
+    neighbor at hop k-1 and none at <k-1 (i.e. distances are tight)."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.registry import load_registry
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    hops = load_registry()["q120_copurchase_bfs"].fn(spark, sf).toPandas()
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").toPandas()
+    root = li["l_partkey"].min()
+    d = dict(zip(hops["part_key"], hops["hops"]))
+    assert d[root] == 0
+    adj: dict[int, set[int]] = {}
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for p in parts:
+            adj.setdefault(p, set()).update(q for q in parts if q != p)
+    for node, k in d.items():
+        if k == 0:
+            continue
+        neigh_dists = {d[n] for n in adj[node] if n in d}
+        assert min(neigh_dists) == k - 1, (node, k, sorted(neigh_dists))
+
+
+def test_sq8_shortlist_recalls_exact_neighbors(spark):
+    """Quantization-quality guard: the exact top-3 cosine neighbors of the
+    query vector must survive into the SQ8 shortlist-and-rerank top-10 —
+    if the band math or code arithmetic regresses, recall collapses and
+    this trips before the oracle diff does."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.functions.porthash import cosine_expr
+    from kinesis_customer_sample_spark.queries.composites4 import _SQ_QUERY_VEC
+    from kinesis_customer_sample_spark.registry import load_registry
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = set(load_registry()["q121_sq8_ann_rerank"].fn(spark, sf).toPandas()["vec_id"])
+    e = table(spark, sf, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == _SQ_QUERY_VEC).select(F.col("embedding").alias("qv"))
+    )
+    exact = (
+        e.filter(F.col("vec_id") != _SQ_QUERY_VEC)
+        .crossJoin(q)
+        .select("vec_id", F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(3)
+        .toPandas()
+    )
+    assert set(exact["vec_id"]) <= got
