@@ -54,6 +54,9 @@ HEADLINE = [
     "q94_time_hierarchy_rollup",
     "q104_weighted_priority_sample",
     "q109_corpus_curation",
+    "q118_scd2_history",
+    "q121_sq8_ann_rerank",
+    "q123_cascaded_rollup",
 ]
 
 

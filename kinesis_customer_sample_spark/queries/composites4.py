@@ -582,3 +582,210 @@ def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select("user_id", "n_events", "value_micro")
     )
+
+
+_DIFF_DROP = 97   # v2 drops keys ≡ 0 (mod 97)   → "removed"
+_DIFF_EDIT = 89   # v2 bumps price on keys ≡ 3 (mod 89) → "changed"
+_DIFF_ADD = 93    # v2 clones keys ≡ 5 (mod 93) shifted by 10^9 → "added"
+_DIFF_SHIFT = 1_000_000_000
+
+
+def _order_fingerprint(dialect: str, price: str = "o_totalprice") -> str:
+    """Row fingerprint over the comparable order columns (portable
+    arithmetic fold, same text in both dialects modulo date diff fn)."""
+    from kinesis_customer_sample_spark.functions import MOD_P
+
+    if dialect == "spark":
+        days = "datediff(o_orderdate, DATE '1992-01-01')"
+    else:
+        days = "datediff('day', DATE '1992-01-01', o_orderdate)"
+    cents = f"CAST(round(({price}) * 100) AS BIGINT)"
+    return (
+        f"(((((o_custkey % {MOD_P}) * 31 + {cents}) % {MOD_P}) * 31 "
+        f"+ ascii(o_orderstatus)) % {MOD_P} * 31 + {days}) % {MOD_P}"
+    )
+
+
+@query(
+    "q125_table_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, {_order_fingerprint("duckdb")} AS fp
+      FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             {_order_fingerprint("duckdb", price="o_totalprice + CASE WHEN o_orderkey % {edit} = 3 THEN 1.0 ELSE 0.0 END")} AS fp
+      FROM orders WHERE o_orderkey % {{drop}} != 0
+      UNION ALL
+      SELECT o_orderkey + {{shift}} AS k, {_order_fingerprint("duckdb")} AS fp
+      FROM orders WHERE o_orderkey % {{add}} = 5
+    )
+    SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'removed'
+                WHEN v1.fp != v2.fp THEN 'changed'
+                ELSE 'unchanged' END  AS diff_class,
+           count(*)::BIGINT           AS n_rows,
+           min(coalesce(v1.k, v2.k))  AS min_key,
+           max(coalesce(v1.k, v2.k))  AS max_key
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    GROUP BY 1
+    """.replace("{edit}", str(_DIFF_EDIT))
+       .replace("{drop}", str(_DIFF_DROP))
+       .replace("{add}", str(_DIFF_ADD))
+       .replace("{shift}", str(_DIFF_SHIFT)),
+    tags=("validation", "diff", "reconciliation"),
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation diff: classify every key across two versions
+    of the orders table as added / removed / changed / unchanged by
+    full-outer-joining on the key and comparing portable row
+    fingerprints — the migration/replication audit that tells you WHAT
+    diverged when the q116 whole-table checksum says SOMETHING did. The
+    second version is derived deterministically (drop keys ≡0 mod 97,
+    bump price on ≡3 mod 89, clone-shift ≡5 mod 93), so the oracle
+    derives the identical pair. Scale posture: one co-shuffle of both
+    sides on the key (sort-merge full outer), fingerprints computed
+    map-side BEFORE the join so only (key, int64) pairs shuffle — never
+    full rows; the class rollup partial-aggregates to four rows."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.selectExpr(
+        "o_orderkey AS k", f"{_order_fingerprint('spark')} AS fp"
+    )
+    edited = f"o_totalprice + CASE WHEN o_orderkey % {_DIFF_EDIT} = 3 THEN 1.0 ELSE 0.0 END"
+    v2 = (
+        o.filter(F.col("o_orderkey") % _DIFF_DROP != 0)
+        .selectExpr("o_orderkey AS k", f"{_order_fingerprint('spark', price=edited)} AS fp")
+        .unionAll(
+            o.filter(F.col("o_orderkey") % _DIFF_ADD == 5).selectExpr(
+                f"o_orderkey + {_DIFF_SHIFT} AS k",
+                f"{_order_fingerprint('spark')} AS fp",
+            )
+        )
+    )
+    j = v1.alias("v1").join(v2.alias("v2"), F.col("v1.k") == F.col("v2.k"), "full_outer")
+    cls = (
+        F.when(F.col("v1.k").isNull(), F.lit("added"))
+        .when(F.col("v2.k").isNull(), F.lit("removed"))
+        .when(F.col("v1.fp") != F.col("v2.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(cls.alias("diff_class"), F.coalesce(F.col("v1.k"), F.col("v2.k")).alias("k"))
+        .groupBy("diff_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
+
+
+@query(
+    "q126_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts)::DATE AS day,
+             sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS value_micro,
+             count(*)::BIGINT AS n_events
+      FROM events
+      GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM spans
+    )
+    SELECT s.user_id, s.day,
+           coalesce(d.n_events, 0)::BIGINT AS n_events,
+           CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END AS is_gap,
+           last_value(d.value_micro IGNORE NULLS)
+             OVER (PARTITION BY s.user_id ORDER BY s.day
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS value_micro_locf
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    tags=("window", "timeseries", "gap-fill", "locf"),
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with last-observation-carried-forward: build
+    each user's daily calendar spine between their first and last active
+    day, left-join the observed daily aggregates, and forward-fill
+    missing days from the last observed value — the regularization step
+    every downstream window/forecast model needs over sparse event data.
+    Scale posture: the spine generates per-user (sequence + explode —
+    span-bounded, never a global calendar cross join), the spine⋈daily
+    join and the LOCF window share one hashpartitioning(user_id), and
+    the fill itself is last(ignorenulls) over an unbounded-preceding
+    frame — no self-join, no driver loop. Fixed-point micro-unit values
+    keep the fill hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")).alias("value_micro"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    j = spine.alias("s").join(
+        daily.alias("d"),
+        (F.col("s.user_id") == F.col("d.user_id")) & (F.col("s.day") == F.col("d.day")),
+        "left",
+    )
+    w = W.partitionBy("s.user_id").orderBy("s.day").rowsBetween(W.unboundedPreceding, 0)
+    return j.select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.day").alias("day"),
+        F.coalesce(F.col("d.n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("d.user_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
+        F.last("d.value_micro", ignorenulls=True).over(w).cast("bigint").alias("value_micro_locf"),
+    )
+
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "q127_unpivot_measures",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT l_returnflag, '{m}' AS measure,
+           count(*)::BIGINT            AS n,
+           round(sum({m}), 2)          AS total,
+           round(min({m}), 2)          AS min_v,
+           round(max({m}), 2)          AS max_v
+    FROM lineitem GROUP BY l_returnflag"""
+        for m in _UNPIVOT_MEASURES
+    ),
+    tags=("reshape", "unpivot", "melt"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, the inverse of q95's pivot): melt the four
+    lineitem measure columns into (measure, value) rows via `stack`, then
+    profile each measure per return flag — the reshape every metrics
+    store and melt-style feature pipeline needs. Scale posture: `stack`
+    is a map-side Generate (rows ×4, no shuffle of its own, no UDF); the
+    per-(flag, measure) agg partial-aggregates to ~12 groups, so the
+    whole reshape costs one scan + one tiny shuffle. The oracle is the
+    per-measure UNION ALL — proving the melted layout preserves every
+    measure exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = ", ".join(f"'{m}', {m}" for m in _UNPIVOT_MEASURES)
+    melted = li.select(
+        "l_returnflag",
+        F.expr(f"stack({len(_UNPIVOT_MEASURES)}, {pairs}) AS (measure, value)"),
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+    )

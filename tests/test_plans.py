@@ -403,3 +403,28 @@ def test_q123_rollup_cascade_partial_aggs(spark, sf_dir):
     assert facts.has_partial_agg
     assert facts.n_exchanges <= 3
     assert "Window" not in facts.text
+
+
+def test_q125_diff_shuffles_fingerprints_only(spark, sf_dir):
+    """Reconciliation diff: both versions reduce to (key, int64
+    fingerprint) BEFORE the full-outer sort-merge join — the scans must
+    not ship payload columns into the shuffle — and the class rollup
+    partial-aggregates."""
+    facts = audit_of(spark, sf_dir, "q125_table_diff")
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 1
+    assert "FullOuter" in facts.text
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    # fingerprint computed map-side: no order payload column may survive
+    # past the scan projections into the join
+    assert "o_orderstatus" not in facts.text.split("SortMergeJoin")[1][:400]
+
+
+def test_q126_gap_fill_single_key_partitioning(spark, sf_dir):
+    """Gap fill + LOCF: the spine join and the forward-fill window both
+    partition by user_id (no global window), and the spine generates
+    per-user (no calendar cartesian)."""
+    facts = audit_of(spark, sf_dir, "q126_gap_fill_locf")
+    assert not facts.has_cartesian
+    assert facts.text.count("hashpartitioning(user_id") >= 1
+    assert "SinglePartition" not in facts.text
