@@ -789,3 +789,161 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
     )
+
+
+@query(
+    "q128_iqr_outlier_fences",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fences AS (
+      SELECT o_orderpriority,
+             quantile_cont(cents, 0.25) AS p25,
+             quantile_cont(cents, 0.75) AS p75
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           count(*)::BIGINT                                        AS n_orders,
+           count(*) FILTER (cents < p25 - 1.5 * (p75 - p25))::BIGINT AS n_low,
+           count(*) FILTER (cents > p75 + 1.5 * (p75 - p25))::BIGINT AS n_high,
+           round((p25 - 1.5 * (p75 - p25)) / 100.0, 4)             AS fence_lo,
+           round((p75 + 1.5 * (p75 - p25)) / 100.0, 4)             AS fence_hi
+    FROM c JOIN fences USING (o_orderpriority)
+    GROUP BY c.o_orderpriority, p25, p75
+    """,
+    tags=("aggregation", "outliers", "iqr", "data-quality"),
+)
+def iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection (Tukey fences): per order-priority class,
+    count orders outside [p25 − 1.5·IQR, p75 + 1.5·IQR] — the standard
+    data-quality screen before training-set admission. Numeric
+    discipline: quantiles are computed over exact integer CENTS with
+    dyadic fractions (0.25/0.75), so the interpolated percentiles and
+    the ×1.5 fence arithmetic are all exact binary floating point —
+    bit-identical across engines with no rounding tie to split (the
+    boundary comparison `cents < fence` is then deterministic). Scale
+    posture: one shuffle on the group key for the percentile agg, the
+    5-row fence table broadcasts back, and the outlier count
+    partial-aggregates; exact percentile over a group requires the
+    group's values co-located — at 100 TB swap in approx_percentile
+    (t-digest) for the same plan shape minus the exactness."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    fences = c.groupBy("o_orderpriority").agg(
+        F.percentile("cents", 0.25).alias("p25"),
+        F.percentile("cents", 0.75).alias("p75"),
+    )
+    lo = F.col("p25") - 1.5 * (F.col("p75") - F.col("p25"))
+    hi = F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))
+    return (
+        c.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority", "p25", "p75")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("cents") < lo, 1)).alias("n_low"),
+            F.count(F.when(F.col("cents") > hi, 1)).alias("n_high"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_low",
+            "n_high",
+            F.round(lo / 100.0, 4).alias("fence_lo"),
+            F.round(hi / 100.0, 4).alias("fence_hi"),
+        )
+    )
+
+
+_N_SALTS = 8
+
+
+@query(
+    "q129_salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew", "salting"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compile-time salted skew join — the manual half of the skew story
+    (q86 salts a hot-key AGGREGATION; test_aqe_splits_skewed_join pins
+    the runtime half): the probe side adds salt = row-local hash % 8 and
+    the build side replicates each row across all 8 salts, so the join
+    key becomes (key, salt) and a hot key's rows spread over 8 shuffle
+    partitions instead of one straggler task. The oracle is the plain
+    unsalted join — hash-proving salting never changes results. Use when
+    AQE can't help: skew hidden behind a stage boundary it won't split,
+    or deterministic partition-size SLAs. Cost model: build side ×S rows
+    through its shuffle — S trades straggler latency for replication
+    I/O; at 100 TB salt only the keys a stats pass flags hot (bounded
+    replication), exactly as the DF-cap bounds the postings join."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salted_li = li.withColumn(
+        "salt", (F.xxhash64("l_orderkey", "l_linenumber") % _N_SALTS + _N_SALTS) % _N_SALTS
+    ).alias("l")
+    replicated_o = o.withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {_N_SALTS - 1})"))
+    ).alias("r")
+    return (
+        salted_li.join(
+            replicated_o,
+            (F.col("l.l_orderkey") == F.col("r.o_orderkey"))
+            & (F.col("l.salt") == F.col("r.salt")),
+            "inner",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "q130_win_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           -- exact integer micro-units: round(x, 6) lands on .5 ties that
+           -- HALF_UP (Spark) and binary-double (DuckDB) split differently
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pct_rank_micro,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)    AS cume_micro,
+           ntile(10) OVER w                 AS decile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution", "percent-rank"),
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist / decile
+    per nation over account balance: the relative-standing primitives
+    (percentile score of each row within its cohort) that q24's ranking
+    family doesn't cover. Both are integer ratios ((rank−1)/(n−1),
+    rank/n) whose doubles are bit-identical across engines, but
+    round(x, 6) lands on exact .5 ties at cohort sizes dividing 10⁶ —
+    so they're emitted as floor(x·10⁶ + 0.5) integer micro-units
+    (half-up on identical doubles → identical integers, the
+    oracle-parity rule from q108). Ordering is made total with the key
+    tie-break. Scale posture: one shuffle on the cohort key, each
+    cohort ranked independently — never a global sort."""
+    c = table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.percent_rank().over(w) * 1_000_000 + 0.5).cast("bigint").alias("pct_rank_micro"),
+        F.floor(F.cume_dist().over(w) * 1_000_000 + 0.5).cast("bigint").alias("cume_micro"),
+        F.ntile(10).over(w).alias("decile"),
+    )

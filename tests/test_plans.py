@@ -428,3 +428,30 @@ def test_q126_gap_fill_single_key_partitioning(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.text.count("hashpartitioning(user_id") >= 1
     assert "SinglePartition" not in facts.text
+
+
+def test_q128_fences_broadcast_back(spark, sf_dir):
+    """IQR fences: the per-group percentile table (5 rows) must broadcast
+    back to the fact scan — the outlier classification is map-side, and
+    the only shuffles are the percentile agg and the final rollup."""
+    facts = audit_of(spark, sf_dir, "q128_iqr_outlier_fences")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_q129_salted_join_spreads_hot_keys(spark, sf_dir):
+    """Salted join: with broadcast disabled (forcing the shuffle join the
+    operator exists for), the join must partition on (key, salt) — the
+    salt column IS in the hashpartitioning, which is the whole point:
+    a hot key's rows land in _N_SALTS shuffle partitions, not one."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = audit_of(spark, sf_dir, "q129_salted_skew_join")
+        assert not facts.has_cartesian
+        import re
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", facts.text)
+        assert any("salt" in p and "orderkey" in p for p in parts), parts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
