@@ -947,3 +947,146 @@ def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * 1_000_000 + 0.5).cast("bigint").alias("cume_micro"),
         F.ntile(10).over(w).alias("decile"),
     )
+
+
+@query(
+    "q131_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             epoch_us(ts) // 604800000000 AS wk
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY user_id),
+    sizes AS (SELECT cohort_wk, count(*)::BIGINT AS cohort_size FROM cohorts GROUP BY cohort_wk)
+    SELECT c.cohort_wk,
+           (a.wk - c.cohort_wk)::BIGINT        AS weeks_since,
+           count(DISTINCT a.user_id)::BIGINT   AS n_active,
+           s.cohort_size,
+           (1000000 * count(DISTINCT a.user_id)) // s.cohort_size AS retention_micro
+    FROM activity a
+    JOIN cohorts c USING (user_id)
+    JOIN sizes s ON s.cohort_wk = c.cohort_wk
+    GROUP BY c.cohort_wk, weeks_since, s.cohort_size
+    """,
+    tags=("analytics", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: bucket users by first-active week, then for
+    each (cohort, weeks-since) cell count the distinct users still
+    active — the product-analytics triangle every event warehouse
+    serves. All arithmetic is integer (epoch-week keys via integer
+    division — portable across engines with no week-start/ISO-week
+    semantics to disagree on — and integer-division retention
+    micro-units), so the matrix hash-matches exactly. Scale posture:
+    the distinct-activity reduction shuffles on (user_id, week) FIRST —
+    the raw event stream collapses before any join; cohorts derive from
+    it with one more user_id agg, the per-cohort sizes broadcast back,
+    and the cell rollup partial-aggregates."""
+    ev = table(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 604800000000")
+    activity = ev.select("user_id", wk.alias("wk")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohorts.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.join(cohorts, "user_id")
+        .join(F.broadcast(sizes), "cohort_wk")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("weeks_since"),
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .select(
+            "cohort_wk",
+            "weeks_since",
+            "n_active",
+            "cohort_size",
+            F.expr("(1000000 * n_active) div cohort_size").alias("retention_micro"),
+        )
+    )
+
+
+_FUNNEL = ("click", "view", "purchase")
+
+
+@query(
+    "q132_funnel_analysis",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = '{_FUNNEL[1]}' AND epoch_us(e.ts) > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = '{_FUNNEL[2]}' AND epoch_us(e.ts) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT count(s1.user_id)::BIGINT AS n_stage1,
+           count(s2.user_id)::BIGINT AS n_stage2,
+           count(s3.user_id)::BIGINT AS n_stage3,
+           (1000000 * count(s2.user_id)) // count(s1.user_id) AS conv12_micro,
+           (1000000 * count(s3.user_id)) // nullif(count(s2.user_id), 0) AS conv23_micro
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+    tags=("analytics", "funnel", "sequence"),
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (click → view → purchase, each stage
+    strictly after the previous): per user, stage k's entry time is the
+    FIRST qualifying event after stage k−1's entry — the sequential
+    min-after decomposition that turns sequence matching into k
+    aggregate+join rounds instead of a per-user sort-and-scan UDF.
+    Conversion rates are integer micro-units. Scale posture: every
+    stage is a filtered agg keyed on user_id, so all three stages and
+    the joins reuse one hashpartitioning(user_id) — the event stream is
+    scanned per stage with the type filter pushed to the parquet scan,
+    and each stage's output is one row per surviving user (monotonically
+    shrinking)."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL[1])
+        .select("user_id", us.alias("t"))
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL[2])
+        .select("user_id", us.alias("t"))
+        .join(s2, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    j = (
+        s1.select(F.col("user_id").alias("u1"))
+        .join(s2.select(F.col("user_id").alias("u2")), F.col("u1") == F.col("u2"), "left")
+        .join(s3.select(F.col("user_id").alias("u3")), F.col("u2") == F.col("u3"), "left")
+    )
+    return j.agg(
+        F.count("u1").alias("n_stage1"),
+        F.count("u2").alias("n_stage2"),
+        F.count("u3").alias("n_stage3"),
+    ).select(
+        "n_stage1",
+        "n_stage2",
+        "n_stage3",
+        F.expr("(1000000 * n_stage2) div n_stage1").alias("conv12_micro"),
+        F.expr("(1000000 * n_stage3) div nullif(n_stage2, 0)").alias("conv23_micro"),
+    )

@@ -455,3 +455,14 @@ def test_q129_salted_join_spreads_hot_keys(spark, sf_dir):
         assert any("salt" in p and "orderkey" in p for p in parts), parts
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.parametrize("name", ["q131_cohort_retention", "q132_funnel_analysis"])
+def test_analytics_queries_partition_on_user(spark, sf_dir, name):
+    """Cohort retention and funnel: every stage keys on user_id (the
+    stream collapses before any join), nothing cartesian-pairs, and the
+    rollups partial-aggregate map-side."""
+    facts = audit_of(spark, sf_dir, name)
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert facts.text.count("hashpartitioning(user_id") >= 1
