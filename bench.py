@@ -57,6 +57,8 @@ HEADLINE = [
     "q118_scd2_history",
     "q121_sq8_ann_rerank",
     "q123_cascaded_rollup",
+    "q125_table_diff",
+    "q131_cohort_retention",
 ]
 
 

@@ -24,6 +24,18 @@ walk.
 - q124: update-mode streaming upsert — multi-micro-batch running
   aggregate emitted in UPDATE mode through a foreachBatch epoch-versioned
   upsert; the final store equals the batch aggregate.
+- q125: table reconciliation diff — full-outer fingerprint join
+  classifying added/removed/changed/unchanged between table versions.
+- q126: time-series gap fill — per-key calendar spine + LOCF forward fill.
+- q127: unpivot/melt via stack() — the inverse of q95's pivot.
+- q128: IQR outlier fences — integer-cents dyadic percentiles, bit-exact
+  Tukey fences, broadcast-back classification.
+- q129: compile-time salted skew join — (key, salt) shuffle spreading,
+  hash-proven equal to the unsalted join.
+- q130: distribution windows — percent_rank/cume_dist/decile in integer
+  micro-units.
+- q131: weekly cohort retention triangle — all-integer epoch-week keys.
+- q132: ordered funnel — sequential min-after stage decomposition.
 """
 
 from __future__ import annotations
