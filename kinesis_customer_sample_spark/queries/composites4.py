@@ -36,6 +36,8 @@ walk.
   micro-units.
 - q131: weekly cohort retention triangle — all-integer epoch-week keys.
 - q132: ordered funnel — sequential min-after stage decomposition.
+- q133: equal-frequency binning — broadcast dyadic quantile boundaries +
+  map-side CASE assignment (the scale-correct global ntile).
 """
 
 from __future__ import annotations
@@ -1101,4 +1103,70 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_stage3",
         F.expr("(1000000 * n_stage2) div n_stage1").alias("conv12_micro"),
         F.expr("(1000000 * n_stage3) div nullif(n_stage2, 0)").alias("conv23_micro"),
+    )
+
+
+_N_BINS = 8  # dyadic quantile fractions k/8 — interpolation stays exact
+
+
+@query(
+    "q133_equal_freq_binning",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT {", ".join(f"quantile_cont(cents, {k}.0/{_N_BINS}) AS q{k}" for k in range(1, _N_BINS))}
+      FROM c
+    )
+    SELECT CASE {" ".join(f"WHEN cents <= q{k} THEN {k - 1}" for k in range(1, _N_BINS))}
+                ELSE {_N_BINS - 1} END      AS bin,
+           count(*)::BIGINT                 AS n_orders,
+           min(cents)                       AS lo_cents,
+           max(cents)                       AS hi_cents,
+           count(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+    FROM c, b
+    GROUP BY bin
+    """,
+    tags=("aggregation", "binning", "quantile", "feature-eng"),
+)
+def equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (octile) binning — the feature-engineering
+    discretizer: compute 7 global quantile boundaries ONCE, broadcast
+    them, and assign each row's bin with a map-side CASE chain. This is
+    the scale-correct alternative to `ntile()` over an unpartitioned
+    window (which serializes the table through one task — the q92
+    anti-pattern): the boundary agg reduces to 7 numbers, and binning is
+    embarrassingly parallel. Numeric discipline: boundaries are
+    quantiles of exact integer cents at dyadic fractions k/8, so the
+    interpolated values are bit-identical across engines and the
+    `cents <= boundary` comparisons can't split (q128's trick
+    generalized). At 100 TB swap approx_percentile for the exact
+    percentile — same plan, bounded error."""
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = c.agg(
+        *[
+            F.percentile("cents", k / _N_BINS).alias(f"q{k}")
+            for k in range(1, _N_BINS)
+        ]
+    )
+    bin_expr = F.when(F.col("cents") <= F.col("q1"), F.lit(0))
+    for k in range(2, _N_BINS):
+        bin_expr = bin_expr.when(F.col("cents") <= F.col(f"q{k}"), F.lit(k - 1))
+    bin_expr = bin_expr.otherwise(F.lit(_N_BINS - 1))
+    return (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
     )

@@ -466,3 +466,18 @@ def test_analytics_queries_partition_on_user(spark, sf_dir, name):
     assert not facts.has_cartesian
     assert facts.has_partial_agg
     assert facts.text.count("hashpartitioning(user_id") >= 1
+
+
+def test_q133_binning_broadcasts_boundaries(spark, sf_dir):
+    """Equal-frequency binning: the 7 quantile boundaries broadcast back
+    and bin assignment is a map-side CASE — no window operator anywhere
+    (the global-ntile single-partition anti-pattern this operator
+    replaces)."""
+    facts = audit_of(spark, sf_dir, "q133_equal_freq_binning")
+    assert (
+        facts.join_strategies.get("BroadcastNestedLoopJoin", 0)
+        + facts.join_strategies.get("BroadcastHashJoin", 0)
+        >= 1
+    )
+    assert "Window" not in facts.text
+    assert facts.has_partial_agg
