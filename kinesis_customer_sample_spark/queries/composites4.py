@@ -1170,3 +1170,69 @@ def equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )
+
+
+@query(
+    "q134_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice / nullif(l_discount, 0.0) * 100 + 0.5) / 100.0
+                                                                AS price_per_disc,
+           -- bigint overflow past key 1000 → NULL under try_multiply
+           CASE WHEN l_orderkey > 1000 THEN NULL
+                ELSE l_orderkey * 9223372036854775 END          AS big_product,
+           TRY_CAST(l_returnflag AS BIGINT)                     AS flag_as_int,
+           -- valid for days 1..29, NULL past Feb's end: mixed-validity.
+           -- emitted as VARCHAR: Spark DATE reaches pandas as objects,
+           -- DuckDB DATE as datetime64 NaT — a dtype mismatch the hash
+           -- comparator rightly rejects (registry parity rules)
+           CAST(TRY_CAST('2024-02-' ||
+                lpad(CAST(trunc(l_quantity) AS INT)::VARCHAR, 2, '0')
+                AS DATE) AS VARCHAR)                            AS maybe_date,
+           coalesce(floor(l_extendedprice / nullif(l_quantity, 0.0) * 100 + 0.5) / 100.0,
+                    -1.0)                                       AS unit_price
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+    """,
+    tags=("functions", "null-safety", "try-arithmetic"),
+)
+def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (`try_multiply` overflow → NULL, `try_cast`
+    bad parse → NULL, `try_divide` + `nullif` guarded division): invalid
+    operations yield NULL instead of failing the job — the SQL-surface
+    twin of the decode edge's error→null contract (R4, guide:36-39),
+    and mandatory under ANSI mode (session default) where a single bad
+    row would otherwise kill a 100 TB job. Cross-engine notes baked into
+    the shape: double division by zero is Infinity (not an error) in
+    BOTH engines, so zero-denominators are nulled with `nullif`, and
+    the bigint overflow threshold (key > 1000 at this multiplier) is
+    stated exactly in the oracle's CASE. Dates are emitted as VARCHAR —
+    Spark DATE reaches pandas as objects, DuckDB DATE as datetime64.
+    Map-only: no shuffle, fully codegen'd."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.try_divide("l_extendedprice", F.nullif("l_discount", F.lit(0.0))) * 100
+                + 0.5
+            )
+            / 100.0
+        ).alias("price_per_disc"),
+        F.expr("try_multiply(l_orderkey, CAST(9223372036854775 AS BIGINT))").alias(
+            "big_product"
+        ),
+        F.expr("try_cast(l_returnflag AS BIGINT)").alias("flag_as_int"),
+        F.expr(
+            "CAST(try_cast(concat('2024-02-', lpad(CAST(CAST(l_quantity AS INT) AS STRING), 2, '0')) AS DATE) AS STRING)"
+        ).alias("maybe_date"),
+        F.coalesce(
+            F.floor(
+                F.try_divide("l_extendedprice", F.nullif("l_quantity", F.lit(0.0))) * 100
+                + 0.5
+            )
+            / 100.0,
+            F.lit(-1.0),
+        ).alias("unit_price"),
+    )
