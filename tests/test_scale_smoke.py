@@ -1,0 +1,109 @@
+"""Scale smoke tests: execute the operators whose 100 TB posture SCALE.md
+claims on synthetic inputs ~100× the sf0.001 fixture (millions of rows),
+asserting completion and exact conservation invariants. Plan tests pin the
+SHAPE; these prove the shape actually executes at local-memory-stressing
+row counts — partial aggs combine, windows stay partitioned, the salted
+join replicates correctly — the strongest below-cluster evidence a
+local[32] sandbox can give."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window as W
+
+N = 5_000_000
+N_USERS = 50_000
+
+
+def _synth_events(spark):
+    """5M-row synthetic event stream: 50k users, integer-second spacing."""
+    return spark.range(N).select(
+        (F.col("id") % N_USERS).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 977) * 3600 + F.col("id") % 59
+        ).alias("ts"),
+        ((F.col("id") * 7) % 100).cast("double").alias("value"),
+    )
+
+
+def test_sessionize_conserves_at_5m_rows(spark):
+    """q108's gaps-and-islands shape at 5M rows / 50k users: completes on
+    one user_id shuffle and conserves every event into exactly one
+    session."""
+    ev = _synth_events(spark)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - F.unix_micros(prev)) > 12 * 3600 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = sess.agg(F.sum("n")).collect()[0][0]
+    assert total == N
+
+
+def test_salted_join_matches_plain_join_on_hot_key_5m(spark):
+    """q129's salting at 5M rows with a pathological hot key (80% of the
+    probe side on one key): salted and plain join aggregates must agree
+    exactly — replication loses nothing, salting gains spread."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        S = 16
+        probe = spark.range(N).select(
+            F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        build = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        plain = (
+            probe.join(build, "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+            .collect()[0]
+        )
+        salted_probe = probe.withColumn(
+            "salt", (F.xxhash64("v") % S + S) % S
+        ).alias("p")
+        replicated = build.withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {S - 1})"))
+        ).alias("b")
+        salted = (
+            salted_probe.join(
+                replicated,
+                (F.col("p.k") == F.col("b.k")) & (F.col("p.salt") == F.col("b.salt")),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+            .collect()[0]
+        )
+        assert (plain.n, plain.s) == (salted.n, salted.s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_cascaded_rollup_lossless_at_5m_rows(spark):
+    """q123's cascade at 5M rows: hour→day→month re-aggregation equals the
+    direct aggregate exactly (fixed-point integer measures)."""
+    ev = _synth_events(spark)
+    v_us = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v_us).alias("v")
+    )
+    monthly_cascade = (
+        hourly.groupBy(F.date_trunc("day", "h").alias("d"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        .groupBy(F.date_trunc("month", "d").alias("m"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    )
+    direct = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v_us).alias("v")
+    )
+    got = {r.m: (r.n, r.v) for r in monthly_cascade.collect()}
+    want = {r.m: (r.n, r.v) for r in direct.collect()}
+    assert got == want and len(want) > 0
