@@ -1236,3 +1236,61 @@ def try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0),
         ).alias("unit_price"),
     )
+
+
+@query(
+    "q135_waiting_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    cut AS (SELECT quantile_cont(bal_cents, 0.5) AS med FROM pos)
+    SELECT c_nationkey,
+           count(*)::BIGINT          AS n_cust,
+           sum(bal_cents)::BIGINT    AS total_bal_cents
+    FROM pos, cut
+    WHERE bal_cents > med
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+    tags=("relational", "composite", "anti-join", "scalar-subquery", "tpch-q22"),
+)
+def waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global scalar subquery threshold + NOT EXISTS:
+    above-median-balance customers with no orders since 2000 (churned
+    high-value accounts), per nation. The two classic decorrelations in
+    one plan: the scalar threshold reduces to ONE number and broadcasts
+    into the filter (never a per-row re-scan), and NOT EXISTS lands as
+    a left-anti join on the customer key against the date-filtered
+    orders projection. The threshold is the MEDIAN of exact integer
+    cents (dyadic 0.5 interpolation — bit-identical across engines;
+    a float AVERAGE here would put boundary rows one ulp apart, the
+    q128 lesson). At 100 TB the anti join is the only shuffle of the
+    customer side; orders projects just o_custkey with the date filter
+    pushed to its scan."""
+    c = table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0.0).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    cut = pos.agg(F.percentile("bal_cents", 0.5).alias("med"))
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(cut))
+        .filter(F.col("bal_cents") > F.col("med"))
+        .join(o, pos["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )

@@ -481,3 +481,12 @@ def test_q133_binning_broadcasts_boundaries(spark, sf_dir):
     )
     assert "Window" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_q135_threshold_broadcast_and_anti_join(spark, sf_dir):
+    """Q22 shape: the scalar median broadcasts, NOT EXISTS lands as a
+    left-anti join, and the date filter reaches the orders scan."""
+    facts = audit_of(spark, sf_dir, "q135_waiting_customers")
+    assert not facts.has_cartesian
+    assert "LeftAnti" in facts.text
+    assert any("o_orderdate" in f for f in facts.pushed_filters)
