@@ -1294,3 +1294,53 @@ def waiting_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
     )
+
+
+_ROLL_DAYS = 7
+
+
+@query(
+    "q136_rolling_active_users",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT day FROM du)
+    SELECT s.day,
+           count(DISTINCT d.user_id)::BIGINT AS wau,
+           count(*)::BIGINT                  AS user_days
+    FROM spine s
+    JOIN du d ON d.day BETWEEN s.day - INTERVAL {_ROLL_DAYS - 1} DAY AND s.day
+    GROUP BY s.day
+    """,
+    tags=("analytics", "rolling-distinct", "wau", "range-join"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) — the sliding DISTINCT count that
+    plain window frames can't express (count(DISTINCT) over a moving
+    range isn't supported as a window aggregate): reduce the stream to
+    distinct (day, user) pairs FIRST, then range-join the pairs onto the
+    day spine and count distincts per window end. Scale posture: the
+    dedup reduction is the only pass over raw events (shuffle on
+    (day, user), map-side partial); the range join fans each user-day
+    into at most 7 spine days — bounded replication, exactly the salted-
+    join tradeoff — and the distinct-count agg shuffles user-day×7 rows
+    keyed by day. At 100 TB the same shape holds with the spine bucketed
+    by month so the range join stays partition-local; swap in HLL
+    sketch-merge (approx_count_distinct partials) when exactness can be
+    traded for a single pass."""
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    spine = du.select("day").distinct().select(F.col("day").alias("end_day"))
+    joined = spine.join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("end_day"), _ROLL_DAYS - 1))
+        & (F.col("day") <= F.col("end_day")),
+    )
+    return joined.groupBy(F.col("end_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau"),
+        F.count(F.lit(1)).alias("user_days"),
+    )
