@@ -59,6 +59,10 @@ HEADLINE = [
     "q123_cascaded_rollup",
     "q125_table_diff",
     "q131_cohort_retention",
+    "q136_rolling_active_users",
+    "q137_decontamination",
+    "q141_global_shuffle",
+    "q142_chunk_dedup",
 ]
 
 

@@ -38,6 +38,8 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     composites2,
     composites3,
     composites4,
+    composites5,
+    curation,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

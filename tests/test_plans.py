@@ -490,3 +490,43 @@ def test_q135_threshold_broadcast_and_anti_join(spark, sf_dir):
     assert not facts.has_cartesian
     assert "LeftAnti" in facts.text
     assert any("o_orderdate" in f for f in facts.pushed_filters)
+
+
+def test_q143_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """TPC-H Q4 shape: the correlated EXISTS must appear as a LEFT SEMI
+    join (one pass over lineitem), with the quarter filter pushed to the
+    orders scan — never a per-row subquery or a full join + distinct."""
+    facts = audit_of(spark, sf_dir, "q143_order_priority_check")
+    assert "LeftSemi" in facts.text
+    assert not facts.has_cartesian
+    assert any("o_orderdate" in f for f in facts.pushed_filters)
+    # lineitem is projected to the two columns the semi-join needs
+    assert not facts.scans_read_column("l_extendedprice")
+
+
+def test_q145_scalar_max_broadcasts(spark, sf_dir):
+    """TPC-H Q15 shape: the global-max scalar must come back as a
+    broadcast join against the per-supplier revenue table."""
+    facts = audit_of(spark, sf_dir, "q145_top_supplier")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert any("l_shipdate" in f for f in facts.pushed_filters)
+
+
+def test_q146_not_in_is_broadcast_anti_join(spark, sf_dir):
+    """TPC-H Q16 shape: the denylist NOT IN must be a broadcast LEFT ANTI
+    join, and the part dimension must broadcast."""
+    facts = audit_of(spark, sf_dir, "q146_supplier_variety")
+    assert "LeftAnti" in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert not facts.has_cartesian
+
+
+def test_q147_star_join_broadcasts_dims(spark, sf_dir):
+    """TPC-H Q9 shape: part/supplier/nation broadcast; facts shuffle only
+    on join keys; the margin agg combines map-side."""
+    facts = audit_of(spark, sf_dir, "q147_margin_by_nation")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
