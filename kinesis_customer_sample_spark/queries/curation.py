@@ -28,16 +28,19 @@ from kinesis_customer_sample_spark.queries.text_analysis import (
 )
 from kinesis_customer_sample_spark.registry import query
 
-# 3-token shingles, duplicated from dedup.py's definition on purpose: the
-# registry rule is that each module's Spark/DuckDB expression pair stays
-# textually parallel so drift is visible in review.
-_SPARK_SH3 = (
-    "array_distinct(transform(sequence(1, size(toks) - 2), "
-    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"
+# 5-token shingles (real decontamination uses long n-grams — 8-13 tokens
+# in published pipelines — so overlap means copied passages, not shared
+# vocabulary; 5 fits the fixture's short docs while keeping the hit set
+# meaningful). Registry rule: the Spark/DuckDB pair stays textually
+# parallel so drift is visible in review.
+_SPARK_SH5 = (
+    "array_distinct(transform(sequence(1, size(toks) - 4), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2), "
+    "element_at(toks, i + 3), element_at(toks, i + 4))))"
 )
-_DUCK_SH3 = (
-    "list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] "
-    "for i in range(1, len(toks) - 1)])"
+_DUCK_SH5 = (
+    "list_distinct([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || "
+    "toks[i + 3] || ' ' || toks[i + 4] for i in range(1, len(toks) - 3)])"
 )
 
 # q91's split buckets, reused verbatim: eval = the held-out 10% tail of the
@@ -54,9 +57,9 @@ _TRAIN_HI = 80
     WITH sh AS (
       SELECT doc_id,
              {tok_hash_expr("doc_id::VARCHAR", dialect="duckdb")} % 100 AS bucket,
-             {_DUCK_SH3} AS shs
+             {_DUCK_SH5} AS shs
       FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
-      WHERE len(toks) >= 3
+      WHERE len(toks) >= 5
     ),
     eval_sh AS (
       SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE bucket >= {_EVAL_LO}
@@ -78,7 +81,7 @@ _TRAIN_HI = 80
 )
 def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents that share any
-    3-token shingle with the held-out eval split (the standard n-gram
+    5-token shingle with the held-out eval split (the standard n-gram
     overlap check run before pretraining). The eval set is q91's hash-split
     tail, so split + decontamination compose deterministically with no
     coordination. Scale posture: the distinct eval-shingle set is the only
@@ -93,12 +96,12 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clearCache()s between timed runs so this never games a benchmark)
     postings = (
         _docs_with_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
+        .filter(F.size("toks") >= 5)
         .withColumn(
             "bucket",
             F.expr(f"{tok_hash_expr('CAST(doc_id AS STRING)', dialect='spark')} % 100"),
         )
-        .select("doc_id", "bucket", F.explode(F.expr(_SPARK_SH3)).alias("sh"))
+        .select("doc_id", "bucket", F.explode(F.expr(_SPARK_SH5)).alias("sh"))
         .persist()
     )
     eval_sh = (
@@ -460,4 +463,207 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]
             ),
         ).alias("kept_text"),
+    )
+
+
+_PIPE_BUDGET = 20_000  # chars per shard in the end-to-end pipeline
+
+
+@query(
+    "q148_training_pipeline",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id, text, source, n_chars,
+             sha256(lower(trim(text))) AS h,
+             {tok_hash_expr("doc_id::VARCHAR", dialect="duckdb")} % 100 AS bucket
+      FROM documents
+    ),
+    keepers AS (
+      SELECT * FROM hashed
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY h)
+    ),
+    toks AS (
+      SELECT doc_id, unnest(t.toks) AS tok, generate_subscripts(t.toks, 1) AS pos
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM keepers) t
+    ),
+    uni AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens, max(c)::BIGINT AS top_cnt
+      FROM (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+             count(DISTINCT bigram)::BIGINT AS n_distinct
+      FROM (SELECT doc_id,
+                   tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS bigram
+            FROM toks)
+      WHERE bigram IS NOT NULL GROUP BY doc_id
+    ),
+    quality AS (
+      SELECT u.doc_id FROM uni u JOIN bi b USING (doc_id)
+      WHERE round(u.top_cnt / u.n_tokens, 6) <= {_TOP_TOK_MAX}
+        AND round((b.n_bigrams - b.n_distinct) / b.n_bigrams, 6) <= {_DUP_BIGRAM_MAX}
+    ),
+    eval_sh AS (
+      SELECT DISTINCT unnest({_DUCK_SH5}) AS sh
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM hashed WHERE bucket >= {_EVAL_LO})
+      WHERE len(toks) >= 5
+    ),
+    contaminated AS (
+      SELECT DISTINCT p.doc_id
+      FROM (SELECT doc_id, unnest({_DUCK_SH5}) AS sh
+            FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM keepers) WHERE len(toks) >= 5) p
+      JOIN eval_sh e USING (sh)
+    ),
+    clean AS (
+      SELECT k.doc_id, k.source, k.n_chars
+      FROM keepers k
+      JOIN quality q USING (doc_id)
+      WHERE k.bucket < {_TRAIN_HI}
+        AND k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    counts AS (SELECT source, count(*)::BIGINT AS n_s FROM clean GROUP BY source),
+    totals AS (SELECT sum(n_s)::BIGINT AS n_total, count(*)::BIGINT AS n_src FROM counts),
+    mixed AS (
+      SELECT c.doc_id, c.source, c.n_chars
+      FROM clean c JOIN counts USING (source) CROSS JOIN totals
+      WHERE {tok_hash_expr("'mix-' || c.doc_id::VARCHAR", dialect="duckdb")} % 10000
+            < least(10000, (n_total * 10000) // (n_src * n_s))
+    ),
+    local AS (
+      SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS local_offset
+      FROM mixed
+    ),
+    part_totals AS (
+      SELECT source, sum(n_chars)::BIGINT AS part_chars FROM mixed GROUP BY source
+    ),
+    starts AS (
+      SELECT a.source,
+             coalesce(sum(b.part_chars), 0)::BIGINT AS part_start
+      FROM part_totals a LEFT JOIN part_totals b ON b.source < a.source
+      GROUP BY a.source
+    )
+    SELECT l.doc_id, l.source, l.n_chars,
+           ((s.part_start + l.local_offset) // {_PIPE_BUDGET})::BIGINT AS shard_id
+    FROM local l JOIN starts s USING (source)
+    """,
+    tags=("curation", "pipeline", "composite", "end-to-end"),
+)
+def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline in ONE declarative flow —
+    exact dedup → repetition-quality filter → split assignment →
+    benchmark decontamination → domain-mix rebalancing → token-budget
+    shard packing — composing q67, q138, q91, q137, q140 and q92's
+    shapes into the single call a corpus owner actually runs. Each stage
+    keeps its standalone scale posture (content-hash agg; one posexplode
+    feeding both quality metrics; broadcast eval-shingle set; broadcast
+    integer rate table; partitioned packing windows + triangular offset
+    join) because the stages compose as DataFrame transforms — Catalyst
+    sees one tree and pipelines the filters. Stage order note: the eval
+    shingle set comes from the FULL corpus (an eval doc stays held out
+    even if it is a duplicate), while mixing rates come from the
+    post-filter survivor counts (the mix targets the corpus that will
+    actually train)."""
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashed = d.select(
+        "doc_id",
+        "text",
+        "source",
+        "n_chars",
+        F.sha2(F.lower(F.trim("text")), 256).alias("h"),
+        F.expr(f"{tok_hash_expr('CAST(doc_id AS STRING)', dialect='spark')} % 100").alias(
+            "bucket"
+        ),
+        F.expr(_SPARK_TOKS).alias("toks"),
+    )
+    keepers = (
+        hashed.withColumn("min_id", F.min("doc_id").over(W.partitionBy("h")))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .drop("min_id")
+    )
+    # quality metrics: one posexplode of keeper tokens feeds both
+    toks = keepers.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    uni = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tokens"), F.max("c").alias("top_cnt"))
+    )
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(W.partitionBy("doc_id").orderBy("pos")))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.countDistinct("bigram").alias("n_distinct"))
+    )
+    quality = (
+        uni.join(bi, "doc_id")
+        .filter(
+            (F.round(F.col("top_cnt") / F.col("n_tokens"), 6) <= _TOP_TOK_MAX)
+            & (
+                F.round((F.col("n_bigrams") - F.col("n_distinct")) / F.col("n_bigrams"), 6)
+                <= _DUP_BIGRAM_MAX
+            )
+        )
+        .select("doc_id")
+    )
+    # decontamination: eval shingles from the FULL corpus, broadcast
+    eval_sh = (
+        hashed.filter((F.col("bucket") >= _EVAL_LO) & (F.size("toks") >= 5))
+        .select(F.explode(F.expr(_SPARK_SH5)).alias("sh"))
+        .distinct()
+    )
+    contaminated = (
+        keepers.filter(F.size("toks") >= 5)
+        .select("doc_id", F.explode(F.expr(_SPARK_SH5)).alias("sh"))
+        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        keepers.filter(F.col("bucket") < _TRAIN_HI)
+        .join(quality, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_chars")
+    )
+    # domain mixing over the survivor counts
+    counts = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    totals = counts.agg(F.sum("n_s").alias("n_total"), F.count(F.lit(1)).alias("n_src"))
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "source", F.expr("least(10000, (n_total * 10000) div (n_src * n_s))").alias("rate_bp")
+    )
+    mix_key = "concat('mix-', CAST(doc_id AS STRING))"
+    mixed = (
+        clean.join(F.broadcast(rates), "source")
+        .filter(
+            F.expr(f"{tok_hash_expr(mix_key, dialect='spark')} % 10000")
+            < F.col("rate_bp")
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+    # q92's two-level packing over the final set
+    w_local = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    local = mixed.withColumn(
+        "local_offset", F.coalesce(F.sum("n_chars").over(w_local), F.lit(0))
+    )
+    part_totals = mixed.groupBy("source").agg(F.sum("n_chars").alias("part_chars"))
+    starts = (
+        part_totals.alias("a")
+        .join(part_totals.alias("b"), F.col("b.source") < F.col("a.source"), "left")
+        .groupBy(F.col("a.source").alias("source"))
+        .agg(F.coalesce(F.sum("b.part_chars"), F.lit(0)).alias("part_start"))
+    )
+    return local.join(F.broadcast(starts), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.floor((F.col("part_start") + F.col("local_offset")) / _PIPE_BUDGET)
+        .cast("bigint")
+        .alias("shard_id"),
     )

@@ -179,3 +179,48 @@ def test_rolling_wau_dominates_daily_active(spark, sf_dir):
     # a 7-day window can never see fewer distinct users than its last day
     for day, w in wau.items():
         assert w >= dau[day]
+
+
+def test_training_pipeline_plan(spark, sf_dir):
+    """q148 composes five stages into one tree: dims/eval-set/rates/offsets
+    all broadcast, no cartesian, partial aggs map-side, and every Window
+    carries a partition spec (dedup-keeper, bigram, and packing windows)."""
+    df = run(spark, sf_dir, "q148_training_pipeline")
+    facts = audit(df)
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", facts.text):
+        spec = m.group(1)
+        # a windowspecdefinition whose first arg is the frame spec (no
+        # partition/order columns before it) is an unpartitioned window
+        assert not spec.startswith("specifiedwindowframe"), facts.text
+
+
+def test_training_pipeline_invariants(spark, sf_dir):
+    """Every pipeline survivor is a train-bucket dedup keeper; shards are
+    packed contiguously from 0 with no budget overrun by any single doc
+    boundary (a shard id can exceed budget only via one oversized doc)."""
+    from kinesis_customer_sample_spark.queries.curation import _PIPE_BUDGET
+
+    rows = run(spark, sf_dir, "q148_training_pipeline").collect()
+    assert rows
+    shard_ids = sorted({r.shard_id for r in rows})
+    assert shard_ids[0] == 0
+    assert shard_ids == list(range(len(shard_ids)))  # contiguous shards
+    # survivors are a subset of the standalone stages' keep sets
+    keep_q67 = {
+        r.keeper_doc_id for r in run(spark, sf_dir, "q67_exact_dedup").collect()
+    }
+    keep_q138 = {
+        r.doc_id for r in run(spark, sf_dir, "q138_repetition_filter").collect() if r.keep
+    }
+    drop_q137 = {
+        r.doc_id
+        for r in run(spark, sf_dir, "q137_decontamination").collect()
+        if r.contaminated
+    }
+    for r in rows:
+        assert r.doc_id in keep_q67
+        assert r.doc_id in keep_q138
+        assert r.doc_id not in drop_q137
