@@ -94,6 +94,23 @@ def norm_expr(a: str) -> str:
     )
 
 
+def l2sq64_expr(a: str, b: str, *, dialect: str) -> str:
+    """Squared L2 distance of two 64-dim float arrays, unrolled into 64
+    explicit double terms summed left-to-right. Because both dialects
+    evaluate the IDENTICAL sequence of IEEE-double operations (cast, sub,
+    mul, left-assoc add), the result is bit-equal across engines — which
+    makes argmin-over-distances (cluster assignment) oracle-safe without
+    any rounding epsilon. Same codegen rationale as dot64_expr."""
+    if dialect == "spark":
+        elem = lambda v, i: f"CAST(element_at({v}, {i}) AS DOUBLE)"  # noqa: E731
+    else:
+        elem = lambda v, i: f"{v}[{i}]::DOUBLE"  # noqa: E731
+    return " + ".join(
+        f"({elem(a, i)} - {elem(b, i)}) * ({elem(a, i)} - {elem(b, i)})"
+        for i in range(1, 65)
+    )
+
+
 def dot64_expr(a: str, b: str) -> str:
     """Explicit 64-term dot product (Spark dialect): unrolled element_at
     arithmetic stays inside whole-stage codegen, where zip_with/aggregate

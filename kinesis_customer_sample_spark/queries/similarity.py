@@ -435,3 +435,105 @@ def ann_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+_KMEANS_K = 4  # seed centroids = embeddings of vec_id 0..3
+
+
+def _kmeans_d2(dialect: str) -> str:
+    from kinesis_customer_sample_spark.functions.porthash import l2sq64_expr
+
+    if dialect == "spark":
+        return l2sq64_expr("embedding", "cvec", dialect="spark")
+    return l2sq64_expr("e.embedding", "c.cvec", dialect="duckdb")
+
+
+@query(
+    "q149_kmeans_assign_update",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_KMEANS_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid,
+             {_kmeans_d2("duckdb")} AS d2
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, cid AS cluster
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+    )
+    SELECT cluster,
+           count(*)::BIGINT                      AS n_members,
+           sum(vec_id)::BIGINT                   AS sum_vec_id,
+           count(DISTINCT label)::BIGINT         AS n_labels,
+           sum(CAST(floor(embedding[1]::DOUBLE * 1000000 + 0.5) AS BIGINT))::BIGINT
+             AS dim1_micro_sum,
+           sum(CAST(floor(embedding[2]::DOUBLE * 1000000 + 0.5) AS BIGINT))::BIGINT
+             AS dim2_micro_sum
+    FROM assigned
+    GROUP BY cluster
+    """,
+    tags=("similarity", "clustering", "kmeans", "codegen"),
+)
+def kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus: assign
+    every vector to its nearest of K=4 seed centroids (squared-L2 argmin),
+    then produce the centroid-update statistics per cluster — member
+    count, id checksum, label diversity, and the per-dimension micro-unit
+    sums the new centroid mean divides out of (integer sums, so the
+    update is exact under ANY summation order — the float-mean trap from
+    the registry rules). Cross-engine-exact assignment without an
+    epsilon: the 64-term distance is unrolled into the identical IEEE
+    double expression on both engines (l2sq64_expr), so d2 is bit-equal
+    and the (d2, cid) argmin never flips. Scale posture: K centroids
+    broadcast to every vector (map-side scoring in whole-stage codegen,
+    no interpreted lambdas), the argmin is a per-vector window over K
+    rows, and the update shuffles only (cluster, partial sums) — the
+    standard one-round-per-pass distributed k-means; iterations repeat
+    the same plan with the updated broadcast."""
+    from kinesis_customer_sample_spark.functions.porthash import l2sq64_expr
+
+    e = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # the oracle's CROSS JOIN + QUALIFY argmin is the semantic spec; the
+    # Spark plan inlines it instead — a K-row fan-out + per-vector window
+    # would hash-shuffle every 64-dim embedding ×K for the row_number. Here
+    # the K centroids collapse to ONE broadcast row of (cid, cvec) structs,
+    # each distance is a codegen column, and the argmin is least() + chained
+    # when() (first match wins = lowest cid, identical to ORDER BY d2, cid):
+    # assignment is fully map-side, and only (cluster, partials) shuffle.
+    cents_row = (
+        table(spark, sf_dir, "embeddings")  # no repartition: 4-row seed scan
+        .filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.struct(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")).alias("c"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("c")).alias("cs"))
+    )
+    proj = e.crossJoin(F.broadcast(cents_row))
+    for k in range(_KMEANS_K):
+        proj = proj.withColumn(f"cvec{k}", F.element_at("cs", k + 1)["cvec"]).withColumn(
+            f"cid{k}", F.element_at("cs", k + 1)["cid"]
+        )
+        proj = proj.withColumn(
+            f"d{k}", F.expr(l2sq64_expr("embedding", f"cvec{k}", dialect="spark"))
+        )
+    d2min = F.least(*[F.col(f"d{k}") for k in range(_KMEANS_K)])
+    cluster = F.when(F.col("d0") == d2min, F.col("cid0"))
+    for k in range(1, _KMEANS_K):
+        cluster = cluster.when(F.col(f"d{k}") == d2min, F.col(f"cid{k}"))
+    assigned = proj.select(
+        "vec_id", "label", "embedding", cluster.alias("cluster")
+    )
+    micro = lambda d: F.floor(  # noqa: E731
+        F.element_at("embedding", d).cast("double") * 1000000 + F.lit(0.5)
+    ).cast("long")
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("sum_vec_id"),
+        F.countDistinct("label").alias("n_labels"),
+        F.sum(micro(1)).alias("dim1_micro_sum"),
+        F.sum(micro(2)).alias("dim2_micro_sum"),
+    )

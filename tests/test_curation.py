@@ -224,3 +224,30 @@ def test_training_pipeline_invariants(spark, sf_dir):
         assert r.doc_id in keep_q67
         assert r.doc_id in keep_q138
         assert r.doc_id not in drop_q137
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    """q149's cluster assignment must be pure map work: no Window node
+    (the K-fan-out + per-vector argmin window would shuffle every
+    embedding ×K), and the only exchanges are the deliberate round-robin
+    input spread and the final 4-group aggregation."""
+    facts = audit_of(spark, sf_dir, "q149_kmeans_assign_update")
+    assert "Window" not in facts.text
+    # allowed exchanges: the deliberate round-robin input spread, the
+    # 4-row centroid collect (partial+final global agg), and the final
+    # 4-group cluster agg — nothing may shuffle the corpus by key
+    assert facts.n_exchanges <= 4
+    assert not facts.has_cartesian  # centroid row arrives via broadcast NLJ
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) == 1
+    assert facts.has_partial_agg
+
+
+def test_kmeans_clusters_partition_the_corpus(spark, sf_dir):
+    from kinesis_customer_sample_spark.catalog import table
+
+    rows = run(spark, sf_dir, "q149_kmeans_assign_update").collect()
+    n_vecs = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert sorted(r.cluster for r in rows) == [0, 1, 2, 3]
+    # seed vectors stay with their own centroid (distance 0)
+    assert all(r.n_members >= 1 for r in rows)
