@@ -197,3 +197,47 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
     )
     return run_to_completion(agg, output_mode="complete")
+
+
+@query(
+    "q150_stream_corpus_ingest",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           sha256(lower(trim(text))) AS content_hash,
+           (n_chars BETWEEN 200 AND 2000) AS keep
+    FROM documents
+    """,
+    tags=("streaming", "curation", "ingest", "dedup"),
+)
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingest — the curation pipeline's front door as a
+    real micro-batch stream: crawl shards arrive as files, every record
+    is delivered at-least-once (the stream unioned with a second replay
+    of itself), `dropDuplicates` on doc_id restores exactly-once, and the
+    ingest map computes the content hash (the exact-dedup key the batch
+    pipeline groups on later) plus a length quality gate — all map-side,
+    so each micro-batch does scan-shaped work. The dedup state is keyed
+    by doc_id over a finite availableNow replay; the production unbounded
+    form attaches an ingest-time watermark and
+    dropDuplicatesWithinWatermark, exactly as q117 demonstrates on
+    events. Oracle: the batch documents table with the same hash + gate —
+    stream/batch equivalence, hash-checked."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        documents_stream,
+        run_to_completion,
+    )
+
+    d1 = documents_stream(spark, sf_dir)
+    d2 = documents_stream(spark, sf_dir)
+    ingested = (
+        d1.unionByName(d2)
+        .dropDuplicates(["doc_id"])
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.sha2(F.lower(F.trim("text")), 256).alias("content_hash"),
+            F.col("n_chars").between(200, 2000).alias("keep"),
+        )
+    )
+    return run_to_completion(ingested, output_mode="append")

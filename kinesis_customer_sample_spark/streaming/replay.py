@@ -57,6 +57,29 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def documents_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The documents table as a file-source stream — the corpus-ingest
+    replay double (new crawl shards arriving as files)."""
+    ensure_engine_conf(spark)
+    reader = spark.readStream.schema(_DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(_stream_dir(sf_dir, "documents"))
+
+
 def run_to_completion(
     sdf: DataFrame, output_mode: str = "complete", name: str | None = None
 ) -> DataFrame:
