@@ -5,12 +5,14 @@ supplier part orders lineitem` plus `events documents embeddings`
 (FIXTURES.md §A). All reads are plain parquet scans so Catalyst gets predicate
 pushdown + column pruning for free (SURVEY.md §4.2).
 
-One normalization lives here: `events.ts` is written with nanosecond
-precision, which Spark's parquet reader rejects; with
-`spark.sql.legacy.parquet.nanosAsLong` it arrives as a long which we convert
-to `timestamp_ntz` using integer arithmetic (`div`, not double division —
-ns-since-epoch exceeds 2^53 so float division would corrupt microseconds).
-Truncation to micros matches DuckDB's read of the same file.
+One normalization lives here: `events.ts` is normalized to `timestamp_ntz`
+whatever the fixture's physical encoding. Older fixture generations wrote
+nanosecond precision (which Spark's parquet reader can only surface as a
+long under `spark.sql.legacy.parquet.nanosAsLong`); current generations
+write native `timestamp[us]`. We branch on the *read* dtype: long →
+integer `div` to micros (`div`, not double division — ns-since-epoch
+exceeds 2^53 so float division would corrupt microseconds); timestamp →
+plain cast. Either way the result matches DuckDB's read of the same file.
 """
 
 from __future__ import annotations
@@ -41,10 +43,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # legacy ns-as-long fixture
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        else:  # native timestamp / timestamp_ntz fixture
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -19,18 +19,13 @@ from pyspark.sql import types as T
 
 from kinesis_customer_sample_spark.session import ensure_engine_conf
 
-# physical schema under spark.sql.legacy.parquet.nanosAsLong=true:
-# ts arrives as long (nanoseconds)
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of the events fixture, read from the parquet footer
+    (a metadata-only batch read — no data scan). Older fixture generations
+    store ts as ns-as-long (under spark.sql.legacy.parquet.nanosAsLong);
+    current ones as native timestamp[us]. File streams must declare the
+    physical schema, so detect rather than assume."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def _stream_dir(sf_dir: str, name: str) -> str:
@@ -48,13 +43,16 @@ def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     """The events table as a file-source stream (per-partition ordering ≈
     per-shard ordering, guide:13)."""
     ensure_engine_conf(spark)
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    raw_schema = _events_raw_schema(spark, sf_dir)
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_stream_dir(sf_dir, "events"))
     # session-TZ timestamp (not NTZ): watermarks require TIMESTAMP, and the
     # session is pinned to UTC so the wall clock matches the batch catalog
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_schema["ts"].dataType, T.LongType):  # legacy ns-as-long
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 _DOCUMENTS_SCHEMA = T.StructType(
