@@ -40,6 +40,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     composites4,
     composites5,
     curation,
+    corpus_scoring,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,387 @@
+"""Corpus scoring & layout operators — the sixth LLM-pipeline wave
+(SURVEY.md §2B "beyond the reference" rows): unigram language-model
+quality scoring, hard-negative mining for retrieval training, semantic
+dedup via LSH-bucket representatives, character-trigram entropy (a
+repetition signal orthogonal to q138's token-level rules), partition-
+pruned data layout, and per-label embedding outlier detection.
+
+Scale posture (100 TB):
+- q151/q154 are explode → hash-agg with map-side partial aggregation; the
+  unigram model join probes a vocabulary-sized build side with exactly one
+  row per token, so stopword skew on the probe side is harmless.
+- q152/q153/q156 join the corpus against a provably-small side (the
+  sampled query set, one representative per LSH bucket, one centroid per
+  label) — broadcast by construction.
+- q155 is the layout story: a partition-pruned scan reads only the
+  selected partition's files (plan-test asserts the PartitionFilters).
+- Cross-engine float safety: every log/entropy value is floored into
+  integer micro-units BEFORE any sum (the q130/q132 pattern), and cosine
+  goes through cosine_expr's shared round-6 contract.
+No Python UDFs anywhere; everything is whole-stage-codegen'd SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import cosine_expr
+from kinesis_customer_sample_spark.queries.similarity import _hyperplane_bucket
+from kinesis_customer_sample_spark.queries.text_analysis import (
+    _DUCK_TOKS,
+    _docs_with_tokens,
+)
+from kinesis_customer_sample_spark.registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+# Laplace-smoothed unigram surprisal threshold: docs whose mean token
+# surprisal exceeds 3.41 nats read as unusual under the corpus's own
+# unigram model (the synthetic fixture's vocabulary is small, so absolute
+# surprisal is low; the 3.41 cut flags the top-quartile tail at sf0.01).
+# Fixture-calibrated but arbitrary — the operator contract is the
+# integer-micro-unit scoring, not the cut.
+_LM_MU_CUT = 3_410_000
+
+# Trigram-entropy floor: natural-text entropy at fixture doc lengths sits
+# well above 4 nats; heavy repetition pulls it toward ln(distinct).
+_ENTROPY_MU_CUT = 4_000_000
+
+# Bucket-local near-dup cut (cos to representative). Real pipelines use
+# 0.9+; the synthetic fixture's random vectors top out near cos 0.39, so
+# the cut sits at 0.3 to exercise BOTH keep branches at test scale.
+_SEMDUP_TAU = 0.3
+
+
+@query(
+    "q151_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok),
+    tot AS (
+      SELECT sum(c)::BIGINT AS n_total, count(*)::BIGINT AS vocab FROM counts
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             floor((ln(c + 1) - ln(n_total + vocab)) * 1000000)::BIGINT AS logp_mu
+      FROM tok t JOIN counts USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           count(*)::BIGINT                           AS n_toks,
+           ((-sum(logp_mu)) // count(*))::BIGINT      AS avg_neg_logp_mu,
+           ((-sum(logp_mu)) // count(*)) < {_LM_MU_CUT} AS well_formed
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "language-model"),
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train an add-1-smoothed
+    unigram LM on the corpus itself, then score each document by mean
+    token surprisal −(1/n)Σ ln p(tok). The per-token log-probability is
+    floored into integer micro-units before summation, so the cross-engine
+    result is exact integer arithmetic (only ln itself must agree, per
+    distinct token — never a float sum).
+
+    Scale: one tokenize pass feeds both the model and the scorer; the
+    count table is vocabulary-sized (≪ corpus) and the probe-side join is
+    a hash join whose build side has one row per token, so hot stopword
+    keys cost probe time only. The 1-row totals are a broadcast."""
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("vocab")
+        )
+    )
+    scored = (
+        tok.join(counts, "tok")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor((ln(c + 1) - ln(n_total + vocab)) * 1000000) AS BIGINT)"
+            ).alias("logp_mu"),
+        )
+    )
+    avg_mu = F.expr("(-sum(logp_mu)) div count(1)")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        avg_mu.cast("long").alias("avg_neg_logp_mu"),
+        (avg_mu < _LM_MU_CUT).alias("well_formed"),
+    )
+
+
+@query(
+    "q152_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    s AS (
+      SELECT q.qid, e.vec_id AS neg_id, e.label AS neg_label,
+             {cosine_expr("e.embedding", "q.qv", dialect="duckdb")} AS cos_sim
+      FROM embeddings e JOIN q ON e.label != q.qlabel
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, neg_id) AS rnk
+      FROM s
+    )
+    SELECT qid, rnk::BIGINT AS rnk, neg_id, neg_label, cos_sim
+    FROM r WHERE rnk <= 5
+    """,
+    tags=("llm", "similarity", "hard-negatives"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: for each sampled query
+    vector, the top-5 most-similar vectors with a DIFFERENT label —
+    high-similarity wrong answers, the negatives contrastive training
+    wants. The query set is a deterministic 2% sample (vec_id % 50 = 0),
+    broadcast against one scan of the corpus (BroadcastNestedLoopJoin on
+    the label-mismatch predicate); per-query top-5 via window rank, ties
+    broken by neg_id for cross-engine determinism."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    scored = e.join(q, e["label"] != q["qlabel"]).select(
+        "qid",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "rnk", "neg_id", "neg_label", "cos_sim")
+    )
+
+
+@query(
+    "q153_semantic_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_hyperplane_bucket("embedding", dialect="duckdb")} AS bucket
+      FROM embeddings
+    ),
+    reps AS (
+      SELECT bucket, min(vec_id) AS rep_id,
+             arg_min(embedding, vec_id) AS rep_emb
+      FROM b GROUP BY bucket
+    )
+    SELECT v.vec_id, v.bucket, r.rep_id,
+           {cosine_expr("v.embedding", "r.rep_emb", dialect="duckdb")} AS cos_to_rep,
+           (v.vec_id = r.rep_id OR
+            {cosine_expr("v.embedding", "r.rep_emb", dialect="duckdb")} < {_SEMDUP_TAU})
+             AS keep
+    FROM b v JOIN reps r USING (bucket)
+    """,
+    tags=("llm", "dedup", "semantic", "lsh"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup: hyperplane-LSH bucket each vector
+    (the q73 bucket expression), elect the min-vec_id representative per
+    bucket, and drop non-representatives whose cosine to their bucket's
+    representative is ≥ τ — near-duplicates in meaning, not surface form.
+
+    Scale: the representative table has one row per occupied bucket
+    (≤ 2^8 here; more planes at corpus scale), so the join-back is a
+    broadcast; candidate scoring is bucket-local by construction — never
+    all-pairs."""
+    e = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark"))
+    )
+    reps = F.broadcast(
+        e.groupBy("bucket").agg(
+            F.min("vec_id").alias("rep_id"),
+            F.min_by("embedding", "vec_id").alias("rep_emb"),
+        )
+    )
+    cos = F.expr(cosine_expr("embedding", "rep_emb", dialect="spark"))
+    return (
+        e.join(reps, "bucket")
+        .select(
+            "vec_id",
+            "bucket",
+            "rep_id",
+            cos.alias("cos_to_rep"),
+            ((F.col("vec_id") == F.col("rep_id")) | (cos < _SEMDUP_TAU)).alias(
+                "keep"
+            ),
+        )
+    )
+
+
+# normalized text shared by the trigram entropy metric: lowercase a-z and
+# spaces only, so the trigram alphabet is closed and cross-engine identical
+_SPARK_NORM = "regexp_replace(lower(text), '[^a-z ]', '')"
+_DUCK_NORM = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+
+
+@query(
+    "q154_char_trigram_entropy",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_DUCK_NORM} AS norm FROM documents
+      WHERE length({_DUCK_NORM}) >= 3
+    ),
+    tri AS (
+      SELECT doc_id, unnest(
+               [substring(norm, i, 3) for i in range(1, length(norm) - 1)]
+             ) AS tri
+      FROM n
+    ),
+    c AS (SELECT doc_id, tri, count(*)::BIGINT AS c FROM tri GROUP BY doc_id, tri),
+    agg AS (
+      SELECT doc_id,
+             sum(c)::BIGINT AS n_tris,
+             sum(c * floor(ln(c) * 1000000)::BIGINT)::BIGINT AS sum_clnc_mu
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tris,
+           (floor(ln(n_tris) * 1000000)::BIGINT - sum_clnc_mu // n_tris)::BIGINT
+             AS entropy_mu,
+           (floor(ln(n_tris) * 1000000)::BIGINT - sum_clnc_mu // n_tris)
+             < {_ENTROPY_MU_CUT} AS repetitive
+    FROM agg
+    """,
+    tags=("llm", "quality", "entropy"),
+)
+def char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Shannon entropy per document — a repetition /
+    degeneracy signal orthogonal to q138's token-level Gopher rules (it
+    catches character-level loops that re-tokenize into distinct tokens).
+    H = ln N − (1/N)·Σ c·ln c over trigram occurrence counts; each ln is
+    floored to integer micro-units before the sum, so both engines do
+    exact integer arithmetic (ln agreement needed only per distinct count
+    value). One explode → two hash-aggs, map-side partials throughout."""
+    n = (
+        _docs_with_tokens(spark, sf_dir)  # reuses the corpus-spread repartition
+        .select("doc_id", F.expr(_SPARK_NORM).alias("norm"))
+        .filter(F.length("norm") >= 3)
+    )
+    tri = n.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(norm) - 2), i -> substring(norm, i, 3))")
+        ).alias("tri"),
+    )
+    c = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    agg = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tris"),
+        F.sum(F.expr("c * CAST(floor(ln(c) * 1000000) AS BIGINT)")).alias(
+            "sum_clnc_mu"
+        ),
+    )
+    entropy = F.expr(
+        "CAST(floor(ln(n_tris) * 1000000) AS BIGINT) - sum_clnc_mu div n_tris"
+    )
+    return agg.select(
+        "doc_id",
+        "n_tris",
+        entropy.cast("long").alias("entropy_mu"),
+        (entropy < _ENTROPY_MU_CUT).alias("repetitive"),
+    )
+
+
+@query(
+    "q155_partitioned_layout_prune",
+    oracle="""
+    SELECT CAST(ts AS DATE)                         AS event_date,
+           count(*)::BIGINT                         AS n_events,
+           sum(floor(value * 100)::BIGINT)::BIGINT  AS value_cents
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+    tags=("layout", "partitioning", "pruning"),
+)
+def partitioned_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned data layout + partition-pruned read: write events
+    hive-partitioned by event_type, read back with a single-partition
+    filter, aggregate per day. The filter must resolve at PLANNING time
+    against the directory structure — the scan's PartitionFilters (plan-
+    test asserted) prove only `event_type=click` files are read, the
+    100 TB version of "don't scan what you didn't ask for". Per-row cents
+    flooring before the sum keeps the double aggregation order-free."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, sf_tag, "events_by_type")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return back.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("value_cents"),
+    )
+
+
+@query(
+    "q156_embedding_outliers",
+    oracle=f"""
+    WITH p AS (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    comp AS (
+      SELECT label, pos, sum(floor(v::DOUBLE * 1000000)::BIGINT)::BIGINT AS smu
+      FROM p GROUP BY label, pos
+    ),
+    cent AS (SELECT label, list(smu ORDER BY pos) AS cvec FROM comp GROUP BY label)
+    SELECT e.vec_id, e.label,
+           {cosine_expr("e.embedding", "c.cvec", dialect="duckdb")} AS cos_centroid,
+           {cosine_expr("e.embedding", "c.cvec", dialect="duckdb")} < 0.0 AS is_outlier
+    FROM embeddings e JOIN cent c USING (label)
+    """,
+    tags=("llm", "embeddings", "outliers"),
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier detection: build each label's centroid,
+    score every vector by cosine-to-centroid, flag vectors pointing away
+    from their label's mass. The centroid is kept as the per-dimension SUM
+    of floor(v·1e6) integers — exact across engines, and cosine is scale-
+    invariant so the unnormalized integer vector scores identically to the
+    mean. posexplode → (label, pos) hash-agg with map-side partials; the
+    centroid table (one row per label) broadcasts back."""
+    e = table(spark, sf_dir, "embeddings")
+    comp = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.expr("CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)")).alias(
+                "smu"
+            )
+        )
+    )
+    cent = F.broadcast(
+        comp.groupBy("label").agg(
+            F.expr("transform(array_sort(collect_list(struct(pos, smu))), x -> x.smu)")
+            .alias("cvec")
+        )
+    )
+    cos = F.expr(cosine_expr("embedding", "cvec", dialect="spark"))
+    return e.join(cent, "label").select(
+        "vec_id",
+        "label",
+        cos.alias("cos_centroid"),
+        (cos < 0.0).alias("is_outlier"),
+    )

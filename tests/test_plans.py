@@ -530,3 +530,50 @@ def test_q147_star_join_broadcasts_dims(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+
+
+def test_q151_lm_scorer_single_tokenize_partial_aggs(spark, sf_dir):
+    """The unigram LM scorer must aggregate with map-side partials (token
+    counts AND the per-doc sum), and the 1-row totals must broadcast —
+    never a shuffle keyed on a constant."""
+    facts = audit_of(spark, sf_dir, "q151_unigram_lm_score")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text  # 1-row totals cross join
+    assert not facts.has_cartesian
+
+
+def test_q152_hard_negatives_broadcast_queries(spark, sf_dir):
+    """Hard-negative mining must broadcast the sampled query side against
+    one corpus scan (nested-loop on the label-mismatch predicate is the
+    correct physical shape: the build side is the 2% sample), and rank
+    with a PARTITIONED window."""
+    facts = audit_of(spark, sf_dir, "q152_hard_negative_mining")
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+
+
+def test_q153_semantic_dedup_broadcasts_reps(spark, sf_dir):
+    """Semantic dedup joins the corpus to one representative per LSH
+    bucket — a broadcast hash join on the bucket key, never all-pairs."""
+    facts = audit_of(spark, sf_dir, "q153_semantic_dedup")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+
+
+def test_q155_partition_pruning(spark, sf_dir):
+    """The partitioned-layout read-back must prune at planning time: the
+    event_type filter appears in the scan's PartitionFilters, not as a
+    post-scan Filter over all partitions."""
+    facts = audit_of(spark, sf_dir, "q155_partitioned_layout_prune")
+    assert any("event_type" in f for f in facts.partition_filters)
+    assert facts.has_partial_agg
+
+
+def test_q156_outliers_broadcast_centroids(spark, sf_dir):
+    """Per-label centroids (one row per label) must broadcast back to the
+    corpus scan; the component agg must combine map-side."""
+    facts = audit_of(spark, sf_dir, "q156_embedding_outliers")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
