@@ -63,6 +63,9 @@ HEADLINE = [
     "q137_decontamination",
     "q141_global_shuffle",
     "q142_chunk_dedup",
+    "q151_unigram_lm_score",
+    "q153_semantic_dedup",
+    "q156_embedding_outliers",
 ]
 
 

@@ -1344,3 +1344,98 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("wau"),
         F.count(F.lit(1)).alias("user_days"),
     )
+
+
+# PageRank constants: damping 0.85 as integer basis points over micro-unit
+# ranks; 3 unrolled power iterations (enough to rank hubs above leaves on
+# the fixture graph; the iteration count is a parameter, not a design limit)
+_PR_ITERS = 3
+_PR_DAMP_BP = 850
+_PR_BASE_MU = 150_000  # (1 - d) · 1e6
+_PR_INIT_MU = 1_000_000
+
+
+def _pr_oracle() -> str:
+    """Unrolled power-iteration CTE chain mirroring the Spark loop —
+    integer micro-unit ranks with truncating division on both engines."""
+    cte = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, deg, {init}::BIGINT AS r FROM deg)""".format(
+        init=_PR_INIT_MU
+    )
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        cte += """,
+    s{k} AS (
+      SELECT e.dst, sum(p.r // p.deg)::BIGINT AS sc
+      FROM {prev} p JOIN e ON p.node = e.src GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT d.node, d.deg,
+             ({base} + ({damp} * coalesce(s.sc, 0)) // 1000)::BIGINT AS r
+      FROM deg d LEFT JOIN s{k} s ON d.node = s.dst
+    )""".format(k=k, prev=prev, base=_PR_BASE_MU, damp=_PR_DAMP_BP)
+        prev = f"r{k}"
+    return cte + f"""
+    SELECT node AS part_key, deg, r AS rank_mu FROM {prev}
+    """
+
+
+@query(
+    "q159_pagerank_power_iteration",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative"),
+)
+def pagerank_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (q120's edge list), 3 unrolled
+    power iterations: r' = (1−d) + d·Σ r_u/deg_u, in integer micro-units
+    with truncating division so both engines walk identical integer
+    sequences — no float mass accounting to drift. Each round is one
+    shuffle keyed on node id (contribution sum) plus a broadcast-scale
+    left join back to the node table; the edge list is localCheckpointed
+    once and reused, the Pregel message-passing shape. The undirected
+    graph has no dangling nodes by construction (every node has degree
+    ≥ 1), so no redistribution term is needed."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg").localCheckpoint()
+    ranks = nodes.withColumn("r", F.lit(_PR_INIT_MU).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "deg",
+                F.expr(
+                    f"CAST({_PR_BASE_MU} + ({_PR_DAMP_BP} * coalesce(sc, 0)) div 1000 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("part_key"), "deg", F.col("r").alias("rank_mu")
+    )

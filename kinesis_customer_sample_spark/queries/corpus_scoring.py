@@ -385,3 +385,109 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos.alias("cos_centroid"),
         (cos < 0.0).alias("is_outlier"),
     )
+
+
+# RAG-style chunking: 32-token chunks, stride 8 (75% overlap at fixture doc
+# lengths). Chunk starts are 1-based token indices 1, 1+S, 1+2S, ... up to
+# the last full-window start (short docs yield one short chunk).
+_CHUNK = 32
+_STRIDE = 8
+
+
+@query(
+    "q157_sliding_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    ch AS (
+      SELECT doc_id,
+             [list_slice(toks, i, i + {_CHUNK} - 1)
+              for i in generate_series(1, greatest(1, len(toks) - {_CHUNK} + 1), {_STRIDE})]
+               AS chunks
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           generate_subscripts(chunks, 1)::BIGINT - 1        AS chunk_idx,
+           len(unnest(chunks))::BIGINT                        AS n_chunk_toks,
+           array_to_string(unnest(chunks), ' ')               AS chunk_text
+    FROM ch
+    """,
+    tags=("llm", "chunking", "rag"),
+)
+def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (the RAG / context-window prep shape):
+    each document becomes overlapping 32-token chunks at stride 8, emitted
+    as (doc_id, chunk_idx, chunk_text) rows. Map-only — one tokenize, one
+    in-row transform over the start index sequence, one posexplode fan-out;
+    zero shuffles, so at 100 TB cost is exactly one pass over text bytes.
+    Start indices and slicing are closed-form on both engines, so the
+    chunk boundaries are hash-match checkable."""
+    t = _docs_with_tokens(spark, sf_dir).filter(F.expr("size(toks) > 0"))
+    chunks = t.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(1, size(toks) - {_CHUNK} + 1), {_STRIDE}), "
+            f"i -> slice(toks, i, {_CHUNK}))"
+        ).alias("chunks"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.posexplode("chunks").alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.expr("CAST(size(chunk) AS BIGINT)").alias("n_chunk_toks"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q158_source_quality_norm",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id)      AS rnk,
+             count(*)    OVER (PARTITION BY source)            AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n_src > 1
+                THEN ((rnk - 1) * 1000000) // (n_src - 1)
+                ELSE 1000000 END::BIGINT                       AS pr_mu,
+           (CASE WHEN n_src > 1
+                 THEN ((rnk - 1) * 1000000) // (n_src - 1)
+                 ELSE 1000000 END) >= 500000                   AS keep_top_half
+    FROM s
+    """,
+    tags=("llm", "quality", "normalization"),
+)
+def source_quality_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain-relative) quality normalization: rank documents
+    by a quality proxy WITHIN their source and emit the percentile as
+    exact integer micro-units — the "keep the top X% of each domain"
+    primitive that stops one high-volume domain from defining the global
+    quality bar. percent_rank is computed as integer arithmetic on
+    row_number (doc_id tiebreak), so the result is engine-exact. One
+    window over a partitioned key — shuffles once on source; at 100 TB
+    each source's partition sorts independently."""
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    s = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n_src"),
+    )
+    pr = F.expr(
+        "CASE WHEN n_src > 1 THEN ((rnk - 1) * 1000000) div (n_src - 1) "
+        "ELSE 1000000 END"
+    )
+    return s.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        pr.cast("long").alias("pr_mu"),
+        (pr >= 500000).alias("keep_top_half"),
+    )

@@ -577,3 +577,27 @@ def test_q156_outliers_broadcast_centroids(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert facts.has_partial_agg
     assert not facts.has_cartesian
+
+
+def test_q157_chunking_map_only(spark, sf_dir):
+    """Sliding-window chunking must be map-only: the only Exchange allowed
+    is the deliberate round-robin corpus spread before tokenize; chunk
+    fan-out must never shuffle chunk text."""
+    facts = audit_of(spark, sf_dir, "q157_sliding_chunks")
+    assert facts.n_exchanges <= 1
+    assert facts.round_robin_exchanges == facts.n_exchanges
+
+
+def test_q158_quality_norm_partitioned_window(spark, sf_dir):
+    """Per-source normalization must use a PARTITIONED window (one shuffle
+    on source), never a global-order window."""
+    facts = audit_of(spark, sf_dir, "q158_source_quality_norm")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_q159_pagerank_no_cartesian(spark, sf_dir):
+    """Each PageRank round is an equi-join on node id — a plan regression
+    to nested-loop/cartesian would be quadratic in the node count."""
+    facts = audit_of(spark, sf_dir, "q159_pagerank_power_iteration")
+    assert not facts.has_cartesian
