@@ -41,6 +41,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     composites5,
     curation,
     corpus_scoring,
+    warehouse_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,215 @@
+"""Warehouse-maintenance operators — incremental aggregate merge, CDC
+apply with tombstones, schema-evolution reads, and bucketed co-located
+joins as a *declared* query (not just a plan test).
+
+Scale posture (100 TB): these four are the operators that keep a large
+warehouse cheap to MAINTAIN —
+- q160 proves partial aggregates merge losslessly, so a daily refresh
+  re-aggregates yesterday's partials + today's delta instead of
+  rescanning history (the materialized-view / hypertable-rollup
+  maintenance contract);
+- q161 is the MERGE shape: apply an upsert/delete changelog in event
+  order and land the final state — one window over the key, no
+  per-record point updates;
+- q162 reads across schema versions with `mergeSchema` so a column add
+  never forces a rewrite of petabytes of old files;
+- q163 joins two fact tables bucketed on the join key — ZERO shuffle at
+  read time, the layout investment that amortizes every subsequent join.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+# incremental-merge cut: orders strictly before the cut are the "already
+# aggregated" base, the rest are the incoming delta
+_MERGE_CUT = "1995-01-01"
+
+
+@query(
+    "q160_incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT                                   AS n_orders,
+           sum(floor(o_totalprice * 100)::BIGINT)::BIGINT     AS total_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("warehouse", "incremental", "rollup"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base partition (orders
+    before the cut date) and the delta partition (orders after) are
+    aggregated SEPARATELY, then merged by re-aggregating the partials —
+    and the result must equal the oracle's full recompute. count/sum are
+    re-aggregable measures, so the merge is sum-of-counts / sum-of-sums;
+    per-row cents flooring keeps the money math order-free. At 100 TB
+    this is the nightly-refresh contract: touch only the delta, never
+    rescan history."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < _MERGE_CUT))
+    delta = partial(o.filter(F.col("o_orderdate") >= _MERGE_CUT))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("c").alias("total_cents"),
+        )
+    )
+
+
+@query(
+    "q161_cdc_merge_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             floor(value * 100)::BIGINT AS value_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id, value_cents
+    FROM log WHERE rn = 1 AND op = 'U'
+    """,
+    tags=("warehouse", "cdc", "merge", "tombstone"),
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE apply: treat the events table as a keyed changelog
+    (error events are delete tombstones, everything else an upsert) and
+    land the final table state — the last operation per key wins, and a
+    trailing tombstone removes the key entirely. One partitioned window
+    (ts desc, event_id desc tiebreak), the same latest-state shape the
+    reference's CMS sync needs (guide:141-145) extended with delete
+    semantics. Never a per-record point update: at 100 TB the changelog
+    applies as one shuffle on the key."""
+    log = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("value_cents"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        log.filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            "value_cents",
+        )
+    )
+
+
+@query(
+    "q162_schema_evolution_union",
+    oracle="""
+    SELECT 'v1' AS v, n_nationkey, n_name, NULL::BIGINT AS n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT 'v2' AS v, n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+    tags=("warehouse", "schema-evolution", "sources"),
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: snapshot v1 was written
+    before the `n_regionkey` column existed, v2 after; a single
+    `mergeSchema` read unifies them, null-filling the missing column —
+    old petabytes are never rewritten for a column add. The version
+    partition directory becomes a column, so version-aware queries
+    partition-prune."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, sf_tag, "nation_evo")
+    n = table(spark, sf_dir, "nation")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        os.path.join(root, "v=v1")
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode("overwrite").parquet(
+        os.path.join(root, "v=v2")
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(root)
+        .select("v", "n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "q163_bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT                                  AS n_items,
+           sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS price_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("warehouse", "bucketing", "join", "layout"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over tables BUCKETED on the join key: both sides
+    were written `bucketBy(8, orderkey).sortBy(orderkey)`, so the join
+    runs bucket-to-bucket with ZERO shuffle exchanges — the layout
+    investment that pays back on every subsequent join of these facts.
+    The plan test audits this query under autoBroadcastJoinThreshold=-1
+    and asserts the bucketed SortMergeJoin with no ShuffleExchange (at
+    fixture scale Catalyst may legitimately pick broadcast instead — also
+    shuffle-free; at 100 TB neither fact side broadcasts and the bucketed
+    sort-merge path is the only shuffle-free plan)."""
+    # DROP only clears the in-memory catalog; the managed-table directory
+    # survives across sessions and blocks re-creation (LOCATION_ALREADY_
+    # EXISTS), so clear both
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("q163_orders", "q163_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("q163_orders")
+    table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("q163_lineitem")
+    return (
+        spark.table("q163_orders")
+        .join(
+            spark.table("q163_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_cents").alias("price_cents"),
+        )
+    )

@@ -601,3 +601,36 @@ def test_q159_pagerank_no_cartesian(spark, sf_dir):
     to nested-loop/cartesian would be quadratic in the node count."""
     facts = audit_of(spark, sf_dir, "q159_pagerank_power_iteration")
     assert not facts.has_cartesian
+
+
+def test_q160_merge_is_partial_reagg(spark, sf_dir):
+    """The incremental merge must aggregate with map-side partials and
+    read orders only once per branch — no joins, no cartesian."""
+    facts = audit_of(spark, sf_dir, "q160_incremental_agg_merge")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+    assert facts.join_strategies == {}
+
+
+def test_q161_cdc_window_partitioned(spark, sf_dir):
+    """CDC apply must be one PARTITIONED window over the key — a global
+    window would serialize the changelog through one task."""
+    facts = audit_of(spark, sf_dir, "q161_cdc_merge_apply")
+    assert "No Partition Defined" not in facts.text
+    # exactly one shuffle: the window partition on user_id
+    assert facts.n_exchanges == 1
+
+
+def test_q163_bucketed_join_shuffle_free(spark, sf_dir):
+    """With broadcast disabled, the bucketed fact-fact join must be a
+    SortMergeJoin reading bucket-to-bucket: the ONLY shuffle in the plan
+    is the final aggregation exchange, never a join-input exchange (a
+    shuffled SMJ would add two)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        facts = audit_of(spark, sf_dir, "q163_bucketed_colocated_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 1
+    assert facts.n_exchanges <= 1
