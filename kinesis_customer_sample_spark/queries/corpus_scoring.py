@@ -491,3 +491,75 @@ def source_quality_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         pr.cast("long").alias("pr_mu"),
         (pr >= 500000).alias("keep_top_half"),
     )
+
+
+@query(
+    "q165_lsh_recall_eval",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket("embedding", dialect="duckdb")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+          FROM b WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             (e.bucket = q.qbucket) AS cand,
+             row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY {cosine_expr("e.embedding", "q.qv", dialect="duckdb")} DESC,
+                        e.vec_id) AS rnk
+      FROM b e JOIN q ON e.vec_id != q.qid
+    )
+    SELECT qid,
+           sum(CASE WHEN cand THEN 1 ELSE 0 END)::BIGINT                 AS n_candidates,
+           sum(CASE WHEN cand AND rnk <= 10 THEN 1 ELSE 0 END)::BIGINT   AS n_hits,
+           (sum(CASE WHEN cand AND rnk <= 10 THEN 1 ELSE 0 END) * 1000)::BIGINT
+             AS recall_bp
+    FROM s GROUP BY qid
+    """,
+    tags=("llm", "similarity", "evaluation", "lsh"),
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: for each sampled query vector,
+    recall@10 of the hyperplane-LSH bucket (q73's index) against the
+    brute-force cosine top-10 ground truth — the measurement loop every
+    production vector index needs before trusting an approximate path.
+    recall is emitted in exact basis points (n_hits·1000 for k=10).
+
+    Scale: ground truth is only computed for the SAMPLED queries (the
+    broadcast side), so cost is |corpus|·|sample| — the standard recall
+    audit shape — while the index path being measured stays bucket-local.
+    At 100 TB the sample rate is the knob; nothing here is corpus²."""
+    b = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark"))
+    )
+    q = F.broadcast(
+        b.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    s = (
+        b.join(q, b["vec_id"] != q["qid"])
+        .select(
+            "qid",
+            (F.col("bucket") == F.col("qbucket")).alias("cand"),
+            F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+            "vec_id",
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+            ),
+        )
+    )
+    hits = F.sum(F.when(F.col("cand") & (F.col("rnk") <= 10), 1).otherwise(0))
+    return s.groupBy("qid").agg(
+        F.sum(F.when(F.col("cand"), 1).otherwise(0)).alias("n_candidates"),
+        hits.alias("n_hits"),
+        (hits * 1000).alias("recall_bp"),
+    )

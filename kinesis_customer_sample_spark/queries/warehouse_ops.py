@@ -213,3 +213,60 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_cents").alias("price_cents"),
         )
     )
+
+
+@query(
+    "q164_zscore_anomaly",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, floor(value * 100)::BIGINT AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             count(*)::BIGINT        AS n,
+             sum(cents)::BIGINT      AS sx,
+             sum(cents * cents)::BIGINT AS sxx
+      FROM c GROUP BY user_id
+    )
+    SELECT c.user_id, c.event_id, c.cents, s.n,
+           ((s.n * c.cents - s.sx) * (s.n * c.cents - s.sx))
+             > 4 * (s.n * s.sxx - s.sx * s.sx)                AS is_anomaly
+    FROM c JOIN s USING (user_id)
+    WHERE s.n >= 30
+    """,
+    tags=("analytics", "anomaly", "zscore"),
+)
+def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key 2σ anomaly flags WITHOUT float math: |x − μ| > 2σ is
+    cross-multiplied into (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — exact integer
+    arithmetic end-to-end (population variance), so the flag is
+    bit-identical on every engine and never depends on summation order.
+    One hash-agg for per-key moments + one equi-join back (two shuffles on
+    the same key — Catalyst reuses the partitioning); keys with < 30
+    observations are excluded as statistically meaningless. Integer range:
+    cents ≤ 1e5, n ≤ 1e3 at fixture scale keeps every product < 2^63; at
+    larger n the same expressions move to DECIMAL(38,0) unchanged."""
+    c = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.expr("cents * cents")).alias("sxx"),
+    )
+    return (
+        c.join(s, "user_id")
+        .filter(F.col("n") >= 30)
+        .select(
+            "user_id",
+            "event_id",
+            "cents",
+            "n",
+            F.expr(
+                "(n * cents - sx) * (n * cents - sx) > 4 * (n * sxx - sx * sx)"
+            ).alias("is_anomaly"),
+        )
+    )

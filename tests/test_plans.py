@@ -634,3 +634,21 @@ def test_q163_bucketed_join_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert facts.join_strategies.get("SortMergeJoin", 0) == 1
     assert facts.n_exchanges <= 1
+
+
+def test_q164_anomaly_reuses_key_partitioning(spark, sf_dir):
+    """Anomaly flags: moments agg + join back are both keyed on user_id —
+    map-side partial moments, no cartesian, and no window (the join-back
+    shape parallelizes better than a per-key window over wide rows)."""
+    facts = audit_of(spark, sf_dir, "q164_zscore_anomaly")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_q165_recall_eval_broadcasts_queries(spark, sf_dir):
+    """Recall evaluation must broadcast the sampled query side and rank
+    with a PARTITIONED window."""
+    facts = audit_of(spark, sf_dir, "q165_lsh_recall_eval")
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
