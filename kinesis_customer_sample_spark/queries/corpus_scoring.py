@@ -398,20 +398,26 @@ _STRIDE = 8
     "q157_sliding_chunks",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+      SELECT doc_id, {_DUCK_TOKS} AS toks,
+             greatest(1, len({_DUCK_TOKS}) - {_CHUNK} + 1) AS g
+      FROM documents
     ),
-    ch AS (
-      SELECT doc_id,
-             [list_slice(toks, i, i + {_CHUNK} - 1)
-              for i in generate_series(1, greatest(1, len(toks) - {_CHUNK} + 1), {_STRIDE})]
-               AS chunks
+    st AS (
+      SELECT doc_id, toks,
+             CASE WHEN (g - 1) % {_STRIDE} = 0
+                  THEN generate_series(1, g, {_STRIDE})
+                  ELSE list_append(generate_series(1, g, {_STRIDE}), g)
+             END AS starts
       FROM t WHERE len(toks) > 0
     )
     SELECT doc_id,
-           generate_subscripts(chunks, 1)::BIGINT - 1        AS chunk_idx,
-           len(unnest(chunks))::BIGINT                        AS n_chunk_toks,
-           array_to_string(unnest(chunks), ' ')               AS chunk_text
-    FROM ch
+           generate_subscripts(starts, 1)::BIGINT - 1                  AS chunk_idx,
+           unnest(starts)::BIGINT                                      AS start_tok,
+           len(list_slice(toks, unnest(starts), unnest(starts) + {_CHUNK} - 1))::BIGINT
+             AS n_chunk_toks,
+           array_to_string(list_slice(toks, unnest(starts), unnest(starts) + {_CHUNK} - 1), ' ')
+             AS chunk_text
+    FROM st
     """,
     tags=("llm", "chunking", "rag"),
 )
@@ -422,23 +428,35 @@ def sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-row transform over the start index sequence, one posexplode fan-out;
     zero shuffles, so at 100 TB cost is exactly one pass over text bytes.
     Start indices and slicing are closed-form on both engines, so the
-    chunk boundaries are hash-match checkable."""
+    chunk boundaries are hash-match checkable. The start list is the
+    stride sequence PLUS the last full-window start (deduplicated), so
+    tail tokens are always covered even when (n − chunk) is not a stride
+    multiple — `test_chunks_cover_all_tokens_with_overlap` guards this."""
     t = _docs_with_tokens(spark, sf_dir).filter(F.expr("size(toks) > 0"))
-    chunks = t.select(
+    starts = t.select(
         "doc_id",
+        "toks",
         F.expr(
-            f"transform(sequence(1, greatest(1, size(toks) - {_CHUNK} + 1), {_STRIDE}), "
-            f"i -> slice(toks, i, {_CHUNK}))"
-        ).alias("chunks"),
+            f"IF((greatest(1, size(toks) - {_CHUNK} + 1) - 1) % {_STRIDE} = 0, "
+            f"sequence(1, greatest(1, size(toks) - {_CHUNK} + 1), {_STRIDE}), "
+            f"concat(sequence(1, greatest(1, size(toks) - {_CHUNK} + 1), {_STRIDE}), "
+            f"array(greatest(1, size(toks) - {_CHUNK} + 1))))"
+        ).alias("starts"),
     )
-    return chunks.select(
+    return starts.select(
         "doc_id",
-        F.posexplode("chunks").alias("chunk_idx", "chunk"),
+        "toks",
+        F.posexplode("starts").alias("chunk_idx", "start_tok"),
     ).select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.expr("CAST(size(chunk) AS BIGINT)").alias("n_chunk_toks"),
-        F.array_join("chunk", " ").alias("chunk_text"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.expr(f"CAST(size(slice(toks, start_tok, {_CHUNK})) AS BIGINT)").alias(
+            "n_chunk_toks"
+        ),
+        F.expr(f"array_join(slice(toks, start_tok, {_CHUNK}), ' ')").alias(
+            "chunk_text"
+        ),
     )
 
 

@@ -297,3 +297,141 @@ def test_sq8_shortlist_recalls_exact_neighbors(spark):
         .toPandas()
     )
     assert set(exact["vec_id"]) <= got
+
+
+# ---- corpus-scoring / warehouse-wave invariants ----
+
+
+def test_chunks_cover_all_tokens_with_overlap(spark, sf_dir):
+    """q157: every token of every doc appears in at least one chunk, and
+    consecutive chunks overlap by exactly CHUNK - STRIDE tokens (except a
+    possibly-short final chunk) — the properties RAG retrieval relies on
+    (no token unreachable, boundary context preserved)."""
+    from kinesis_customer_sample_spark.queries.corpus_scoring import (
+        _CHUNK,
+        _STRIDE,
+        sliding_chunks,
+    )
+    from kinesis_customer_sample_spark.queries.text_analysis import (
+        _docs_with_tokens,
+    )
+
+    chunks = sliding_chunks(spark, sf_dir).collect()
+    toks = {
+        r["doc_id"]: r["toks"]
+        for r in _docs_with_tokens(spark, sf_dir).select("doc_id", "toks").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = len(toks[doc_id])
+        # coverage: the last chunk must reach the final token even when
+        # (n - chunk) is not a stride multiple
+        last = rows[-1]
+        assert (last["start_tok"] - 1) + last["n_chunk_toks"] == n
+        # every non-final chunk is full-width and stride-aligned
+        for r in rows[:-1]:
+            assert r["n_chunk_toks"] == _CHUNK
+            assert r["start_tok"] == 1 + r["chunk_idx"] * _STRIDE
+        # reassembly: stitching chunk texts at their starts == original
+        rebuilt: list = []
+        for r in rows:
+            rebuilt = rebuilt[: r["start_tok"] - 1] + r["chunk_text"].split(" ")
+        assert rebuilt == toks[doc_id]
+
+
+def test_zscore_integer_inequality_matches_float_zscore(spark, sf_dir):
+    """q164: the cross-multiplied integer inequality must agree with the
+    literal float |x − μ| > 2σ (population σ) on the fixture — the
+    integer form is a REFORMULATION, not an approximation (modulo exact
+    boundary ties, impossible under the strict inequality with integer
+    operands)."""
+    import math
+
+    from kinesis_customer_sample_spark.queries.warehouse_ops import zscore_anomaly
+
+    rows = zscore_anomaly(spark, sf_dir).collect()
+    # recompute float z-scores from the same integer moments
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, rs in by_user.items():
+        xs = [r["cents"] for r in rs]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((x - mu) ** 2 for x in xs) / n
+        for r in rs:
+            expect = abs(r["cents"] - mu) > 2 * math.sqrt(var)
+            assert r["is_anomaly"] == expect, (user, r)
+
+
+def test_incremental_merge_invariant_under_any_cut(spark, sf_dir):
+    """q160's lesson generalized: partial-aggregate merge must equal the
+    full recompute for EVERY cut date, not just the registered one —
+    count/sum distributivity is what makes nightly refreshes trustworthy."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    full = {
+        r["o_orderpriority"]: (r["n"], r["c"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+        .collect()
+    }
+    for cut in ("1993-06-01", "1996-01-01", "1999-01-01"):
+        base = o.filter(F.col("o_orderdate") < cut)
+        delta = o.filter(F.col("o_orderdate") >= cut)
+        merged = {
+            r["o_orderpriority"]: (r["n"], r["c"])
+            for r in base.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c"))
+            .unionByName(
+                delta.groupBy("o_orderpriority").agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+                )
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.sum("n").alias("n"), F.sum("c").alias("c"))
+            .collect()
+        }
+        assert merged == full, cut
+
+
+def test_semantic_dedup_exactly_one_rep_per_bucket(spark, sf_dir):
+    """q153: every bucket elects exactly one representative, every vector
+    maps to its bucket's rep, and representatives always keep."""
+    from kinesis_customer_sample_spark.queries.corpus_scoring import semantic_dedup
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    reps_by_bucket: dict[int, set] = {}
+    for r in rows:
+        reps_by_bucket.setdefault(r["bucket"], set()).add(r["rep_id"])
+    for bucket, reps in reps_by_bucket.items():
+        assert len(reps) == 1, bucket
+    for r in rows:
+        if r["vec_id"] == r["rep_id"]:
+            assert r["keep"]
+        assert r["rep_id"] <= r["vec_id"] or r["vec_id"] != r["rep_id"]
+
+
+def test_trigram_entropy_bounds(spark, sf_dir):
+    """q154: 0 ≤ H ≤ ln(N) for every doc (up to the ≤2µnat flooring
+    slack), with equality cases meaningful: H ≈ ln N ⟺ all trigrams
+    distinct."""
+    import math
+
+    from kinesis_customer_sample_spark.queries.corpus_scoring import (
+        char_trigram_entropy,
+    )
+
+    for r in char_trigram_entropy(spark, sf_dir).collect():
+        upper = math.log(r["n_tris"]) * 1e6
+        assert -2 <= r["entropy_mu"] <= upper + 2, r
