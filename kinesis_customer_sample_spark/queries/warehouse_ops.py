@@ -187,20 +187,28 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale Catalyst may legitimately pick broadcast instead — also
     shuffle-free; at 100 TB neither fact side broadcasts and the bucketed
     sort-merge path is the only shuffle-free plan)."""
-    # DROP only clears the in-memory catalog; the managed-table directory
-    # survives across sessions and blocks re-creation (LOCATION_ALREADY_
-    # EXISTS), so clear both
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("q163_orders", "q163_lineitem"):
+    # External tables with explicit .scratch locations: the warehouse dir
+    # is a STATIC conf owned by whoever built the session (the driver's
+    # harness may run from any CWD), and stale table dirs/catalog entries
+    # survive across sessions — so pin the path and clear both sides
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    paths = {
+        t: os.path.join(_SCRATCH, sf_tag, t) for t in ("q163_orders", "q163_lineitem")
+    }
+    for t, p in paths.items():
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        shutil.rmtree(p, ignore_errors=True)
     table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("q163_orders")
+    ).write.option("path", paths["q163_orders"]).bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("q163_orders")
     table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
-    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("q163_lineitem")
+    ).write.option("path", paths["q163_lineitem"]).bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("q163_lineitem")
     return (
         spark.table("q163_orders")
         .join(
