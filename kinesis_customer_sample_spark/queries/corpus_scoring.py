@@ -581,3 +581,40 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.alias("n_hits"),
         (hits * 1000).alias("recall_bp"),
     )
+
+
+# q167 composes q63's full prediction pipeline; reuse its oracle verbatim
+# as a subquery so the two definitions can never drift
+from kinesis_customer_sample_spark.registry import REGISTRY as _REGISTRY
+from kinesis_customer_sample_spark.queries.text_analysis import lang_id_heuristic
+
+_Q63_ORACLE = _REGISTRY["q63_lang_id_heuristic"].oracle
+
+
+@query(
+    "q167_lang_confusion_matrix",
+    oracle=f"""
+    SELECT lang, pred_lang,
+           count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN is_correct THEN 1 ELSE 0 END)::BIGINT AS n_correct
+    FROM ({_Q63_ORACLE})
+    GROUP BY lang, pred_lang
+    """,
+    tags=("llm", "qa", "confusion-matrix"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-model QA: the confusion matrix between the corpus's
+    declared `lang` column and the q63 language-ID heuristic's prediction
+    — the audit that catches mislabeled metadata (or a drifting model)
+    before either poisons downstream per-language processing. Composes
+    q63's full pipeline (its oracle is embedded as a subquery, so the two
+    can never drift) and adds one count rollup; at 100 TB the matrix is
+    |langs|² rows — driver-safe however large the corpus."""
+    return (
+        lang_id_heuristic(spark, sf_dir)
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_correct"), 1).otherwise(0)).alias("n_correct"),
+        )
+    )

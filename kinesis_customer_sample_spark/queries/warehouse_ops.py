@@ -278,3 +278,50 @@ def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+# pricing tiers for the broadcast interval-lookup join: [lo, hi) in cents
+_TIERS = [
+    ("budget", 0, 5_000_000),
+    ("standard", 5_000_000, 15_000_000),
+    ("premium", 15_000_000, 30_000_000),
+    ("enterprise", 30_000_000, 10_000_000_000),
+]
+
+
+@query(
+    "q166_interval_lookup_join",
+    oracle=f"""
+    WITH tiers(tier, lo, hi) AS (VALUES
+      {", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)}),
+    o AS (SELECT floor(o_totalprice * 100)::BIGINT AS cents FROM orders)
+    SELECT t.tier,
+           count(*)::BIGINT      AS n_orders,
+           sum(o.cents)::BIGINT  AS total_cents
+    FROM o JOIN tiers t ON o.cents >= t.lo AND o.cents < t.hi
+    GROUP BY t.tier
+    """,
+    tags=("join", "interval", "broadcast", "lookup"),
+)
+def interval_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast interval-lookup join — the IP-geolocation / pricing-tier
+    shape: every fact row finds its [lo, hi) band in a SMALL interval
+    dimension. The dimension broadcasts, so the non-equi predicate is
+    evaluated map-side against an in-memory table (BroadcastNestedLoopJoin
+    — correct here precisely because the build side is tiny and the probe
+    side streams); the 100 TB cost is one scan. Never express this as a
+    theta join of two large sides."""
+    tiers = F.broadcast(
+        spark.createDataFrame(_TIERS, "tier string, lo long, hi long")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    return (
+        o.join(tiers, (o["cents"] >= tiers["lo"]) & (o["cents"] < tiers["hi"]))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

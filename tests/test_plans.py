@@ -652,3 +652,11 @@ def test_q165_recall_eval_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in facts.text
     assert "No Partition Defined" not in facts.text
     assert not facts.has_cartesian
+
+
+def test_q166_interval_dim_broadcasts(spark, sf_dir):
+    """The interval dimension must broadcast (nested-loop against a tiny
+    build side), and the band aggregation must combine map-side."""
+    facts = audit_of(spark, sf_dir, "q166_interval_lookup_join")
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
