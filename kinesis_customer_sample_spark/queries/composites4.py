@@ -1439,3 +1439,64 @@ def pagerank_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("part_key"), "deg", F.col("r").alias("rank_mu")
     )
+
+
+@query(
+    "q168_recursive_cte_reachability",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    walk(part_key, hops) AS (
+      SELECT CAST((SELECT min(src) FROM e) AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN e ON w.part_key = e.src WHERE w.hops < 2
+    )
+    SELECT part_key, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY part_key
+    """,
+    tags=("graph", "recursive-cte", "sql"),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-native recursive SQL (Spark 4's WITH RECURSIVE): ≤2-hop
+    min-hop reachability over the co-purchase graph, the same semantics
+    as q120's first two BFS rounds but expressed as ONE declarative
+    query — no driver loop. Two scale caveats, both encoded here:
+    (1) Spark re-derives non-materialized CTE subtrees at every recursion
+    level, so the edge list is computed once, localCheckpointed, and
+    registered as a view (the working-relation materialization DuckDB
+    does implicitly); (2) a recursive CTE enumerates WALKS (no per-level
+    dedup), so depth is bounded tightly — unbounded traversals belong to
+    the frontier-dedup BFS operator (q120), which stays linear in nodes
+    per round. The two operators cross-check each other's first rounds."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("q168_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(part_key, hops) AS (
+          SELECT CAST((SELECT min(src) FROM q168_edges) AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, w.hops + 1
+          FROM walk w JOIN q168_edges e ON w.part_key = e.src WHERE w.hops < 2
+        )
+        SELECT part_key, CAST(min(hops) AS BIGINT) AS hops
+        FROM walk GROUP BY part_key
+        """
+    )
