@@ -325,3 +325,35 @@ def interval_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@query(
+    "q169_listagg_sorted",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+    FROM (SELECT lang, doc_id FROM documents WHERE n_chars >= 450)
+    GROUP BY lang
+    """,
+    tags=("aggregation", "listagg", "string-agg"),
+)
+def listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4's `listagg ... WITHIN GROUP`,
+    DuckDB's `string_agg ... ORDER BY`): the id-roster shape for compact
+    per-group manifests. The explicit ORDER BY inside the aggregate is
+    what makes the result deterministic and hash-match checkable — an
+    unordered listagg is nondeterministic under parallel aggregation by
+    construction. Guarded by the same rule as collect_list elsewhere in
+    the repo: never emit an unordered collection."""
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= 450)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "listagg(CAST(doc_id AS STRING), ',') WITHIN GROUP (ORDER BY doc_id)"
+            ).alias("doc_ids"),
+        )
+    )
