@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.functions import cosine_expr
+from kinesis_customer_sample_spark.functions.porthash import dot64_expr, norm_expr
 from kinesis_customer_sample_spark.queries.similarity import _hyperplane_bucket
 from kinesis_customer_sample_spark.queries.text_analysis import (
     _DUCK_TOKS,
@@ -150,20 +151,29 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants. The query set is a deterministic 2% sample (vec_id % 50 = 0),
     broadcast against one scan of the corpus (BroadcastNestedLoopJoin on
     the label-mismatch predicate); per-query top-5 via window rank, ties
-    broken by neg_id for cross-engine determinism."""
-    e = table(spark, sf_dir, "embeddings")
+    broken by neg_id for cross-engine determinism. Hot-path math follows
+    q74's recipe: corpus spread across cores, norms precomputed per row,
+    unrolled codegen dot per pair."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("en", F.expr(norm_expr("embedding")))
+    )
     q = F.broadcast(
         e.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),
             F.col("embedding").alias("qv"),
+            F.col("en").alias("qn"),
         )
     )
     scored = e.join(q, e["label"] != q["qlabel"]).select(
         "qid",
         F.col("vec_id").alias("neg_id"),
         F.col("label").alias("neg_label"),
-        F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+        F.round(
+            F.expr(dot64_expr("embedding", "qv")) / (F.col("en") * F.col("qn")), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "neg_id")
     return (
@@ -204,17 +214,28 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the representative table has one row per occupied bucket
     (≤ 2^8 here; more planes at corpus scale), so the join-back is a
     broadcast; candidate scoring is bucket-local by construction — never
-    all-pairs."""
-    e = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark"))
+    all-pairs. Hot-path math follows q74's recipe: the single-file scan is
+    spread across cores, per-row norms are precomputed once, and the
+    per-pair cosine is the unrolled codegen dot (dot64_expr) rather than
+    the interpreted zip_with lambda — same fold order, identical rounded
+    values."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
+        .withColumn("en", F.expr(norm_expr("embedding")))
     )
     reps = F.broadcast(
-        e.groupBy("bucket").agg(
+        e.groupBy("bucket")
+        .agg(
             F.min("vec_id").alias("rep_id"),
             F.min_by("embedding", "vec_id").alias("rep_emb"),
         )
+        .withColumn("rep_n", F.expr(norm_expr("rep_emb")))
     )
-    cos = F.expr(cosine_expr("embedding", "rep_emb", dialect="spark"))
+    cos = F.round(
+        F.expr(dot64_expr("embedding", "rep_emb")) / (F.col("en") * F.col("rep_n")), 6
+    )
     return (
         e.join(reps, "bucket")
         .select(
@@ -378,7 +399,11 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cvec")
         )
     )
-    cos = F.expr(cosine_expr("embedding", "cvec", dialect="spark"))
+    cos = F.round(
+        F.expr(dot64_expr("embedding", "cvec"))
+        / (F.expr(norm_expr("embedding")) * F.expr(norm_expr("cvec"))),
+        6,
+    )
     return e.join(cent, "label").select(
         "vec_id",
         "label",
@@ -549,15 +574,21 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ground truth is only computed for the SAMPLED queries (the
     broadcast side), so cost is |corpus|·|sample| — the standard recall
     audit shape — while the index path being measured stays bucket-local.
-    At 100 TB the sample rate is the knob; nothing here is corpus²."""
-    b = table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark"))
+    At 100 TB the sample rate is the knob; nothing here is corpus².
+    Hot-path math follows q74's recipe: corpus spread across cores, norms
+    precomputed per row, unrolled codegen dot per pair."""
+    b = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
+        .withColumn("en", F.expr(norm_expr("embedding")))
     )
     q = F.broadcast(
         b.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qv"),
             F.col("bucket").alias("qbucket"),
+            F.col("en").alias("qn"),
         )
     )
     s = (
@@ -565,7 +596,11 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             (F.col("bucket") == F.col("qbucket")).alias("cand"),
-            F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+            F.round(
+                F.expr(dot64_expr("embedding", "qv"))
+                / (F.col("en") * F.col("qn")),
+                6,
+            ).alias("cos_sim"),
             "vec_id",
         )
         .withColumn(
