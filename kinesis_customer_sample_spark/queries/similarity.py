@@ -68,19 +68,30 @@ _PLANE_MUL = 2_654_435_761 % MOD_P
 def _hyperplane_bucket(emb: str, *, dialect: str) -> str:
     """Sign-bucket id from 8 deterministic integer hyperplanes: plane p,
     dim d has weight ((p·64+d)·K mod P) mod 17 − 8 ∈ [−8, 8]. Portable
-    integer weights → identical bucket ids in both engines."""
-    w = f"(((CAST(p * 64 + d AS BIGINT) * {_PLANE_MUL}) % {MOD_P}) % 17 - 8)"
+    integer weights → identical bucket ids in both engines.
+
+    The Spark emission is UNROLLED with the weights constant-folded at
+    codegen time (the same per-pair-lambda finding as dot64_expr: Spark's
+    higher-order lambdas evaluate interpreted — 8 planes × 64 dims = 512
+    interpreted ops per row). Addition order (d ascending per plane, then
+    planes summed ascending) matches the lambda fold and DuckDB's
+    list_sum, so bucket ids are unchanged."""
     if dialect == "spark":
-        dot = (
-            f"aggregate(transform(sequence(0, 63), "
-            f"d -> {w} * CAST(element_at({emb}, d + 1) AS DOUBLE)), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        return (
-            f"aggregate(transform(sequence(0, {_N_PLANES - 1}), "
-            f"p -> CASE WHEN {dot} > 0 THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END), "
-            f"CAST(0 AS BIGINT), (a, v) -> a + v)"
-        )
+        plane_terms = []
+        for p in range(_N_PLANES):
+            weights = [
+                ((p * 64 + d) * _PLANE_MUL % MOD_P) % 17 - 8 for d in range(64)
+            ]
+            dot = " + ".join(
+                f"{w} * CAST(element_at({emb}, {d + 1}) AS DOUBLE)"
+                for d, w in enumerate(weights)
+            )
+            plane_terms.append(
+                f"(CASE WHEN ({dot}) > 0 THEN CAST({1 << p} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return "CAST(" + " + ".join(plane_terms) + " AS BIGINT)"
+    w = f"(((CAST(p * 64 + d AS BIGINT) * {_PLANE_MUL}) % {MOD_P}) % 17 - 8)"
     dot = (
         f"list_sum(list_transform(generate_series(0, 63), "
         f"d -> {w} * {emb}[d + 1]::DOUBLE))"
