@@ -107,3 +107,90 @@ def test_cascaded_rollup_lossless_at_5m_rows(spark):
     got = {r.m: (r.n, r.v) for r in monthly_cascade.collect()}
     want = {r.m: (r.n, r.v) for r in direct.collect()}
     assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_shape_at_500k_vectors(spark):
+    """q153's bucket → representative → broadcast-join-back shape at 500k
+    synthetic 64-dim vectors (100× the sf0.01 fixture): the unrolled
+    bucket/dot codegen must execute, every vector must land in exactly
+    one bucket with exactly one representative, and representatives must
+    self-score keep=True."""
+    from kinesis_customer_sample_spark.functions.porthash import (
+        dot64_expr,
+        norm_expr,
+    )
+    from kinesis_customer_sample_spark.queries.similarity import (
+        _hyperplane_bucket,
+    )
+
+    n = 500_000
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), "
+            "d -> CAST((id * 31 + d * 17) % 97 - 48 AS FLOAT) / 48.0)"
+        ).alias("embedding"),
+    )
+    e = (
+        vecs.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
+        .withColumn("en", F.expr(norm_expr("embedding")))
+    )
+    reps = F.broadcast(
+        e.groupBy("bucket")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.min_by("embedding", "vec_id").alias("rep_emb"),
+        )
+        .withColumn("rep_n", F.expr(norm_expr("rep_emb")))
+    )
+    cos = F.round(
+        F.expr(dot64_expr("embedding", "rep_emb")) / (F.col("en") * F.col("rep_n")), 6
+    )
+    out = e.join(reps, "bucket").select(
+        "vec_id",
+        "rep_id",
+        (F.col("vec_id") == F.col("rep_id")).alias("is_rep"),
+        cos.alias("c"),
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_rep") & (F.col("c") < 0.999999), 1).otherwise(0)).alias(
+            "bad_rep"
+        ),
+    ).collect()[0]
+    assert agg["n"] == n          # every vector joined exactly one rep
+    assert agg["bad_rep"] == 0    # reps self-score cos ≈ 1
+
+
+def test_chunking_conserves_tail_at_2m_tokens(spark):
+    """q157's chunk-start construction over 100k synthetic docs with
+    adversarial lengths (every residue mod stride): the final chunk must
+    always reach the last token — the exact boundary condition the
+    round-3 property test caught at fixture scale, re-proven at volume."""
+    from kinesis_customer_sample_spark.queries.corpus_scoring import (
+        _CHUNK,
+        _STRIDE,
+    )
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        # lengths 1..120 cycling => hits every (len - CHUNK) % STRIDE residue
+        F.expr("transform(sequence(1, CAST(id % 120 + 1 AS INT)), i -> CAST(i AS STRING))").alias(
+            "toks"
+        ),
+    )
+    starts = docs.select(
+        "doc_id",
+        F.expr("size(toks)").alias("n"),
+        F.expr(
+            f"IF((greatest(1, size(toks) - {_CHUNK} + 1) - 1) % {_STRIDE} = 0, "
+            f"sequence(1, greatest(1, size(toks) - {_CHUNK} + 1), {_STRIDE}), "
+            f"concat(sequence(1, greatest(1, size(toks) - {_CHUNK} + 1), {_STRIDE}), "
+            f"array(greatest(1, size(toks) - {_CHUNK} + 1))))"
+        ).alias("starts"),
+    )
+    bad = starts.filter(
+        F.expr(f"element_at(starts, -1) + {_CHUNK} - 1 < size(toks)")
+    ).count()
+    assert bad == 0
