@@ -241,3 +241,65 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(ingested, output_mode="append")
+
+
+@query(
+    "q170_dynamic_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             ts + CASE WHEN event_type = 'error'
+                       THEN INTERVAL 5 MINUTE ELSE INTERVAL 30 MINUTE END
+               AS ev_end
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, ev_end,
+             CASE WHEN max(ev_end) OVER wprev IS NULL
+                    OR ts > max(ev_end) OVER wprev
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM g
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sessions AS (
+      SELECT user_id, ts, ev_end,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, ev_end
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)          AS session_start,
+           max(ev_end)      AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "dynamic-gap"),
+)
+def dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (Spark 3.2+): the session gap is an
+    EXPRESSION over each event — error events close their session after
+    5 minutes, normal activity after 30 — the per-event-type timeout
+    shape static gaps can't express. The oracle generalizes q53's
+    gaps-and-islands to interval-union semantics: a new session starts
+    when an event's start exceeds the running max of previous event ends
+    (a running max, not lag — with variable gaps an earlier event can end
+    LATER than a closer one). Batch form of the same operator the
+    streaming engine runs incrementally; one shuffle on the session key."""
+    ev = table(spark, sf_dir, "events")
+    # make_interval, not an INTERVAL literal: session_window's dynamic-gap
+    # argument requires CalendarIntervalType (ANSI interval literals are
+    # DayTimeIntervalType and are rejected)
+    gap = F.when(
+        F.col("event_type") == "error", F.expr("make_interval(0, 0, 0, 0, 0, 5, 0)")
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
