@@ -308,3 +308,36 @@ def test_stateful_latest_state_on_rocksdb_provider(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir):
+    """Streaming dynamic-gap session windows (q170's per-event-type gap
+    expression, watermarked) == the same derivation in batch — the
+    variable-timeout sessionizer is trigger-invariant too."""
+    from kinesis_customer_sample_spark.catalog import table
+
+    gap = F.when(
+        F.col("event_type") == "error", F.expr("make_interval(0, 0, 0, 0, 0, 5, 0)")
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, output_mode="complete")
+    got = {
+        (r.user_id, r["session_window"].start, r["session_window"].end): r.n_events
+        for r in out.collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    want = {
+        (r.user_id, r["session_window"].start, r["session_window"].end): r.n_events
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
