@@ -341,3 +341,73 @@ def test_dynamic_gap_session_stream_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_restarts_from_checkpoint_without_reprocessing(spark, sf_dir):
+    """Exactly-once across restarts: a windowless running aggregate is
+    driven to completion on half the source files, the query STOPS, more
+    files arrive, and a NEW query object resumes from the same checkpoint.
+    The final result must equal the batch aggregate over everything, AND
+    the restarted run's input-row metrics must show only the NEW files
+    were read — state came from the checkpoint, not reprocessing."""
+    import shutil as _shutil
+    import uuid
+
+    from kinesis_customer_sample_spark.catalog import table
+
+    src = tempfile.mkdtemp(prefix="restart_src_")
+    ckpt = tempfile.mkdtemp(prefix="restart_ckpt_")
+    name = f"restart_{uuid.uuid4().hex[:8]}"
+    ev = (
+        table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "event_type", "value")
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    half_a.coalesce(2).write.mode("append").parquet(src)
+    n_b = half_b.count()
+
+    def run_once():
+        sdf = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents"),
+            )
+        )
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    run_once()  # phase 1: files for half A, checkpoint written
+    half_b.coalesce(2).write.mode("append").parquet(src)  # new files arrive
+    q2 = run_once()  # phase 2: NEW query object, same checkpoint
+
+    got = {
+        r["event_type"]: (r["n"], r["cents"]) for r in spark.table(name).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["cents"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(floor(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the restarted run read ONLY the new files (checkpointed offsets held)
+    reprocessed = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert reprocessed == n_b, (reprocessed, n_b)
+    _shutil.rmtree(src, ignore_errors=True)
+    _shutil.rmtree(ckpt, ignore_errors=True)
