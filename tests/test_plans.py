@@ -660,3 +660,33 @@ def test_q166_interval_dim_broadcasts(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q166_interval_lookup_join")
     assert "BroadcastNestedLoopJoin" in facts.text
     assert facts.has_partial_agg
+
+
+def test_observe_metrics_without_second_scan(spark, sf_dir):
+    """Pipeline observability: df.observe() accumulates metrics DURING the
+    flagship query's single pass — the row counts/sums a production job
+    reports per run must not cost a second scan. The observed metrics must
+    equal an independent aggregate."""
+    from pyspark.sql import Observation
+
+    from kinesis_customer_sample_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    obs = Observation("flagship_in")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias("cents"),
+    )
+    out = (
+        observed.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # one action drives both result and metrics
+    )
+    want = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias("cents"),
+    ).collect()[0]
+    assert len(out) > 0
+    assert obs.get["n_rows"] == want["n_rows"]
+    assert obs.get["cents"] == want["cents"]
