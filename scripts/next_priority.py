@@ -1,0 +1,67 @@
+"""Compute the next round's driver-walk priority list.
+
+Usage: PYTHONPATH=/root/repo python scripts/next_priority.py
+
+Reads every CORRECTNESS_r*.json in the repo root and the current registry,
+then prints, in order:
+  1. queries with a non-green driver row in the LATEST round (errors or
+     hash mismatches — regressions to re-prove first);
+  2. queries that have never had any driver row (oldest registration first);
+  3. everything else (green somewhere), oldest green first.
+Paste the first 50 into reorder_registry() in queries/__init__.py.
+The driver's walk has been count-capped at exactly 50 entries in every
+round so far; the registry order IS the verification budget.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+from kinesis_customer_sample_spark.registry import load_registry
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    rounds = sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    results: dict[str, dict] = {}  # name -> latest row
+    green_ever: set[str] = set()
+    for path in rounds:
+        data = json.load(open(path))
+        for name, row in data.items():
+            results[name] = row
+            ok = row.get("err") is None and (
+                row.get("hash_match") is True
+                or (row.get("hash_match") is None and row.get("rows_match"))
+            )
+            if ok:
+                green_ever.add(name)
+    latest = json.load(open(rounds[-1])) if rounds else {}
+
+    reg = list(load_registry())
+    regressions = [
+        n
+        for n in reg
+        if n in latest
+        and (latest[n].get("err") is not None or latest[n].get("hash_match") is False)
+    ]
+    never = [n for n in reg if n not in results]
+    rest = [n for n in reg if n not in regressions and n not in never]
+
+    ordered = regressions + never + rest
+    print(f"# regressions={len(regressions)} never-checked={len(never)} "
+          f"green-ever={len(green_ever & set(reg))}/{len(reg)}")
+    for i, n in enumerate(ordered[:60]):
+        marker = "<-- cap" if i == 49 else ""
+        tag = "REGRESSION" if n in regressions else ("NEW" if n in never else "recheck")
+        print(f'        "{n}",  # {i + 1} {tag} {marker}')
+
+
+if __name__ == "__main__":
+    main()
