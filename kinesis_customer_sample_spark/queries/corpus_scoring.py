@@ -653,3 +653,111 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_correct"), 1).otherwise(0)).alias("n_correct"),
         )
     )
+
+
+@query(
+    "q171_token_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents),
+    c AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM c)
+    SELECT tok, c,
+           (c * 10000 // n)::BIGINT AS share_bp
+    FROM c CROSS JOIN tot
+    ORDER BY c DESC, tok LIMIT 20
+    """,
+    tags=("llm", "heavy-hitters", "vocabulary"),
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token heavy hitters: the top-20 tokens with exact
+    counts and corpus share in basis points — the stopword-discovery /
+    vocabulary-audit primitive that feeds DF caps (q68) and lexicon
+    design. Explode → map-side-combined count → TakeOrderedAndProject
+    (top-k without a global sort); the 1-row total broadcasts. At 100 TB
+    the count table is vocabulary-sized and the top-k never materializes
+    more than k rows per partition."""
+    tok = _docs_with_tokens(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    c = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = F.broadcast(c.agg(F.sum("c").alias("n")))
+    return (
+        c.crossJoin(tot)
+        .select("tok", "c", F.expr("CAST(c * 10000 div n AS BIGINT)").alias("share_bp"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "q172_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(
+               [toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]
+             ) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT bg, count(*)::BIGINT AS c12 FROM bg GROUP BY bg),
+    uc AS (
+      SELECT tok, count(*)::BIGINT AS c1
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents) GROUP BY tok
+    ),
+    vocab AS (SELECT count(*)::BIGINT AS v FROM uc),
+    scored AS (
+      SELECT b.doc_id,
+             floor((ln(c.c12 + 1) - ln(u.c1 + v.v)) * 1000000)::BIGINT AS logp_mu
+      FROM bg b
+      JOIN bc c USING (bg)
+      JOIN uc u ON split_part(b.bg, ' ', 1) = u.tok
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id,
+           count(*)::BIGINT                      AS n_bigrams,
+           ((-sum(logp_mu)) // count(*))::BIGINT AS avg_neg_logp_mu
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "quality", "language-model", "bigram"),
+)
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — q151's context-aware sibling:
+    p(w2|w1) = (C(w1 w2)+1) / (C(w1)+V) with add-1 smoothing, scored as
+    mean bigram surprisal per document. Bigrams are built IN-ROW (map-only
+    transform over adjacent token pairs, no self-join, no window); counts
+    are two hash-aggs; scoring joins probe vocabulary-/bigram-sized build
+    sides. The same integer micro-unit flooring as q151 keeps the result
+    engine-exact."""
+    t = _docs_with_tokens(spark, sf_dir).filter(F.expr("size(toks) >= 2"))
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bc = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    uc = (
+        _docs_with_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = F.broadcast(uc.agg(F.count(F.lit(1)).alias("v")))
+    scored = (
+        bg.join(bc, "bg")
+        .join(uc, F.expr("split_part(bg, ' ', 1)") == F.col("tok"))
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor((ln(c12 + 1) - ln(c1 + v)) * 1000000) AS BIGINT)"
+            ).alias("logp_mu"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("CAST((-sum(logp_mu)) div count(1) AS BIGINT)").alias(
+            "avg_neg_logp_mu"
+        ),
+    )
