@@ -690,3 +690,20 @@ def test_observe_metrics_without_second_scan(spark, sf_dir):
     assert len(out) > 0
     assert obs.get["n_rows"] == want["n_rows"]
     assert obs.get["cents"] == want["cents"]
+
+
+def test_q171_heavy_hitters_topk_no_global_sort(spark, sf_dir):
+    """Heavy hitters must take the top-k via TakeOrderedAndProject with
+    map-side-combined counts — never sort the whole vocabulary."""
+    facts = audit_of(spark, sf_dir, "q171_token_heavy_hitters")
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_q172_bigram_lm_no_self_join_window(spark, sf_dir):
+    """Bigrams must come from the in-row adjacent-pair transform: no
+    cartesian, no unpartitioned window, partial aggs throughout."""
+    facts = audit_of(spark, sf_dir, "q172_bigram_lm_score")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
