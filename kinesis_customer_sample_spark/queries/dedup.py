@@ -429,3 +429,110 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.4)
         .select("vec_a", "vec_b", "label", "cos_sim")
     )
+
+
+@query(
+    "q173_keeper_longest_doc",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             sha256(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    k AS (
+      SELECT content_hash,
+             -- composite integer key: longest wins, doc_id breaks ties
+             -- (n_chars*1e6 + doc_id stays well inside int64)
+             max_by(doc_id, n_chars * 1000000 + doc_id) AS keeper_doc_id,
+             count(*)::BIGINT AS group_size
+      FROM h GROUP BY content_hash
+    )
+    SELECT h.doc_id, k.keeper_doc_id,
+           (h.doc_id = k.keeper_doc_id) AS keep,
+           k.group_size
+    FROM h JOIN k USING (content_hash)
+    """,
+    tags=("dedup", "keeper-policy"),
+)
+def keeper_longest_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup keeper election with the LONGEST-document policy (ties →
+    larger doc_id): real pipelines keep the most complete copy, not the
+    smallest id — truncated scrapes of the same page lose to the full
+    crawl. `max_by` over the (n_chars, doc_id) tuple elects in one
+    hash-agg; the per-doc verdict joins back on the content hash. Same
+    one-shuffle posture as q67 — only (hash, doc_id, n_chars) move."""
+    h = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.sha2(F.lower(F.trim("text")), 256).alias("content_hash"),
+    )
+    k = h.groupBy("content_hash").agg(
+        F.expr("max_by(doc_id, n_chars * 1000000 + doc_id)").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return h.join(k, "content_hash").select(
+        "doc_id",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("keep"),
+        "group_size",
+    )
+
+
+# q174 split: docs whose id-hash bucket is below the cut are the "already
+# indexed" base; the rest are the delta whose signatures arrive fresh
+_SIG_BASE_HI = 80
+
+
+@query(
+    "q174_incremental_minhash_index",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shs
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, {_minhash_expr("duckdb")} AS mh
+      FROM (SELECT doc_id,
+                   list_transform(shs, s -> {tok_hash_expr("s", dialect="duckdb")}) AS hs
+            FROM sh)
+    )
+    SELECT doc_id,
+           array_to_string(mh, ',') AS signature,
+           ({tok_hash_expr("doc_id::VARCHAR", dialect="duckdb")} % 100 < {_SIG_BASE_HI})
+             AS from_base
+    FROM mh
+    """,
+    tags=("dedup", "minhash", "incremental", "index-maintenance"),
+)
+def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-index maintenance: the minhash signature store is
+    maintained like q160's aggregates — signatures for the base split are
+    'already stored' (computed from base docs only), the delta split's
+    signatures are computed fresh, and their union must hash-match the
+    oracle's full recompute over every document. Signatures are pure
+    per-doc functions, so index maintenance is embarrassingly delta-only:
+    at 100 TB a daily crawl increment re-signs only new documents, and
+    the LSH band tables (q69) rebuild from the signature store without
+    touching text. The split uses the same portable id-hash as q91/q137,
+    so the 'incremental' boundary composes with the pipeline's splits."""
+    bucket = F.expr(
+        f"{tok_hash_expr('CAST(doc_id AS STRING)', dialect='spark')} % 100"
+    )
+    sigs = (
+        _shingle_sets(spark, sf_dir)
+        .withColumn(
+            "hs",
+            F.expr(
+                f"transform(shs, s -> {tok_hash_expr('s', dialect='spark')})"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.expr(_minhash_expr("spark")), ",").alias("signature"),
+            (bucket < _SIG_BASE_HI).alias("from_base"),
+        )
+    )
+    base = sigs.filter(F.col("from_base"))      # the stored index
+    delta = sigs.filter(~F.col("from_base"))    # fresh arrivals, re-signed
+    return base.unionByName(delta)
