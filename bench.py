@@ -66,6 +66,10 @@ HEADLINE = [
     "q151_unigram_lm_score",
     "q153_semantic_dedup",
     "q156_embedding_outliers",
+    "q175_bloom_prefilter_join",
+    "q176_bm25_search",
+    "q177_last_touch_attribution",
+    "q178_cms_frequency_estimate",
 ]
 
 

@@ -42,6 +42,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     curation,
     corpus_scoring,
     warehouse_ops,
+    sketch_retrieval,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,485 @@
+"""Sketch / retrieval / attribution operators — the seventh wave
+(SURVEY.md §2B "beyond the reference" rows): explicit Bloom-filter
+semi-join reduction, BM25 full-text ranking, last-touch attribution
+(as-of with a lookback horizon), a count-min sketch with exact-vs-
+estimate audit, and duplicate-group-aware (leakage-safe) dataset
+splitting.
+
+Scale posture (100 TB):
+- q175 is THE shuffle-avoidance pattern for selective fact⋈dim joins:
+  the build side is reduced to a fixed-size integer bitmap (8 KB here,
+  independent of build cardinality beyond FPP tuning) that is broadcast
+  and applied MAP-SIDE on the probe scan, so rows that cannot join never
+  enter the exchange. Spark's runtime bloom (spark.sql.optimizer.runtime.
+  bloomFilter.*) does this opaquely; the explicit form is deterministic,
+  oracle-checkable, and portable to engines without the rule.
+- q176/q178 are explode → vocabulary-sized hash-aggs with map-side
+  partial aggregation; every probe join has a broadcast-sized build side
+  (3 query terms; a 4×1024 sketch). The CMS cell grid is CONSTANT-size
+  regardless of corpus scale and each cell is a mergeable sum — partials
+  combine across 1000 executors without a second pass over the data.
+- q177 is the union+window as-of shape (one shuffle on user_id, linear
+  scan per key) — never a per-purchase subquery against the click table.
+- q179 is map-only except one hash-agg keyed by content hash (the dedup
+  group key): split assignment is a pure function of the group key, so
+  exact duplicates can never straddle train/test no matter how the
+  corpus is partitioned.
+- Cross-engine float safety: BM25's per-(doc,term) score is floored into
+  integer micro-units BEFORE the cross-term sum (q151's pattern); Bloom
+  and CMS are pure int64 arithmetic mod P (porthash contract).
+No Python UDFs anywhere; everything is whole-stage-codegen'd SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import (
+    MOD_P,
+    minhash_perm_expr,
+    tok_hash_expr,
+)
+from kinesis_customer_sample_spark.queries.text_analysis import (
+    _DUCK_TOKS,
+    _docs_with_tokens,
+)
+from kinesis_customer_sample_spark.registry import query
+
+# --- q175: Bloom-filter semi-join reduction --------------------------------
+
+# 62 usable bits per word (1 << 62 is the largest power of two DuckDB's
+# checked int64 shift/bit_or arithmetic can hold without overflow errors;
+# Spark wraps silently but the oracle must not), 1024 words ≈ 63.5k bits.
+# With ~300 build keys at sf0.01 and k=3 probes the FPP is ≪ 1e-6; at real
+# scale m/k are tuned to the build cardinality — the SHAPE (fixed-size
+# bitmap, map-side probe) is the contract, not these constants.
+_BLOOM_WORD_BITS = 62
+_BLOOM_WORDS = 1024
+_BLOOM_BITS = _BLOOM_WORD_BITS * _BLOOM_WORDS
+_BLOOM_K = 3
+
+
+def _bloom_positions(key: str) -> list[str]:
+    """k bit positions for an int64 key — pure mod-P arithmetic, identical
+    text in both dialects (porthash contract)."""
+    h = f"(({key}) % {MOD_P})"
+    return [f"({minhash_perm_expr(h, i)} % {_BLOOM_BITS})" for i in range(_BLOOM_K)]
+
+
+@query(
+    "q175_bloom_prefilter_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)::BIGINT                                   AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "bloom", "scale-pattern"),
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: orders of BUILDING-segment
+    customers, with the probe side pre-filtered by a broadcast Bloom
+    bitmap BEFORE the exact semi-join.
+
+    Build: segment customers → k=3 portable-hash bit positions each →
+    bit_or into a 1024-word int64 bitmap → one map literal broadcast to
+    every probe task. Probe: each order tests all k bits map-side; only
+    survivors (true matches + FPP ≈ 1e-6 false positives) reach the
+    left-semi join that restores exactness. Bloom filters have no false
+    negatives, so the oracle is the plain IN-subquery — the bitmap is a
+    pure shuffle-reduction, invisible in the result. At 100 TB this is
+    the difference between shuffling every order and shuffling only the
+    ~1/5 that can match (Spark's runtime bloomFilter rule automates the
+    same idea; the explicit form is deterministic and plan-testable)."""
+    cust_f = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    pos = _bloom_positions("c_custkey")
+    bitmap = (
+        cust_f.select(
+            F.explode(F.array(*[F.expr(p) for p in pos])).alias("pos")
+        )
+        .groupBy(F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BLOOM_WORD_BITS} AS INT)))"
+            ).alias("mask")
+        )
+    )
+    bmap = F.broadcast(
+        bitmap.agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias(
+                "bmap"
+            )
+        )
+    )
+    orders = table(spark, sf_dir, "orders")
+    probe_pos = _bloom_positions("o_custkey")
+    might_contain = None
+    for p in probe_pos:
+        test = F.expr(
+            f"(coalesce(element_at(bmap, ({p}) div {_BLOOM_WORD_BITS}), "
+            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({p}) % {_BLOOM_WORD_BITS} AS INT))) != 0"
+        )
+        might_contain = test if might_contain is None else (might_contain & test)
+    survivors = orders.crossJoin(bmap).filter(might_contain)
+    exact = survivors.join(
+        F.broadcast(cust_f.select("c_custkey")),
+        survivors.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+# --- q176: BM25 ranking ----------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "query")
+_BM25_K = 10
+
+
+def _bm25_score_expr(*, dialect: str) -> str:
+    """Okapi BM25 per-(doc,term) partial score in integer micro-units.
+    k1 = 1.2, b = 0.75 appear as the literals 2.2 (k1+1), 1.2, 0.25
+    (1−b) and 0.75. The float expression tree is TEXTUALLY parallel
+    across dialects (same op order → same IEEE results); flooring to
+    µ-units happens per term, so the cross-term sum is exact integer
+    arithmetic (q151's contract)."""
+    nd = "CAST(n_docs AS DOUBLE)" if dialect == "spark" else "n_docs::DOUBLE"
+    tf = "CAST(tf AS DOUBLE)" if dialect == "spark" else "tf::DOUBLE"
+    dl = "CAST(dl AS DOUBLE)" if dialect == "spark" else "dl::DOUBLE"
+    sdl = "CAST(sum_dl AS DOUBLE)" if dialect == "spark" else "sum_dl::DOUBLE"
+    df = "CAST(df AS DOUBLE)" if dialect == "spark" else "df::DOUBLE"
+    idf = f"ln(1.0 + ({nd} - {df} + 0.5) / ({df} + 0.5))"
+    tfn = f"(({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 * ({dl} * {nd}) / {sdl})))"
+    floor_cast = (
+        f"CAST(floor({idf} * {tfn} * 1000000) AS BIGINT)"
+        if dialect == "spark"
+        else f"floor({idf} * {tfn} * 1000000)::BIGINT"
+    )
+    return floor_cast
+
+
+@query(
+    "q176_bm25_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls
+    ),
+    tfs AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tfs GROUP BY tok),
+    parts AS (
+      SELECT t.doc_id, {_bm25_score_expr(dialect="duckdb")} AS score_mu
+      FROM tfs t JOIN dfs USING (tok) JOIN dls USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           sum(score_mu)::BIGINT AS bm25_mu,
+           count(*)::BIGINT      AS n_terms_matched
+    FROM parts GROUP BY doc_id
+    ORDER BY bm25_mu DESC, doc_id LIMIT {_BM25_K}
+    """,
+    tags=("llm", "retrieval", "bm25"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text ranking: top-10 documents for the query terms
+    {spark, join, query}. One tokenize pass feeds document lengths, term
+    frequencies, and document frequencies; corpus stats (N, Σdl) and the
+    3-row df table are broadcast by construction. Docs containing none of
+    the terms never materialize (inner tf join) — at 100 TB the candidate
+    set is the posting-list union, not the corpus. Per-term scores are
+    floored to integer micro-units before the cross-term sum, and the
+    final top-k is TakeOrderedAndProject (no global sort)."""
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    dls = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dls.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+    )
+    tfs = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = F.broadcast(tfs.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    parts = (
+        tfs.join(dfs, "tok")
+        .join(dls, "doc_id")
+        .crossJoin(stats)
+        .select(
+            "doc_id", F.expr(_bm25_score_expr(dialect="spark")).alias("score_mu")
+        )
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(
+            F.sum("score_mu").cast("long").alias("bm25_mu"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.col("bm25_mu").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+# --- q177: last-touch attribution ------------------------------------------
+
+
+@query(
+    "q177_last_touch_attribution",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS click_event_id,
+           c.ts       AS click_ts,
+           ((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)::BIGINT AS lag_s
+    FROM events p
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+      ORDER BY ts DESC, event_id DESC LIMIT 1
+    ) c ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("analytics", "asof", "attribution"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent click within a 7-day lookback (NULL when none). The engine
+    form is the O(n+m) union+window as-of shape — clicks and purchases
+    tagged and interleaved in (ts, kind, event_id) order, a running
+    `last(click, ignorenulls)` carried forward per user, then the
+    lookback horizon applied — ONE shuffle on user_id and a linear pass
+    per key. The oracle is the per-purchase LATERAL subquery (quadratic
+    form DuckDB can afford at sf0.01). Ties (click and purchase in the
+    same microsecond) resolve click-first, then max event_id, on both
+    sides."""
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(1).alias("kind"),
+        F.when(
+            F.col("event_type") == "click", F.struct("ts", "event_id")
+        ).alias("click"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+    in_window = F.col("last_click.ts") >= F.col("ts") - F.expr("INTERVAL 7 DAY")
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_window, F.col("last_click.event_id")).alias("click_event_id"),
+        F.when(in_window, F.col("last_click.ts")).alias("click_ts"),
+        # elapsed whole seconds via integer epoch-µs arithmetic: DuckDB's
+        # date_diff('second', …) counts boundary CROSSINGS and Spark's
+        # timestampdiff floors elapsed time — they disagree whenever the
+        # µs fractions straddle a second boundary, so neither is used
+        F.when(
+            in_window,
+            F.expr(
+                "(unix_micros(CAST(ts AS TIMESTAMP)) "
+                "- unix_micros(CAST(last_click.ts AS TIMESTAMP))) div 1000000"
+            ),
+        )
+        .cast("long")
+        .alias("lag_s"),
+    )
+
+
+# --- q178: count-min sketch ------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOPK = 20
+
+
+def _cms_pos(h: str, d: int) -> str:
+    return f"({minhash_perm_expr(h, d)} % {_CMS_WIDTH})"
+
+
+@query(
+    "q178_cms_frequency_estimate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok, count(*)::BIGINT AS c,
+             {tok_hash_expr("tok", dialect="duckdb")} AS h
+      FROM tok GROUP BY tok
+    ),
+    cells AS (
+      SELECT d, pos, sum(c)::BIGINT AS cell FROM (
+        SELECT dd.d, CASE dd.d
+               {" ".join(f"WHEN {d} THEN {_cms_pos('h', d)}" for d in range(_CMS_DEPTH))}
+               END AS pos, c
+        FROM counts, (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) dd
+      ) GROUP BY d, pos
+    ),
+    top AS (
+      SELECT tok, c, h FROM counts ORDER BY c DESC, tok LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      SELECT t.tok, t.c, dd.d, CASE dd.d
+             {" ".join(f"WHEN {d} THEN {_cms_pos('t.h', d)}" for d in range(_CMS_DEPTH))}
+             END AS pos
+      FROM top t, (SELECT unnest(range(0, {_CMS_DEPTH})) AS d) dd
+    )
+    SELECT p.tok, p.c AS exact_c,
+           min(cl.cell)::BIGINT            AS cms_est,
+           (min(cl.cell) - p.c)::BIGINT    AS overcount
+    FROM probes p JOIN cells cl ON p.d = cl.d AND p.pos = cl.pos
+    GROUP BY p.tok, p.c
+    """,
+    tags=("llm", "sketch", "frequency"),
+)
+def cms_frequency_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with an exact-vs-estimate audit: build a 4×1024
+    integer sketch of corpus token frequencies, then read back the 20
+    most frequent tokens and report exact count, CMS estimate, and the
+    (always ≥ 0) overcount. The sketch is built from the per-token count
+    table — cell-identical to streaming per-occurrence inserts, but one
+    vocabulary-sized pass instead of a corpus-sized one. The grid is
+    CONSTANT-size (4096 int64 cells) whatever the corpus: cells are
+    mergeable sums, so 1000 executors combine partial sketches without a
+    second data pass — the sketch answers any token's frequency within
+    εN without storing the vocabulary. Probe joins have broadcast-sized
+    inputs on both sides (20 tokens × 4 probes vs 4096 cells)."""
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        F.explode("toks").alias("tok")
+    )
+    counts = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("h", F.expr(tok_hash_expr("tok", dialect="spark")))
+    )
+    cells = (
+        counts.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.expr(_cms_pos("h", d)).alias("pos"),
+                        )
+                        for d in range(_CMS_DEPTH)
+                    ]
+                )
+            ).alias("dp"),
+        )
+        .groupBy("dp.d", "dp.pos")
+        .agg(F.sum("c").alias("cell"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "tok").limit(_CMS_TOPK)
+    probes = top.select(
+        "tok",
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_pos("h", d)).alias("pos"),
+                    )
+                    for d in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("dp"),
+    ).select("tok", "c", "dp.d", "dp.pos")
+    return (
+        F.broadcast(probes)
+        .join(cells, ["d", "pos"])
+        .groupBy("tok", "c")
+        .agg(F.min("cell").alias("cms_min"))
+        .select(
+            "tok",
+            F.col("c").alias("exact_c"),
+            F.col("cms_min").cast("long").alias("cms_est"),
+            (F.col("cms_min") - F.col("c")).cast("long").alias("overcount"),
+        )
+    )
+
+
+# --- q179: leakage-safe split ----------------------------------------------
+
+
+@query(
+    "q179_leakage_safe_split",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             sha256(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, content_hash,
+             {tok_hash_expr("content_hash", dialect="duckdb")} % 100 AS bucket
+      FROM hashed
+    )
+    SELECT doc_id, content_hash,
+           bucket::BIGINT AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           (count(*) OVER (PARTITION BY content_hash))::BIGINT AS group_size
+    FROM keyed
+    """,
+    tags=("llm", "split", "dedup"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group-aware train/val/test split: the split key is the
+    portable hash of the CONTENT hash (the exact-dedup group key), not
+    the doc id — so byte-identical duplicates land in the same split by
+    construction and can never leak train text into test. 80/10/10 via
+    bucket = hash % 100. Differs from q91 (doc-keyed split): here the
+    unit of assignment is the dedup group. Map-only except the window
+    that reports group_size (one shuffle on content_hash — the same key
+    exact dedup shuffles on anyway). Deterministic: re-running on a
+    grown corpus never reassigns an existing group."""
+    hashed = table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.lower(F.trim("text")), 256).alias("content_hash")
+    )
+    keyed = hashed.withColumn(
+        "bucket",
+        (F.expr(tok_hash_expr("content_hash", dialect="spark")) % 100).cast(
+            "long"
+        ),
+    )
+    wg = W.partitionBy("content_hash")
+    return keyed.select(
+        "doc_id",
+        "content_hash",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
+    )

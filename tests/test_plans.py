@@ -707,3 +707,55 @@ def test_q172_bigram_lm_no_self_join_window(spark, sf_dir):
     assert not facts.has_cartesian
     assert "No Partition Defined" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_q175_bloom_probe_is_map_side(spark, sf_dir):
+    """The Bloom pre-filter must apply map-side (broadcast bitmap, no
+    extra shuffle of the probe side) and the exactness-restoring join
+    must be a broadcast semi-join — never a shuffle of unfiltered
+    orders."""
+    facts = audit_of(spark, sf_dir, "q175_bloom_prefilter_join")
+    # bitmap cross-join + semi-join both broadcast; no sort-merge anywhere
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "SortMergeJoin" not in facts.join_strategies
+    assert facts.has_partial_agg
+
+
+def test_q176_bm25_topk_and_broadcasts(spark, sf_dir):
+    """BM25's top-k must be TakeOrderedAndProject; corpus stats and the
+    3-row df table must broadcast (no sort-merge join of postings)."""
+    facts = audit_of(spark, sf_dir, "q176_bm25_search")
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_q177_attribution_single_user_shuffle(spark, sf_dir):
+    """The as-of union+window shape: every window is partitioned by
+    user_id (no global window), and the plan never joins clicks to
+    purchases pairwise."""
+    facts = audit_of(spark, sf_dir, "q177_last_touch_attribution")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+    assert facts.join_strategies == {}  # pure union+window, zero joins
+
+
+def test_q178_cms_broadcast_probes(spark, sf_dir):
+    """CMS probe joins must broadcast (20×4 probes vs a 4096-cell grid);
+    sketch build aggregates with map-side partials; exact top-k via
+    TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q178_cms_frequency_estimate")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_q179_split_partitioned_window_only(spark, sf_dir):
+    """Leakage-safe split: the only shuffle is the content-hash window's
+    (the dedup group key); the window must be partitioned."""
+    facts = audit_of(spark, sf_dir, "q179_leakage_safe_split")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies == {}
