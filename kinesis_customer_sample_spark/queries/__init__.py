@@ -43,6 +43,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     corpus_scoring,
     warehouse_ops,
     sketch_retrieval,
+    graph_quality_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

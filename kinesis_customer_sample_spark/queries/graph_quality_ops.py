@@ -1,0 +1,366 @@
+"""Graph-analytics + data-quality + streaming-completion operators — the
+eighth wave (SURVEY.md §2B): degree-oriented triangle counting, Markov
+transition matrices, referential-integrity auditing, and the left-outer
+stream-stream join (the one Structured Streaming join family q111's inner
+form left uncovered).
+
+Scale posture (100 TB):
+- q180 is the canonical distributed triangle count: edges oriented by the
+  total order (degree, id) so every wedge is generated at its LOWEST-degree
+  vertex — the join fan-out is Σ d_out², bounded by m^1.5 overall instead
+  of the Σ d² a hub vertex causes under naive orientation. Triangle and
+  wedge counts are orientation-invariant, so the oracle uses plain id
+  order and must agree exactly.
+- q181 is one shuffle on user_id + a per-key linear window; the 25-cell
+  transition matrix aggregates with map-side partials. Probabilities are
+  integer basis points (truncating div) — no float rows.
+- q182's FK probes are left-anti joins: dimension sides broadcast, the
+  lineitem→orders probe shuffles on the key both tables already cluster
+  by. Each audit row costs one scan of the child table; audits share
+  nothing, so Spark runs them as independent parallel subtrees of one
+  union.
+- q183 executes a REAL left-outer stream-stream join. Outer-null emission
+  is gated by watermark advancement (state for a purchase can only be
+  declared click-less once the click watermark passes its window), so the
+  query restricts purchases to ts ≤ max(ts) − 2 h — events whose window
+  provably closes before the replay's final watermark — making the
+  availableNow result equal the batch left join, hash-checked. The state
+  bound is the same as q111: one window per active user, expired by
+  watermark + range condition.
+No Python UDFs; all whole-stage-codegen'd SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+# canonical undirected co-purchase edges (a < b), shared with q120/q159
+_EDGES_SQL = """
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("x")
+    b = li.alias("y")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q180_triangle_count",
+    oracle=f"""
+    WITH und AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*)::BIGINT AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT count(*) FROM deg)::BIGINT                    AS n_nodes,
+           (SELECT count(*) FROM und)::BIGINT                    AS n_edges,
+           (SELECT n_triangles FROM tri)::BIGINT                 AS n_triangles,
+           ((SELECT 3 * n_triangles * 1000000 FROM tri)
+            // (SELECT sum(d * (d - 1) // 2) FROM deg))::BIGINT  AS clustering_mu
+    """,
+    tags=("graph", "triangles", "clustering"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph with degree-based
+    orientation: each undirected edge is directed from the (degree, id)-
+    smaller endpoint to the larger, so wedges are enumerated at their
+    lowest-degree vertex — join fan-out Σ d_out² ≤ O(m^1.5) instead of
+    exploding at hub vertices (the standard MapReduce triangle-count
+    bound). A triangle (u→v, u→w, v→w) is then counted exactly once by
+    joining wedges back to oriented edges. Global clustering coefficient
+    = 3·triangles / wedges in integer µ-units; both counts are
+    orientation-invariant, so the oracle's plain id-ordered enumeration
+    must agree bit-for-bit."""
+    und = _copurchase_edges(spark, sf_dir).persist()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): lower endpoint in this order emits the edge
+    ranked = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_is_a, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+    )
+    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_d").alias("vd"))
+    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_d").alias("wd"))
+    # wedge (v, w) at src, one per unordered pair: order by (degree, id)
+    wedges = e1.join(e2, "src").filter(
+        (F.col("vd") < F.col("wd"))
+        | ((F.col("vd") == F.col("wd")) & (F.col("v") < F.col("w")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    degstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    # und stays persisted for the run (three consumers: degrees, wedges,
+    # edge count); bench clears the cache between executions and the
+    # driver's correctness walk runs each query in a fresh process, so
+    # nothing leaks across queries.
+    return (
+        degstats.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr("3 * n_triangles * 1000000 div n_wedges")
+            .cast("long")
+            .alias("clustering_mu"),
+        )
+    )
+
+
+@query(
+    "q181_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           (n * 10000 // sum(n) OVER (PARTITION BY from_type))::BIGINT AS prob_bp
+    FROM pairs
+    """,
+    tags=("analytics", "markov", "window"),
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current), as integer basis points. One shuffle
+    on user_id for the lead() window, then a |types|²-cell hash agg with
+    map-side partials; row normalization is a window over the 25-row
+    matrix (trivially broadcast-scale). The user-behavior model behind
+    next-event prediction and anomalous-session scoring."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = W.partitionBy("from_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wrow))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 10000 div row_total").cast("long").alias("prob_bp"),
+        )
+    )
+
+
+@query(
+    "q182_referential_integrity",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS constraint_name,
+           (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                               WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+    UNION ALL
+    SELECT 'events.user_id->customer',
+           (SELECT count(*) FROM events)::BIGINT,
+           (SELECT count(*) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id))::BIGINT
+    """,
+    tags=("quality", "referential-integrity", "anti-join"),
+)
+def referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for each foreign-key relationship,
+    total child rows and orphan rows (children whose parent key does not
+    exist) via left-anti joins. Dimension parents (customer, part,
+    supplier) broadcast; the lineitem→orders probe shuffles on the join
+    key. Each audit is an independent subtree of one union — Spark
+    schedules them concurrently. The everyday warehouse data-quality
+    gate, and the first thing to run after any CDC apply (q161)."""
+
+    def _audit(name: str, child: DataFrame, key: str, parent: DataFrame, pkey: str, bcast: bool) -> DataFrame:
+        par = F.broadcast(parent) if bcast else parent
+        orphans = child.join(par, child[key] == par[pkey], "left_anti")
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("constraint_name"),
+                F.col("n_rows").cast("long"),
+                F.col("n_orphans").cast("long"),
+            )
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer").select("c_custkey")
+    part = table(spark, sf_dir, "part").select("p_partkey")
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey")
+    events = table(spark, sf_dir, "events")
+    audits = [
+        _audit("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey", True),
+        _audit("lineitem.l_orderkey->orders", lineitem, "l_orderkey",
+               orders.select("o_orderkey"), "o_orderkey", False),
+        _audit("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey", True),
+        _audit("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey", True),
+        _audit("events.user_id->customer", events, "user_id", customer, "c_custkey", True),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+@query(
+    "q183_stream_outer_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS cut
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events, cutoff
+      WHERE event_type = 'purchase' AND ts <= cut
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           count(*)::BIGINT                                    AS n_rows,
+           count(*) FILTER (c.user_id IS NULL)::BIGINT         AS n_clickless
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 72 HOUR AND p.ts
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "stream-stream", "outer"),
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the join family q111's
+    inner form leaves uncovered. A purchase with no click in its 72 h
+    lookback must still emit (with nulls), and Structured Streaming can
+    only declare it click-less once the click-side watermark passes the
+    window's end — so outer results are watermark-GATED, not just
+    watermark-bounded. To make the availableNow replay equal the batch
+    left join, purchases are restricted to ts ≤ max(ts) − 2 h (windows
+    that provably close before the final watermark, 1 h delay + margin);
+    the tail events still feed the watermark. State posture matches
+    q111: keyed by user, expired by watermark + range. Oracle: the batch
+    left join with the same cutoff, hash-checked — stream/batch
+    equivalence for outer emission."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    # Cutoff anchored to the LATER-ARRIVING of the two sides' maxima: the
+    # global watermark is min(click wm, purchase wm), so the margin must
+    # survive whichever side's tail is sparser (at sf0.001 hours can pass
+    # between purchases).
+    cut = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                "least(max(CASE WHEN event_type = 'click' THEN ts END), "
+                "max(CASE WHEN event_type = 'purchase' THEN ts END)) "
+                "- INTERVAL 2 HOUR"
+            ).alias("cut")
+        )
+        .collect()[0]["cut"]
+    )
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    # The ts-cutoff filter must sit ABOVE the watermark operator: the
+    # watermark tracks event time of rows flowing through its node, and
+    # filtering first would cap the purchase-side watermark at cut − 1 h —
+    # leaving every clickless purchase in the final kept hour gated
+    # forever (found the hard way: one row short at sf0.01).
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("purchase_ts") <= F.lit(cut))
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 72 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    rows = run_to_completion(pairs, output_mode="append")
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("c_user").isNull(), 1)).alias("n_clickless"),
+    )

@@ -759,3 +759,29 @@ def test_q179_split_partitioned_window_only(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q179_leakage_safe_split")
     assert "No Partition Defined" not in facts.text
     assert facts.join_strategies == {}
+
+
+def test_q180_triangle_join_no_cartesian(spark, sf_dir):
+    """Triangle counting must enumerate wedges via equi-joins on the
+    oriented edge list — no cartesian, partial aggs for the degree and
+    count reductions."""
+    facts = audit_of(spark, sf_dir, "q180_triangle_count")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_q181_markov_partitioned_windows(spark, sf_dir):
+    """Both windows (per-user lead, per-row-type normalization) must be
+    partitioned; transition counts aggregate with map-side partials."""
+    facts = audit_of(spark, sf_dir, "q181_markov_transitions")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_q182_fk_audits_broadcast_dims(spark, sf_dir):
+    """Dimension-side FK probes (customer/part/supplier) must be
+    broadcast anti-joins; nothing may degrade to nested-loop."""
+    facts = audit_of(spark, sf_dir, "q182_referential_integrity")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert not facts.has_cartesian
