@@ -44,6 +44,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     warehouse_ops,
     sketch_retrieval,
     graph_quality_ops,
+    entity_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,175 @@
+"""Entity-resolution composite + per-group cap sampling — the ninth wave
+(SURVEY.md §2B): the classic master-data-management pipeline (blocking →
+fuzzy matching → connected components → survivorship) composed from
+operators that each already carry a green oracle, plus the deterministic
+k-per-group cap that domain-mix pipelines use to bound any one source.
+
+Scale posture (100 TB):
+- q184 inherits each stage's posture: q119's (lang, length-band) blocking
+  keeps candidate pairs near-linear; the CC loop is one join + min-agg
+  per round over a label table with one row per doc, lineage truncated by
+  localCheckpoint, converging in O(cluster diameter) rounds (entity
+  clusters are shallow); survivorship is one max_by hash-agg keyed by the
+  entity id the loop already shuffles on.
+- q185 is one partitioned window ordered by a portable hash — per-group
+  uniform-without-replacement sampling with a hard k cap, deterministic
+  across engines, partitionings, and reruns. Heavy groups cost their own
+  row count to rank, never cross-group state; at 100 TB per-domain caps
+  are what keep one crawl domain from dominating a mixture.
+No Python UDFs; all whole-stage-codegen'd SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import tok_hash_expr
+from kinesis_customer_sample_spark.queries.composites4 import (
+    _DUCK_NORM,
+    _FUZZ_BAND,
+    _FUZZ_MAX_DIST,
+    _FUZZ_PREFIX,
+    fuzzy_join_levenshtein,
+)
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q184_entity_resolution",
+    oracle=f"""
+    WITH RECURSIVE n AS (
+      SELECT doc_id, lang, n_chars // {_FUZZ_BAND} AS band,
+             substring({_DUCK_NORM}, 1, {_FUZZ_PREFIX}) AS pfx
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM n a JOIN n b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= {_FUZZ_MAX_DIST}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.doc = e.src
+    ),
+    comp AS (SELECT doc AS doc_id, min(lbl) AS entity_id FROM reach GROUP BY doc),
+    joined AS (
+      SELECT c.doc_id, c.entity_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    canon AS (
+      SELECT entity_id,
+             max_by(doc_id, n_chars * 1000000 + doc_id) AS canonical_doc_id,
+             count(*)::BIGINT AS n_members
+      FROM joined GROUP BY entity_id
+    )
+    SELECT j.doc_id, j.entity_id, c.canonical_doc_id, c.n_members,
+           (j.doc_id = c.canonical_doc_id) AS is_canonical
+    FROM joined j JOIN canon c USING (entity_id)
+    """,
+    tags=("entity-resolution", "dedup", "graph", "composite", "iterative"),
+)
+def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: (lang, length-band)-blocked
+    levenshtein matching (q119's pair generator, reused verbatim) →
+    min-label connected components over the match graph — singletons
+    included, every doc gets an entity — → survivorship: the canonical
+    record per entity is the longest document (doc_id tie-break), the
+    same composite-integer max_by contract as q173. One row per doc:
+    entity id, canonical doc, member count, is_canonical. The oracle
+    reaches the same fixpoint via a recursive CTE — a different
+    algorithm, so agreement checks semantics, not plan shape."""
+    pairs = (
+        fuzzy_join_levenshtein(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = docs.select("doc_id").withColumn("entity_id", F.col("doc_id"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("entity_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least("entity_id", F.coalesce("nbr_min", "entity_id")).alias(
+                    "new_entity_id"
+                ),
+                (
+                    F.least("entity_id", F.coalesce("nbr_min", "entity_id"))
+                    != F.col("entity_id")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter("changed").count()
+        labels = updated.select("doc_id", F.col("new_entity_id").alias("entity_id"))
+        if changed == 0:
+            break
+    edges.unpersist()
+    joined = labels.join(docs, "doc_id")
+    canon = joined.groupBy("entity_id").agg(
+        F.expr("max_by(doc_id, n_chars * 1000000 + doc_id)").alias(
+            "canonical_doc_id"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return joined.join(canon, "entity_id").select(
+        "doc_id",
+        "entity_id",
+        "canonical_doc_id",
+        "n_members",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+    )
+
+
+_CAP_K = 5
+
+
+@query(
+    "q185_group_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {tok_hash_expr("doc_id::VARCHAR", dialect="duckdb")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, rk::BIGINT AS rk
+    FROM ranked WHERE rk <= {_CAP_K}
+    """,
+    tags=("sampling", "cap", "porthash"),
+)
+def group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group cap: at most {k} documents per source,
+    chosen by portable-hash order — a uniform without-replacement sample
+    that any engine reproduces bit-for-bit (no RNG, no seed plumbing).
+    The mix-control primitive that bounds any single domain's
+    contribution regardless of its raw size: one partitioned window,
+    rank state O(1) per group, and heavy groups cost only their own
+    rows. Complements q140 (fractional rates) with a hard ceiling."""
+    docs = table(spark, sf_dir, "documents")
+    hash_expr = tok_hash_expr("CAST(doc_id AS STRING)", dialect="spark")
+    w = W.partitionBy("source").orderBy(F.expr(hash_expr), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CAP_K)
+    )

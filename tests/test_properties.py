@@ -435,3 +435,124 @@ def test_trigram_entropy_bounds(spark, sf_dir):
     for r in char_trigram_entropy(spark, sf_dir).collect():
         upper = math.log(r["n_tris"]) * 1e6
         assert -2 <= r["entropy_mu"] <= upper + 2, r
+
+
+def test_bloom_prefilter_is_sound_and_selective(spark, sf_dir):
+    """Bloom soundness (no false negatives): every true-matching order
+    survives the bitmap probe; selectivity: the false-positive overhead
+    is a small fraction of the non-matching population."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.sketch_retrieval import (
+        _bloom_positions,
+        _BLOOM_WORD_BITS,
+    )
+    from pyspark.sql import functions as F
+
+    cust_f = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders")
+    n_true = orders.join(
+        cust_f.select("c_custkey"),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).count()
+    pos = _bloom_positions("c_custkey")
+    bitmap = (
+        cust_f.select(F.explode(F.array(*[F.expr(p) for p in pos])).alias("pos"))
+        .groupBy(F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {_BLOOM_WORD_BITS} AS INT)))"
+            ).alias("mask")
+        )
+    )
+    bmap = F.broadcast(
+        bitmap.agg(
+            F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bmap")
+        )
+    )
+    probe_pos = _bloom_positions("o_custkey")
+    cond = None
+    for p in probe_pos:
+        t = F.expr(
+            f"(coalesce(element_at(bmap, ({p}) div {_BLOOM_WORD_BITS}), "
+            f"CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(({p}) % {_BLOOM_WORD_BITS} AS INT))) != 0"
+        )
+        cond = t if cond is None else (cond & t)
+    n_survivors = orders.crossJoin(bmap).filter(cond).count()
+    n_total = orders.count()
+    assert n_survivors >= n_true  # soundness: no false negatives
+    # selectivity: FP ≤ 1% of the non-matching population at these m/k
+    assert n_survivors - n_true <= max(1, (n_total - n_true) // 100)
+
+
+def test_leakage_split_groups_never_straddle(spark, sf_dir):
+    """Every duplicate group (same content_hash) must land in exactly one
+    split — the defining property of the group-keyed split."""
+    from kinesis_customer_sample_spark.registry import load_registry
+    from pyspark.sql import functions as F
+
+    df = load_registry()["q179_leakage_safe_split"].fn(spark, sf_dir)
+    straddlers = (
+        df.groupBy("content_hash")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # the fixture has no exact-duplicate texts, so exercise multi-member
+    # groups synthetically: duplicate every doc under a new id and assert
+    # the copy lands in its original's split (same content hash → same
+    # deterministic bucket, whatever the doc id)
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.functions import tok_hash_expr
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    keyed = doubled.select(
+        "doc_id",
+        F.sha2(F.lower(F.trim("text")), 256).alias("content_hash"),
+    ).withColumn(
+        "bucket", F.expr(tok_hash_expr("content_hash", dialect="spark")) % 100
+    )
+    split_spread = (
+        keyed.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("bucket").alias("n_buckets"),
+        )
+    )
+    assert split_spread.filter(F.col("n") < 2).count() == 0
+    assert split_spread.filter(F.col("n_buckets") > 1).count() == 0
+
+
+def test_markov_rows_are_probability_distributions(spark, sf_dir):
+    """Each from_type row's basis points sum to ≤ 10000 (truncating div)
+    and > 10000 - n_cells (the truncation loss bound)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+    from pyspark.sql import functions as F
+
+    df = load_registry()["q181_markov_transitions"].fn(spark, sf_dir)
+    rows = (
+        df.groupBy("from_type")
+        .agg(F.sum("prob_bp").alias("bp"), F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["bp"] <= 10000
+        assert r["bp"] > 10000 - r["k"]
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    """CMS structural guarantee: estimate ≥ exact count, always."""
+    from kinesis_customer_sample_spark.registry import load_registry
+    from pyspark.sql import functions as F
+
+    df = load_registry()["q178_cms_frequency_estimate"].fn(spark, sf_dir)
+    assert df.filter(F.col("overcount") < 0).count() == 0
