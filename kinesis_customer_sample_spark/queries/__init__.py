@@ -121,8 +121,23 @@ reorder_registry(
         "q141_global_shuffle",
         "q142_chunk_dedup",
         "q148_training_pipeline",
-        # deferred to round 4 (slots 51+): TPC-H-shape composites over
-        # already-green operator families
+        # slots 51+ (checked only if the driver's cap exceeds 50; else
+        # round-4 front-runners): the round-3 sketch/retrieval, graph/
+        # quality, and entity-resolution waves — new operator families,
+        # highest remaining signal
+        "q175_bloom_prefilter_join",
+        "q176_bm25_search",
+        "q177_last_touch_attribution",
+        "q178_cms_frequency_estimate",
+        "q179_leakage_safe_split",
+        "q180_triangle_count",
+        "q181_markov_transitions",
+        "q182_referential_integrity",
+        "q183_stream_outer_join",
+        "q184_entity_resolution",
+        "q185_group_cap_sample",
+        # then the TPC-H-shape composites over already-green operator
+        # families (least new signal)
         "q102_volume_shipping",
         "q103_waiting_suppliers",
         "q112_large_volume_customers",
