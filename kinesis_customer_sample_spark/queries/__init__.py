@@ -136,6 +136,7 @@ reorder_registry(
         "q183_stream_outer_join",
         "q184_entity_resolution",
         "q185_group_cap_sample",
+        "q186_media_blob_dedup",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

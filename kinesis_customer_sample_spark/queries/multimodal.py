@@ -110,3 +110,56 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle re-derives every frame row and hash in SQL."""
     media = attach_media(table(spark, sf_dir, "documents"))
     return sample_frames(media, stride=64)
+
+
+@query(
+    "q186_media_blob_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, md5(text) AS content_md5,
+             length(text)::BIGINT AS n_bytes
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, md5(text), length(text)::BIGINT
+      FROM documents
+    ),
+    g AS (
+      SELECT content_md5, min(media_id) AS keeper_media_id,
+             count(*)::BIGINT AS n_copies
+      FROM m GROUP BY content_md5
+    )
+    SELECT m.media_id, m.content_md5, m.n_bytes, g.keeper_media_id,
+           (m.media_id = g.keeper_media_id) AS keep, g.n_copies
+    FROM m JOIN g USING (content_md5)
+    """,
+    tags=("multimodal", "dedup", "mapinpandas"),
+)
+def media_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY media: an at-least-once ingest (the corpus
+    unioned with a re-keyed replay of itself, q150's delivery model) runs
+    through the real Arrow mapInPandas featurizer, then dedups on the
+    extracted content hash — keeper = min media id, every row annotated
+    keep/copy-count. The image-pipeline twin of q67: the hash is computed
+    where the blob lives (map-side, blobs never shuffle); only the
+    16-byte digest + metadata enter the group-by, so at 100 TB the
+    shuffle carries hashes, not media. Oracle recomputes the digest in
+    SQL (fixture payloads are ASCII: byte == char)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    feats = extract_features(attach_media(doubled)).select(
+        "media_id", "content_md5", "n_bytes"
+    )
+    groups = feats.groupBy("content_md5").agg(
+        F.min("media_id").alias("keeper_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return feats.join(groups, "content_md5").select(
+        "media_id",
+        "content_md5",
+        "n_bytes",
+        "keeper_media_id",
+        (F.col("media_id") == F.col("keeper_media_id")).alias("keep"),
+        "n_copies",
+    )

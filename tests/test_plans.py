@@ -785,3 +785,17 @@ def test_q182_fk_audits_broadcast_dims(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q182_referential_integrity")
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
     assert not facts.has_cartesian
+
+
+def test_q186_blob_dedup_shuffles_digests_only(spark, sf_dir):
+    """Media dedup must hash the blob where it lives: the only exchanges
+    allowed are the deliberate round-robin spread before the Python
+    featurizer and hash exchanges carrying the digest — the binary `data`
+    column must never appear in an Exchange's output."""
+    import re as _re
+
+    facts = audit_of(spark, sf_dir, "q186_media_blob_dedup")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", facts.text):
+        assert "data#" not in m.group(1)
