@@ -137,6 +137,7 @@ reorder_registry(
         "q184_entity_resolution",
         "q185_group_cap_sample",
         "q186_media_blob_dedup",
+        "q187_compaction_roundtrip",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

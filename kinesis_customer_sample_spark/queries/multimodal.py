@@ -163,3 +163,40 @@ def media_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("media_id") == F.col("keeper_media_id")).alias("keep"),
         "n_copies",
     )
+
+
+@query(
+    "q187_compaction_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    """,
+    tags=("maintenance", "compaction", "layout"),
+)
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction as a driver-checked operator: the documents
+    table is first written the way a micro-batch sink leaves it (64 tiny
+    files), then `operators/compaction.compact_table` rewrites it into 4
+    key-range-partitioned, key-sorted ZSTD files with a crash-safe
+    directory swap. The query returns the compacted table's content — the
+    oracle is the source table, so the hash-match proves the rewrite is
+    LOSSLESS, which is the property that lets compaction run unattended
+    against production tables. File-count and sortedness claims are
+    asserted separately (tests/test_compaction.py). At 100 TB this runs
+    per date-partition, each partition independently."""
+    import os
+
+    from kinesis_customer_sample_spark.operators.compaction import compact_table
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "docs_compaction",
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.repartition(64).write.mode("overwrite").parquet(scratch)
+    compact_table(spark, scratch, sort_keys=["doc_id"], target_files=4)
+    return spark.read.parquet(scratch)
