@@ -138,6 +138,7 @@ reorder_registry(
         "q185_group_cap_sample",
         "q186_media_blob_dedup",
         "q187_compaction_roundtrip",
+        "q188_pit_scd2_join",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

@@ -357,3 +357,118 @@ def listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_ids"),
         )
     )
+
+
+@query(
+    "q188_pit_scd2_join",
+    oracle="""
+    WITH nonp AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type != 'purchase'
+    ),
+    g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM nonp
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+      FROM g
+    ),
+    runs AS (
+      SELECT user_id, version_seq,
+             min(event_type)           AS state,
+             min(epoch_us(ts))::BIGINT AS valid_from_us
+      FROM v GROUP BY user_id, version_seq
+    ),
+    hist AS (
+      SELECT user_id, version_seq, state, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY version_seq) AS valid_to_us
+      FROM runs
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, epoch_us(ts)::BIGINT AS p_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           h.state        AS state_at_purchase,
+           h.version_seq  AS state_version
+    FROM p LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from_us <= p.p_us
+     AND (h.valid_to_us IS NULL OR p.p_us < h.valid_to_us)
+    """,
+    tags=("warehouse", "scd2", "point-in-time", "temporal-join"),
+)
+def pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-was) join: each purchase enriched with the SCD2
+    state version that was valid WHEN IT HAPPENED — the temporal-join
+    contract behind "report with the dimension as of the fact date", and
+    the reason SCD2 history (q118) is built at all. The state history is
+    the gaps-and-islands run collapse over the user's non-purchase
+    activity; the join is an equi-join on the user key plus the interval
+    predicate — fan-out ≤ 1 because versions tile time (q118's invariant
+    test), so at 100 TB this costs one key shuffle, never a range
+    explosion. Purchases before a user's first state row keep NULLs
+    (left join) — history can't be invented."""
+    ev = table(spark, sf_dir, "events")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = nonp.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(wseq).isNull()
+            | (F.lag("event_type").over(wseq) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    v = g.withColumn(
+        "version_seq",
+        F.sum("is_change")
+        .over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    runs = v.groupBy("user_id", "version_seq").agg(
+        F.min("event_type").alias("state"),
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).cast("long").alias(
+            "valid_from_us"
+        ),
+    )
+    wver = W.partitionBy("user_id").orderBy("version_seq")
+    hist = runs.withColumn("valid_to_us", F.lead("valid_from_us").over(wver))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").cast("long").alias("p_us"),
+    )
+    h = hist.select(
+        F.col("user_id").alias("h_user"),
+        "version_seq",
+        "state",
+        "valid_from_us",
+        "valid_to_us",
+    )
+    return p.join(
+        h,
+        (F.col("h_user") == F.col("user_id"))
+        & (F.col("valid_from_us") <= F.col("p_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("p_us") < F.col("valid_to_us"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("state").alias("state_at_purchase"),
+        F.col("version_seq").alias("state_version"),
+    )
