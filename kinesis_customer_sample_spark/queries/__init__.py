@@ -45,6 +45,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     sketch_retrieval,
     graph_quality_ops,
     entity_ops,
+    temporal_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry
@@ -139,6 +140,8 @@ reorder_registry(
         "q186_media_blob_dedup",
         "q187_compaction_roundtrip",
         "q188_pit_scd2_join",
+        "q189_asof_forward_join",
+        "q190_session_conversion",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

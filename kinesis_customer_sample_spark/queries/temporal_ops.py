@@ -1,0 +1,187 @@
+"""Temporal-direction operators — the tenth wave (SURVEY.md §2B):
+FORWARD as-of join (the mirror q13's backward form leaves uncovered) and
+session-scoped conversion rates (the session-local twin of q132's global
+funnel).
+
+Scale posture (100 TB):
+- q189 is the same O(n+m) union+window shape as q13/q177 — one shuffle on
+  the user key, a linear pass per key carrying ONE candidate struct —
+  never a per-fact subquery against the quote/event table. Forward vs
+  backward is only the frame direction (currentRow→following with
+  first(ignorenulls) instead of preceding→currentRow with last).
+- q190 reuses q108's gaps-and-islands sessionization (one user shuffle),
+  then reduces each session to two integers (first click µs, first
+  qualifying purchase µs) inside the same aggregation — conversion is a
+  per-session boolean, the rollup is |users| rows, and nothing outlives
+  its session, so state is bounded by session length exactly like the
+  streaming twin's watermark bound.
+No Python UDFs; all whole-stage-codegen'd SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q189_asof_forward_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.event_id AS next_view_event_id,
+           c.ts       AS next_view_ts,
+           ((epoch_us(c.ts) - epoch_us(p.ts)) // 1000000)::BIGINT AS wait_s
+    FROM events p
+    LEFT JOIN LATERAL (
+      SELECT event_id, ts FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'view'
+        AND c.ts >= p.ts
+      ORDER BY ts ASC, event_id ASC LIMIT 1
+    ) c ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("relational", "join", "asof", "forward"),
+)
+def asof_forward_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each purchase, the user's NEXT view at or
+    after it (NULL when none follows) — post-purchase behavior, the
+    direction q13's backward as-of cannot express. Same O(n+m)
+    union+window engine shape, frame flipped: views and purchases
+    interleave in (ts, kind, event_id) order with views sorting after
+    purchases at equal ts (so a same-microsecond view counts), and each
+    purchase takes `first(view, ignorenulls)` over
+    [currentRow, unboundedFollowing]. One shuffle on user_id; the oracle
+    is the per-purchase LATERAL (quadratic, sf0.01-affordable). Wait
+    seconds via integer epoch-µs arithmetic (q177's contract)."""
+    ev = table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(1).alias("kind"),
+        F.when(
+            F.col("event_type") == "view", F.struct("ts", "event_id")
+        ).alias("view"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = tagged.withColumn("next_view", F.first("view", ignorenulls=True).over(w))
+    return carried.filter(F.col("kind") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("next_view.event_id").alias("next_view_event_id"),
+        F.col("next_view.ts").alias("next_view_ts"),
+        F.expr(
+            "(unix_micros(CAST(next_view.ts AS TIMESTAMP)) "
+            "- unix_micros(CAST(ts AS TIMESTAMP))) div 1000000"
+        )
+        .cast("long")
+        .alias("wait_s"),
+    )
+
+
+@query(
+    "q190_session_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, sid,
+             min(epoch_us(ts)) FILTER (event_type = 'click')    AS first_click_us,
+             min(epoch_us(ts)) FILTER (event_type = 'purchase') AS first_purchase_us,
+             count(*)::BIGINT                                   AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_sessions,
+           count(*) FILTER (first_click_us IS NOT NULL
+                            AND first_purchase_us > first_click_us)::BIGINT
+             AS n_converted,
+           (count(*) FILTER (first_click_us IS NOT NULL
+                             AND first_purchase_us > first_click_us)
+            * 10000 // count(*))::BIGINT AS conversion_bp
+    FROM per_session
+    GROUP BY user_id
+    """,
+    tags=("analytics", "session", "conversion", "composite"),
+)
+def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion: a session CONVERTS when a purchase
+    strictly follows the session's first click — q108's gaps-and-islands
+    sessionization reduced to two integers per session (first click µs,
+    first purchase µs) in one aggregation, then a per-user rollup with
+    integer basis points. The session-local twin of q132's global funnel:
+    conversion must happen within the same 30-minute-gap session, not
+    anywhere in history. Two shuffles total (user window, user rollup),
+    both on the same key — Catalyst reuses the partitioning."""
+    ev = table(spark, sf_dir, "events")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        # µs-exact gap test: an epoch-SECONDS cast would truncate a
+        # 1800.5 s gap to 1800 and disagree with the oracle's INTERVAL
+        # comparison at the boundary
+        F.when(
+            F.lag("ts").over(wseq).isNull()
+            | (
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                - F.expr("unix_micros(CAST(lag(ts) OVER "
+                         "(PARTITION BY user_id ORDER BY ts, event_id) "
+                         "AS TIMESTAMP))")
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "sid",
+        F.sum("new_sess").over(wseq.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    per_session = sess.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("event_type") == "click", F.expr(us))).alias(
+            "first_click_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.expr(us))).alias(
+            "first_purchase_us"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    converted = F.col("first_click_us").isNotNull() & (
+        F.col("first_purchase_us") > F.col("first_click_us")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        F.expr(
+            "count(CASE WHEN first_click_us IS NOT NULL "
+            "AND first_purchase_us > first_click_us THEN 1 END) * 10000 "
+            "div count(1)"
+        )
+        .cast("long")
+        .alias("conversion_bp"),
+    )
