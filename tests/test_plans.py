@@ -799,3 +799,30 @@ def test_q186_blob_dedup_shuffles_digests_only(spark, sf_dir):
     assert facts.has_partial_agg
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", facts.text):
         assert "data#" not in m.group(1)
+
+
+def test_q188_pit_join_partitioned_windows(spark, sf_dir):
+    """SCD2 build windows must be partitioned; the PIT join is an
+    equi-join on the user key (broadcast or shuffled hash), never a
+    cartesian/nested-loop over intervals."""
+    facts = audit_of(spark, sf_dir, "q188_pit_scd2_join")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in facts.join_strategies
+
+
+def test_q189_forward_asof_pure_window(spark, sf_dir):
+    """Forward as-of must be the union+window shape: zero joins, every
+    window partitioned by the user key."""
+    facts = audit_of(spark, sf_dir, "q189_asof_forward_join")
+    assert facts.join_strategies == {}
+    assert "No Partition Defined" not in facts.text
+
+
+def test_q190_session_conversion_single_key(spark, sf_dir):
+    """Sessionize + reduce + rollup: partitioned windows only, partial
+    aggs, no joins at all."""
+    facts = audit_of(spark, sf_dir, "q190_session_conversion")
+    assert facts.join_strategies == {}
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
