@@ -142,6 +142,7 @@ reorder_registry(
         "q188_pit_scd2_join",
         "q189_asof_forward_join",
         "q190_session_conversion",
+        "q191_hll_sketch_merge",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

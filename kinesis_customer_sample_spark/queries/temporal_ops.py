@@ -185,3 +185,60 @@ def session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("conversion_bp"),
     )
+
+
+@query(
+    "q191_hll_sketch_merge",
+    # rows-only: DuckDB's approx_count_distinct is a different HLL
+    # implementation with different estimates; the binary sketch itself is
+    # engine-native. Exactness of the MERGE (not the estimate) is asserted
+    # by tests/test_properties.py::test_hll_merge_is_split_invariant.
+    tags=("sketch", "hll", "approx", "mergeable"),
+)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, Spark
+    3.5+): per-source token sketches built independently, unioned into a
+    corpus-wide estimate — the two-level aggregation a 1000-executor
+    fleet runs, where each partition sketches locally and only fixed-size
+    registers cross the wire. Output: per-source estimate + exact
+    distinct + error basis points, plus one ALL row whose estimate comes
+    from UNIONING the per-source sketches (never re-scanning). HLL
+    registers are max-merged, so the union is associative, commutative,
+    and split-invariant — estimate(union(parts)) is bit-equal to
+    estimate(whole), the property the merge test pins."""
+    from kinesis_customer_sample_spark.queries.text_analysis import (
+        _docs_with_tokens,
+    )
+
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "source", F.explode("toks").alias("tok")
+    )
+    per_source = tok.groupBy("source").agg(
+        F.expr("hll_sketch_agg(tok)").alias("sk"),
+        F.countDistinct("tok").alias("exact_distinct"),
+    )
+    src_rows = per_source.select(
+        "source",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_distinct"),
+        "exact_distinct",
+    )
+    all_row = per_source.agg(
+        F.lit("ALL").alias("source"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("long")
+        .alias("est_distinct"),
+        F.lit(None).cast("long").alias("exact_distinct"),
+    )
+    return src_rows.unionByName(all_row).select(
+        "source",
+        "est_distinct",
+        "exact_distinct",
+        F.when(
+            F.col("exact_distinct").isNotNull(),
+            F.expr(
+                "abs(est_distinct - exact_distinct) * 10000 div exact_distinct"
+            ),
+        )
+        .cast("long")
+        .alias("err_bp"),
+    )

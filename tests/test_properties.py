@@ -556,3 +556,31 @@ def test_cms_estimate_never_undercounts(spark, sf_dir):
 
     df = load_registry()["q178_cms_frequency_estimate"].fn(spark, sf_dir)
     assert df.filter(F.col("overcount") < 0).count() == 0
+
+
+def test_hll_merge_is_split_invariant(spark, sf_dir):
+    """HLL registers max-merge: the estimate from unioning per-source
+    (or any other partition of the data) sketches must be IDENTICAL to
+    sketching the whole corpus in one pass — the property that makes the
+    sketch safe to build distributed."""
+    from kinesis_customer_sample_spark.queries.text_analysis import (
+        _docs_with_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "source", "lang", F.explode("toks").alias("tok")
+    )
+    whole = tok.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(tok))").alias("est")
+    ).collect()[0]["est"]
+    for split_key in ("source", "lang"):
+        merged = (
+            tok.groupBy(split_key)
+            .agg(F.expr("hll_sketch_agg(tok)").alias("sk"))
+            .agg(
+                F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+            )
+            .collect()[0]["est"]
+        )
+        assert merged == whole
