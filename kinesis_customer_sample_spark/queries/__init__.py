@@ -143,6 +143,8 @@ reorder_registry(
         "q189_asof_forward_join",
         "q190_session_conversion",
         "q191_hll_sketch_merge",
+        "q192_containment_pairs",
+        "q193_url_canonical_dedup",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

@@ -667,3 +667,81 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+def _raw_url_expr(dialect: str) -> str:
+    """Deterministic messy-URL synthesis: four variant classes (plain,
+    uppercased-host + explicit :443, utm-tracking query, trailing
+    fragment) over a colliding path space — textually parallel across
+    dialects so both engines see byte-identical raw URLs."""
+    did = "CAST(doc_id % 50 AS STRING)" if dialect == "spark" else "(doc_id % 50)::VARCHAR"
+    return (
+        "concat('https://', "
+        "CASE WHEN doc_id % 4 = 1 THEN upper(source) ELSE source END, "
+        "'.example.com', "
+        "CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END, "
+        f"'/article/', {did}, "
+        "CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_campaign=x' "
+        "WHEN doc_id % 4 = 3 THEN '/#top' ELSE '' END)"
+    )
+
+
+# normalization ladder (identical text both dialects): drop fragment →
+# drop utm query → drop default https port → lowercase → drop trailing /
+_NORM_URL = (
+    "regexp_replace(regexp_replace(regexp_replace(lower("
+    "regexp_replace(raw_url, '#.*$', '')"
+    "), '[?]utm_[^#]*', ''), ':443', ''), '/$', '')"
+)
+
+
+@query(
+    "q193_url_canonical_dedup",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, source, {_raw_url_expr("duckdb")} AS raw_url
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, raw_url, {_NORM_URL} AS norm_url FROM raw
+    ),
+    g AS (
+      SELECT norm_url, min(doc_id) AS canonical_doc_id,
+             count(*)::BIGINT AS n_dups
+      FROM norm GROUP BY norm_url
+    )
+    SELECT n.doc_id, n.raw_url, n.norm_url, g.canonical_doc_id,
+           (n.doc_id = g.canonical_doc_id) AS is_canonical, g.n_dups
+    FROM norm n JOIN g USING (norm_url)
+    """,
+    tags=("curation", "url", "dedup", "normalization"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier gate that runs
+    BEFORE any content is fetched: scheme-default ports, host case,
+    utm_* tracking params, fragments, and trailing slashes are all
+    cosmetic, so the same page arrives under many raw URLs. The
+    normalization ladder (drop fragment → drop tracking query → drop
+    :443 → lowercase → strip trailing slash) is pure codegen'd string
+    ops, map-side; the only shuffle keys on the canonical URL — exactly
+    the dedup the fetch scheduler needs so one page is crawled once.
+    Raw URLs are synthesized deterministically (the fixture has no URL
+    column) with four messy-variant classes colliding onto a shared
+    path space, so every normalization rule is exercised and dup groups
+    genuinely form."""
+    raw = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_raw_url_expr("spark")).alias("raw_url")
+    )
+    norm = raw.withColumn("norm_url", F.expr(_NORM_URL))
+    g = norm.groupBy("norm_url").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+    return norm.join(g, "norm_url").select(
+        "doc_id",
+        "raw_url",
+        "norm_url",
+        "canonical_doc_id",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+        "n_dups",
+    )

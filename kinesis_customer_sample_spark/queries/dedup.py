@@ -536,3 +536,73 @@ def incremental_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = sigs.filter(F.col("from_base"))      # the stored index
     delta = sigs.filter(~F.col("from_base"))    # fresh arrivals, re-signed
     return base.unionByName(delta)
+
+
+@query(
+    "q192_containment_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, {_DUCK_SHINGLES} AS shs
+      FROM (SELECT doc_id, lang, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    postings AS (SELECT doc_id, lang, unnest(shs) AS sh FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM postings a JOIN postings b
+        ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common::DOUBLE / least(len(sa.shs), len(sb.shs)), 6)
+             AS containment,
+           CASE WHEN len(sa.shs) <= len(sb.shs) THEN doc_a ELSE doc_b END
+             AS contained_doc
+    FROM common
+    JOIN sh sa ON sa.doc_id = doc_a
+    JOIN sh sb ON sb.doc_id = doc_b
+    WHERE n_common::DOUBLE / least(len(sa.shs), len(sb.shs)) >= 0.6
+    """,
+    tags=("dedup", "containment", "ngram"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ 0.6 — the
+    asymmetric measure that catches quotes, excerpts, and near-SUPERSETS
+    that Jaccard misses (a paragraph fully quoted inside a 10× longer doc
+    has tiny Jaccard but containment ≈ 1; both docs survive q68 yet the
+    smaller adds no new text). Reuses q68's machinery wholesale: the
+    DF-capped inverted-index join computes intersections, only the
+    normalizer changes — min instead of union — so the scale posture is
+    identical (no pair materializes without a shared shingle, hot
+    shingles capped). Reports which doc is the contained one."""
+    sh = _shingle_sets(spark, sf_dir).select("doc_id", "lang", "shs")
+    postings = capped_postings(
+        sh.select("doc_id", "lang", F.explode("shs").alias("sh"))
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.size("shs").alias("na"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.size("shs").alias("nb"))
+    cont = F.col("n_common") / F.least("na", "nb")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(cont >= 0.6)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )
