@@ -826,3 +826,26 @@ def test_q190_session_conversion_single_key(spark, sf_dir):
     assert facts.join_strategies == {}
     assert "No Partition Defined" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_q192_containment_no_cartesian(spark, sf_dir):
+    """Containment must reuse the postings equi-join — no cartesian, no
+    nested-loop; partial aggs for the intersection counts."""
+    facts = audit_of(spark, sf_dir, "q192_containment_pairs")
+    assert not facts.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in facts.join_strategies
+    assert facts.has_partial_agg
+
+
+def test_q193_url_normalization_single_shuffle_key(spark, sf_dir):
+    """The normalization ladder is map-side; the only hash exchanges key
+    on the canonical URL (group + join-back share it)."""
+    import re as _re
+
+    facts = audit_of(spark, sf_dir, "q193_url_canonical_dedup")
+    assert not facts.has_cartesian
+    keys = {
+        m.group(1).split("#")[0]
+        for m in _re.finditer(r"Exchange hashpartitioning\((\w+#\d+)", facts.text)
+    }
+    assert keys <= {"norm_url"}, keys
