@@ -145,6 +145,7 @@ reorder_registry(
         "q191_hll_sketch_merge",
         "q192_containment_pairs",
         "q193_url_canonical_dedup",
+        "q194_distribution_drift",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

@@ -242,3 +242,95 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("err_bp"),
     )
+
+
+@query(
+    "q194_distribution_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(ts AS DATE) AS day,
+             least(floor(value / 50)::BIGINT, 9) AS bin
+      FROM events
+    ),
+    shares AS (
+      SELECT day, bin,
+             (count(*) * 10000 // sum(count(*)) OVER (PARTITION BY day))::BIGINT
+               AS share_bp
+      FROM binned GROUP BY day, bin
+    ),
+    paired AS (
+      SELECT coalesce(cur.day, prev.day + INTERVAL 1 DAY)::DATE AS day,
+             coalesce(cur.share_bp, 0)  AS cur_bp,
+             coalesce(prev.share_bp, 0) AS prev_bp
+      FROM shares cur
+      FULL JOIN shares prev
+        ON cur.bin = prev.bin AND cur.day = prev.day + INTERVAL 1 DAY
+      WHERE coalesce(cur.day, prev.day + INTERVAL 1 DAY)::DATE
+              > (SELECT min(day) FROM binned)
+        AND coalesce(cur.day, prev.day + INTERVAL 1 DAY)::DATE
+              <= (SELECT max(day) FROM binned)
+    )
+    SELECT day,
+           sum(abs(cur_bp - prev_bp))::BIGINT AS l1_bp,
+           (sum(abs(cur_bp - prev_bp)) > 500) AS drifted
+    FROM paired GROUP BY day
+    """,
+    tags=("mlops", "drift", "distribution", "monitoring"),
+)
+def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day distribution-drift detection on the event value
+    stream: values histogrammed into 10 fixed bins per day, per-day
+    shares in integer basis points, consecutive days compared by L1
+    distance — the feature-drift monitor that gates ML retraining and
+    flags upstream schema/unit breakages. The full join catches bins
+    that exist on only one of the two days (share 0 on the other);
+    boundary days outside [min+1, max] are excluded on BOTH sides. All
+    integer arithmetic after the binning floor — no float shares to
+    drift across engines. Scale: two hash aggs keyed (day, bin) — a few
+    hundred cells per day regardless of event volume — and the pair
+    join is cell-count sized, so the monitor costs one scan plus
+    negligible shuffles at any scale."""
+    ev = table(spark, sf_dir, "events")
+    binned = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.expr("least(CAST(floor(value / 50) AS BIGINT), CAST(9 AS BIGINT))").alias(
+            "bin"
+        ),
+    )
+    shares = (
+        binned.groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "day",
+            "bin",
+            F.expr("n * 10000 div sum(n) OVER (PARTITION BY day)")
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+    bounds = binned.agg(
+        F.min("day").alias("min_day"), F.max("day").alias("max_day")
+    )
+    cur = shares.alias("cur")
+    prev = shares.select(
+        F.date_add("day", 1).alias("day"), "bin", F.col("share_bp").alias("prev_bp")
+    ).alias("prev")
+    paired = (
+        cur.join(
+            prev,
+            (F.col("cur.bin") == F.col("prev.bin"))
+            & (F.col("cur.day") == F.col("prev.day")),
+            "full",
+        )
+        .select(
+            F.coalesce(F.col("cur.day"), F.col("prev.day")).alias("day"),
+            F.coalesce(F.col("cur.share_bp"), F.lit(0)).alias("cur_bp"),
+            F.coalesce(F.col("prev.prev_bp"), F.lit(0)).alias("prev_bp"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter((F.col("day") > F.col("min_day")) & (F.col("day") <= F.col("max_day")))
+    )
+    return paired.groupBy("day").agg(
+        F.sum(F.abs(F.col("cur_bp") - F.col("prev_bp"))).cast("long").alias("l1_bp"),
+        (F.sum(F.abs(F.col("cur_bp") - F.col("prev_bp"))) > 500).alias("drifted"),
+    )
