@@ -46,6 +46,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     graph_quality_ops,
     entity_ops,
     temporal_ops,
+    conflation_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry
@@ -146,6 +147,10 @@ reorder_registry(
         "q192_containment_pairs",
         "q193_url_canonical_dedup",
         "q194_distribution_drift",
+        "q195_golden_record_merge",
+        "q196_order_displacement",
+        "q197_late_arrival_rate",
+        "q198_data_contract_checks",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

@@ -1,0 +1,293 @@
+"""Data-conflation & stream-quality operators — the twelfth wave
+(SURVEY.md §2B): field-level golden-record survivorship across ranked
+feeds, out-of-order displacement measurement, late-arrival rate
+monitoring, and declarative data-contract validation.
+
+Scale posture (100 TB):
+- q195 is ONE hash-agg keyed by the record key: per-field survivorship is
+  a max_by over (feed priority) per field inside the same aggregation —
+  never N self-joins. Feed count multiplies rows linearly; the agg
+  reduces them back to one golden row per key with map-side partials.
+- q196/q197 are single partitioned windows over the per-user / global
+  arrival order — the displacement and late-rate metrics are the batch
+  twins of what a streaming watermark monitor accumulates, and both
+  reduce to integers before any aggregation.
+- q198's checks are independent global aggregates over one scan (Spark
+  collapses them into a single pass); the report is |checks| rows, so
+  the validation cost is the scan, not the rules.
+No Python UDFs; all whole-stage-codegen'd SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+
+def _feeds_expr(dialect: str) -> str:
+    """Three synthetic feeds from `documents`, each dropping a different
+    field (deterministically by doc id), with feed 1 the most trusted.
+    Textually parallel across dialects."""
+    null_s = "CAST(NULL AS STRING)" if dialect == "spark" else "NULL::VARCHAR"
+    null_l = "CAST(NULL AS BIGINT)" if dialect == "spark" else "NULL::BIGINT"
+    return (
+        # feed 1: authoritative but drops lang on doc_id % 3 = 0
+        f"SELECT doc_id, 1 AS feed, "
+        f"CASE WHEN doc_id % 3 = 0 THEN {null_s} ELSE lang END AS lang, "
+        f"source, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        f"UNION ALL "
+        # feed 2: drops source on doc_id % 3 = 1
+        f"SELECT doc_id, 2 AS feed, lang, "
+        f"CASE WHEN doc_id % 3 = 1 THEN {null_s} ELSE source END AS source, "
+        f"CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+        f"UNION ALL "
+        # feed 3: drops n_chars on doc_id % 3 = 2
+        f"SELECT doc_id, 3 AS feed, lang, source, "
+        f"CASE WHEN doc_id % 3 = 2 THEN {null_l} "
+        f"ELSE CAST(n_chars AS BIGINT) END AS n_chars FROM documents"
+    )
+
+
+@query(
+    "q195_golden_record_merge",
+    oracle=f"""
+    WITH feeds AS ({_feeds_expr("duckdb")})
+    SELECT doc_id,
+           max_by(lang, -feed)    FILTER (lang IS NOT NULL)    AS lang,
+           max_by(source, -feed)  FILTER (source IS NOT NULL)  AS source,
+           max_by(n_chars, -feed) FILTER (n_chars IS NOT NULL) AS n_chars,
+           count(*)::BIGINT AS n_feeds
+    FROM feeds GROUP BY doc_id
+    """,
+    tags=("conflation", "golden-record", "survivorship", "mdm"),
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level golden-record merge: the same entity arrives from
+    three feeds of descending trust, each with different fields missing;
+    survivorship picks EVERY FIELD independently from the most-trusted
+    feed where it is non-null (max_by over -feed, null rows filtered per
+    field) — the MDM conflation step record-level keepers (q173, q184)
+    cannot express, because the winning record may still carry nulls the
+    runner-up can fill. One hash-agg keyed by doc_id, map-side partials;
+    N feeds cost N× input rows, never N joins. Feeds are synthesized
+    deterministically so every survivorship branch is exercised."""
+    register = table(spark, sf_dir, "documents")
+    register.createOrReplaceTempView("documents")
+    feeds = spark.sql(_feeds_expr("spark"))
+    return feeds.groupBy("doc_id").agg(
+        F.expr("max_by(lang, -feed) FILTER (WHERE lang IS NOT NULL)").alias("lang"),
+        F.expr("max_by(source, -feed) FILTER (WHERE source IS NOT NULL)").alias(
+            "source"
+        ),
+        F.expr("max_by(n_chars, -feed) FILTER (WHERE n_chars IS NOT NULL)").alias(
+            "n_chars"
+        ),
+        F.count(F.lit(1)).alias("n_feeds"),
+    )
+
+
+@query(
+    "q196_order_displacement",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS arrival_rk,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS time_rk
+      FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT                    AS n_events,
+           sum(abs(arrival_rk - time_rk))::BIGINT AS total_displacement,
+           max(abs(arrival_rk - time_rk))::BIGINT AS max_displacement,
+           (sum(abs(arrival_rk - time_rk)) = 0)   AS in_order
+    FROM ranked GROUP BY user_id
+    """,
+    tags=("quality", "ordering", "window", "monitoring"),
+)
+def order_displacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order displacement per user stream: rank events by arrival
+    (event_id ≈ shard sequence number, guide:13) and by event time, and
+    measure how far each event sits from its time-ordered position —
+    total and max |arrival rank − time rank|. The batch twin of the
+    reorder-buffer sizing question: max displacement bounds the state a
+    streaming operator needs to emit in timestamp order, and a zero
+    total proves the feed is already time-ordered. Two windows over the
+    SAME partition key and a hash-agg — one user_id shuffle total."""
+    ev = table(spark, sf_dir, "events")
+    warr = W.partitionBy("user_id").orderBy("event_id")
+    wtime = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id",
+        F.row_number().over(warr).alias("arrival_rk"),
+        F.row_number().over(wtime).alias("time_rk"),
+    )
+    disp = F.abs(F.col("arrival_rk") - F.col("time_rk"))
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(disp).cast("long").alias("total_displacement"),
+        F.max(disp).cast("long").alias("max_displacement"),
+        (F.sum(disp) == 0).alias("in_order"),
+    )
+
+
+@query(
+    "q197_late_arrival_rate",
+    oracle="""
+    WITH arr AS (
+      SELECT event_id, ts,
+             max(ts) OVER (PARTITION BY user_id % 8 ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_water
+      FROM events
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           count(*)::BIGINT AS n_events,
+           count(*) FILTER (ts < high_water - INTERVAL 10 MINUTE)::BIGINT
+             AS n_late,
+           (count(*) FILTER (ts < high_water - INTERVAL 10 MINUTE)
+            * 10000 // count(*))::BIGINT AS late_bp
+    FROM arr GROUP BY 1
+    """,
+    tags=("quality", "late-data", "watermark", "monitoring"),
+)
+def late_arrival_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival rate against a 10-minute watermark, replayed in
+    per-shard arrival order: an event is late when its timestamp trails
+    its shard's running event-time high-water mark by more than the
+    allowed delay — exactly the rows a `withWatermark("ts", "10
+    minutes")` stream would drop (guide:104-106's late-ingestion
+    concern, quantified). The high-water mark is tracked PER SHARD
+    (user_id % 8 — the partition-key model of the reference's stream,
+    whose ordering guarantee is per-shard only, guide:13), which is both
+    the faithful semantics and the scale-safe plan: the running max is a
+    partitioned window, never a single global task. Reported per day in
+    integer basis points — the number that says whether the watermark
+    delay is sized right BEFORE late data silently vanishes."""
+    ev = table(spark, sf_dir, "events")
+    warr = (
+        W.partitionBy(F.expr("user_id % 8"))
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    arr = ev.select(
+        "ts",
+        F.max("ts").over(warr).alias("high_water"),
+    )
+    late = F.col("ts") < F.col("high_water") - F.expr("INTERVAL 10 MINUTES")
+    return arr.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.expr(
+            "count(CASE WHEN ts < high_water - INTERVAL 10 MINUTES THEN 1 END)"
+            " * 10000 div count(1)"
+        )
+        .cast("long")
+        .alias("late_bp"),
+    )
+
+
+@query(
+    "q198_data_contract_checks",
+    oracle="""
+    SELECT 'orders.o_totalprice_positive' AS check_name,
+           (SELECT count(*) FROM orders)::BIGINT AS n_rows,
+           (SELECT count(*) FROM orders WHERE o_totalprice <= 0
+             OR o_totalprice IS NULL)::BIGINT AS n_violations
+    UNION ALL
+    SELECT 'orders.o_orderpriority_enum',
+           (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM orders
+             WHERE o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                OR o_orderpriority IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_discount_range',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem
+             WHERE l_discount < 0 OR l_discount > 1
+                OR l_discount IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_quantity_positive',
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem
+             WHERE l_quantity <= 0 OR l_quantity IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'events.event_type_enum',
+           (SELECT count(*) FROM events)::BIGINT,
+           (SELECT count(*) FROM events
+             WHERE event_type NOT IN ('click','view','purchase','signup','error')
+                OR event_type IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'documents.doc_id_unique',
+           (SELECT count(*) FROM documents)::BIGINT,
+           (SELECT count(*) - count(DISTINCT doc_id) FROM documents)::BIGINT
+    """,
+    tags=("quality", "contract", "validation"),
+)
+def data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation (the dbt-test / Great-
+    Expectations shape as one query): positivity, range, enum-membership,
+    nullability, and key-uniqueness rules per table, reported as
+    (check, rows, violations). Each check is a conditional global agg;
+    checks over the same table share one scan (Catalyst collapses the
+    aggregates), and the report is |checks| rows whatever the data
+    volume — the contract gate a 100 TB ingest runs before publishing a
+    partition. Composes with q182 (referential integrity) for the full
+    pre-publish audit."""
+
+    def check(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(viol, 1)).cast("long").alias("n_violations"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+    documents = table(spark, sf_dir, "documents")
+    prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    etypes = ["click", "view", "purchase", "signup", "error"]
+    checks = [
+        check(
+            "orders.o_totalprice_positive",
+            orders,
+            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(),
+        ),
+        check(
+            "orders.o_orderpriority_enum",
+            orders,
+            ~F.col("o_orderpriority").isin(prio)
+            | F.col("o_orderpriority").isNull(),
+        ),
+        check(
+            "lineitem.l_discount_range",
+            lineitem,
+            (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1)
+            | F.col("l_discount").isNull(),
+        ),
+        check(
+            "lineitem.l_quantity_positive",
+            lineitem,
+            (F.col("l_quantity") <= 0) | F.col("l_quantity").isNull(),
+        ),
+        check(
+            "events.event_type_enum",
+            events,
+            ~F.col("event_type").isin(etypes) | F.col("event_type").isNull(),
+        ),
+        documents.agg(
+            F.lit("documents.doc_id_unique").alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+            .cast("long")
+            .alias("n_violations"),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

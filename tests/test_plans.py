@@ -849,3 +849,20 @@ def test_q193_url_normalization_single_shuffle_key(spark, sf_dir):
         for m in _re.finditer(r"Exchange hashpartitioning\((\w+#\d+)", facts.text)
     }
     assert keys <= {"norm_url"}, keys
+
+
+def test_q195_golden_record_single_agg_no_joins(spark, sf_dir):
+    """Field survivorship must be one aggregation over the feed union —
+    zero joins, map-side partials."""
+    facts = audit_of(spark, sf_dir, "q195_golden_record_merge")
+    assert facts.join_strategies == {}
+    assert facts.has_partial_agg
+
+
+def test_q196_q197_windows_partitioned(spark, sf_dir):
+    """Displacement and late-rate monitors must never plan a global
+    window (q92's round-1 lesson)."""
+    for name in ("q196_order_displacement", "q197_late_arrival_rate"):
+        facts = audit_of(spark, sf_dir, name)
+        assert "No Partition Defined" not in facts.text, name
+        assert facts.join_strategies == {}, name
