@@ -151,6 +151,7 @@ reorder_registry(
         "q196_order_displacement",
         "q197_late_arrival_rate",
         "q198_data_contract_checks",
+        "q199_hybrid_search_rrf",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

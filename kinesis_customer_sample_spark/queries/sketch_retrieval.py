@@ -483,3 +483,134 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.count(F.lit(1)).over(wg).cast("long").alias("group_size"),
     )
+
+
+_RRF_K = 60
+_RRF_LEG_N = 100
+_RRF_TOP = 10
+
+
+@query(
+    "q199_hybrid_search_rrf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls
+    ),
+    tfs AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tfs GROUP BY tok),
+    bm25 AS (
+      SELECT t.doc_id, sum({{score}})::BIGINT AS bm25_mu
+      FROM tfs t JOIN dfs USING (tok) JOIN dls USING (doc_id) CROSS JOIN stats
+      GROUP BY t.doc_id
+    ),
+    bm25_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25_mu DESC, doc_id) AS rk
+      FROM (SELECT * FROM bm25 ORDER BY bm25_mu DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             {{cos}} AS cos_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != 0
+    ),
+    cos_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rk
+      FROM (SELECT * FROM cos ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    fused AS (
+      SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+             (coalesce(1000000 // ({_RRF_K} + b.rk), 0)
+              + coalesce(1000000 // ({_RRF_K} + c.rk), 0))::BIGINT AS rrf_mu,
+             b.rk AS bm25_rank, c.rk AS cos_rank
+      FROM bm25_top b FULL JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT doc_id, rrf_mu, bm25_rank, cos_rank
+    FROM fused ORDER BY rrf_mu DESC, doc_id LIMIT {_RRF_TOP}
+    """.replace("{score}", _bm25_score_expr(dialect="duckdb")).replace(
+        "{cos}", "round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)"
+    ),
+    tags=("llm", "retrieval", "hybrid", "rrf"),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical leg
+    (q176's scorer) and the dense cosine leg (q72's query vector) each
+    produce a top-100 candidate list via TakeOrderedAndProject, ranks are
+    assigned WITHIN those ≤100-row lists (the two-stage shape — global
+    rank assignment over the corpus would be q92's unpartitioned-window
+    trap; after per-leg top-k reduction the window input is bounded by
+    the leg size, not the corpus), and RRF fuses them:
+    Σ 1000000 div (60 + rank) — integer-exact, no float fusion. Docs on
+    one leg only still score (missing leg contributes 0), which is the
+    point of RRF: lexical-only and semantic-only hits compete on rank,
+    not on incomparable raw scores."""
+    from kinesis_customer_sample_spark.functions import cosine_expr
+    from kinesis_customer_sample_spark.queries.similarity import _QUERY_VEC_ID
+
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    dls = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = F.broadcast(
+        dls.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
+    tfs = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = F.broadcast(tfs.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    bm25 = (
+        tfs.join(dfs, "tok")
+        .join(dls, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", F.expr(_bm25_score_expr(dialect="spark")).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("long").alias("bm25_mu"))
+        .orderBy(F.col("bm25_mu").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+    )
+    wb = W.orderBy(F.col("bm25_mu").desc(), "doc_id")
+    bm25_top = bm25.select("doc_id", F.row_number().over(wb).alias("bm25_rank"))
+
+    from kinesis_customer_sample_spark.catalog import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+    )
+    wc = W.orderBy(F.col("cos_sim").desc(), "doc_id")
+    cos_top = cos.select("doc_id", F.row_number().over(wc).alias("cos_rank"))
+
+    fused = bm25_top.join(cos_top, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"1000000 div ({_RRF_K} + bm25_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + cos_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_mu"),
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        F.col("cos_rank").cast("long").alias("cos_rank"),
+    )
+    return fused.orderBy(F.col("rrf_mu").desc(), "doc_id").limit(_RRF_TOP)
