@@ -866,3 +866,13 @@ def test_q196_q197_windows_partitioned(spark, sf_dir):
         facts = audit_of(spark, sf_dir, name)
         assert "No Partition Defined" not in facts.text, name
         assert facts.join_strategies == {}, name
+
+
+def test_q199_rrf_legs_use_topk_reduction(spark, sf_dir):
+    """Both RRF legs must reduce via TakeOrderedAndProject BEFORE rank
+    assignment — the windows may only see the bounded candidate lists."""
+    facts = audit_of(spark, sf_dir, "q199_hybrid_search_rrf")
+    assert facts.text.count("TakeOrderedAndProject") >= 2
+    # the only nested-loop allowed is the broadcast 1-row query vector
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert "CartesianProduct" not in facts.join_strategies
