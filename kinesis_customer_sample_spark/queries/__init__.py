@@ -152,6 +152,7 @@ reorder_registry(
         "q197_late_arrival_rate",
         "q198_data_contract_checks",
         "q199_hybrid_search_rrf",
+        "q200_rag_ingest_pipeline",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

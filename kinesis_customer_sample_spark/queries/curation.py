@@ -745,3 +745,77 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
         "n_dups",
     )
+
+
+@query(
+    "q200_rag_ingest_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             len({_DUCK_TOKS}) AS n_toks,
+             (n_chars BETWEEN 200 AND 2000) AS keep
+      FROM documents
+    ),
+    per AS (
+      SELECT source, keep,
+             CASE WHEN keep AND n_toks > 0
+                  THEN (g - 1) // 8 + 1 + CASE WHEN (g - 1) % 8 = 0 THEN 0 ELSE 1 END
+                  ELSE 0 END AS n_chunks_doc,
+             -- every chunk is exactly 32 tokens once n_toks >= 32 (the
+             -- appended tail start g = n_toks - 31 yields a full window);
+             -- shorter docs produce one n_toks-token chunk
+             CASE WHEN keep AND n_toks >= 32
+                  THEN ((g - 1) // 8 + 1
+                        + CASE WHEN (g - 1) % 8 = 0 THEN 0 ELSE 1 END) * 32
+                  WHEN keep AND n_toks > 0 THEN n_toks
+                  ELSE 0 END AS chunk_toks_doc
+      FROM (SELECT *, greatest(1, n_toks - 31) AS g FROM base)
+    )
+    SELECT source,
+           count(*)::BIGINT                          AS n_docs,
+           count(*) FILTER (keep)::BIGINT            AS n_kept,
+           (count(*) FILTER (keep) * 10000 // count(*))::BIGINT AS kept_bp,
+           sum(n_chunks_doc)::BIGINT                 AS n_chunks,
+           sum(chunk_toks_doc)::BIGINT               AS n_chunk_tokens
+    FROM per GROUP BY source
+    """,
+    tags=("llm", "rag", "composite", "chunking", "curation"),
+)
+def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-ingest capstone: quality gate → chunk accounting → per-source
+    ingest report, in one DataFrame tree. Chunk counts use the CLOSED
+    FORM of q157's sliding-window scheme (32-token windows, stride 8,
+    tail appended unless flush): n_chunks = ((g−1) div 8) + 1 + [tail],
+    g = max(1, n_toks − 31) — so the report costs one tokenize pass and
+    one hash-agg, never a chunk explosion; q157 materializes the actual
+    chunks when the pipeline needs text, this query answers the capacity
+    question (how many chunks/tokens will the vector store hold?) at
+    metadata cost. All-integer arithmetic throughout."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    base = docs.select(
+        "source",
+        F.size("toks").alias("n_toks"),
+        F.col("n_chars").between(200, 2000).alias("keep"),
+    ).withColumn("g", F.greatest(F.lit(1), F.col("n_toks") - 31))
+    chunkable = F.col("keep") & (F.col("n_toks") > 0)
+    per = base.withColumn(
+        "n_chunks_doc",
+        F.when(
+            chunkable,
+            F.expr("(g - 1) div 8 + 1 + CASE WHEN (g - 1) % 8 = 0 THEN 0 ELSE 1 END"),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "chunk_toks_doc",
+        F.when(chunkable & (F.col("n_toks") >= 32), F.col("n_chunks_doc") * 32)
+        .when(chunkable, F.col("n_toks"))
+        .otherwise(F.lit(0)),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.expr("count(CASE WHEN keep THEN 1 END) * 10000 div count(1)")
+        .cast("long")
+        .alias("kept_bp"),
+        F.sum("n_chunks_doc").cast("long").alias("n_chunks"),
+        F.sum("chunk_toks_doc").cast("long").alias("n_chunk_tokens"),
+    )

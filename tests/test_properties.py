@@ -584,3 +584,36 @@ def test_hll_merge_is_split_invariant(spark, sf_dir):
             .collect()[0]["est"]
         )
         assert merged == whole
+
+
+def test_q200_closed_form_matches_materialized_chunks(spark, sf_dir):
+    """q200's closed-form chunk accounting must agree exactly with
+    q157's materialized chunk list on kept docs — the two views of one
+    chunking scheme can never drift."""
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.registry import load_registry
+    from pyspark.sql import functions as F
+
+    reg = load_registry()
+    kept = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").between(200, 2000))
+        .select("doc_id", "source")
+    )
+    mat = (
+        reg["q157_sliding_chunks"].fn(spark, sf_dir)
+        .join(kept, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_toks").alias("n_chunk_tokens"),
+        )
+    )
+    closed = reg["q200_rag_ingest_pipeline"].fn(spark, sf_dir).select(
+        "source", "n_chunks", "n_chunk_tokens"
+    )
+    diff = mat.join(closed, "source", "full").filter(
+        (mat["n_chunks"] != closed["n_chunks"])
+        | (mat["n_chunk_tokens"] != closed["n_chunk_tokens"])
+    )
+    assert diff.count() == 0
