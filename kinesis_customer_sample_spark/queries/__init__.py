@@ -153,6 +153,8 @@ reorder_registry(
         "q198_data_contract_checks",
         "q199_hybrid_search_rrf",
         "q200_rag_ingest_pipeline",
+        "q201_seasonal_anomaly",
+        "q202_time_to_convert",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

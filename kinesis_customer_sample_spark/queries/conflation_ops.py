@@ -291,3 +291,119 @@ def data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@query(
+    "q201_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT *, date_part('dow', day)::BIGINT AS dow FROM daily
+    ),
+    baseline AS (
+      SELECT dow, event_type,
+             (sum(n) // count(*))::BIGINT AS expected
+      FROM keyed GROUP BY dow, event_type
+    )
+    SELECT k.day, k.event_type, k.n, b.expected,
+           (abs(k.n - b.expected) * 10000 // b.expected)::BIGINT AS dev_bp,
+           (abs(k.n - b.expected) * 10000 // b.expected > 2000) AS anomalous
+    FROM keyed k JOIN baseline b USING (dow, event_type)
+    """,
+    tags=("monitoring", "anomaly", "seasonality"),
+)
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly detection: each (day, event
+    type)'s count is compared against its OWN day-of-week baseline (mean
+    daily count for that weekday, truncating integer division), flagging
+    deviations above 20% in basis points — the monitor that doesn't page
+    on every quiet Sunday. Two hash-aggs over day-granular cells (the
+    daily rollup is corpus-reducing; everything after is |days × types|
+    rows) and one broadcast-sized join on (dow, type). Day-of-week is
+    aligned across engines (Spark dayofweek−1 == DuckDB dow, Sunday=0).
+    All integer arithmetic — no float baselines to drift."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    keyed = daily.withColumn(
+        "dow", (F.dayofweek("day") - 1).cast("long")
+    )
+    baseline = keyed.groupBy("dow", "event_type").agg(
+        F.expr("sum(n) div count(1)").cast("long").alias("expected")
+    )
+    joined = keyed.join(F.broadcast(baseline), ["dow", "event_type"])
+    dev = F.expr("abs(n - expected) * 10000 div expected")
+    return joined.select(
+        "day",
+        "event_type",
+        "n",
+        "expected",
+        dev.cast("long").alias("dev_bp"),
+        (dev > 2000).alias("anomalous"),
+    )
+
+
+@query(
+    "q202_time_to_convert",
+    oracle="""
+    WITH lagged AS (
+      SELECT ((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000)::BIGINT AS lag_s
+      FROM events p
+      JOIN LATERAL (
+        SELECT ts FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+        ORDER BY ts DESC, event_id DESC LIMIT 1
+      ) c ON TRUE
+      WHERE p.event_type = 'purchase'
+    ),
+    bucketed AS (
+      SELECT CASE WHEN lag_s < 60 THEN '0_under_1m'
+                  WHEN lag_s < 600 THEN '1_1m_10m'
+                  WHEN lag_s < 3600 THEN '2_10m_1h'
+                  WHEN lag_s < 21600 THEN '3_1h_6h'
+                  WHEN lag_s < 86400 THEN '4_6h_24h'
+                  ELSE '5_over_1d' END AS bucket
+      FROM lagged
+    )
+    SELECT bucket, count(*)::BIGINT AS n,
+           (count(*) * 10000 // sum(count(*)) OVER ())::BIGINT AS share_bp
+    FROM bucketed GROUP BY bucket
+    """,
+    tags=("analytics", "attribution", "histogram"),
+)
+def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: click→purchase lags (q177's
+    attribution machinery, attributed purchases only) bucketed into six
+    latency bands with integer basis-point shares — the marketing answer
+    to "how long does the funnel take?". The engine side reuses
+    last_touch_attribution verbatim (union+window as-of, one user
+    shuffle); the bucket rollup is six rows, and the share window runs
+    over those six. Deterministic bucket labels sort chronologically."""
+    from kinesis_customer_sample_spark.queries.sketch_retrieval import (
+        last_touch_attribution,
+    )
+
+    lagged = last_touch_attribution(spark, sf_dir).filter(
+        F.col("lag_s").isNotNull()
+    )
+    bucket = (
+        F.when(F.col("lag_s") < 60, "0_under_1m")
+        .when(F.col("lag_s") < 600, "1_1m_10m")
+        .when(F.col("lag_s") < 3600, "2_10m_1h")
+        .when(F.col("lag_s") < 21600, "3_1h_6h")
+        .when(F.col("lag_s") < 86400, "4_6h_24h")
+        .otherwise("5_over_1d")
+    )
+    counts = lagged.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.select(
+        "bucket",
+        "n",
+        F.expr("n * 10000 div sum(n) OVER ()").cast("long").alias("share_bp"),
+    )
