@@ -155,6 +155,7 @@ reorder_registry(
         "q200_rag_ingest_pipeline",
         "q201_seasonal_anomaly",
         "q202_time_to_convert",
+        "q203_pareto_concentration",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

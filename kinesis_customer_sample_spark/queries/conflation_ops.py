@@ -407,3 +407,82 @@ def time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 10000 div sum(n) OVER ()").cast("long").alias("share_bp"),
     )
+
+
+@query(
+    "q203_pareto_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_custkey, n.n_name,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, n.n_name
+    ),
+    ranked AS (
+      SELECT n_name, cents,
+             sum(cents) OVER (PARTITION BY n_name
+                              ORDER BY cents DESC, c_custkey
+                              ROWS UNBOUNDED PRECEDING) AS running,
+             sum(cents) OVER (PARTITION BY n_name) AS total
+      FROM rev
+    )
+    SELECT n_name,
+           count(*)::BIGINT AS n_customers,
+           max(total)::BIGINT AS revenue_cents,
+           count(*) FILTER (running - cents < total * 8 // 10)::BIGINT
+             AS n_to_80pct,
+           (count(*) FILTER (running - cents < total * 8 // 10)
+            * 10000 // count(*))::BIGINT AS concentration_bp
+    FROM ranked GROUP BY n_name
+    """,
+    tags=("analytics", "pareto", "window", "concentration"),
+)
+def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration analysis: per nation, how many of
+    its customers (ranked by revenue) it takes to cover 80% of national
+    revenue — the 80/20 concentration metric behind account-tiering and
+    risk assessment. A customer counts while the revenue BEFORE them is
+    under the 80% line (so the customer crossing the line is included).
+    Integer cents end-to-end: the 80% threshold is total·8 div 10,
+    cumulative sums are window aggregates PARTITIONED by nation, and the
+    final rollup reuses the same key — one shuffle on (nation), one on
+    (customer, nation) for the revenue agg. Dimension joins broadcast."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    orders = table(spark, sf_dir, "orders")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wrun = (
+        W.partitionBy("n_name")
+        .orderBy(F.col("cents").desc(), "c_custkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        "cents",
+        F.sum("cents").over(wrun).alias("running"),
+        F.sum("cents").over(wtot).alias("total"),
+    )
+    in80 = F.col("running") - F.col("cents") < F.expr("total * 8 div 10")
+    return ranked.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max("total").cast("long").alias("revenue_cents"),
+        F.count(F.when(in80, 1)).alias("n_to_80pct"),
+        F.expr(
+            "count(CASE WHEN running - cents < total * 8 div 10 THEN 1 END)"
+            " * 10000 div count(1)"
+        )
+        .cast("long")
+        .alias("concentration_bp"),
+    )
