@@ -156,6 +156,7 @@ reorder_registry(
         "q201_seasonal_anomaly",
         "q202_time_to_convert",
         "q203_pareto_concentration",
+        "q204_dead_letter_accounting",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

@@ -334,3 +334,104 @@ def wire_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("body", "$.text").alias("body_text"),
         F.length(F.get_json_object("body", "$.text")).cast("bigint").alias("body_len"),
     )
+
+
+@query(
+    "q204_dead_letter_accounting",
+    oracle="""
+    SELECT 'shard-' || (doc_id % 4) AS shard_id,
+           count(*)::BIGINT AS n_records,
+           count(*) FILTER (doc_id % 7 != 0)::BIGINT AS n_ok,
+           count(*) FILTER (doc_id % 7 = 0)::BIGINT  AS n_dead,
+           (count(*) FILTER (doc_id % 7 = 0) * 10000 // count(*))::BIGINT
+             AS dead_bp
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("contentops", "decode", "dead-letter", "monitoring"),
+)
+def dead_letter_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter accounting for the decode edge (R4 observability): a
+    deterministic 1-in-7 subset of wire records is corrupted (gzip
+    truncated to 5 bytes), the production decode pipeline maps them to
+    NULL and drops them (guide:36-39), and the per-shard report counts
+    inputs vs survivors — survivors found by decoding, dead letters by
+    LEFT ANTI of inputs against the decode output on the sequence
+    number. The oracle states the corruption set in closed form, so a
+    hash-match proves the pipeline drops EXACTLY the corrupt records:
+    no over-dropping (lost data), no under-dropping (garbage rows
+    downstream). The anti-join keys on (shard, seq) — the same key the
+    decode already carries — and per-shard rates are integer basis
+    points."""
+    import gzip as _gzip
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _json.dumps(
+                    {
+                        "type": "content-operation",
+                        "organization_id": "washpost",
+                        "operation": "insert-story",
+                        "date": "2024-01-01T00:00:00Z",
+                        "id": f"doc-{doc_id}",
+                        "branch": "default",
+                        "published": True,
+                        "created": True,
+                        "trigger": {
+                            "type": "story",
+                            "id": f"doc-{doc_id}",
+                            "referent_update": False,
+                            "priority": "standard",
+                            "app_name": "fixture",
+                        },
+                        "body": {"text": text},
+                    },
+                    sort_keys=True,
+                )
+                data = _gzip.compress(payload.encode("utf-8"))
+                if doc_id % 7 == 0:  # deterministic corruption
+                    data = data[:5]
+                out.append(
+                    {
+                        "shard_id": f"shard-{doc_id % 4}",
+                        "sequence_number": str(doc_id),
+                        "data": data,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["shard_id", "sequence_number", "data"])
+
+    records = docs.mapInPandas(
+        encode, schema="shard_id string, sequence_number string, data binary"
+    ).localCheckpoint()  # encode once; inputs and decode share the batch
+    decoded = decode_records(records).select("shard_id", "sequence_number")
+    inputs = records.select("shard_id", "sequence_number")
+    dead = inputs.join(decoded, ["shard_id", "sequence_number"], "left_anti")
+    n_in = inputs.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_records"))
+    n_dead = dead.groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_dead"))
+    return (
+        n_in.join(n_dead, "shard_id", "left")
+        .select(
+            "shard_id",
+            "n_records",
+            (F.col("n_records") - F.coalesce("n_dead", F.lit(0)))
+            .cast("long")
+            .alias("n_ok"),
+            F.coalesce("n_dead", F.lit(0)).cast("long").alias("n_dead"),
+            F.expr("coalesce(n_dead, 0) * 10000 div n_records")
+            .cast("long")
+            .alias("dead_bp"),
+        )
+    )
