@@ -110,16 +110,24 @@ def main() -> None:
     # the plan-identical second run, making the min a cache-assisted number
     # (round-1 advice). clearCache also unpersists those intermediates so
     # they can't leak executor memory across the suite.
+    # Per-query isolation: one query raising must not zero out the whole
+    # suite (round 2 lost its bench line to a single fixture-dtype error).
+    # A failed query is reported under "errors" and excluded from the total;
+    # rc stays 0 so the JSON line is always emitted and recorded.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
-            spark.catalog.clearCache()  # both runs compute from source
-            df = registry[name].fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):
+                spark.catalog.clearCache()  # both runs compute from source
+                df = registry[name].fn(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as ex:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(ex).__name__}: {str(ex)[:200]}"
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
@@ -131,9 +139,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
+    if errors:
+        sys.stderr.write(f"bench: {len(errors)} queries errored: {sorted(errors)}\n")
     spark.stop()
 
 
