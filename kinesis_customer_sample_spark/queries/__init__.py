@@ -47,6 +47,10 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     entity_ops,
     temporal_ops,
     conflation_ops,
+    timeseries_ops,
+    profiling_ops,
+    sequence_ops,
+    media_neardup,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -18,7 +18,7 @@ is dropping postings with document-frequency above a cap, noted per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -605,4 +605,89 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("doc_b"))
             .alias("contained_doc"),
         )
+    )
+
+
+_PF_TAU = 0.6  # Jaccard threshold for the prefix-filtered join
+
+
+@query(
+    "q215_prefix_filter_jaccard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS toks
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+    postings AS (SELECT doc_id, n, unnest(toks) AS tok FROM sized),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_common, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM postings a JOIN postings b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_common::DOUBLE / (na + nb - n_common), 6) AS jaccard
+    FROM common
+    WHERE n_common::DOUBLE / (na + nb - n_common) >= {_PF_TAU}
+    """,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (the AllPairs/PPJoin
+    candidate generator): two token sets with Jaccard ≥ τ must share at
+    least one token among each set's (n − ⌈τ·n⌉ + 1) RAREST tokens
+    (global-df-ascending order) — so only prefix postings self-join,
+    roughly a (1 − τ) fraction of the full postings volume q68-style
+    full-postings joins would shuffle, and the rarest-first ordering makes
+    those postings the SHORTEST lists (prefix buckets are the cold keys by
+    construction, the opposite of the hot-shingle problem the DF cap
+    exists for). Candidates are then verified exactly: join back each
+    side's full distinct-token array (array_intersect — per-doc arrays,
+    bounded by document length) and keep Jaccard ≥ τ. Lossless by the
+    prefix-filter theorem, so the oracle is the plain exact all-pairs
+    join. Uses the q68 3-token shingle sets, so this and q68 are two
+    candidate generators for the SAME resemblance definition — prefix
+    postings here, DF-capped full postings there."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", F.expr(_SPARK_TOKS))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(_SPARK_SHINGLES).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    postings = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
+    df_tab = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        postings.join(df_tab, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("df", "tok")
+            ),
+        )
+        # prefix length n − ⌈τ·n⌉ + 1
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(_PF_TAU) * F.col("n")) + 1)
+        .select("doc_id", "tok")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("n").alias("na"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("n").alias("nb"))
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("toks_a", "toks_b")))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return verified.filter(jac >= _PF_TAU).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )

@@ -303,3 +303,43 @@ def dynamic_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q213_stream_ewma_stateful",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_obs,
+           round(list_reduce(
+             list_prepend(0.0::DOUBLE, list(value::DOUBLE ORDER BY ts, event_id)),
+             (acc, v) -> acc * 0.9 + v * 0.1), 4) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "timeseries"),
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user EWMA via `applyInPandasWithState` — the O(1)-state
+    recurrence twin of q206's batch fold, executed as a real micro-batch
+    stream and oracle-checked against the batch derivation (stream/batch
+    equivalence as the correctness gate, like q51/q52). State per key is
+    two numbers (ewma, n_obs); each batch sorts its rows by (ts, event_id)
+    before folding so within-batch disorder can't change the result. The
+    memory sink accumulates one update row per (key, batch); the final
+    value per key is the one with the highest n_obs (monotone per batch),
+    selected with max_by — with availableNow over the single-file fixture
+    there is exactly one batch, and with many batches the recurrence
+    carries across them unchanged. Rounding happens HERE, not in the
+    worker (Python round is banker's)."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import ewma_stream
+
+    ev = events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    updates = run_to_completion(ewma_stream(ev), output_mode="update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_obs").alias("n_obs"),
+        F.round(F.max_by("ewma", "n_obs"), 4).alias("ewma"),
+    )

@@ -162,3 +162,45 @@ def publish_events_stream(ops: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (q213): O(1) keyed state — the recurrence form of q206's
+# batch fold. State = (ewma, n_obs, last_key); each micro-batch is sorted by
+# (ts, event_id) before folding, so within-batch arrival disorder cannot
+# change the result, and the sequential recurrence carries across batches.
+# The fold performs the identical IEEE-754 sequence as the batch
+# `aggregate()` and DuckDB's `list_reduce` (same order, same
+# acc*0.9 + v*0.1 ops), so stream == batch == oracle bit-for-bit; rounding
+# happens Spark-side AFTER the state function (Python's round() is
+# banker's — never round in the worker).
+
+EWMA_OUT_SCHEMA = "user_id long, n_obs long, ewma double"
+EWMA_STATE_SCHEMA = "ewma double, n_obs long"
+EWMA_ALPHA = 0.1
+
+
+def ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ewma, n_obs = state.get if state.exists else (0.0, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    for v in pdf["value"]:
+        ewma = ewma * (1.0 - EWMA_ALPHA) + float(v) * EWMA_ALPHA
+        n_obs += 1
+    state.update((ewma, n_obs))
+    yield pd.DataFrame([{"user_id": key[0], "n_obs": n_obs, "ewma": ewma}])
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user EWMA over the event stream (update mode: each
+    micro-batch emits the key's running smoothed value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        ewma_fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
