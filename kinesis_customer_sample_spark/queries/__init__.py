@@ -39,6 +39,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     composites3,
     composites4,
     composites5,
+    composites6,
     curation,
     corpus_scoring,
     warehouse_ops,

@@ -82,3 +82,33 @@ def test_ahash_band_recall_pigeonhole():
             for b in range(4)
         ]
         assert any(bands_equal), (hex(h), hex(flipped), n_flips)
+
+
+def test_min_cost_supplier_broadcasts_dims(spark, sf_dir):
+    # Q2 shape: part/supplier/nation/region must broadcast; the only big
+    # shuffle is the (part, supp) partial agg — and never a cartesian
+    facts = audit_of(spark, sf_dir, "q216_min_cost_supplier")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 4
+    assert not facts.has_cartesian
+
+
+def test_important_stock_global_threshold_broadcast(spark, sf_dir):
+    # Q11 shape: the one-row global total must broadcast into the theta
+    # filter (BroadcastNestedLoopJoin over a single row is the decorrelated
+    # scalar subquery — cheap by construction), never a shuffled join
+    facts = audit_of(spark, sf_dir, "q219_important_stock")
+    assert (
+        facts.join_strategies.get("BroadcastNestedLoopJoin", 0)
+        + facts.join_strategies.get("BroadcastHashJoin", 0)
+        >= 1
+    )
+    assert "SortMergeJoin" not in facts.join_strategies or (
+        facts.join_strategies.get("SortMergeJoin", 0) == 0
+    )
+
+
+def test_promo_revenue_pushdown(spark, sf_dir):
+    # Q14 shape: the shipdate range must reach the lineitem scan
+    facts = audit_of(spark, sf_dir, "q217_promo_revenue")
+    assert any("l_shipdate" in f for f in facts.pushed_filters)
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
