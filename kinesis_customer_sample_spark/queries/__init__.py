@@ -52,6 +52,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     profiling_ops,
     sequence_ops,
     media_neardup,
+    bpe_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry
