@@ -53,9 +53,37 @@ def plan_text(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def _superseded_node_ids(text: str) -> set[str]:
+    """Node ids that appear ONLY under an AQE "== Initial Plan ==" subtree.
+
+    A materialized InMemoryRelation prints its cached AdaptiveSparkPlan
+    with BOTH the final and the initial physical plan; the initial one is
+    the superseded pre-AQE alternative, and counting its nodes would
+    double-bill every exchange/join under a cache (found when persist()
+    barriers landed in the text pipeline). A subtree is delimited by
+    indentation: the marker's block ends at the first line indented at or
+    above the marker itself."""
+    skipped: set[str] = set()
+    kept: set[str] = set()
+    skip_indent: int | None = None
+    for line in text.splitlines():
+        stripped = line.strip()
+        indent = len(line) - len(line.lstrip())
+        if skip_indent is not None and stripped and indent <= skip_indent:
+            skip_indent = None
+        if "== Initial Plan ==" in stripped:  # tree prints it as "+- == Initial Plan =="
+            skip_indent = indent
+            continue
+        bucket = skipped if skip_indent is not None else kept
+        for m in re.finditer(r"[A-Za-z][A-Za-z0-9]*\s+\((\d+)\)", line):
+            bucket.add(m.group(1))
+    return skipped - kept
+
+
 def audit(df: DataFrame) -> PlanFacts:
     text = plan_text(df)
     facts = PlanFacts(text=text)
+    superseded = _superseded_node_ids(text)
     for line in text.splitlines():
         s = line.strip()
         if s.startswith("PushedFilters:"):
@@ -68,14 +96,26 @@ def audit(df: DataFrame) -> PlanFacts:
             inner = s.split(":", 1)[1].strip().strip("[]")
             if inner:
                 facts.partition_filters.extend(p.strip() for p in inner.split(","))
-    # node census from the numbered plan header lines, e.g. "(5) Exchange"
+    # node census from the numbered plan header lines, e.g. "(5) Exchange";
+    # nodes living only in superseded "== Initial Plan ==" subtrees are
+    # pre-AQE alternatives, not paid-for operators
     for m in re.finditer(r"^\s*[:+\-\s]*\((\d+)\)\s+([A-Za-z]+)", text, re.MULTILINE):
+        if m.group(1) in superseded:
+            continue
         node = m.group(2)
         if node == "Exchange":
             facts.n_exchanges += 1
         if node in _JOIN_NODES:
             facts.join_strategies[node] = facts.join_strategies.get(node, 0) + 1
-    facts.round_robin_exchanges = text.count("RoundRobinPartitioning")
+    # round-robin census: attribute Arguments lines to their node header so
+    # superseded initial-plan exchanges don't double-count
+    current_id = None
+    for line in text.splitlines():
+        header = re.match(r"^\((\d+)\)\s+[A-Za-z]", line.strip())
+        if header:
+            current_id = header.group(1)
+        elif "RoundRobinPartitioning" in line and current_id not in superseded:
+            facts.round_robin_exchanges += 1
     facts.has_cartesian = "CartesianProduct" in text
     facts.has_partial_agg = "partial_" in text
     return facts

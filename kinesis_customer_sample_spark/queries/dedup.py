@@ -103,13 +103,17 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parallelize the single-file scan before the interpreted shingle
-    # lambdas (same rationale as text_analysis._docs_with_tokens)
+    # lambdas (same rationale as text_analysis._docs_with_tokens), and
+    # persist() before the downstream explode()s — Generate over an inline
+    # lambda column re-evaluates the chain many times per row (the
+    # barrier rationale documented in _docs_with_tokens)
     return (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("toks", F.expr(_SPARK_TOKS))
         .filter(F.size("toks") >= 3)
         .withColumn("shs", F.expr(_SPARK_SHINGLES))
+        .persist()
     )
 
 
@@ -650,15 +654,27 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filter theorem, so the oracle is the plain exact all-pairs
     join. Uses the q68 3-token shingle sets, so this and q68 are two
     candidate generators for the SAME resemblance definition — prefix
-    postings here, DF-capped full postings there."""
+    postings here, DF-capped full postings there.
+
+    The shingle-set table is persisted: it feeds THREE consumers
+    (postings for ranking, and both verify sides), and the interpreted
+    shingle lambdas are the expensive part of the plan — materializing
+    |docs| rows once beats re-deriving them per consumer AND per exploded
+    output row (measured 3×+ on the bench; the same
+    persist-the-signatures decision as q69)."""
+    # build shingles from the PERSISTED token arrays (_docs_with_tokens):
+    # deriving them inline would let CollapseProject inline the tokenizer
+    # into every lambda reference of `toks` inside the shingle transform —
+    # measured ~8× on this query's cache-population pass
+    from kinesis_customer_sample_spark.queries.text_analysis import _docs_with_tokens
+
     docs = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("toks", F.expr(_SPARK_TOKS))
+        _docs_with_tokens(spark, sf_dir)
         .filter(F.size("toks") >= 3)
         .select("doc_id", F.expr(_SPARK_SHINGLES).alias("toks"))
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") > 0)
+        .persist()
     )
     postings = docs.select("doc_id", "n", F.explode("toks").alias("tok"))
     df_tab = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -39,7 +39,15 @@ def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return docs.withColumn("toks", F.expr(_SPARK_TOKS))
+    # persist() — a materialization barrier between the interpreted tokenize
+    # lambda and downstream explode()s: Generate over an INLINE
+    # higher-order-function column re-evaluates the lambda chain many times
+    # per row (CodegenFallback inside the generate stage — measured ~4× on
+    # the whole query, far worse on wider fanouts). The barrier makes every
+    # explode read a computed array. At 100 TB this is the standard
+    # persist-before-fanout: MEMORY_AND_DISK of (doc_id, tokens), evicted
+    # under pressure, recomputed per executor if lost.
+    return docs.withColumn("toks", F.expr(_SPARK_TOKS)).persist()
 
 
 @query(

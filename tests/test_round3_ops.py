@@ -112,3 +112,110 @@ def test_promo_revenue_pushdown(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q217_promo_revenue")
     assert any("l_shipdate" in f for f in facts.pushed_filters)
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_stream_ewma_multibatch_equals_batch(spark, sf_dir):
+    """The EWMA recurrence must carry across MICRO-BATCH boundaries: replay
+    the events table as three time-ordered files with maxFilesPerTrigger=1
+    (three real micro-batches) and check the final per-user value equals
+    the single-pass batch fold (q206). This is what the single-file oracle
+    run of q213 cannot show — that state survives and composes between
+    batches."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.timeseries_ops import ewma_smoothing
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.stateful import ewma_stream
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # ns would write INT64
+    with tempfile.TemporaryDirectory() as td:
+        n = len(pdf)
+        # contiguous time ranges → per-user order is preserved across batches
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            pdf.iloc[lo : lo + (n + 2) // 3].to_parquet(
+                os.path.join(td, f"part-{i}.parquet"), index=False
+            )
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td)
+        )
+        updates = run_to_completion(ewma_stream(stream), output_mode="update")
+        final = (
+            updates.groupBy("user_id")
+            .agg(
+                F.max("n_obs").alias("n_obs"),
+                F.round(F.max_by("ewma", "n_obs"), 4).alias("ewma"),
+            )
+            .toPandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+    batch = (
+        ewma_smoothing(spark, sf_dir)
+        .select("user_id", "n_obs", "ewma")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (final["n_obs"] == batch["n_obs"]).all()
+    assert (final["ewma"] == batch["ewma"]).all()  # bit-exact, not approx
+
+
+def test_histogram_sketch_shard_invariance(spark, sf_dir):
+    """Merging per-shard histograms must give the same quantile report for
+    ANY sharding — rerun q211's pipeline with a different (finer) shard key
+    and compare to the registered query's output. Split-invariance is the
+    sketch's structural claim; this pins it against regression."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.profiling_ops import (
+        _BIN_W,
+        _N_BINS,
+        _QUANTILES,
+        histogram_merge_quantiles,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        (F.col("user_id") % 13).alias("shard"),  # different, finer sharding
+        F.least(
+            F.lit(_N_BINS - 1),
+            F.greatest(F.lit(0), F.floor(F.col("value") / _BIN_W).cast("bigint")),
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    merged = partials.groupBy("bin").agg(F.sum("c").alias("n"))
+    cdf = merged.select(
+        "bin",
+        F.sum("n").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum_n"),
+    ).crossJoin(merged.agg(F.sum("n").alias("total")))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QUANTILES])).alias("q_bp")
+    )
+    alt = (
+        qs.join(cdf, F.col("cum_n") * 10000 >= F.col("q_bp") * F.col("total"))
+        .groupBy("q_bp")
+        .agg(
+            F.min("bin").alias("est_bin"),
+            F.min((F.col("bin") + 1) * _BIN_W).alias("est_upper_edge"),
+            F.min("total").alias("total_n"),
+        )
+        .toPandas()
+        .set_index("q_bp")
+        .sort_index()
+    )
+    reg = (
+        histogram_merge_quantiles(spark, sf_dir)
+        .toPandas()
+        .set_index("q_bp")
+        .sort_index()
+    )
+    assert (alt == reg).all().all()
