@@ -343,3 +343,56 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_obs").alias("n_obs"),
         F.round(F.max_by("ewma", "n_obs"), 4).alias("ewma"),
     )
+
+
+@query(
+    "q222_stream_ohlc",
+    oracle="""
+    SELECT event_type,
+           time_bucket(INTERVAL 15 MINUTE, ts) AS bucket_start,
+           first(value ORDER BY ts, event_id) AS open,
+           max(value)                         AS high,
+           min(value)                         AS low,
+           last(value ORDER BY ts, event_id)  AS close,
+           count(*)::BIGINT                   AS n_obs
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "timeseries", "resample"),
+)
+def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — q205's downsampler as a real micro-batch
+    stream: windowed min_by/max_by/min/max aggregation under a watermark,
+    complete-mode memory sink, oracle-checked against the batch ordered-
+    aggregate derivation (stream/batch equivalence, the q51/q52 gate).
+    The aggregation state per (window, event_type) is the same four
+    numbers as the batch partial agg, so a billion-tick bucket still
+    holds constant state in the store."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    key = F.struct("ts", "event_id")
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "15 minutes"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    result = run_to_completion(agg, output_mode="complete")
+    return result.select(
+        "event_type",
+        F.col("window.start").cast("timestamp_ntz").alias("bucket_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_obs",
+    )

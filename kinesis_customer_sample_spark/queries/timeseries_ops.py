@@ -124,3 +124,115 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fold, 4).alias("ewma"),
         F.round(F.avg("value"), 4).alias("plain_avg"),
     )
+
+
+@query(
+    "q223_linear_interpolation",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS ts
+      FROM bounds
+    ),
+    u AS (
+      SELECT user_id, ts, value, event_id, 0 AS is_grid FROM events
+      UNION ALL
+      SELECT user_id, ts, NULL, NULL, 1 FROM grid
+    ),
+    w AS (
+      SELECT user_id, ts, is_grid,
+             last_value(CASE WHEN is_grid = 0
+                             THEN struct_pack(ts := ts, v := value) END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_grid, coalesce(event_id, 0)
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             first_value(CASE WHEN is_grid = 0
+                              THEN struct_pack(ts := ts, v := value) END IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, is_grid, coalesce(event_id, 0)
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM u
+    )
+    SELECT user_id, ts AS grid_ts,
+           round(prev.v + (nxt.v - prev.v)
+                 * (CAST(epoch_us(ts) - epoch_us(prev.ts) AS DOUBLE)
+                    / CAST(epoch_us(nxt.ts) - epoch_us(prev.ts) AS DOUBLE)), 6)
+             AS interp_value
+    FROM w
+    WHERE is_grid = 1 AND prev IS NOT NULL AND nxt IS NOT NULL
+    """,
+    tags=("timeseries", "interpolation", "upsample"),
+)
+def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsample each user's series to a 6-hour grid by LINEAR INTERPOLATION
+    between the surrounding observations — the interpolating twin of
+    q126's LOCF gap fill, and the q13/q189 union+window as-of shape run in
+    BOTH directions at once: actuals and grid points interleave in one
+    partitioned window (actuals sort before grid at equal ts, so an exact-
+    hit grid point interpolates to the observation itself via zero
+    weight), each grid row carries ONE (ts, value) struct per direction,
+    and the fraction is integer-µs arithmetic before a single double
+    division — identical FP sequence in both engines. One shuffle on
+    user_id; grid points outside a user's observed range drop out (no
+    extrapolation)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"), F.max("ts").alias("t1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 6 hours)")).alias("ts"),
+    )
+    actual = ev.select(
+        "user_id", "ts", "value", "event_id", F.lit(0).alias("is_grid")
+    )
+    gridded = grid.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(1).alias("is_grid"),
+    )
+    u = actual.unionByName(gridded)
+    obs = F.when(F.col("is_grid") == 0, F.struct("ts", F.col("value").alias("v")))
+    order = [F.col("ts"), F.col("is_grid"), F.coalesce("event_id", F.lit(0))]
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "is_grid",
+        F.last(obs, ignorenulls=True).over(wp).alias("prev"),
+        F.first(obs, ignorenulls=True).over(wn).alias("nxt"),
+    )
+    frac = F.expr(
+        "CAST(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev.ts AS TIMESTAMP)) AS DOUBLE) "
+        "/ CAST(unix_micros(CAST(nxt.ts AS TIMESTAMP)) - unix_micros(CAST(prev.ts AS TIMESTAMP)) AS DOUBLE)"
+    )
+    return (
+        carried.filter(
+            (F.col("is_grid") == 1)
+            & F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("grid_ts"),
+            F.round(F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * frac, 6).alias(
+                "interp_value"
+            ),
+        )
+    )
