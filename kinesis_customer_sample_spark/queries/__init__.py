@@ -53,6 +53,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     sequence_ops,
     media_neardup,
     bpe_ops,
+    quality_screens,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

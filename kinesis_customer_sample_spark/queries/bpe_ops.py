@@ -147,3 +147,70 @@ def bpe_merge_learning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left_sym string, right_sym string, merged string, pair_freq bigint"
     )
+
+
+@query(
+    "q226_bpe_apply_accounting",
+    oracle=f"""
+    WITH w AS (
+      SELECT tok AS word, count(*)::BIGINT AS freq
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    s0 AS (SELECT word, freq, string_split(word, '') AS syms FROM w),
+    {", ".join(_duck_round(i) for i in range(1, _ROUNDS + 1))}
+    SELECT count(*)::BIGINT                       AS n_words,
+           sum(freq)::BIGINT                      AS corpus_tokens,
+           sum(freq * length(word))::BIGINT       AS syms_before,
+           sum(freq * len(syms))::BIGINT          AS syms_after,
+           ((sum(freq * length(word)) - sum(freq * len(syms))) * 10000
+              // sum(freq * length(word)))::BIGINT AS saved_bp
+    FROM s{_ROUNDS}
+    """,
+    tags=("llm", "tokenizer", "bpe"),
+)
+def bpe_apply_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the q221-learned merges corpus-wide and account for the
+    compression: after the three greedy rewrites, how many symbols does
+    the corpus tokenize into versus raw characters (frequency-weighted —
+    i.e. the real token-count reduction a trained vocabulary buys), in
+    integer basis points. The rewrite is the same map-only fold on the
+    distinct-word table; only the one-row accounting aggregate follows,
+    so applying a K-merge vocabulary at 100 TB costs K map passes over
+    |vocabulary| rows plus one reduce."""
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    words = (
+        docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split("word", ""))
+        .localCheckpoint()
+    )
+    for _ in range(_ROUNDS):
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(_SPARK_PAIRS)).alias("pair"))
+            .groupBy(F.col("pair.l").alias("l"), F.col("pair.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        words = words.withColumn(
+            "syms", F.expr(_spark_merge_expr(top["l"], top["r"]))
+        ).localCheckpoint()
+    saved = F.sum(F.col("freq") * F.length("word")) - F.sum(
+        F.col("freq") * F.size("syms")
+    )
+    return words.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("freq").alias("corpus_tokens"),
+        F.sum(F.col("freq") * F.length("word")).alias("syms_before"),
+        F.sum(F.col("freq") * F.size("syms")).cast("bigint").alias("syms_after"),
+        F.expr(
+            "CAST((sum(freq * length(word)) - sum(freq * size(syms))) * 10000 "
+            "div sum(freq * length(word)) AS BIGINT)"
+        ).alias("saved_bp"),
+    )
