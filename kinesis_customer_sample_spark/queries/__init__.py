@@ -54,6 +54,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     media_neardup,
     bpe_ops,
     quality_screens,
+    analytics_fits,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,158 @@
+"""Multi-objective dominance and per-key model fitting — round-3 wave
+(SURVEY.md §2B): the 2-D skyline (Pareto front) operator and exact
+integer-sufficient-statistics OLS trend fitting per key.
+
+Scale posture (100 TB):
+- q227: the skyline sweep is ONE partitioned window over the distinct
+  points of each group, ordered (price asc, qty desc): a point survives
+  iff its qty strictly exceeds the running max over all
+  previously-swept (i.e. no-worse-priced) points — the classic O(n log n)
+  2-D skyline, with the n log n inside Spark's partitioned sort instead
+  of a quadratic dominance join. The oracle is the quadratic NOT EXISTS
+  dominance definition itself, so the sweep is checked against the
+  textbook semantics, not against another sweep.
+- q228: OLS per key needs only the five sufficient statistics
+  (n, Σx, Σy, Σxy, Σx²) — all exact int64 here (x = minutes from the
+  user's first event, y = integer cents), accumulated by ordinary
+  map-side-combined hash aggregation. The slope/r² become floats only in
+  the final one-division projection, so results are engine-exact and the
+  shuffle carries five numbers per key whatever the series length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q227_skyline_pareto_front",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_type,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT p_type, price_cents, size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_type = a.p_type
+        AND b.price_cents <= a.price_cents AND b.size >= a.size
+        AND (b.price_cents < a.price_cents OR b.size > a.size)
+    )
+    """,
+    tags=("analytics", "skyline", "dominance"),
+)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline per part type: the Pareto front of (minimize retail
+    price, maximize size) — no other part of the same type is both
+    cheaper-or-equal and larger-or-equal with one strict. Implemented as
+    the O(n log n) sweep: distinct points, window ordered
+    (price asc, size desc) within the type, keep a point iff its size
+    strictly beats the running max over everything swept before it
+    (equal-price larger-size rows sort first, so they dominate correctly;
+    exact duplicates are collapsed by the distinct). The oracle is the
+    quadratic NOT EXISTS dominance test — the independent semantics, not
+    a second sweep."""
+    pts = (
+        table(spark, sf_dir, "part")
+        .select(
+            "p_type",
+            F.expr("CAST(round(p_retailprice * 100) AS BIGINT)").alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .distinct()
+    )
+    w = (
+        W.partitionBy("p_type")
+        .orderBy(F.asc("price_cents"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("best_prev_size", F.max("size").over(w))
+        .filter(
+            F.col("best_prev_size").isNull() | (F.col("size") > F.col("best_prev_size"))
+        )
+        .select("p_type", "price_cents", "size")
+    )
+
+
+@query(
+    "q228_groupwise_ols_trend",
+    oracle="""
+    WITH xy AS (
+      SELECT user_id,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+               // 60000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             count(*)::BIGINT  AS n,
+             sum(x)::BIGINT    AS sx,
+             sum(y)::BIGINT    AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx
+      FROM xy GROUP BY user_id
+    )
+    SELECT user_id, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 8) AS slope_cents_per_min,
+           round(CAST(sy AS DOUBLE) / n
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE)) * (CAST(sx AS DOUBLE) / n),
+                 4) AS intercept_cents
+    FROM stats
+    WHERE n >= 2 AND n * sxx - sx * sx != 0
+    """,
+    tags=("analytics", "regression", "trend"),
+)
+def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of spend over time: slope (cents per minute
+    since the user's first event) and intercept from the five exact
+    integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) — x is integer
+    minutes, y integer cents, so every sum is exact int64 and floats
+    appear only in the final division (identical FP sequence both
+    engines). Degenerate keys (one observation, or zero time variance)
+    are excluded. Shuffle payload: five numbers per key, any series
+    length."""
+    ev = table(spark, sf_dir, "events")
+    wmin = W.partitionBy("user_id")
+    xy = ev.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) - "
+            "min(unix_micros(CAST(ts AS TIMESTAMP))) OVER "
+            "(PARTITION BY user_id)) div 60000000"
+        ).alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    stats = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return (
+        stats.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 8).alias("slope_cents_per_min"),
+            F.round(
+                F.col("sy").cast("double") / F.col("n")
+                - slope * (F.col("sx").cast("double") / F.col("n")),
+                4,
+            ).alias("intercept_cents"),
+        )
+    )
