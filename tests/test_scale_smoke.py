@@ -194,3 +194,69 @@ def test_chunking_conserves_tail_at_2m_tokens(spark):
         F.expr(f"element_at(starts, -1) + {_CHUNK} - 1 < size(toks)")
     ).count()
     assert bad == 0
+
+
+def test_ohlc_single_pair_state_at_5m_rows(spark):
+    """q205's OHLC shape at 5M rows: min_by/max_by carry one pair of
+    aggregation state per bucket, so the downsample completes on one
+    shuffle and conserves the row count into bucket observation counts."""
+    ev = _synth_events(spark).withColumn(
+        "event_type", (F.col("event_id") % 5).cast("string")
+    )
+    bars = ev.groupBy(
+        "event_type", F.window("ts", "15 minutes")["start"].alias("b")
+    ).agg(
+        F.min_by("value", F.struct("ts", "event_id")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.struct("ts", "event_id")).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    agg = bars.agg(F.sum("n_obs").alias("total"), F.count(F.lit(1)).alias("n_bars")).collect()[0]
+    assert agg["total"] == N
+    assert agg["n_bars"] > 0
+    # OHLC invariant: low <= open/close <= high on every bar
+    bad = bars.filter(
+        (F.col("low") > F.col("open"))
+        | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open"))
+        | (F.col("high") < F.col("close"))
+    ).count()
+    assert bad == 0
+
+
+def test_skyline_sweep_dominance_free_at_5m_points(spark):
+    """q227's partitioned-window skyline sweep at 5M points / 100 groups:
+    completes on one group shuffle, and no surviving point dominates
+    another survivor within its group (mutual non-dominance — checked by
+    a self-join over the small skyline output, not the input)."""
+    pts = (
+        spark.range(N)
+        .select(
+            (F.col("id") % 100).alias("g"),
+            ((F.col("id") * 2654435761) % 1_000_003).alias("price"),
+            ((F.col("id") * 40503) % 99_991).alias("size"),
+        )
+        .distinct()
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.asc("price"), F.desc("size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = (
+        pts.withColumn("m", F.max("size").over(w))
+        .filter(F.col("m").isNull() | (F.col("size") > F.col("m")))
+        .select("g", "price", "size")
+    )
+    n_sky = sky.count()
+    assert 0 < n_sky < N // 100  # the front is a thin subset
+    a, b = sky.alias("a"), sky.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g"))
+        & (F.col("b.price") <= F.col("a.price"))
+        & (F.col("b.size") >= F.col("a.size"))
+        & ((F.col("b.price") < F.col("a.price")) | (F.col("b.size") > F.col("a.size"))),
+    ).count()
+    assert dominated == 0
