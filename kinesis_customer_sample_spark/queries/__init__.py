@@ -55,6 +55,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     bpe_ops,
     quality_screens,
     analytics_fits,
+    attribution_stats,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,220 @@
+"""Multi-touch attribution and statistical-independence QA — round-3 wave
+(SURVEY.md §2B): linear (fractional-credit) attribution complementing
+q177's last-touch, a chi-square independence screen over the
+(event_type × day-of-week) contingency table, and robust MAD outlier
+fences complementing q128's IQR.
+
+Scale posture (100 TB):
+- q229: the purchase×click pairing is q177's interval join — equi on
+  user_id with the 7-day range as residual, so pairs exist only within a
+  user's lookback. Credit splitting is one window per purchase (bounded
+  by clicks-per-user-week); the rollup is a day-grain hash-agg. Credit
+  is integer basis points with the floor remainder assigned to the
+  LATEST qualifying click, so Σcredit per purchase is EXACTLY 10000 and
+  the corpus total is exactly 10000·|attributed purchases| — an
+  auditable conservation law, tested.
+- q230: the contingency table is |types|·7 cells after one hash-agg;
+  marginals come from windows over those cells (cell-count-sized state).
+  Expected counts and contributions use doubles only in the final
+  projection (one division each), identical FP sequence both engines.
+- q231: two exact percentile aggregations (median, then median of
+  absolute deviations) joined on the group key — the nested-median shape
+  that makes MAD more robust than IQR; both aggs are |groups| rows out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_LOOKBACK_DAYS = 7
+
+
+@query(
+    "q229_linear_attribution",
+    oracle=f"""
+    WITH purchases AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+      WHERE event_type = 'click'
+    ),
+    paired AS (
+      SELECT p.p_id, c.c_id, c.c_ts,
+             count(*) OVER (PARTITION BY p.p_id) AS k,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY c.c_ts DESC, c.c_id DESC) AS rn
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts
+       AND c.c_ts >= p.p_ts - INTERVAL {_LOOKBACK_DAYS} DAY
+    ),
+    credited AS (
+      SELECT c_id, c_ts,
+             (10000 // k) + CASE WHEN rn = 1 THEN 10000 % k ELSE 0 END AS credit_bp
+      FROM paired
+    )
+    SELECT c_ts::DATE AS click_day,
+           count(*)::BIGINT AS n_credited_clicks,
+           sum(credit_bp)::BIGINT AS credit_bp
+    FROM credited
+    GROUP BY 1
+    """,
+    tags=("attribution", "analytics", "interval-join"),
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click in the 7 days before a
+    purchase shares that purchase's credit equally — integer basis points
+    with the floor remainder going to the latest click, so each
+    purchase's credit sums to exactly 10000 (conservation tested in
+    test_round3_ops). Rolled up to click-day grain. Same interval-join
+    skeleton as q177's last-touch; the difference is one window that
+    counts and ranks the qualifying clicks instead of keeping only the
+    newest."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    paired = p.join(
+        c,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {_LOOKBACK_DAYS} DAYS")),
+    )
+    wk = W.partitionBy("p_id")
+    wr = W.partitionBy("p_id").orderBy(F.desc("c_ts"), F.desc("c_id"))
+    credited = paired.select(
+        "c_id",
+        "c_ts",
+        F.count(F.lit(1)).over(wk).alias("k"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "c_id",
+        "c_ts",
+        (
+            F.expr("10000 div k")
+            + F.when(F.col("rn") == 1, F.expr("10000 % k")).otherwise(F.lit(0))
+        ).alias("credit_bp"),
+    )
+    return credited.groupBy(F.col("c_ts").cast("date").alias("click_day")).agg(
+        F.count(F.lit(1)).alias("n_credited_clicks"),
+        F.sum("credit_bp").cast("bigint").alias("credit_bp"),
+    )
+
+
+@query(
+    "q230_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, date_part('dow', ts)::BIGINT AS dow,
+             count(*)::BIGINT AS o
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, dow, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY dow) AS ct,
+             sum(o) OVER () AS total
+      FROM cells
+    )
+    SELECT event_type, dow, o,
+           round(CAST(rt * ct AS DOUBLE) / total, 4) AS expected,
+           round((o - CAST(rt * ct AS DOUBLE) / total)
+                 * (o - CAST(rt * ct AS DOUBLE) / total)
+                 / (CAST(rt * ct AS DOUBLE) / total), 6) AS chi2_contrib
+    FROM m
+    """,
+    tags=("profiling", "statistics", "independence"),
+)
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen for the (event_type × day-of-week)
+    contingency table: observed cell counts vs the marginal-product
+    expectation, with each cell's chi-square contribution — the QA check
+    for "does event mix drift by weekday". All counts are exact integers;
+    the expectation divides once into double (identical sequence both
+    engines). Marginals are windows over the 35-cell table, so every
+    post-agg operator is cell-count-sized. Day-of-week aligned Sunday=0
+    (Spark dayofweek−1 == DuckDB dow)."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(W.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(W.partitionBy("dow")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("total"),
+    )
+    e = F.expr("CAST(rt * ct AS DOUBLE) / total")
+    return m.select(
+        "event_type",
+        "dow",
+        "o",
+        F.round(e, 4).alias("expected"),
+        F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "q231_mad_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, m,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(e.value - m)) AS mad,
+             count(*)::BIGINT AS n
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, m
+    )
+    SELECT event_type, n,
+           round(m, 4)   AS median_value,
+           round(mad, 4) AS mad,
+           round(m - 3 * 1.4826 * mad, 4) AS lo_fence,
+           round(m + 3 * 1.4826 * mad, 4) AS hi_fence
+    FROM dev
+    """,
+    tags=("profiling", "statistics", "robust"),
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier fences per event_type — the
+    robust (breakdown-point 50%) alternative to q128's IQR fences, built
+    from the NESTED median shape: exact median per group, broadcast back,
+    exact median of absolute deviations, ±3·1.4826·MAD fences (the
+    normal-consistency constant). Two percentile aggregations and one
+    broadcast join; output is |groups| rows."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(
+            F.expr("percentile(abs(value - m), 0.5)").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return dev.select(
+        "event_type",
+        "n",
+        F.round("m", 4).alias("median_value"),
+        F.round("mad", 4).alias("mad"),
+        F.round(F.col("m") - 3 * 1.4826 * F.col("mad"), 4).alias("lo_fence"),
+        F.round(F.col("m") + 3 * 1.4826 * F.col("mad"), 4).alias("hi_fence"),
+    )

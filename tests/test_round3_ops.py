@@ -219,3 +219,38 @@ def test_histogram_sketch_shard_invariance(spark, sf_dir):
         .sort_index()
     )
     assert (alt == reg).all().all()
+
+
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    """Each attributed purchase's credit must sum to exactly 10000 bp
+    (floor share + remainder-to-latest) — so the corpus total is exactly
+    10000 × |purchases with ≥1 qualifying click|. The conservation law
+    that makes fractional attribution auditable."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.attribution_stats import (
+        linear_attribution,
+    )
+
+    total_credit = (
+        linear_attribution(spark, sf_dir).agg(F.sum("credit_bp")).collect()[0][0]
+    )
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    attributed = (
+        p.join(
+            c,
+            (F.col("c_user_id") == F.col("user_id"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+            "left_semi",
+        )
+        .count()
+    )
+    assert total_credit == 10000 * attributed
