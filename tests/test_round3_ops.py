@@ -254,3 +254,72 @@ def test_linear_attribution_conserves_credit(spark, sf_dir):
         .count()
     )
     assert total_credit == 10000 * attributed
+
+
+def test_bpe_pair_count_is_partial_agg(spark, sf_dir):
+    # q221/q226's per-round pair count must combine map-side and take the
+    # argmax via TakeOrderedAndProject — the scan-agg-limit shape, never a
+    # global sort of the pair table
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.queries.bpe_ops import _SPARK_PAIRS
+    from kinesis_customer_sample_spark.queries.text_analysis import _SPARK_TOKS
+    from kinesis_customer_sample_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.expr(_SPARK_TOKS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn("syms", F.split("word", ""))
+    )
+    top = (
+        words.filter(F.size("syms") >= 2)
+        .select("freq", F.explode(F.expr(_SPARK_PAIRS)).alias("pair"))
+        .groupBy(F.col("pair.l").alias("l"), F.col("pair.r").alias("r"))
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), "l", "r")
+        .limit(1)
+    )
+    facts = audit(top)
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_cusum_reduces_before_fold(spark, sf_dir):
+    # q224: the day-level hash-agg is where data reduction happens; the
+    # fold adds no window or extra exchange beyond the two grouping steps
+    facts = audit_of(spark, sf_dir, "q224_cusum_changepoint")
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+
+
+def test_ols_is_pure_hash_agg_after_basis_window(spark, sf_dir):
+    # q228: sufficient statistics are a hash-agg; the only window is the
+    # per-user min-timestamp basis (partitioned — no global window)
+    facts = audit_of(spark, sf_dir, "q228_groupwise_ols_trend")
+    assert facts.has_partial_agg
+    assert "No Partition Defined" not in facts.text
+
+
+def test_skyline_no_pair_join(spark, sf_dir):
+    # q227's sweep must not plan any join at all — dominance is resolved
+    # by the partitioned window
+    facts = audit_of(spark, sf_dir, "q227_skyline_pareto_front")
+    assert not facts.join_strategies
+    assert not facts.has_cartesian
+
+
+def test_attribution_windows_partitioned(spark, sf_dir):
+    # q229: credit windows are per-purchase; nothing may run unpartitioned
+    facts = audit_of(spark, sf_dir, "q229_linear_attribution")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+
+
+def test_mad_medians_broadcast_back(spark, sf_dir):
+    # q231: the |groups|-row median table must broadcast into the second
+    # pass, never shuffle the fact side
+    facts = audit_of(spark, sf_dir, "q231_mad_robust_outliers")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "SortMergeJoin" not in facts.join_strategies
