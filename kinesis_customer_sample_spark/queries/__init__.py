@@ -56,6 +56,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     quality_screens,
     analytics_fits,
     attribution_stats,
+    spatial_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -323,3 +323,17 @@ def test_mad_medians_broadcast_back(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q231_mad_robust_outliers")
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert "SortMergeJoin" not in facts.join_strategies
+
+
+def test_grid_proximity_is_equi_join(spark, sf_dir):
+    # q232: candidates must come from the cell equi-join — any
+    # BroadcastNestedLoopJoin/cartesian would mean the grid key was lost
+    facts = audit_of(spark, sf_dir, "q232_grid_proximity_join")
+    assert not facts.has_cartesian
+    assert "BroadcastNestedLoopJoin" not in facts.join_strategies
+    assert (
+        facts.join_strategies.get("BroadcastHashJoin", 0)
+        + facts.join_strategies.get("SortMergeJoin", 0)
+        + facts.join_strategies.get("ShuffledHashJoin", 0)
+        >= 1
+    )
