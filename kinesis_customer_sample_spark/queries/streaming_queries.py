@@ -396,3 +396,63 @@ def stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_obs",
     )
+
+
+@query(
+    "q233_contentops_streaming_e2e",
+    oracle=f"""
+    WITH content_ops AS (SELECT * FROM {content_ops_values_sql()}),
+    survived AS (
+      -- the wire replay loses exactly the expired S3-pointer record:
+      -- every 5th record spills to a pointer, every 10th of ALL records
+      -- is the expired one (encode_records(spill_every=5, expire_every=10)
+      -- with sequential op_ids), so op_id % 10 == 0 never decodes
+      SELECT * FROM content_ops WHERE op_id % 10 != 0
+    ),
+    pub AS (
+      SELECT op_id, organization_id, id, branch, operation,
+             epoch_us(strptime(date, '%Y-%m-%dT%H:%M:%SZ'))::BIGINT AS event_us,
+             lag(operation) OVER (
+               PARTITION BY organization_id, id, branch
+               ORDER BY op_id) AS prev_op
+      FROM survived WHERE published
+    )
+    SELECT organization_id, id, branch, event_us,
+           CASE WHEN operation LIKE 'insert-%' THEN 'publish'
+                ELSE 'unpublish' END AS kind
+    FROM pub
+    WHERE (operation LIKE 'insert-%' AND (prev_op IS NULL OR prev_op LIKE 'delete-%'))
+       OR (operation LIKE 'delete-%' AND prev_op LIKE 'insert-%')
+    """,
+    tags=("contentops", "streaming", "e2e", "stateful"),
+)
+def contentops_streaming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline END-TO-END as one real stream (guide:3's
+    third use case, wire to analytics): gzip wire records (with S3-pointer
+    spills, one expired) are replayed as a file-source micro-batch stream,
+    decoded by the production pandas-UDF chain (R2-R6: gunzip → pointer
+    deref against the fake store → error→NULL → envelope validation),
+    then run through the EXACT stateful publish detector
+    (applyInPandasWithState, R11) — and the emitted publish/unpublish
+    events are oracle-checked against the fixture's closed-form
+    derivation, which must account for the decode-dropped record (the
+    expired pointer, op_id % 10 == 0; q204's accounting states the drop
+    set, this query proves the state machine runs correctly on the
+    SURVIVING sequence). Composes q46 + q56 + q204's guarantees into one
+    driver-checked streaming row."""
+    import os
+    import tempfile
+
+    from kinesis_customer_sample_spark.fixtures import RECORD_SCHEMA, kinesis_records_df
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.stateful import publish_events_stream
+
+    records, s3_store = kinesis_records_df(spark)
+    td = tempfile.mkdtemp(prefix="kcss_wire_stream_")
+    records.coalesce(1).write.mode("overwrite").parquet(td)
+    stream = spark.readStream.schema(RECORD_SCHEMA).parquet(td)
+    decoded = decode_records(stream, fetch=s3_store.__getitem__)
+    events = publish_events_stream(decoded)
+    out = run_to_completion(events, output_mode="append")
+    return out.select("organization_id", "id", "branch", "event_us", "kind")
