@@ -57,6 +57,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     analytics_fits,
     attribution_stats,
     spatial_ops,
+    backfill_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry
