@@ -85,6 +85,12 @@ HEADLINE = [
     "q215_prefix_filter_jaccard",
     "q216_min_cost_supplier",
     "q219_important_stock",
+    "q224_cusum_changepoint",
+    "q227_skyline_pareto_front",
+    "q229_linear_attribution",
+    "q232_grid_proximity_join",
+    "q234_selective_backfill",
+    "q235_join_fanout_preflight",
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER) — their cost is dominated by
     # graph materialization + iteration count, which swamps the
