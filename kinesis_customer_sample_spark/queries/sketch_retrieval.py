@@ -614,3 +614,148 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_rank").cast("long").alias("cos_rank"),
     )
     return fused.orderBy(F.col("rrf_mu").desc(), "doc_id").limit(_RRF_TOP)
+
+
+# RBO (rank-biased overlap, p = 0.9, depth 100) tail weights in integer
+# nano-units: TW[m] = round((1-p) * sum_{d=m..100} p^(d-1)/d * 1e9). A doc
+# with leg ranks (ra, rb) enters the overlap at every depth
+# d >= max(ra, rb), so RBO = sum over common docs of TW[max(ra, rb)] — the
+# per-depth series reordered per doc and precomputed ONCE in Python, then
+# embedded as the SAME integer constants in both dialects (no float power
+# series is ever evaluated inside an engine).
+_RBO_TW = [
+    255842545, 155842545, 110842545, 83842545, 65617545, 52495545, 42654045,
+    35062031, 29083320, 24300351, 20426146, 17256342, 14641253, 12468718,
+    10653100, 9127981, 7841161, 6751149, 5824639, 5034667, 4359241,
+    3780305, 3282946, 2854785, 2485495, 2166430, 1890315, 1651016,
+    1443338, 1262873, 1105869, 969123, 849898, 745847, 654956,
+    575490, 505958, 445071, 391714, 344924, 303866, 267815,
+    236142, 208299, 183810, 162259, 143285, 126572, 111844,
+    98859, 87406, 77300, 68380, 60504, 53546, 47398,
+    41964, 37159, 32909, 29149, 25821, 22875, 20266,
+    17956, 15909, 14095, 12487, 11062, 9798, 8677,
+    7682, 6800, 6017, 5321, 4704, 4156, 3669,
+    3237, 2852, 2511, 2208, 1938, 1698, 1485,
+    1295, 1127, 977, 843, 724, 619, 525,
+    441, 366, 300, 241, 188, 142, 100,
+    63, 30,
+]
+
+
+@query(
+    "q236_rbo_rank_agreement",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    dls AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dls
+    ),
+    tfs AS (
+      SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ),
+    dfs AS (SELECT tok, count(*)::BIGINT AS df FROM tfs GROUP BY tok),
+    bm25 AS (
+      SELECT t.doc_id, sum({{score}})::BIGINT AS bm25_mu
+      FROM tfs t JOIN dfs USING (tok) JOIN dls USING (doc_id) CROSS JOIN stats
+      GROUP BY t.doc_id
+    ),
+    bm25_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25_mu DESC, doc_id) AS ra
+      FROM (SELECT * FROM bm25 ORDER BY bm25_mu DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id, {{cos}} AS cos_sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+    ),
+    cos_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rb
+      FROM (SELECT * FROM cos ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_LEG_N})
+    ),
+    common AS (
+      SELECT b.doc_id, greatest(ra, rb) AS m
+      FROM bm25_top b JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT count(*)::BIGINT AS n_common,
+           coalesce(sum(([255842545, 155842545, 110842545, 83842545, 65617545, 52495545, 42654045, 35062031, 29083320, 24300351, 20426146, 17256342, 14641253, 12468718, 10653100, 9127981, 7841161, 6751149, 5824639, 5034667, 4359241, 3780305, 3282946, 2854785, 2485495, 2166430, 1890315, 1651016, 1443338, 1262873, 1105869, 969123, 849898, 745847, 654956, 575490, 505958, 445071, 391714, 344924, 303866, 267815, 236142, 208299, 183810, 162259, 143285, 126572, 111844, 98859, 87406, 77300, 68380, 60504, 53546, 47398, 41964, 37159, 32909, 29149, 25821, 22875, 20266, 17956, 15909, 14095, 12487, 11062, 9798, 8677, 7682, 6800, 6017, 5321, 4704, 4156, 3669, 3237, 2852, 2511, 2208, 1938, 1698, 1485, 1295, 1127, 977, 843, 724, 619, 525, 441, 366, 300, 241, 188, 142, 100, 63, 30])[m]), 0)::BIGINT AS rbo_nano
+    FROM common
+    """.replace("{score}", _bm25_score_expr(dialect="duckdb")).replace(
+        "{cos}",
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 6)",
+    ),
+    tags=("llm", "retrieval", "evaluation", "rbo"),
+)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (p = 0.9, depth 100) between the lexical (BM25)
+    and dense (cosine) retrieval legs — the standard top-weighted measure
+    of how much two rankers agree, here quantifying lexical-vs-semantic
+    divergence on the same corpus. Both legs are the q199 constructions
+    (TakeOrderedAndProject top-100, ranks within the bounded lists); the
+    RBO series is reorganized per common doc (contribution = tail weight
+    of max(ra, rb)) and the tail weights are precomputed integer
+    nano-units, so the score is exact integer arithmetic in both
+    engines."""
+    t = _docs_with_tokens(spark, sf_dir)
+    tfs = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dls = t.select("doc_id", F.size("toks").alias("dl")).filter(F.col("dl") > 0)
+    stats = F.broadcast(
+        dls.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    )
+    dfs = F.broadcast(tfs.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    bm25 = (
+        tfs.join(dfs, "tok")
+        .join(dls, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", F.expr(_bm25_score_expr(dialect="spark")).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("long").alias("bm25_mu"))
+        .orderBy(F.col("bm25_mu").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+    )
+    bm25_top = bm25.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25_mu").desc(), "doc_id"))
+        .alias("ra"),
+    )
+    from kinesis_customer_sample_spark.catalog import table as _table
+    from kinesis_customer_sample_spark.functions import cosine_expr
+    from kinesis_customer_sample_spark.queries.similarity import _QUERY_VEC_ID
+
+    emb = _table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(cosine_expr("embedding", "qv", dialect="spark")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_LEG_N)
+    )
+    cos_top = cos.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.col("cos_sim").desc(), "doc_id")).alias("rb"),
+    )
+    tw = F.array(*[F.lit(x) for x in _RBO_TW])
+    common = bm25_top.join(cos_top, "doc_id").select(
+        F.element_at(tw, F.greatest("ra", "rb").cast("int")).alias("w")
+    )
+    return common.agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("rbo_nano"),
+    )
