@@ -218,3 +218,108 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m") - 3 * 1.4826 * F.col("mad"), 4).alias("lo_fence"),
         F.round(F.col("m") + 3 * 1.4826 * F.col("mad"), 4).alias("hi_fence"),
     )
+
+
+@query(
+    "q237_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             sum(CAST(l_quantity AS BIGINT))::BIGINT AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, price_cents, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price_cents) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM pts
+    )
+    SELECT flag,
+           min(price_cents)::BIGINT AS weighted_median_cents,
+           min(tw)::BIGINT          AS total_weight
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY flag
+    """,
+    tags=("profiling", "statistics", "weighted"),
+)
+def weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the order
+    statistic where each row counts `l_quantity` times (lower weighted
+    median: smallest price whose cumulative weight reaches half the
+    total). Weights aggregate per DISTINCT price first, so the cumulative
+    window runs over distinct values and tie order can never move the
+    answer — exact integers end to end. One shuffle for the (flag, price)
+    agg; the window rides the same flag partitioning."""
+    li = table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).alias("w"))
+    wc = W.partitionBy("flag").orderBy("price_cents")
+    cum = pts.select(
+        "flag",
+        "price_cents",
+        F.sum("w").over(wc.rowsBetween(W.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(W.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price_cents").alias("weighted_median_cents"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "q238_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT flag,
+           count(*)::BIGINT AS n_kept,
+           round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS trimmed_mean_cents
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY flag
+    """,
+    tags=("profiling", "statistics", "robust"),
+)
+def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean price per return flag: drop the lowest and highest
+    decile BY DETERMINISTIC RANK (price, then the lineitem PK as
+    tiebreak — boundary ties cannot float between runs or engines), then
+    average the integer-cents middle exactly (int64 sum, one division).
+    The robust-location companion to q231's MAD spread; per-group
+    partitioned windows, no global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    wr = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") > F.expr("n div 10")) & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+        )
+        .groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)), 4
+            ).alias("trimmed_mean_cents"),
+        )
+    )

@@ -337,3 +337,47 @@ def test_grid_proximity_is_equi_join(spark, sf_dir):
         + facts.join_strategies.get("ShuffledHashJoin", 0)
         >= 1
     )
+
+
+def test_bpe_merge_fold_matches_reference(spark):
+    """The greedy merge fold (q221/q226's rewrite lambda) must implement
+    textbook left-to-right non-overlapping BPE merging. Reference
+    implementation in Python; 200 adversarial words (seeded random over a
+    2-letter alphabet — maximizes overlap chains like 'aaaa' and 'abab')
+    merged with every pair from that alphabet, compared element-wise."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.queries.bpe_ops import _spark_merge_expr
+
+    def ref_merge(syms, l, r):
+        out = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        return out
+
+    rng = random.Random(0xBEEF)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    ]
+    cases = [(w, l, r) for w in words for l in "ab" for r in "ab"]
+    df = spark.createDataFrame(
+        [(w, list(w), l, r) for w, l, r in cases],
+        "word string, syms array<string>, l string, r string",
+    )
+    # one job per (l, r) pair: the merge pair is a compile-time literal
+    for l in "ab":
+        for r in "ab":
+            got = {
+                row["word"]: row["merged"]
+                for row in df.filter((F.col("l") == l) & (F.col("r") == r))
+                .withColumn("merged", F.expr(_spark_merge_expr(l, r)))
+                .collect()
+            }
+            for w in words:
+                assert got[w] == ref_merge(list(w), l, r), (w, l, r, got[w])
