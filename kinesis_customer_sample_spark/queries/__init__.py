@@ -58,6 +58,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     attribution_stats,
     spatial_ops,
     backfill_ops,
+    sequence_analytics,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,177 @@
+"""Sequence compression & period-over-period analytics — round-3 wave
+(SURVEY.md §2B): run-length encoding of per-user event streams, the
+most-common-session-path report, and week-over-week growth — three shapes
+product/metrics teams run daily that compose the engine's
+gaps-and-islands, ordered-string, and lag-window machinery into new
+outputs.
+
+Scale posture (100 TB):
+- q239: RLE is gaps-and-islands (q108's shape) with the island reduced
+  to (start, length, symbol) — one user_id shuffle, windows ride the
+  same partitioning, output is |runs| ≤ |events| rows (the compression).
+- q240: session path strings are q212's bounded ordered-code
+  construction; the report is a hash-agg over path prefixes + global
+  top-10 via TakeOrderedAndProject.
+- q241: weekly cells from one hash-agg; lag + growth over the tiny
+  (type × week) table. Growth is integer basis points by
+  cross-multiplied floor division — no float ratio.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+
+@query(
+    "q239_event_runs_rle",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_idx
+      FROM flagged
+    )
+    SELECT user_id, run_idx::BIGINT AS run_idx, event_type,
+           count(*)::BIGINT AS run_len,
+           min(ts) AS run_start
+    FROM runs
+    GROUP BY 1, 2, 3
+    """,
+    tags=("sequence", "rle", "compression"),
+)
+def event_runs_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encode each user's event stream: consecutive events of
+    the same type (in deterministic (ts, event_id) order) collapse to one
+    (run_idx, type, length, start) row — the sequence-compression
+    primitive behind dwell-detection and bot-streak analysis, and the
+    gaps-and-islands shape with the island itself as the output. One
+    user_id shuffle; both windows and the final agg ride it."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn("brk", brk).withColumn(
+        "run_idx", F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return runs.groupBy(
+        "user_id", F.col("run_idx").cast("bigint").alias("run_idx"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("ts").alias("run_start"),
+    )
+
+
+@query(
+    "q240_common_session_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, ts::DATE AS day,
+             substr(string_agg(substr(event_type, 1, 1), ''
+                    ORDER BY ts, event_id), 1, 5) AS path5
+      FROM events GROUP BY 1, 2
+    )
+    SELECT path5, count(*)::BIGINT AS n_sessions
+    FROM paths
+    GROUP BY path5
+    ORDER BY n_sessions DESC, path5
+    LIMIT 10
+    """,
+    tags=("sequence", "pattern", "topk"),
+)
+def common_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 most common session openings: each (user, day)'s first five
+    event codes (q212's ordered one-char encoding, truncated) counted
+    across all sessions — the "how do sessions start" report. Path
+    construction is one grouped sort-free agg per session; the report is
+    a hash-agg over ≤ 5-char strings and a global top-10 via
+    TakeOrderedAndProject with a deterministic (count, path) tiebreak."""
+    ev = table(spark, sf_dir, "events")
+    seq = F.substring(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        ),
+        1,
+        5,
+    )
+    paths = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        seq.alias("path5")
+    )
+    return (
+        paths.groupBy("path5")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path5")
+        .limit(10)
+    )
+
+
+@query(
+    "q241_wow_growth",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, n, cents,
+           lag(n)     OVER w AS prev_n,
+           lag(cents) OVER w AS prev_cents,
+           ((n - lag(n) OVER w) * 10000 // lag(n) OVER w)::BIGINT AS n_growth_bp,
+           ((cents - lag(cents) OVER w) * 10000 // lag(cents) OVER w)::BIGINT
+             AS cents_growth_bp
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+    tags=("analytics", "period-over-period", "window"),
+)
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly volume and revenue
+    cells (one hash-agg), lagged within the type, growth in integer basis
+    points by cross-multiplied floor division — the period-over-period
+    report with no float ratio anywhere (first weeks report NULL growth).
+    Post-agg state is the tiny (type × week) table."""
+    ev = table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
+    w = W.partitionBy("event_type").orderBy("week")
+    prev_n, prev_c = F.lag("n").over(w), F.lag("cents").over(w)
+    return weekly.select(
+        "event_type",
+        F.col("week").cast("timestamp_ntz").alias("week"),
+        "n",
+        "cents",
+        prev_n.alias("prev_n"),
+        prev_c.alias("prev_cents"),
+        F.expr(
+            "CAST((n - lag(n) OVER (PARTITION BY event_type ORDER BY week)) * 10000 "
+            "div lag(n) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)"
+        ).alias("n_growth_bp"),
+        F.expr(
+            "CAST((cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week)) * 10000 "
+            "div lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)"
+        ).alias("cents_growth_bp"),
+    )
