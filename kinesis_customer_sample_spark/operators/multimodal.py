@@ -181,3 +181,55 @@ def resize_media(media: DataFrame, target_w: int = 64, target_h: int = 48) -> Da
             )
 
     return media.mapInPandas(resizer, schema=RESIZE_SCHEMA)
+
+
+TILE_SCHEMA = (
+    "media_id bigint, tile_row int, tile_col int, tile_off bigint, "
+    "tile_len int, tile_sha string"
+)
+
+
+def tile_grid(media: DataFrame, grid: int = 4) -> DataFrame:
+    """ViT-style patch fan-out: split each payload into a grid×grid byte
+    grid (row-major equal slices; the codec seam means real images would
+    tile pixel blocks — same plumbing, different slicer) and emit one row
+    per tile with its offset, length, and sha256 — Arrow-batched
+    mapInPandas, map-only (blobs never shuffle; only tile digests leave
+    the stage). Tiles of an L-byte payload: row-major index t in
+    [0, grid²), byte range [t·L∕g², (t+1)·L∕g²) with integer boundaries
+    (t·L div g²) — exactly reproducible in SQL for the oracle."""
+
+    def tiler(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        g2 = grid * grid
+        for pdf in batches:
+            rows = []
+            for media_id, data in zip(pdf["media_id"], pdf["data"]):
+                b = bytes(data)
+                L = len(b)
+                for t in range(g2):
+                    lo, hi = t * L // g2, (t + 1) * L // g2
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "tile_row": t // grid,
+                            "tile_col": t % grid,
+                            "tile_off": lo,
+                            "tile_len": hi - lo,
+                            "tile_sha": hashlib.sha256(b[lo:hi]).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "tile_row",
+                    "tile_col",
+                    "tile_off",
+                    "tile_len",
+                    "tile_sha",
+                ],
+            )
+
+    return media.mapInPandas(tiler, schema=TILE_SCHEMA)

@@ -200,3 +200,34 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartition(64).write.mode("overwrite").parquet(scratch)
     compact_table(spark, scratch, sort_keys=["doc_id"], target_files=4)
     return spark.read.parquet(scratch)
+
+
+@query(
+    "q242_media_tile_grid",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (t // 4)::INTEGER AS tile_row,
+           (t % 4)::INTEGER  AS tile_col,
+           (t * length(text) // 16)::BIGINT AS tile_off,
+           ((t + 1) * length(text) // 16 - t * length(text) // 16)::INTEGER
+             AS tile_len,
+           sha256(substr(text, (t * length(text) // 16) + 1,
+                         (t + 1) * length(text) // 16 - t * length(text) // 16))
+             AS tile_sha
+    FROM documents, (SELECT unnest(generate_series(0, 15)) AS t)
+    """,
+    tags=("multimodal", "tiling", "mapinpandas"),
+)
+def media_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style 4×4 patch grid over each media payload: one row per tile
+    with row/col position, byte range, and sha256 digest — the
+    patch-embedding preprocessing fan-out, Arrow-batched and map-only
+    (payload bytes never shuffle; 16 digest rows per blob leave the
+    stage). The fixture payload is utf-8 text, so the oracle re-derives
+    every tile boundary and digest in SQL — boundaries are integer floor
+    divisions, exactly the slicer's arithmetic. On real images the same
+    plumbing tiles pixel blocks behind the documented codec seam."""
+    from kinesis_customer_sample_spark.operators.multimodal import tile_grid
+
+    media = attach_media(table(spark, sf_dir, "documents"))
+    return tile_grid(media, grid=4)

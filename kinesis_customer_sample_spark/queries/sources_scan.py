@@ -118,3 +118,65 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+@query(
+    "q243_csv_malformed_recovery",
+    oracle="""
+    SELECT lang, count(*)::BIGINT AS n_rows,
+           sum(n_chars)::BIGINT   AS sum_chars
+    FROM documents WHERE doc_id % 13 != 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '_corrupt', count(*)::BIGINT, NULL::BIGINT
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+    tags=("source", "csv", "error-recovery"),
+)
+def csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion (PERMISSIVE mode): a CSV export where
+    every doc_id % 13 == 0 line carries a type-corrupt numeric field is
+    read back with an explicit schema and a corrupt-record column — good
+    rows aggregate per language, and the corrupt rows are COUNTED, not
+    dropped silently (the `_corrupt` accounting row). The oracle states
+    the recovery contract in closed form from the corruption rule (the
+    q204 dead-letter pattern at the batch-source layer): hash-match
+    proves PERMISSIVE recovery loses nothing and mislabels nothing."""
+    path = _scratch(sf_dir, "docs_badcsv")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    lines = docs.select(
+        F.concat_ws(
+            ",",
+            F.col("doc_id").cast("string"),
+            "lang",
+            F.when(F.col("doc_id") % 13 == 0, F.lit("not-a-number")).otherwise(
+                F.col("n_chars").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    schema = "doc_id long, lang string, n_chars long, _bad string"
+    # Spark disallows queries that touch ONLY the corrupt-record column of
+    # a raw CSV scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # the documented pattern is to materialize the parsed scan first
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+        .persist()
+    )
+    good = (
+        back.filter(F.col("_bad").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    bad = back.filter(F.col("_bad").isNotNull()).agg(
+        F.lit("_corrupt").alias("lang"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(None).cast("bigint").alias("sum_chars"),
+    )
+    return good.unionByName(bad)

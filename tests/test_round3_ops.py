@@ -381,3 +381,11 @@ def test_bpe_merge_fold_matches_reference(spark):
             }
             for w in words:
                 assert got[w] == ref_merge(list(w), l, r), (w, l, r, got[w])
+
+
+def test_tile_grid_map_only(spark, sf_dir):
+    # q242: tile fan-out must stay map-only — only the deliberate
+    # round-robin spread before the Python stage may exchange
+    facts = audit_of(spark, sf_dir, "q242_media_tile_grid")
+    assert facts.n_exchanges <= 1
+    assert facts.round_robin_exchanges == facts.n_exchanges
