@@ -59,6 +59,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     spatial_ops,
     backfill_ops,
     sequence_analytics,
+    retrieval_rerank,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,151 @@
+"""Maximal Marginal Relevance (MMR) diversity re-ranking — round-3 wave
+(SURVEY.md §2B retrieval rows): the greedy select-for-relevance-minus-
+redundancy loop every RAG/retrieval stack runs between ANN recall and the
+context window.
+
+Scale posture (100 TB): MMR's cost structure is candidates², NOT corpus² —
+the corpus appears only in the top-N candidate leg (TakeOrderedAndProject,
+q72's shape). The candidate set (N=20) and its pairwise similarity table
+(N²=400 µ-unit integers) are constants of the operator, localCheckpointed
+once; each of the K=5 greedy rounds is an argmax over ≤ N rows with a
+one-row collect (the q120/q221 driver-coordination pattern — K tiny
+round-trips by the algorithm's own structure, nothing corpus-sized ever
+revisits the driver).
+
+Cross-engine exactness: relevance and pairwise similarity are cosine
+rounded to µ-units THEN treated as integers, and the MMR score is
+7·rel_µ − 3·max_sim_µ (λ = 0.7 in tenths) — pure int64 with a total
+(score desc, doc_id) tiebreak, so the greedy trajectory cannot diverge.
+The oracle unrolls the identical five rounds in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import cosine_expr
+from kinesis_customer_sample_spark.queries.similarity import _QUERY_VEC_ID
+from kinesis_customer_sample_spark.registry import query
+
+_N_CAND = 20
+_K = 5
+_LAM7, _LAM3 = 7, 3  # lambda = 0.7 in tenths
+
+
+def _duck_round(i: int) -> str:
+    prior = ", ".join(f"(SELECT doc_id FROM sel{j})" for j in range(1, i))
+    if i == 1:
+        return """
+    sel1 AS (
+      SELECT doc_id, rel_mu FROM cand
+      ORDER BY rel_mu DESC, doc_id LIMIT 1
+    )"""
+    return f"""
+    rem{i} AS (
+      SELECT c.doc_id, c.rel_mu, max(s.sim_mu) AS max_sim_mu
+      FROM cand c
+      JOIN sims s ON s.a = c.doc_id AND s.b IN ({prior})
+      WHERE c.doc_id NOT IN ({prior})
+      GROUP BY c.doc_id, c.rel_mu
+    ),
+    sel{i} AS (
+      SELECT doc_id, rel_mu FROM rem{i}
+      ORDER BY {_LAM7} * rel_mu - {_LAM3} * max_sim_mu DESC, doc_id
+      LIMIT 1
+    )"""
+
+
+@query(
+    "q244_mmr_rerank",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+    scored AS (
+      SELECT e.vec_id AS doc_id,
+             CAST(round({{cos_q}} * 1000000) AS BIGINT) AS rel_mu,
+             e.embedding AS emb
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id != {_QUERY_VEC_ID}
+    ),
+    cand AS (
+      SELECT doc_id, rel_mu, emb FROM scored
+      ORDER BY rel_mu DESC, doc_id LIMIT {_N_CAND}
+    ),
+    sims AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(round({{cos_ab}} * 1000000) AS BIGINT) AS sim_mu
+      FROM cand a JOIN cand b ON a.doc_id != b.doc_id
+    ),
+    {",".join(_duck_round(i) for i in range(1, _K + 1))}
+    {" UNION ALL ".join(f"SELECT {i} AS pick, doc_id, rel_mu FROM sel{i}" for i in range(1, _K + 1))}
+    """.replace(
+        "{cos_q}",
+        "round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[])::DOUBLE, 9)",
+    ).replace(
+        "{cos_ab}",
+        "round(list_cosine_similarity(a.emb::DOUBLE[], b.emb::DOUBLE[])::DOUBLE, 9)",
+    ),
+    tags=("llm", "retrieval", "rerank", "mmr", "iterative"),
+)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-ranking of the top-20 cosine candidates: pick 5 docs
+    maximizing 7·relevance_µ − 3·max-similarity-to-already-picked_µ
+    (λ = 0.7), with a total (score, doc_id) tiebreak — diversity-aware
+    selection in exact integer µ-units. Candidate recall is the corpus
+    pass (TakeOrderedAndProject); the greedy loop runs over the
+    localCheckpointed 20-row candidate table and its 400-cell pairwise
+    similarity table, one one-row collect per round."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+            F.col("embedding").alias("qv")
+        )
+    )
+    rel_mu = F.expr(
+        f"CAST(round({cosine_expr('embedding', 'qv', dialect='spark', digits=9)} * 1000000) AS BIGINT)"
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(qv)
+        .select(F.col("vec_id").alias("doc_id"), rel_mu.alias("rel_mu"), "embedding")
+        .orderBy(F.desc("rel_mu"), "doc_id")
+        .limit(_N_CAND)
+        .localCheckpoint()
+    )
+    a = cand.select(
+        F.col("doc_id").alias("a"), F.col("rel_mu").alias("rel_a"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(F.col("doc_id").alias("b"), F.col("embedding").alias("eb"))
+    sim_mu = F.expr(
+        f"CAST(round({cosine_expr('ea', 'eb', dialect='spark', digits=9)} * 1000000) AS BIGINT)"
+    )
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", sim_mu.alias("sim_mu"))
+        .localCheckpoint()
+    )
+    picks: list[tuple[int, int, int]] = []
+    selected: list[int] = []
+    for i in range(1, _K + 1):
+        if not selected:
+            top = cand.orderBy(F.desc("rel_mu"), "doc_id").limit(1).collect()[0]
+        else:
+            top = (
+                cand.filter(~F.col("doc_id").isin(selected))
+                .join(
+                    sims.filter(F.col("b").isin(selected)),
+                    F.col("doc_id") == F.col("a"),
+                )
+                .groupBy("doc_id", "rel_mu")
+                .agg(F.max("sim_mu").alias("max_sim_mu"))
+                .orderBy(
+                    F.desc(_LAM7 * F.col("rel_mu") - _LAM3 * F.col("max_sim_mu")),
+                    "doc_id",
+                )
+                .limit(1)
+                .collect()[0]
+            )
+        picks.append((i, int(top["doc_id"]), int(top["rel_mu"])))
+        selected.append(int(top["doc_id"]))
+    return spark.createDataFrame(picks, "pick int, doc_id bigint, rel_mu bigint")
