@@ -456,3 +456,80 @@ def contentops_streaming_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = publish_events_stream(decoded)
     out = run_to_completion(events, output_mode="append")
     return out.select("organization_id", "id", "branch", "event_us", "kind")
+
+
+@query(
+    "q245_stream_session_timeout",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           count(*)::BIGINT              AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "stateful", "session", "timeout"),
+)
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization where sessions close ONLY via EventTimeTimeout —
+    the applyInPandasWithState timeout API run as a real multi-batch
+    stream: events replay in two time-ordered batches, then a far-future
+    sentinel batch pushes the watermark so every open session's timeout
+    fires (an unbounded stream's only correct way to close a session —
+    the watermark must prove no more members can arrive). Sentinel
+    sessions are dropped by their start time; the oracle is q53's
+    gaps-and-islands derivation. Proves the timeout path end-to-end
+    under the driver's gate, complementing q53 (native session_window)
+    and the inline-emission test suite."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.stateful import session_timeout_stream
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    max_ts = pd.Timestamp(pdf["ts"].max())
+    td = tempfile.mkdtemp(prefix="kcss_sess_timeout_")
+    half = (len(pdf) + 1) // 2
+    pdf.iloc[:half].to_parquet(os.path.join(td, "part-0.parquet"), index=False)
+    pdf.iloc[half:].to_parquet(os.path.join(td, "part-1.parquet"), index=False)
+    sentinel = pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].unique(),
+            "ts": max_ts + pd.Timedelta(days=365),
+            "event_id": -1,
+        }
+    )
+    sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+    sentinel.to_parquet(os.path.join(td, "part-2.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(td)
+    )
+    out = run_to_completion(session_timeout_stream(stream), output_mode="append")
+    return out.filter(
+        F.col("session_start") <= F.lit(max_ts.to_pydatetime())
+    ).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

@@ -204,3 +204,78 @@ def ewma_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Timeout-driven stateful sessionization: the EventTimeTimeout API surface.
+# State per user = the open session (start_us, last_us, n_events); a session
+# CLOSES and emits only via state timeout — the watermark passing
+# last_us + gap — never inline, which is exactly how an unbounded stream
+# must do it (an open session can always grow until the watermark proves it
+# can't). Within-batch disorder is handled by sorting; cross-batch order is
+# the watermark's job. The session definition (30-min gap) matches q108's
+# batch gaps-and-islands, and the equivalence test replays multi-batch with
+# a final watermark push so every session times out.
+
+SESSION_OUT_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events long"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n_events long"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_timeout_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    out: list[dict] = []
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        out.append(
+            {
+                "user_id": key[0],
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us + SESSION_GAP_US, unit="us"),
+                "n_events": n,
+            }
+        )
+        state.remove()
+    else:
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        for ts in pdf["ts"]:
+            us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                start_us, last_us, n = us, us, 1
+            elif us - last_us > SESSION_GAP_US:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "session_start": pd.Timestamp(start_us, unit="us"),
+                        "session_end": pd.Timestamp(last_us + SESSION_GAP_US, unit="us"),
+                        "n_events": n,
+                    }
+                )
+                start_us, last_us, n = us, us, 1
+            else:
+                last_us, n = us, n + 1
+        state.update((start_us, last_us, n))
+        # close via timeout when the watermark passes the gap
+        state.setTimeoutTimestamp((last_us + SESSION_GAP_US) // 1000)
+    yield pd.DataFrame(
+        out, columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def session_timeout_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Sessionize a stream with EventTimeTimeout state closure."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            session_timeout_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -411,3 +411,73 @@ def test_stream_restarts_from_checkpoint_without_reprocessing(spark, sf_dir):
     assert reprocessed == n_b, (reprocessed, n_b)
     _shutil.rmtree(src, ignore_errors=True)
     _shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_session_timeout_stream_equals_batch(spark, sf_dir):
+    """EventTimeTimeout sessionization: replay events as two time-ordered
+    micro-batches plus a far-future sentinel batch (which pushes the
+    watermark so every open session times out), and compare the emitted
+    sessions to q53's batch session_window derivation — same 30-min gap,
+    same (start, end, count) per session. Sessions close ONLY via state
+    timeout, so this proves the timeout path, not just the inline path."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.stateful import session_timeout_stream
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    pdf = ev.orderBy("ts", "event_id").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    with tempfile.TemporaryDirectory() as td:
+        half = (len(pdf) + 1) // 2
+        pdf.iloc[:half].to_parquet(os.path.join(td, "part-0.parquet"), index=False)
+        pdf.iloc[half:].to_parquet(os.path.join(td, "part-1.parquet"), index=False)
+        sentinel = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].unique(),
+                "ts": pd.Timestamp(pdf["ts"].max()) + pd.Timedelta(days=365),
+                "event_id": -1,
+            }
+        )
+        sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+        sentinel.to_parquet(os.path.join(td, "part-2.parquet"), index=False)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td)
+        )
+        got = (
+            run_to_completion(session_timeout_stream(stream), output_mode="append")
+            .filter(F.col("n_events") > 0)
+            .toPandas()
+        )
+    # batch truth: q53's session_window over the same events, minus the
+    # sentinel sessions (they contain only the sentinel row, n_events == 1
+    # at ts+365d — excluded by dropping sessions starting after max ts)
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    key = ["user_id", "session_start"]
+    got_s = (
+        got[got["session_start"] <= batch["session_start"].max()]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(batch_s)
+    assert (got_s["session_end"].values == batch_s["session_end"].values).all()
+    assert (got_s["n_events"].values == batch_s["n_events"].values).all()
