@@ -60,6 +60,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     backfill_ops,
     sequence_analytics,
     retrieval_rerank,
+    python_extensions,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry
