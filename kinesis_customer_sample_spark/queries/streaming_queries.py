@@ -533,3 +533,54 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
     )
+
+
+@query(
+    "q248_python_stream_source_e2e",
+    oracle=f"""
+    WITH content_ops AS (SELECT * FROM {content_ops_values_sql()}),
+    survived AS (
+      SELECT * FROM content_ops WHERE op_id % 10 != 0
+    ),
+    pub AS (
+      SELECT op_id, organization_id, id, branch, operation,
+             epoch_us(strptime(date, '%Y-%m-%dT%H:%M:%SZ'))::BIGINT AS event_us,
+             lag(operation) OVER (
+               PARTITION BY organization_id, id, branch
+               ORDER BY op_id) AS prev_op
+      FROM survived WHERE published
+    )
+    SELECT organization_id, id, branch, event_us,
+           CASE WHEN operation LIKE 'insert-%' THEN 'publish'
+                ELSE 'unpublish' END AS kind
+    FROM pub
+    WHERE (operation LIKE 'insert-%' AND (prev_op IS NULL OR prev_op LIKE 'delete-%'))
+       OR (operation LIKE 'delete-%' AND prev_op LIKE 'insert-%')
+    """,
+    tags=("contentops", "streaming", "python-datasource", "e2e"),
+)
+def python_stream_source_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q233's wire→analytics pipeline fed by a CUSTOM PYTHON STREAMING
+    DATASOURCE instead of file replay: the Kinesis double is now a real
+    offset-managed connector (sources/python_stream.py — initialOffset /
+    read / readBetweenOffsets / commit, checkpointable), serving the wire
+    fixture in three micro-batches; decode and the exact stateful publish
+    detector run downstream unchanged, and the emitted events hash-match
+    the same closed-form oracle. This is R1 without the Kinesis jar: the
+    connector contract itself is implemented, not just stubbed."""
+    from kinesis_customer_sample_spark.fixtures import encode_records
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+    from kinesis_customer_sample_spark.sources.python_stream import WireReplayDataSource
+    from kinesis_customer_sample_spark.streaming.replay import run_until_caught_up
+    from kinesis_customer_sample_spark.streaming.stateful import publish_events_stream
+
+    _, s3_store = encode_records()
+    try:
+        spark.dataSource.register(WireReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("kcss_wire_replay").load()
+    decoded = decode_records(stream, fetch=s3_store.__getitem__)
+    events = publish_events_stream(decoded)
+    out = run_until_caught_up(events, output_mode="append")
+    return out.select("organization_id", "id", "branch", "event_us", "kind")

@@ -95,3 +95,27 @@ def run_to_completion(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def run_until_caught_up(
+    sdf: DataFrame, output_mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Like run_to_completion, but for sources that do not support
+    availableNow (custom Python streaming sources): start the query,
+    processAllAvailable() (blocks until the source reports no new
+    offsets), stop, and return the sink table."""
+    name = name or f"stream_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return sdf.sparkSession.table(name)
