@@ -60,3 +60,90 @@ class WireReplayDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ARG002 — fixed wire schema
         return WireReplayStreamReader()
+
+
+# ---------------------------------------------------------------------------
+# Custom Python streaming SINK (R15's foreign-CMS sync as a connector): a
+# transactional JSONL writer with a two-phase commit — tasks write
+# uncommitted part files and return their paths as commit messages; the
+# driver's commit() publishes a per-batch manifest ONLY after every task
+# succeeded; abort() removes the orphans. Readers consult the manifests, so
+# a replayed/failed batch can never surface twice: exactly-once by
+# manifest, the same protocol real table formats use.
+
+import dataclasses
+import json as _json
+import os as _os
+import uuid as _uuid
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+
+@dataclasses.dataclass
+class _PartMsg(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class ManifestJsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.base = options.get("path")
+        if not self.base:
+            raise ValueError("kcss_manifest_jsonl sink requires option 'path'")
+        _os.makedirs(_os.path.join(self.base, "_data"), exist_ok=True)
+        _os.makedirs(_os.path.join(self.base, "_manifests"), exist_ok=True)
+
+    def write(self, iterator):
+        part = _os.path.join(self.base, "_data", f"part-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _PartMsg(path=part, n_rows=n)
+
+    def commit(self, messages, batchId):
+        manifest = _os.path.join(self.base, "_manifests", f"{batchId}.json")
+        if _os.path.exists(manifest):
+            return  # batch replayed after a successful commit: idempotent
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(
+                {
+                    "batch_id": batchId,
+                    "files": [m.path for m in messages if m],
+                    "n_rows": sum(m.n_rows for m in messages if m),
+                },
+                f,
+            )
+        _os.replace(tmp, manifest)  # atomic publish
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m and _os.path.exists(m.path):
+                _os.remove(m.path)
+
+
+class ManifestJsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kcss_manifest_jsonl"
+
+    def streamWriter(self, schema, overwrite):  # noqa: ARG002
+        return ManifestJsonlStreamWriter(self.options)
+
+
+def read_committed(base: str) -> list[dict]:
+    """Reader side of the manifest protocol: only rows in files referenced
+    by a published manifest exist."""
+    rows: list[dict] = []
+    mdir = _os.path.join(base, "_manifests")
+    for name in sorted(_os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(_os.path.join(mdir, name)) as f:
+            manifest = _json.load(f)
+        for path in manifest["files"]:
+            with open(path) as f:
+                rows.extend(_json.loads(line) for line in f)
+    return rows
