@@ -323,3 +323,103 @@ def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_mean_cents"),
         )
     )
+
+
+@query(
+    "q249_wilson_intervals",
+    oracle="""
+    WITH daily AS (
+      SELECT ts::DATE AS day,
+             count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS x,
+             count(*) FILTER (WHERE event_type IN ('view', 'purchase'))::BIGINT AS n
+      FROM events GROUP BY 1
+    )
+    SELECT day, x, n,
+           round((x + 1.9208) / (n + 3.8416)
+                 - 1.96 * sqrt((x * (n - x)) / CAST(n AS DOUBLE) + 0.9604)
+                   / (n + 3.8416), 6) AS wilson_lo,
+           round((x + 1.9208) / (n + 3.8416)
+                 + 1.96 * sqrt((x * (n - x)) / CAST(n AS DOUBLE) + 0.9604)
+                   / (n + 3.8416), 6) AS wilson_hi
+    FROM daily WHERE n > 0
+    """,
+    tags=("statistics", "confidence", "rates"),
+)
+def wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the daily purchase-per-exposure rate —
+    the binomial confidence bound that behaves at small n and rates near
+    0/1, where the naive normal interval fails. Inputs are exact integer
+    counts; the interval uses one sqrt (IEEE-correctly-rounded, hence
+    engine-identical) and a fixed arithmetic sequence, so the bounds
+    hash-match at 6 digits. One day-grain hash-agg; the formula is a
+    map-only projection over |days| rows."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type").isin("view", "purchase"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+    )
+    centre = (F.col("x") + 1.9208) / (F.col("n") + 3.8416)
+    half = (
+        1.96
+        * F.sqrt(
+            (F.col("x") * (F.col("n") - F.col("x"))) / F.col("n").cast("double")
+            + 0.9604
+        )
+        / (F.col("n") + 3.8416)
+    )
+    return daily.filter(F.col("n") > 0).select(
+        "day",
+        "x",
+        "n",
+        F.round(centre - half, 6).alias("wilson_lo"),
+        F.round(centre + half, 6).alias("wilson_hi"),
+    )
+
+
+_EB_ALPHA, _EB_BETA = 8, 152  # Beta prior ≈ the corpus-wide purchase rate
+
+
+@query(
+    "q250_eb_smoothed_rates",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS x,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, x, n,
+           (x * 10000 // n)::BIGINT AS raw_rate_bp,
+           ((x + {_EB_ALPHA}) * 10000 // (n + {_EB_ALPHA} + {_EB_BETA}))::BIGINT
+             AS smoothed_rate_bp
+    FROM per_user
+    """,
+    tags=("statistics", "smoothing", "rates"),
+)
+def eb_smoothed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed per-user purchase rates: a Beta(8, 152)
+    prior (≈ the corpus-wide rate) shrinks small-sample user rates toward
+    the prior mean — the ranking-by-rate fix for the
+    winner-is-a-user-with-2-events pathology. Pure integer rational
+    arithmetic (basis points by cross-multiplied floor division); one
+    hash-agg, map-only projection after."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_user.select(
+        "user_id",
+        "x",
+        "n",
+        F.expr("CAST(x * 10000 div n AS BIGINT)").alias("raw_rate_bp"),
+        F.expr(
+            f"CAST((x + {_EB_ALPHA}) * 10000 div (n + {_EB_ALPHA} + {_EB_BETA}) AS BIGINT)"
+        ).alias("smoothed_rate_bp"),
+    )
