@@ -147,3 +147,65 @@ def read_committed(base: str) -> list[dict]:
             with open(path) as f:
                 rows.extend(_json.loads(line) for line in f)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# The PARTITIONED stream reader — the scale path promised above: the driver
+# only tracks offsets ({"i": n}); each micro-batch's record range is split
+# into one InputPartition PER SHARD, and executors regenerate and serve
+# their shard's slice independently (no driver funnel, no record bytes on
+# the driver). This is the shape a real Kinesis connector has: shard =
+# partition, offsets = per-batch sequence ranges.
+
+from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
+
+
+class WireReplayPartitionedReader(DataSourceStreamReader):
+    def __init__(self):
+        from kinesis_customer_sample_spark.fixtures import encode_records
+
+        # driver holds COUNTS only; records regenerate executor-side
+        self._n = len(encode_records()[0])
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        # serve everything still pending, BATCH_RECORDS per micro-batch
+        # (the driver calls this once per batch)
+        if not hasattr(self, "_served"):
+            self._served = 0
+        self._served = min(self._served + BATCH_RECORDS, self._n)
+        return {"i": self._served}
+
+    def partitions(self, start: dict, end: dict):
+        # one partition per shard within the record range
+        return [
+            InputPartition((start["i"], end["i"], shard)) for shard in (0, 1)
+        ]
+
+    def read(self, partition):
+        # executor-side: regenerate deterministically, serve this shard's
+        # slice of the range
+        from kinesis_customer_sample_spark.fixtures import encode_records
+
+        lo, hi, shard = partition.value
+        records, _ = encode_records()
+        for rec in records[lo:hi]:
+            if rec[0] == f"shard-{shard}":
+                yield rec
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class WireReplayPartitionedSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kcss_wire_replay_sharded"
+
+    def schema(self) -> str:
+        return "shard_id string, sequence_number string, data binary"
+
+    def streamReader(self, schema):  # noqa: ARG002 — fixed wire schema
+        return WireReplayPartitionedReader()

@@ -542,3 +542,35 @@ def test_python_stream_sink_exactly_once(spark):
     )
     got = sorted(r["sequence_number"] for r in rows)
     assert got == expected
+
+
+def test_partitioned_stream_source_equals_simple(spark):
+    """The partitioned (executor-read, shard-per-partition) stream reader
+    must deliver exactly the record set the simple driver-side reader
+    does — same decode output, proving the scale-path connector shape
+    (per-shard InputPartitions, offset ranges) loses and duplicates
+    nothing."""
+    from kinesis_customer_sample_spark.fixtures import encode_records
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+    from kinesis_customer_sample_spark.sources.python_stream import (
+        WireReplayDataSource,
+        WireReplayPartitionedSource,
+    )
+    from kinesis_customer_sample_spark.streaming.replay import run_until_caught_up
+
+    for src in (WireReplayDataSource, WireReplayPartitionedSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+    _, store = encode_records()
+
+    def decoded_seqs(fmt: str) -> list[str]:
+        stream = spark.readStream.format(fmt).load()
+        out = run_until_caught_up(
+            decode_records(stream, fetch=store.__getitem__).select("sequence_number"),
+            output_mode="append",
+        )
+        return sorted(r["sequence_number"] for r in out.collect())
+
+    assert decoded_seqs("kcss_wire_replay_sharded") == decoded_seqs("kcss_wire_replay")
