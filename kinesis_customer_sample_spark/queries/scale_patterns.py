@@ -152,3 +152,41 @@ def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, ["click", "view", "purchase", "signup", "error"])
     )
+
+
+@query(
+    "q253_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT ts::DATE AS day, user_id // 63 AS word_idx,
+             bit_or((1::BIGINT << (user_id % 63))::BIGINT) AS bits
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           sum(bit_count(bits))::BIGINT AS n_distinct_users,
+           count(*)::BIGINT             AS n_words
+    FROM words GROUP BY day
+    """,
+    tags=("scale", "bitmap", "distinct", "sketch"),
+)
+def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT daily distinct-user counts via bitmap aggregation (the
+    roaring-bitmap pattern for bounded integer domains): each user sets
+    one bit in a (word_idx, 63-bit word) pair (63, not 64: DuckDB
+    range-checks a signed shift into bit 63), words merge with bit_or —
+    associative and commutative, so map-side partial aggregation does the
+    merge and ANY re-sharding yields the same bitmap (split-invariant
+    like q191/q211, but EXACT, not approximate). popcount over the words
+    gives the count. Shuffle volume is |days|·⌈domain/63⌉ words however
+    many events arrive — the distinct-count shape that beats
+    count(DISTINCT) (which shuffles every distinct value) whenever ids
+    are dense integers. The oracle runs the identical bitmap algebra."""
+    ev = table(spark, sf_dir, "events")
+    words = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.expr("user_id div 63").alias("word_idx"),
+    ).agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))").alias("bits"))
+    return words.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_distinct_users"),
+        F.count(F.lit(1)).alias("n_words"),
+    )

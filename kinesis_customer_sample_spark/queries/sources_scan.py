@@ -180,3 +180,43 @@ def csv_malformed_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("sum_chars"),
     )
     return good.unionByName(bad)
+
+
+@query(
+    "q252_federated_union_scan",
+    oracle="""
+    SELECT n_regionkey,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT n_name)::BIGINT AS n_names,
+           min(n_name) AS first_name
+    FROM (
+      SELECT * FROM nation
+      UNION ALL SELECT * FROM nation
+      UNION ALL SELECT * FROM nation
+    )
+    GROUP BY n_regionkey
+    """,
+    tags=("source", "federation", "union"),
+)
+def federated_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated scan: the SAME logical table served from three physical
+    formats at once — parquet (canonical), CSV, and JSONL exports — read
+    with one explicit schema each, unioned BY NAME, and aggregated. A
+    hash-match proves the three format paths agree row-for-row (the
+    heterogeneous-lake reality: history in parquet, vendor drops in CSV,
+    event dumps in JSONL). Explicit schemas everywhere — inference on a
+    federated union is how type drift sneaks in. Each leg prunes and
+    pushes down independently at scale."""
+    base = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    csv_path = _scratch(sf_dir, "nation_fed_csv")
+    jsonl_path = _scratch(sf_dir, "nation_fed_jsonl")
+    base.write.mode("overwrite").option("header", "true").csv(csv_path)
+    base.write.mode("overwrite").json(jsonl_path)
+    csv_leg = spark.read.schema(_NATION_SCHEMA).option("header", "true").csv(csv_path)
+    jsonl_leg = spark.read.schema(_NATION_SCHEMA).json(jsonl_path)
+    federated = base.unionByName(csv_leg).unionByName(jsonl_leg)
+    return federated.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("n_name").alias("n_names"),
+        F.min("n_name").alias("first_name"),
+    )
