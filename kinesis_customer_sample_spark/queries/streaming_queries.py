@@ -584,3 +584,120 @@ def python_stream_source_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = publish_events_stream(decoded)
     out = run_until_caught_up(events, output_mode="append")
     return out.select("organization_id", "id", "branch", "event_us", "kind")
+
+
+@query(
+    "q251_stream_pit_enrichment",
+    oracle="""
+    WITH nonp AS (
+      SELECT user_id, event_id, ts, event_type
+      FROM events WHERE event_type != 'purchase'
+    ),
+    g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM nonp
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+      FROM g
+    ),
+    runs AS (
+      SELECT user_id, version_seq,
+             min(event_type)           AS state,
+             min(epoch_us(ts))::BIGINT AS valid_from_us
+      FROM v GROUP BY user_id, version_seq
+    ),
+    hist AS (
+      SELECT user_id, version_seq, state, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY version_seq) AS valid_to_us
+      FROM runs
+    ),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts)::BIGINT AS p_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           h.state        AS state_at_purchase,
+           h.version_seq  AS state_version
+    FROM p LEFT JOIN hist h
+      ON h.user_id = p.user_id
+     AND h.valid_from_us <= p.p_us
+     AND (h.valid_to_us IS NULL OR p.p_us < h.valid_to_us)
+    """,
+    tags=("streaming", "scd2", "point-in-time", "stream-static"),
+)
+def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension enrichment ON A STREAM: purchases replay as
+    micro-batches and stream-static-join the SCD2 state history (q118's
+    gaps-and-islands build, a static table) on the user key plus the
+    validity-interval predicate — each fact picks the dimension version
+    valid AT ITS EVENT TIME, the as-was contract q188 proves batch-side,
+    here proven through the streaming join path (fan-out ≤ 1 because
+    versions tile time, so append mode needs no watermark on the static
+    side). The canonical stream-enrichment shape: static dim broadcast
+    per micro-batch, stream side never buffered."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    g = nonp.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(wseq).isNull()
+            | (F.lag("event_type").over(wseq) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    v = g.withColumn(
+        "version_seq",
+        F.sum("is_change").over(wseq.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    runs = v.groupBy("user_id", "version_seq").agg(
+        F.min("event_type").alias("state"),
+        F.min(F.expr("unix_micros(CAST(ts AS TIMESTAMP))")).cast("long").alias("valid_from_us"),
+    )
+    wver = W.partitionBy("user_id").orderBy("version_seq")
+    hist = runs.withColumn("valid_to_us", F.lead("valid_from_us").over(wver)).select(
+        F.col("user_id").alias("h_user_id"), "version_seq", "state", "valid_from_us", "valid_to_us"
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").cast("long").alias("p_us"),
+        )
+    )
+    joined = purchases.join(
+        hist,
+        (F.col("h_user_id") == F.col("user_id"))
+        & (F.col("valid_from_us") <= F.col("p_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("p_us") < F.col("valid_to_us"))),
+        "left",
+    )
+    out = run_to_completion(
+        joined.select(
+            "event_id",
+            "user_id",
+            F.col("state").alias("state_at_purchase"),
+            F.col("version_seq").alias("state_version"),
+        ),
+        output_mode="append",
+    )
+    return out
