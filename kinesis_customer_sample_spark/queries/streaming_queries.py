@@ -701,3 +701,88 @@ def stream_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out
+
+
+@query(
+    "q254_stream_chained_aggs",
+    oracle="""
+    WITH minutely AS (
+      SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS m_start,
+             event_type,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, m_start) AS h_start,
+           event_type,
+           max(n)::BIGINT   AS peak_10min,
+           sum(n)::BIGINT   AS total,
+           count(*)::BIGINT AS n_buckets
+    FROM minutely GROUP BY 1, 2
+    """,
+    tags=("streaming", "chained-aggregation", "window"),
+)
+def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful aggregations chained in ONE streaming query (the
+    multiple-stateful-operators capability, Spark 3.4+): 10-minute
+    windowed counts feed an hourly rollup computing the peak 10-minute
+    burst per hour — the burst-detection shape that previously needed two
+    jobs and an intermediate sink. Both operators share the event-time
+    watermark; the second agg windows over the first's window-start.
+    Oracle = the batch two-level rollup; stream == batch through BOTH
+    state stores. Chained stateful operators REQUIRE append mode
+    (finalized-on-watermark emission), so a far-future sentinel event
+    pushes the watermark past every real window at end of replay (the
+    q245 pattern) and sentinel windows are filtered by start time."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+
+    ev_b = table(spark, sf_dir, "events").select("ts", "event_type")
+    pdf = ev_b.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    max_ts = pd.Timestamp(pdf["ts"].max())
+    td = tempfile.mkdtemp(prefix="kcss_chain_aggs_")
+    pdf.to_parquet(os.path.join(td, "part-0.parquet"), index=False)
+    # one watermark push per chained stateful level, plus one to flush
+    # the final level (watermark for batch N comes from data through N-1)
+    for k in (1, 2, 3):
+        sentinel = pd.DataFrame(
+            {"ts": [max_ts + pd.Timedelta(days=3 * k)], "event_type": ["click"]}
+        )
+        sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
+        sentinel.to_parquet(os.path.join(td, f"part-{k}.parquet"), index=False)
+    ev = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(td)
+    )
+    minutely = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hourly = (
+        # chain via window_time() over the PRESERVED window struct — the
+        # only column form that carries the event-time watermark into the
+        # second stateful operator (selecting window.start strips it)
+        minutely.groupBy(
+            F.window(F.window_time("window"), "1 hour"), "event_type"
+        )
+        .agg(
+            F.max("n").alias("peak_10min"),
+            F.sum("n").alias("total"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("h_start"),
+            "event_type",
+            "peak_10min",
+            "total",
+            "n_buckets",
+        )
+    )
+    out = run_to_completion(hourly, output_mode="append")
+    return out.filter(F.col("h_start") <= F.lit(max_ts.to_pydatetime()))
