@@ -389,3 +389,35 @@ def test_tile_grid_map_only(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q242_media_tile_grid")
     assert facts.n_exchanges <= 1
     assert facts.round_robin_exchanges == facts.n_exchanges
+
+
+def test_bitmap_distinct_shard_invariance(spark, sf_dir):
+    """q253's bitmaps must be invariant to HOW partial words were formed:
+    rebuild them with an extra shard key interposed (so partials merge
+    across shards) and compare the daily counts — bit_or associativity is
+    the structural claim, pinned like q211's histogram invariance."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    alt = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("event_id") % 7).alias("shard"),  # interposed sharding
+            F.expr("user_id div 63").alias("word_idx"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+            ).alias("bits")
+        )
+        .groupBy("day", "word_idx")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .groupBy("day")
+        .agg(F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n"))
+    )
+    reg = REGISTRY["q253_bitmap_distinct"].fn(spark, sf_dir).select(
+        "day", F.col("n_distinct_users").alias("n")
+    )
+    assert alt.exceptAll(reg).count() == 0 and reg.exceptAll(alt).count() == 0
