@@ -472,3 +472,98 @@ def pit_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("state").alias("state_at_purchase"),
         F.col("version_seq").alias("state_version"),
     )
+
+
+@query(
+    "q255_incremental_join_maintenance",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           count(*)::BIGINT AS n_lines,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+    tags=("warehouse", "incremental", "ivm", "join"),
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: the materialized
+    orders⋈lineitem view is maintained from base state plus delta batches
+    using the delta-join identity ΔJ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (insert-only
+    deltas here; tombstones compose with q161's CDC machinery), then
+    aggregated. Base/delta split is deterministic (orderkey % 5 == 0 is
+    the delta). The oracle is the FULL recompute: hash-match proves the
+    three delta legs reconstruct the view exactly — the IVM counterpart
+    of q160's aggregate merge, the identity that lets a 100 TB view
+    absorb a 1 GB delta by joining the DELTA against each side, never
+    re-joining base⋈base."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    is_delta_o = F.col("o_orderkey") % 5 == 0
+    is_delta_l = F.col("l_orderkey") % 5 == 0
+    oB, oD = o.filter(~is_delta_o), o.filter(is_delta_o)
+    lB, lD = li.filter(~is_delta_l), li.filter(is_delta_l)
+    # ΔJ legs: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — base⋈base is the standing view
+    base_view = oB.join(lB, F.col("l_orderkey") == F.col("o_orderkey"))
+    leg1 = oD.join(lB, F.col("l_orderkey") == F.col("o_orderkey"))
+    leg2 = oB.join(lD, F.col("l_orderkey") == F.col("o_orderkey"))
+    leg3 = oD.join(lD, F.col("l_orderkey") == F.col("o_orderkey"))
+    maintained = base_view.unionByName(leg1).unionByName(leg2).unionByName(leg3)
+    return maintained.groupBy("o_orderkey", "o_custkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("cents"),
+    )
+
+
+@query(
+    "q256_sliding_distinct_bitmap",
+    oracle="""
+    WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+    win AS (
+      SELECT d.day, count(DISTINCT e.user_id)::BIGINT AS distinct_7d
+      FROM days d
+      JOIN events e
+        ON e.ts::DATE > d.day - 7 AND e.ts::DATE <= d.day
+      GROUP BY d.day
+    )
+    SELECT day, distinct_7d FROM win
+    """,
+    tags=("scale", "bitmap", "sliding-window", "distinct"),
+)
+def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users WITHOUT a range join or re-counting:
+    build one bitmap per (day, word) — q253's exact sketch — then OR the
+    trailing seven days' bitmaps per word (a partitioned rows-frame
+    window over day-ordered words) and popcount. The range-join form
+    (q136) re-touches every event per window; this touches
+    |days|·⌈domain/63⌉ words total, the mergeable-sketch answer to
+    sliding distinct — exact, unlike the HLL variant. The oracle is the
+    definitional range join at sf0.01 scale."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.expr("user_id div 63").alias("word_idx"),
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT)))"
+        ).alias("bits")
+    )
+    w7 = (
+        W.partitionBy("word_idx")
+        .orderBy(F.col("day").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    rolled = daily.select(
+        "day",
+        "word_idx",
+        F.expr(
+            "bit_or(bits) OVER (PARTITION BY word_idx "
+            "ORDER BY CAST(CAST(day AS TIMESTAMP) AS LONG) "
+            "RANGE BETWEEN 6 * 86400 PRECEDING AND CURRENT ROW)"
+        ).alias("bits7"),
+    )
+    return rolled.groupBy("day").agg(
+        F.expr("CAST(sum(bit_count(bits7)) AS BIGINT)").alias("distinct_7d")
+    )
