@@ -38,21 +38,54 @@ def _ops(spark: SparkSession) -> DataFrame:
 
 @query(
     "q46_contentops_decode",
-    oracle=None,  # gzip decode is not SQL-expressible; golden-tested in pytest
+    oracle=f"""
+    WITH content_ops AS (SELECT * FROM {content_ops_values_sql()})
+    SELECT organization_id, operation,
+           strptime(date, '%Y-%m-%dT%H:%M:%SZ') AS event_time,
+           id, branch, published, created,
+           trigger_type, trigger_id, trigger_referent_update,
+           trigger_priority, trigger_app_name,
+           'shard-' || ((op_id - 1) % 2)                         AS shard_id,
+           '49590338271490256608559692538361571095921575989136588' || lpad((898 + op_id - 1)::VARCHAR, 3, '0')
+                                                                 AS sequence_number
+    FROM content_ops
+    WHERE op_id % 10 != 0  -- the expired S3 pointer never decodes (q204)
+    """,
     tags=("contentops", "decode", "udf"),
 )
 def contentops_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1-R6 decode path on wire-form records: gunzip → pointer-deref (fake
     S3 store) → error→NULL → envelope validation → projection. Includes
     spilled, expired, wrong-type, and corrupt records; only valid ops
-    survive. Rows-only here; exact golden assertions live in
-    tests/test_decode.py."""
+    survive. The oracle states the ENTIRE decoded envelope in closed form
+    from the fixture VALUES — including each record's shard assignment
+    and 56-digit wire sequence number (string-composed: the base exceeds
+    HUGEINT) and the expired-pointer drop — so the wire decode is
+    hash-matched end to end, upgrading this row from rows-only
+    (byte-level golden vectors remain in tests/test_decode.py; `body` is
+    excluded from the projection because JSON re-serialization spacing
+    is not canonicalized cross-engine)."""
     from kinesis_customer_sample_spark.sources.decode import decode_records
 
     ensure_engine_conf(spark)
     records, s3_store = kinesis_records_df(spark)
     fetch = s3_store.__getitem__  # dict-backed fake fetcher (tests/no network)
-    return decode_records(records, fetch=fetch)
+    return decode_records(records, fetch=fetch).select(
+        "organization_id",
+        "operation",
+        F.col("event_time").cast("timestamp_ntz").alias("event_time"),
+        "id",
+        "branch",
+        "published",
+        "created",
+        F.col("trigger.type").alias("trigger_type"),
+        F.col("trigger.id").alias("trigger_id"),
+        F.col("trigger.referent_update").alias("trigger_referent_update"),
+        F.col("trigger.priority").alias("trigger_priority"),
+        F.col("trigger.app_name").alias("trigger_app_name"),
+        "shard_id",
+        "sequence_number",
+    )
 
 
 @query(
