@@ -468,3 +468,64 @@ def dead_letter_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dead_bp"),
         )
     )
+
+
+@query(
+    "q257_dead_letter_replay",
+    oracle=f"""
+    WITH content_ops AS (SELECT * FROM {{cte}}),
+    final AS (
+      SELECT op_id, organization_id, operation, id, branch, published,
+             CASE WHEN op_id % 10 = 0 THEN 'replayed' ELSE 'first_pass' END
+               AS ingest_path
+      FROM content_ops
+    )
+    SELECT ingest_path,
+           count(*)::BIGINT AS n_ops,
+           min(op_id)::BIGINT AS first_op,
+           max(op_id)::BIGINT AS last_op
+    FROM final GROUP BY ingest_path
+    """.replace("{cte}", content_ops_values_sql()),
+    tags=("contentops", "dead-letter", "recovery"),
+)
+def dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter RECOVERY: the expired-pointer records q204 accounts as
+    dropped are re-ingested once the store heals (the re-signed URL case,
+    guide:36-39's flip side) — first-pass decode runs against the partial
+    store, the dead letters are identified by anti-join (exactly q204's
+    accounting), and a second decode pass with the HEALED store processes
+    only those. The union must reconstruct the complete fixture, each op
+    tagged with the path that ingested it — the oracle states both
+    partitions in closed form, so a hash-match proves nothing is lost
+    permanently and nothing is ingested twice."""
+    from kinesis_customer_sample_spark.fixtures import encode_records
+    from kinesis_customer_sample_spark.sources.decode import decode_records
+
+    ensure_engine_conf(spark)
+    # partial store: the expired pointer is missing (the q204 situation)
+    records_df, partial_store = kinesis_records_df(spark)
+    records_df = records_df.localCheckpoint()  # one wire encode, both passes
+    first_pass = decode_records(records_df, fetch=partial_store.__getitem__)
+    # healed store: regenerate with nothing expired (re-signed URLs)
+    healed_records, healed_store = encode_records(expire_every=10**9)
+    healed_lookup = healed_store.__getitem__
+    dead = records_df.join(
+        first_pass.select("sequence_number"), "sequence_number", "left_anti"
+    )
+    replayed = decode_records(dead, fetch=healed_lookup)
+    tagged = first_pass.select(
+        "organization_id", "operation", "id", "branch", "published",
+        F.lit("first_pass").alias("ingest_path"), "sequence_number",
+    ).unionByName(
+        replayed.select(
+            "organization_id", "operation", "id", "branch", "published",
+            F.lit("replayed").alias("ingest_path"), "sequence_number",
+        )
+    )
+    return tagged.groupBy("ingest_path").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        # op identity from the wire sequence: seq - base + 1 == op_id;
+        # the 56-digit string's last 3 chars carry the whole offset range
+        F.min(F.expr("CAST(substring(sequence_number, -3, 3) AS BIGINT) - 897")).alias("first_op"),
+        F.max(F.expr("CAST(substring(sequence_number, -3, 3) AS BIGINT) - 897")).alias("last_op"),
+    )
