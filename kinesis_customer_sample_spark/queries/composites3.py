@@ -71,9 +71,15 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: part/lineitem/orders/customer/supplier are all fact-scale, so
     they shuffle on their join keys (the p_type filter is pushed into the
     part scan, shrinking the first build side before its shuffle); only
-    nation (×2, distinct roles) and region broadcast. The share divides
-    two already-rounded sums so the ratio is deterministic across engines
-    (registry parity rules)."""
+    nation (×2, distinct roles) and region broadcast. The region
+    predicate is applied to customer BEFORE it meets the fact chain
+    (customer ⋈ nation ⋈ region are map-side broadcast joins), so the
+    orders⋈customer shuffle carries a ~1/|regions| slice of customers
+    rather than filtering after the join — Catalyst can't make this
+    reorder itself without CBO stats, and at 100 TB it is the difference
+    between shuffling all customers and a fifth of them. The share
+    divides two already-rounded sums so the ratio is deterministic
+    across engines (registry parity rules)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == _MKT_PTYPE).select("p_partkey")
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
@@ -88,13 +94,16 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("supp_nation") == _MKT_NATION, vol).otherwise(F.lit(0.0))
+    c_in_region = (
+        c.join(n1, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(r, F.col("c_rkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
     return (
         p.join(li, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(n1, F.col("c_nationkey") == F.col("c_nkey"))
-        .join(r, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(c_in_region, F.col("o_custkey") == F.col("c_custkey"))
         .join(n2, F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
