@@ -61,6 +61,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     sequence_analytics,
     retrieval_rerank,
     python_extensions,
+    stats_tests,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,432 @@
+"""Hypothesis testing & experiment analysis — round-3 wave (SURVEY.md §2B):
+the statistical-inference layer a training-data/analytics platform runs on
+top of its aggregates. Four operators: a Kolmogorov–Smirnov two-sample
+test, a Mann–Whitney U rank-sum test (tie-corrected), a Poisson-bootstrap
+confidence interval, and an A/B-experiment two-proportion z-test with
+deterministic hash assignment.
+
+Cross-engine determinism (registry parity rules, applied strictly here
+because test statistics are ratios of large counts):
+- every cumulative/rank quantity is INTEGER (cross-multiplied instead of
+  divided: |c1·n2 − c2·n1| not |c1/n1 − c2/n2|); doubles appear only in
+  the final projection, where each engine performs the identical sequence
+  of correctly-rounded IEEE ops (÷, ·, sqrt) on identical integers;
+- bootstrap randomness is the portable polynomial hash (functions/
+  porthash.py), so replicate weights are identical integers both engines;
+- Poisson(1) inverse-CDF thresholds are shared literal constants.
+
+Scale posture (100 TB):
+- ECDF prefix sums are TWO-LEVEL, never one global window (the q92
+  packing pattern): cumulate within fixed-width value buckets under a
+  partitioned window, then offset by the tiny per-bucket summary via a
+  triangular join. No `WindowExec: No Partition Defined` anywhere — the
+  distinct-value grid never serializes through one task.
+- The bootstrap fans each row out ×B (map-side explode, no pre-shuffle)
+  and reduces to B partial sums — one hash-agg whose state is B rows.
+- The A/B test is one per-user agg then a 2-row arm rollup; assignment is
+  a map-side hash, so the experiment needs no assignment table at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import tok_hash_expr
+from kinesis_customer_sample_spark.registry import query
+
+_KS_A, _KS_B = "purchase", "click"
+_BUCKET_WIDTH = 20.0  # fixed-width value buckets for the two-level cumsum
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities, shared
+# literals with the oracle SQL so the CASE ladder is bit-identical)
+_POIS_CDF = (
+    0.3678794412,
+    0.7357588823,
+    0.9196986029,
+    0.9810118431,
+    0.9963401532,
+    0.9994058152,
+    0.9999167589,
+)
+_N_BOOT = 64
+
+_AB_CONV_MIN = 150.0  # conversion := a purchase of at least this value
+
+
+def _pois_case(u: str) -> str:
+    """CASE ladder mapping a uniform u in [0,1) to a Poisson(1) draw.
+    Same text both dialects (pure comparisons on shared literals)."""
+    branches = " ".join(
+        f"WHEN {u} < {p} THEN {i}" for i, p in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE {len(_POIS_CDF)} END)"
+
+
+def _value_grid_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared front end for q258/q259: the pooled two-sample value grid
+    with per-value counts and INCLUSIVE/EXCLUSIVE cumulative pooled
+    counts, built with the two-level (bucket-partitioned window +
+    triangular bucket-offset join) pattern so no window is global."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B)
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias("cnt1"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias("cnt2"),
+    )
+    g = g.withColumn("bucket", F.floor(F.col("value") / _BUCKET_WIDTH))
+    w_loc = (
+        W.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = g.select(
+        "bucket",
+        "value",
+        "cnt1",
+        "cnt2",
+        F.sum("cnt1").over(w_loc).alias("lc1"),
+        F.sum("cnt2").over(w_loc).alias("lc2"),
+    )
+    totals = g.groupBy("bucket").agg(
+        F.sum("cnt1").alias("t1"), F.sum("cnt2").alias("t2")
+    )
+    starts = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("b.t1"), F.lit(0)).alias("s1"),
+            F.coalesce(F.sum("b.t2"), F.lit(0)).alias("s2"),
+        )
+    )
+    return local.join(F.broadcast(starts), "bucket").select(
+        "value",
+        "cnt1",
+        "cnt2",
+        (F.col("s1") + F.col("lc1")).alias("c1"),  # inclusive cumulative, sample 1
+        (F.col("s2") + F.col("lc2")).alias("c2"),
+    )
+
+
+@query(
+    "q258_ks_two_sample",
+    oracle=f"""
+    WITH g AS (
+      SELECT value,
+             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS cnt1,
+             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cnt2
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY value
+    ),
+    c AS (
+      SELECT sum(cnt1) OVER (ORDER BY value) AS c1,
+             sum(cnt2) OVER (ORDER BY value) AS c2
+      FROM g
+    ),
+    n AS (SELECT sum(cnt1) AS n1, sum(cnt2) AS n2 FROM g)
+    SELECT n1::BIGINT AS n1, n2::BIGINT AS n2,
+           max(abs(c1 * n2 - c2 * n1))::BIGINT AS d_num,
+           round(max(abs(c1 * n2 - c2 * n1))::DOUBLE / (n1 * n2), 6) AS d_stat,
+           round(max(abs(c1 * n2 - c2 * n1))::DOUBLE / (n1 * n2)
+                 * sqrt((n1 * n2)::DOUBLE / (n1 + n2)), 6) AS ks_lambda,
+           (max(abs(c1 * n2 - c2 * n1))::DOUBLE / (n1 * n2)
+                 * sqrt((n1 * n2)::DOUBLE / (n1 + n2)) > 1.358) AS reject_005
+    FROM c, n
+    GROUP BY n1, n2
+    """,
+    tags=("stats", "hypothesis-test", "two-level-window"),
+)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: are purchase and click order
+    values drawn from the same distribution? D = max over the pooled
+    value grid of |F̂1 − F̂2|, kept integer as max|c1·n2 − c2·n1| (ECDF
+    cross-multiplication) so the max is exact; the single division,
+    sqrt-scaling to Kolmogorov's λ, and the α=0.05 decision (λ > 1.358)
+    happen once in the final one-row projection. The ECDF prefix sums are
+    the two-level bucket-window + triangular-offset shape — at 100 TB the
+    grid cumulates partition-parallel, and the reduction to D is an
+    ordinary max-agg. Oracle runs the textbook single-window form."""
+    grid = _value_grid_cumulative(spark, sf_dir)
+    n = grid.agg(
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum("cnt2").cast("bigint").alias("n2"),
+    )
+    d = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")))
+    lam = (
+        d.cast("double")
+        / (F.col("n1") * F.col("n2"))
+        * F.sqrt((F.col("n1") * F.col("n2")).cast("double") / (F.col("n1") + F.col("n2")))
+    )
+    return (
+        grid.join(F.broadcast(n), how="cross")
+        .groupBy("n1", "n2")
+        .agg(
+            d.cast("bigint").alias("d_num"),
+            F.round(d.cast("double") / (F.col("n1") * F.col("n2")), 6).alias("d_stat"),
+            F.round(lam, 6).alias("ks_lambda"),
+            (lam > 1.358).alias("reject_005"),
+        )
+    )
+
+
+@query(
+    "q259_mann_whitney_u",
+    oracle=f"""
+    WITH g AS (
+      SELECT value,
+             sum(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS cnt1,
+             sum(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS cnt2
+      FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+      GROUP BY value
+    ),
+    c AS (
+      SELECT cnt1, cnt1 + cnt2 AS cnt,
+             coalesce(sum(cnt1 + cnt2) OVER (
+               ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS c_before
+      FROM g
+    ),
+    n AS (SELECT sum(cnt1) AS n1, sum(cnt2) AS n2 FROM g),
+    s AS (
+      SELECT sum(cnt1 * (2 * c_before + cnt + 1))::BIGINT AS two_r1,
+             sum(cnt * cnt * cnt - cnt)::BIGINT AS tie_term
+      FROM c
+    )
+    SELECT n1::BIGINT AS n1, n2::BIGINT AS n2, two_r1, tie_term,
+           round((two_r1 - n1 * (n1 + 1))::DOUBLE / 2, 1) AS u1,
+           round(((two_r1 - n1 * (n1 + 1))::DOUBLE / 2 - (n1 * n2)::DOUBLE / 2)
+                 / sqrt((n1 * n2)::DOUBLE / 12
+                        * ((n1 + n2 + 1) - tie_term::DOUBLE
+                           / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z_score
+    FROM s, n
+    """,
+    tags=("stats", "hypothesis-test", "rank-sum"),
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test on the same two samples as q258, with
+    the tie-corrected normal approximation. Average ranks over ties never
+    materialize as fractions: with c_before the EXCLUSIVE pooled
+    cumulative and cnt the tie-group size, each group contributes
+    cnt1·(2·c_before + cnt + 1) to 2·R1 — an integer identity — and the
+    tie correction Σ(t³−t) is integer too. U, its mean, and the
+    tie-corrected variance combine in one final projection whose IEEE
+    op sequence is written identically in both engines. Same two-level
+    cumsum front end as q258 (shared, computed once per engine run)."""
+    grid = _value_grid_cumulative(spark, sf_dir)
+    # exclusive pooled cumulative = inclusive − own count
+    c = grid.select(
+        "cnt1",
+        (F.col("cnt1") + F.col("cnt2")).alias("cnt"),
+        (F.col("c1") + F.col("c2") - F.col("cnt1") - F.col("cnt2")).alias("c_before"),
+    )
+    s = c.agg(
+        F.sum(F.col("cnt1") * (2 * F.col("c_before") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n = grid.agg(
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum("cnt2").cast("bigint").alias("n2"),
+    )
+    u1 = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2
+    mu = (F.col("n1") * F.col("n2")).cast("double") / 2
+    var = (F.col("n1") * F.col("n2")).cast("double") / 12 * (
+        (F.col("n1") + F.col("n2") + 1)
+        - F.col("tie_term").cast("double")
+        / ((F.col("n1") + F.col("n2")) * (F.col("n1") + F.col("n2") - 1))
+    )
+    return (
+        s.join(F.broadcast(n), how="cross")
+        .select(
+            "n1",
+            "n2",
+            "two_r1",
+            "tie_term",
+            F.round(u1, 1).alias("u1"),
+            F.round((u1 - mu) / F.sqrt(var), 6).alias("z_score"),
+        )
+    )
+
+
+_BOOT_U = 1_000_000
+
+_DUCK_BOOT_KEY = "'boot-' || b.b::VARCHAR || '-' || d.doc_id::VARCHAR"
+_DUCK_BOOT_U = (
+    f"(({tok_hash_expr(_DUCK_BOOT_KEY, dialect='duckdb')}) % {_BOOT_U})::DOUBLE"
+    f" / {_BOOT_U}"
+)
+
+
+@query(
+    "q260_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH fan AS (
+      SELECT d.n_chars, b.b,
+             {_pois_case(_DUCK_BOOT_U)} AS w
+      FROM documents d, (SELECT unnest(range(1, {_N_BOOT} + 1)) AS b) b
+    ),
+    reps AS (
+      SELECT b, sum(w)::BIGINT AS sw, sum(w * n_chars)::BIGINT AS swv
+      FROM fan GROUP BY b
+    ),
+    means AS (
+      SELECT b, swv::DOUBLE / sw AS mean_b,
+             row_number() OVER (ORDER BY swv::DOUBLE / sw, b) AS rn
+      FROM reps WHERE sw > 0
+    ),
+    full_mean AS (
+      SELECT count(*)::BIGINT AS n_docs,
+             round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars
+      FROM documents
+    )
+    SELECT n_docs, mean_chars,
+           round(min(CASE WHEN rn = 2 THEN mean_b END), 6) AS boot_lo,
+           round(min(CASE WHEN rn = {_N_BOOT} - 1 THEN mean_b END), 6) AS boot_hi,
+           {_N_BOOT}::BIGINT AS n_replicates
+    FROM means, full_mean
+    GROUP BY n_docs, mean_chars
+    """,
+    tags=("stats", "bootstrap", "resampling"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean document length —
+    the bootstrap that works on distributed data (Chamandy et al.,
+    'Estimating Uncertainty for Massive Data Streams'): instead of
+    resampling n rows with replacement (which needs global coordination),
+    each row independently receives a Poisson(1) replicate weight, here
+    drawn via the portable hash so both engines see identical integer
+    weights. B=64 replicates fan out map-side (explode over the replicate
+    range — no shuffle before the partial agg) and reduce to B weighted
+    sums, kept integer (n_chars is integral). The CI is order-statistics
+    of the replicate means (ranks 2 and B−1 ≈ 2.3%/97.7%), deterministic
+    with the (mean, b) tie-break. At 100 TB: ×64 map-side fan-out into a
+    64-group hash-agg — no state beyond 64 partial rows per task."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        f"(({tok_hash_expr(chr(39) + 'boot-' + chr(39) + ' || CAST(b AS STRING) || ' + chr(39) + '-' + chr(39) + ' || CAST(doc_id AS STRING)', dialect='spark')})"
+        f" % {_BOOT_U}) / CAST({_BOOT_U} AS DOUBLE)"
+    )
+    fan = (
+        d.select("doc_id", "n_chars")
+        .withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_N_BOOT))))
+        .withColumn("w", F.expr(_pois_case(u)))
+    )
+    reps = fan.groupBy("b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("n_chars")).cast("bigint").alias("swv"),
+    )
+    means = (
+        reps.filter(F.col("sw") > 0)
+        .withColumn("mean_b", F.col("swv").cast("double") / F.col("sw"))
+        .withColumn("rn", F.row_number().over(W.orderBy("mean_b", "b")))
+    )
+    full = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_chars"
+        ),
+    )
+    return (
+        means.join(F.broadcast(full), how="cross")
+        .groupBy("n_docs", "mean_chars")
+        .agg(
+            F.round(F.min(F.when(F.col("rn") == 2, F.col("mean_b"))), 6).alias(
+                "boot_lo"
+            ),
+            F.round(
+                F.min(F.when(F.col("rn") == _N_BOOT - 1, F.col("mean_b"))), 6
+            ).alias("boot_hi"),
+            F.lit(_N_BOOT).cast("bigint").alias("n_replicates"),
+        )
+    )
+
+
+@query(
+    "q261_ab_test_analysis",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT user_id,
+             ({tok_hash_expr(chr(39) + 'ab-' + chr(39) + " || user_id::VARCHAR", dialect="duckdb")}) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase' AND value >= {_AB_CONV_MIN}
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events
+      GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)::BIGINT AS conv_a,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+             sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)::BIGINT AS conv_b
+      FROM assigned
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(conv_a::DOUBLE / n_a, 6) AS cvr_a,
+           round(conv_b::DOUBLE / n_b, 6) AS cvr_b,
+           round((conv_a::DOUBLE / n_a - conv_b::DOUBLE / n_b)
+                 / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)
+                        * (1 - (conv_a + conv_b)::DOUBLE / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+    FROM arms
+    """,
+    tags=("stats", "experiment", "ab-test"),
+)
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash assignment: each
+    user lands in arm hash(user)%2 — the industry-standard stateless
+    bucketing that needs no assignment table and assigns consistently
+    across every pipeline that computes it (the same portable hash both
+    engines). Conversion = any purchase ≥ $150. The two-proportion pooled
+    z-test runs on the 1-row arm summary; complements q249's Wilson
+    intervals (per-arm uncertainty) with the between-arm test. At 100 TB:
+    one per-user agg (shuffle on user_id, map-side combined), then a
+    single-row rollup — assignment itself is free (map-side hash)."""
+    ev = table(spark, sf_dir, "events")
+    arm_expr = (
+        f"({tok_hash_expr(chr(39) + 'ab-' + chr(39) + ' || CAST(user_id AS STRING)', dialect='spark')}) % 2"
+    )
+    assigned = (
+        ev.withColumn("arm", F.expr(arm_expr))
+        .groupBy("user_id", "arm")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= _AB_CONV_MIN),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    cvr_a = F.col("conv_a").cast("double") / F.col("n_a")
+    cvr_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (cvr_a - cvr_b) / F.sqrt(
+        pooled * (1 - pooled) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return arms.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(cvr_a, 6).alias("cvr_a"),
+        F.round(cvr_b, 6).alias("cvr_b"),
+        F.round(z, 6).alias("z_score"),
+    )
