@@ -62,6 +62,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     retrieval_rerank,
     python_extensions,
     stats_tests,
+    alerting_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

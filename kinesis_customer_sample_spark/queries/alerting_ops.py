@@ -1,0 +1,181 @@
+"""Operational alerting & time-weighted rollups — round-3 wave
+(SURVEY.md §2B): a hysteresis (two-threshold) alert state machine over
+hourly metric rollups, and time-weighted average price (TWAP) — the
+monitoring primitives that sit downstream of every metrics pipeline.
+Complements q201 (seasonal z-score anomaly) and q224 (CUSUM changepoint):
+those *detect*, these *manage alert state* and *weight by exposure time*.
+
+Key design move (q262): a hysteresis state machine looks inherently
+sequential — state(t) depends on state(t−1) — but because the ON
+condition (mean > hi) and OFF condition (mean < lo) are disjoint and
+state only changes at a crossing, the state at any hour equals the TYPE
+OF THE MOST RECENT CROSSING: `last_value(crossing IGNORE NULLS)` over the
+per-key hourly frame. That turns an iterative fold into one partitioned
+analytic window — embarrassingly parallel across keys at 100 TB, no
+recursion, no applyInPandas.
+
+Cross-engine determinism: threshold comparisons never touch FP — the
+hourly mean is compared as `sum_cents > HI_CENTS · n` (integer cross-
+multiplication; value is 2-dp so cents are exact in int64). TWAP is
+Σ(v_cents · Δt_µs)/ΣΔt_µs — all-integer sums (products ≤ 1.3e17 < 2^63),
+one final division both engines perform identically.
+
+Scale posture (100 TB):
+- q262: hash-agg to (key, hour) grain — map-side combined, |keys|·8760
+  rows/year out — then windows PARTITIONED BY key over that tiny rollup.
+  No unpartitioned window; per-key hourly state is trivially bounded.
+- q263: one window (user, ts-ordered) computing lead(), one hash-agg.
+  Interval durations are consumed as they stream past — no per-user
+  materialization beyond the window frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_HI_CENTS = 5300  # alert sets ON when hourly mean > $53.00 ...
+_LO_CENTS = 4800  # ... and clears only when it drops below $48.00
+
+
+@query(
+    "q262_hysteresis_alert_state",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour,
+             sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+             count(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ),
+    crossed AS (
+      SELECT event_type, hour, sum_cents, n,
+             CASE WHEN sum_cents > {_HI_CENTS} * n THEN 'on'
+                  WHEN sum_cents < {_LO_CENTS} * n THEN 'off'
+             END AS crossing
+      FROM hourly
+    ),
+    stated AS (
+      SELECT event_type, hour, sum_cents, n,
+             coalesce(last_value(crossing IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ), 'off') AS state
+      FROM crossed
+    )
+    SELECT event_type, hour,
+           round(sum_cents::DOUBLE / n / 100, 6) AS mean_value,
+           (state = 'on') AS alert_on,
+           (state <> coalesce(lag(state) OVER (
+              PARTITION BY event_type ORDER BY hour), 'off')) AS is_transition
+    FROM stated
+    """,
+    tags=("monitoring", "alerting", "state-machine", "window"),
+)
+def hysteresis_alert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold (hysteresis) alerting over hourly mean order value
+    per event type: the alert turns ON when the hourly mean exceeds $53
+    and clears only below $48 — the dead band that stops threshold
+    flapping. Sequential-looking state resolved declaratively: state(h) =
+    most recent crossing type (`last_value IGNORE NULLS`), because ON/OFF
+    conditions are disjoint and nothing else mutates state. Emits the
+    full hourly alert timeline plus transition flags (the rows a pager
+    would fire on). All threshold math in integer cents."""
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    crossed = hourly.withColumn(
+        "crossing",
+        F.when(F.col("sum_cents") > _HI_CENTS * F.col("n"), F.lit("on")).when(
+            F.col("sum_cents") < _LO_CENTS * F.col("n"), F.lit("off")
+        ),
+    )
+    w_state = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_lag = W.partitionBy("event_type").orderBy("hour")
+    stated = crossed.withColumn(
+        "state",
+        F.coalesce(F.last("crossing", ignorenulls=True).over(w_state), F.lit("off")),
+    )
+    return stated.select(
+        "event_type",
+        "hour",
+        F.round(F.col("sum_cents").cast("double") / F.col("n") / 100, 6).alias(
+            "mean_value"
+        ),
+        (F.col("state") == "on").alias("alert_on"),
+        (
+            F.col("state")
+            != F.coalesce(F.lag("state").over(w_lag), F.lit("off"))
+        ).alias("is_transition"),
+    )
+
+
+@query(
+    "q263_twap_interval_weighted",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_cents,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_intervals,
+           sum(dur_us)::BIGINT AS span_us,
+           round(sum(v_cents * dur_us)::DOUBLE / sum(dur_us) / 100, 6) AS twap
+    FROM stepped
+    WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "twap", "interval-weighted"),
+)
+def twap_interval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is weighted
+    by how long it remained the latest one (step-function integration —
+    TWAP), so bursts of events no longer dominate the mean the way they
+    do in a plain avg. One lead() window per user for interval durations,
+    then a single hash-agg; weights and weighted sums stay integer
+    (cents × microseconds) until the one final division. Complements
+    q205's OHLC (which keeps order statistics per bucket) with the
+    exposure-time-weighted level."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    stepped = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"),
+        (
+            F.expr(f"lead({us}) OVER (PARTITION BY user_id ORDER BY ts, event_id)")
+            - F.expr(us)
+        ).alias("dur_us"),
+    )
+    return (
+        stepped.filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("v_cents") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us")
+                / 100,
+                6,
+            ).alias("twap"),
+        )
+    )
