@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
-from kinesis_customer_sample_spark.functions import cosine_expr
+from kinesis_customer_sample_spark.functions import cosine_expr, tok_hash_expr
 from kinesis_customer_sample_spark.functions.porthash import dot64_expr, norm_expr
 from kinesis_customer_sample_spark.queries.similarity import _hyperplane_bucket
 from kinesis_customer_sample_spark.queries.text_analysis import (
@@ -760,4 +760,116 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((-sum(logp_mu)) div count(1) AS BIGINT)").alias(
             "avg_neg_logp_mu"
         ),
+    )
+
+
+_DSIR_B = 1024  # hashed-feature buckets
+_DSIR_TOPK = 25
+_DSIR_HASH_DUCK = tok_hash_expr("tok", dialect="duckdb")
+_DSIR_HASH_SPARK = tok_hash_expr("tok", dialect="spark")
+
+
+@query(
+    "q264_dsir_importance_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT d.doc_id, d.lang,
+             ({_DSIR_HASH_DUCK}) % {_DSIR_B} AS feat
+      FROM (SELECT doc_id, lang, unnest({_DUCK_TOKS}) AS tok FROM documents) d
+    ),
+    feats AS (
+      SELECT feat,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS t_c,
+             count(*)::BIGINT AS r_c
+      FROM tok GROUP BY feat
+    ),
+    tots AS (
+      SELECT sum(t_c)::BIGINT AS t_tot, sum(r_c)::BIGINT AS r_tot FROM feats
+    ),
+    w AS (
+      SELECT feat,
+             floor((ln((t_c + 1)::DOUBLE / (t_tot + {_DSIR_B}))
+                    - ln((r_c + 1)::DOUBLE / (r_tot + {_DSIR_B}))) * 1000000)::BIGINT
+               AS w_mu
+      FROM feats CROSS JOIN tots
+    ),
+    scored AS (
+      SELECT t.doc_id, any_value(t.lang) AS lang,
+             count(*)::BIGINT AS n_toks,
+             (sum(w.w_mu) // count(*))::BIGINT AS avg_logratio_mu
+      FROM tok t JOIN w USING (feat)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, lang, n_toks, avg_logratio_mu,
+           row_number() OVER (ORDER BY avg_logratio_mu DESC, doc_id)::BIGINT AS rnk
+    FROM scored
+    ORDER BY avg_logratio_mu DESC, doc_id LIMIT {_DSIR_TOPK}
+    """,
+    tags=("llm", "data-selection", "importance-sampling"),
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., 'Data Selection for Language
+    Models via Importance Resampling'): score every raw-pool document by
+    how target-like its HASHED n-gram features are. Target = the English
+    slice; features = tokens hashed into 1024 buckets (the portable hash,
+    so bucket ids agree across engines); each bucket's importance weight
+    is the smoothed log-ratio ln(p_target/p_raw), floored into integer
+    micro-nats PER FEATURE (the q151 pattern — ln only ever evaluated on
+    identical per-bucket integers, never summed as floats). A document's
+    score is its mean per-token bucket weight, an exact integer division;
+    the top-25 ranking tie-breaks on doc_id.
+
+    Scale: one tokenize pass; the feature table is exactly 1024 rows —
+    broadcast by construction no matter the corpus size (that fixed-size
+    sketch is DSIR's whole point); scoring is a map-side broadcast-hash
+    probe plus one per-doc agg. Selection generalizes to weighted
+    sampling by plugging the score into q104's priority-key draw."""
+    tok = (
+        _docs_with_tokens(spark, sf_dir)
+        .select("doc_id", "lang", F.explode("toks").alias("tok"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(f"({_DSIR_HASH_SPARK}) % {_DSIR_B}").alias("feat"),
+        )
+    )
+    feats = tok.groupBy("feat").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_c"),
+        F.count(F.lit(1)).alias("r_c"),
+    )
+    tots = F.broadcast(
+        feats.agg(F.sum("t_c").alias("t_tot"), F.sum("r_c").alias("r_tot"))
+    )
+    w = F.broadcast(
+        feats.crossJoin(tots).select(
+            "feat",
+            F.expr(
+                f"CAST(floor((ln((t_c + 1) / CAST(t_tot + {_DSIR_B} AS DOUBLE))"
+                f" - ln((r_c + 1) / CAST(r_tot + {_DSIR_B} AS DOUBLE))) * 1000000) AS BIGINT)"
+            ).alias("w_mu"),
+        )
+    )
+    scored = (
+        tok.join(w, "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.expr("CAST(sum(w_mu) div count(1) AS BIGINT)").alias(
+                "avg_logratio_mu"
+            ),
+        )
+    )
+    # top-k FIRST (TakeOrderedAndProject — never a global rank window over
+    # the full corpus), then the rank window runs on the k-row result only
+    top = scored.orderBy(F.desc("avg_logratio_mu"), "doc_id").limit(_DSIR_TOPK)
+    return top.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "avg_logratio_mu",
+        F.row_number()
+        .over(W.orderBy(F.desc("avg_logratio_mu"), "doc_id"))
+        .cast("bigint")
+        .alias("rnk"),
     )
