@@ -63,6 +63,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     python_extensions,
     stats_tests,
     alerting_ops,
+    pq_ann,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

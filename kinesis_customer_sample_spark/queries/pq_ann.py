@@ -1,0 +1,165 @@
+"""Product-quantization ANN (ADC scan + exact rerank) — round-3 wave
+(SURVEY.md §2B similarity rows): the codebook-compression half of the ANN
+design space. q121 (SQ8) compresses per DIMENSION; PQ compresses per
+SUBSPACE — the embedding splits into M=4 sub-vectors, each encoded as the
+id of its nearest centroid in a 16-entry per-subspace codebook, so a
+64-float vector becomes 4 bytes and query-time distance is M table
+lookups (ADC — asymmetric distance computation, Jégou et al., 'Product
+Quantization for Nearest Neighbor Search').
+
+Cross-engine determinism: vectors are quantized to integer milli-units
+(round(x·1000)) BEFORE any distance math, so sub-distances, code
+assignments (argmin with (dist, cid) tie-break), ADC lookups, and the
+exact rerank are all int64 arithmetic — both engines produce identical
+shortlists and ranks, no float tolerance anywhere.
+
+Scale posture (100 TB):
+- The codebook is a deterministic 16-row sample (vec_id < 16), broadcast;
+  training-by-k-means would slot in via q149 without changing the plan.
+- Encoding: corpus × 16-row broadcast, sub-distances computed inside one
+  zip_with/aggregate lambda per (vec, centroid) — map-side; the argmin is
+  a (vec, m)-keyed hash-agg carrying a single (dist, cid) struct through
+  partial/final (min on struct ordering), so no row explosion survives
+  the map stage.
+- ADC scan: codes join the 64-row query lookup table (broadcast), sum M
+  rows per vector — map-side combine; shortlist via TakeOrderedAndProject;
+  exact rerank touches 50 vectors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_PQ_DIM = 64
+_PQ_M = 4  # subspaces
+_PQ_SUB = _PQ_DIM // _PQ_M  # dims per subspace
+_PQ_K = 16  # centroids per subspace codebook
+_PQ_QUERY = 42
+_PQ_SHORTLIST = 50
+_PQ_TOPK = 10
+
+# per-(vector, centroid) array of M integer sub-distances, computed in one
+# codegen'd lambda over the two quantized arrays
+_SUBDISTS = (
+    f"transform(sequence(0, {_PQ_M - 1}), m -> "
+    f"aggregate(zip_with(slice(qi, m * {_PQ_SUB} + 1, {_PQ_SUB}), "
+    f"slice(cqi, m * {_PQ_SUB} + 1, {_PQ_SUB}), (x, y) -> (x - y) * (x - y)), "
+    f"CAST(0 AS BIGINT), (s, v) -> s + v))"
+)
+
+
+@query(
+    "q265_pq_adc_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qi
+      FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, qi AS cqi FROM e WHERE vec_id < {_PQ_K}),
+    dists AS (
+      SELECT e.vec_id, c.cid, t.d // {_PQ_SUB} AS m,
+             sum((e.qi[t.d + 1] - c.cqi[t.d + 1])
+                 * (e.qi[t.d + 1] - c.cqi[t.d + 1]))::BIGINT AS dist
+      FROM e, cent c, range({_PQ_DIM}) t(d)
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, m, cid FROM dists
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1
+    ),
+    qd AS (SELECT m, cid, dist AS qdist FROM dists WHERE vec_id = {_PQ_QUERY}),
+    approx AS (
+      SELECT k.vec_id, sum(q.qdist)::BIGINT AS approx_l2
+      FROM codes k JOIN qd q ON q.m = k.m AND q.cid = k.cid
+      WHERE k.vec_id != {_PQ_QUERY}
+      GROUP BY k.vec_id
+    ),
+    shortlist AS (
+      SELECT vec_id, approx_l2 FROM approx
+      ORDER BY approx_l2, vec_id LIMIT {_PQ_SHORTLIST}
+    ),
+    qv AS (SELECT qi AS qqi FROM e WHERE vec_id = {_PQ_QUERY}),
+    exact AS (
+      SELECT s.vec_id, any_value(s.approx_l2) AS approx_l2,
+             any_value(e.label) AS label,
+             sum((e.qi[t.d + 1] - qv.qqi[t.d + 1])
+                 * (e.qi[t.d + 1] - qv.qqi[t.d + 1]))::BIGINT AS exact_l2
+      FROM shortlist s
+      JOIN e ON e.vec_id = s.vec_id
+      CROSS JOIN qv, range({_PQ_DIM}) t(d)
+      GROUP BY s.vec_id
+    )
+    SELECT vec_id, label, approx_l2, exact_l2
+    FROM exact ORDER BY exact_l2, vec_id LIMIT {_PQ_TOPK}
+    """,
+    tags=("similarity", "ann", "product-quantization", "rerank"),
+)
+def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors with exact rerank: encode each
+    embedding as 4 codebook ids (one per 16-dim subspace, nearest of 16
+    centroids by integer L2, ties to the lower centroid id), precompute
+    the query's 4×16 centroid-distance lookup table, scan the corpus by
+    summed table lookups (ADC), shortlist 50, and rerank the shortlist by
+    exact integer L2. All distance math on milli-unit-quantized integers,
+    so code assignment, ADC scores, and the final ranking hash-match the
+    oracle exactly. The corpus never shuffles for encoding (broadcast
+    codebook, map-side lambdas); the only ordered structures are the
+    50-row shortlist and 10-row answer (TakeOrderedAndProject)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+        ).alias("qi"),
+    )
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("qi").alias("cqi")
+        )
+    )
+    # (vec, cid) → array of M sub-distances → (vec, m, cid, dist) rows
+    dists = (
+        e.crossJoin(cent)
+        .select(
+            "vec_id",
+            "cid",
+            F.posexplode(F.expr(_SUBDISTS)).alias("m", "dist"),
+        )
+    )
+    # argmin per (vec, m): min on (dist, cid) struct = tie-break to low cid
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .select("vec_id", "m", F.col("best.cid").alias("cid"))
+    )
+    qd = F.broadcast(
+        dists.filter(F.col("vec_id") == _PQ_QUERY).select(
+            "m", "cid", F.col("dist").alias("qdist")
+        )
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != _PQ_QUERY)
+        .join(qd, ["m", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("bigint").alias("approx_l2"))
+    )
+    shortlist = approx.orderBy("approx_l2", "vec_id").limit(_PQ_SHORTLIST)
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == _PQ_QUERY).select(F.col("qi").alias("qqi"))
+    )
+    exact_l2 = F.expr(
+        "aggregate(zip_with(qi, qqi, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0 AS BIGINT), (s, v) -> s + v)"
+    )
+    return (
+        shortlist.join(e, "vec_id")
+        .crossJoin(qv)
+        .select("vec_id", "label", "approx_l2", exact_l2.alias("exact_l2"))
+        .orderBy("exact_l2", "vec_id")
+        .limit(_PQ_TOPK)
+    )
