@@ -567,3 +567,104 @@ def sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.groupBy("day").agg(
         F.expr("CAST(sum(bit_count(bits7)) AS BIGINT)").alias("distinct_7d")
     )
+
+
+_NETCHG_SPLIT = "2024-01-16"  # base snapshot = changes strictly before this
+
+
+@query(
+    "q266_cdc_net_changes",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_id, value_cents FROM (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE floor(value * 100)::BIGINT END AS value_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{_NETCHG_SPLIT}'
+      ) WHERE rn = 1 AND value_cents IS NOT NULL
+    ),
+    fin AS (
+      SELECT user_id, event_id, value_cents FROM (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'error' THEN NULL
+                    ELSE floor(value * 100)::BIGINT END AS value_cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND value_cents IS NOT NULL
+    )
+    SELECT coalesce(b.user_id, f.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN 'INSERT'
+                WHEN f.user_id IS NULL THEN 'DELETE'
+                ELSE 'UPDATE' END AS net_op,
+           b.value_cents AS old_value_cents,
+           f.value_cents AS new_value_cents
+    FROM base b FULL OUTER JOIN fin f ON b.user_id = f.user_id
+    WHERE b.user_id IS NULL OR f.user_id IS NULL
+       OR b.event_id != f.event_id OR b.value_cents != f.value_cents
+    """,
+    tags=("warehouse", "cdc", "net-changes", "squash"),
+)
+def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC net-change squash: given the table state at a snapshot boundary
+    (the changelog applied through Jan 15) and the state after the full
+    log, emit the MINIMAL op set that upgrades the snapshot — INSERT for
+    keys born later, DELETE for keys whose trailing change is a
+    tombstone, UPDATE only where the surviving row actually differs, and
+    NOTHING for untouched keys. This is the compaction every incremental
+    MERGE consumer wants: applying one squashed batch instead of
+    replaying every intermediate version (q161 lands final state; this
+    derives the delta BETWEEN two states). Two latest-state windows
+    (partitioned by key) + one full outer join on the key — at 100 TB the
+    squash is two shuffles on user_id and the no-change keys drop before
+    any sink sees them."""
+    ev = table(spark, sf_dir, "events")
+
+    def latest(df: DataFrame) -> DataFrame:
+        log = df.select(
+            "user_id",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit(None))
+            .otherwise(F.expr("CAST(floor(value * 100) AS BIGINT)"))
+            .alias("value_cents"),
+            F.row_number()
+            .over(
+                W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rn"),
+        )
+        return log.filter(
+            (F.col("rn") == 1) & F.col("value_cents").isNotNull()
+        ).drop("rn")
+
+    base = latest(ev.filter(F.col("ts") < F.lit(_NETCHG_SPLIT).cast("timestamp_ntz")))
+    fin = latest(ev)
+    b = base.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_event"),
+        F.col("value_cents").alias("old_value_cents"),
+    )
+    f = fin.select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_id").alias("f_event"),
+        F.col("value_cents").alias("new_value_cents"),
+    )
+    joined = b.join(f, F.col("b_user") == F.col("f_user"), "full_outer")
+    return joined.filter(
+        F.col("b_user").isNull()
+        | F.col("f_user").isNull()
+        | (F.col("b_event") != F.col("f_event"))
+        | (F.col("old_value_cents") != F.col("new_value_cents"))
+    ).select(
+        F.coalesce(F.col("b_user"), F.col("f_user")).alias("user_id"),
+        F.when(F.col("b_user").isNull(), F.lit("INSERT"))
+        .when(F.col("f_user").isNull(), F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+        .alias("net_op"),
+        "old_value_cents",
+        "new_value_cents",
+    )
