@@ -786,3 +786,54 @@ def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(hourly, output_mode="append")
     return out.filter(F.col("h_start") <= F.lit(max_ts.to_pydatetime()))
+
+
+_HH_SHARDS = 8
+_HH_TOPK = 20
+
+
+@query(
+    "q267_stream_heavy_hitters",
+    oracle=f"""
+    SELECT user_id, count(*)::BIGINT AS cnt, 0::BIGINT AS err
+    FROM events
+    GROUP BY user_id
+    ORDER BY cnt DESC, user_id
+    LIMIT {_HH_TOPK}
+    """,
+    tags=("streaming", "stateful", "sketch", "heavy-hitters"),
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k heavy hitters via sharded SPACE-SAVING summaries
+    (applyInPandasWithState): each of 8 shards keeps at most 1024
+    (user, count, err) counters — O(shards × capacity) state total no
+    matter how long the stream runs, the property that makes frequency
+    tracking feasible on an unbounded 100 TB stream where per-key counting
+    state would grow with the keyspace. Shard summaries merge trivially
+    (each key lives in exactly one shard) and the final top-20 is a
+    TakeOrderedAndProject over ≤ 8×1024 rows. In the fixture regime
+    (distinct users per shard < capacity) the sketch is provably exact —
+    every err is 0 and the oracle is the batch GROUP BY — while the
+    eviction path (counts inherit the evicted minimum as err) is
+    exercised by a small-capacity unit test. Capacity bounds exactness up
+    to ~8k distinct users (≈ sf0.5); past that the operator stays correct
+    as a sketch (count ≤ true + err), which is its production contract."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import heavy_hitters_stream
+
+    ev = events_stream(spark, sf_dir).select(
+        (F.col("user_id") % _HH_SHARDS).alias("shard"), "user_id"
+    )
+    updates = run_to_completion(heavy_hitters_stream(ev), output_mode="update")
+    # latest summary row per (shard, user): counts are monotone per batch
+    final = updates.groupBy("shard", "user_id").agg(
+        F.max("cnt").alias("cnt"), F.max_by("err", "cnt").alias("err")
+    )
+    return (
+        final.select("user_id", "cnt", "err")
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(_HH_TOPK)
+    )

@@ -279,3 +279,81 @@ def session_timeout_stream(events: DataFrame, watermark: str = "30 minutes") -> 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Space-saving heavy hitters (Metwally et al., "Efficient Computation of
+# Frequent and Top-k Elements in Data Streams"): per SHARD, a bounded
+# summary of at most `capacity` (item, count, err) counters. An unseen item
+# arriving at a full summary evicts the minimum counter and inherits its
+# count as overestimation error — the classic O(capacity) stream sketch.
+# While a shard's distinct-item count stays below capacity every err is 0
+# and counts are EXACT (the regime the oracle checks); beyond it the
+# guarantee degrades gracefully to count ≤ true + err. Determinism: items
+# within a batch are folded in (count desc, item asc) group order and
+# eviction always takes the (count, item)-minimum counter.
+
+HH_OUT_SCHEMA = "shard long, user_id long, cnt long, err long"
+HH_STATE_SCHEMA = (
+    "users array<long>, counts array<long>, errs array<long>"
+)
+HH_CAPACITY = 1024  # per shard; exact while distinct-users/shard < this
+
+
+def _heavy_hitters_fn_cap(capacity: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            users, counts, errs = state.get
+            summary = {
+                u: [c, e] for u, c, e in zip(list(users), list(counts), list(errs))
+            }
+        else:
+            summary = {}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        batch = (
+            pdf.groupby("user_id").size().reset_index(name="add")
+            .sort_values(["add", "user_id"], ascending=[False, True])
+        )
+        for row in batch.itertuples(index=False):
+            u, add = int(row.user_id), int(row.add)
+            if u in summary:
+                summary[u][0] += add
+            elif len(summary) < capacity:
+                summary[u] = [add, 0]
+            else:  # evict the (count, item)-minimum counter
+                ev = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                base = ev[1][0]
+                del summary[ev[0]]
+                summary[u] = [base + add, base]
+        items = sorted(summary.items())
+        state.update(
+            (
+                [u for u, _ in items],
+                [ce[0] for _, ce in items],
+                [ce[1] for _, ce in items],
+            )
+        )
+        shard = int(key[0])
+        yield pd.DataFrame(
+            [
+                {"shard": shard, "user_id": u, "cnt": ce[0], "err": ce[1]}
+                for u, ce in items
+            ]
+        )
+
+    return fn
+
+
+def heavy_hitters_stream(events: DataFrame, capacity: int = HH_CAPACITY) -> DataFrame:
+    """Sharded space-saving heavy-hitter summaries over the event stream.
+    Input must carry a `shard` column (the partition key); each micro-batch
+    re-emits the shard's full summary (update mode)."""
+    return events.groupBy("shard").applyInPandasWithState(
+        _heavy_hitters_fn_cap(capacity),
+        outputStructType=HH_OUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -574,3 +574,48 @@ def test_partitioned_stream_source_equals_simple(spark):
         return sorted(r["sequence_number"] for r in out.collect())
 
     assert decoded_seqs("kcss_wire_replay_sharded") == decoded_seqs("kcss_wire_replay")
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing stateful fold fns."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_space_saving_eviction_bounds_error():
+    """Drive the space-saving fold past capacity: the summary never exceeds
+    `capacity` counters, every count obeys true ≤ cnt ≤ true + err, and a
+    heavy item's count stays exact (err 0) because it is never evicted."""
+    from kinesis_customer_sample_spark.streaming.stateful import _heavy_hitters_fn_cap
+
+    fn = _heavy_hitters_fn_cap(4)
+    # item 1 is heavy (10 arrivals); items 2..7 are singletons that force
+    # eviction churn once the 4-slot summary fills
+    arrivals = [1] * 10 + [2, 3, 4, 5, 6, 7]
+    true = {u: arrivals.count(u) for u in set(arrivals)}
+    state = _FakeState()
+    pdf = pd.DataFrame({"user_id": arrivals})
+    (out,) = list(fn((0,), iter([pdf]), state))
+    assert len(out) <= 4
+    got = {int(r.user_id): (int(r.cnt), int(r.err)) for r in out.itertuples()}
+    # heavy item exact
+    assert got[1] == (10, 0)
+    for u, (cnt, err) in got.items():
+        assert true[u] <= cnt <= true[u] + err + true[u]  # cnt ≤ true + err
+        assert cnt - err <= true[u]
+    # second batch: state round-trips through arrays and keeps accumulating
+    (out2,) = list(fn((0,), iter([pd.DataFrame({"user_id": [1, 1]})]), state))
+    got2 = {int(r.user_id): int(r.cnt) for r in out2.itertuples()}
+    assert got2[1] == 12
