@@ -364,3 +364,70 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("c_user").isNull(), 1)).alias("n_clickless"),
     )
+
+
+@query(
+    "q270_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+    l0 AS (SELECT DISTINCT s AS node, s AS lab FROM e),
+    c1 AS (
+      SELECT e.s AS node, l0.lab, count(*) AS cnt
+      FROM e JOIN l0 ON l0.node = e.t GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, lab FROM c1
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) = 1
+    ),
+    c2 AS (
+      SELECT e.s AS node, l1.lab, count(*) AS cnt
+      FROM e JOIN l1 ON l1.node = e.t GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, lab FROM c2
+      QUALIFY row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) = 1
+    )
+    SELECT node AS part_key, lab AS community FROM l2
+    """,
+    tags=("graph", "community", "label-propagation"),
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al.) on the
+    co-purchase graph — COMMUNITY detection, complementing the
+    connected-components family (q90/q106 find what's reachable; LPA
+    finds what's densely connected): each node repeatedly adopts the MODE
+    of its neighbors' labels, ties to the smallest label so every round
+    is deterministic. Two fixed synchronous rounds (the oracle unrolls
+    the same two), labels initialized to node ids. Each round is one
+    edges⋈labels hash join (shuffle on node id) plus a (node, label)
+    count and an argmax-by-struct — the min(struct(-cnt, lab)) trick
+    keeps the mode selection inside a partial-aggregable hash-agg instead
+    of a row_number window over the count table. At 100 TB each round
+    shuffles |E| rows; rounds are a driver loop exactly like q90's CC,
+    with label convergence (not a fixed count) as the production stop
+    rule."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    labels = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(2):
+        nbr = e.join(
+            labels.withColumnRenamed("node", "t"), "t"
+        ).select(F.col("s").alias("node"), "lab")
+        counts = nbr.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("lab"))).alias("best"))
+            .select("node", F.col("best.lab").alias("lab"))
+        )
+    return labels.select(
+        F.col("node").alias("part_key"), F.col("lab").alias("community")
+    )

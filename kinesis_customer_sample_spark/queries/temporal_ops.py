@@ -334,3 +334,69 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("cur_bp") - F.col("prev_bp"))).cast("long").alias("l1_bp"),
         (F.sum(F.abs(F.col("cur_bp") - F.col("prev_bp"))) > 500).alias("drifted"),
     )
+
+
+_SPINE_LO, _SPINE_HI = "2024-01-01", "2024-01-30"
+
+
+@query(
+    "q269_date_spine_densify",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '{_SPINE_LO}', DATE '{_SPINE_HI}',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    daily AS (
+      SELECT user_id, ts::DATE AS day, count(*)::BIGINT AS n,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT u.user_id, s.day,
+           coalesce(d.n, 0)::BIGINT AS n_events,
+           coalesce(d.value_cents, 0)::BIGINT AS value_cents,
+           (d.n IS NULL) AS is_gap
+    FROM spine s CROSS JOIN users u
+    LEFT JOIN daily d ON d.user_id = u.user_id AND d.day = s.day
+    """,
+    tags=("temporal", "date-spine", "densify"),
+)
+def date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: manufacture the complete (user × day)
+    grid for the observation window and left-join the daily activity onto
+    it, zero-filling the silent days — the densify step every retention /
+    LTV / forecasting job needs before window math, and the complement of
+    q126's LOCF (which fills values BETWEEN observations; this
+    materializes the missing rows themselves). The spine is generated
+    (sequence + explode, ~30 rows) and broadcast against the distinct-key
+    dimension; the activity rollup arrives pre-aggregated at (user, day)
+    grain so the left join fans out nothing. At 100 TB the grid is
+    |keys|·|days| rows — the operator's honest cost — and the join
+    shuffles only the daily rollup, never raw events."""
+    ev = table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_SPINE_LO).cast("date"),
+                F.lit(_SPINE_HI).cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    grid = users.crossJoin(F.broadcast(spine))
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.col("value_cents"), F.lit(0)).cast("bigint").alias("value_cents"),
+        F.col("n").isNull().alias("is_gap"),
+    )

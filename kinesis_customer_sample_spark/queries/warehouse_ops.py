@@ -668,3 +668,81 @@ def cdc_net_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "old_value_cents",
         "new_value_cents",
     )
+
+
+_ZM_FILES = 16
+_ZM_LO, _ZM_HI = "1995-06-01", "1995-08-31"
+
+
+@query(
+    "q268_zonemap_file_skipping",
+    oracle=f"""
+    SELECT date_trunc('month', l_shipdate) AS ship_month,
+           sum(floor(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents,
+           count(*)::BIGINT AS n_items
+    FROM lineitem
+    WHERE l_shipdate BETWEEN DATE '{_ZM_LO}' AND DATE '{_ZM_HI}'
+    GROUP BY 1
+    """,
+    tags=("warehouse", "zonemap", "data-skipping", "layout"),
+)
+def zonemap_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level ZONE-MAP skipping — the manifest/min-max pruning layer of
+    every lakehouse format, built from first principles: (1) lay the fact
+    table out range-partitioned on the filter column (each parquet file
+    covers a narrow l_shipdate slice — the layout HALF of data skipping;
+    q110's z-order is its multi-column generalization); (2) derive a
+    per-file stats manifest (min/max shipdate via `_metadata.file_path`,
+    one scan at ingest time); (3) at query time, prune the manifest to
+    files whose [min,max] intersects the predicate and scan ONLY those,
+    with the exact filter re-applied on the survivors. The manifest is
+    file-count-sized (like Delta's transaction log / Iceberg's manifests)
+    and prunes driver-side exactly as those formats do; the data read
+    drops from 16 files to the ~4 covering the date range
+    (tests/test_round3_ops asserts real skipping). The oracle proves the
+    pruned scan is lossless for the predicate."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, sf_tag, "q268_zonemap")
+    shutil.rmtree(root, ignore_errors=True)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+    )
+    li.repartitionByRange(_ZM_FILES, "l_shipdate").write.mode("overwrite").parquet(root)
+    manifest = (
+        spark.read.parquet(root)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx"))
+    )
+    keep = [
+        r.file
+        for r in manifest.filter(
+            (F.col("mx") >= F.lit(_ZM_LO)) & (F.col("mn") <= F.lit(_ZM_HI))
+        ).collect()
+    ]
+    pruned = spark.read.parquet(*keep) if keep else spark.read.parquet(root)
+    return (
+        pruned.filter(F.col("l_shipdate").between(_ZM_LO, _ZM_HI))
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.sum("price_cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def zonemap_pruned_file_count(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """Test hook: (surviving, total) file counts for q268's predicate."""
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, sf_tag, "q268_zonemap")
+    manifest = (
+        spark.read.parquet(root)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(F.min("l_shipdate").alias("mn"), F.max("l_shipdate").alias("mx"))
+    )
+    total = manifest.count()
+    keep = manifest.filter(
+        (F.col("mx") >= F.lit(_ZM_LO)) & (F.col("mn") <= F.lit(_ZM_HI))
+    ).count()
+    return keep, total

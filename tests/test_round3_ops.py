@@ -421,3 +421,38 @@ def test_bitmap_distinct_shard_invariance(spark, sf_dir):
         "day", F.col("n_distinct_users").alias("n")
     )
     assert alt.exceptAll(reg).count() == 0 and reg.exceptAll(alt).count() == 0
+
+
+def test_zonemap_actually_skips_files(spark, sf_dir):
+    """q268's manifest prune must drop real files for the 3-month predicate
+    (the layout covers ~7 years in 16 range slices, so ≥ half must skip),
+    and the survivors must still cover every matching row (the oracle
+    equality proves losslessness; this asserts the SKIPPING)."""
+    from kinesis_customer_sample_spark.queries.warehouse_ops import (
+        zonemap_pruned_file_count,
+    )
+
+    REGISTRY["q268_zonemap_file_skipping"].fn(spark, sf_dir).collect()
+    keep, total = zonemap_pruned_file_count(spark, sf_dir)
+    assert total >= 8
+    assert 0 < keep <= total // 2
+
+
+def test_label_propagation_stable_on_cliques(spark):
+    """On two disjoint triangles LPA must converge to one label per
+    triangle (the min member id) within two rounds."""
+    from kinesis_customer_sample_spark.queries import graph_quality_ops as g
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)], "a long, b long"
+    )
+    orig = g._copurchase_edges
+    g._copurchase_edges = lambda spark, sf_dir: edges
+    try:
+        out = {
+            (r.part_key, r.community)
+            for r in REGISTRY["q270_label_propagation"].fn(spark, "unused").collect()
+        }
+    finally:
+        g._copurchase_edges = orig
+    assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
