@@ -876,3 +876,58 @@ def test_q199_rrf_legs_use_topk_reduction(spark, sf_dir):
     # the only nested-loop allowed is the broadcast 1-row query vector
     assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
     assert "CartesianProduct" not in facts.join_strategies
+
+
+def test_stats_tests_two_level_windows(spark, sf_dir):
+    """The KS/MWU ECDF cumsum must stay bucket-partitioned — a global
+    ordered window over the value grid would serialize the corpus through
+    one task (q92's round-1 lesson, re-applied to the stats wave)."""
+    for name in ("q258_ks_two_sample", "q259_mann_whitney_u"):
+        facts = audit_of(spark, sf_dir, name)
+        assert "No Partition Defined" not in facts.text, name
+        # the 1-row totals attach via broadcast nested loop, never cartesian
+        assert not facts.has_cartesian, name
+
+
+def test_bootstrap_is_mapside_fanout(spark, sf_dir):
+    """q260's ×64 replicate fan-out must happen map-side (explode before
+    any exchange): the only shuffles allowed are the 64-group replicate
+    agg, the rank of 64 means, and the final 1-row assembly."""
+    facts = audit_of(spark, sf_dir, "q260_poisson_bootstrap_ci")
+    assert "Generate" in facts.text  # explode(sequence(1, 64))
+    assert facts.has_partial_agg
+
+
+def test_pq_codebook_broadcast_and_topk(spark, sf_dir):
+    """q265: the 16-row codebook and the 64-row ADC lookup table must
+    broadcast (never shuffle the corpus against them), and both ordered
+    reductions must be TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q265_pq_adc_ann")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert facts.text.count("TakeOrderedAndProject") >= 2
+    # corpus×codebook and shortlist×query attach broadcast, never cartesian
+    assert not facts.has_cartesian
+
+
+def test_dsir_feature_table_broadcast(spark, sf_dir):
+    """q264: the 1024-row hashed-feature weight table must broadcast back
+    onto the token stream — DSIR's fixed-size-sketch property is exactly
+    what makes the probe map-side at any corpus size."""
+    facts = audit_of(spark, sf_dir, "q264_dsir_importance_select")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_alerting_windows_partitioned(spark, sf_dir):
+    """q262/q263: alert-state and TWAP windows must be key-partitioned."""
+    for name in ("q262_hysteresis_alert_state", "q263_twap_interval_weighted"):
+        facts = audit_of(spark, sf_dir, name)
+        assert "No Partition Defined" not in facts.text, name
+
+
+def test_date_spine_broadcasts_spine(spark, sf_dir):
+    """q269: the generated 30-row spine must broadcast; the daily rollup
+    is the only shuffled input to the grid join."""
+    facts = audit_of(spark, sf_dir, "q269_date_spine_densify")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert not facts.has_cartesian
