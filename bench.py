@@ -91,6 +91,14 @@ HEADLINE = [
     "q232_grid_proximity_join",
     "q234_selective_backfill",
     "q235_join_fanout_preflight",
+    # round-3 session-2 wave
+    "q258_ks_two_sample",
+    "q260_poisson_bootstrap_ci",
+    "q264_dsir_importance_select",
+    "q265_pq_adc_ann",
+    "q266_cdc_net_changes",
+    "q268_zonemap_file_skipping",
+    # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER) — their cost is dominated by
     # graph materialization + iteration count, which swamps the

@@ -174,6 +174,22 @@ reorder_registry(
         "q202_time_to_convert",
         "q203_pareto_concentration",
         "q204_dead_letter_accounting",
+        # round-3 session-2 wave: new operator families (stats inference,
+        # alerting, DSIR, PQ, CDC squash, streaming sketch, zone maps,
+        # densify, community detection)
+        "q258_ks_two_sample",
+        "q259_mann_whitney_u",
+        "q260_poisson_bootstrap_ci",
+        "q261_ab_test_analysis",
+        "q262_hysteresis_alert_state",
+        "q263_twap_interval_weighted",
+        "q264_dsir_importance_select",
+        "q265_pq_adc_ann",
+        "q266_cdc_net_changes",
+        "q267_stream_heavy_hitters",
+        "q268_zonemap_file_skipping",
+        "q269_date_spine_densify",
+        "q270_label_propagation",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

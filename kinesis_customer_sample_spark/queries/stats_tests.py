@@ -256,20 +256,36 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOOT_U = 1_000_000
 
-_DUCK_BOOT_KEY = "'boot-' || b.b::VARCHAR || '-' || d.doc_id::VARCHAR"
-_DUCK_BOOT_U = (
-    f"(({tok_hash_expr(_DUCK_BOOT_KEY, dialect='duckdb')}) % {_BOOT_U})::DOUBLE"
-    f" / {_BOOT_U}"
+# one string hash per DOCUMENT (not per replicate): replicate b derives its
+# uniform via the minhash-style arithmetic permutation of that hash — the
+# same universal-hash family porthash's minhash_perm_expr uses. 64× fewer
+# character folds than hashing 'boot-<b>-<doc>' per fan-out row, identical
+# determinism (pure int64 arithmetic both engines).
+_DUCK_BOOT_H = tok_hash_expr("'boot-' || d.doc_id::VARCHAR", dialect="duckdb")
+_SPARK_BOOT_H = tok_hash_expr(
+    "'boot-' || CAST(doc_id AS STRING)", dialect="spark"
 )
+
+
+def _boot_u(h: str, b: str) -> str:
+    """Uniform in [0,1) for replicate `b` from per-doc hash `h` — identical
+    text both dialects (pure arithmetic, mod 1e9+7 then scaled)."""
+    return (
+        f"(((({h}) * (17 + 2 * ({b})) + ({b}) * 2654435761) % 1000000007)"
+        f" % {_BOOT_U}) / CAST({_BOOT_U} AS DOUBLE)"
+    )
 
 
 @query(
     "q260_poisson_bootstrap_ci",
     oracle=f"""
-    WITH fan AS (
-      SELECT d.n_chars, b.b,
-             {_pois_case(_DUCK_BOOT_U)} AS w
-      FROM documents d, (SELECT unnest(range(1, {_N_BOOT} + 1)) AS b) b
+    WITH hashed AS (
+      SELECT d.n_chars, {_DUCK_BOOT_H} AS h FROM documents d
+    ),
+    fan AS (
+      SELECT n_chars, b.b,
+             {_pois_case(_boot_u("h", "b.b"))} AS w
+      FROM hashed, (SELECT unnest(range(1, {_N_BOOT} + 1)) AS b) b
     ),
     reps AS (
       SELECT b, sum(w)::BIGINT AS sw, sum(w * n_chars)::BIGINT AS swv
@@ -308,14 +324,11 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the (mean, b) tie-break. At 100 TB: ×64 map-side fan-out into a
     64-group hash-agg — no state beyond 64 partial rows per task."""
     d = table(spark, sf_dir, "documents")
-    u = (
-        f"(({tok_hash_expr(chr(39) + 'boot-' + chr(39) + ' || CAST(b AS STRING) || ' + chr(39) + '-' + chr(39) + ' || CAST(doc_id AS STRING)', dialect='spark')})"
-        f" % {_BOOT_U}) / CAST({_BOOT_U} AS DOUBLE)"
-    )
     fan = (
         d.select("doc_id", "n_chars")
+        .withColumn("h", F.expr(_SPARK_BOOT_H))
         .withColumn("b", F.explode(F.sequence(F.lit(1), F.lit(_N_BOOT))))
-        .withColumn("w", F.expr(_pois_case(u)))
+        .withColumn("w", F.expr(_pois_case(_boot_u("h", "b"))))
     )
     reps = fan.groupBy("b").agg(
         F.sum("w").cast("bigint").alias("sw"),
