@@ -759,3 +759,131 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_common"),
         F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("rbo_nano"),
     )
+
+
+_KMV_K = 64
+_KMV_P = 1_000_000_007
+
+
+def _kmv_hash(dialect: str) -> str:
+    # element = (user, day) pair, serialized identically in both dialects
+    key = (
+        "'kmv-' || user_id::VARCHAR || '-' || day::VARCHAR"
+        if dialect == "duckdb"
+        else "'kmv-' || CAST(user_id AS STRING) || '-' || CAST(day AS STRING)"
+    )
+    # the polynomial fold leaves keys differing only in their final digit
+    # as RUNS of consecutive hash values (h' * 31 + c, c a digit) — fatal
+    # for an order-statistics sketch, which needs the small-value tail
+    # uniform (observed: ~40% underestimate). One multiplicative post-mix
+    # (Knuth constant, mod P) tears the runs apart: consecutive inputs
+    # land ~2.65e9 mod P apart. Pure int64 arithmetic, identical text in
+    # both dialects.
+    return f"(({tok_hash_expr(key, dialect=dialect)}) * 2654435761 % 1000000007)"
+
+
+@query(
+    "q271_kmv_theta_set_ops",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, day, {_kmv_hash('duckdb')} AS h FROM (
+        SELECT DISTINCT user_id, ts::DATE AS day
+        FROM events WHERE event_type = 'purchase')
+    ),
+    b AS (
+      SELECT user_id, day, {_kmv_hash('duckdb')} AS h FROM (
+        SELECT DISTINCT user_id, ts::DATE AS day
+        FROM events WHERE event_type = 'click')
+    ),
+    ka AS (SELECT max(h) AS hk FROM (SELECT h FROM a ORDER BY h LIMIT {_KMV_K})),
+    kb AS (SELECT max(h) AS hk FROM (SELECT h FROM b ORDER BY h LIMIT {_KMV_K})),
+    ku AS (SELECT max(h) AS hk FROM (
+      SELECT h FROM (SELECT h FROM a UNION SELECT h FROM b) ORDER BY h LIMIT {_KMV_K})),
+    exact AS (
+      SELECT (SELECT count(*) FROM a)::BIGINT AS exact_a,
+             (SELECT count(*) FROM b)::BIGINT AS exact_b,
+             (SELECT count(*) FROM a JOIN b USING (user_id, day))::BIGINT
+               AS exact_intersect
+    )
+    SELECT {_KMV_K}::BIGINT AS k,
+           round(({_KMV_K} - 1) * {_KMV_P}::DOUBLE / ka.hk, 3) AS est_a,
+           round(({_KMV_K} - 1) * {_KMV_P}::DOUBLE / kb.hk, 3) AS est_b,
+           round(({_KMV_K} - 1) * {_KMV_P}::DOUBLE / ku.hk, 3) AS est_union,
+           round(({_KMV_K} - 1) * {_KMV_P}::DOUBLE / ka.hk
+                 + ({_KMV_K} - 1) * {_KMV_P}::DOUBLE / kb.hk
+                 - ({_KMV_K} - 1) * {_KMV_P}::DOUBLE / ku.hk, 3) AS est_intersect,
+           exact_a, exact_b, exact_intersect
+    FROM ka, kb, ku, exact
+    """,
+    tags=("sketch", "distinct", "kmv", "set-ops"),
+)
+def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta distinct sketches with SET OPERATIONS — the capability
+    HLL (q191) lacks: because a KMV sketch is just the k smallest hash
+    values, sketches UNION by re-taking the k smallest of the combined
+    sample (associative, shard-invariant — property-tested), and
+    intersections estimate by inclusion-exclusion over the three thetas
+    (Beyer et al. / the Theta Sketch framework). Estimator
+    (k−1)·P/h_k is the classic unbiased KMV form; everything up to the
+    final division is exact integer hashing (portable hash), so the
+    sketch CONTENTS are bit-identical across engines and the driver
+    hash-checks estimates AND exact reference counts side by side.
+    At 100 TB: each sketch is a k-row TakeOrderedAndProject over the
+    distinct-hash stream — per-partition partial k-mins merge on the
+    driver-sized final heap, the same pattern as any top-k; the fixture
+    regime (n > k) exercises the genuinely-approximate path."""
+    ev = table(spark, sf_dir, "events")
+
+    def sketch_side(etype: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id", F.col("ts").cast("date").alias("day"))
+            .distinct()
+            .select(
+                "user_id", "day", F.expr(_kmv_hash("spark")).alias("h")
+            )
+        )
+
+    a, b = sketch_side("purchase"), sketch_side("click")
+
+    def kth(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select("h")
+            .orderBy("h")
+            .limit(_KMV_K)
+            .agg(F.max("h").alias(name))
+        )
+
+    ka = kth(a, "ha")
+    kb = kth(b, "hb")
+    ku = kth(a.select("h").union(b.select("h")).distinct(), "hu")
+    exact = (
+        a.select("user_id", "day")
+        .join(b.select("user_id", "day"), ["user_id", "day"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+        .crossJoin(a.agg(F.count(F.lit(1)).cast("bigint").alias("exact_a")))
+        .crossJoin(b.agg(F.count(F.lit(1)).cast("bigint").alias("exact_b")))
+    )
+    est = lambda hk: F.round(  # noqa: E731
+        F.lit((_KMV_K - 1) * float(_KMV_P)) / F.col(hk), 3
+    )
+    return (
+        ka.crossJoin(kb)
+        .crossJoin(ku)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            est("ha").alias("est_a"),
+            est("hb").alias("est_b"),
+            est("hu").alias("est_union"),
+            F.round(
+                F.lit((_KMV_K - 1) * float(_KMV_P)) / F.col("ha")
+                + F.lit((_KMV_K - 1) * float(_KMV_P)) / F.col("hb")
+                - F.lit((_KMV_K - 1) * float(_KMV_P)) / F.col("hu"),
+                3,
+            ).alias("est_intersect"),
+            "exact_a",
+            "exact_b",
+            "exact_intersect",
+        )
+    )

@@ -456,3 +456,39 @@ def test_label_propagation_stable_on_cliques(spark):
     finally:
         g._copurchase_edges = orig
     assert out == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_kmv_sketch_merge_invariance(spark, sf_dir):
+    """KMV mergeability: taking the k smallest of per-shard k-smallest
+    sets must equal the k smallest of the whole stream — the associativity
+    that lets q271's sketches build per-partition and merge upward."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.sketch_retrieval import (
+        _KMV_K,
+        _kmv_hash,
+    )
+
+    hashes = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .select(F.expr(_kmv_hash("spark")).alias("h"))
+    )
+    whole = [r.h for r in hashes.orderBy("h").limit(_KMV_K).collect()]
+    sharded = hashes.withColumn("shard", F.col("h") % 7)
+    per_shard = (
+        sharded.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("shard").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("h")
+    )
+    merged = [r.h for r in per_shard.orderBy("h").limit(_KMV_K).collect()]
+    assert whole == merged
