@@ -64,6 +64,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     stats_tests,
     alerting_ops,
     pq_ann,
+    quantile_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

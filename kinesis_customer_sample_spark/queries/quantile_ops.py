@@ -1,0 +1,276 @@
+"""Exact distributed quantiles & quantile-based segmentation — round-3
+wave (SURVEY.md §2B): type-7 (linearly interpolated) per-group quantiles
+computed EXACTLY at any scale, and RFM (recency/frequency/monetary)
+customer segmentation built on the same machinery.
+
+The scale problem these solve: Spark's exact `percentile` aggregates
+collect each group's values, and rank-selection via a global ordered
+window serializes the table through one task (the q92 lesson). Both
+operators here compute exact order statistics with the TWO-LEVEL grid
+pattern instead: aggregate to the (group, distinct value) grid, cumulate
+within fixed-width value buckets under a partitioned window, convert the
+tiny per-bucket summary into global offsets via a triangular join, then
+read any rank straight off the cumulative grid. Nothing is ever globally
+sorted; every window is (group, bucket)-partitioned.
+
+Cross-engine determinism: counts, cumulative counts, and rank targets are
+integers; values are cents. The only doubles are the interpolation
+fraction p·(n−1) − ⌊p·(n−1)⌋ and the final projection — identical IEEE
+sequences on identical integers in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_QB_WIDTH = 2000  # cents per cumsum bucket (~$20)
+_Q_FRACTIONS = (0.5, 0.9, 0.99)
+
+_RFM_ANCHOR = "2024-01-31"
+
+
+def _grid_cumulative(df: DataFrame, group: str, width: int) -> DataFrame:
+    """(group, v, cnt, c, n): per-distinct-value counts with INCLUSIVE
+    cumulative count c and group total n, via bucket-partitioned windows +
+    triangular bucket offsets (no global window). `v` must be integral."""
+    g = df.groupBy(group, "v").agg(F.count(F.lit(1)).alias("cnt"))
+    g = g.withColumn("bucket", F.floor(F.col("v") / width))
+    w_loc = (
+        W.partitionBy(group, "bucket")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = g.withColumn("lc", F.sum("cnt").over(w_loc))
+    totals = g.groupBy(group, "bucket").agg(F.sum("cnt").alias("t"))
+    starts = (
+        totals.alias("a")
+        .join(
+            totals.alias("b"),
+            (F.col(f"b.{group}") == F.col(f"a.{group}"))
+            & (F.col("b.bucket") < F.col("a.bucket")),
+            "left",
+        )
+        .groupBy(F.col(f"a.{group}").alias(group), F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("s"))
+    )
+    n = totals.groupBy(group).agg(F.sum("t").alias("n"))
+    return (
+        local.join(F.broadcast(starts), [group, "bucket"])
+        .join(F.broadcast(n), group)
+        .select(group, "v", "cnt", (F.col("s") + F.col("lc")).alias("c"), "n")
+    )
+
+
+@query(
+    "q272_interpolated_quantiles",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, v,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY v) AS c,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    targets AS (
+      SELECT DISTINCT event_type, n, p.p,
+             floor(p.p * (n - 1))::BIGINT AS lo,
+             ceil(p.p * (n - 1))::BIGINT AS hi,
+             p.p * (n - 1) - floor(p.p * (n - 1)) AS frac
+      FROM grid, (SELECT unnest([{", ".join(str(p) for p in _Q_FRACTIONS)}]) AS p) p
+    )
+    SELECT t.event_type, t.p, any_value(t.n)::BIGINT AS n,
+           round((min(CASE WHEN g.c >= t.lo + 1 THEN g.v END)
+                  + (min(CASE WHEN g.c >= t.hi + 1 THEN g.v END)
+                     - min(CASE WHEN g.c >= t.lo + 1 THEN g.v END))
+                    * any_value(t.frac)) / 100, 6) AS quantile_value
+    FROM targets t JOIN grid g ON g.event_type = t.event_type
+    GROUP BY t.event_type, t.p
+    """,
+    tags=("stats", "quantile", "two-level-window"),
+)
+def interpolated_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT type-7 (numpy/R default: linear interpolation between the
+    two bracketing order statistics at position p·(n−1)) quantiles of
+    order value per event type — no sampling, no sketch, no global sort.
+    The order statistics are read off the two-level cumulative grid as
+    'minimum value whose cumulative count reaches the target rank', an
+    associative min-aggregate. Complements q211 (mergeable sketch
+    quantiles, approximate) with the exact path, and q22's
+    percentile_approx. At 100 TB: one hash-agg to the value grid,
+    bucket-partitioned windows, broadcast of the |groups|·|fractions|
+    target table — the grid join is the only non-broadcast shuffle."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    grid = _grid_cumulative(ev, "event_type", _QB_WIDTH)
+    fracs = spark.createDataFrame([(p,) for p in _Q_FRACTIONS], "p double")
+    targets = (
+        grid.select("event_type", "n")
+        .distinct()
+        .crossJoin(F.broadcast(fracs))
+        .select(
+            "event_type",
+            "n",
+            "p",
+            F.floor(F.col("p") * (F.col("n") - 1)).cast("bigint").alias("lo"),
+            F.ceil(F.col("p") * (F.col("n") - 1)).cast("bigint").alias("hi"),
+            (
+                F.col("p") * (F.col("n") - 1)
+                - F.floor(F.col("p") * (F.col("n") - 1))
+            ).alias("frac"),
+        )
+    )
+    v_lo = F.min(F.when(F.col("c") >= F.col("lo") + 1, F.col("v")))
+    v_hi = F.min(F.when(F.col("c") >= F.col("hi") + 1, F.col("v")))
+    return (
+        grid.drop("n")
+        .join(F.broadcast(targets), "event_type")
+        .groupBy("event_type", "p")
+        .agg(
+            F.any_value(F.col("n")).cast("bigint").alias("n"),
+            F.round(
+                (v_lo + (v_hi - v_lo) * F.any_value(F.col("frac"))) / 100, 6
+            ).alias("quantile_value"),
+        )
+    )
+
+
+@query(
+    "q274_rfm_segmentation",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', max(CASE WHEN event_type = 'purchase' THEN ts END),
+                       TIMESTAMP '{_RFM_ANCHOR}')::BIGINT AS recency_days,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS frequency,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ),
+    p AS (SELECT * FROM u WHERE frequency > 0),
+    marks AS (SELECT unnest([0.2, 0.4, 0.6, 0.8]) AS f),
+    rb AS (
+      SELECT f, min(v) AS brk FROM (
+        SELECT recency_days AS v,
+               sum(count(*)) OVER (ORDER BY recency_days) AS c,
+               sum(count(*)) OVER () AS n
+        FROM p GROUP BY recency_days
+      ), marks WHERE c >= ceil(f * n) GROUP BY f
+    ),
+    fb AS (
+      SELECT f, min(v) AS brk FROM (
+        SELECT frequency AS v,
+               sum(count(*)) OVER (ORDER BY frequency) AS c,
+               sum(count(*)) OVER () AS n
+        FROM p GROUP BY frequency
+      ), marks WHERE c >= ceil(f * n) GROUP BY f
+    ),
+    mb AS (
+      SELECT f, min(v) AS brk FROM (
+        SELECT monetary_cents AS v,
+               sum(count(*)) OVER (ORDER BY monetary_cents) AS c,
+               sum(count(*)) OVER () AS n
+        FROM p GROUP BY monetary_cents
+      ), marks WHERE c >= ceil(f * n) GROUP BY f
+    ),
+    scored AS (
+      SELECT p.user_id, p.recency_days, p.frequency, p.monetary_cents,
+             -- recency: SMALLER is better → invert the bucket index
+             5 - (SELECT count(*) FROM rb WHERE p.recency_days > rb.brk) AS r_score,
+             1 + (SELECT count(*) FROM fb WHERE p.frequency > fb.brk) AS f_score,
+             1 + (SELECT count(*) FROM mb WHERE p.monetary_cents > mb.brk) AS m_score
+      FROM p
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score::BIGINT AS r_score, f_score::BIGINT AS f_score,
+           m_score::BIGINT AS m_score,
+           (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm_cell
+    FROM scored
+    """,
+    tags=("analytics", "segmentation", "rfm", "quantile"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation with EXACT nearest-rank quintile breaks: summarize
+    each purchasing user (days since last purchase vs the anchor, purchase
+    count, purchase cents), derive the 20/40/60/80th-percentile
+    breakpoints of each dimension from its two-level cumulative grid
+    (never ntile — a global ntile window is the q92 single-task trap on a
+    billion-user table), broadcast the 12 breakpoint numbers, and assign
+    scores map-side by counting exceeded breaks. Recency inverts (recent =
+    high score). Bucket-boundary ties resolve identically in both engines
+    because scores come from integer comparisons against identical integer
+    breaks. At 100 TB: one user-level agg, three grid aggs over it, and a
+    map-side scoring pass — no shuffle after the user rollup."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).cast("date"),
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    ).filter(F.col("frequency") > 0)
+
+    marks = [0.2, 0.4, 0.6, 0.8]
+
+    def breaks(col: str, width: int) -> list[int]:
+        grid = _grid_cumulative(
+            u.select(F.lit("all").alias("g"), F.col(col).alias("v")), "g", width
+        )
+        fr = F.broadcast(
+            u.sparkSession.createDataFrame([(f,) for f in marks], "f double")
+        )
+        rows = (
+            grid.crossJoin(fr)
+            .filter(F.col("c") >= F.ceil(F.col("f") * F.col("n")))
+            .groupBy("f")
+            .agg(F.min("v").alias("brk"))
+            .collect()
+        )
+        return [r.brk for r in sorted(rows, key=lambda r: r.f)]
+
+    rb = breaks("recency_days", 4)
+    fb = breaks("frequency", 4)
+    mb = breaks("monetary_cents", 20000)
+
+    def score_above(col: str, brks: list[int]) -> F.Column:
+        expr = F.lit(0)
+        for b in brks:
+            expr = expr + F.when(F.col(col) > b, 1).otherwise(0)
+        return expr
+
+    r_score = (F.lit(5) - score_above("recency_days", rb)).cast("bigint")
+    f_score = (F.lit(1) + score_above("frequency", fb)).cast("bigint")
+    m_score = (F.lit(1) + score_above("monetary_cents", mb)).cast("bigint")
+    return u.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+        (r_score * 100 + f_score * 10 + m_score).cast("bigint").alias("rfm_cell"),
+    )

@@ -887,3 +887,68 @@ def kmv_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+_BOOL_T1, _BOOL_T2 = "spark", "fast"
+_BOOL_TOPK = 20
+
+
+@query(
+    "q273_boolean_postings_and",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    postings AS (
+      SELECT tok, doc_id, count(*)::BIGINT AS tf
+      FROM tok WHERE tok IN ('{_BOOL_T1}', '{_BOOL_T2}')
+      GROUP BY 1, 2
+    )
+    SELECT a.doc_id, a.tf AS tf_{_BOOL_T1}, b.tf AS tf_{_BOOL_T2},
+           (a.tf + b.tf)::BIGINT AS score
+    FROM postings a JOIN postings b USING (doc_id)
+    WHERE a.tok = '{_BOOL_T1}' AND b.tok = '{_BOOL_T2}'
+    ORDER BY score DESC, a.doc_id
+    LIMIT {_BOOL_TOPK}
+    """,
+    tags=("retrieval", "inverted-index", "boolean"),
+)
+def boolean_postings_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean conjunctive retrieval (term1 AND term2) by POSTINGS-LIST
+    intersection — the primitive under every search engine's AND query,
+    and the third retrieval mode beside q176's ranked BM25 and q199's
+    hybrid RRF. The inverted index materializes ONLY the two query terms'
+    postings (the IN pushes into the tokenize scan's output before the
+    per-doc agg), each term's list is |docs containing term| rows, and the
+    AND is one equi-join on doc_id — co-partitioned by construction since
+    both lists hash-partition on the same key. Conjunctive score = tf
+    sum; top-20 via TakeOrderedAndProject. At 100 TB with a full
+    vocabulary index the same plan serves any conjunction: per-term
+    postings are the unit of storage AND of join parallelism."""
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    postings = (
+        tok.filter(F.col("tok").isin(_BOOL_T1, _BOOL_T2))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    a = postings.filter(F.col("tok") == _BOOL_T1).select(
+        "doc_id", F.col("tf").alias(f"tf_{_BOOL_T1}")
+    )
+    b = postings.filter(F.col("tok") == _BOOL_T2).select(
+        "doc_id", F.col("tf").alias(f"tf_{_BOOL_T2}")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            f"tf_{_BOOL_T1}",
+            f"tf_{_BOOL_T2}",
+            (F.col(f"tf_{_BOOL_T1}") + F.col(f"tf_{_BOOL_T2}"))
+            .cast("bigint")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BOOL_TOPK)
+    )
