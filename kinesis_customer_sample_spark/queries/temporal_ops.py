@@ -400,3 +400,106 @@ def date_spine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("value_cents"), F.lit(0)).cast("bigint").alias("value_cents"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+_BT_REPORT = "2024-01-20"  # transaction-time cutoff: "as the system knew then"
+
+
+@query(
+    "q275_bitemporal_asof",
+    oracle=f"""
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             ts + INTERVAL 2 DAY AS tx_from,
+             CAST(round(value * 100) AS BIGINT) AS attr_cents
+      FROM events WHERE event_type = 'signup'
+    ),
+    known AS (SELECT * FROM dim WHERE tx_from <= TIMESTAMP '{_BT_REPORT}'),
+    tagged AS (
+      SELECT user_id, valid_from AS ts, 0 AS is_fact, attr_cents,
+             NULL::BIGINT AS event_id
+      FROM known
+      UNION ALL
+      SELECT user_id, ts, 1 AS is_fact, NULL::BIGINT AS attr_cents, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, ts, is_fact, event_id,
+             last_value(attr_cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_fact, event_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS profile_cents
+      FROM tagged
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_purchases,
+           sum(CASE WHEN profile_cents IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_known_profile,
+           coalesce(sum(profile_cents), 0)::BIGINT AS sum_profile_cents
+    FROM carried WHERE is_fact = 1
+    GROUP BY user_id
+    """,
+    tags=("temporal", "bitemporal", "asof", "scd"),
+)
+def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of reconstruction — two independent time axes, the
+    warehouse capability beyond q188's single-axis SCD2 PIT join: VALID
+    time (when the profile fact was true: its signup timestamp) and
+    TRANSACTION time (when the warehouse learned it: recorded 2 days
+    late). The query answers 'for each purchase, which profile version
+    was valid AT PURCHASE TIME, as the system knew it ON THE Jan-20
+    report date' — the reproducibility contract that lets yesterday's
+    regulatory report be regenerated bit-for-bit after backfills land.
+    Transaction-time filters the version set (a pushed scan predicate);
+    valid-time resolves via the O(n+m) union-and-carry as-of form (q13's
+    operator: tag dim and fact rows, one key-partitioned window carries
+    the latest earlier profile forward — dim sorts before a same-instant
+    fact). No per-row point lookups; at 100 TB it is one shuffle on
+    user_id."""
+    ev = table(spark, sf_dir, "events")
+    known = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            (F.col("ts") + F.expr("INTERVAL 2 DAY")).alias("tx_from"),
+            F.round(F.col("value") * 100).cast("bigint").alias("attr_cents"),
+        )
+        .filter(F.col("tx_from") <= F.lit(_BT_REPORT).cast("timestamp_ntz"))
+    )
+    tagged = known.select(
+        "user_id",
+        F.col("vts").alias("ts"),
+        F.lit(0).alias("is_fact"),
+        "attr_cents",
+        F.lit(None).cast("bigint").alias("event_id"),
+    ).unionByName(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_fact"),
+            F.lit(None).cast("bigint").alias("attr_cents"),
+            "event_id",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_fact"), F.col("event_id").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "profile_cents", F.last("attr_cents", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter(F.col("is_fact") == 1)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("profile_cents").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_known_profile"),
+            F.coalesce(F.sum("profile_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_profile_cents"),
+        )
+    )
