@@ -837,3 +837,54 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "user_id")
         .limit(_HH_TOPK)
     )
+
+
+# importing the module registers q262 (no import cycle: alerting_ops does
+# not import streaming_queries)
+from kinesis_customer_sample_spark.queries import alerting_ops as _alerting  # noqa: E402,F401
+from kinesis_customer_sample_spark.registry import REGISTRY as _REG_SO_FAR
+
+_Q262_ORACLE = _REG_SO_FAR["q262_hysteresis_alert_state"].oracle
+
+
+@query(
+    "q276_stream_hysteresis_alerts",
+    oracle=_Q262_ORACLE,
+    tags=("streaming", "stateful", "alerting", "state-machine"),
+)
+def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q262's hysteresis alerting as a REAL stateful stream: per-key
+    applyInPandasWithState carries the cumulative hourly rollup (never raw
+    rows) and re-runs the two-threshold fold over it each micro-batch —
+    the natural sequential form of the state machine, where the batch twin
+    uses the declarative last-crossing window. The oracle IS q262's
+    oracle, so the driver hash-checks that the sequential fold and the
+    window trick agree timeline-for-timeline (stream/batch equivalence
+    for alerting). State per key is O(hours observed) pairs of integers —
+    bounded by the retention window in production, and the reason the fn
+    re-aggregates before storing. Late rows land in their hour's partial
+    and correctly flip any downstream crossings on the next emit."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import (
+        hysteresis_alert_stream,
+    )
+
+    ev = events_stream(spark, sf_dir).select("event_type", "ts", "value")
+    updates = run_to_completion(hysteresis_alert_stream(ev), output_mode="update")
+    latest = updates.withColumn(
+        "max_b", F.max("batch_no").over(W.partitionBy("event_type"))
+    ).filter(F.col("batch_no") == F.col("max_b"))
+    return latest.select(
+        "event_type",
+        F.timestamp_seconds(F.col("hour_epoch") * 3600)
+        .cast("timestamp_ntz")
+        .alias("hour"),
+        F.round(F.col("sum_cents").cast("double") / F.col("n") / 100, 6).alias(
+            "mean_value"
+        ),
+        "alert_on",
+        "is_transition",
+    )

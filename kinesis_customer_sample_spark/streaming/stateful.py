@@ -357,3 +357,88 @@ def heavy_hitters_stream(events: DataFrame, capacity: int = HH_CAPACITY) -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming hysteresis alerting — the stateful twin of q262's declarative
+# batch form. Here the state machine runs as the NATURAL sequential fold
+# (walk the hourly rollup in time order, flip on crossings); the batch twin
+# resolves the same semantics with one `last_value IGNORE NULLS` window.
+# The oracle-checked equality of the two is the stream/batch-equivalence
+# proof for alerting pipelines. State per key = the cumulative hour→
+# (sum_cents, n) rollup plus a batch counter; each micro-batch merges its
+# rows and re-emits the full recomputed timeline (late rows may flip any
+# earlier hour's crossing, so recomputation from the rollup IS the correct
+# semantics; the rollup, not the raw rows, is what the state carries).
+
+ALERT_OUT_SCHEMA = (
+    "event_type string, hour_epoch long, sum_cents long, n long, "
+    "alert_on boolean, is_transition boolean, batch_no long"
+)
+ALERT_STATE_SCHEMA = (
+    "hours array<long>, sums array<long>, ns array<long>, batch_no long"
+)
+ALERT_HI_CENTS = 5300
+ALERT_LO_CENTS = 4800
+
+
+def hysteresis_alert_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        hours, sums, ns, batch_no = state.get
+        rollup = {h: [s, n] for h, s, n in zip(list(hours), list(sums), list(ns))}
+    else:
+        rollup, batch_no = {}, 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    if len(pdf):
+        hrs = pdf["ts"].values.astype("datetime64[h]").astype("int64")
+        cents = (pdf["value"].values * 100).round().astype("int64")
+        agg = pd.DataFrame({"h": hrs, "c": cents}).groupby("h").agg(
+            s=("c", "sum"), n=("c", "size")
+        )
+        for h, row in agg.iterrows():
+            cur = rollup.setdefault(int(h), [0, 0])
+            cur[0] += int(row.s)
+            cur[1] += int(row.n)
+    batch_no += 1
+    items = sorted(rollup.items())
+    state.update(
+        (
+            [h for h, _ in items],
+            [sn[0] for _, sn in items],
+            [sn[1] for _, sn in items],
+            batch_no,
+        )
+    )
+    out, alert, prev = [], False, False
+    for h, (s, n) in items:
+        if s > ALERT_HI_CENTS * n:
+            alert = True
+        elif s < ALERT_LO_CENTS * n:
+            alert = False
+        out.append(
+            {
+                "event_type": key[0],
+                "hour_epoch": h,
+                "sum_cents": s,
+                "n": n,
+                "alert_on": alert,
+                "is_transition": alert != prev,
+                "batch_no": batch_no,
+            }
+        )
+        prev = alert
+    yield pd.DataFrame(out)
+
+
+def hysteresis_alert_stream(events: DataFrame) -> DataFrame:
+    """Streaming hysteresis alert timelines per event_type (update mode:
+    each micro-batch re-emits the key's full recomputed timeline)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        hysteresis_alert_fn,
+        outputStructType=ALERT_OUT_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
