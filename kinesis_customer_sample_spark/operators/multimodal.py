@@ -233,3 +233,31 @@ def tile_grid(media: DataFrame, grid: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(tiler, schema=TILE_SCHEMA)
+
+
+ENERGY_SCHEMA = "media_id bigint, frame_idx int, energy bigint"
+
+
+def frame_energy(media: DataFrame, frame_len: int = 64) -> DataFrame:
+    """Arrow-batched per-frame energy over the binary payload — the
+    audio-decode edge of the VAD pipeline (q277). Each full `frame_len`-
+    byte window yields one integer energy (sum of byte values): a pure
+    function of the blob, computable in SQL over the fixture's utf-8
+    payloads, which is what makes the Python stage oracle-checkable.
+    Map-only: blobs never shuffle; one output row per frame."""
+
+    def energize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                buf = bytes(data)
+                for i in range(len(buf) // frame_len):
+                    frame = buf[i * frame_len : (i + 1) * frame_len]
+                    out.append((int(mid), i, int(sum(frame))))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "energy"]
+            )
+
+    return media.select("media_id", "data").mapInPandas(
+        energize, schema=ENERGY_SCHEMA
+    )

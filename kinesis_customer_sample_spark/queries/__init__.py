@@ -191,6 +191,15 @@ reorder_registry(
         "q268_zonemap_file_skipping",
         "q269_date_spine_densify",
         "q270_label_propagation",
+        "q271_kmv_theta_set_ops",
+        "q272_interpolated_quantiles",
+        "q273_boolean_postings_and",
+        "q274_rfm_segmentation",
+        "q275_bitemporal_asof",
+        "q276_stream_hysteresis_alerts",
+        "q277_audio_vad_segments",
+        "q278_skipgram_pairs",
+        "q279_calibration_bins",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

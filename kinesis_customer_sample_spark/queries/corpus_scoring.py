@@ -873,3 +873,120 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rnk"),
     )
+
+
+_SG_WIN = 2
+_SG_TOPK = 30
+
+_SPARK_SG_PAIRS = (
+    f"flatten(transform(sequence(1, size(toks)), i -> "
+    f"transform(filter(sequence(greatest(1, i - {_SG_WIN}), "
+    f"least(size(toks), i + {_SG_WIN})), j -> j != i), "
+    f"j -> struct(element_at(toks, i) AS c, element_at(toks, j) AS x))))"
+)
+
+
+@query(
+    "q278_skipgram_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i
+      FROM t
+    ),
+    pairs AS (
+      SELECT a.tok AS center, b.tok AS context
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND abs(a.i - b.i) <= {_SG_WIN} AND a.i != b.i
+    )
+    SELECT center, context, count(*)::BIGINT AS cnt
+    FROM pairs GROUP BY 1, 2
+    ORDER BY cnt DESC, center, context
+    LIMIT {_SG_TOPK}
+    """,
+    tags=("llm", "skipgram", "training-pairs"),
+)
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation (the word2vec/fastText data
+    front end): every (center, context) token pair within a ±2 window,
+    counted corpus-wide, top-30 by frequency. The pair fan-out happens
+    INSIDE one array lambda over the persisted token arrays — map-side,
+    whole-stage-codegen'd, ~2·window pairs per token with no self-join
+    and no shuffle until the (center, context) count — where the naive
+    positions-table self-join (the oracle's formulation) would shuffle
+    the exploded corpus twice. The count agg partial-aggregates map-side,
+    so the pair stream collapses to vocabulary² (bounded by actual
+    co-occurrence) before the exchange."""
+    pairs = (
+        _docs_with_tokens(spark, sf_dir)
+        .select(F.explode(F.expr(_SPARK_SG_PAIRS)).alias("p"))
+        .select(F.col("p.c").alias("center"), F.col("p.x").alias("context"))
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "center", "context")
+        .limit(_SG_TOPK)
+    )
+
+
+@query(
+    "q279_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, (lang = 'en') AS y,
+             least(999, 60 + 120 * len(list_filter({_DUCK_TOKS},
+                                                   t -> t IN ('the', 'a'))))
+               AS p_milli
+      FROM documents
+    )
+    SELECT (p_milli // 100)::BIGINT AS bin,
+           count(*)::BIGINT AS n,
+           round(avg(p_milli) / 1000, 6) AS mean_predicted,
+           round(sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS empirical_rate,
+           round(abs(avg(p_milli) / 1000
+                     - sum(CASE WHEN y THEN 1 ELSE 0 END)::DOUBLE / count(*)), 6)
+             AS calibration_gap
+    FROM scored GROUP BY 1
+    """,
+    tags=("ml-eval", "calibration", "reliability"),
+)
+def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram / calibration table for a probabilistic
+    classifier: bucket predictions into fixed-width bins and compare each
+    bin's mean predicted probability against its empirical positive rate
+    — the per-bin gaps are the terms of Expected Calibration Error. The
+    'model' is a deterministic stopword-density score for lang='en'
+    (intentionally miscalibrated on this fixture — the table shows it),
+    because the OPERATOR contract is the binned comparison, not the
+    model. Fixed-width bins mean no quantile windows at all: one
+    map-side projection plus a 10-group hash-agg, trivially
+    partial-aggregable at any scale. Predictions stay integer milli-units
+    until the final per-bin projection."""
+    scored = _docs_with_tokens(spark, sf_dir).select(
+        (F.col("lang") == "en").alias("y"),
+        F.least(
+            F.lit(999),
+            F.lit(60)
+            + 120
+            * F.size(F.expr("filter(toks, t -> t IN ('the', 'a'))")),
+        ).alias("p_milli"),
+    )
+    emp = F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("double") / F.count(
+        F.lit(1)
+    )
+    return (
+        scored.groupBy(
+            F.expr("p_milli div 100").cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("p_milli") / 1000, 6).alias("mean_predicted"),
+            F.round(emp, 6).alias("empirical_rate"),
+            F.round(F.abs(F.avg("p_milli") / 1000 - emp), 6).alias(
+                "calibration_gap"
+            ),
+        )
+    )

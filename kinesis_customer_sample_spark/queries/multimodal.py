@@ -11,7 +11,7 @@ rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -231,3 +231,87 @@ def media_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_media(table(spark, sf_dir, "documents"))
     return tile_grid(media, grid=4)
+
+
+_VAD_FRAME = 64
+_VAD_TAU = 6050  # frame-energy threshold (median of the fixture is ~6048)
+
+
+@query(
+    "q277_audio_vad_segments",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id AS media_id,
+             [ord(x)::BIGINT for x in string_split(text, '')] AS cs
+      FROM documents
+    ),
+    frames AS (
+      SELECT media_id, i.i AS frame_idx,
+             list_sum(cs[(i.i * {_VAD_FRAME} + 1):((i.i + 1) * {_VAD_FRAME})]) AS energy
+      FROM codes, (SELECT unnest(range(0, 64)) AS i) i
+      WHERE (i.i + 1) * {_VAD_FRAME} <= len(cs)
+    ),
+    flagged AS (
+      SELECT media_id, frame_idx, (energy > {_VAD_TAU}) AS active,
+             frame_idx - row_number() OVER (
+               PARTITION BY media_id, (energy > {_VAD_TAU}) ORDER BY frame_idx
+             ) AS grp
+      FROM frames
+    ),
+    segs AS (
+      SELECT media_id, active, min(frame_idx)::BIGINT AS start_frame,
+             count(*)::BIGINT AS n_frames
+      FROM flagged GROUP BY media_id, active, grp
+    )
+    SELECT media_id,
+           row_number() OVER (PARTITION BY media_id ORDER BY start_frame)::BIGINT
+             AS seg_idx,
+           start_frame, n_frames, active
+    FROM segs
+    """,
+    tags=("multimodal", "audio", "vad", "rle"),
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over opaque audio blobs: the
+    Python decode edge computes per-64-byte-frame energies (Arrow-batched
+    mapInPandas, operators/multimodal.frame_energy — the stand-in for a
+    real PCM decode, a pure function of the payload so the whole pipeline
+    stays hash-checkable), then plain SQL turns the frame stream into
+    maximal constant-activity runs via gaps-and-islands — the segment
+    table a transcription pipeline would feed its ASR model. Windows are
+    all media-partitioned; frames-per-blob bounds the window state. The
+    oracle recomputes the energies from the payload bytes in SQL,
+    proving the Python stage computes exactly its declared function —
+    the same decode-edge contract as q46/q96."""
+    from kinesis_customer_sample_spark.operators.multimodal import (
+        attach_media,
+        frame_energy,
+    )
+
+    media = attach_media(table(spark, sf_dir, "documents"))
+    frames = frame_energy(media, frame_len=_VAD_FRAME)
+    flagged = frames.select(
+        "media_id",
+        "frame_idx",
+        (F.col("energy") > _VAD_TAU).alias("active"),
+    ).withColumn(
+        "grp",
+        F.col("frame_idx")
+        - F.row_number().over(
+            W.partitionBy("media_id", "active").orderBy("frame_idx")
+        ),
+    )
+    segs = flagged.groupBy("media_id", "active", "grp").agg(
+        F.min("frame_idx").cast("bigint").alias("start_frame"),
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+    )
+    return segs.select(
+        "media_id",
+        F.row_number()
+        .over(W.partitionBy("media_id").orderBy("start_frame"))
+        .cast("bigint")
+        .alias("seg_idx"),
+        "start_frame",
+        "n_frames",
+        "active",
+    )
