@@ -888,3 +888,80 @@ def stream_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alert_on",
         "is_transition",
     )
+
+
+_KMVS_K = 32
+_KMVS_P = 1_000_000_007
+from kinesis_customer_sample_spark.functions import tok_hash_expr as _tok_hash  # noqa: E402
+
+_KMVS_DUCK_H = (
+    f"(({_tok_hash('''Q280KEY''', dialect='duckdb')}) * 2654435761 % {_KMVS_P})"
+).replace("Q280KEY", "'kmvu-' || user_id::VARCHAR")
+_KMVS_SPARK_H = (
+    f"(({_tok_hash('''Q280KEY''', dialect='spark')}) * 2654435761 % {_KMVS_P})"
+).replace("Q280KEY", "'kmvu-' || CAST(user_id AS STRING)")
+
+
+@query(
+    "q280_stream_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT ts::DATE AS day, {_KMVS_DUCK_H} AS h FROM events
+    ),
+    r AS (
+      SELECT day, h,
+             row_number() OVER (PARTITION BY day ORDER BY h) AS rn,
+             count(*) OVER (PARTITION BY day) AS nd
+      FROM h
+    )
+    SELECT day,
+           least(any_value(nd), {_KMVS_K})::BIGINT AS sketch_size,
+           round(CASE WHEN any_value(nd) < {_KMVS_K} THEN any_value(nd)::DOUBLE
+                 ELSE ({_KMVS_K} - 1) * {_KMVS_P}::DOUBLE
+                      / min(CASE WHEN rn = {_KMVS_K} THEN h END) END, 3)
+             AS est_distinct
+    FROM r GROUP BY day
+    """,
+    tags=("streaming", "stateful", "sketch", "kmv"),
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user KMV sketches maintained IN STREAM STATE: the
+    per-day state is the k-min distinct-hash set itself — merging a
+    micro-batch is set-union + re-truncate, the same associative merge
+    q271 proves shard-invariant, so the streaming sketch's CONTENTS (and
+    therefore its estimate) are bit-identical to the batch sketch the
+    oracle computes. This is the sketch-in-state pattern that gives an
+    unbounded stream O(k) distinct-counting state per key where exact
+    counting state grows with the keyspace; unlike q267's counters it
+    answers CARDINALITY, and unlike HLL (q191) its stream/batch equality
+    is hash-checkable, not rows-only. Element hashes are computed
+    JVM-side before the stateful op (the worker only set-unions
+    integers); the estimator and its rounding run JVM-side after. Days
+    with fewer than k distinct users report exactly (sketch not full ⇒
+    estimate = true count)."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import kmv_sketch_stream
+
+    ev = events_stream(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day"), F.expr(_KMVS_SPARK_H).alias("h")
+    )
+    updates = run_to_completion(kmv_sketch_stream(ev), output_mode="update")
+    latest = updates.withColumn(
+        "max_b", F.max("batch_no").over(W.partitionBy("day"))
+    ).filter(F.col("batch_no") == F.col("max_b"))
+    return latest.select(
+        "day",
+        F.col("sketch_size").cast("bigint").alias("sketch_size"),
+        F.round(
+            F.when(
+                F.col("sketch_size") < _KMVS_K,
+                F.col("sketch_size").cast("double"),
+            ).otherwise(
+                F.lit((_KMVS_K - 1) * float(_KMVS_P)) / F.col("kth_hash")
+            ),
+            3,
+        ).alias("est_distinct"),
+    )

@@ -442,3 +442,53 @@ def hysteresis_alert_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch (q280): per-key state IS the mergeable
+# sketch — the k smallest distinct element hashes. Merging a batch is
+# set-union + re-truncate (the same associative operation q271's batch
+# sketches merge with, so stream and batch sketch CONTENTS are identical
+# and the estimate hash-matches). The worker emits raw integers only
+# (h_k, sizes); the estimate and rounding happen JVM-side after the
+# stream, per the no-float-math-in-workers rule.
+
+KMV_OUT_SCHEMA = "day date, sketch_size long, kth_hash long, batch_no long"
+KMV_STATE_SCHEMA = "hashes array<long>, batch_no long"
+KMV_STREAM_K = 32
+
+
+def kmv_sketch_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        hashes, batch_no = state.get
+        acc = set(hashes)
+    else:
+        acc, batch_no = set(), 0
+    for pdf in pdfs:
+        acc.update(int(h) for h in pdf["h"])
+    kmin = sorted(acc)[:KMV_STREAM_K]
+    batch_no += 1
+    state.update((kmin, batch_no))
+    yield pd.DataFrame(
+        [
+            {
+                "day": key[0],
+                "sketch_size": len(kmin),
+                "kth_hash": kmin[-1] if len(kmin) == KMV_STREAM_K else 0,
+                "batch_no": batch_no,
+            }
+        ]
+    )
+
+
+def kmv_sketch_stream(hashed: DataFrame) -> DataFrame:
+    """Per-day streaming KMV sketches over a (day, h) element stream."""
+    return hashed.groupBy("day").applyInPandasWithState(
+        kmv_sketch_fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
