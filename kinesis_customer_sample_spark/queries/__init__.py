@@ -65,6 +65,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     alerting_ops,
     pq_ann,
     quantile_ops,
+    ml_eval_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

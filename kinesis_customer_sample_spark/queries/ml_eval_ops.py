@@ -1,0 +1,265 @@
+"""Model-evaluation & survival statistics — round-3 wave (SURVEY.md §2B):
+AUC-ROC for a linear scorer over the embedding corpus, and the
+Kaplan–Meier product-limit survival curve with right-censoring. Together
+with q279 (calibration) these form the offline-eval layer a model/data
+platform runs after every training cycle.
+
+Cross-engine determinism:
+- AUC is a pure RANK statistic, so the scorer needs no sigmoid and no
+  float dot products: scores are exact integer dot products of
+  milli-unit-quantized vectors, and AUC = U/(n1·n2) reuses q259's
+  all-integer tied-rank identity (2R1 = Σ cnt1·(2·c_before+cnt+1)).
+- Kaplan–Meier's running product turns into a cumulative sum of
+  per-day log terms floored into integer micro-nats (the q151 pattern);
+  only the final exp/round is floating point.
+
+Scale posture (100 TB):
+- q281's score grid cumulates with the two-level bucket-window shape
+  (never a global ordered window over n scores).
+- q282's event-time grid is CALENDAR-bounded (≤ days-in-window rows by
+  construction after the per-day agg), so its one ordered cumsum runs
+  over a provably tiny input — the same bounded-grid argument as q262's
+  per-key hourly timeline; the heavy work (per-user durations, risk-set
+  counts) is hash-aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_AUC_POS_LABEL = 0
+_AUC_BUCKET = 10_000_000  # score-grid cumsum bucket width
+
+_KM_OBS_END = "2024-01-30"  # observation cutoff (censoring time)
+_KM_CONV_CENTS = 15_000  # "event" = first purchase of at least $150
+
+
+@query(
+    "q281_auc_roc",
+    oracle=f"""
+    WITH w AS (
+      SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS wv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT (e.label = {_AUC_POS_LABEL}) AS y,
+             list_sum([CAST(round(e.embedding[i + 1] * 1000) AS BIGINT) * wv[i + 1]
+                       FOR i IN range(64)]) AS s
+      FROM embeddings e CROSS JOIN w
+      WHERE e.vec_id != 0
+    ),
+    g AS (
+      SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END) AS cnt1,
+             count(*) AS cnt
+      FROM scored GROUP BY s
+    ),
+    c AS (
+      SELECT cnt1, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_before
+      FROM g
+    ),
+    agg AS (
+      SELECT sum(cnt1 * (2 * c_before + cnt + 1))::BIGINT AS two_r1,
+             sum(cnt1)::BIGINT AS n1, sum(cnt - cnt1)::BIGINT AS n2
+      FROM c
+    )
+    SELECT n1 AS n_pos, n2 AS n_neg,
+           round((two_r1 - n1 * (n1 + 1))::DOUBLE / 2 / (n1 * n2), 6) AS auc,
+           round((two_r1 - n1 * (n1 + 1))::DOUBLE / (n1 * n2) - 1, 6) AS gini
+    FROM agg
+    """,
+    tags=("ml-eval", "auc", "rank-statistic"),
+)
+def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of a linear scorer (weights = vec 0, a stand-in for any
+    served model's logits) against the label-{pos} one-vs-rest task. AUC
+    is computed EXACTLY as the tied-rank Mann–Whitney statistic
+    U/(n⁺·n⁻) — no sampling, no trapezoid approximation over thresholded
+    points — with the same all-integer tied-rank identity as q259 (scores
+    are integer dot products of milli-quantized vectors, so ties are
+    honest and cross-engine identical). The score-grid cumsum uses the
+    two-level bucket-window shape; the scorer itself is one map-side
+    zip_with per row against the broadcast weight vector."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "qi"
+        ),
+    )
+    wvec = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("qi").alias("wv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(wvec)
+        .select(
+            (F.col("label") == _AUC_POS_LABEL).alias("y"),
+            F.expr(
+                "aggregate(zip_with(qi, wv, (x, w) -> x * w), "
+                "CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("s"),
+        )
+    )
+    g = scored.groupBy("s").agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("cnt1"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    g = g.withColumn("bucket", F.floor(F.col("s") / _AUC_BUCKET))
+    w_loc = (
+        W.partitionBy("bucket")
+        .orderBy("s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = g.withColumn("lc", F.sum("cnt").over(w_loc))
+    totals = g.groupBy("bucket").agg(F.sum("cnt").alias("t"))
+    starts = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("st"))
+    )
+    c = local.join(F.broadcast(starts), "bucket").select(
+        "cnt1",
+        "cnt",
+        (F.col("st") + F.col("lc") - F.col("cnt")).alias("c_before"),
+    )
+    agg = c.agg(
+        F.sum(F.col("cnt1") * (2 * F.col("c_before") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("two_r1"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("bigint").alias("n2"),
+    )
+    return agg.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        F.round(
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / 2
+            / (F.col("n1") * F.col("n2")),
+            6,
+        ).alias("auc"),
+        F.round(
+            (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (F.col("n1") * F.col("n2"))
+            - 1,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q282_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, min(ts) AS start_ts,
+             min(CASE WHEN event_type = 'purchase'
+                       AND CAST(round(value * 100) AS BIGINT) >= {_KM_CONV_CENTS}
+                      THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN conv_ts IS NOT NULL
+                  THEN date_diff('day', start_ts::DATE, conv_ts::DATE)
+                  ELSE date_diff('day', start_ts::DATE, DATE '{_KM_OBS_END}')
+             END AS t,
+             (conv_ts IS NOT NULL) AS converted
+      FROM u
+    ),
+    byday AS (
+      SELECT t, sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS d,
+             sum(CASE WHEN converted THEN 0 ELSE 1 END)::BIGINT AS c
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             sum(d + c) OVER (ORDER BY t DESC)::BIGINT AS n_risk
+      FROM byday
+    ),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d > 0
+                  THEN floor(ln((n_risk - d)::DOUBLE / n_risk) * 1000000)::BIGINT
+                  ELSE 0 END AS logterm_mu
+      FROM risk
+    )
+    SELECT t AS day_t, n_risk, d AS d_events, c AS c_censored,
+           round(exp(sum(logterm_mu) OVER (ORDER BY t) / 1000000.0), 6)
+             AS survival
+    FROM terms
+    """,
+    tags=("survival", "kaplan-meier", "ml-eval"),
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve for time-to-first-big-
+    purchase with RIGHT-CENSORING — the estimator q202's raw conversion
+    histogram cannot replace, because users who never converted still
+    carry information while under observation (they inflate the risk set
+    until their censoring day). S(t) = Π_{u≤t}(1 − d_u/n_u); the product
+    becomes a cumulative sum of per-day log factors floored into integer
+    micro-nats, so engines agree exactly before the final exp/round. The
+    risk set n_t comes from a REVERSED cumulative sum over the per-day
+    (events, censored) table — no per-user-per-day fan-out. Ordered
+    windows here run over the day grid, calendar-bounded (≤ observation
+    window in days) after the per-day agg, so they are bounded-input by
+    construction; all per-user work is hash-aggs."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100).cast("bigint") >= _KM_CONV_CENTS),
+                F.col("ts"),
+            )
+        ).alias("conv_ts"),
+    )
+    durations = u.select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.col("conv_ts").cast("date"), F.col("start_ts").cast("date")),
+        )
+        .otherwise(
+            F.datediff(
+                F.lit(_KM_OBS_END).cast("date"), F.col("start_ts").cast("date")
+            )
+        )
+        .alias("t"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    byday = durations.groupBy("t").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).cast("bigint").alias("d"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1)).cast("bigint").alias("c"),
+    )
+    w_rev = W.orderBy(F.col("t").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_fwd = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = byday.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_rev).cast("bigint")
+    )
+    terms = risk.withColumn(
+        "logterm_mu",
+        F.when(
+            F.col("d") > 0,
+            F.expr(
+                "CAST(floor(ln((n_risk - d) / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)"
+            ),
+        ).otherwise(F.lit(0)),
+    )
+    return terms.select(
+        F.col("t").alias("day_t"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.col("c").alias("c_censored"),
+        F.round(F.exp(F.sum("logterm_mu").over(w_fwd) / F.lit(1000000.0)), 6).alias(
+            "survival"
+        ),
+    )

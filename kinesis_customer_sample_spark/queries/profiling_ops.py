@@ -248,3 +248,49 @@ def histogram_merge_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.col("bin") + 1) * _BIN_W).alias("est_upper_edge"),
         F.min("total").alias("total_n"),
     )
+
+
+_KANON_K = 3
+
+
+@query(
+    "q284_k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, (n_chars // 100)::BIGINT AS size_bucket,
+             count(*)::BIGINT AS n
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, size_bucket, n,
+           (n >= {_KANON_K}) AS k_anonymous,
+           round(1.0 / n, 6) AS reident_risk
+    FROM cells
+    """,
+    tags=("governance", "privacy", "k-anonymity"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): every equivalence class with fewer than k=3 members
+    is a re-identification risk — the privacy gate a dataset must pass
+    before release, complementing q139's PII redaction (which removes
+    direct identifiers; this measures what the REMAINING attributes still
+    leak). One hash-agg to the QI cells (map-side combined), a map-side
+    flag, and the 1/n worst-case link probability per cell. Generalizing
+    a failing dimension (coarser buckets) and re-running IS the
+    anonymization loop. At 100 TB the cell table is the product of QI
+    cardinalities — the operator's honest output size."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        "source",
+        F.expr("n_chars div 100").cast("bigint").alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return cells.select(
+        "lang",
+        "source",
+        "size_bucket",
+        "n",
+        (F.col("n") >= _KANON_K).alias("k_anonymous"),
+        F.round(F.lit(1.0) / F.col("n"), 6).alias("reident_risk"),
+    )

@@ -236,3 +236,64 @@ def linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BT_SEASON = 7  # seasonal-naive lag (days)
+
+
+@query(
+    "q283_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT event_type, day, cents,
+             lag(cents, {_BT_SEASON}) OVER (
+               PARTITION BY event_type ORDER BY day) AS fc
+      FROM daily
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_days,
+           (sum(abs(cents - fc)) // count(*))::BIGINT AS mae_cents,
+           (sum(1000 * abs(cents - fc) // cents) // count(*))::BIGINT
+             AS mape_milli
+    FROM paired WHERE fc IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: score the SEASONAL-NAIVE forecast (each
+    day's prediction = the value 7 days earlier — the baseline every
+    real forecasting model must beat, and the denominator of MASE)
+    against daily revenue per event type, reporting MAE and MAPE. One
+    key-partitioned lag window over the daily rollup, one hash-agg; all
+    error arithmetic is integer (cents, milli-APE via integer division
+    per day before averaging) so engines agree exactly. At 100 TB the
+    rollup is |keys|·|days| rows and the backtest adds nothing beyond
+    the window pass — the pattern extends to any stored forecast table
+    by replacing the lag with a join on (key, day)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    from pyspark.sql import Window as W
+
+    paired = daily.withColumn(
+        "fc",
+        F.lag("cents", _BT_SEASON).over(
+            W.partitionBy("event_type").orderBy("day")
+        ),
+    ).filter(F.col("fc").isNotNull())
+    return paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("sum(abs(cents - fc)) div count(1)").cast("bigint").alias(
+            "mae_cents"
+        ),
+        F.expr("sum(1000 * abs(cents - fc) div cents) div count(1)")
+        .cast("bigint")
+        .alias("mape_milli"),
+    )
