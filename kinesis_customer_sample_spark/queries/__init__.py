@@ -201,6 +201,11 @@ reorder_registry(
         "q277_audio_vad_segments",
         "q278_skipgram_pairs",
         "q279_calibration_bins",
+        "q280_stream_kmv_distinct",
+        "q281_auc_roc",
+        "q282_kaplan_meier",
+        "q283_seasonal_naive_backtest",
+        "q284_k_anonymity_audit",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",
