@@ -185,14 +185,16 @@ def auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     terms AS (
       SELECT t, d, c, n_risk,
-             CASE WHEN d > 0
+             CASE WHEN d > 0 AND d < n_risk
                   THEN floor(ln((n_risk - d)::DOUBLE / n_risk) * 1000000)::BIGINT
-                  ELSE 0 END AS logterm_mu
+                  ELSE 0 END AS logterm_mu,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS extinct
       FROM risk
     )
     SELECT t AS day_t, n_risk, d AS d_events, c AS c_censored,
-           round(exp(sum(logterm_mu) OVER (ORDER BY t) / 1000000.0), 6)
-             AS survival
+           CASE WHEN max(extinct) OVER (ORDER BY t) = 1 THEN 0.0
+                ELSE round(exp(sum(logterm_mu) OVER (ORDER BY t) / 1000000.0), 6)
+           END AS survival
     FROM terms
     """,
     tags=("survival", "kaplan-meier", "ml-eval"),
@@ -248,18 +250,26 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = risk.withColumn(
         "logterm_mu",
         F.when(
-            F.col("d") > 0,
+            (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
             F.expr(
                 "CAST(floor(ln((n_risk - d) / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)"
             ),
         ).otherwise(F.lit(0)),
+    ).withColumn(
+        # extinction guard: a day where every at-risk subject has the event
+        # drives S to exactly 0 (ln(0) is engine-divergent: null in Spark,
+        # -inf/error elsewhere) — carry the zero forward explicitly
+        "extinct",
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0),
     )
     return terms.select(
         F.col("t").alias("day_t"),
         "n_risk",
         F.col("d").alias("d_events"),
         F.col("c").alias("c_censored"),
-        F.round(F.exp(F.sum("logterm_mu").over(w_fwd) / F.lit(1000000.0)), 6).alias(
-            "survival"
-        ),
+        F.when(F.max("extinct").over(w_fwd) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum("logterm_mu").over(w_fwd) / F.lit(1000000.0)), 6)
+        )
+        .alias("survival"),
     )

@@ -617,3 +617,104 @@ def test_q200_closed_form_matches_materialized_chunks(spark, sf_dir):
         | (mat["n_chunk_tokens"] != closed["n_chunk_tokens"])
     )
     assert diff.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Statistical-operator invariants (q258/q259/q281): the integer rank/ECDF
+# identities must reproduce scipy-grade reference values on arbitrary
+# small samples. Reference models are implemented directly from the
+# textbook formulas (no scipy in the container).
+
+
+def _ks_d_model(xs, ys):
+    import itertools
+
+    grid = sorted(set(xs) | set(ys))
+    n1, n2 = len(xs), len(ys)
+    best = 0
+    for v in grid:
+        c1 = sum(1 for x in xs if x <= v)
+        c2 = sum(1 for y in ys if y <= v)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    return best
+
+
+def _mwu_2r1_model(xs, ys):
+    pooled = sorted([(v, 0) for v in xs] + [(v, 1) for v in ys])
+    # average ranks over ties, doubled to stay integral
+    two_r1 = 0
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        # ranks i+1..j (1-indexed); doubled average rank = (i+1) + j
+        for k in range(i, j):
+            if pooled[k][1] == 0:
+                two_r1 += (i + 1) + j
+        i = j
+    return two_r1
+
+
+@given(
+    st.lists(st.integers(0, 20), min_size=2, max_size=30),
+    st.lists(st.integers(0, 20), min_size=2, max_size=30),
+)
+@settings(max_examples=50, deadline=None)
+def test_ks_and_mwu_integer_identities(xs, ys):
+    """The cross-multiplied ECDF max (q258) and the 2R1 tie identity
+    (q259/q281) must equal the brute-force textbook definitions on
+    arbitrary integer samples."""
+    n1, n2 = len(xs), len(ys)
+    # grid-form 2R1 as the queries compute it
+    grid = sorted(set(xs) | set(ys))
+    two_r1 = 0
+    c_before = 0
+    for v in grid:
+        cnt1 = xs.count(v)
+        cnt2 = ys.count(v)
+        cnt = cnt1 + cnt2
+        two_r1 += cnt1 * (2 * c_before + cnt + 1)
+        c_before += cnt
+    assert two_r1 == _mwu_2r1_model(xs, ys)
+    # KS numerator via running cumulative equals pointwise max
+    d_num, c1, c2 = 0, 0, 0
+    for v in grid:
+        c1 += xs.count(v)
+        c2 += ys.count(v)
+        d_num = max(d_num, abs(c1 * n2 - c2 * n1))
+    assert d_num == _ks_d_model(xs, ys)
+    # AUC from the same identity is in [0, 1] and symmetric:
+    # AUC(xs, ys) + AUC(ys, xs) == 1 exactly (doubled arithmetic)
+    u1_doubled = two_r1 - n1 * (n1 + 1)
+    two_r1_swap = _mwu_2r1_model(ys, xs)
+    u2_doubled = two_r1_swap - n2 * (n2 + 1)
+    assert u1_doubled + u2_doubled == 2 * n1 * n2
+    assert 0 <= u1_doubled <= 2 * n1 * n2
+
+
+def test_kaplan_meier_no_censoring_equals_empirical(spark):
+    """With zero censoring, S(t) must equal the empirical survival
+    fraction (1 - ECDF) at every event time — pin q282's product-limit
+    fold against the closed form on a synthetic cohort."""
+    import math
+
+    durations = [1, 1, 2, 3, 3, 3, 5, 8, 8, 13]
+    n = len(durations)
+    # product-limit with the same micro-nat flooring as q282
+    from collections import Counter
+
+    byday = sorted(Counter(durations).items())
+    at_risk = n
+    acc_mu = 0
+    extinct = False
+    for t, d in byday:
+        if d >= at_risk:
+            extinct = True  # q282's extinction guard: S drops to exactly 0
+        else:
+            acc_mu += math.floor(math.log((at_risk - d) / at_risk) * 1_000_000)
+        surviving = sum(1 for x in durations if x > t)
+        km = 0.0 if extinct else round(math.exp(acc_mu / 1_000_000), 6)
+        emp = round(surviving / n, 6)
+        assert abs(km - emp) < 2e-5, (t, km, emp)
+        at_risk -= d
