@@ -965,3 +965,61 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         ).alias("est_distinct"),
     )
+
+
+_ROUTER_PRED = "value >= 1.0"
+
+
+@query(
+    "q285_stream_split_router",
+    oracle=f"""
+    SELECT CASE WHEN {_ROUTER_PRED} THEN 'valid' ELSE 'quarantine' END AS route,
+           count(*)::BIGINT AS n_events,
+           sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS sum_cents
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "sink", "router", "exactly-once"),
+)
+def stream_split_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ROUTER: one stream fans out to two sinks (valid /
+    quarantine, split on a predicate) with a SINGLE atomic manifest
+    commit covering both — the transactional multi-table publish a
+    valid/dead-letter splitter needs, because committing the two halves
+    independently lets a crash between them surface an epoch where
+    records exist in neither or both. Readers consult manifests only;
+    a retried epoch (manifest absent) rewrites both directories then
+    re-publishes, so the read-back is exactly-once per record across
+    BOTH sinks (retry-idempotence unit-tested in tests/test_streaming).
+    The oracle tags each event with its route in batch — equality proves
+    no record was lost, duplicated, or mis-routed through the split."""
+    import os
+    import shutil
+    import tempfile
+
+    from kinesis_customer_sample_spark.streaming.replay import events_stream
+    from kinesis_customer_sample_spark.streaming.sinks import (
+        foreach_batch_split_router,
+        read_routed,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"kcss_router_{abs(hash(sf_dir))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ckpt = os.path.join(base, "_ckpt")
+    ev = events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(foreach_batch_split_router(base, _ROUTER_PRED))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    routed = read_routed(spark, base)
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

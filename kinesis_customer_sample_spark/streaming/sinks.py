@@ -52,3 +52,82 @@ def foreach_batch_upsert(table_dir: str):
         os.rename(tmp, table_dir)
 
     return apply
+
+
+def foreach_batch_split_router(base_dir: str, pred_sql: str):
+    """Multi-sink ROUTER with one atomic commit for both outputs: each
+    micro-batch splits on `pred_sql` and writes the true-rows to
+    `<base>/valid/epoch=N` and the false-rows to `<base>/quarantine/
+    epoch=N`, then publishes ONE manifest for the epoch (tmp + atomic
+    rename) covering both directories. Readers consult manifests only, so
+    a crash between the two writes — or a Structured Streaming batch
+    RETRY after either write — can never surface a half-routed epoch: the
+    replayed epoch sees its manifest missing, rewrites both directories
+    (overwrite), and re-publishes. This is the transactional multi-table
+    publish every valid/dead-letter splitter needs; with a real table
+    format both writes become one transaction — the manifest here plays
+    that role."""
+    import json
+
+    os.makedirs(os.path.join(base_dir, "_manifests"), exist_ok=True)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        manifest = os.path.join(base_dir, "_manifests", f"{epoch_id}.json")
+        if os.path.exists(manifest):
+            return  # replayed, already fully committed — idempotent skip
+        valid_dir = os.path.join(base_dir, "valid", f"epoch={epoch_id}")
+        quar_dir = os.path.join(base_dir, "quarantine", f"epoch={epoch_id}")
+        batch_df.persist()
+        try:
+            n_valid = batch_df.filter(pred_sql).count()
+            n_quar = batch_df.filter(f"NOT ({pred_sql})").count()
+            batch_df.filter(pred_sql).write.mode("overwrite").parquet(valid_dir)
+            batch_df.filter(f"NOT ({pred_sql})").write.mode("overwrite").parquet(
+                quar_dir
+            )
+        finally:
+            batch_df.unpersist()
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "epoch": epoch_id,
+                    "valid": valid_dir,
+                    "n_valid": n_valid,
+                    "quarantine": quar_dir,
+                    "n_quarantine": n_quar,
+                },
+                f,
+            )
+        os.replace(tmp, manifest)  # single atomic publish for BOTH sinks
+
+    return apply
+
+
+def read_routed(spark, base_dir: str):
+    """Read back ONLY manifest-committed epochs of both router outputs,
+    tagged with their route."""
+    import glob
+    import json
+
+    valid_dirs, quar_dirs = [], []
+    for m in sorted(glob.glob(os.path.join(base_dir, "_manifests", "*.json"))):
+        with open(m) as f:
+            mf = json.load(f)
+        if mf["n_valid"]:
+            valid_dirs.append(mf["valid"])
+        if mf["n_quarantine"]:
+            quar_dirs.append(mf["quarantine"])
+    parts = []
+    if valid_dirs:
+        parts.append(
+            spark.read.parquet(*valid_dirs).withColumn("route", F.lit("valid"))
+        )
+    if quar_dirs:
+        parts.append(
+            spark.read.parquet(*quar_dirs).withColumn("route", F.lit("quarantine"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

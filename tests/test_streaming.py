@@ -619,3 +619,30 @@ def test_space_saving_eviction_bounds_error():
     (out2,) = list(fn((0,), iter([pd.DataFrame({"user_id": [1, 1]})]), state))
     got2 = {int(r.user_id): int(r.cnt) for r in out2.itertuples()}
     assert got2[1] == 12
+
+
+def test_split_router_retry_is_idempotent(spark):
+    """Replaying an epoch through the split router (Structured Streaming's
+    at-least-once foreachBatch contract) must not duplicate records in
+    either sink: the manifest is the commit point for BOTH outputs."""
+    import shutil
+
+    from kinesis_customer_sample_spark.streaming.sinks import (
+        foreach_batch_split_router,
+        read_routed,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "kcss_router_retry_test")
+    shutil.rmtree(base, ignore_errors=True)
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "event_id long, value double"
+    )
+    apply = foreach_batch_split_router(base, "value >= 5.0")
+    apply(df, 0)
+    apply(df, 0)  # retry of a committed epoch: must no-op
+    apply(df, 1)  # a later epoch with the same rows: separate commit
+    out = read_routed(spark, base)
+    assert out.count() == 20  # 10 per committed epoch, never 30
+    per_route = {r.route: r.n for r in out.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per_route == {"valid": 10, "quarantine": 10}
