@@ -431,3 +431,98 @@ def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("part_key"), F.col("lab").alias("community")
     )
+
+
+_LP_DEG_CAP = 50  # co-neighbor postings cap (hot-hub bound, q68's DF-cap analog)
+_LP_TOPK = 20
+
+
+@query(
+    "q286_link_prediction_jaccard",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+    deg AS (SELECT s AS node, count(*) AS d FROM e GROUP BY s),
+    kept AS (
+      SELECT e.s, e.t FROM e JOIN deg ON deg.node = e.t
+      WHERE deg.d <= {_LP_DEG_CAP}
+    ),
+    common AS (
+      SELECT a.s AS u, b.s AS v, count(*) AS c
+      FROM kept a JOIN kept b ON a.t = b.t AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT c.u, c.v, c.c, da.d AS du, db.d AS dv
+      FROM common c
+      JOIN deg da ON da.node = c.u
+      JOIN deg db ON db.node = c.v
+      LEFT JOIN e0 ON e0.s = c.u AND e0.t = c.v
+      WHERE e0.s IS NULL
+    )
+    SELECT u, v, c::BIGINT AS n_common,
+           round(c::DOUBLE / (du + dv - c), 6) AS jaccard
+    FROM cand
+    ORDER BY jaccard DESC, u, v
+    LIMIT {_LP_TOPK}
+    """,
+    tags=("graph", "link-prediction", "jaccard"),
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard: rank NON-adjacent node
+    pairs by |N(u)∩N(v)| / |N(u)∪N(v)| — the classic similarity score
+    for 'who should be connected next', distinct from q180 (triangles
+    measure existing closure; this predicts missing edges). Candidate
+    pairs come from a co-neighbor postings join (two nodes appear
+    together in some neighbor's adjacency list), NEVER all-pairs; a
+    degree cap on the shared neighbor bounds hub fan-out exactly like
+    q68's document-frequency cap — a hub connected to k nodes would
+    otherwise contribute k² candidate pairs. Existing edges drop via an
+    anti-join against the canonical edge list. Everything is counts and
+    one rounded division; top-20 via TakeOrderedAndProject."""
+    e0 = _copurchase_edges(spark, sf_dir)
+    e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    kept = e.join(
+        deg.withColumnRenamed("node", "t"), "t"
+    ).filter(F.col("d") <= _LP_DEG_CAP).select("s", "t")
+    common = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.t") == F.col("y.t")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .groupBy(F.col("x.s").alias("u"), F.col("y.s").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = (
+        common.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .join(
+            e0.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            F.col("c").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(_LP_TOPK)
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import tok_hash_expr
 from kinesis_customer_sample_spark.registry import query
 
 _QB_WIDTH = 2000  # cents per cumsum bucket (~$20)
@@ -273,4 +274,110 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         f_score.alias("f_score"),
         m_score.alias("m_score"),
         (r_score * 100 + f_score * 10 + m_score).cast("bigint").alias("rfm_cell"),
+    )
+
+
+_ICDF_SLOTS = 100
+_ICDF_P = 1_000_000_007
+
+
+@query(
+    "q287_inverse_cdf_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT n_name,
+             sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS wt
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    cum AS (
+      SELECT n_name, wt,
+             coalesce(sum(wt) OVER (ORDER BY n_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+             sum(wt) OVER (ORDER BY n_name
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi,
+             sum(wt) OVER () AS total
+      FROM w
+    ),
+    slots AS (
+      SELECT j,
+             ({{duck_h}}) * 2654435761 % {_ICDF_P} AS hj
+      FROM (SELECT unnest(range({_ICDF_SLOTS})) AS j)
+    ),
+    drawn AS (
+      SELECT c.n_name, count(*) AS n_drawn
+      FROM slots s JOIN cum c
+        ON floor(s.hj / {_ICDF_P}.0 * c.total) >= c.lo
+       AND floor(s.hj / {_ICDF_P}.0 * c.total) < c.hi
+      GROUP BY 1
+    )
+    SELECT c.n_name, c.wt::BIGINT AS weight_cents,
+           coalesce(d.n_drawn, 0)::BIGINT AS n_drawn,
+           (1000 * c.wt // c.total)::BIGINT AS expected_milli
+    FROM cum c LEFT JOIN drawn d ON d.n_name = c.n_name
+    """.replace("{duck_h}", tok_hash_expr("'icdf-' || j::VARCHAR", dialect="duckdb")),
+    tags=("sampling", "inverse-cdf", "weighted"),
+)
+def inverse_cdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITH replacement via integer inverse-CDF lookup:
+    build the cumulative weight table (revenue cents per nation — a
+    bounded dimension grid, so its one ordered window is 25 rows by
+    construction), draw 100 deterministic integer uniforms in [0, total)
+    (portable hash + the q271 de-clustering post-mix, reduced mod total),
+    and map each draw to the owning [lo, hi) interval with a broadcast
+    range join — the O(log n)-free distributed form of inverse-CDF
+    sampling, complementing q104 (priority sampling, WITHOUT
+    replacement). Everything is int64: draw counts are exact across
+    engines, and each nation's expected draw share (integer milli-units)
+    sits beside its realized count for a built-in sanity readout. At
+    100 TB the weight table is dimension-sized and broadcasts; the slot
+    table is |k| rows; neither touches the fact table after the one
+    weight aggregation."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = F.broadcast(
+        table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    w = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias("wt")
+        )
+    )
+    w_cum = (
+        W.orderBy("n_name").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_prev = W.orderBy("n_name").rowsBetween(W.unboundedPreceding, -1)
+    cum = w.select(
+        "n_name",
+        "wt",
+        F.coalesce(F.sum("wt").over(w_prev), F.lit(0)).alias("lo"),
+        F.sum("wt").over(w_cum).alias("hi"),
+    ).crossJoin(F.broadcast(w.agg(F.sum("wt").alias("total"))))
+    spark_h = tok_hash_expr("'icdf-' || CAST(j AS STRING)", dialect="spark")
+    slots = spark.range(_ICDF_SLOTS).select(
+        F.col("id").alias("j"),
+        F.expr(f"({spark_h}) * 2654435761 % {_ICDF_P}").alias("hj"),
+    )
+    u = F.expr(f"floor(hj / {_ICDF_P}.0 * total)")
+    drawn = (
+        slots.join(
+            F.broadcast(cum),
+            (u >= F.col("lo")) & (u < F.col("hi")),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_drawn"))
+    )
+    return (
+        cum.join(drawn, "n_name", "left")
+        .select(
+            "n_name",
+            F.col("wt").alias("weight_cents"),
+            F.coalesce(F.col("n_drawn"), F.lit(0)).cast("bigint").alias("n_drawn"),
+            F.expr("CAST(1000 * wt div total AS BIGINT)").alias("expected_milli"),
+        )
     )
