@@ -206,6 +206,9 @@ reorder_registry(
         "q282_kaplan_meier",
         "q283_seasonal_naive_backtest",
         "q284_k_anonymity_audit",
+        "q285_stream_split_router",
+        "q286_link_prediction_jaccard",
+        "q287_inverse_cdf_sample",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",
