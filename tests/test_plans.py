@@ -931,3 +931,25 @@ def test_date_spine_broadcasts_spine(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q269_date_spine_densify")
     assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
     assert not facts.has_cartesian
+
+
+def test_auc_grid_two_level(spark, sf_dir):
+    """q281's score-grid cumsum must stay bucket-partitioned."""
+    facts = audit_of(spark, sf_dir, "q281_auc_roc")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_link_prediction_capped_no_cartesian(spark, sf_dir):
+    """q286: candidates via the co-neighbor equi-join only."""
+    facts = audit_of(spark, sf_dir, "q286_link_prediction_jaccard")
+    assert not facts.has_cartesian
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_inverse_cdf_weight_table_broadcasts(spark, sf_dir):
+    """q287: the cumulative weight intervals must broadcast against the
+    slot table (range join on a dimension-sized build side)."""
+    facts = audit_of(spark, sf_dir, "q287_inverse_cdf_sample")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert not facts.has_cartesian
