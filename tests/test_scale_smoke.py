@@ -260,3 +260,61 @@ def test_skyline_sweep_dominance_free_at_5m_points(spark):
         & ((F.col("b.price") < F.col("a.price")) | (F.col("b.size") > F.col("a.size"))),
     ).count()
     assert dominated == 0
+
+
+def test_two_level_quantile_grid_at_5m_rows(spark):
+    """q272's two-level grid at 5M rows: exact interpolated median over a
+    known uniform integer distribution must hit the closed-form answer —
+    and complete without any unpartitioned window over the value grid."""
+    from kinesis_customer_sample_spark.queries.quantile_ops import _grid_cumulative
+
+    df = spark.range(N).select(
+        F.lit("g").alias("g"), (F.col("id") % 1001).alias("v")
+    )
+    grid = _grid_cumulative(df, "g", 100)
+    # values 0..1000 uniform: rank ceil(0.5*N) lands exactly on value 500
+    med = (
+        grid.filter(F.col("c") >= (N + 1) // 2)
+        .agg(F.min("v").alias("m"))
+        .collect()[0][0]
+    )
+    assert med == 500
+
+
+def test_pq_encoding_conserves_at_200k_vectors(spark):
+    """q265's PQ encoding shape at 200k × 32-dim vectors: every vector
+    gets exactly M codes (the argmin hash-agg loses nothing) and every
+    code is a valid codebook id."""
+    n, dim, m, k = 200_000, 32, 4, 16
+    sub = dim // m
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), d -> (id * 31 + d * 7) % 2000 - 1000)"
+        ).alias("qi"),
+    )
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("qi").alias("cqi")
+        )
+    )
+    subdists = (
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"aggregate(zip_with(slice(qi, mm * {sub} + 1, {sub}), "
+        f"slice(cqi, mm * {sub} + 1, {sub}), (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (s, v) -> s + v))"
+    )
+    codes = (
+        e.crossJoin(cent)
+        .select("vec_id", "cid", F.posexplode(F.expr(subdists)).alias("mm", "dist"))
+        .groupBy("vec_id", "mm")
+        .agg(F.min(F.struct("dist", "cid")).alias("best"))
+        .select("vec_id", "mm", F.col("best.cid").alias("code"))
+    )
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n_codes"),
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+    ).collect()[0]
+    assert stats.n_codes == n * m
+    assert 0 <= stats.cmin and stats.cmax < k
