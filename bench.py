@@ -98,6 +98,11 @@ HEADLINE = [
     "q265_pq_adc_ann",
     "q266_cdc_net_changes",
     "q268_zonemap_file_skipping",
+    "q272_interpolated_quantiles",
+    "q275_bitemporal_asof",
+    "q281_auc_roc",
+    "q283_seasonal_naive_backtest",
+    "q287_inverse_cdf_sample",
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER) — their cost is dominated by
