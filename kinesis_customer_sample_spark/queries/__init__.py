@@ -209,6 +209,8 @@ reorder_registry(
         "q285_stream_split_router",
         "q286_link_prediction_jaccard",
         "q287_inverse_cdf_sample",
+        "q288_sql_pipe_syntax",
+        "q289_lateral_topk_join",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

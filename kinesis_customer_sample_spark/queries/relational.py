@@ -468,3 +468,88 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q288_sql_pipe_syntax",
+    oracle="""
+    SELECT n_name,
+           count(*)::BIGINT AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 0
+    GROUP BY n_name
+    """,
+    tags=("relational", "sql", "pipe-syntax"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 / GoogleSQL `|>` operators): the same
+    customer-per-nation rollup q06 plans, authored as a linear pipeline —
+    `FROM … |> JOIN … |> WHERE … |> AGGREGATE … GROUP BY` — the syntax
+    surface that reads in execution order instead of inside-out. Catalyst
+    lowers it to the identical logical plan as the nested form (same
+    broadcast dim join, same partial agg), so this is a front-end
+    coverage query: the oracle is plain ANSI SQL and must hash-match,
+    proving pipe-lowered plans compute the same relation."""
+    from kinesis_customer_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM customer
+        |> JOIN nation ON c_nationkey = n_nationkey
+        |> WHERE c_acctbal > 0
+        |> AGGREGATE count(*) AS n_customers,
+                     round(sum(c_acctbal), 2) AS total_acctbal
+           GROUP BY n_name
+        |> SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
+                  total_acctbal
+        """
+    )
+
+
+@query(
+    "q289_lateral_topk_join",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice, 2) AS price,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+      FROM lineitem
+    )
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+           r.l_linenumber, r.price
+    FROM orders o JOIN ranked r ON r.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000 AND r.rn <= 2
+    """,
+    tags=("relational", "join", "lateral", "topk"),
+)
+def lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:1999 LATERAL / CROSS APPLY): for each
+    big order, its top-2 priciest line items via a correlated ordered-
+    limit subquery — the per-row-subquery SURFACE of what q28 expresses
+    with a window. Catalyst DECORRELATES the lateral subquery into a
+    ranked join (DomainJoin → window + join), so the plan is the same
+    partitioned top-k, not an O(|orders|) loop of point queries — which
+    is exactly why the construct survives at 100 TB and why the oracle is
+    the explicit window form. The outer filter (o_totalprice > 400k)
+    pushes into the orders scan before the join."""
+    from kinesis_customer_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+               l.l_linenumber, l.price
+        FROM orders o
+        JOIN LATERAL (
+          SELECT l_linenumber, round(l_extendedprice, 2) AS price
+          FROM lineitem
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) l
+        WHERE o.o_totalprice > 400000
+        """
+    )
