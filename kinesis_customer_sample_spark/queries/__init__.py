@@ -211,6 +211,8 @@ reorder_registry(
         "q287_inverse_cdf_sample",
         "q288_sql_pipe_syntax",
         "q289_lateral_topk_join",
+        "q290_observed_metrics",
+        "q291_arrow_map_bytes",
         # then the TPC-H-shape composites over already-green operator
         # families (least new signal)
         "q102_volume_shipping",

@@ -133,3 +133,94 @@ def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("id").alias("last_id"),
         F.sum("val").alias("val_sum"),
     )
+
+
+@query(
+    "q290_observed_metrics",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_input,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+             AS n_returned,
+           sum(CAST(floor(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS gross_cents
+    FROM lineitem
+    """,
+    tags=("observability", "metrics", "observe"),
+)
+def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via `Observation`/`df.observe` (Spark's
+    named-metrics API): accumulator-style metrics (input rows, returned-
+    flag rows, gross cents) ride ON the query's own pass — collected by
+    the executors as the scan streams by, surfaced to the driver after
+    one action, with NO second scan of the input. This is how a
+    production pipeline audits itself (row counts in = rows out + drops)
+    without doubling its I/O; the oracle recomputes the same totals
+    as a plain aggregate, so the metric values themselves are
+    hash-verified. Metrics are integers only (cents) — observe() sums
+    float columns non-deterministically otherwise."""
+    from pyspark.sql import Observation
+
+    li = table(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_returned"
+        ),
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)")).alias(
+            "gross_cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_input"]), int(m["n_returned"]), int(m["gross_cents"]))],
+        "n_input long, n_returned long, gross_cents long",
+    )
+
+
+_ARROW_OUT = "doc_id bigint, n_bytes bigint, byte_sum bigint"
+
+
+@query(
+    "q291_arrow_map_bytes",
+    oracle="""
+    SELECT doc_id,
+           strlen(text)::BIGINT AS n_bytes,
+           list_sum([ord(x)::BIGINT for x in string_split(text, '')])::BIGINT
+             AS byte_sum
+    FROM documents
+    """,
+    tags=("python", "arrow", "mapInArrow"),
+)
+def arrow_map_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` — the third and lowest-level Python batch edge (raw
+    pyarrow RecordBatches, no pandas conversion at all): per-document
+    byte length and byte sum computed directly on Arrow buffers. For
+    byte-level work this skips the pandas materialization mapInPandas
+    pays, which is the right edge for codecs and wire formats. The
+    output is a pure function of the payload (the q46/q96/q277 decode-
+    edge contract), so the SQL oracle recomputes it from character codes
+    and the whole Python stage is hash-verified. Map-only: one pass, no
+    shuffle, blobs never leave their partition."""
+    import pyarrow as pa
+
+    def batch_stats(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text")
+            n_bytes, sums = [], []
+            for t in texts:
+                b = t.as_py().encode("utf-8")
+                n_bytes.append(len(b))
+                sums.append(sum(b))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_bytes, pa.int64()), pa.array(sums, pa.int64())],
+                names=["doc_id", "n_bytes", "byte_sum"],
+            )
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select("doc_id", "text").mapInArrow(batch_stats, _ARROW_OUT)
