@@ -34,15 +34,18 @@ class Query:
     oracle: str | None = None  # DuckDB SQL; None → driver does rows-only check
     tags: tuple[str, ...] = ()
     doc: str = ""
+    reg_index: int = 0  # monotone registration order (import order), survives reorder
 
 
 REGISTRY: dict[str, Query] = {}
+_REG_COUNTER = 0
 
 
 def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register `fn` as a named query, optionally with oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        global _REG_COUNTER
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = Query(
@@ -51,7 +54,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
             oracle=textwrap.dedent(oracle).strip() if oracle else None,
             tags=tuple(tags),
             doc=(fn.__doc__ or "").strip(),
+            reg_index=_REG_COUNTER,
         )
+        _REG_COUNTER += 1
         return fn
 
     return deco

@@ -44,15 +44,27 @@ def main() -> None:
                 green_ever.add(name)
     latest = json.load(open(rounds[-1])) if rounds else {}
 
-    reg = list(load_registry())
+    reg = load_registry()
+    # Sort by true registration age, NOT the current (reordered) registry
+    # position: the reorder front-loads each round's walk, so iterating it
+    # would sort old-but-deferred queries behind newer waves (round-3 judge
+    # finding). Query numbers are assigned in creation order, so the numeric
+    # prefix is the age key; reg_index (import order) breaks ties.
+    def age_key(n: str):
+        m = re.match(r"q(\d+)", n)
+        return (int(m.group(1)) if m else 10**9, reg[n].reg_index)
+
     regressions = [
         n
         for n in reg
         if n in latest
         and (latest[n].get("err") is not None or latest[n].get("hash_match") is False)
     ]
-    never = [n for n in reg if n not in results]
-    rest = [n for n in reg if n not in regressions and n not in never]
+    never = sorted((n for n in reg if n not in results), key=age_key)
+    rest = sorted(
+        (n for n in reg if n not in regressions and n not in set(never)),
+        key=age_key,
+    )
 
     ordered = regressions + never + rest
     print(f"# regressions={len(regressions)} never-checked={len(never)} "
