@@ -103,6 +103,14 @@ HEADLINE = [
     "q281_auc_roc",
     "q283_seasonal_naive_backtest",
     "q287_inverse_cdf_sample",
+    # round-3 session-3 front-ends + observability + Arrow edge
+    "q285_stream_split_router",
+    "q288_sql_pipe_syntax",
+    "q289_lateral_topk_join",
+    "q290_observed_metrics",
+    "q291_arrow_map_bytes",
+    # round-4: rebuilt constant-batch multiprobe hard-negative mining
+    "q152_hard_negative_mining",
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER) — their cost is dominated by

@@ -241,14 +241,20 @@ _VAD_TAU = 6050  # frame-energy threshold (median of the fixture is ~6048)
     "q277_audio_vad_segments",
     oracle=f"""
     WITH codes AS (
+      -- code-point == byte only for ASCII; guard matches the Spark side so a
+      -- future non-ASCII fixture shrinks the verified set instead of
+      -- silently hash-breaking (ADVICE r3)
       SELECT doc_id AS media_id,
              [ord(x)::BIGINT for x in string_split(text, '')] AS cs
       FROM documents
+      WHERE strlen(text) = length(text)
     ),
     frames AS (
       SELECT media_id, i.i AS frame_idx,
              list_sum(cs[(i.i * {_VAD_FRAME} + 1):((i.i + 1) * {_VAD_FRAME})]) AS energy
-      FROM codes, (SELECT unnest(range(0, 64)) AS i) i
+      FROM codes,
+           (SELECT unnest(range(0, (SELECT max(len(cs)) FROM codes)
+                                   // {_VAD_FRAME})) AS i) i
       WHERE (i.i + 1) * {_VAD_FRAME} <= len(cs)
     ),
     flagged AS (
@@ -288,7 +294,11 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_energy,
     )
 
-    media = attach_media(table(spark, sf_dir, "documents"))
+    media = attach_media(
+        table(spark, sf_dir, "documents").filter(
+            "octet_length(text) = char_length(text)"  # ASCII guard, see oracle
+        )
+    )
     frames = frame_energy(media, frame_len=_VAD_FRAME)
     flagged = frames.select(
         "media_id",

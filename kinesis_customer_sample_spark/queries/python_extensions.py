@@ -191,36 +191,52 @@ _ARROW_OUT = "doc_id bigint, n_bytes bigint, byte_sum bigint"
            list_sum([ord(x)::BIGINT for x in string_split(text, '')])::BIGINT
              AS byte_sum
     FROM documents
+    WHERE strlen(text) = length(text)
     """,
     tags=("python", "arrow", "mapInArrow"),
 )
 def arrow_map_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`mapInArrow` — the third and lowest-level Python batch edge (raw
     pyarrow RecordBatches, no pandas conversion at all): per-document
-    byte length and byte sum computed directly on Arrow buffers. For
-    byte-level work this skips the pandas materialization mapInPandas
-    pays, which is the right edge for codecs and wire formats. The
-    output is a pure function of the payload (the q46/q96/q277 decode-
-    edge contract), so the SQL oracle recomputes it from character codes
-    and the whole Python stage is hash-verified. Map-only: one pass, no
-    shuffle, blobs never leave their partition."""
+    byte length and byte sum computed by numpy directly on the Arrow
+    offsets/data buffers — zero per-row Python, zero pandas
+    materialization, which is the right edge for codecs and wire
+    formats. The output is a pure function of the payload (the q46/q96/
+    q277 decode-edge contract), so the SQL oracle recomputes it from
+    character codes and the whole Python stage is hash-verified. The
+    oracle's code-point sum equals the byte sum only for ASCII payloads,
+    so BOTH sides guard on bytelen==charlen (FIXTURES.md documents the
+    fixture as all-ASCII; the guard makes a future non-ASCII fixture
+    degrade to a smaller verified set instead of a silent hash break).
+    Map-only: one pass, no shuffle, blobs never leave their partition."""
+    import numpy as np
     import pyarrow as pa
 
     def batch_stats(batches):
         for batch in batches:
             ids = batch.column("doc_id")
             texts = batch.column("text")
-            n_bytes, sums = [], []
-            for t in texts:
-                b = t.as_py().encode("utf-8")
-                n_bytes.append(len(b))
-                sums.append(sum(b))
+            # str columns arrive as string (int32 offsets) or large_string
+            # (int64); read the offsets + utf-8 data buffers directly.
+            odtype = np.int64 if pa.types.is_large_string(texts.type) else np.int32
+            off = np.frombuffer(texts.buffers()[1], dtype=odtype)[
+                texts.offset : texts.offset + len(texts) + 1
+            ]
+            data = np.frombuffer(texts.buffers()[2], dtype=np.uint8)
+            csum = np.zeros(len(data) + 1, dtype=np.int64)
+            np.cumsum(data, dtype=np.int64, out=csum[1:])
+            n_bytes = (off[1:] - off[:-1]).astype(np.int64)
+            byte_sum = csum[off[1:]] - csum[off[:-1]]
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(n_bytes, pa.int64()), pa.array(sums, pa.int64())],
+                [ids, pa.array(n_bytes, pa.int64()), pa.array(byte_sum, pa.int64())],
                 names=["doc_id", "n_bytes", "byte_sum"],
             )
 
     docs = table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return docs.select("doc_id", "text").mapInArrow(batch_stats, _ARROW_OUT)
+    return (
+        docs.select("doc_id", "text")
+        .filter("octet_length(text) = char_length(text)")
+        .mapInArrow(batch_stats, _ARROW_OUT)
+    )

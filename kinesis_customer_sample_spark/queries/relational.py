@@ -475,7 +475,8 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            count(*)::BIGINT AS n_customers,
-           round(sum(c_acctbal), 2) AS total_acctbal
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+             AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > 0
     GROUP BY n_name
@@ -500,10 +501,10 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> JOIN nation ON c_nationkey = n_nationkey
         |> WHERE c_acctbal > 0
         |> AGGREGATE count(*) AS n_customers,
-                     round(sum(c_acctbal), 2) AS total_acctbal
+                     sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
            GROUP BY n_name
         |> SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
-                  total_acctbal
+                  round(cents / 100.0, 2) AS total_acctbal
         """
     )
 

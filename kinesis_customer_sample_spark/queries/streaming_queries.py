@@ -1003,9 +1003,15 @@ def stream_split_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_routed,
     )
 
-    base = os.path.join(
-        tempfile.gettempdir(), f"kcss_router_{abs(hash(sf_dir))}"
-    )
+    # Stable scratch path: Python's str hash is salted per process, so
+    # hash(sf_dir) would mint a fresh /tmp dir every run and leak the old
+    # ones (each run cleans only its own path). md5 is run-stable, so reruns
+    # reuse — and first rmtree — the same directory (q268's zone-map layout
+    # uses the same convention).
+    import hashlib
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"kcss_router_{sf_tag}")
     shutil.rmtree(base, ignore_errors=True)
     ckpt = os.path.join(base, "_ckpt")
     ev = events_stream(spark, sf_dir)

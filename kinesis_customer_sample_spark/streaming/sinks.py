@@ -77,14 +77,18 @@ def foreach_batch_split_router(base_dir: str, pred_sql: str):
             return  # replayed, already fully committed — idempotent skip
         valid_dir = os.path.join(base_dir, "valid", f"epoch={epoch_id}")
         quar_dir = os.path.join(base_dir, "quarantine", f"epoch={epoch_id}")
+        # Route the COMPLEMENT, not the negation: a NULL predicate (malformed
+        # input — exactly what a dead-letter router exists for) is false under
+        # both `pred` and `NOT pred`, which would drop the row from BOTH
+        # outputs. coalesce(pred, false) makes NULL land in quarantine, so
+        # every input row reaches exactly one sink (no-record-lost contract).
+        ok = f"coalesce(({pred_sql}), false)"
         batch_df.persist()
         try:
-            n_valid = batch_df.filter(pred_sql).count()
-            n_quar = batch_df.filter(f"NOT ({pred_sql})").count()
-            batch_df.filter(pred_sql).write.mode("overwrite").parquet(valid_dir)
-            batch_df.filter(f"NOT ({pred_sql})").write.mode("overwrite").parquet(
-                quar_dir
-            )
+            n_valid = batch_df.filter(ok).count()
+            n_quar = batch_df.filter(f"NOT {ok}").count()
+            batch_df.filter(ok).write.mode("overwrite").parquet(valid_dir)
+            batch_df.filter(f"NOT {ok}").write.mode("overwrite").parquet(quar_dir)
         finally:
             batch_df.unpersist()
         tmp = manifest + ".tmp"
@@ -127,6 +131,10 @@ def read_routed(spark, base_dir: str):
         parts.append(
             spark.read.parquet(*quar_dirs).withColumn("route", F.lit("quarantine"))
         )
+    if not parts:
+        # no committed epochs yet, or every committed epoch was empty — a
+        # valid state for a manifest-gated reader: empty frame, no route rows
+        return spark.createDataFrame([], "route string")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -543,12 +543,14 @@ def test_q151_lm_scorer_single_tokenize_partial_aggs(spark, sf_dir):
 
 
 def test_q152_hard_negatives_broadcast_queries(spark, sf_dir):
-    """Hard-negative mining must broadcast the sampled query side against
-    one corpus scan (nested-loop on the label-mismatch predicate is the
-    correct physical shape: the build side is the 2% sample), and rank
-    with a PARTITIONED window."""
+    """Hard-negative mining must join the corpus to a broadcast of the
+    CONSTANT-size probe table (64 queries × 9 multiprobe buckets) via an
+    EQUI-join on bucket id — a BroadcastHashJoin, NOT a nested loop over
+    the corpus (the round-3 fixed-rate design's shape), and rank with a
+    PARTITIONED window."""
     facts = audit_of(spark, sf_dir, "q152_hard_negative_mining")
-    assert "BroadcastNestedLoopJoin" in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "BroadcastNestedLoopJoin" not in facts.text
     assert not facts.has_cartesian
     assert "No Partition Defined" not in facts.text
 
@@ -953,3 +955,34 @@ def test_inverse_cdf_weight_table_broadcasts(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q287_inverse_cdf_sample")
     assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
     assert not facts.has_cartesian
+
+
+def test_pipe_syntax_lowers_to_broadcast_join(spark, sf_dir):
+    """q288: Spark 4's `|>` pipe syntax is a FRONT-END — Catalyst must
+    lower the piped join+filter+aggregate to the same physical shape as
+    the nested q06 form: nation broadcast against the customer scan,
+    partial agg before the shuffle, no cartesian."""
+    facts = audit_of(spark, sf_dir, "q288_sql_pipe_syntax")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
+    """q289: the correlated LATERAL ORDER BY/LIMIT subquery must
+    DECORRELATE into a partitioned window + equi-join — per-group rank
+    then join, never a per-outer-row nested-loop subquery execution.
+    The o_totalprice filter must also prune the orders scan."""
+    facts = audit_of(spark, sf_dir, "q289_lateral_topk_join")
+    assert "Window" in facts.text  # rank materialized once over lineitem
+    assert "No Partition Defined" not in facts.text  # window is partitioned
+    # the join back to orders is an equi-join (hash or sort-merge), not a
+    # nested loop over correlated point lookups
+    n_equi = facts.join_strategies.get(
+        "BroadcastHashJoin", 0
+    ) + facts.join_strategies.get("SortMergeJoin", 0) + facts.join_strategies.get(
+        "ShuffledHashJoin", 0
+    )
+    assert n_equi >= 1
+    assert not facts.has_cartesian
+    assert any("o_totalprice" in f for f in facts.pushed_filters)

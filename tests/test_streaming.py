@@ -634,15 +634,22 @@ def test_split_router_retry_is_idempotent(spark):
 
     base = os.path.join(tempfile.gettempdir(), "kcss_router_retry_test")
     shutil.rmtree(base, ignore_errors=True)
+    # empty-but-valid state: reader must return an empty frame, not raise
+    assert read_routed(spark, base).count() == 0
+    # row 10 has value=NULL: the predicate evaluates to NULL, which must land
+    # in quarantine (complement routing), never vanish from both sinks
     df = spark.createDataFrame(
-        [(i, float(i)) for i in range(10)], "event_id long, value double"
+        [(i, float(i)) for i in range(10)] + [(10, None)],
+        "event_id long, value double",
     )
     apply = foreach_batch_split_router(base, "value >= 5.0")
     apply(df, 0)
     apply(df, 0)  # retry of a committed epoch: must no-op
     apply(df, 1)  # a later epoch with the same rows: separate commit
     out = read_routed(spark, base)
-    assert out.count() == 20  # 10 per committed epoch, never 30
+    assert out.count() == 22  # 11 per committed epoch (incl. NULL), never 33
     per_route = {r.route: r.n for r in out.groupBy("route").agg(
         F.count(F.lit(1)).alias("n")).collect()}
-    assert per_route == {"valid": 10, "quarantine": 10}
+    assert per_route == {"valid": 10, "quarantine": 12}
+    null_routes = [r.route for r in out.filter("value IS NULL").collect()]
+    assert null_routes == ["quarantine", "quarantine"]
