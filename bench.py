@@ -111,9 +111,16 @@ HEADLINE = [
     "q291_arrow_map_bytes",
     # round-4: rebuilt constant-batch multiprobe hard-negative mining
     "q152_hard_negative_mining",
+    # round-4 wave 2: SQL front-ends, grouped-map recursion, decay agg
+    "q294_sql_scalar_udf",
+    "q296_modern_sql_sugar",
+    "q297_holt_linear_trend",
+    "q298_decayed_engagement",
+    "q299_cohens_kappa",
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
-    # PageRank, q180 triangles, q184 ER) — their cost is dominated by
+    # PageRank, q180 triangles, q184 ER, q292 hash-min CC, q293
+    # temporal reachability) — their cost is dominated by
     # graph materialization + iteration count, which swamps the
     # per-operator signal this suite measures (q180 alone is ~14 s at
     # sf0.1 vs < 2.5 s for everything else). They stay oracle-checked

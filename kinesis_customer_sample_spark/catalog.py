@@ -54,7 +54,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view (for spark.sql queries)."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register fixture tables as temp views (for spark.sql queries).
+
+    `only` restricts registration to the named tables: each registration
+    re-reads a parquet footer (~60 ms), so a query touching one table
+    should not pay for ten (measured 0.65 s of pure view setup per call
+    at sf0.1 — the dominant cost of the SQL front-end queries)."""
+    for name in only if only is not None else TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

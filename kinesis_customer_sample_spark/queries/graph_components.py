@@ -1,0 +1,274 @@
+"""Iterative graph operators, wave 2 (SURVEY.md §2B): connected components
+and time-respecting reachability — the two graph primitives rounds 1-3 left
+uncovered (q120 is single-source BFS hops, q159 PageRank, q270 bounded-round
+label propagation; none computes *components to convergence* or respects
+edge timestamps).
+
+q292 connected components (hash-min to FIXPOINT). Entity-resolution and
+dedup-cluster formation both reduce to CC over a candidate-pair graph; the
+reference's pipeline (docs/user-guide.md:100-120 content graph) needs it the
+moment two-state disambiguation (R10) spans more than a pair. Implemented as
+the standard hash-min propagation: every node's label starts as its own id
+and each round becomes min(own, neighbors'); rounds = graph diameter, each
+round two key-partitioned shuffles, state = one row per node. That is the
+Pregel/GraphX formulation and survives 100 TB: no step materializes paths,
+and convergence is detected with a bounded count() per round (diameter
+rounds total, single-digit for co-purchase-style graphs).
+
+q293 time-respecting reachability. "Who could have been influenced by X"
+is NOT plain reachability: information can only flow along edges whose
+timestamps increase along the path (Kempe et al., temporal networks). A
+walk (u -> v at t2) extends (… -> u arrived t1) only when t2 > t1. BFS on
+the static collapsed graph OVERCOUNTS (it ignores ordering); this operator
+is the correct primitive for contamination/influence audits over event
+streams. Bounded to 3 hops like q120; each hop is a range-predicate join on
+the influence-edge table.
+
+Cross-engine determinism: node ids and hop counts are integers; timestamps
+flow through unmodified (timestamp_ntz fixture parity, catalog.py); min()
+over integers/timestamps is order-free. No floating point anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+# Sparsifier for the customer-supplier graph: only "major" lineitems (top
+# quantity band + deep discount) create an edge, so the bipartite graph
+# breaks into many components instead of one giant one. Shared literals
+# with the oracle SQL.
+_CC_MIN_QTY = 49
+_CC_MIN_DISC = 0.08
+
+_TR_MAX_HOPS = 3
+_TR_WINDOW_H = 24  # influence window: same key seen within 24h
+
+
+_CC_EDGES_SQL = f"""
+      SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity >= {_CC_MIN_QTY} AND l.l_discount >= {_CC_MIN_DISC}
+"""
+
+
+@query(
+    "q292_connected_components",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      {_CC_EDGES_SQL}
+    ),
+    e AS (
+      SELECT cnode AS src, snode AS dst FROM e0
+      UNION ALL
+      SELECT snode AS src, cnode AS dst FROM e0
+    ),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS lab FROM e
+      UNION
+      SELECT e.dst AS node, r.lab FROM reach r JOIN e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node)
+    SELECT c.node::BIGINT AS node,
+           c.comp::BIGINT AS comp,
+           s.comp_size::BIGINT AS comp_size
+    FROM comp c
+    JOIN (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp) s
+      USING (comp)
+    """,
+    tags=("graph", "connected-components", "iterative", "entity-resolution"),
+)
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the customer-supplier trade graph (edge when
+    a customer's order contains a major lineitem from that supplier),
+    hash-min label propagation run to exact fixpoint. Each round: join
+    labels to the bidirectional edge list, take min neighbor label per
+    node, combine with own label via least(); stop when zero labels
+    changed (a bounded driver scalar — rounds = diameter). The
+    recursive-CTE oracle enumerates (node, reachable-label) pairs to THEIR
+    fixpoint and takes min — equality proves the iteration converged, not
+    just ran k rounds. Scale: state is |V| rows keyed by node, rounds are
+    O(diameter); the giant-graph variants (large-star/small-star) drop in
+    without changing the contract."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= _CC_MIN_QTY) & (F.col("l_discount") >= _CC_MIN_DISC)
+    )
+    o = table(spark, sf_dir, "orders")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
+        .unionAll(e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+        .localCheckpoint()  # materialized once, joined every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    while True:
+        cand = (
+            labels.join(edges, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint()  # cut lineage: O(1) plan depth per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), "node")
+            .filter(F.col("n.lab") != F.col("p.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy(F.col("lab").alias("comp")).agg(
+        F.count("*").alias("comp_size")
+    )
+    return (
+        labels.select("node", F.col("lab").alias("comp"))
+        .join(F.broadcast(sizes), "comp")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("comp").cast("bigint").alias("comp"),
+            F.col("comp_size").cast("bigint").alias("comp_size"),
+        )
+    )
+
+
+_TR_EDGES_SQL = f"""
+      SELECT a.user_id AS src, b.user_id AS dst, a.ts AS t1, b.ts AS t2
+      FROM ek a
+      JOIN ek b
+        ON a.k = b.k
+       AND a.user_id <> b.user_id
+       AND b.ts > a.ts
+       AND b.ts <= a.ts + INTERVAL {_TR_WINDOW_H} HOUR
+"""
+
+
+def influence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q293's influence-edge table (pre-checkpoint, so plan tests can
+    audit it): equi-join on the shared props key k, with the temporal
+    window and the self-pair exclusion as post-join range predicates."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.user_id") != F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr(f"INTERVAL {_TR_WINDOW_H} HOURS")),
+    ).select(
+        F.col("a.user_id").alias("src"),
+        F.col("b.user_id").alias("dst"),
+        F.col("a.ts").alias("t1"),
+        F.col("b.ts").alias("t2"),
+    )
+
+
+@query(
+    "q293_temporal_reachability",
+    oracle=f"""
+    WITH RECURSIVE ek AS (
+      SELECT user_id, ts, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    edges AS (
+      {_TR_EDGES_SQL}
+    ),
+    seed AS (SELECT min(user_id) AS u FROM events),
+    walk AS (
+      SELECT s.u AS user_id,
+             (SELECT min(ts) FROM events e WHERE e.user_id = s.u) AS arr,
+             0 AS hop
+      FROM seed s
+      UNION
+      SELECT e.dst AS user_id, e.t2 AS arr, w.hop + 1 AS hop
+      FROM walk w
+      JOIN edges e ON e.src = w.user_id AND e.t1 >= w.arr
+      WHERE w.hop < {_TR_MAX_HOPS}
+    )
+    SELECT user_id::BIGINT AS user_id,
+           strftime(min(arr), '%Y-%m-%d %H:%M:%S') AS first_reached,
+           min(hop)::BIGINT AS min_hops
+    FROM walk
+    GROUP BY user_id
+    """,
+    tags=("graph", "temporal", "reachability", "iterative"),
+)
+def temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability from the lowest-id user: an influence
+    edge u->v exists when v touches the same props key k within 24h AFTER
+    u did; a user is reached only along a path whose edge times strictly
+    increase. Frontier iteration keeps (user, earliest_arrival, hop) and
+    each of the 3 bounded hops joins the frontier to the edge table with
+    the time guard e.t1 >= arrival — the static-graph BFS (q120) without
+    the guard would overcount. The oracle's recursive CTE enumerates every
+    time-respecting walk and aggregates min(arrival), min(hop): matching
+    proves the frontier iteration preserves the temporal constraint.
+    Scale: edges come from a key-partitioned self-join (shuffle on k, the
+    window bounds the fan-out); frontier state is one row per (user,
+    arrival) candidate, pruned to min-arrival per user each round."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    edges = influence_edges(spark, sf_dir).localCheckpoint()
+    seed_user = ev.agg(F.min("user_id")).collect()[0][0]  # scalar seed
+    seed_arr = (
+        ev.filter(F.col("user_id") == seed_user).agg(F.min("ts")).collect()[0][0]
+    )
+    reached = spark.createDataFrame(
+        [(int(seed_user), seed_arr, 0)], "user_id bigint, arr timestamp_ntz, hop int"
+    )
+    frontier = reached
+    for k in range(1, _TR_MAX_HOPS + 1):
+        step = (
+            frontier.join(edges, (frontier["user_id"] == edges["src"]) & (edges["t1"] >= frontier["arr"]))
+            .select(
+                F.col("dst").alias("user_id"),
+                F.col("t2").alias("arr"),
+                F.lit(k).alias("hop"),
+            )
+            # prune dominated states: keep earliest arrival per user this hop
+            .groupBy("user_id")
+            .agg(F.min("arr").alias("arr"), F.min("hop").alias("hop"))
+            .localCheckpoint()
+        )
+        if not step.take(1):
+            break
+        reached = reached.unionByName(step)
+        frontier = step
+    return (
+        reached.groupBy("user_id")
+        .agg(
+            F.date_format(F.min("arr"), "yyyy-MM-dd HH:mm:ss").alias("first_reached"),
+            F.min("hop").cast("bigint").alias("min_hops"),
+        )
+        .select(F.col("user_id").cast("bigint").alias("user_id"), "first_reached", "min_hops")
+    )

@@ -1,0 +1,321 @@
+"""Trend & agreement analytics, round-4 wave (SURVEY.md §2B): Holt linear
+exponential smoothing (the trend-aware successor of q206's EWMA), a
+recency-decayed engagement score (the classic feature-store "time-decayed
+count" feature), and Cohen's kappa inter-rater agreement (the evaluation
+statistic for q63-style model-vs-metadata label audits).
+
+Cross-engine determinism (registry parity rules):
+- q297: the Holt recursion is a fixed SEQUENCE of IEEE-double ops; both
+  engines start from identical doubles (integer day-cents / 100.0) and
+  execute textually identical update expressions, so every intermediate
+  state is bit-identical; smoothing constants are dyadic (0.5, 0.25) so
+  the blend multiplications are exact scalings.
+- q298: each (user, day-lag) contributes an INTEGER micro-score
+  round(cents · w · 1e6); the decay weight w = 2^-(d/7) is factored as an
+  exact power of two times one of seven shared literal constants
+  (0.5^(k/7), k<7), so w is bit-identical across engines WITHOUT relying
+  on cross-libm pow(0.5, d/7.0) agreement; the final score is one exact
+  integer sum and one division.
+- q299: kappa is computed as (N·agree − S) / (N² − S) — a single division
+  of exact integers (S = Σ row-marginal · col-marginal) — never as
+  po/pe fractions.
+
+Scale posture (100 TB):
+- q297 aggregates events to per-(user, day) integer partials in codegen
+  (the only full-data pass), then runs the O(days) recursion per user via
+  repartition-by-user + partition-local sort + one mapInPandas pass —
+  O(rows) Python cost, one (level, trend, sse) state triple per user,
+  no global window, no driver loop.
+- q298/q299 are pure two-level hash aggregations; the kappa marginals
+  join is |labels|² at most — broadcast-sized by construction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.queries.text_analysis import lang_id_heuristic
+from kinesis_customer_sample_spark.registry import REGISTRY as _REGISTRY
+from kinesis_customer_sample_spark.registry import query
+
+_ALPHA, _ONE_M_ALPHA = 0.5, 0.5  # level blend (dyadic → exact scaling)
+_BETA, _ONE_M_BETA = 0.25, 0.75  # trend blend (dyadic → exact scaling)
+_H = 7.0  # forecast horizon (days ahead)
+
+_CENTS = "CAST(round(value * 100.0) AS BIGINT)"
+
+
+@query(
+    "q297_holt_linear_trend",
+    oracle=f"""
+    WITH RECURSIVE obs AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY day) AS t,
+             CAST(cents AS DOUBLE) / 100.0 AS y
+      FROM (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               sum({_CENTS}) AS cents
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+      )
+    ),
+    nn AS (SELECT user_id, max(t) AS n FROM obs GROUP BY user_id),
+    rec AS (
+      SELECT o1.user_id, 1 AS t,
+             o1.y AS l, o2.y - o1.y AS b, CAST(0.0 AS DOUBLE) AS sse
+      FROM obs o1
+      JOIN obs o2 ON o2.user_id = o1.user_id AND o2.t = 2
+      WHERE o1.t = 1
+      UNION ALL
+      SELECT r.user_id, r.t + 1,
+             {_ALPHA} * o.y + {_ONE_M_ALPHA} * (r.l + r.b) AS l,
+             {_BETA} * (({_ALPHA} * o.y + {_ONE_M_ALPHA} * (r.l + r.b)) - r.l)
+               + {_ONE_M_BETA} * r.b AS b,
+             r.sse + (o.y - (r.l + r.b)) * (o.y - (r.l + r.b)) AS sse
+      FROM rec r
+      JOIN obs o ON o.user_id = r.user_id AND o.t = r.t + 1
+    )
+    SELECT r.user_id::BIGINT AS user_id,
+           nn.n::BIGINT AS n_days,
+           round(r.l, 6) AS level,
+           round(r.b, 6) AS trend,
+           round(r.l + {_H} * r.b, 6) AS forecast7,
+           round(r.sse, 6) AS sse
+    FROM rec r
+    JOIN nn ON nn.user_id = r.user_id AND r.t = nn.n
+    """,
+    tags=("timeseries", "holt", "smoothing", "mapInPandas", "secondary-sort"),
+)
+def holt_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per user over the daily
+    spend series: l_t = αy_t + (1−α)(l+b), b_t = β(l_t−l) + (1−β)b, with
+    the textbook init l₁=y₁, b₁=y₂−y₁, plus the in-sample one-step SSE
+    and the 7-step-ahead forecast l+7b. The per-day aggregation (the only
+    full-data pass) is exact integer cents in codegen; the linear
+    recursion — inherently sequential per key — runs via the
+    secondary-sort pattern: repartition by user, sortWithinPartitions by
+    (user, day), then ONE `mapInPandas` pass whose carry-state survives
+    Arrow-batch splits. That keeps Python cost O(rows); applyInPandas
+    would pay a measured ~1.3 ms/GROUP in per-call pandas construction —
+    a fixed tax that dominates at feature-store user counts. The oracle
+    replays the identical IEEE op sequence via a recursive CTE marching
+    the day index, so a hash match proves bit-exact state replication."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    )
+
+    # Secondary-sort grouped streaming, NOT applyInPandas: per-group
+    # invocation costs a measured ~1.3 ms/group in pandas construction
+    # alone (O(|users|) fixed tax — ruinous at feature-store user counts),
+    # while repartition-by-key + sortWithinPartitions + mapInPandas runs
+    # the same recursion at O(rows) with one pandas frame per Arrow batch.
+    # A user's rows all land in one partition and arrive day-ordered, but
+    # MAY split across Arrow batches — state (uid, ys) carries across the
+    # iterator and flushes only on a key change or end-of-partition.
+    def holt_partition(batches):
+        cur_uid, ys = None, []
+        out: dict[str, list] = {
+            "user_id": [], "n_days": [], "level": [],
+            "trend": [], "forecast7": [], "sse": [],
+        }
+
+        def flush():
+            n = len(ys)
+            if cur_uid is None or n < 2:  # no trend from a single point
+                return
+            l, b, sse = ys[0], ys[1] - ys[0], 0.0
+            for y in ys[1:]:
+                p = l + b
+                l_new = _ALPHA * y + _ONE_M_ALPHA * p
+                b = _BETA * (l_new - l) + _ONE_M_BETA * b
+                sse = sse + (y - p) * (y - p)
+                l = l_new
+            out["user_id"].append(cur_uid)
+            out["n_days"].append(n)
+            out["level"].append(l)
+            out["trend"].append(b)
+            out["forecast7"].append(l + _H * b)
+            out["sse"].append(sse)
+
+        for pdf in batches:
+            for u, c in zip(pdf["user_id"].to_numpy(), pdf["cents"].to_numpy()):
+                u = int(u)
+                if u != cur_uid:
+                    flush()
+                    cur_uid, ys = u, []
+                ys.append(float(c) / 100.0)
+        flush()
+        yield pd.DataFrame(out)
+
+    out = (
+        daily.repartition("user_id")
+        .sortWithinPartitions("user_id", "day")
+        .mapInPandas(
+            holt_partition,
+            "user_id bigint, n_days bigint, level double, trend double, "
+            "forecast7 double, sse double",
+        )
+    )
+    return out.select(
+        "user_id",
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast7", 6).alias("forecast7"),
+        F.round("sse", 6).alias("sse"),
+    )
+
+
+def _decay_w(d: str) -> str:
+    """Decay weight 0.5^(d/7) factored engine-portably: an exact power of
+    two (integer exponent) times one of seven shared literal constants —
+    identical text in both dialects, no cross-libm pow(frac) reliance."""
+    ladder = " ".join(f"WHEN {k} THEN {0.5 ** (k / 7)!r}" for k in range(7))
+    return (
+        f"(pow(2.0, -CAST(CAST(({d} - ({d} % 7)) / 7 AS BIGINT) AS DOUBLE))"
+        f" * (CASE {d} % 7 {ladder} END))"
+    )
+
+
+@query(
+    "q298_decayed_engagement",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT max(date_trunc('day', ts)) AS a FROM events
+    ),
+    perday AS (
+      SELECT user_id,
+             date_diff('day', date_trunc('day', ts), (SELECT a FROM anchor))
+               AS d,
+             sum({_CENTS}) AS cents,
+             count(*) AS n
+      FROM events
+      GROUP BY user_id, date_diff('day', date_trunc('day', ts),
+                                  (SELECT a FROM anchor))
+    )
+    SELECT user_id::BIGINT AS user_id,
+           sum(n)::BIGINT AS n_events,
+           min(d)::BIGINT AS days_since_last,
+           round(sum(CAST(round(CAST(cents AS DOUBLE) * {_decay_w("d")}
+                                * 1000000.0) AS BIGINT)) / 1000000.0, 6)
+             AS score
+    FROM perday
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "decay", "feature-store", "aggregation"),
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score — the feature-store staple: each
+    user's spend is weighted by 2^(−age_days/7) (7-day half-life) relative
+    to the corpus's last active day and summed. Order-independence is
+    engineered, not hoped for: per-(user, day-lag) cents are exact
+    integers, each day contributes round(cents·w·1e6) — an INTEGER
+    micro-score — and the per-user sum of integers is associative, so any
+    shuffle/combine order yields the same bits. One codegen aggregation
+    pass; the anchor day is a broadcast scalar."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr(_CENTS).alias("cents"),
+    )
+    anchor = ev.agg(F.max("day").alias("a"))
+    perday = (
+        ev.crossJoin(F.broadcast(anchor))
+        .select("user_id", F.datediff("a", "day").alias("d"), "cents")
+        .groupBy("user_id", "d")
+        .agg(F.sum("cents").alias("cents"), F.count("*").alias("n"))
+    )
+    term = (
+        f"CAST(round(CAST(cents AS DOUBLE) * {_decay_w('d')} * 1000000.0) AS BIGINT)"
+    )
+    return (
+        perday.groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.min("d").cast("bigint").alias("days_since_last"),
+            F.round(F.sum(F.expr(term)) / 1000000.0, 6).alias("score"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "n_events",
+            "days_since_last",
+            "score",
+        )
+    )
+
+
+_Q63_ORACLE = _REGISTRY["q63_lang_id_heuristic"].oracle
+
+
+@query(
+    "q299_cohens_kappa",
+    oracle=f"""
+    WITH pred AS ({_Q63_ORACLE}),
+    cm AS (
+      SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+    ),
+    tot AS (
+      SELECT sum(n) AS nn,
+             sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS agree
+      FROM cm
+    ),
+    r AS (SELECT lang AS lab, sum(n) AS rn FROM cm GROUP BY lang),
+    c AS (SELECT pred_lang AS lab, sum(n) AS cn FROM cm GROUP BY pred_lang),
+    s AS (
+      SELECT coalesce(sum(r.rn * c.cn), 0) AS s
+      FROM r JOIN c ON c.lab = r.lab
+    )
+    SELECT nn::BIGINT AS n_docs,
+           agree::BIGINT AS n_agree,
+           s::BIGINT AS s_expected,
+           round(CAST(nn * agree - s AS DOUBLE)
+                 / CAST(nullif(nn * nn - s, 0) AS DOUBLE), 6) AS kappa
+    FROM tot, s
+    """,
+    tags=("stats", "agreement", "kappa", "evaluation"),
+)
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the metadata language label and q63's
+    heuristic prediction — chance-corrected agreement, the statistic an
+    annotation-quality audit reports where raw accuracy (q167) misleads
+    under skewed label distributions. Identity used: kappa = (po−pe)/(1−pe)
+    = (N·agree − S)/(N² − S) with S = Σ_label row_marginal·col_marginal —
+    all integers until ONE final division, so both engines divide the
+    same two exact numbers. Composes q63's full pipeline (its oracle is
+    embedded verbatim, the q167 pattern, so definitions can never
+    drift)."""
+    pred = lang_id_heuristic(spark, sf_dir)
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    tot = cm.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    r = cm.groupBy(F.col("lang").alias("lab")).agg(F.sum("n").alias("rn"))
+    c = cm.groupBy(F.col("pred_lang").alias("lab")).agg(F.sum("n").alias("cn"))
+    s = (
+        r.join(F.broadcast(c), "lab")
+        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            F.col("nn").cast("bigint").alias("n_docs"),
+            F.col("agree").cast("bigint").alias("n_agree"),
+            F.col("s").cast("bigint").alias("s_expected"),
+            F.round(
+                (F.col("nn") * F.col("agree") - F.col("s")).cast("double")
+                / F.nullif((F.col("nn") * F.col("nn") - F.col("s")), F.lit(0)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("kappa"),
+        )
+    )

@@ -986,3 +986,112 @@ def test_lateral_topk_decorrelates_to_window_join(spark, sf_dir):
     assert n_equi >= 1
     assert not facts.has_cartesian
     assert any("o_totalprice" in f for f in facts.pushed_filters)
+
+
+def test_connected_components_rounds_are_keyed_joins(spark, sf_dir):
+    """q292: each hash-min round must be key-partitioned joins/aggs — no
+    cartesian anywhere — and the final size join-back must broadcast the
+    tiny per-component aggregate. (Auditing the RESULT plan also walks the
+    per-round localCheckpoint barriers: anything cartesian in a round
+    would have surfaced during the fn's own convergence loop.)"""
+    facts = audit_of(spark, sf_dir, "q292_connected_components")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_temporal_reachability_edges_are_equi_joins(spark, sf_dir):
+    """q293: the influence-edge build must join on the key k (equi) with
+    the time window as a post-join range predicate — never a cartesian.
+    The edge builder is audited pre-checkpoint (the registered fn's final
+    plan only shows checkpointed RDD scans); the result plan is also
+    checked cartesian-free."""
+    from kinesis_customer_sample_spark.queries.graph_components import (
+        influence_edges,
+    )
+
+    edge_facts = audit(influence_edges(spark, sf_dir))
+    assert not edge_facts.has_cartesian
+    n_equi = sum(
+        edge_facts.join_strategies.get(k, 0)
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_equi >= 1
+    facts = audit_of(spark, sf_dir, "q293_temporal_reachability")
+    assert not facts.has_cartesian
+
+
+def test_sql_udf_inlines_no_python_boundary(spark, sf_dir):
+    """q294: SQL scalar UDFs are definitions, not black boxes — Catalyst
+    must inline the bodies so the whole aggregate stays in codegen with
+    map-side partial aggregation; a Python-eval node would mean the UDF
+    escaped the JVM."""
+    facts = audit_of(spark, sf_dir, "q294_sql_scalar_udf")
+    assert "BatchEvalPython" not in facts.text
+    assert "ArrowEvalPython" not in facts.text
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+
+
+def test_session_variables_bind_to_literals(spark, sf_dir):
+    """q295: session variables and named parameters are bound during
+    analysis — the executed plan must carry plain literals (no scalar
+    subquery node re-evaluating the threshold, no join), and the segment
+    exclusion must reach the parquet scan as a pushed filter."""
+    facts = audit_of(spark, sf_dir, "q295_session_variables")
+    assert facts.join_strategies == {}
+    assert "Subquery" not in facts.text
+    assert any("c_mktsegment" in f for f in facts.pushed_filters)
+    assert facts.has_partial_agg
+
+
+def test_modern_sugar_lowers_to_plain_agg(spark, sf_dir):
+    """q296: GROUP BY ALL / SELECT * EXCEPT / lateral alias / ORDER BY ALL
+    are analysis-time rewrites — the physical plan must be exactly the
+    explicit form's shape: one partial+final hash aggregate, one hash
+    exchange plus the final sort's range exchange, no joins."""
+    facts = audit_of(spark, sf_dir, "q296_modern_sql_sugar")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert facts.n_exchanges <= 2  # agg shuffle + ORDER BY ALL range exchange
+
+
+def test_holt_secondary_sort_map_in_pandas(spark, sf_dir):
+    """q297: the recursion must run as the secondary-sort pattern — a
+    user-hash exchange, a PARTITION-LOCAL sort by (user, day), then one
+    MapInPandas pass (O(rows), never applyInPandas's O(groups) per-call
+    tax) — fed by a map-side-combined daily aggregate; no global sort, no
+    join; the events scan reads only the columns the series needs."""
+    facts = audit_of(spark, sf_dir, "q297_holt_linear_trend")
+    assert "MapInPandas" in facts.text
+    # the Sort node is partition-local: "Arguments: [user_id ASC, day ASC], false, 0"
+    assert re.search(
+        r"Arguments: \[user_id#\d+L? ASC NULLS FIRST, day#\d+ ASC NULLS FIRST\], false",
+        facts.text,
+    )
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert not facts.scans_read_column("props")
+    assert not facts.scans_read_column("event_type")
+
+
+def test_decayed_engagement_broadcast_anchor_only(spark, sf_dir):
+    """q298: the only join is the one-row anchor-day broadcast (the
+    sanctioned broadcast-scalar crossJoin); everything else is two
+    map-side-combined hash aggregations."""
+    facts = audit_of(spark, sf_dir, "q298_decayed_engagement")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) <= 1
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+    assert facts.has_partial_agg
+
+
+def test_kappa_marginals_stay_tiny(spark, sf_dir):
+    """q299: the marginals product join and the final scalar combine must
+    broadcast (the confusion matrix is label-cardinality); q63's embedded
+    pipeline contributes its own lexicon broadcast. ≥2 BHJs total; the
+    q63-internal doc_id joins may stay sort-merge pre-AQE — at runtime
+    AQE converts them, which q63's own driver row already verifies."""
+    facts = audit_of(spark, sf_dir, "q299_cohens_kappa")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
