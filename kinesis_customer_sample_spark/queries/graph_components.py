@@ -48,6 +48,55 @@ _TR_MAX_HOPS = 3
 _TR_WINDOW_H = 24  # influence window: same key seen within 24h
 
 
+def hash_min_components(e0: DataFrame) -> DataFrame:
+    """Hash-min connected components to exact fixpoint.
+
+    `e0`: undirected edge list with two integer endpoint columns (first
+    two columns are taken as the endpoints). Returns (node, lab) with lab
+    = min node id of the component. Each round: min-label over neighbors,
+    combined with own label; stops when a bounded driver count() reports
+    zero changes — rounds = graph diameter. localCheckpoint keeps plan
+    depth O(1) per round. Shared by q292 and the scale smokes (the smokes
+    run it on 2M-node synthetic graphs with a known component structure)."""
+    a, b = e0.columns[0], e0.columns[1]
+    edges = (
+        e0.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionAll(e0.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .localCheckpoint()  # materialized once, joined every round
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint()
+    )
+    while True:
+        cand = (
+            labels.join(edges, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint()  # cut lineage: O(1) plan depth per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("p"), "node")
+            .filter(F.col("n.lab") != F.col("p.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 _CC_EDGES_SQL = f"""
       SELECT DISTINCT o.o_custkey * 2 AS cnode, l.l_suppkey * 2 + 1 AS snode
       FROM orders o
@@ -106,41 +155,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
-        e0.select(F.col("cnode").alias("src"), F.col("snode").alias("dst"))
-        .unionAll(e0.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
-        .localCheckpoint()  # materialized once, joined every round
-    )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .select("node", F.col("node").alias("lab"))
-        .localCheckpoint()
-    )
-    while True:
-        cand = (
-            labels.join(edges, labels["node"] == edges["src"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("lab").alias("nlab"))
-        )
-        new_labels = (
-            labels.join(cand, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
-                    "lab"
-                ),
-            )
-            .localCheckpoint()  # cut lineage: O(1) plan depth per round
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("p"), "node")
-            .filter(F.col("n.lab") != F.col("p.lab"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels = hash_min_components(e0)
     sizes = labels.groupBy(F.col("lab").alias("comp")).agg(
         F.count("*").alias("comp_size")
     )

@@ -522,3 +522,79 @@ def test_stream_stream_interval_join_at_2m_events(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(out_dir).count()
     assert got == expected
+
+
+def test_hash_min_cc_converges_on_2m_node_chains(spark):
+    """q292's hash-min loop at 2M nodes: 250k disjoint 8-node chains. The
+    chain graph forces multi-round propagation (diameter 7 — a one-round
+    implementation would return wrong labels), and the expected component
+    of every node is known in closed form: the chain head. Asserts exact
+    convergence on all 2M labels plus the component-count invariant."""
+    from kinesis_customer_sample_spark.queries.graph_components import (
+        hash_min_components,
+    )
+
+    n, chain = 2_000_000, 8
+    # edges (i, i+1) within each chain of 8 consecutive ids
+    e0 = (
+        spark.range(n)
+        .filter((F.col("id") % chain) != chain - 1)
+        .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    )
+    labels = hash_min_components(e0)
+    bad = labels.filter(
+        F.col("lab") != (F.col("node") - (F.col("node") % chain))
+    ).count()
+    assert bad == 0
+    assert labels.count() == n
+    n_comp = labels.select("lab").distinct().count()
+    assert n_comp == n // chain
+
+
+def test_holt_constant_series_exact_at_5m_rows(spark):
+    """q297's secondary-sort mapInPandas recursion at 5M rows / 200k
+    users: each user's daily series is CONSTANT, for which Holt's dyadic
+    blends are exact — level must equal the constant and trend/SSE must be
+    exactly 0.0 for every user, and every user must report all 25 days.
+    Proves the carry-state survives Arrow-batch splits at volume (200k
+    users hash into 32 partitions ⇒ ~6k users and ~40 batch boundaries
+    per partition)."""
+    from kinesis_customer_sample_spark.queries import trend_ops
+
+    n_users, n_days = 200_000, 25
+    daily = spark.range(n_users * n_days).select(
+        (F.col("id") % n_users).alias("user_id"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") / n_users).cast("int")).alias("day"),
+        ((F.col("user_id") % 997) * 100 + 50).alias("cents"),
+    )
+
+    # Drive the real operator end-to-end: write a fixture-shaped events
+    # table to a temp dir and call the registered query fn on it.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        ev = daily.select(
+            "user_id",
+            F.col("day").cast("timestamp_ntz").alias("ts"),
+            (F.col("cents") / 100.0).alias("value"),
+            F.lit("e").alias("event_type"),
+            F.monotonically_increasing_id().alias("event_id"),
+            F.lit("{}").alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = trend_ops.holt_linear_trend(spark, td)
+        stats = out.agg(
+            F.count("*").alias("n"),
+            F.min("n_days").alias("min_d"),
+            F.max("n_days").alias("max_d"),
+            F.max(F.abs(F.col("trend"))).alias("max_trend"),
+            F.max(F.abs(F.col("sse"))).alias("max_sse"),
+            F.max(
+                F.abs(F.col("level") - ((F.col("user_id") % 997) + 0.5))
+            ).alias("max_level_err"),
+        ).collect()[0]
+        assert stats["n"] == n_users
+        assert stats["min_d"] == n_days and stats["max_d"] == n_days
+        assert stats["max_trend"] == 0.0
+        assert stats["max_sse"] == 0.0
+        assert stats["max_level_err"] == 0.0
