@@ -117,6 +117,12 @@ HEADLINE = [
     "q297_holt_linear_trend",
     "q298_decayed_engagement",
     "q299_cohens_kappa",
+    # round-4 wave 3: collation + XML front-ends (q301 IDENTIFIER resolves
+    # to q15's exact plan; q303's streaming LSH gate joins the excluded
+    # E2E/iterative family below — 4 foreachBatch epochs of file I/O
+    # dominate its wall time, not operator cost)
+    "q300_collated_grouping",
+    "q302_xml_ingest",
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER, q292 hash-min CC, q293

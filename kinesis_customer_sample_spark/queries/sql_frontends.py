@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (plan tests import this module)
 
-from kinesis_customer_sample_spark.catalog import register_views
+from kinesis_customer_sample_spark.catalog import register_views, table
 from kinesis_customer_sample_spark.registry import query
 
 # Quantity band edges for the SQL-UDF CASE ladder (shared literals)
@@ -186,4 +186,144 @@ def modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ORDER BY ALL
         """
+    )
+
+
+@query(
+    "q300_collated_grouping",
+    oracle="""
+    WITH dim(seg, weight) AS (
+      VALUES ('building', 5), ('automobile', 4), ('machinery', 3),
+             ('household', 2), ('furniture', 1)
+    )
+    SELECT lower(c_mktsegment) AS segment_ci,
+           count(*)::BIGINT AS n_customers,
+           sum(CAST(round(c_acctbal * 100.0) AS BIGINT))::BIGINT AS bal_cents,
+           max(dim.weight)::BIGINT AS weight
+    FROM customer
+    JOIN dim ON dim.seg = lower(c_mktsegment)
+    GROUP BY lower(c_mktsegment)
+    """,
+    tags=("sql", "collation", "frontend", "spark4"),
+)
+def collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): the market segment is deliberately
+    re-cased three ways (upper/lower/initcap by customer key), then
+    grouped AND joined under the UTF8_LCASE collation — the engine merges
+    the case variants natively, with no lower() scrubbing in the hot
+    path. Engine reality worth knowing at scale: collated keys do not
+    support binary equality, so Spark 4.1 disables HASH-based joins on
+    them — even the 5-row dim join runs as SortMergeJoin (plan-test
+    pinned). Collation is therefore free for grouping/filter/compare,
+    but join keys on 100 TB facts should be normalized (lower()) before
+    the join rather than collated through it. The
+    oracle needs no case gymnastics at all: lower() of ANY variant equals
+    lower() of the original — which is exactly the semantic contract
+    UTF8_LCASE must reproduce; the visible group key is projected through
+    lower() so both engines emit identical bytes."""
+    register_views(spark, sf_dir, only=("customer",))
+    return spark.sql(
+        """
+        WITH recased AS (
+          SELECT CASE CAST(c_custkey % 3 AS INT)
+                   WHEN 0 THEN upper(c_mktsegment)
+                   WHEN 1 THEN lower(c_mktsegment)
+                   ELSE initcap(lower(c_mktsegment))
+                 END AS seg_mixed,
+                 CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents
+          FROM customer
+        ),
+        dim(seg, weight) AS (
+          VALUES ('building', 5), ('automobile', 4), ('machinery', 3),
+                 ('household', 2), ('furniture', 1)
+        )
+        SELECT lower(k) AS segment_ci,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               sum(cents) AS bal_cents,
+               CAST(max(weight) AS BIGINT) AS weight
+        FROM (
+          SELECT collate(seg_mixed, 'UTF8_LCASE') AS k, cents, dim.weight
+          FROM recased
+          JOIN dim ON collate(seg_mixed, 'UTF8_LCASE')
+                      = collate(dim.seg, 'UTF8_LCASE')
+        )
+        GROUP BY k
+        """
+    )
+
+
+@query(
+    "q301_identifier_clause",
+    oracle="""
+    SELECT o_orderpriority AS grp_key,
+           count(*)::BIGINT AS n,
+           sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "identifier", "parameterized", "frontend", "spark4"),
+)
+def identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause: table, grouping column, and measure column
+    all arrive as named PARAMETERS and are resolved as identifiers at
+    analysis time — the safe form of dynamic SQL (a templated dashboard
+    can never be injected through a parameter, because IDENTIFIER only
+    accepts a name, not an expression). The resolved plan is byte-for-byte
+    the static query's plan; the oracle is that static query."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS grp_key,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(IDENTIFIER(:val) * 100.0) AS BIGINT)) AS cents
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={"tbl": "orders", "grp": "o_orderpriority", "val": "o_totalprice"},
+    )
+
+
+@query(
+    "q302_xml_ingest",
+    oracle="""
+    SELECT o_orderpriority AS prio,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS cents,
+           min(o_orderkey)::BIGINT AS min_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "xml", "sources", "frontend", "spark4"),
+)
+def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 `from_xml` + the `xpath_*` family):
+    each order is serialized to an XML record (the shape a legacy feed
+    would deliver), then parsed back — the typed path through from_xml
+    with an explicit schema, plus one xpath_long extraction to cover the
+    expression-level API. Aggregating the PARSED fields must reproduce
+    the aggregate over the base columns (the oracle): a full
+    serialize→parse round-trip proof, the same contract the q96 wire
+    decode and q277 byte-edge queries pin for their codecs. Scale: both
+    serialization and parsing are map-side codegen'd expressions — no
+    shuffle is added by the format hop."""
+    orders = table(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.format_string(
+            "<o><id>%s</id><prio>%s</prio><total>%s</total></o>",
+            F.col("o_orderkey"),
+            F.col("o_orderpriority"),
+            F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"),
+        ).alias("xml")
+    )
+    parsed = xml.select(
+        F.expr("from_xml(xml, 'id BIGINT, prio STRING, total BIGINT')").alias("r"),
+        F.expr("xpath_long(xml, '/o/id/text()')").alias("id_xp"),
+    )
+    return (
+        parsed.groupBy(F.col("r.prio").alias("prio"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("r.total").cast("bigint").alias("cents"),
+            F.min("id_xp").cast("bigint").alias("min_key"),
+        )
     )

@@ -1095,3 +1095,56 @@ def test_kappa_marginals_stay_tiny(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q299_cohens_kappa")
     assert not facts.has_cartesian
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_collated_grouping_stays_engine_native(spark, sf_dir):
+    """q300: collation-aware grouping/joining is engine-native (no
+    Python-eval), aggregation is map-side combined — BUT collated keys do
+    not support binary equality, so Spark 4.1 refuses hash-based joins on
+    them and picks SortMergeJoin even for the 5-row dim (JoinSelection
+    warns "keys that don't support binary equality"). This test PINS that
+    documented limitation: if a future engine version restores hash joins
+    for collated keys, the assertion flips and the SCALE.md guidance
+    (normalize collated keys before BIG joins) should be revisited."""
+    facts = audit_of(spark, sf_dir, "q300_collated_grouping")
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 1
+    assert "BroadcastHashJoin" not in facts.join_strategies
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+    assert "BatchEvalPython" not in facts.text
+
+
+def test_identifier_resolves_to_static_plan(spark, sf_dir):
+    """q301: IDENTIFIER parameters resolve at analysis time — the plan is
+    the static aggregate's shape: scan → partial agg → exchange → final,
+    no join, no subquery."""
+    facts = audit_of(spark, sf_dir, "q301_identifier_clause")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert "Subquery" not in facts.text
+
+
+def test_xml_roundtrip_is_map_side(spark, sf_dir):
+    """q302: serialize→from_xml→aggregate adds no shuffle beyond the one
+    aggregation exchange, and column pruning still reaches the scan (the
+    XML hop must not widen the read to unused order columns)."""
+    facts = audit_of(spark, sf_dir, "q302_xml_ingest")
+    assert facts.join_strategies == {}
+    assert facts.n_exchanges == 1
+    assert facts.has_partial_agg
+    assert not facts.scans_read_column("o_orderdate")
+    assert not facts.scans_read_column("o_orderstatus")
+
+
+def test_neardup_gate_signing_is_map_side(spark, sf_dir):
+    """q303: the per-batch signature chain (tokens → shingles → minhash →
+    band buckets) must be pure map-side expressions — zero exchanges, no
+    joins, no Python eval; all shuffling in the gate happens keyed on
+    (band, bucket) inside foreachBatch."""
+    from kinesis_customer_sample_spark.catalog import table as _table
+    from kinesis_customer_sample_spark.queries.streaming_gate import _doc_bands
+
+    facts = audit(_doc_bands(_table(spark, sf_dir, "documents")))
+    assert facts.n_exchanges == 0
+    assert facts.join_strategies == {}
+    assert "BatchEvalPython" not in facts.text
