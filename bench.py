@@ -118,9 +118,10 @@ HEADLINE = [
     "q298_decayed_engagement",
     "q299_cohens_kappa",
     # round-4 wave 3: collation + XML front-ends (q301 IDENTIFIER resolves
-    # to q15's exact plan; q303's streaming LSH gate joins the excluded
-    # E2E/iterative family below — 4 foreachBatch epochs of file I/O
-    # dominate its wall time, not operator cost)
+    # to q15's exact plan; q303's streaming LSH gate and q305's streaming
+    # mini-batch k-means join the excluded E2E/iterative family below — 4
+    # foreachBatch epochs of file/stream machinery dominate their wall
+    # time, not operator cost)
     "q300_collated_grouping",
     "q302_xml_ingest",
     # (q270 LPA joins the excluded iterative/graph family below)

@@ -54,7 +54,10 @@ from kinesis_customer_sample_spark.queries.dedup import (
 )
 from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _SPARK_TOKS
 from kinesis_customer_sample_spark.registry import query
-from kinesis_customer_sample_spark.streaming.replay import _DOCUMENTS_SCHEMA
+from kinesis_customer_sample_spark.streaming.replay import (
+    _DOCUMENTS_SCHEMA,
+    write_ordered_shards,
+)
 
 _N_SHARDS = 4
 
@@ -140,20 +143,9 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "out")
     os.makedirs(src_dir)
 
-    docs = table(spark, sf_dir, "documents")
-    for s in range(_N_SHARDS):
-        shard_tmp = os.path.join(base, f"shard_tmp_{s}")
-        docs.filter(F.col("doc_id") % _N_SHARDS == s).coalesce(1).write.parquet(
-            shard_tmp
-        )
-        part = next(
-            p for p in os.listdir(shard_tmp)
-            if p.endswith(".parquet") and p.startswith("part-")
-        )
-        dst = os.path.join(src_dir, f"s{s}.parquet")
-        shutil.move(os.path.join(shard_tmp, part), dst)
-        shutil.rmtree(shard_tmp)
-        os.utime(dst, (1_700_000_000 + 1000 * s, 1_700_000_000 + 1000 * s))
+    write_ordered_shards(
+        table(spark, sf_dir, "documents"), src_dir, _N_SHARDS, "doc_id"
+    )
 
     # seed an empty index so batch 0's probe is schema-safe
     spark.createDataFrame([], _BANDS_SCHEMA).write.parquet(idx_dir)

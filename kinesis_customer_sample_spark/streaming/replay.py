@@ -119,3 +119,30 @@ def run_until_caught_up(
         q.stop()
         q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def write_ordered_shards(
+    df: DataFrame, src_dir: str, n_shards: int, key_col: str
+) -> None:
+    """Materialize `df` as `n_shards` single-file arrival shards
+    (shard = key mod n_shards) with strictly increasing mtimes, so a
+    file-source stream with maxFilesPerTrigger=1 replays them as ordered
+    micro-batches — the deterministic-arrival harness q303/q305 gate their
+    stream/batch-equivalence oracles on (FileStreamSource orders pending
+    files by modification time)."""
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    base = os.path.dirname(src_dir)
+    for s in range(n_shards):
+        shard_tmp = os.path.join(base, f"shard_tmp_{s}")
+        df.filter(F.col(key_col) % n_shards == s).coalesce(1).write.parquet(shard_tmp)
+        part = next(
+            p
+            for p in os.listdir(shard_tmp)
+            if p.endswith(".parquet") and p.startswith("part-")
+        )
+        dst = os.path.join(src_dir, f"s{s}.parquet")
+        shutil.move(os.path.join(shard_tmp, part), dst)
+        shutil.rmtree(shard_tmp)
+        os.utime(dst, (1_700_000_000 + 1000 * s, 1_700_000_000 + 1000 * s))

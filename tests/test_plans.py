@@ -1148,3 +1148,28 @@ def test_neardup_gate_signing_is_map_side(spark, sf_dir):
     assert facts.n_exchanges == 0
     assert facts.join_strategies == {}
     assert "BatchEvalPython" not in facts.text
+
+
+def test_kmeans_assignment_broadcasts_state(spark, sf_dir):
+    """q305: the per-batch assignment must broadcast the k-row centroid
+    state (a BroadcastNestedLoopJoin over the sanctioned constant-size
+    side) and rank inside a vec_id-partitioned window — no shuffle of the
+    vectors beyond the window's own hash exchange, no sort-merge."""
+    from kinesis_customer_sample_spark.catalog import table as _table
+    from kinesis_customer_sample_spark.queries.streaming_ml import (
+        _K,
+        _MILLI,
+        assign_best,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.expr(_MILLI).alias("vi"))
+    eff = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.lit(1).cast("bigint").alias("ec"),
+        F.expr(_MILLI).alias("es"),
+    )
+    facts = audit(assign_best(vecs, eff))
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) == 1
+    assert "SortMergeJoin" not in facts.join_strategies
+    assert "No Partition Defined" not in facts.text
