@@ -124,6 +124,7 @@ HEADLINE = [
     # time, not operator cost)
     "q300_collated_grouping",
     "q302_xml_ingest",
+    "q304_isotonic_calibration",
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER, q292 hash-min CC, q293

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.registry import query
+from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS
 
 
 @query(
@@ -154,5 +155,128 @@ def groupwise_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - slope * (F.col("sx").cast("double") / F.col("n")),
                 4,
             ).alias("intercept_cents"),
+        )
+    )
+
+
+_ISO_SCORE = (
+    "least(999, 60 + 120 * size(filter(toks, t -> t IN ('the', 'a'))))"
+)
+_ISO_SCORE_DUCK = (
+    "least(999, 60 + 120 * len(list_filter(toks, t -> t IN ('the', 'a'))))"
+)
+
+
+@query(
+    "q304_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT (lang = 'en') AS y, {_ISO_SCORE_DUCK} AS p_milli
+      FROM (SELECT lang, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    lv AS (
+      SELECT p_milli, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM scored GROUP BY p_milli
+    ),
+    idx AS (
+      SELECT p_milli, n, pos,
+             row_number() OVER (ORDER BY p_milli) AS i
+      FROM lv
+    ),
+    pre AS (
+      SELECT a.i AS i, sum(b.n) AS pn, sum(b.pos) AS pk
+      FROM idx a JOIN idx b ON b.i <= a.i GROUP BY a.i
+      UNION ALL SELECT 0, 0, 0
+    ),
+    pairs AS (
+      SELECT lo.i + 1 AS j, hi.i AS k,
+             CAST(hi.pk - lo.pk AS DOUBLE)
+               / CAST(hi.pn - lo.pn AS DOUBLE) AS avgr
+      FROM pre lo JOIN pre hi ON hi.i > lo.i
+    ),
+    mins AS (
+      SELECT x.i, p.j, min(p.avgr) AS m
+      FROM idx x JOIN pairs p ON p.j <= x.i AND p.k >= x.i
+      GROUP BY x.i, p.j
+    ),
+    fit AS (SELECT i, max(m) AS fit FROM mins GROUP BY i)
+    SELECT idx.p_milli::BIGINT AS p_milli,
+           idx.n::BIGINT AS n,
+           idx.pos::BIGINT AS n_pos,
+           round(fit.fit, 6) AS iso_rate
+    FROM idx JOIN fit USING (i)
+    """,
+    tags=("ml-eval", "calibration", "isotonic", "pav"),
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (the PAV fit q279's reliability table stops
+    short of): map the q279 score's distinct levels to the best-fitting
+    MONOTONE probability curve. Computed via the exact minimax identity
+    iso_i = max_{j≤i} min_{k≥i} mean(y over levels j..k) — equivalent to
+    pool-adjacent-violators but closed-form, so the inherently-sequential
+    pooling loop becomes three joins over the LEVEL table and the oracle
+    can state it directly. Every interval mean is one division of exact
+    integer prefix-sum differences, so min/max comparisons see identical
+    doubles in both engines. Scale: the only corpus-sized pass is the
+    per-level (n, positives) aggregation; levels are bounded by score
+    design (≤9 here, ≤1000 for any milli-score), so the triangular
+    interval joins are dimension-table work — the global row_number
+    window rides on that same bounded table, never on data-scale rows."""
+    from kinesis_customer_sample_spark.queries.text_analysis import _SPARK_TOKS
+
+    scored = (
+        table(spark, sf_dir, "documents")
+        .withColumn("toks", F.expr(_SPARK_TOKS))
+        .select(
+            (F.col("lang") == "en").alias("y"),
+            F.expr(_ISO_SCORE).alias("p_milli"),
+        )
+    )
+    lv = scored.groupBy("p_milli").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("pos"),
+    )
+    idx = lv.withColumn(
+        "i", F.row_number().over(W.orderBy("p_milli"))
+    ).localCheckpoint()  # bounded level table, reused by three joins
+    a, b = idx.alias("a"), idx.alias("b")
+    # every join below pairs the bounded level table with itself — hint
+    # broadcast explicitly, or the non-equi joins fall back to a
+    # shuffle CartesianProduct (measured: a 1089-task stage for 9 rows)
+    pre = (
+        a.join(F.broadcast(b), F.col("b.i") <= F.col("a.i"))
+        .groupBy(F.col("a.i").alias("i"))
+        .agg(F.sum("b.n").alias("pn"), F.sum("b.pos").alias("pk"))
+        .unionByName(
+            idx.sparkSession.createDataFrame([(0, 0, 0)], "i int, pn bigint, pk bigint")
+        )
+    )
+    lo, hi = pre.localCheckpoint().alias("lo"), pre.localCheckpoint().alias("hi")
+    pairs = lo.join(F.broadcast(hi), F.col("hi.i") > F.col("lo.i")).select(
+        (F.col("lo.i") + 1).alias("j"),
+        F.col("hi.i").alias("k"),
+        (
+            (F.col("hi.pk") - F.col("lo.pk")).cast("double")
+            / (F.col("hi.pn") - F.col("lo.pn")).cast("double")
+        ).alias("avgr"),
+    )
+    x, p = idx.alias("x"), pairs.alias("p")
+    mins = (
+        x.join(
+            F.broadcast(p),
+            (F.col("p.j") <= F.col("x.i")) & (F.col("p.k") >= F.col("x.i")),
+        )
+        .groupBy(F.col("x.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.min("avgr").alias("m"))
+    )
+    fit = mins.groupBy("i").agg(F.max("m").alias("fit"))
+    return (
+        idx.join(F.broadcast(fit), "i")
+        .select(
+            F.col("p_milli").cast("bigint").alias("p_milli"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("pos").cast("bigint").alias("n_pos"),
+            F.round("fit", 6).alias("iso_rate"),
         )
     )

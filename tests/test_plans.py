@@ -1173,3 +1173,14 @@ def test_kmeans_assignment_broadcasts_state(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) == 1
     assert "SortMergeJoin" not in facts.join_strategies
     assert "No Partition Defined" not in facts.text
+
+
+def test_isotonic_level_joins_broadcast(spark, sf_dir):
+    """q304: the triangular interval joins ride on the bounded score-level
+    table and must broadcast — without the hints the non-equi joins fell
+    back to a shuffle CartesianProduct (a measured 1089-task stage for 9
+    rows). The corpus-sized pass must partial-aggregate."""
+    facts = audit_of(spark, sf_dir, "q304_isotonic_calibration")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 2
+    assert facts.has_partial_agg

@@ -718,3 +718,25 @@ def test_kaplan_meier_no_censoring_equals_empirical(spark):
         emp = round(surviving / n, 6)
         assert abs(km - emp) < 2e-5, (t, km, emp)
         at_risk -= d
+
+
+def test_isotonic_fit_monotone_and_mass_preserving(spark, sf_dir):
+    """q304's minimax-form PAV must produce (a) a non-decreasing fit over
+    score levels and (b) exact positive-mass conservation
+    (Σ n_i·iso_i = Σ positives — PAV pools are block means), the two
+    defining properties of isotonic regression. Run on the real fixture
+    so the assertions cover whatever level structure the corpus yields."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["q304_isotonic_calibration"]
+        .fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["p_milli"],
+    )
+    assert len(rows) >= 2
+    fits = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+    mass = sum(r["n"] * r["iso_rate"] for r in rows)
+    total_pos = sum(r["n_pos"] for r in rows)
+    assert abs(mass - total_pos) < 1e-3 * max(1, total_pos)
