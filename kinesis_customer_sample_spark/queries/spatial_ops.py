@@ -102,3 +102,86 @@ def grid_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(dist2 <= _R * _R)
         .select("a_id", "b_id", dist2.cast("bigint").alias("dist2"))
     )
+
+
+# --- q307: point-in-polygon (ray casting), portable unrolled form --------
+import math as _math
+
+# 10-vertex star (alternating outer/inner radius) — deliberately
+# NON-convex so the even-odd rule is genuinely exercised (a convex
+# polygon cannot distinguish crossing-number from winding bugs).
+_STAR = [
+    (
+        (0.9 if i % 2 == 0 else 0.35) * _math.cos(_math.pi / 2 + i * _math.pi / 5),
+        (0.9 if i % 2 == 0 else 0.35) * _math.sin(_math.pi / 2 + i * _math.pi / 5),
+    )
+    for i in range(10)
+]
+
+_PX = "(CAST(event_id % 199 AS DOUBLE) / 100.0 - 1.0)"
+_PY = "(CAST(user_id % 211 AS DOUBLE) / 105.0 - 1.0)"
+
+
+def _crossings(px: str, py: str) -> str:
+    """Even-odd ray-cast crossing count, fully unrolled over the star's
+    10 edges with vertex literals shared verbatim by both dialects —
+    pure comparisons and arithmetic on doubles, no lambdas, no UDF."""
+    terms = []
+    n = len(_STAR)
+    for i in range(n):
+        x1, y1 = _STAR[i]
+        x2, y2 = _STAR[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({y1!r} > {py}) != ({y2!r} > {py})) AND "
+            f"({px} < ({x2!r} - {x1!r}) * ({py} - {y1!r}) / ({y2!r} - {y1!r}) + {x1!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "q307_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             ({_crossings(_PX, _PY)} % 2 = 1) AS inside
+      FROM events
+    )
+    SELECT event_type,
+           count(*)::BIGINT AS n_points,
+           sum(CASE WHEN inside THEN 1 ELSE 0 END)::BIGINT AS n_inside,
+           round(sum(CASE WHEN inside THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS inside_share
+    FROM pts GROUP BY event_type
+    """,
+    tags=("spatial", "point-in-polygon", "ray-casting", "geo"),
+)
+def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment (even-odd ray casting) against a
+    non-convex 10-vertex star: each event maps to a deterministic point
+    in [-1, 1]² and is classified by counting ray/edge crossings — the
+    geo primitive behind geofencing and region rollups, here as a fully
+    unrolled codegen expression (10 edge terms, no UDF, no join). The
+    polygon is a broadcast-free LITERAL: at 100 TB the classification
+    stays map-side; many-polygon workloads graduate to q232's grid
+    blocking with this expression as the exact per-cell test. Vertex
+    literals are repr-exact doubles shared with the oracle, and every
+    crossing term is the same comparison/arithmetic sequence in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    inside = F.expr(f"({_crossings(_PX, _PY)} % 2) = 1")
+    return (
+        ev.select("event_type", inside.alias("inside"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(F.when(F.col("inside"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+            F.round(
+                F.sum(F.when(F.col("inside"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("inside_share"),
+        )
+    )

@@ -327,3 +327,53 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("id_xp").cast("bigint").alias("min_key"),
         )
     )
+
+
+@query(
+    "q306_transpose_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT c_mktsegment AS seg,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(c_acctbal * 100.0) AS BIGINT))::BIGINT AS cents
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT 'n' AS key,
+           max(CASE WHEN seg = 'AUTOMOBILE' THEN n END)::BIGINT AS "AUTOMOBILE",
+           max(CASE WHEN seg = 'BUILDING'   THEN n END)::BIGINT AS "BUILDING",
+           max(CASE WHEN seg = 'FURNITURE'  THEN n END)::BIGINT AS "FURNITURE",
+           max(CASE WHEN seg = 'HOUSEHOLD'  THEN n END)::BIGINT AS "HOUSEHOLD",
+           max(CASE WHEN seg = 'MACHINERY'  THEN n END)::BIGINT AS "MACHINERY"
+    FROM m
+    UNION ALL
+    SELECT 'cents',
+           max(CASE WHEN seg = 'AUTOMOBILE' THEN cents END),
+           max(CASE WHEN seg = 'BUILDING'   THEN cents END),
+           max(CASE WHEN seg = 'FURNITURE'  THEN cents END),
+           max(CASE WHEN seg = 'HOUSEHOLD'  THEN cents END),
+           max(CASE WHEN seg = 'MACHINERY'  THEN cents END)
+    FROM m
+    """,
+    tags=("sql", "transpose", "reshape", "frontend", "spark4"),
+)
+def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4): flip a per-segment metrics table so
+    metrics become rows and segments become columns — the report-style
+    reshape analysts otherwise hand-roll with one conditional aggregate
+    per column (which is exactly what the oracle does). transpose() is
+    driver-side only in its column-header collection (the distinct values
+    of the pivot column — segment cardinality, a bounded dimension); the
+    data pass is a pivot. Both metrics are BIGINT so the transposed
+    common type stays integral — no float formatting enters the frame."""
+    seg_metrics = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr("CAST(round(c_acctbal * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("seg")
+    )
+    return seg_metrics.transpose()

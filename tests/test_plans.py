@@ -1184,3 +1184,26 @@ def test_isotonic_level_joins_broadcast(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 2
     assert facts.has_partial_agg
+
+
+def test_point_in_polygon_map_side(spark, sf_dir):
+    """q307: the ray-cast classification must be a pure map-side codegen
+    expression — one aggregation exchange total, no join, no Python eval —
+    and pruning must keep the scan to the three columns the point
+    synthesis and grouping need."""
+    facts = audit_of(spark, sf_dir, "q307_point_in_polygon")
+    assert facts.join_strategies == {}
+    assert facts.n_exchanges == 1
+    assert facts.has_partial_agg
+    assert "BatchEvalPython" not in facts.text
+    assert not facts.scans_read_column("props")
+    assert not facts.scans_read_column("value")
+    assert not facts.scans_read_column("ts")
+
+
+def test_transpose_no_cartesian(spark, sf_dir):
+    """q306: DataFrame.transpose's data pass is a pivot over the bounded
+    segment dimension — never a cartesian; the pre-transpose aggregate
+    map-side combines."""
+    facts = audit_of(spark, sf_dir, "q306_transpose_metrics")
+    assert not facts.has_cartesian
