@@ -555,8 +555,11 @@ def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     ev = table(spark, sf_dir, "events").select("user_id", "value")
+    import hashlib
+
     base = os.path.join(
-        tempfile.gettempdir(), f"kcss_q124_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(),
+        f"kcss_q124_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     src_dir = os.path.join(base, "src")
     out_dir = os.path.join(base, "out")

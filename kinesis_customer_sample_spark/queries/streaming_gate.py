@@ -54,10 +54,7 @@ from kinesis_customer_sample_spark.queries.dedup import (
 )
 from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _SPARK_TOKS
 from kinesis_customer_sample_spark.registry import query
-from kinesis_customer_sample_spark.streaming.replay import (
-    _DOCUMENTS_SCHEMA,
-    write_ordered_shards,
-)
+from kinesis_customer_sample_spark.streaming.replay import write_ordered_shards
 
 _N_SHARDS = 4
 
@@ -143,9 +140,8 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(base, "out")
     os.makedirs(src_dir)
 
-    write_ordered_shards(
-        table(spark, sf_dir, "documents"), src_dir, _N_SHARDS, "doc_id"
-    )
+    docs = table(spark, sf_dir, "documents")
+    write_ordered_shards(docs, src_dir, _N_SHARDS, "doc_id")
 
     # seed an empty index so batch 0's probe is schema-safe
     spark.createDataFrame([], _BANDS_SCHEMA).write.parquet(idx_dir)
@@ -169,8 +165,10 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdicts.write.mode("append").parquet(out_dir)
         bands.write.mode("append").parquet(idx_dir)
 
+    # stream schema from the just-written shards' own frame — drift-proof
+    # against fixture dtype regeneration (the round-2 bench crash class)
     sdf = (
-        spark.readStream.schema(_DOCUMENTS_SCHEMA)
+        spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )

@@ -30,8 +30,14 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
 
 def _stream_dir(sf_dir: str, name: str) -> str:
     """File-stream sources need a directory; expose `<sf_dir>/<name>.parquet`
-    (a single file) through a symlinked temp directory."""
-    td = os.path.join(tempfile.gettempdir(), f"kcss_stream_{name}_{abs(hash(sf_dir))}")
+    (a single file) through a symlinked temp directory. The dir tag is a
+    stable md5 of the path (NOT python hash(), which is salted per
+    process and would leak one fresh /tmp dir per run — the q285 advice
+    fix applied here too)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    td = os.path.join(tempfile.gettempdir(), f"kcss_stream_{name}_{tag}")
     os.makedirs(td, exist_ok=True)
     link = os.path.join(td, f"{name}.parquet")
     if not os.path.exists(link):
@@ -66,13 +72,23 @@ _DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+def documents_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Physical schema of the documents fixture from the parquet footer
+    (metadata-only read) — the drift-proof source of truth for file
+    streams, same rationale as _events_raw_schema: driver-regenerated
+    fixtures have changed physical dtypes across rounds (the round-2
+    bench crash class), and a static declared schema would silently
+    mismatch a re-typed column."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+
 def documents_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """The documents table as a file-source stream — the corpus-ingest
     replay double (new crawl shards arriving as files)."""
     ensure_engine_conf(spark)
-    reader = spark.readStream.schema(_DOCUMENTS_SCHEMA)
+    reader = spark.readStream.schema(documents_raw_schema(spark, sf_dir))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(_stream_dir(sf_dir, "documents"))
