@@ -127,6 +127,7 @@ HEADLINE = [
     "q304_isotonic_calibration",
     "q306_transpose_metrics",
     "q307_point_in_polygon",
+    "q308_association_rules",
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER, q292 hash-min CC, q293

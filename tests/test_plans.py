@@ -1207,3 +1207,14 @@ def test_transpose_no_cartesian(spark, sf_dir):
     map-side combines."""
     facts = audit_of(spark, sf_dir, "q306_transpose_metrics")
     assert not facts.has_cartesian
+
+
+def test_association_rules_plan(spark, sf_dir):
+    """q308: the pair generation must be a bid-keyed equi-join (never
+    cartesian), item supports broadcast, and the top-50 must be
+    TakeOrderedAndProject — not a global sort of the pair stream."""
+    facts = audit_of(spark, sf_dir, "q308_association_rules")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.has_partial_agg
