@@ -128,6 +128,10 @@ HEADLINE = [
     "q306_transpose_metrics",
     "q307_point_in_polygon",
     "q308_association_rules",
+    "q310_variant_explode",
+    # (q309 SQL-scripting bisection: a control-flow semantics demo whose
+    # ~26 COUNT iterations are inherently serial — excluded like the
+    # E2E family)
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
     # PageRank, q180 triangles, q184 ER, q292 hash-min CC, q293

@@ -377,3 +377,103 @@ def transpose_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("seg")
     )
     return seg_metrics.transpose()
+
+
+_BISECT_K = 100
+
+
+@query(
+    "q309_sql_scripting",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS c FROM orders
+    ),
+    kth AS (
+      SELECT c AS kc FROM cents ORDER BY c DESC LIMIT 1 OFFSET {_BISECT_K - 1}
+    )
+    SELECT (kth.kc - 1)::BIGINT AS threshold_cents,
+           (SELECT count(*) FROM cents WHERE c > kth.kc - 1)::BIGINT AS n_above
+    FROM kth
+    """,
+    tags=("sql", "scripting", "control-flow", "frontend", "spark4"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/WHILE/SET): a bisection loop
+    over integer cents finds the largest threshold T with ≥100 orders
+    strictly above it — i.e. the stored-procedure-style control flow a
+    reference user would otherwise ship to an external driver program,
+    run engine-native. Each iteration assigns a scalar COUNT subquery
+    into a script variable; ~26 halvings converge exactly. The oracle is
+    the closed form (the 100th-largest value minus one), so the hash
+    match proves the loop's fixed point. This is deliberately a
+    SEMANTICS demo: at 100 TB you precompute a histogram/quantile sketch
+    (q114/q272) instead of scanning per iteration — the script shows the
+    control-flow surface exists and converges, not the recommended plan."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE lo BIGINT DEFAULT -1;
+          DECLARE hi BIGINT;
+          DECLARE mid BIGINT;
+          DECLARE cnt BIGINT;
+          SET hi = (SELECT max(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                    FROM orders);
+          WHILE hi - lo > 1 DO
+            SET mid = (lo + hi) DIV 2;
+            SET cnt = (SELECT count(*) FROM orders
+                       WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) > mid);
+            IF cnt >= 100 THEN
+              SET lo = mid;
+            ELSE
+              SET hi = mid;
+            END IF;
+          END WHILE;
+          SELECT lo AS threshold_cents,
+                 (SELECT CAST(count(*) AS BIGINT) FROM orders
+                  WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) > lo)
+                   AS n_above;
+        END
+        """
+    )
+
+
+@query(
+    "q310_variant_explode",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key,
+             CAST(json_extract(props, '$.' || unnest(json_keys(props)))
+                  AS BIGINT) AS val
+      FROM events
+    )
+    SELECT key,
+           count(*)::BIGINT AS n,
+           sum(val)::BIGINT AS total,
+           min(val)::BIGINT AS vmin,
+           max(val)::BIGINT AS vmax
+    FROM kv GROUP BY key
+    """,
+    tags=("sql", "variant", "tvf", "lateral", "frontend", "spark4"),
+)
+def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The variant_explode table-valued function (Spark 4, companion to
+    q85's variant_get): every event's props JSON is parsed ONCE to a
+    VariantType and laterally exploded into (key, value) rows — the
+    schema-on-read path for semi-structured payloads whose key set is
+    not known at query time (q85 requires naming each path; this
+    discovers them). Per-key stats aggregate the exploded values. The
+    explode is a lateral generator over a map-side parse: no shuffle
+    before the final per-key aggregation at any scale."""
+    register_views(spark, sf_dir, only=("events",))
+    return spark.sql(
+        """
+        SELECT v.key,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(v.value AS BIGINT)) AS total,
+               min(CAST(v.value AS BIGINT)) AS vmin,
+               max(CAST(v.value AS BIGINT)) AS vmax
+        FROM events, LATERAL variant_explode(parse_json(props)) v
+        GROUP BY v.key
+        """
+    )

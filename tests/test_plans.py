@@ -1218,3 +1218,17 @@ def test_association_rules_plan(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
     assert "TakeOrderedAndProject" in facts.text
     assert facts.has_partial_agg
+
+
+def test_variant_explode_lateral_map_side(spark, sf_dir):
+    """q310: parse_json → variant_explode is a lateral Generate over a
+    map-side parse — exactly one aggregation exchange, no join, no
+    Python eval, and the events scan reads only the props column."""
+    facts = audit_of(spark, sf_dir, "q310_variant_explode")
+    assert "Generate" in facts.text
+    assert facts.join_strategies == {}
+    assert facts.n_exchanges == 1
+    assert facts.has_partial_agg
+    assert "BatchEvalPython" not in facts.text
+    assert not facts.scans_read_column("user_id")
+    assert not facts.scans_read_column("value")
