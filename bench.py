@@ -129,6 +129,7 @@ HEADLINE = [
     "q307_point_in_polygon",
     "q308_association_rules",
     "q310_variant_explode",
+    "q311_embedding_gramian",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

@@ -548,3 +548,76 @@ def kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micro(1)).alias("dim1_micro_sum"),
         F.sum(micro(2)).alias("dim2_micro_sum"),
     )
+
+
+_GRAM_MILLI = (
+    "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+)
+
+
+@query(
+    "q311_embedding_gramian",
+    oracle="""
+    WITH v AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM v),
+    cells AS (
+      SELECT g1.i AS i, g2.j AS j, sum(vi[g1.i] * vi[g2.j]) AS s
+      FROM v
+      CROSS JOIN generate_series(1, 64) g1(i)
+      CROSS JOIN generate_series(1, 64) g2(j)
+      WHERE g2.j >= g1.i
+      GROUP BY g1.i, g2.j
+    )
+    SELECT i::BIGINT AS i, j::BIGINT AS j, s::BIGINT AS s_milli2,
+           round(CAST(s AS DOUBLE) / n.n / 1000000.0, 6) AS gram_mean
+    FROM cells, n
+    """,
+    tags=("similarity", "linear-algebra", "gramian", "pca-frontend"),
+)
+def embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gramian (uncentered covariance) of the embedding
+    matrix — the front end of PCA / whitening / spectral methods: XᵀX as
+    2080 upper-triangle cells over 64 dims. Each row fans out its i≤j
+    coordinate products MAP-SIDE (one generator, no self-join over rows)
+    and the cells reduce by (i, j) — the shuffle carries at most
+    dims²/2 partial cells per task regardless of row count, which is the
+    whole trick: at 100 TB the reduction state is still 2080 numbers.
+    Exactness: products of milli-quantized ints are exact int64
+    (|x|≤~8·10³ milli → products ≤ 6·10⁷, ×10⁵ rows ≪ 2⁶³), so the
+    Gramian is bit-exact under any shuffle order; the mean-normalized
+    double divides two exact integers once. A driver-side power iteration
+    on these 2080 exact cells (k=64) yields the top eigenvector with no
+    cross-engine ambiguity — the iteration itself is bounded driver
+    work, outside this query's contract."""
+    v = table(spark, sf_dir, "embeddings").select(
+        F.expr(_GRAM_MILLI).alias("vi")
+    )
+    # map-side fan-out: one generator of (i, j, product) triples per row,
+    # i ≤ j only — 2080 terms per row, all codegen
+    pairs = v.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, 64), i -> "
+                "transform(sequence(i, 64), j -> "
+                "named_struct('i', i, 'j', j, "
+                "'p', element_at(vi, i) * element_at(vi, j)))))"
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    n = v.count()  # broadcast scalar
+    return (
+        pairs.groupBy("i", "j")
+        .agg(F.sum("p").alias("s"))
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            F.col("s").cast("bigint").alias("s_milli2"),
+            F.round(F.col("s").cast("double") / n / 1000000.0, 6).alias(
+                "gram_mean"
+            ),
+        )
+    )

@@ -1232,3 +1232,15 @@ def test_variant_explode_lateral_map_side(spark, sf_dir):
     assert "BatchEvalPython" not in facts.text
     assert not facts.scans_read_column("user_id")
     assert not facts.scans_read_column("value")
+
+
+def test_gramian_single_reduction(spark, sf_dir):
+    """q311: the Gramian must be a map-side coordinate-pair generator
+    feeding ONE (i, j)-keyed reduction — no row self-join, no cartesian,
+    one aggregation exchange, partial aggregation on (map-side state is
+    at most dims²/2 cells per task)."""
+    facts = audit_of(spark, sf_dir, "q311_embedding_gramian")
+    assert "Generate" in facts.text
+    assert facts.join_strategies == {}
+    assert facts.n_exchanges == 1
+    assert facts.has_partial_agg

@@ -598,3 +598,45 @@ def test_holt_constant_series_exact_at_5m_rows(spark):
         assert stats["max_trend"] == 0.0
         assert stats["max_sse"] == 0.0
         assert stats["max_level_err"] == 0.0
+
+
+def test_aqe_splits_skewed_join_on_hot_key(spark):
+    """The runtime half of the skew story (q86/q129 are the compile-time
+    salting half): a 1M-row fact with 90% of rows on one key sort-merge
+    joined to a 100k-row dim must trigger AQE's OptimizeSkewedJoin — the
+    final adaptive plan's SMJ carries skew=true and the result count is
+    exact. Thresholds are lowered to make local data volumes eligible;
+    the assertion is on the PLAN MARKER, not timing."""
+    from kinesis_customer_sample_spark.plans.audit import plan_text
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # collect() must run on THIS DataFrame: AQE finalizes per
+        # execution, and a derived action (count) builds its own query
+        # whose final plan the original frame's explain would not show
+        n, hot = 1_000_000, 0
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, hot)
+            .otherwise(F.col("id") % 100_000)
+            .alias("k"),
+            F.col("id").alias("x"),
+        )
+        dim = spark.range(100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        assert len(joined.collect()) == n  # every fact row matches one dim
+        final_plan = plan_text(joined)
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
