@@ -144,11 +144,18 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_ordered_shards(docs, src_dir, _N_SHARDS, "doc_id")
 
     # seed an empty index so batch 0's probe is schema-safe
-    spark.createDataFrame([], _BANDS_SCHEMA).write.parquet(idx_dir)
+    spark.createDataFrame([], _BANDS_SCHEMA).write.parquet(f"{idx_dir}/epoch=-1")
 
     def gate(batch_df: DataFrame, epoch_id: int) -> None:
+        # Retry idempotence: foreachBatch may re-run an epoch after a
+        # failure. Both sinks write to epoch-keyed subdirs with OVERWRITE,
+        # so a replayed epoch replaces its own output instead of
+        # double-appending (the q285 manifest argument, in directory form;
+        # duplicate bands would be semantically harmless for seen-bucket
+        # gating, but duplicate verdict rows would corrupt the output).
         bands = _doc_bands(batch_df).localCheckpoint()  # sign once, probe+append
-        seen = batch_df.sparkSession.read.schema(_BANDS_SCHEMA).parquet(idx_dir)
+        sess = batch_df.sparkSession
+        seen = sess.read.schema(_BANDS_SCHEMA).parquet(f"{idx_dir}/epoch=*")
         hit_idx = bands.join(seen, ["b", "bh"], "left_semi").select("doc_id")
         first = bands.groupBy("b", "bh").agg(F.min("doc_id").alias("first_id"))
         hit_batch = (
@@ -162,8 +169,8 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(rejected.withColumn("rej", F.lit(True)), "doc_id", "left")
             .select("doc_id", F.coalesce(F.col("rej"), F.lit(False)).alias("rejected"))
         )
-        verdicts.write.mode("append").parquet(out_dir)
-        bands.write.mode("append").parquet(idx_dir)
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        bands.write.mode("overwrite").parquet(f"{idx_dir}/epoch={epoch_id}")
 
     # stream schema from the just-written shards' own frame — drift-proof
     # against fixture dtype regeneration (the round-2 bench crash class)
@@ -180,7 +187,7 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
+    return spark.read.parquet(f"{out_dir}/epoch=*").select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         (F.col("doc_id") % _N_SHARDS).cast("bigint").alias("shard"),
         (~F.col("rejected")).alias("admitted"),

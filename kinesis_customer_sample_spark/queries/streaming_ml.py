@@ -176,8 +176,12 @@ def stream_minibatch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver-held running state: cid -> (cnt, per-dim integer sums). k·64
     # bounded scalars — the q149-class coordination state, not data.
     state = {cid: (0, [0] * _DIM) for cid in seeds}
+    folded: set[int] = set()  # retry guard: an epoch folds exactly once
 
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id in folded:  # foreachBatch retry — already folded
+            return
+        folded.add(epoch_id)
         sess = batch_df.sparkSession
         eff_rows = [
             (cid, cnt if cnt > 0 else 1, s if cnt > 0 else seeds[cid])
