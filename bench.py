@@ -130,6 +130,7 @@ HEADLINE = [
     "q308_association_rules",
     "q310_variant_explode",
     "q311_embedding_gramian",
+    "q312_deadline_funnel",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

@@ -69,3 +69,119 @@ def event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("matched", F.col("seq").rlike(_PATTERN))
     )
+
+
+_FUN_S1, _FUN_S2, _FUN_S3 = "view", "click", "purchase"
+_FUN_D12_H = 24  # click deadline: within 24h of first view
+_FUN_D23_H = 72  # purchase deadline: within 72h of qualifying click
+
+
+@query(
+    "q312_deadline_funnel",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = '{_FUN_S1}' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+      FROM s1 JOIN events e
+        ON e.user_id = s1.user_id AND e.event_type = '{_FUN_S2}'
+       AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL {_FUN_D12_H} HOUR
+      GROUP BY s1.user_id, s1.t1
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+      FROM s2 JOIN events e
+        ON e.user_id = s2.user_id AND e.event_type = '{_FUN_S3}'
+       AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL {_FUN_D23_H} HOUR
+      GROUP BY s2.user_id, s2.t1, s2.t2
+    ),
+    staged AS (
+      SELECT s1.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS stage,
+             epoch_us(s2.t2) - epoch_us(s2.t1) AS d12_us,
+             epoch_us(s3.t3) - epoch_us(s3.t2) AS d23_us
+      FROM s1
+      LEFT JOIN s2 ON s2.user_id = s1.user_id
+      LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT stage::BIGINT AS stage,
+           count(*)::BIGINT AS n_users,
+           round(CAST(sum(d12_us) AS DOUBLE) / 1000000.0
+                 / nullif(count(d12_us), 0), 6) AS avg_s1_to_s2_sec,
+           round(CAST(sum(d23_us) AS DOUBLE) / 1000000.0
+                 / nullif(count(d23_us), 0), 6) AS avg_s2_to_s3_sec
+    FROM staged GROUP BY stage
+    """,
+    tags=("funnel", "deadline", "sequence", "product-analytics"),
+)
+def deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with PER-STEP DEADLINES — the product-analytics
+    contract q132's unconstrained ordered funnel cannot express: a click
+    counts only within 24h of the user's first view, a purchase only
+    within 72h of that qualifying click. Each stage is one user-keyed
+    join + min-aggregation against the events table (anchor time from the
+    previous stage), so the funnel is a chain of keyed shuffles — no
+    windows over whole histories, no per-user state machine. Durations
+    flow as exact epoch-microsecond integers; the per-stage averages are
+    one division each. Stage counts are disjoint (a user lands in their
+    furthest stage), so stages sum to the view-user population."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUN_S1)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        s1.join(ev.filter(F.col("event_type") == _FUN_S2).alias("e"), "user_id")
+        .filter(
+            (F.col("e.ts") > F.col("t1"))
+            & (F.col("e.ts") <= F.col("t1") + F.expr(f"INTERVAL {_FUN_D12_H} HOURS"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("e.ts").alias("t2"))
+    )
+    s3 = (
+        s2.join(ev.filter(F.col("event_type") == _FUN_S3).alias("e"), "user_id")
+        .filter(
+            (F.col("e.ts") > F.col("t2"))
+            & (F.col("e.ts") <= F.col("t2") + F.expr(f"INTERVAL {_FUN_D23_H} HOURS"))
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("e.ts").alias("t3"))
+    )
+    staged = (
+        s1.select("user_id")
+        .join(s2.select("user_id", "t1", "t2"), "user_id", "left")
+        .join(
+            s3.select("user_id", F.col("t2").alias("t2b"), "t3"),
+            "user_id",
+            "left",
+        )
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage"),
+            (F.unix_micros(F.col("t2").cast("timestamp")) - F.unix_micros(F.col("t1").cast("timestamp"))).alias("d12_us"),
+            (F.unix_micros(F.col("t3").cast("timestamp")) - F.unix_micros(F.col("t2b").cast("timestamp"))).alias("d23_us"),
+        )
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("d12_us").cast("double")
+            / 1000000.0
+            / F.nullif(F.count("d12_us"), F.lit(0)),
+            6,
+        ).alias("avg_s1_to_s2_sec"),
+        F.round(
+            F.sum("d23_us").cast("double")
+            / 1000000.0
+            / F.nullif(F.count("d23_us"), F.lit(0)),
+            6,
+        ).alias("avg_s2_to_s3_sec"),
+    ).select(F.col("stage").cast("bigint").alias("stage"), "n_users", "avg_s1_to_s2_sec", "avg_s2_to_s3_sec")

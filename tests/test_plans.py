@@ -1244,3 +1244,18 @@ def test_gramian_single_reduction(spark, sf_dir):
     assert facts.join_strategies == {}
     assert facts.n_exchanges == 1
     assert facts.has_partial_agg
+
+
+def test_deadline_funnel_keyed_joins(spark, sf_dir):
+    """q312: each funnel stage must be a user-keyed equi-join with the
+    deadline as a residual range predicate — no cartesian, no
+    unpartitioned window anywhere, partial aggregation on every stage."""
+    facts = audit_of(spark, sf_dir, "q312_deadline_funnel")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    n_equi = sum(
+        facts.join_strategies.get(k, 0)
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_equi >= 4  # s2, s3 builds + two stage join-backs
