@@ -286,11 +286,21 @@ def identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q302_xml_ingest",
     oracle="""
+    WITH x AS (
+      SELECT o_orderpriority,
+             printf('<o><id>%d</id><prio>%s</prio><total>%d</total></o>',
+                    o_orderkey, o_orderpriority,
+                    CAST(round(o_totalprice * 100.0) AS BIGINT)) AS xml,
+             o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    )
     SELECT o_orderpriority AS prio,
            count(*)::BIGINT AS n_orders,
-           sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS cents,
-           min(o_orderkey)::BIGINT AS min_key
-    FROM orders
+           sum(cents)::BIGINT AS cents,
+           min(o_orderkey)::BIGINT AS min_key,
+           CAST(regexp_extract(min(xml), '<id>([0-9]+)</id>', 1) AS BIGINT)
+             AS xp_min_xml_id
+    FROM x
     GROUP BY o_orderpriority
     """,
     tags=("sql", "xml", "sources", "frontend", "spark4"),
@@ -299,8 +309,9 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingestion surface (Spark 4 `from_xml` + the `xpath_*` family):
     each order is serialized to an XML record (the shape a legacy feed
     would deliver), then parsed back — the typed path through from_xml
-    with an explicit schema, plus one xpath_long extraction to cover the
-    expression-level API. Aggregating the PARSED fields must reproduce
+    with an explicit schema, plus an xpath_long extraction exercised at
+    GROUP granularity (per-row xpath instantiates an evaluator per call
+    — the measured anti-pattern; from_xml streams). Aggregating the PARSED fields must reproduce
     the aggregate over the base columns (the oracle): a full
     serialize→parse round-trip proof, the same contract the q96 wire
     decode and q277 byte-edge queries pin for their codecs. Scale: both
@@ -309,22 +320,34 @@ def xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     xml = orders.select(
         F.format_string(
-            "<o><id>%s</id><prio>%s</prio><total>%s</total></o>",
+            "<o><id>%d</id><prio>%s</prio><total>%d</total></o>",
             F.col("o_orderkey"),
             F.col("o_orderpriority"),
             F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"),
         ).alias("xml")
     )
     parsed = xml.select(
+        "xml",
         F.expr("from_xml(xml, 'id BIGINT, prio STRING, total BIGINT')").alias("r"),
-        F.expr("xpath_long(xml, '/o/id/text()')").alias("id_xp"),
     )
+    # xpath_* spins a javax XPath evaluator PER CALL — measured 10×+ the
+    # whole query's cost when run per row late in a long JVM session — so
+    # the per-row path is from_xml (streaming parser) and the xpath API is
+    # exercised on the post-aggregation rows only: one call per group.
     return (
         parsed.groupBy(F.col("r.prio").alias("prio"))
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
             F.sum("r.total").cast("bigint").alias("cents"),
-            F.min("id_xp").cast("bigint").alias("min_key"),
+            F.min("r.id").cast("bigint").alias("min_key"),
+            F.min("xml").alias("min_xml"),
+        )
+        .select(
+            "prio",
+            "n_orders",
+            "cents",
+            "min_key",
+            F.expr("xpath_long(min_xml, '/o/id/text()')").alias("xp_min_xml_id"),
         )
     )
 
