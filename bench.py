@@ -131,6 +131,7 @@ HEADLINE = [
     "q310_variant_explode",
     "q311_embedding_gramian",
     "q312_deadline_funnel",
+    "q313_null_aware_anti_join",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

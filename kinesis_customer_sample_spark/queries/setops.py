@@ -228,3 +228,50 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
     return f.exceptAll(op)
+
+
+@query(
+    "q313_null_aware_anti_join",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer)::BIGINT AS n_customers,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+          FROM orders WHERE o_orderstatus = 'F'))::BIGINT AS n_pass_nullable,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders
+          WHERE o_orderstatus = 'F'))::BIGINT AS n_pass_clean
+    """,
+    tags=("setops", "null-aware", "anti-join", "three-valued-logic"),
+)
+def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN under three-valued logic — the correctness trap every SQL
+    migration hits: one NULL in the subquery list makes `x NOT IN (...)`
+    never TRUE, so the nullable-list variant must return 0 rows passing
+    (here ~150 of the F-status orders contribute NULL keys), while the
+    clean-list variant anti-joins normally. Spark executes the nullable
+    case as a NULL-AWARE anti join (a single-key broadcast with the
+    streamed-side null check — plan-pinned), NOT a naive anti join that
+    would silently return wrong results. The oracle is the identical
+    standard SQL in DuckDB, so the hash match certifies both engines
+    agree on 3VL semantics — the reason q146-style denylists must
+    guarantee null-free lists or use NOT EXISTS."""
+    from kinesis_customer_sample_spark.catalog import register_views
+
+    register_views(spark, sf_dir, only=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_customers,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+              FROM orders WHERE o_orderstatus = 'F')) AS n_pass_nullable,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders
+              WHERE o_orderstatus = 'F')) AS n_pass_clean
+        """
+    )

@@ -1259,3 +1259,24 @@ def test_deadline_funnel_keyed_joins(spark, sf_dir):
         for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
     assert n_equi >= 4  # s2, s3 builds + two stage join-backs
+
+
+def test_not_in_uses_null_aware_anti_join(spark, sf_dir):
+    """q313: NOT IN must execute as Spark's NULL-AWARE anti join — in
+    simple-mode explain the BroadcastHashJoin prints a trailing
+    `LeftAnti, BuildRight, true`, the isNullAwareAntiJoin flag (the
+    formatted mode omits it). A naive LeftAnti would silently return
+    wrong rows under 3VL. Spark applies NAAJ to both list variants (it
+    does not prove the clean list null-free), so both joins carry the
+    flag; no cartesian anywhere."""
+    import contextlib
+    import io
+
+    df = REGISTRY["q313_null_aware_anti_join"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    simple = buf.getvalue()
+    naaj = [ln for ln in simple.splitlines() if "LeftAnti, BuildRight, true" in ln]
+    assert len(naaj) == 2, simple
+    assert "CartesianProduct" not in simple
