@@ -43,7 +43,6 @@ walk.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -554,18 +553,14 @@ def stream_update_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert is newest-epoch-wins, so replays/retries are idempotent."""
     from pyspark.sql import types as T
 
-    ev = table(spark, sf_dir, "events").select("user_id", "value")
-    import hashlib
+    from kinesis_customer_sample_spark.streaming.replay import run_scratch_dir
 
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"kcss_q124_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    # per-run leaf under a stable fixture-keyed base: concurrent runs
+    # against the same fixture must not rmtree each other (r4 advice)
+    base = run_scratch_dir("q124", sf_dir)
     src_dir = os.path.join(base, "src")
     out_dir = os.path.join(base, "out")
-    for p in (src_dir, out_dir):
-        if os.path.exists(p):
-            shutil.rmtree(p)
     ev.repartition(4).write.parquet(src_dir)
     schema = T.StructType(
         [T.StructField("user_id", T.LongType()), T.StructField("value", T.DoubleType())]

@@ -34,9 +34,7 @@ the checkpoint guarantees each shard is gated exactly once.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,7 +52,10 @@ from kinesis_customer_sample_spark.queries.dedup import (
 )
 from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _SPARK_TOKS
 from kinesis_customer_sample_spark.registry import query
-from kinesis_customer_sample_spark.streaming.replay import write_ordered_shards
+from kinesis_customer_sample_spark.streaming.replay import (
+    run_scratch_dir,
+    write_ordered_shards,
+)
 
 _N_SHARDS = 4
 
@@ -131,10 +132,7 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index. Emits one verdict row per document. The oracle computes
     global first-wins-by-(shard, doc_id) in closed form — hash equality
     proves the 4-batch incremental index reproduces the batch answer."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"kcss_q303_{tag}")
-    if os.path.exists(base):
-        shutil.rmtree(base)
+    base = run_scratch_dir("q303", sf_dir)
     src_dir = os.path.join(base, "src")
     idx_dir = os.path.join(base, "index")
     out_dir = os.path.join(base, "out")
@@ -153,9 +151,26 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double-appending (the q285 manifest argument, in directory form;
         # duplicate bands would be semantically harmless for seen-bucket
         # gating, but duplicate verdict rows would corrupt the output).
+        # The probe reads STRICTLY EARLIER epochs only (partition-pruned
+        # filter on the epoch dir key): a crash between the bands write and
+        # the checkpoint commit leaves this epoch's own bands behind, and an
+        # epoch=* glob would self-match every doc in the replayed batch and
+        # reject the whole batch (r4 advice, medium).
         bands = _doc_bands(batch_df).localCheckpoint()  # sign once, probe+append
         sess = batch_df.sparkSession
-        seen = sess.read.schema(_BANDS_SCHEMA).parquet(f"{idx_dir}/epoch=*")
+        seen = (
+            sess.read.schema(
+                # fresh StructType: .add() mutates the module-level schema
+                T.StructType(
+                    list(_BANDS_SCHEMA.fields)
+                    + [T.StructField("epoch", T.LongType())]
+                )
+            )
+            .option("basePath", idx_dir)
+            .parquet(f"{idx_dir}/epoch=*")
+            .filter(F.col("epoch") < F.lit(int(epoch_id)))
+            .drop("epoch")
+        )
         hit_idx = bands.join(seen, ["b", "bh"], "left_semi").select("doc_id")
         first = bands.groupBy("b", "bh").agg(F.min("doc_id").alias("first_id"))
         hit_batch = (

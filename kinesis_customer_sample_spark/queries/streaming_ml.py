@@ -30,9 +30,7 @@ driver-held for the bounded 4-batch replay, as q149 does per iteration.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +38,10 @@ from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.registry import query
-from kinesis_customer_sample_spark.streaming.replay import write_ordered_shards
+from kinesis_customer_sample_spark.streaming.replay import (
+    run_scratch_dir,
+    write_ordered_shards,
+)
 
 _K = 8
 _DIM = 64
@@ -157,10 +158,7 @@ def stream_minibatch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the batch replay — the strongest stream/batch-equivalence claim an
     incremental ML operator can make. Emits each centroid's final visit
     count and integer micro-unit signature."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"kcss_q305_{tag}")
-    if os.path.exists(base):
-        shutil.rmtree(base)
+    base = run_scratch_dir("q305", sf_dir)
     src_dir = os.path.join(base, "src")
     os.makedirs(src_dir)
 
@@ -181,7 +179,6 @@ def stream_minibatch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if epoch_id in folded:  # foreachBatch retry — already folded
             return
-        folded.add(epoch_id)
         sess = batch_df.sparkSession
         eff_rows = [
             (cid, cnt if cnt > 0 else 1, s if cnt > 0 else seeds[cid])
@@ -205,6 +202,12 @@ def stream_minibatch_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for cid, n in counts.items():
             cnt, s = state[cid]
             state[cid] = (cnt + n, s)
+        # Mark folded only AFTER the driver-side state mutation completes:
+        # if the fold job fails mid-epoch and the batch is retried, marking
+        # up-front would silently skip the retry and lose the shard's
+        # deltas (r4 advice). The mutation is a pure-local loop over ≤k·64
+        # collected rows — atomic for retry purposes once collect returns.
+        folded.add(epoch_id)
 
     sdf = (
         spark.readStream.schema(emb.schema)

@@ -493,40 +493,55 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions are dropped by their start time; the oracle is q53's
     gaps-and-islands derivation. Proves the timeout path end-to-end
     under the driver's gate, complementing q53 (native session_window)
-    and the inline-emission test suite."""
+    and the inline-emission test suite.
+
+    Replay prep is fully Spark-side (write_ordered_shards): events split
+    into two time-ordered arrival shards at the midpoint timestamp plus a
+    per-user far-future sentinel shard — no driver-side table
+    materialization (the r4-verdict q245 toPandas fix). Driver state is
+    two scalar timestamps."""
     import os
     import tempfile
 
-    import pandas as pd
-
-    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.replay import (
+        run_to_completion,
+        write_ordered_shards,
+    )
     from kinesis_customer_sample_spark.streaming.stateful import session_timeout_stream
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    pdf = ev.orderBy("ts", "event_id").toPandas()
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    max_ts = pd.Timestamp(pdf["ts"].max())
-    td = tempfile.mkdtemp(prefix="kcss_sess_timeout_")
-    half = (len(pdf) + 1) // 2
-    pdf.iloc[:half].to_parquet(os.path.join(td, "part-0.parquet"), index=False)
-    pdf.iloc[half:].to_parquet(os.path.join(td, "part-1.parquet"), index=False)
-    sentinel = pd.DataFrame(
-        {
-            "user_id": pdf["user_id"].unique(),
-            "ts": max_ts + pd.Timedelta(days=365),
-            "event_id": -1,
-        }
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id"
     )
-    sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
-    sentinel.to_parquet(os.path.join(td, "part-2.parquet"), index=False)
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+    # batches must be time-monotone (events older than the post-batch
+    # watermark would be dropped as late): shard 0 = first half of the
+    # time range, shard 1 = second half, shard 2 = sentinels
+    real = ev.withColumn(
+        "batch_id",
+        F.when(F.unix_micros("ts") <= F.lit(mid), F.lit(0)).otherwise(F.lit(1)),
+    )
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn(
+            "ts", F.timestamp_micros(F.lit(hi + 365 * 86_400 * 1_000_000))
+        )
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("batch_id", F.lit(2))
+    )
+    src_dir = os.path.join(tempfile.mkdtemp(prefix="kcss_sess_timeout_"), "src")
+    write_ordered_shards(real.unionByName(sentinel), src_dir, 3, "batch_id")
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, event_id long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(td)
+        .parquet(src_dir)
     )
     out = run_to_completion(session_timeout_stream(stream), output_mode="append")
     return out.filter(
-        F.col("session_start") <= F.lit(max_ts.to_pydatetime())
+        F.col("session_start") <= F.timestamp_micros(F.lit(hi))
     ).select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
@@ -732,32 +747,40 @@ def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     state stores. Chained stateful operators REQUIRE append mode
     (finalized-on-watermark emission), so a far-future sentinel event
     pushes the watermark past every real window at end of replay (the
-    q245 pattern) and sentinel windows are filtered by start time."""
+    q245 pattern) and sentinel windows are filtered by start time.
+
+    Replay prep is fully Spark-side (write_ordered_shards): all real
+    events in arrival shard 0, then one single-row sentinel shard per
+    chained stateful level (+1 to flush the final level — the watermark
+    for batch N comes from data through N-1). No driver-side table
+    materialization (the r4-verdict q254 toPandas fix); driver state is
+    one scalar timestamp."""
     import os
     import tempfile
 
-    import pandas as pd
+    from kinesis_customer_sample_spark.streaming.replay import (
+        run_to_completion,
+        write_ordered_shards,
+    )
 
-    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
-
-    ev_b = table(spark, sf_dir, "events").select("ts", "event_type")
-    pdf = ev_b.toPandas()
-    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-    max_ts = pd.Timestamp(pdf["ts"].max())
-    td = tempfile.mkdtemp(prefix="kcss_chain_aggs_")
-    pdf.to_parquet(os.path.join(td, "part-0.parquet"), index=False)
-    # one watermark push per chained stateful level, plus one to flush
-    # the final level (watermark for batch N comes from data through N-1)
-    for k in (1, 2, 3):
-        sentinel = pd.DataFrame(
-            {"ts": [max_ts + pd.Timedelta(days=3 * k)], "event_type": ["click"]}
-        )
-        sentinel["ts"] = sentinel["ts"].astype("datetime64[us]")
-        sentinel.to_parquet(os.path.join(td, f"part-{k}.parquet"), index=False)
+    ev_b = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    hi = ev_b.agg(F.max(F.unix_micros("ts"))).first()[0]
+    real = ev_b.withColumn("batch_id", F.lit(0))
+    sentinels = spark.range(1, 4).select(
+        F.timestamp_micros(
+            F.lit(hi) + F.col("id") * F.lit(3 * 86_400 * 1_000_000)
+        ).alias("ts"),
+        F.lit("click").alias("event_type"),
+        F.col("id").cast("int").alias("batch_id"),
+    )
+    src_dir = os.path.join(tempfile.mkdtemp(prefix="kcss_chain_aggs_"), "src")
+    write_ordered_shards(real.unionByName(sentinels), src_dir, 4, "batch_id")
     ev = (
         spark.readStream.schema("ts timestamp, event_type string")
         .option("maxFilesPerTrigger", 1)
-        .parquet(td)
+        .parquet(src_dir)
     )
     minutely = (
         ev.withWatermark("ts", "1 hour")
@@ -785,7 +808,9 @@ def stream_chained_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = run_to_completion(hourly, output_mode="append")
-    return out.filter(F.col("h_start") <= F.lit(max_ts.to_pydatetime()))
+    return out.filter(
+        F.col("h_start") <= F.timestamp_micros(F.lit(hi)).cast("timestamp_ntz")
+    )
 
 
 _HH_SHARDS = 8

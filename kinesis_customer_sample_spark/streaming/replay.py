@@ -41,8 +41,27 @@ def _stream_dir(sf_dir: str, name: str) -> str:
     os.makedirs(td, exist_ok=True)
     link = os.path.join(td, f"{name}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), link)
+        try:
+            os.symlink(os.path.abspath(f"{sf_dir}/{name}.parquet"), link)
+        except FileExistsError:
+            pass  # concurrent run won the race — same target, share it
     return td
+
+
+def run_scratch_dir(name: str, sf_dir: str) -> str:
+    """Per-run scratch directory under a stable fixture-keyed base:
+    `<tmp>/kcss_<name>_<md5(sf_dir)[:8]>/run_*`. The stable outer tag keeps
+    /tmp from leaking one fresh base per process (the q285 salted-hash()
+    advice fix), while the mkdtemp leaf isolates concurrent runs against
+    the same fixture — the r4 advice flagged that q303/q305 rmtree'd the
+    shared base on entry, destroying a concurrent run's in-progress
+    index/output."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stable = os.path.join(tempfile.gettempdir(), f"kcss_{name}_{tag}")
+    os.makedirs(stable, exist_ok=True)
+    return tempfile.mkdtemp(prefix="run_", dir=stable)
 
 
 def events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
