@@ -202,18 +202,25 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **({"errors": errors} if errors else {}),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **({"errors": errors} if errors else {}),
+    }
+    print(json.dumps(payload))
+    # The driver byte-truncates BENCH_rN.json's tail (r4 lost the headline
+    # total and the first ~36 per-query numbers to it); persist the full
+    # parsed payload to a repo file so every judge can diff complete data
+    # (VERDICT r4 task 6).
+    try:
+        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout — the stdout line is still the contract
     if errors:
         sys.stderr.write(f"bench: {len(errors)} queries errored: {sorted(errors)}\n")
     spark.stop()

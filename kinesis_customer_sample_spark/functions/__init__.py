@@ -7,3 +7,38 @@ from kinesis_customer_sample_spark.functions.porthash import (  # noqa: F401
     minhash_perm_expr,
     tok_hash_expr,
 )
+
+
+def fixed_units(col, scale: int = 2):
+    """Quantize a decimal-valued double Column to BIGINT fixed-point units
+    (cents for scale=2): CAST(round(col * 10^scale) AS BIGINT).
+
+    Summing these units is associative integer arithmetic, so a grouped sum
+    is bit-identical under any partitioning/combine order — the repo-wide
+    fix for the `round(sum(<double>), 2)` class, where summation-order FP
+    drift can flip a half-cent rounding between Spark and the oracle engine
+    (VERDICT r4 "Residual FP-drift class"; reference implementation q288).
+    Valid while |sum| < 2^63 units — at 10^2 units that is ~9·10^16
+    currency units, comfortably past 100 TB fact tables; callers using
+    scale=6 on large-magnitude measures should note the tighter bound.
+    """
+    from pyspark.sql import functions as F
+
+    return F.round(col * (10 ** scale)).cast("bigint")
+
+
+def fixed_sum(col, scale: int = 2, out_scale: int = 2):
+    """round(sum(fixed_units(col, scale)) / 10^scale, out_scale) — the
+    order-independent replacement for F.round(F.sum(col), out_scale)."""
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(fixed_units(col, scale)) / float(10 ** scale), out_scale)
+
+
+def duck_fixed_sum(expr: str, scale: int = 2, out_scale: int = 2) -> str:
+    """DuckDB SQL twin of fixed_sum — textually the same arithmetic, so
+    engine and oracle agree bit-for-bit."""
+    unit = 10 ** scale
+    return (
+        f"round(sum(CAST(round(({expr}) * {unit}) AS BIGINT)) / {unit}.0, {out_scale})"
+    )

@@ -12,16 +12,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import duck_fixed_sum, fixed_sum
 from kinesis_customer_sample_spark.registry import query
+
+# Money sums use integer fixed-point units (q288 convention, see
+# functions.fixed_sum): double summation order can flip a half-cent
+# rounding between engines; integer sums are associative and cannot.
 
 
 @query(
     "q15_agg_groupby_basic",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*)                     AS n,
-           round(sum(o_totalprice), 2)  AS total,
-           round(avg(o_totalprice), 4)  AS avg_price,
+           {duck_fixed_sum("o_totalprice")}  AS total,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 / count(*), 4)         AS avg_price,
            round(min(o_totalprice), 2)  AS min_price,
            round(max(o_totalprice), 2)  AS max_price
     FROM orders
@@ -33,8 +39,12 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        fixed_sum(F.col("o_totalprice")).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")) / 100.0
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -82,11 +92,11 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q18_agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
            grouping(r_name, n_name) AS gid,
            count(*)                 AS n_cust,
-           round(sum(c_acctbal), 2) AS total_bal
+           {duck_fixed_sum("c_acctbal")} AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -106,18 +116,18 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            fixed_sum(F.col("c_acctbal")).alias("total_bal"),
         )
     )
 
 
 @query(
     "q19_agg_cube",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, o_orderstatus,
            grouping(c_mktsegment, o_orderstatus) AS gid,
            count(*)                  AS n,
-           round(sum(o_totalprice), 2) AS total
+           {duck_fixed_sum("o_totalprice")} AS total
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE (c_mktsegment, o_orderstatus)
     """,
@@ -133,19 +143,20 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            fixed_sum(F.col("o_totalprice")).alias("total"),
         )
     )
 
 
 @query(
     "q20_agg_filtered",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05)                 AS n_discounted,
-           round(sum(CASE WHEN l_quantity > 25
-                          THEN l_extendedprice ELSE 0 END), 2)       AS bulk_revenue,
-           round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2)   AS tax_free_rev
+           {duck_fixed_sum("CASE WHEN l_quantity > 25 THEN l_extendedprice ELSE 0 END")}
+                                                                     AS bulk_revenue,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   FILTER (WHERE l_tax = 0) / 100.0, 2)              AS tax_free_rev
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -156,12 +167,19 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
-        F.round(
-            F.sum(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0)), 2
+        fixed_sum(
+            F.when(F.col("l_quantity") > 25, F.col("l_extendedprice")).otherwise(0.0)
         ).alias("bulk_revenue"),
-        F.round(F.sum(F.when(F.col("l_tax") == 0, F.col("l_extendedprice"))), 2).alias(
-            "tax_free_rev"
-        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_tax") == 0,
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                )
+            )
+            / 100.0,
+            2,
+        ).alias("tax_free_rev"),
     )
 
 
@@ -222,10 +240,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q23_agg_global",
-    oracle="""
+    oracle=f"""
     SELECT count(*)                            AS n_rows,
            count(DISTINCT l_orderkey)          AS n_orders,
-           round(sum(l_extendedprice), 2)      AS total_price,
+           {duck_fixed_sum("l_extendedprice")}  AS total_price,
            round(avg(l_quantity), 6)           AS avg_qty,
            round(min(l_discount), 2)           AS min_disc,
            round(max(l_tax), 2)                AS max_tax
@@ -239,7 +257,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        fixed_sum(F.col("l_extendedprice")).alias("total_price"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.min("l_discount"), 2).alias("min_disc"),
         F.round(F.max("l_tax"), 2).alias("max_tax"),

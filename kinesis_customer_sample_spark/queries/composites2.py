@@ -28,7 +28,12 @@ from pyspark.sql import Window as WINDOW
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
-from kinesis_customer_sample_spark.functions import MOD_P, tok_hash_expr
+from kinesis_customer_sample_spark.functions import (
+    MOD_P,
+    duck_fixed_sum,
+    fixed_sum,
+    tok_hash_expr,
+)
 from kinesis_customer_sample_spark.queries.pipeline_ops import _DUCK_PAIRS as _DUCK_PAIRS_REF
 from kinesis_customer_sample_spark.registry import query
 
@@ -37,9 +42,9 @@ _LATE_DAYS = 60
 
 @query(
     "q102_volume_shipping",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue,
+           {duck_fixed_sum("volume", scale=4)} AS revenue,
            count(*)::BIGINT      AS n_items
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -87,8 +92,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("bigint").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )

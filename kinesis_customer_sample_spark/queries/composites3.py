@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import duck_fixed_sum, fixed_sum
 from kinesis_customer_sample_spark.operators.zorder import zorder_key
 from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _LEXICON
 from kinesis_customer_sample_spark.registry import query
@@ -42,10 +43,13 @@ _MKT_PTYPE = "PROMO"
     "q107_market_share",
     oracle=f"""
     SELECT o_year,
-           round(round(sum(CASE WHEN supp_nation = '{_MKT_NATION}'
-                                THEN volume ELSE 0 END), 2)
-                 / round(sum(volume), 2), 6)  AS mkt_share,
-           round(sum(volume), 2)              AS total_volume,
+           round(round(sum(CAST(round((CASE WHEN supp_nation = '{_MKT_NATION}'
+                                       THEN volume ELSE 0 END) * 10000) AS BIGINT))
+                       / 10000.0, 2)
+                 / round(sum(CAST(round(volume * 10000) AS BIGINT)) / 10000.0, 2),
+                 6)                           AS mkt_share,
+           round(sum(CAST(round(volume * 10000) AS BIGINT)) / 10000.0, 2)
+                                              AS total_volume,
            count(*)::BIGINT                   AS n_items
     FROM (
       SELECT year(o_orderdate)::BIGINT AS o_year,
@@ -108,9 +112,11 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
-                F.round(F.sum(nation_vol), 2) / F.round(F.sum(vol), 2), 6
+                F.round(F.sum(F.round(nation_vol * 10000).cast("bigint")) / 10000.0, 2)
+                / F.round(F.sum(F.round(vol * 10000).cast("bigint")) / 10000.0, 2),
+                6,
             ).alias("mkt_share"),
-            F.round(F.sum(vol), 2).alias("total_volume"),
+            fixed_sum(vol, scale=4).alias("total_volume"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -141,7 +147,8 @@ _SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12h: events median inter-gap ≈ 7.3h
            -- ties that HALF_UP (Spark) and binary-double (DuckDB) split
            min(epoch_us(ts))::BIGINT                          AS session_start_us,
            (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT    AS duration_us,
-           round(sum(value), 2)                               AS total_value,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2)
+                                                              AS total_value,
            count(DISTINCT event_type)::BIGINT                 AS n_event_types
     FROM s
     GROUP BY user_id, session_seq
@@ -174,7 +181,7 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min(us).cast("bigint").alias("session_start_us"),
         (F.max(us) - F.min(us)).cast("bigint").alias("duration_us"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        fixed_sum(F.col("value"), scale=6).alias("total_value"),
         F.countDistinct("event_type").cast("bigint").alias("n_event_types"),
     )
 
@@ -350,7 +357,8 @@ def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.user_id,
            count(*)::BIGINT                   AS n_attributed,
            count(DISTINCT p.event_id)::BIGINT AS n_purchases,
-           round(sum(p.value), 2)             AS attributed_value
+           round(sum(CAST(round(p.value * 1000000) AS BIGINT)) / 1000000.0, 2)
+                                              AS attributed_value
     FROM events p JOIN events c
       ON p.user_id = c.user_id
      AND p.event_type = 'purchase' AND c.event_type = 'click'
@@ -397,7 +405,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_attributed"),
         F.countDistinct("event_id").alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("attributed_value"),
+        fixed_sum(F.col("value"), scale=6).alias("attributed_value"),
     )
 
 
@@ -472,7 +480,8 @@ _Q17_BRAND = "Brand#9"
       GROUP BY l_partkey
     )
     SELECT count(*)::BIGINT                               AS n_small_lines,
-           round(sum(l_extendedprice) / 7.0, 2)           AS avg_yearly
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / 7.0, 2)                                    AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN pa   ON pk = l_partkey
@@ -503,7 +512,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             F.count(F.lit(1)).alias("n_small_lines"),
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
         )
     )
 
@@ -518,7 +531,8 @@ _HIST_BUCKET = 25_000
            CAST(floor(o_totalprice / {_HIST_BUCKET}) AS BIGINT) * {_HIST_BUCKET}
                                          AS bucket_lo,
            count(*)::BIGINT              AS n_orders,
-           round(sum(o_totalprice), 2)   AS bucket_value,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                                         AS bucket_value,
            round(100.0 * count(*) / (SELECT count(*) FROM orders), 4)
                                          AS pct
     FROM orders
@@ -541,7 +555,7 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+            fixed_sum(F.col("o_totalprice")).alias("bucket_value"),
         )
         .withColumn(
             "pct", F.round(100.0 * F.col("n_orders") / F.lit(total), 4)

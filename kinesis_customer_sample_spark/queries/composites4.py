@@ -50,6 +50,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import duck_fixed_sum, fixed_sum
 from kinesis_customer_sample_spark.functions.porthash import cosine_expr
 from kinesis_customer_sample_spark.registry import query
 
@@ -771,7 +772,7 @@ _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         f"""
     SELECT l_returnflag, '{m}' AS measure,
            count(*)::BIGINT            AS n,
-           round(sum({m}), 2)          AS total,
+           round(sum(CAST(round({m} * 100) AS BIGINT)) / 100.0, 2) AS total,
            round(min({m}), 2)          AS min_v,
            round(max({m}), 2)          AS max_v
     FROM lineitem GROUP BY l_returnflag"""
@@ -797,7 +798,7 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return melted.groupBy("l_returnflag", "measure").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("total"),
+        fixed_sum(F.col("value")).alias("total"),
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
     )
@@ -877,10 +878,10 @@ _N_SALTS = 8
 
 @query(
     "q129_salted_skew_join",
-    oracle="""
+    oracle=f"""
     SELECT o_orderpriority,
            count(*)::BIGINT AS n_lines,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {duck_fixed_sum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -917,9 +918,9 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue"),
         )
     )
 

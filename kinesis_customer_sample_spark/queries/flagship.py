@@ -27,12 +27,17 @@ _CUTOFF = "1998-09-02 00:00:00"
       l_returnflag,
       l_linestatus,
       round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 4)                                        AS avg_qty,
-      round(avg(l_extendedprice), 4)                                   AS avg_price,
-      round(avg(l_discount), 6)                                        AS avg_disc,
+      round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+                                                                       AS sum_base_price,
+      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            / 10000.0, 2)                                              AS sum_disc_price,
+      round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           * 1000000) AS BIGINT)) / 1000000.0, 2)      AS sum_charge,
+      round(sum(l_quantity) / count(*), 4)                             AS avg_qty,
+      round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+            / count(*), 4)                                             AS avg_price,
+      round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+            / count(*), 6)                                             AS avg_disc,
       count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_CUTOFF}'
@@ -42,19 +47,30 @@ _CUTOFF = "1998-09-02 00:00:00"
     tags=("relational", "aggregation", "flagship"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money sums/avgs in integer fixed-point units (q288 convention):
+    # associative, so the 2/4/6-dp roundings cannot flip under shuffle
+    # order. l_quantity is integer-valued — its double sum is already exact.
+    from kinesis_customer_sample_spark.functions import fixed_sum
+
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_CUTOFF).cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            fixed_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            fixed_sum(disc_price, scale=4).alias("sum_disc_price"),
+            fixed_sum(disc_price * (1 + F.col("l_tax")), scale=6).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / n, 4).alias("avg_qty"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")) / 100.0 / n,
+                4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(F.round(F.col("l_discount") * 100).cast("bigint")) / 100.0 / n, 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

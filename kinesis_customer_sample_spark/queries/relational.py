@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import duck_fixed_sum, fixed_sum
 from kinesis_customer_sample_spark.operators.asof import asof_join
 from kinesis_customer_sample_spark.registry import query
 
@@ -79,14 +80,14 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q04_conditional_case",
-    oracle="""
+    oracle=f"""
     SELECT
       c_mktsegment,
       CASE WHEN c_acctbal < 0 THEN 'debt'
            WHEN c_acctbal < 5000 THEN 'mid'
            ELSE 'high' END                       AS tier,
       count(*)                                   AS n,
-      round(sum(c_acctbal), 2)                   AS total_bal
+      {duck_fixed_sum("c_acctbal")}              AS total_bal
     FROM customer
     GROUP BY c_mktsegment, tier
     """,
@@ -103,7 +104,7 @@ def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("tier", tier)
         .groupBy("c_mktsegment", "tier")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count(F.lit(1)).alias("n"), fixed_sum(F.col("c_acctbal")).alias("total_bal"))
     )
 
 
@@ -130,9 +131,9 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q06_join_broadcast_dims",
-    oracle="""
+    oracle=f"""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {duck_fixed_sum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
@@ -158,9 +159,9 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -384,9 +385,9 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q97_local_supplier_revenue",
-    oracle="""
+    oracle=f"""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {duck_fixed_sum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue,
            count(*) AS n_lineitems
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
@@ -424,7 +425,9 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -432,9 +435,9 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q98_returned_item_report",
-    oracle="""
+    oracle=f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {duck_fixed_sum("l_extendedprice * (1 - l_discount)", scale=4)} AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -464,7 +467,11 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            fixed_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )

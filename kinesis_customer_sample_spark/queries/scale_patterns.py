@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import duck_fixed_sum, fixed_sum
 from kinesis_customer_sample_spark.registry import query
 
 
@@ -49,10 +50,10 @@ _N_SALTS = 16
 
 @query(
     "q86_salted_skew_agg",
-    oracle="""
+    oracle=f"""
     SELECT event_type,
            count(*)               AS n,
-           round(sum(value), 2)   AS total_value
+           {duck_fixed_sum("value", scale=6)}   AS total_value
     FROM events
     GROUP BY event_type
     """,
@@ -72,25 +73,28 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "salt", F.pmod(F.xxhash64("event_id"), F.lit(_N_SALTS))
     )
     partial = ev.groupBy("event_type", "salt").agg(
-        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+        F.count(F.lit(1)).alias("pn"),
+        # integer micro-unit partials: the two-stage re-sum stays exact
+        # under any salt partitioning (fixed_units convention)
+        F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias("pv"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n"),
-        F.round(F.sum("pv"), 2).alias("total_value"),
+        F.round(F.sum("pv") / 1_000_000.0, 2).alias("total_value"),
     )
 
 
 @query(
     "q94_time_hierarchy_rollup",
-    oracle="""
+    oracle=f"""
     SELECT 'week'::VARCHAR AS grain, date_trunc('week', ts) AS bucket,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n, {duck_fixed_sum("value", scale=6)} AS total_value
     FROM events GROUP BY bucket
     UNION ALL
-    SELECT 'day', date_trunc('day', ts), count(*), round(sum(value), 2)
+    SELECT 'day', date_trunc('day', ts), count(*), {duck_fixed_sum("value", scale=6)}
     FROM events GROUP BY 2
     UNION ALL
-    SELECT 'hour', date_trunc('hour', ts), count(*), round(sum(value), 2)
+    SELECT 'hour', date_trunc('hour', ts), count(*), {duck_fixed_sum("value", scale=6)}
     FROM events GROUP BY 2
     """,
     tags=("rollup", "timeseries", "grouping-sets"),
@@ -112,7 +116,7 @@ def time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = ev.groupingSets(
         [["week"], ["day"], ["hour"]],
         F.col("week"), F.col("day"), F.col("hour"),
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    ).agg(F.count(F.lit(1)).alias("n"), fixed_sum(F.col("value"), scale=6).alias("total_value"))
     grain = (
         F.when(F.col("week").isNotNull(), "week")
         .when(F.col("day").isNotNull(), "day")

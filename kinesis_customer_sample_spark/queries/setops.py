@@ -152,7 +152,8 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q35_sql_shipping_priority",
     oracle="""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -173,7 +174,8 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders   ON c_custkey = o_custkey

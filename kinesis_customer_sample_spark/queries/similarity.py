@@ -587,27 +587,58 @@ def embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims²/2 partial cells per task regardless of row count, which is the
     whole trick: at 100 TB the reduction state is still 2080 numbers.
     Exactness: products of milli-quantized ints are exact int64
-    (|x|≤~8·10³ milli → products ≤ 6·10⁷, ×10⁵ rows ≪ 2⁶³), so the
-    Gramian is bit-exact under any shuffle order; the mean-normalized
-    double divides two exact integers once. A driver-side power iteration
-    on these 2080 exact cells (k=64) yields the top eigenvector with no
-    cross-engine ambiguity — the iteration itself is bounded driver
-    work, outside this query's contract."""
+    (|x|≤~8·10³ milli → products ≤ 6·10⁷ per row), so the Gramian is
+    bit-exact under any shuffle order; the mean-normalized double divides
+    two exact integers once. Row-count bound (r4 advice): a per-cell sum
+    of ≤6·10⁷-magnitude products stays inside int64 up to ~1.5·10¹¹
+    rows; beyond that (extreme even for 100 TB of 64-dim embeddings,
+    ~26 TB raw) accumulate per-cell partials as DECIMAL(38,0) or shrink
+    the quantization scale. A driver-side power iteration on these 2080
+    exact cells (k=64) yields the top eigenvector with no cross-engine
+    ambiguity — the iteration itself is bounded driver work, outside
+    this query's contract.
+
+    Physical path: mapInArrow computes each partition's PARTIAL Gramian
+    as one numpy int64 `X.T @ X` (exact integer matmul, bit-identical to
+    the per-row product fan-out it replaced) and emits 2080 cells per
+    partition — the shuffle carries 2080 × n_partitions rows instead of
+    2080 × n_rows, and the per-row work is a BLAS-shaped batch op rather
+    than 2080 codegen'd scalar products (VERDICT r4 task 5: ~10× CPU on
+    the old explode path)."""
+    import numpy as np
+    import pyarrow as pa
+
     v = table(spark, sf_dir, "embeddings").select(
         F.expr(_GRAM_MILLI).alias("vi")
     )
-    # map-side fan-out: one generator of (i, j, product) triples per row,
-    # i ≤ j only — 2080 terms per row, all codegen
-    pairs = v.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, 64), i -> "
-                "transform(sequence(i, 64), j -> "
-                "named_struct('i', i, 'j', j, "
-                "'p', element_at(vi, i) * element_at(vi, j)))))"
+
+    _OUT = pa.schema(
+        [pa.field("i", pa.int32()), pa.field("j", pa.int32()), pa.field("p", pa.int64())]
+    )
+
+    def partial_gram(batches):
+        acc = np.zeros((64, 64), dtype=np.int64)
+        seen = False
+        for batch in batches:
+            col = batch.column(0)
+            flat = np.asarray(col.flatten(), dtype=np.int64)
+            if flat.size == 0:
+                continue
+            x = flat.reshape(-1, 64)
+            acc += x.T @ x  # exact int64 — same bound as the cell sums
+            seen = True
+        if seen:
+            iu, ju = np.triu_indices(64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((iu + 1).astype("int32")),
+                    pa.array((ju + 1).astype("int32")),
+                    pa.array(acc[iu, ju]),
+                ],
+                schema=_OUT,
             )
-        ).alias("c")
-    ).select("c.i", "c.j", "c.p")
+
+    pairs = v.mapInArrow(partial_gram, "i int, j int, p long")
     n = v.count()  # broadcast scalar
     return (
         pairs.groupBy("i", "j")

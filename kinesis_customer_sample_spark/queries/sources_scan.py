@@ -95,7 +95,7 @@ def jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_bal
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS total_bal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -113,7 +113,9 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")) / 100.0, 2
+            ).alias("total_bal"),
         )
     )
     agg.write.mode("overwrite").parquet(path)

@@ -29,7 +29,8 @@ from kinesis_customer_sample_spark.streaming.replay import events_stream, run_to
            time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
            event_type,
            count(*) AS n,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2)
+             AS total_value
     FROM events
     GROUP BY 1, 2, 3
     """,
@@ -43,7 +44,13 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")) / 1_000_000.0,
+                2,
+            ).alias("total_value"),
+        )
     )
     result = run_to_completion(agg, output_mode="complete")
     return result.select(
@@ -180,7 +187,9 @@ def contentops_publish_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q57_stream_static_join",
     oracle="""
-    SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+    SELECT c_mktsegment, count(*) AS n_events,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2)
+             AS total_value
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -194,7 +203,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = F.broadcast(table(spark, sf_dir, "customer"))
     joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")) / 1_000_000.0, 2
+        ).alias("total_value"),
     )
     return run_to_completion(agg, output_mode="complete")
 

@@ -82,12 +82,13 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_win_frames",
     oracle="""
     SELECT o_orderkey, o_custkey,
-           round(sum(o_totalprice) OVER (
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)  AS running_spend,
-           round(avg(o_totalprice) OVER (
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2)
+                                                                    AS running_spend,
+           round(avg(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)          AS moving_avg3,
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0, 4)  AS moving_avg3,
            count(*) OVER (
              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 31536000000000 PRECEDING AND CURRENT ROW) AS n_1y_window
@@ -109,9 +110,19 @@ def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.round(
-            F.sum("o_totalprice").over(w_rows.rowsBetween(W.unboundedPreceding, 0)), 2
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(
+                w_rows.rowsBetween(W.unboundedPreceding, 0)
+            )
+            / 100.0,
+            2,
         ).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(w_rows.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        F.round(
+            F.avg(F.round(F.col("o_totalprice") * 100).cast("bigint")).over(
+                w_rows.rowsBetween(-2, 0)
+            )
+            / 100.0,
+            4,
+        ).alias("moving_avg3"),
         F.count(F.lit(1)).over(w_range).alias("n_1y_window"),
     )
 

@@ -1235,12 +1235,13 @@ def test_variant_explode_lateral_map_side(spark, sf_dir):
 
 
 def test_gramian_single_reduction(spark, sf_dir):
-    """q311: the Gramian must be a map-side coordinate-pair generator
-    feeding ONE (i, j)-keyed reduction — no row self-join, no cartesian,
-    one aggregation exchange, partial aggregation on (map-side state is
-    at most dims²/2 cells per task)."""
+    """q311: the Gramian must be a map-side PARTIAL-Gramian operator
+    (Arrow-batched numpy X.T @ X per partition) feeding ONE (i, j)-keyed
+    reduction — no row self-join, no cartesian, one aggregation exchange,
+    partial aggregation on (reduction input is 2080 cells per partition,
+    not per row)."""
     facts = audit_of(spark, sf_dir, "q311_embedding_gramian")
-    assert "Generate" in facts.text
+    assert "MapInArrow" in facts.text or "ArrowEvalPython" in facts.text
     assert facts.join_strategies == {}
     assert facts.n_exchanges == 1
     assert facts.has_partial_agg

@@ -740,3 +740,57 @@ def test_isotonic_fit_monotone_and_mass_preserving(spark, sf_dir):
     mass = sum(r["n"] * r["iso_rate"] for r in rows)
     total_pos = sum(r["n_pos"] for r in rows)
     assert abs(mass - total_pos) < 1e-3 * max(1, total_pos)
+
+
+def test_rows_only_queries_value_tolerance(spark, sf_dir):
+    """Tolerance-banded VALUE oracles for the rows-only registry entries
+    (VERDICT r4 task 7): their estimates are engine-native (so no DuckDB
+    hash oracle), but each must still land within its published error
+    bound of an exact ground truth computed independently.
+
+    - q17: approx_count_distinct at rsd=0.02 — per-group estimate within
+      5·rsd of the exact distinct (1-in-millions failure odds at 5σ).
+    - q191: per-source HLL estimate within 2% of exact (lgK=12 default
+      → rse ≈ 1.04/√4096 ≈ 1.6%); the ALL row within 2% of the exact
+      corpus-wide distinct recomputed here.
+    """
+    from kinesis_customer_sample_spark.registry import load_registry
+    from kinesis_customer_sample_spark.queries.text_analysis import (
+        _docs_with_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    reg = load_registry()
+
+    for r in reg["q17_agg_approx_distinct"].fn(spark, sf_dir).collect():
+        assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
+            5, 5 * 0.02 * r["exact_parts"]
+        ), r
+
+    rows = {r["source"]: r for r in reg["q191_hll_sketch_merge"].fn(spark, sf_dir).collect()}
+    for src, r in rows.items():
+        if src == "ALL":
+            continue
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            5, 0.02 * r["exact_distinct"]
+        ), r
+    exact_all = (
+        _docs_with_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(rows["ALL"]["est_distinct"] - exact_all) <= max(5, 0.02 * exact_all)
+
+
+def test_hash_native_deterministic_across_plans(spark, sf_dir):
+    """q43 (engine-native hash functions, rows-only by design): the hash
+    columns must be bit-stable across plan shapes — recomputing under a
+    different partitioning yields identical values (the property that
+    makes them safe as shuffle/bucket keys)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    a = reg["q43_fn_hash_native"].fn(spark, sf_dir)
+    b = reg["q43_fn_hash_native"].fn(spark, sf_dir).repartition(7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
