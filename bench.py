@@ -132,6 +132,19 @@ HEADLINE = [
     "q311_embedding_gramian",
     "q312_deadline_funnel",
     "q313_null_aware_anti_join",
+    # round-5 wave: blocking, sequential test, lookup joins, sweep line,
+    # feature scaling, stratified sampling, autocorr, arrow grouped-map,
+    # local-DP counts (q314/q315 join the excluded iterative/graph family;
+    # q318 is a file-sink E2E like q82; q324 a streaming E2E like q303)
+    "q316_sorted_neighborhood_pairs",
+    "q317_sprt_sequential_test",
+    "q319_longest_prefix_match",
+    "q320_sweepline_concurrency",
+    "q321_feature_standardization_audit",
+    "q322_neyman_stratified_sample",
+    "q323_lag1_autocorrelation",
+    "q325_arrow_grouped_centroids",
+    "q326_randomized_response_counts",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

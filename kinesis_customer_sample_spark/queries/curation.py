@@ -819,3 +819,115 @@ def rag_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chunks_doc").cast("long").alias("n_chunks"),
         F.sum("chunk_toks_doc").cast("long").alias("n_chunk_tokens"),
     )
+
+
+_NEY_TOTAL = 500  # total sample budget across all strata
+
+
+@query(
+    "q322_neyman_stratified_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             count(*)::BIGINT AS nh,
+             (count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars))
+               ::BIGINT AS var_num
+      FROM documents GROUP BY source
+    ),
+    wt AS (
+      SELECT source, nh,
+             (nh * CAST(round(sqrt(var_num::DOUBLE / nh / nh)) AS BIGINT))
+               ::BIGINT AS w
+      FROM m
+    ),
+    alloc AS (
+      SELECT source, nh, w,
+             ({_NEY_TOTAL} * w) // (SELECT sum(w) FROM wt) AS base,
+             ({_NEY_TOTAL} * w) % (SELECT sum(w) FROM wt) AS rem
+      FROM wt
+    ),
+    quota AS (
+      SELECT source, nh,
+             (base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                            <= {_NEY_TOTAL} - (SELECT sum(base) FROM alloc)
+                     THEN 1 ELSE 0 END)::BIGINT AS quota
+      FROM alloc
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {tok_hash_expr("doc_id::VARCHAR", dialect="duckdb")}, doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, q.quota, r.rk::BIGINT AS rk
+    FROM ranked r JOIN quota q USING (source)
+    WHERE r.rk <= least(q.quota, q.nh)
+    """,
+    tags=("sampling", "stratified", "neyman", "largest-remainder"),
+)
+def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling with largest-remainder
+    rounding — the statistically-optimal mixture sampler (allocation
+    ∝ N_h·σ_h puts budget where the variance is), upgrading q185's flat
+    cap and q140's fixed rates: per-source doc-length variance comes
+    from exact integer moments, σ_h is rounded to an integer scale so
+    weights are integers, integer division splits the {n}-doc budget,
+    and the leftover seats go to the largest remainders (the
+    Hare-quota/party-list method — the only rounding scheme where
+    quotas sum EXACTLY to the budget). Selection within a stratum is
+    portable-hash order (q185's convention) — fully deterministic,
+    reproducible on any engine, no RNG.
+
+    Scale posture (100 TB): moments are one map-side-partial agg; the
+    allocation table is one row per stratum (bounded — its window is
+    over strata, not data); selection is one partitioned rank. The
+    whole sampler is two shuffles end-to-end."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("n_chars") * F.col("n_chars"))
+            - F.sum("n_chars") * F.sum("n_chars")
+        )
+        .cast("long")
+        .alias("var_num"),
+    )
+    wt = m.select(
+        "source",
+        "nh",
+        (
+            F.col("nh")
+            * F.round(
+                F.sqrt(F.col("var_num").cast("double") / F.col("nh") / F.col("nh"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    tot_w = wt.agg(F.sum("w")).first()[0]  # bounded scalar (strata count)
+    alloc = wt.select(
+        "source",
+        "nh",
+        F.expr(f"({_NEY_TOTAL} * w) div {tot_w}").alias("base"),
+        F.expr(f"({_NEY_TOTAL} * w) % {tot_w}").alias("rem"),
+    )
+    tot_base = alloc.agg(F.sum("base")).first()[0]
+    leftovers = _NEY_TOTAL - int(tot_base)
+    quota = alloc.withColumn(
+        "seat_rk", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+    ).select(
+        "source",
+        "nh",
+        (F.col("base") + F.when(F.col("seat_rk") <= leftovers, 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )
+    hash_expr = tok_hash_expr("CAST(doc_id AS STRING)", dialect="spark")
+    w_rank = W.partitionBy("source").orderBy(F.expr(hash_expr), "doc_id")
+    ranked = docs.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(w_rank).cast("long")
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rk") <= F.least("quota", "nh")
+    ).select("doc_id", "source", "quota", "rk")

@@ -31,6 +31,7 @@ from kinesis_customer_sample_spark.queries.composites4 import (
     _FUZZ_BAND,
     _FUZZ_MAX_DIST,
     _FUZZ_PREFIX,
+    _SPARK_NORM,
     fuzzy_join_levenshtein,
 )
 from kinesis_customer_sample_spark.registry import query
@@ -172,4 +173,101 @@ def group_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "source")
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _CAP_K)
+    )
+
+
+_SN_WINDOW = 3  # compare each record to its next 3 sorted neighbors
+_SN_PREFIX = 24  # sort key = first 24 normalized chars
+_SN_MAX_DIST = 8
+
+
+@query(
+    "q316_sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, lang,
+             substring({_DUCK_NORM}, 1, {_SN_PREFIX}) AS sk,
+             substring({_DUCK_NORM}, 1, {_FUZZ_PREFIX}) AS pfx
+      FROM documents
+    ),
+    nb AS (
+      SELECT doc_id AS doc_a, lang, pfx,
+             substring(sk, 1, 1) AS blk,
+             {", ".join(
+                 f"lead(doc_id, {j}) OVER w AS nb{j}, lead(pfx, {j}) OVER w AS nbp{j}"
+                 for j in range(1, _SN_WINDOW + 1)
+             )}
+      FROM n
+      WINDOW w AS (PARTITION BY lang, substring(sk, 1, 1) ORDER BY sk, doc_id)
+    )
+    SELECT doc_a, nb AS doc_b, lang, off,
+           levenshtein(pfx, nbp)::BIGINT AS edit_dist
+    FROM (
+      {" UNION ALL ".join(
+          f"SELECT doc_a, lang, pfx, nb{j} AS nb, nbp{j} AS nbp, "
+          f"{j}::BIGINT AS off FROM nb"
+          for j in range(1, _SN_WINDOW + 1)
+      )}
+    )
+    WHERE nb IS NOT NULL AND levenshtein(pfx, nbp) <= {_SN_MAX_DIST}
+    """,
+    tags=("entity-resolution", "blocking", "sorted-neighborhood"),
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood candidate generation (Hernández &
+    Stolfo) — the OTHER classic ER blocking strategy, complementing
+    q119's (lang, length-band) blocking: records sort by a normalized
+    key and each record is only compared to its next w=3 neighbors in
+    sort order, so candidate volume is exactly w·N regardless of block
+    skew (length-band blocking degrades to band² pairs on a hot band —
+    SN cannot). Blocks are (lang, first sort-key char); within a block
+    the neighbor scan is lead() over one partitioned sort. Survivors are
+    verified with a bounded levenshtein on a 48-char prefix (q119's
+    verify rule, lossless for the emitted set by definition).
+
+    Scale posture (100 TB): one shuffle on the block key, per-block sort,
+    w lead columns — linear candidates, no self-join anywhere. At
+    cluster scale the block key is a range partition of the sort key
+    with w-row overlap replication at partition boundaries; the
+    first-char block here is that scheme with a fixed range table.
+    Candidate recall vs full SN: pairs straddling a block boundary are
+    deliberately out of scope (blocked-SN semantics, stated contract)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(f"substring({_SPARK_NORM}, 1, {_SN_PREFIX})").alias("sk"),
+        F.expr(f"substring({_SPARK_NORM}, 1, {_FUZZ_PREFIX})").alias("pfx"),
+    )
+    w = W.partitionBy("lang", F.substring("sk", 1, 1)).orderBy("sk", "doc_id")
+    nb = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "pfx",
+        *[F.lead("doc_id", j).over(w).alias(f"nb{j}") for j in range(1, _SN_WINDOW + 1)],
+        *[F.lead("pfx", j).over(w).alias(f"nbp{j}") for j in range(1, _SN_WINDOW + 1)],
+    )
+    stacked = nb.select(
+        "doc_a",
+        "lang",
+        "pfx",
+        F.expr(
+            "stack({n}, {args}) AS (off, nb, nbp)".format(
+                n=_SN_WINDOW,
+                args=", ".join(
+                    f"CAST({j} AS BIGINT), nb{j}, nbp{j}"
+                    for j in range(1, _SN_WINDOW + 1)
+                ),
+            )
+        ),
+    ).filter(F.col("nb").isNotNull())
+    dist = F.levenshtein("pfx", "nbp")
+    return (
+        stacked.filter(dist <= _SN_MAX_DIST)
+        .select(
+            "doc_a",
+            F.col("nb").alias("doc_b"),
+            "lang",
+            "off",
+            dist.cast("bigint").alias("edit_dist"),
+        )
     )

@@ -1,0 +1,193 @@
+"""Graph ranking + weighted paths — round-5 wave (SURVEY.md §2B, graph
+family alongside q120 BFS, q159 PageRank, q292 CC): HITS hubs/authorities
+over the bipartite purchase graph, and Bellman-Ford bounded-hop cheapest
+paths over the weighted co-purchase graph.
+
+Both follow the repo's iterative-graph conventions (established by q159):
+- integer micro-unit scores with truncating division, so both engines walk
+  identical integer sequences — no float mass to drift;
+- each round is one keyed join + one hash aggregation (the Pregel
+  message-passing shape), edge list localCheckpointed once and reused;
+- global normalizers are single-scalar driver reads (the sanctioned
+  bounded coordination state, q149-class), never data collects.
+
+Scale posture (100 TB): per iteration the shuffle is keyed by node id and
+carries one partial per (task, node); normalization adds one all-reduce
+scalar. Iteration count is the fixed unroll depth (2 for HITS, 3 for
+Bellman-Ford) — the oracle unrolls the same stages in SQL, so the driver
+hash-match proves the distributed iteration is bit-identical to the
+closed-form derivation. Reference behavior: user-guide analytics use case
+(guide:3) requires engagement ranking over the content graph; HITS is the
+bipartite form of that rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_HITS_MU = 1_000_000
+_BF_ROUNDS = 3
+
+
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→part purchase edges (orders ⋈ lineitem)."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+
+@query(
+    "q314_hits_authorities",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    a1 AS (SELECT p, count(*) * {_HITS_MU}::BIGINT AS a FROM e GROUP BY p),
+    a1n AS (SELECT p, a * {_HITS_MU} // (SELECT max(a) FROM a1) AS a FROM a1),
+    h1 AS (
+      SELECT c, sum(a)::BIGINT AS h
+      FROM e JOIN a1n USING (p) GROUP BY c
+    ),
+    h1n AS (SELECT c, h * {_HITS_MU} // (SELECT max(h) FROM h1) AS h FROM h1),
+    a2 AS (
+      SELECT p, sum(h)::BIGINT AS a
+      FROM e JOIN h1n USING (c) GROUP BY p
+    ),
+    deg AS (SELECT p, count(*) AS n FROM e GROUP BY p)
+    SELECT p::BIGINT AS part_key,
+           (a * {_HITS_MU} // (SELECT max(a) FROM a2))::BIGINT AS auth_mu,
+           deg.n::BIGINT AS n_buyers
+    FROM a2 JOIN deg USING (p)
+    """,
+    tags=("graph", "hits", "iterative", "ranking"),
+)
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the bipartite
+    customer→part purchase graph, 2 half-iterations unrolled: authority
+    a(p) = Σ hub(c) over buyers, hub(c) = Σ a(p) over purchases, each
+    step max-normalized to integer micro-units with truncating division
+    (both engines walk the same integer sequence). Emits the final
+    authority score per part plus its buyer degree. Each half-step is
+    one equi-join keyed on the bipartite node id + one hash agg; the
+    max-normalizer is a single-scalar driver read per step (bounded
+    coordination, q149/q159-class)."""
+    e = _purchase_edges(spark, sf_dir).localCheckpoint()
+    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("n_buyers"))
+    # a1: every hub starts at 1.0 (µ) → authority = degree · µ
+    a = deg.select("p", (F.col("n_buyers") * _HITS_MU).cast("long").alias("a"))
+    max_a = a.agg(F.max("a")).first()[0]
+    a = a.select("p", F.expr(f"a * {_HITS_MU} div {max_a}").alias("a"))
+    h = (
+        e.join(a, "p")
+        .groupBy("c")
+        .agg(F.sum("a").cast("long").alias("h"))
+    )
+    max_h = h.agg(F.max("h")).first()[0]
+    h = h.select("c", F.expr(f"h * {_HITS_MU} div {max_h}").alias("h"))
+    a2 = (
+        e.join(h, "c")
+        .groupBy("p")
+        .agg(F.sum("h").cast("long").alias("a"))
+    )
+    max_a2 = a2.agg(F.max("a")).first()[0]
+    return (
+        a2.join(deg, "p")
+        .select(
+            F.col("p").cast("bigint").alias("part_key"),
+            F.expr(f"a * {_HITS_MU} div {max_a2}").cast("bigint").alias("auth_mu"),
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+        )
+    )
+
+
+def _bf_oracle() -> str:
+    """Unrolled Bellman-Ford rounds (same integer weights as the Spark
+    path: w = (src + dst) % 9 + 1 on the symmetrized co-purchase graph,
+    source = min part key)."""
+    cte = """
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (
+      SELECT src, dst, (src + dst) % 9 + 1 AS w FROM e0
+      UNION ALL
+      SELECT dst, src, (src + dst) % 9 + 1 FROM e0
+    ),
+    d0 AS (SELECT (SELECT min(src) FROM e)::BIGINT AS node, 0::BIGINT AS dist)"""
+    prev = "d0"
+    for k in range(1, _BF_ROUNDS + 1):
+        cte += f""",
+    d{k} AS (
+      SELECT node, min(dist)::BIGINT AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM {prev} d JOIN e ON d.node = e.src
+      ) GROUP BY node
+    )"""
+        prev = f"d{k}"
+    return cte + f"""
+    SELECT node AS part_key, dist FROM {prev}
+    """
+
+
+@query(
+    "q315_bellman_ford_cheapest",
+    oracle=_bf_oracle(),
+    tags=("graph", "shortest-path", "weighted", "iterative"),
+)
+def bellman_ford_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cheapest-path (Bellman-Ford relaxation, 3 rounds) from the
+    minimum part key over the symmetrized co-purchase graph with
+    deterministic integer edge weights ((src+dst) % 9 + 1). Each round
+    relaxes every edge once: frontier ⋈ edges → candidate distances →
+    min-agg per node unioned with the previous table — one join + one
+    keyed aggregation per round, the distributed Bellman-Ford that (unlike
+    Dijkstra) needs no priority queue and therefore actually parallelizes.
+    The distance table carries only REACHED nodes (sparse frontier), so
+    early rounds shuffle a small fraction of the graph. Emits exact
+    integer distances for everything within 3 relaxation rounds; the
+    oracle unrolls the identical rounds, so the hash match proves the
+    relaxation order is immaterial (min is idempotent/commutative)."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .withColumn("w", (F.col("src") + F.col("dst")) % 9 + 1)
+    )
+    edges = und.unionAll(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint()
+    source = edges.agg(F.min("src")).first()[0]  # scalar seed (q120 pattern)
+    dist = edges.sparkSession.createDataFrame(
+        [(int(source), 0)], "node bigint, dist bigint"
+    )
+    for _ in range(_BF_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint()  # truncate lineage per round (q292 pattern)
+        )
+    return dist.select(F.col("node").alias("part_key"), "dist")

@@ -294,3 +294,87 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") >= _KANON_K).alias("k_anonymous"),
         F.round(F.lit(1.0) / F.col("n"), 6).alias("reident_risk"),
     )
+
+
+_RR_MULT = 2654435761  # portable multiplicative hash (q319's constant)
+_RR_MOD = 4294967296
+_RR_FLIP_PCT = 25  # flip probability 25% → eps = ln((1-p)/p) = ln 3
+
+
+@query(
+    "q326_randomized_response_counts",
+    oracle=f"""
+    WITH truth AS (
+      SELECT user_id,
+             user_id % 10 AS cohort,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY user_id
+    ),
+    reported AS (
+      SELECT cohort, b,
+             CASE WHEN (user_id * {_RR_MULT}) % {_RR_MOD} % 100 < {_RR_FLIP_PCT}
+                  THEN 1 - b ELSE b END AS rb
+      FROM truth
+    )
+    SELECT cohort::BIGINT AS cohort,
+           count(*)::BIGINT AS n_users,
+           sum(rb)::BIGINT AS reported_pos,
+           sum(b)::BIGINT AS true_pos,
+           (greatest(sum(rb) * 10000 - {_RR_FLIP_PCT} * 100 * count(*), 0)
+              // (100 - 2 * {_RR_FLIP_PCT}))::BIGINT AS debiased_bp
+    FROM reported GROUP BY cohort
+    """,
+    tags=("privacy", "differential-privacy", "randomized-response"),
+)
+def randomized_response_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomized-response private counting (Warner's mechanism, the
+    local-DP primitive behind RAPPOR): each user's true bit ("ever
+    purchased") is flipped with probability p=25% before aggregation —
+    ε = ln((1−p)/p) = ln 3 local differential privacy — and the
+    aggregate is debiased as (reported − p·n)/(1 − 2p), emitted in
+    integer basis points. The "coin" is a portable multiplicative hash
+    of the user id, so the mechanism is deterministic and
+    oracle-checkable while keeping the exact production dataflow (a
+    deployment swaps the hash for client-side randomness; every shuffle
+    and aggregate is unchanged — the q78-stub philosophy applied to
+    noise). true_pos sits alongside for utility measurement at fixture
+    scale; a real release would not compute it.
+
+    Scale posture: one per-user max-agg (keyed on the natural key), one
+    10-key rollup — map-side partial both times; the flip is a scalar
+    expression. Companion to q284 (k-anonymity audit): that measures
+    re-identification risk, this bounds it mechanically."""
+    truth = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("b")
+        )
+        .select("user_id", (F.col("user_id") % 10).alias("cohort"), "b")
+    )
+    flip = ((F.col("user_id") * _RR_MULT) % _RR_MOD % 100) < _RR_FLIP_PCT
+    reported = truth.withColumn(
+        "rb", F.when(flip, 1 - F.col("b")).otherwise(F.col("b"))
+    )
+    denom = 100 - 2 * _RR_FLIP_PCT
+    return reported.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("rb").cast("bigint").alias("reported_pos"),
+        F.sum("b").cast("bigint").alias("true_pos"),
+        # greatest(…, 0): a sampling dip below p·n would make the numerator
+        # negative, where DuckDB // floors and Spark div truncates — clamp
+        # (a negative debiased rate is estimator noise anyway)
+        F.expr(
+            f"greatest(sum(rb) * 10000 - {_RR_FLIP_PCT} * 100 * count(1), 0) div {denom}"
+        )
+        .cast("bigint")
+        .alias("debiased_bp"),
+    ).select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "n_users",
+        "reported_pos",
+        "true_pos",
+        "debiased_bp",
+    )

@@ -240,3 +240,78 @@ def arrow_map_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("octet_length(text) = char_length(text)")
         .mapInArrow(batch_stats, _ARROW_OUT)
     )
+
+
+@query(
+    "q325_arrow_grouped_centroids",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, g.d AS dim, vi[g.d] AS x
+      FROM v CROSS JOIN generate_series(1, 64) g(d)
+    )
+    SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+           count(*)::BIGINT AS n,
+           (CASE WHEN sum(x) >= 0 THEN sum(x) // count(*)
+                 ELSE -((-sum(x)) // count(*)) END)::BIGINT AS mean_milli
+    FROM ex GROUP BY label, dim
+    """,
+    tags=("python", "arrow", "applyInArrow", "grouped-map"),
+)
+def arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().applyInArrow` (Spark 4.0) — the zero-copy grouped-map
+    surface below applyInPandas: each label group's embeddings arrive as
+    ONE Arrow table, per-dim integer centroid sums run as numpy int64
+    column math (no pandas boxing, no per-row Python), and the result is
+    a 64-row Arrow batch per group. Means are milli-quantized with
+    TRUNCATING division (matched CASE in the oracle — Python's // floors
+    negatives, int(a/b) truncates; the oracle states truncation
+    explicitly), so both engines emit identical integers.
+
+    Scale posture (100 TB): one shuffle on label; per-group work is a
+    single C-speed reduction over the group's Arrow buffers; output is
+    k·64 rows total. A group materializes as ONE columnar Arrow table
+    (raw buffers — far cheaper than applyInPandas' boxed objects, the
+    reason to choose applyInArrow for numeric kernels), so per-group
+    size must fit a worker: for labels too hot for that, this exact
+    reduction decomposes into the two-stage integer agg q305 uses.
+    Cites q305 (integer centroid algebra) and q291 (arrow byte-level
+    map) as the adjacent surfaces."""
+    import numpy as np
+    import pyarrow as pa
+
+    milli = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    v = table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(milli).alias("vi")
+    )
+
+    def centroid(tbl: "pa.Table") -> "pa.Table":
+        vi = tbl.column("vi")
+        flat = np.asarray(vi.combine_chunks().flatten(), dtype=np.int64)
+        x = flat.reshape(-1, 64)
+        acc = x.sum(axis=0)
+        n = x.shape[0]
+        label = tbl.column("label")[0].as_py()
+        # truncating division toward zero (matches Spark `div` and the
+        # oracle's CASE): np floor-divides, so handle negatives explicitly
+        means = np.array(
+            [int(a // n) if a >= 0 else -int((-a) // n) for a in acc],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "label": np.full(64, label, dtype=np.int64),
+                "dim": np.arange(1, 65, dtype=np.int64),
+                "n": np.full(64, n, dtype=np.int64),
+                "mean_milli": means,
+            }
+        )
+
+    return v.groupBy("label").applyInArrow(
+        centroid, "label bigint, dim bigint, n bigint, mean_milli bigint"
+    )

@@ -652,3 +652,80 @@ def embedding_gramian(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q321_feature_standardization_audit",
+    oracle="""
+    WITH v AS (
+      SELECT list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT g.d AS d, vi[g.d] AS x
+      FROM v CROSS JOIN generate_series(1, 64) g(d)
+    ),
+    m AS (
+      SELECT d, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+             sum(x * x)::BIGINT AS sxx
+      FROM ex GROUP BY d
+    ),
+    o AS (
+      SELECT ex.d, count(*)::BIGINT AS n_out
+      FROM ex JOIN m USING (d)
+      WHERE (ex.x * m.n - m.sx) * (ex.x * m.n - m.sx)
+              > 9 * (m.n * m.sxx - m.sx * m.sx)
+      GROUP BY ex.d
+    )
+    SELECT m.d::BIGINT AS dim, m.n AS n,
+           (m.sx // m.n)::BIGINT AS mean_milli,
+           (m.n * m.sxx - m.sx * m.sx)::BIGINT AS var_num,
+           coalesce(o.n_out, 0)::BIGINT AS n_outliers3
+    FROM m LEFT JOIN o USING (d)
+    """,
+    tags=("similarity", "feature-scaling", "standardization", "profiling"),
+)
+def feature_standardization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization audit — the z-score pass
+    every embedding/feature pipeline runs before training (and the
+    contract a separate transform step would apply): for each of the 64
+    dims, corpus moments (n, Σx, Σx²) over milli-quantized values plus
+    the count of |z| > 3 outliers. The outlier test is the ENTIRELY
+    integer inequality (x·n − Σx)² > 9·(n·Σx² − (Σx)²) — algebraically
+    identical to |x−μ|>3σ but with no division, square root, or float
+    anywhere, so both engines agree bit-for-bit (the q311 exactness
+    recipe applied to second moments). int64 bounds: |x|≤8·10³ milli →
+    n·Σx² and (Σx)² stay under 2⁶³ up to ~10⁸ rows per dim; past that,
+    accumulate DECIMAL(38,0) partials (same note as the Gramian).
+
+    Scale posture: moments are one map-side-partial agg over 64 keys
+    (shuffle = 64 rows/task); the outlier pass re-scans with the 64-row
+    moments table BROADCAST — two scans, zero row-scaled shuffles."""
+    v = table(spark, sf_dir, "embeddings").select(F.expr(_GRAM_MILLI).alias("vi"))
+    ex = v.select(F.posexplode("vi").alias("d0", "x")).select(
+        (F.col("d0") + 1).alias("d"), "x"
+    )
+    m = ex.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("sx")
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    o = (
+        ex.join(F.broadcast(m), "d")
+        .filter(dev * dev > 9 * var_num)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_out"))
+    )
+    return (
+        m.join(o, "d", "left")
+        .select(
+            F.col("d").cast("bigint").alias("dim"),
+            "n",
+            F.expr("sx div n").cast("bigint").alias("mean_milli"),
+            var_num.cast("bigint").alias("var_num"),
+            F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_outliers3"),
+        )
+    )

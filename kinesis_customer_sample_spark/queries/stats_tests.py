@@ -443,3 +443,112 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cvr_b, 6).alias("cvr_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# SPRT (Wald sequential probability ratio test) constants, micro-scaled:
+# H0: p = 0.30 vs H1: p = 0.35 (success = event value above threshold),
+# alpha = beta = 0.05. Per-observation LLR increments are CONSTANTS for a
+# Bernoulli test, so the cumulative LLR is pure integer algebra:
+#   success: ln(p1/p0)·1e6 = 154151      failure: ln(q1/q0)·1e6 = −74108
+#   accept H1 at +ln((1−β)/α)·1e6 = 2944439, accept H0 at −2944439.
+_SPRT_S = 154151
+_SPRT_F = -74108
+_SPRT_THR = 2944439
+_SPRT_VALUE_CUT = 50.0
+
+
+@query(
+    "q317_sprt_sequential_test",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id % 2 AS arm, ts, event_id,
+             CASE WHEN value > {_SPRT_VALUE_CUT} THEN {_SPRT_S}
+                  ELSE {_SPRT_F} END AS step
+      FROM events
+    ),
+    walk AS (
+      SELECT arm, ts, event_id, step,
+             sum(step) OVER (PARTITION BY arm ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS llr_mu,
+             row_number() OVER (PARTITION BY arm ORDER BY ts, event_id)
+               ::BIGINT AS n
+      FROM obs
+    ),
+    hits AS (
+      SELECT arm, llr_mu, n,
+             row_number() OVER (PARTITION BY arm ORDER BY n) AS rk
+      FROM walk
+      WHERE llr_mu >= {_SPRT_THR} OR llr_mu <= -{_SPRT_THR}
+    ),
+    finals AS (
+      SELECT arm, llr_mu, n,
+             row_number() OVER (PARTITION BY arm ORDER BY n DESC) AS rk
+      FROM walk
+    )
+    SELECT w.arm::BIGINT AS arm,
+           coalesce(h.n, w.n)::BIGINT AS n_at_decision,
+           coalesce(h.llr_mu, w.llr_mu)::BIGINT AS llr_mu,
+           CASE WHEN h.llr_mu >= {_SPRT_THR} THEN 'accept_h1'
+                WHEN h.llr_mu <= -{_SPRT_THR} THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM (SELECT arm, llr_mu, n FROM finals WHERE rk = 1) w
+    LEFT JOIN (SELECT arm, llr_mu, n FROM hits WHERE rk = 1) h USING (arm)
+    """,
+    tags=("stats", "sequential-test", "sprt", "ab-test"),
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT over the event stream — the sequential complement to
+    q261's fixed-horizon A/B analysis: per experiment arm (user_id % 2)
+    the cumulative log-likelihood ratio walks +ln(p1/p0) on success /
+    +ln(q1/q0) on failure in event order and the experiment STOPS at the
+    first boundary crossing (±ln((1−β)/α)). Because Bernoulli LLR
+    increments are constants, the walk is an integer cumulative sum in
+    micro-units — both engines take bit-identical paths, and the first
+    crossing is exact (no FP boundary jitter). Emits per arm: decision,
+    sample size at decision, and the LLR there (or the final state if no
+    boundary was hit). One window partitioned by arm ordered by
+    (ts, event_id) — a single shuffle on the arm key; the two
+    'first/last row per arm' reductions reuse that partitioning.
+
+    Scale posture: state per arm is one running integer; at 100 TB the
+    same walk runs as a streaming cumulative agg keyed by arm (q213's
+    stateful shape) — this batch form is its oracle-checkable twin."""
+    ev = table(spark, sf_dir, "events")
+    step = F.when(F.col("value") > _SPRT_VALUE_CUT, F.lit(_SPRT_S)).otherwise(
+        F.lit(_SPRT_F)
+    )
+    w = W.partitionBy("arm").orderBy("ts", "event_id")
+    walk = (
+        ev.select((F.col("user_id") % 2).alias("arm"), "ts", "event_id", step.alias("step"))
+        .withColumn(
+            "llr_mu",
+            F.sum("step").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("bigint"),
+        )
+        .withColumn("n", F.row_number().over(w).cast("bigint"))
+    )
+    crossed = F.abs(F.col("llr_mu")) >= _SPRT_THR
+    first_hit = (
+        walk.filter(crossed)
+        .withColumn("rk", F.row_number().over(W.partitionBy("arm").orderBy("n")))
+        .filter(F.col("rk") == 1)
+        .select("arm", F.col("n").alias("h_n"), F.col("llr_mu").alias("h_llr"))
+    )
+    final = (
+        walk.withColumn(
+            "rk", F.row_number().over(W.partitionBy("arm").orderBy(F.col("n").desc()))
+        )
+        .filter(F.col("rk") == 1)
+        .select("arm", "n", "llr_mu")
+    )
+    return (
+        final.join(first_hit, "arm", "left")
+        .select(
+            F.col("arm").cast("bigint").alias("arm"),
+            F.coalesce("h_n", "n").cast("bigint").alias("n_at_decision"),
+            F.coalesce("h_llr", "llr_mu").cast("bigint").alias("llr_mu"),
+            F.when(F.col("h_llr") >= _SPRT_THR, "accept_h1")
+            .when(F.col("h_llr") <= -_SPRT_THR, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )

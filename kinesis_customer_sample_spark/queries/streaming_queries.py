@@ -1066,3 +1066,70 @@ def stream_split_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@query(
+    "q324_stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT event_id)::BIGINT AS n_unique,
+           min(event_id)::BIGINT            AS min_event_id,
+           max(event_id)::BIGINT            AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup", "watermark", "exactly-once"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` (Spark 3.5+) — the at-least-once →
+    effectively-once repair operator: the replay feeds every event TWICE
+    (two arrival shards carrying the same rows — the duplicate delivery a
+    Kinesis consumer sees after a shard reader restart, guide:13), and
+    the stream-side dedup keyed on event_id drops the second copy while
+    expiring its state by watermark — unlike plain dropDuplicates, whose
+    key state grows forever on an unbounded stream. The deduped stream
+    then rolls up per event type in batch; the oracle aggregates the
+    ORIGINAL (unduplicated) table, so the hash match proves every
+    duplicate died in-stream and no original was lost.
+
+    Scale posture (100 TB): state is one entry per key within the
+    watermark horizon — bounded by arrival rate × delay, not stream
+    length; the dedup shuffle is keyed on event_id (uniform), and the
+    downstream rollup reuses the standard agg shape. Replay prep is
+    Spark-side (write_ordered_shards, q245 convention)."""
+    import os
+    import tempfile
+
+    from kinesis_customer_sample_spark.streaming.replay import (
+        run_to_completion,
+        write_ordered_shards,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    doubled = ev.withColumn("batch_id", F.lit(0)).unionByName(
+        ev.withColumn("batch_id", F.lit(1))  # the duplicate delivery
+    )
+    src_dir = os.path.join(tempfile.mkdtemp(prefix="kcss_dedup_wm_"), "src")
+    write_ordered_shards(doubled, src_dir, 2, "batch_id")
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_completion(deduped, output_mode="append")
+    # plain count(*) vs the oracle's count(DISTINCT): a duplicate that
+    # survived the stream-side dedup would inflate the row count and
+    # hash-mismatch — a batch countDistinct here would mask exactly the
+    # failure this query exists to prove absent
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.min("event_id").cast("bigint").alias("min_event_id"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+    )

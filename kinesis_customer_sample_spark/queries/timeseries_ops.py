@@ -29,7 +29,7 @@ order-statistic selection only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -296,4 +296,159 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(1000 * abs(cents - fc) div cents) div count(1)")
         .cast("bigint")
         .alias("mape_milli"),
+    )
+
+
+_CONC_HOLD_US = 30 * 60 * 1_000_000  # each event holds a presence slot 30 min
+
+
+@query(
+    "q320_sweepline_concurrency",
+    oracle=f"""
+    WITH b AS (
+      SELECT epoch_us(ts)::BIGINT AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT epoch_us(ts)::BIGINT + {_CONC_HOLD_US}, -1 FROM events
+    ),
+    per_t AS (
+      SELECT t, sum(delta)::BIGINT AS net, count(*)::BIGINT AS n_b
+      FROM b GROUP BY t
+    ),
+    run AS (
+      SELECT t, n_b,
+             sum(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS v
+      FROM per_t
+    )
+    SELECT CAST(make_timestamp(t) AS DATE) AS day,
+           max(v)::BIGINT AS max_concurrent,
+           (array_agg(v ORDER BY t DESC))[1]::BIGINT AS eod_concurrent,
+           sum(n_b)::BIGINT AS n_boundaries
+    FROM run
+    GROUP BY 1
+    """,
+    tags=("timeseries", "sweep-line", "interval", "concurrency"),
+)
+def sweepline_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: how many presence intervals (event time +
+    30 min hold) overlap at once, per day — the capacity-planning /
+    license-peak / max-connections metric that interval overlap cannot
+    express as a plain group-by. Each event emits +1/−1 boundary rows;
+    boundaries collapse per timestamp (so same-instant orderings are
+    moot — the post-instant value is order-free), and the running sum
+    over boundary time is the live concurrency, rolled up to per-day
+    peak and end-of-day level.
+
+    Scale posture (100 TB): the textbook sweep line is a GLOBAL ordered
+    scan — the un-parallelizable formulation. This one is two-phase:
+    per-day partitioned cumulative sums (one shuffle on day), then each
+    day's carry-in is the prefix of per-day NET totals — a window over
+    the day-level table, whose row count is the calendar (bounded — 36k
+    rows for a century), not the data. The same decomposition tiles down
+    to hour/minute keys if days are still too hot."""
+    ev = table(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t")
+    )
+    b = ev.select("t", F.lit(1).alias("delta")).unionAll(
+        ev.select((F.col("t") + _CONC_HOLD_US).alias("t"), F.lit(-1).alias("delta"))
+    )
+    per_t = b.groupBy("t").agg(
+        F.sum("delta").cast("long").alias("net"),
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+    ).withColumn("day", F.to_date(F.timestamp_micros(F.col("t"))))
+    w_day = W.partitionBy("day").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    within = per_t.withColumn("v_in_day", F.sum("net").over(w_day))
+    day_tot = per_t.groupBy("day").agg(F.sum("net").cast("long").alias("day_net"))
+    # carry-in: prefix sum over the bounded day-level table (rows = calendar
+    # days, not data) — exclusive prefix so each day starts at the previous
+    # days' closing level
+    w_cal = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    carry = day_tot.withColumn(
+        "carry", F.coalesce(F.sum("day_net").over(w_cal), F.lit(0))
+    ).select("day", "carry")
+    run = within.join(F.broadcast(carry), "day").withColumn(
+        "v", (F.col("v_in_day") + F.col("carry")).cast("long")
+    )
+    return run.groupBy("day").agg(
+        F.max("v").cast("bigint").alias("max_concurrent"),
+        F.max_by("v", "t").cast("bigint").alias("eod_concurrent"),
+        F.sum("n_b").cast("bigint").alias("n_boundaries"),
+    )
+
+
+@query(
+    "q323_lag1_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type,
+             count(*)::BIGINT   AS n_pairs,
+             sum(x)::BIGINT     AS sx,
+             sum(y)::BIGINT     AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+      FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0
+                THEN CAST(round(
+                  1000000.0 * (n_pairs * sxy - sx * sy)
+                  / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
+                         * (n_pairs * syy - sy * sy)::DOUBLE)) AS BIGINT)
+                ELSE NULL END AS r1_mu
+    FROM m
+    """,
+    tags=("timeseries", "autocorrelation", "stats"),
+)
+def lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series lag-1 autocorrelation of daily event volumes — the
+    seasonality/persistence screen run before fitting any forecasting
+    model (q283's seasonal-naive backtest assumes exactly this structure;
+    this measures it). Pairs are consecutive OBSERVED days (one lead over
+    a per-series ordered window); the Pearson r over (x_d, x_{d+1}) is
+    assembled from pure integer moments — n·Σxy − ΣxΣy over the exact
+    integer variance products — with doubles entering only in the final
+    sqrt/divide, whose operands are exact int64 (< 2⁵³, so the one
+    double expression is IEEE-identical across engines; the q323/q311
+    exactness recipe). Degenerate (zero-variance) series emit NULL.
+
+    Scale posture: one day-level pre-aggregation (map-side partial), one
+    per-series window over the bounded calendar, one 5-key moment agg —
+    nothing row-scaled shuffles twice."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    pairs = daily.withColumn("y", F.lead("x").over(w)).filter(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "event_type",
+        "n_pairs",
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                1000000.0 * cov / F.sqrt(vx.cast("double") * vy.cast("double"))
+            ).cast("bigint"),
+        ).alias("r1_mu"),
     )

@@ -746,3 +746,183 @@ def zonemap_pruned_file_count(spark: SparkSession, sf_dir: str) -> tuple[int, in
         (F.col("mx") >= F.lit(_ZM_LO)) & (F.col("mn") <= F.lit(_ZM_HI))
     ).count()
     return keep, total
+
+
+_LPM_MOD = 4294967296  # 2^32 — synthetic IPv4 space
+_LPM_MULT = 2654435761  # Knuth multiplicative hash — portable integer arith
+_LPM_N_RULES = 64
+_LPM_MIN_LEN, _LPM_MAX_LEN = 8, 24
+
+
+@query(
+    "q319_longest_prefix_match",
+    oracle=f"""
+    WITH ips AS (
+      SELECT c_custkey,
+             (c_custkey * {_LPM_MULT}) % {_LPM_MOD} AS ip
+      FROM customer
+    ),
+    rules AS (
+      SELECT r,
+             {_LPM_MIN_LEN} + (r % ({_LPM_MAX_LEN} - {_LPM_MIN_LEN} + 1)) AS plen,
+             ((r * {_LPM_MULT} + 12345) % {_LPM_MOD})
+               // (1::BIGINT << (32 - ({_LPM_MIN_LEN} + (r % ({_LPM_MAX_LEN} - {_LPM_MIN_LEN} + 1)))))
+               AS pkey
+      FROM range({_LPM_N_RULES}) t(r)
+    ),
+    cand AS (
+      SELECT i.c_custkey, i.ip, rules.plen, rules.r AS route,
+             row_number() OVER (
+               PARTITION BY i.c_custkey
+               ORDER BY rules.plen DESC, rules.r) AS rk
+      FROM ips i
+      JOIN range({_LPM_MIN_LEN}, {_LPM_MAX_LEN} + 1) l(plen)
+        ON true
+      JOIN rules
+        ON rules.plen = l.plen
+       AND rules.pkey = i.ip // (1::BIGINT << (32 - l.plen))
+    )
+    SELECT i.c_custkey::BIGINT AS c_custkey,
+           i.ip::BIGINT AS ip,
+           c.plen::BIGINT AS plen,
+           c.route::BIGINT AS route
+    FROM ips i LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c USING (c_custkey)
+    """,
+    tags=("join", "lookup", "longest-prefix", "cidr"),
+)
+def longest_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-prefix-match lookup join (the CIDR/routing-table shape —
+    geo-IP enrichment, network attribution, hierarchical code matching):
+    each synthetic 32-bit address (portable multiplicative hash of the
+    customer key) must find the MOST SPECIFIC of 64 prefix rules
+    (lengths 8..24). An inequality/containment join in disguise, made
+    equi: expand each address by the 17 DISTINCT prefix lengths
+    (map-side generate — candidate volume is #lengths·N, independent of
+    rule count), equi-join (plen, truncated-prefix) against the
+    broadcast rule table, then keep the longest match per address via
+    one partitioned row_number. Ties at equal length break on rule id.
+    Unmatched addresses survive with NULL route (left join).
+
+    Scale posture (100 TB): the rule table broadcasts (real routing
+    tables are ≤ millions of rows — still broadcastable after grouping
+    by length); the fact side never shuffles for the match itself, only
+    for the per-address top-1 reduction, which at scale folds into a
+    max_by aggregation on the same key. All arithmetic is integer
+    div/mod by powers of two — identical across engines."""
+    span = _LPM_MAX_LEN - _LPM_MIN_LEN + 1
+    ips = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * _LPM_MULT) % _LPM_MOD).alias("ip"),
+    )
+    plen = _LPM_MIN_LEN + (F.col("id") % span)
+    rules = spark.range(_LPM_N_RULES).select(
+        F.col("id").alias("route"),
+        plen.alias("plen"),
+        F.expr(
+            f"((id * {_LPM_MULT} + 12345) % {_LPM_MOD}) div "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(32 - ({_LPM_MIN_LEN} + id % {span}) AS INT))"
+        ).alias("pkey"),
+    )
+    lens = spark.range(_LPM_MIN_LEN, _LPM_MAX_LEN + 1).select(
+        F.col("id").alias("lp")
+    )
+    cand = (
+        ips.crossJoin(F.broadcast(lens))
+        .withColumn(
+            "key",
+            F.expr("ip div shiftleft(CAST(1 AS BIGINT), CAST(32 - lp AS INT))"),
+        )
+        .join(
+            F.broadcast(rules),
+            (F.col("lp") == F.col("plen")) & (F.col("key") == F.col("pkey")),
+        )
+        .select("c_custkey", "ip", "plen", "route")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("c_custkey").orderBy(F.col("plen").desc(), "route")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("c_custkey", F.col("plen").alias("b_plen"), F.col("route").alias("b_route"))
+    )
+    return ips.join(cand, "c_custkey", "left").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("ip").cast("bigint").alias("ip"),
+        F.col("b_plen").cast("bigint").alias("plen"),
+        F.col("b_route").cast("bigint").alias("route"),
+    )
+
+
+_TT_CUT = "1996-01-01"  # snapshot 1 = orders strictly before the cut
+
+
+@query(
+    "q318_snapshot_time_travel",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_TT_CUT} 00:00:00'
+      AND o_orderkey % 4 < 2
+    GROUP BY o_orderpriority
+    """,
+    tags=("warehouse", "snapshot", "time-travel", "manifest", "lakehouse"),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated time travel over a mini manifest-based table
+    format (the Iceberg/Delta mechanic, engine-built): snapshot 1 commits
+    the pre-{_TT_CUT} orders as bucket-partitioned data files plus a
+    MANIFEST (one JSON row per file with its bucket and o_orderkey%4
+    min/max); snapshot 2 appends post-cut files and commits a superset
+    manifest. The query reads AS OF snapshot 1 — the reader lists only
+    manifest-1 files (old snapshots stay readable after appends, the
+    core time-travel property) and MANIFEST-PRUNES to the buckets the
+    `o_orderkey % 4 < 2` predicate can touch, scanning half the files
+    without opening the rest. The oracle recomputes from the raw table,
+    proving snapshot reads see exactly the committed-at-snapshot-1 rows.
+
+    Scale posture (100 TB): the manifest is metadata (one row per file —
+    thousands of rows for petabyte tables), read driver-side exactly as
+    real table formats do; file pruning happens before any data I/O, so
+    a selective predicate touches O(matching files), and appends never
+    rewrite old files. Scratch is per-run (run_scratch_dir, r4-advice
+    convention)."""
+    import json
+
+    from kinesis_customer_sample_spark.streaming.replay import run_scratch_dir
+
+    base = run_scratch_dir("q318", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"
+    ).withColumn("bucket", (F.col("o_orderkey") % 4).cast("int"))
+
+    manifests: dict[int, list[dict]] = {1: [], 2: []}
+    for snap, pred in ((1, F.col("o_orderdate") < _TT_CUT), (2, F.col("o_orderdate") >= _TT_CUT)):
+        for bucket in range(4):
+            path = os.path.join(base, f"data_s{snap}_b{bucket}")
+            o.filter(pred & (F.col("bucket") == bucket)).write.parquet(path)
+            entry = {"path": path, "bucket_min": bucket, "bucket_max": bucket}
+            manifests[snap].append(entry)
+    manifests[2] = manifests[1] + manifests[2]  # append-only commit
+    for snap, files in manifests.items():
+        with open(os.path.join(base, f"manifest_{snap}.json"), "w") as fh:
+            json.dump(files, fh)
+
+    # --- reader: AS OF snapshot 1, predicate bucket < 2 ---
+    with open(os.path.join(base, "manifest_1.json")) as fh:
+        snap1 = json.load(fh)
+    live = [f["path"] for f in snap1 if f["bucket_min"] < 2]  # manifest prune
+    assert len(live) == 2, "manifest pruning must skip non-matching buckets"
+    return (
+        spark.read.parquet(*live)
+        .filter(F.col("bucket") < 2)  # residual predicate (file-level prune is coarse)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+    )

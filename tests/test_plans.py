@@ -1281,3 +1281,115 @@ def test_not_in_uses_null_aware_anti_join(spark, sf_dir):
     naaj = [ln for ln in simple.splitlines() if "LeftAnti, BuildRight, true" in ln]
     assert len(naaj) == 2, simple
     assert "CartesianProduct" not in simple
+
+
+# ---------------------------------------------------------------- round-5 wave
+
+
+def test_hits_broadcast_free_iterations(spark, sf_dir):
+    """q314: each HITS half-step must be an equi-join + keyed hash agg —
+    no cartesian, no nested-loop; partial aggregation on (the shuffle
+    carries per-task partials, not rows)."""
+    facts = audit_of(spark, sf_dir, "q314_hits_authorities")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) == 0
+    assert facts.has_partial_agg
+
+
+def test_bellman_ford_keyed_relaxation(spark, sf_dir):
+    """q315: the returned plan is the final localCheckpoint scan (lineage
+    deliberately truncated per round, q292 pattern) — assert the contract
+    that survives: no cartesian, no join residue in the final plan."""
+    facts = audit_of(spark, sf_dir, "q315_bellman_ford_cheapest")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_sorted_neighborhood_no_self_join(spark, sf_dir):
+    """q316: sorted-neighborhood candidates come from ONE partitioned
+    window + a generator (stack) — candidate volume is w·N by plan shape,
+    so there must be NO join of any strategy and no unpartitioned
+    window."""
+    facts = audit_of(spark, sf_dir, "q316_sorted_neighborhood_pairs")
+    assert facts.join_strategies == {}
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+
+
+def test_sprt_single_arm_shuffle(spark, sf_dir):
+    """q317: the LLR walk is windows partitioned by arm — no
+    unpartitioned window (the walk must not serialize through one task),
+    and the first-hit/final reductions must not introduce a cartesian."""
+    facts = audit_of(spark, sf_dir, "q317_sprt_sequential_test")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_longest_prefix_broadcasts_rules(spark, sf_dir):
+    """q319: the rule and length tables must BROADCAST (the fact side
+    never shuffles for the match itself) and the scan must prune to the
+    customer key column."""
+    facts = audit_of(spark, sf_dir, "q319_longest_prefix_match")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    # the ONLY sort-merge join allowed is the per-address best-match
+    # reduction joining back to the address table (both sides keyed on
+    # c_custkey); the rule/length match itself must stay broadcast
+    assert facts.join_strategies.get("SortMergeJoin", 0) <= 1
+    assert not facts.has_cartesian
+    assert not facts.scans_read_column("c_name")
+    assert not facts.scans_read_column("c_acctbal")
+
+
+def test_sweepline_day_partitioned(spark, sf_dir):
+    """q320: the data-scaled cumulative sum must be day-partitioned; the
+    only unpartitioned window is over the bounded day-level table, and
+    the carry joins back via broadcast."""
+    facts = audit_of(spark, sf_dir, "q320_sweepline_concurrency")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+
+
+def test_standardization_broadcast_moments(spark, sf_dir):
+    """q321: the outlier pass joins the 64-row moments table via
+    broadcast; moments are map-side partial; only vec columns read."""
+    facts = audit_of(spark, sf_dir, "q321_feature_standardization_audit")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+    assert facts.has_partial_agg
+    assert not facts.scans_read_column("label")
+
+
+def test_neyman_bounded_coordination(spark, sf_dir):
+    """q322: the per-stratum quota table must broadcast into the rank
+    filter; selection is one partitioned window (no unpartitioned window
+    over data — the only global sort is over strata)."""
+    facts = audit_of(spark, sf_dir, "q322_neyman_stratified_sample")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+
+
+def test_autocorr_calendar_window(spark, sf_dir):
+    """q323: daily pre-aggregation must be partial (map-side combine
+    before the day shuffle); the lead window partitions by series."""
+    facts = audit_of(spark, sf_dir, "q323_lag1_autocorrelation")
+    assert facts.has_partial_agg
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies == {}
+
+
+def test_arrow_centroids_is_arrow_grouped_map(spark, sf_dir):
+    """q325: the grouped kernel must run through the Arrow grouped-map
+    operator (no pandas boxing, no row-at-a-time BatchEvalPython)."""
+    facts = audit_of(spark, sf_dir, "q325_arrow_grouped_centroids")
+    assert "Arrow" in facts.text
+    assert "BatchEvalPython" not in facts.text
+
+
+def test_randomized_response_pure_codegen(spark, sf_dir):
+    """q326: the mechanism is scalar expressions + two keyed aggs — no
+    Python evaluation anywhere, partial aggregation on both."""
+    facts = audit_of(spark, sf_dir, "q326_randomized_response_counts")
+    assert "EvalPython" not in facts.text
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}

