@@ -145,6 +145,10 @@ HEADLINE = [
     "q323_lag1_autocorrelation",
     "q325_arrow_grouped_centroids",
     "q326_randomized_response_counts",
+    "q327_emd_drift",
+    "q328_positional_phrase_search",
+    "q329_weekday_seasonal_adjust",
+    "q330_binseg_changepoints",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

@@ -167,3 +167,158 @@ def benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_bp"),
         )
     )
+
+
+@query(
+    "q330_binseg_changepoints",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, x,
+             row_number() OVER w AS k,
+             sum(x) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS s,
+             count(*) OVER (PARTITION BY event_type)::BIGINT AS n,
+             sum(x) OVER (PARTITION BY event_type)::BIGINT AS t
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    cand AS (SELECT * FROM idx WHERE k < n),
+    g1 AS (
+      SELECT *,
+             CAST(s * s AS DOUBLE) / k
+               + CAST((t - s) * (t - s) AS DOUBLE) / (n - k)
+               - CAST(t * t AS DOUBLE) / n AS gain,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(s * s AS DOUBLE) / k
+                        + CAST((t - s) * (t - s) AS DOUBLE) / (n - k) DESC,
+                        k) AS rk
+      FROM cand
+    ),
+    root AS (SELECT event_type, k AS k1, s AS s1, day, gain FROM g1 WHERE rk = 1),
+    lvl2 AS (
+      SELECT c.event_type, c.k, c.day,
+             CASE WHEN c.k < r.k1 THEN 'left' ELSE 'right' END AS side,
+             CASE WHEN c.k < r.k1 THEN
+               CAST(c.s * c.s AS DOUBLE) / c.k
+                 + CAST((r.s1 - c.s) * (r.s1 - c.s) AS DOUBLE) / (r.k1 - c.k)
+                 - CAST(r.s1 * r.s1 AS DOUBLE) / r.k1
+             ELSE
+               CAST((c.s - r.s1) * (c.s - r.s1) AS DOUBLE) / (c.k - r.k1)
+                 + CAST((c.t - c.s) * (c.t - c.s) AS DOUBLE) / (c.n - c.k)
+                 - CAST((c.t - r.s1) * (c.t - r.s1) AS DOUBLE) / (c.n - r.k1)
+             END AS gain
+      FROM cand c JOIN root r USING (event_type)
+      WHERE c.k != r.k1
+    ),
+    best2 AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type, side
+                                   ORDER BY gain DESC, k) AS rk
+      FROM lvl2
+    )
+    SELECT event_type, 'root' AS segment, day AS split_day,
+           round(gain, 6) AS gain_r6
+    FROM root
+    UNION ALL
+    SELECT event_type, side, day, round(gain, 6)
+    FROM best2 WHERE rk = 1
+    """,
+    tags=("changepoint", "binary-segmentation", "timeseries"),
+)
+def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint detection, two levels deep, run
+    ENTIRELY as windowed SQL — no driver loop: for each series the best
+    split maximizes the between-segment cost reduction S₁²/n₁ + S₂²/n₂
+    (the L2 binseg objective; q224's CUSUM flags that a change exists —
+    this localizes the top-3 via recursive splitting). Every candidate's
+    gain is computable from PREFIX SUMS alone, so level 1 is one
+    partitioned window + argmax, and level 2 re-scores the same
+    candidates against the level-1 winner's prefix (one broadcast-scale
+    join) — O(n) total work per series where the textbook recursion
+    re-scans segments. Gains are IEEE doubles over exact int64 prefix
+    products (< 2⁵³ at fixture scale — DECIMAL partials past ~10⁹ daily
+    events), identical cross-engine; ties break on the earlier split.
+
+    Scale posture: both levels are windows partitioned by series over
+    the bounded calendar plus one join against the 1-row-per-series
+    winners — the data-scaled shuffle is only the daily pre-agg."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w_ord = W.partitionBy("event_type").orderBy("day")
+    w_all = W.partitionBy("event_type")
+    idx = (
+        daily.withColumn("k", F.row_number().over(w_ord))
+        .withColumn(
+            "s", F.sum("x").over(w_ord.rowsBetween(W.unboundedPreceding, 0)).cast("long")
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all).cast("long"))
+        .withColumn("t", F.sum("x").over(w_all).cast("long"))
+    )
+    cand = idx.filter(F.col("k") < F.col("n"))
+    gain1 = (
+        (F.col("s") * F.col("s")).cast("double") / F.col("k")
+        + ((F.col("t") - F.col("s")) * (F.col("t") - F.col("s"))).cast("double")
+        / (F.col("n") - F.col("k"))
+        - (F.col("t") * F.col("t")).cast("double") / F.col("n")
+    )
+    g1 = cand.withColumn("gain", gain1).withColumn(
+        "rk",
+        F.row_number().over(W.partitionBy("event_type").orderBy(F.col("gain").desc(), "k")),
+    )
+    root = g1.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("k").alias("k1"),
+        F.col("s").alias("s1"),
+        F.col("day").alias("r_day"),
+        F.col("gain").alias("r_gain"),
+    )
+    c = cand.join(F.broadcast(root), "event_type").filter(F.col("k") != F.col("k1"))
+    left_gain = (
+        (F.col("s") * F.col("s")).cast("double") / F.col("k")
+        + ((F.col("s1") - F.col("s")) * (F.col("s1") - F.col("s"))).cast("double")
+        / (F.col("k1") - F.col("k"))
+        - (F.col("s1") * F.col("s1")).cast("double") / F.col("k1")
+    )
+    right_gain = (
+        ((F.col("s") - F.col("s1")) * (F.col("s") - F.col("s1"))).cast("double")
+        / (F.col("k") - F.col("k1"))
+        + ((F.col("t") - F.col("s")) * (F.col("t") - F.col("s"))).cast("double")
+        / (F.col("n") - F.col("k"))
+        - ((F.col("t") - F.col("s1")) * (F.col("t") - F.col("s1"))).cast("double")
+        / (F.col("n") - F.col("k1"))
+    )
+    lvl2 = c.select(
+        "event_type",
+        "k",
+        "day",
+        F.when(F.col("k") < F.col("k1"), "left").otherwise("right").alias("side"),
+        F.when(F.col("k") < F.col("k1"), left_gain).otherwise(right_gain).alias("gain"),
+    )
+    best2 = lvl2.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type", "side").orderBy(F.col("gain").desc(), "k")
+        ),
+    ).filter(F.col("rk") == 1)
+    return root.select(
+        "event_type",
+        F.lit("root").alias("segment"),
+        F.col("r_day").alias("split_day"),
+        F.round("r_gain", 6).alias("gain_r6"),
+    ).unionByName(
+        best2.select(
+            "event_type",
+            F.col("side").alias("segment"),
+            F.col("day").alias("split_day"),
+            F.round("gain", 6).alias("gain_r6"),
+        )
+    )

@@ -43,6 +43,7 @@ from kinesis_customer_sample_spark.functions import (
 )
 from kinesis_customer_sample_spark.queries.text_analysis import (
     _DUCK_TOKS,
+    _SPARK_TOKS,
     _docs_with_tokens,
 )
 from kinesis_customer_sample_spark.registry import query
@@ -951,4 +952,94 @@ def boolean_postings_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score"), "doc_id")
         .limit(_BOOL_TOPK)
+    )
+
+
+@query(
+    "q328_positional_phrase_search",
+    oracle=f"""
+    WITH post AS (
+      -- parallel unnests zip in DuckDB: token + its 1-based position
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks)))::BIGINT AS pos
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ),
+    big AS (
+      SELECT a.tok AS w1, b.tok AS w2, count(*) AS n
+      FROM post a JOIN post b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2
+      ORDER BY n DESC, w1, w2
+      LIMIT 1
+    )
+    SELECT p1.doc_id,
+           (SELECT w1 FROM big) AS w1,
+           (SELECT w2 FROM big) AS w2,
+           count(*)::BIGINT AS n_occurrences,
+           min(p1.pos)::BIGINT AS first_pos
+    FROM post p1
+    JOIN post p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+    WHERE p1.tok = (SELECT w1 FROM big) AND p2.tok = (SELECT w2 FROM big)
+    GROUP BY p1.doc_id
+    """,
+    tags=("retrieval", "phrase-search", "positional-postings", "inverted-index"),
+)
+def positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search — the inverted-index operator q273's
+    boolean postings AND cannot express: a phrase "w1 w2" matches only
+    where the two terms are ADJACENT, so postings carry positions and
+    the match is an equi-join on (doc, pos+1 = pos). The probed phrase
+    is data-derived (the corpus' most frequent bigram, ties broken
+    lexicographically — deterministic) and emitted alongside each hit
+    so the result is self-describing. Per-doc occurrence counts and
+    first position come from one keyed aggregation over the adjacency
+    join.
+
+    Scale posture (100 TB): a real engine stores postings partitioned
+    BY TERM, so a phrase probe touches two postings lists; here both
+    sides are term-filtered before the join (pushed predicates), and
+    the adjacency join keys on doc_id — the position test rides as a
+    join-level predicate, never a cartesian. The bigram-mining step is
+    the q122 collocation shape (posexplode + self-join keyed on doc)
+    and exists to pick the probe; a production system would take the
+    phrase as a parameter."""
+    post = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.expr(_SPARK_TOKS)).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    )
+    a, b = post.alias("a"), post.alias("b")
+    big = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(1)
+    )
+    probe = big.first()  # bounded scalar probe (one job)
+    w1, w2 = probe["w1"], probe["w2"]
+    p1 = post.filter(F.col("tok") == w1).alias("p1")
+    p2 = post.filter(F.col("tok") == w2).alias("p2")
+    return (
+        p1.join(
+            p2,
+            (F.col("p1.doc_id") == F.col("p2.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1),
+        )
+        .groupBy(F.col("p1.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("p1.pos").cast("long").alias("first_pos"),
+        )
+        .select(
+            "doc_id",
+            F.lit(w1).alias("w1"),
+            F.lit(w2).alias("w2"),
+            "n_occurrences",
+            "first_pos",
+        )
     )

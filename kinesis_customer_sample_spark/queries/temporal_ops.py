@@ -503,3 +503,99 @@ def bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_profile_cents"),
         )
     )
+
+
+_EMD_BINS = 20
+_EMD_BIN_W = 5
+
+
+@query(
+    "q327_emd_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(ts AS DATE) AS day,
+             least(floor(value / {_EMD_BIN_W})::BIGINT, {_EMD_BINS - 1}) AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT day, bin, count(*)::BIGINT AS c FROM binned GROUP BY day, bin
+    ),
+    grid AS (
+      SELECT d.day, b.bin, coalesce(c.c, 0)::BIGINT AS c
+      FROM (SELECT DISTINCT day FROM binned) d
+      CROSS JOIN range({_EMD_BINS}) b(bin)
+      LEFT JOIN counts c USING (day, bin)
+    ),
+    shares AS (
+      SELECT day, bin,
+             (c * 10000 // sum(c) OVER (PARTITION BY day))::BIGINT AS share_bp
+      FROM grid
+    ),
+    cdf AS (
+      SELECT day, bin,
+             sum(share_bp) OVER (PARTITION BY day ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cdf_bp
+      FROM shares
+    ),
+    lagged AS (
+      SELECT day, bin, cdf_bp,
+             lag(cdf_bp) OVER (PARTITION BY bin ORDER BY day) AS prev_cdf
+      FROM cdf
+    )
+    SELECT day, sum(abs(cdf_bp - prev_cdf))::BIGINT AS emd_bp
+    FROM lagged
+    WHERE prev_cdf IS NOT NULL
+    GROUP BY day
+    """,
+    tags=("drift", "emd", "wasserstein", "monitoring"),
+)
+def emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day 1-D earth-mover's (Wasserstein-1) distance between
+    value distributions — the drift metric that, unlike q194's per-bin
+    share deltas, weighs HOW FAR mass moved (a shift of one bin costs
+    1/20th of a shift across the histogram; bin-share L1 charges both
+    the same). On an equal-width grid EMD₁ = Σ_bins |CDF_a − CDF_b|,
+    so the whole metric is integer: per-day bin shares in basis points
+    (truncating division, q194's convention), cumulative over the
+    DENSE 20-bin grid (distinct-days × range cross join — missing bins
+    must contribute zeros or CDFs misalign), then one lag over days per
+    bin. Emits one drift score per day vs its predecessor.
+
+    Scale posture (100 TB): one binned count agg (map-side partial,
+    day×20 keys), a bounded dense grid (calendar × 20), and windows
+    over day or bin — every data-scaled operation is the first
+    aggregation; everything after runs on the grid."""
+    binned = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.least(
+            F.floor(F.col("value") / _EMD_BIN_W).cast("long"),
+            F.lit(_EMD_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    days = binned.select("day").distinct()
+    bins = spark.range(_EMD_BINS).select(F.col("id").alias("bin"))
+    grid = (
+        days.crossJoin(F.broadcast(bins))
+        .join(counts, ["day", "bin"], "left")
+        .select("day", "bin", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    w_day = W.partitionBy("day")
+    shares = grid.withColumn(
+        "share_bp",
+        F.expr("CAST(c * 10000 AS BIGINT) div sum(c) OVER (PARTITION BY day)"),
+    )
+    cdf = shares.withColumn(
+        "cdf_bp",
+        F.sum("share_bp")
+        .over(w_day.orderBy("bin").rowsBetween(W.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    lagged = cdf.withColumn(
+        "prev_cdf", F.lag("cdf_bp").over(W.partitionBy("bin").orderBy("day"))
+    )
+    return (
+        lagged.filter(F.col("prev_cdf").isNotNull())
+        .groupBy("day")
+        .agg(F.sum(F.abs(F.col("cdf_bp") - F.col("prev_cdf"))).cast("long").alias("emd_bp"))
+    )

@@ -319,3 +319,71 @@ def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+@query(
+    "q329_weekday_seasonal_adjust",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    season AS (
+      -- isodow (1=Mon..7=Sun) matches Spark's weekday()+1; the engines'
+      -- default dayofweek numberings disagree by one
+      SELECT event_type, isodow(day) AS wd,
+             (sum(x) // count(*))::BIGINT AS seasonal_mean,
+             count(*)::BIGINT AS n_obs
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day,
+           isodow(d.day)::BIGINT AS weekday,
+           d.x AS n_events,
+           s.seasonal_mean,
+           (d.x - s.seasonal_mean)::BIGINT AS residual
+    FROM daily d
+    JOIN season s
+      ON d.event_type = s.event_type AND isodow(d.day) = s.wd
+    """,
+    tags=("timeseries", "seasonal", "decomposition"),
+)
+def weekday_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonal decomposition — the adjustment step that turns a
+    raw daily series into the deseasonalized residual every anomaly
+    monitor and forecaster actually watches (q201 flags seasonal
+    anomalies, q283 backtests seasonal-naive forecasts; this EMITS the
+    decomposition itself): per (series, weekday) the seasonal component
+    is the truncating integer mean of daily volumes, and each day's
+    residual is volume minus its weekday's mean — additive
+    decomposition, exact integers end to end.
+
+    Scale posture: one daily pre-agg (map-side partial), one 7-key-
+    per-series seasonal agg, and a broadcast-scale join back (the
+    seasonal table is series×7 rows). Nothing shuffles twice."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    season = daily.groupBy(
+        F.col("event_type").alias("s_type"),
+        (F.weekday("day") + 1).alias("wd"),  # ISO 1=Mon..7=Sun
+    ).agg(
+        F.expr("sum(x) div count(1)").cast("long").alias("seasonal_mean"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    return (
+        daily.withColumn("weekday", F.weekday("day") + 1)
+        .join(
+            F.broadcast(season),
+            (F.col("event_type") == F.col("s_type")) & (F.col("weekday") == F.col("wd")),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("weekday").cast("long").alias("weekday"),
+            F.col("x").alias("n_events"),
+            "seasonal_mean",
+            (F.col("x") - F.col("seasonal_mean")).cast("long").alias("residual"),
+        )
+    )

@@ -1393,3 +1393,46 @@ def test_randomized_response_pure_codegen(spark, sf_dir):
     assert "EvalPython" not in facts.text
     assert facts.has_partial_agg
     assert facts.join_strategies == {}
+
+
+def test_emd_bounded_grid(spark, sf_dir):
+    """q327: the only data-scaled operation is the binned count agg
+    (map-side partial); the dense grid is a broadcast cross of bounded
+    tables and the CDF windows are partitioned."""
+    facts = audit_of(spark, sf_dir, "q327_emd_drift")
+    assert facts.has_partial_agg
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+
+
+def test_phrase_search_term_filtered_postings(spark, sf_dir):
+    """q328: the phrase probe joins two TERM-FILTERED postings lists
+    keyed on doc_id — an equi-join, never a cartesian; position
+    adjacency rides as a join predicate."""
+    facts = audit_of(spark, sf_dir, "q328_positional_phrase_search")
+    assert not facts.has_cartesian
+    n_equi = sum(
+        facts.join_strategies.get(k, 0)
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_equi >= 1
+
+
+def test_seasonal_adjust_broadcast_season(spark, sf_dir):
+    """q329: the series×7 seasonal table must broadcast back onto the
+    daily table; both aggs partial."""
+    facts = audit_of(spark, sf_dir, "q329_weekday_seasonal_adjust")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+    assert facts.has_partial_agg
+
+
+def test_binseg_windows_partitioned(spark, sf_dir):
+    """q330: both levels are series-partitioned windows + one broadcast
+    join against the 1-row-per-series winners — no unpartitioned window,
+    no cartesian, no sort-merge."""
+    facts = audit_of(spark, sf_dir, "q330_binseg_changepoints")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
