@@ -149,6 +149,11 @@ HEADLINE = [
     "q328_positional_phrase_search",
     "q329_weekday_seasonal_adjust",
     "q330_binseg_changepoints",
+    "q331_forecast_revenue_change",
+    "q332_shipping_modes_priority",
+    "q333_heavy_hitter_churn",
+    "q334_interevent_burstiness",
+    "q335_path_hierarchy_rollup",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

@@ -179,3 +179,85 @@ def twap_interval_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap"),
         )
     )
+
+
+_HHD_CUT = "2024-01-16"  # window A = first half of the fixture month
+_HHD_K = 20
+
+
+@query(
+    "q333_heavy_hitter_churn",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+      FROM events WHERE ts < TIMESTAMP '{_HHD_CUT} 00:00:00'
+      GROUP BY user_id
+    ),
+    b AS (
+      SELECT user_id, count(*)::BIGINT AS n,
+             row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+      FROM events WHERE ts >= TIMESTAMP '{_HHD_CUT} 00:00:00'
+      GROUP BY user_id
+    ),
+    ta AS (SELECT * FROM a WHERE rk <= {_HHD_K}),
+    tb AS (SELECT * FROM b WHERE rk <= {_HHD_K})
+    SELECT coalesce(ta.user_id, tb.user_id) AS user_id,
+           ta.rk AS rank_a, tb.rk AS rank_b,
+           ta.n AS n_a, tb.n AS n_b,
+           CASE WHEN ta.user_id IS NULL THEN 'entered'
+                WHEN tb.user_id IS NULL THEN 'dropped'
+                WHEN ta.rk = tb.rk THEN 'held'
+                ELSE 'moved' END AS status
+    FROM ta FULL OUTER JOIN tb ON ta.user_id = tb.user_id
+    """,
+    tags=("monitoring", "heavy-hitters", "churn", "topk"),
+)
+def heavy_hitter_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter churn between adjacent windows — the change-detection
+    report layered on top of a top-k (q267 finds the hitters in-stream;
+    this says WHO entered, dropped, held, or moved between two periods —
+    the on-call question behind every 'top talkers' dashboard). Each
+    window's top-20 comes from one count agg + TakeOrderedAndProject;
+    the delta is a full outer join of two k-row tables (broadcastable by
+    construction). Ranks tie-break on user id for cross-engine
+    determinism.
+
+    Scale posture: the per-window aggregation is the only data-scaled
+    stage (map-side partial, keyed on the natural user key — one scan
+    covers both windows via conditional aggregation at cluster scale);
+    everything after operates on 2k rows."""
+    ev = table(spark, sf_dir, "events")
+
+    def topk(pred, side: str):
+        w = W.orderBy(F.col("n").desc(), "user_id")
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _HHD_K)
+            .select(
+                F.col("user_id").alias(f"u_{side}"),
+                F.col("rk").alias(f"rank_{side}"),
+                F.col("n").alias(f"n_{side}"),
+            )
+        )
+
+    ta = topk(F.col("ts") < _HHD_CUT, "a")
+    tb = topk(F.col("ts") >= _HHD_CUT, "b")
+    return (
+        ta.join(tb, ta["u_a"] == tb["u_b"], "full_outer")
+        .select(
+            F.coalesce("u_a", "u_b").alias("user_id"),
+            "rank_a",
+            "rank_b",
+            "n_a",
+            "n_b",
+            F.when(F.col("u_a").isNull(), "entered")
+            .when(F.col("u_b").isNull(), "dropped")
+            .when(F.col("rank_a") == F.col("rank_b"), "held")
+            .otherwise("moved")
+            .alias("status"),
+        )
+    )

@@ -273,3 +273,91 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
         .distinct()
     )
+
+
+@query(
+    "q331_forecast_revenue_change",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_lines,
+           (sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+              / 10000.0)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "aggregation", "tpch-q6"),
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): the pure filter-scan
+    aggregate — what additional revenue would have come in had these
+    discounts been eliminated. The last missing TPC-H shape: with q331
+    and q332 every expressible TPC-H query has a named twin (Q12's
+    shipmode columns don't exist in the fixture; q332 remaps its shape).
+    All four predicates push into the parquet scan (plan-audited); the
+    sum is one map-side-partial global agg in integer 1e-4 units (the
+    discount·price product has 4 decimals — fixed_sum convention).
+    The BETWEEN on a double column compares against exactly-representable
+    0.05/0.07 boundary literals, and fixture discounts are 2-decimal
+    doubles — both engines make identical inclusion decisions."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000)
+                    .cast("bigint")
+                )
+                / 10000.0
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q332_shipping_modes_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "join", "tpch-q12"),
+)
+def shipping_modes_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes & order priority), remapped onto
+    the fixture's columns: the fixture lineitem carries no
+    l_shipmode/l_commitdate/l_receiptdate, so the ship-class dimension
+    is l_returnflag and the late-delivery window is the ship-date year —
+    the SHAPE under test (fact⋈fact equi-join feeding per-class
+    conditional priority counts) is Q12's exactly. One join keyed on
+    orderkey, one hash agg with two CASE sums — both map-side-partial;
+    the date filter pushes into the lineitem scan before the join."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_returnflag")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )

@@ -452,3 +452,69 @@ def lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("r1_mu"),
     )
+
+
+@query(
+    "q334_interevent_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - lag(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS g
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             count(*)::BIGINT   AS n_gaps,
+             sum(g)::BIGINT     AS sum_s,
+             sum(g * g)::BIGINT AS sum_s2
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           (sum_s // n_gaps)::BIGINT AS mean_gap_s,
+           CASE WHEN sum_s >= 100
+                THEN ((n_gaps * sum_s2 - sum_s * sum_s)
+                        // ((sum_s * sum_s) // 10000))::BIGINT
+                ELSE NULL END AS cv2_bp
+    FROM m
+    WHERE n_gaps >= 2
+    """,
+    tags=("timeseries", "point-process", "burstiness"),
+)
+def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event burstiness per user — the point-process screen that
+    separates steady heartbeats from bursty humans from retry storms:
+    the squared coefficient of variation of inter-event gaps,
+    CV² = σ²/μ² (CV²≈0 periodic, ≈1 Poisson, ≫1 bursty). Entirely
+    integer: gaps in whole seconds (epoch-µs integer division — NOT a
+    rounded float), moments (n, Σg, Σg²), and
+    CV²_bp = (n·Σg² − (Σg)²) ÷ ((Σg)² ÷ 10⁴) — a nested truncating
+    division identical on both engines, avoiding the >2⁶³ overflow that
+    scaling the numerator by 10⁴ first would risk. int64 bound: Σg² per
+    user < 2⁶³ up to ~month-long horizons at second granularity
+    (documented q321-class bound). Users with fewer than 2 gaps or
+    sub-100 s span emit no/NULL score.
+
+    Scale posture: one lag window partitioned by the natural user key,
+    one moment agg on the same key — single data-scaled shuffle."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+    gaps = ev.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("g")
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").cast("long").alias("sum_s"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sum_s2"),
+    )
+    cv2 = F.expr(
+        "(n_gaps * sum_s2 - sum_s * sum_s) div ((sum_s * sum_s) div 10000)"
+    )
+    return m.filter(F.col("n_gaps") >= 2).select(
+        "user_id",
+        "n_gaps",
+        F.expr("sum_s div n_gaps").cast("long").alias("mean_gap_s"),
+        F.when(F.col("sum_s") >= 100, cv2).cast("long").alias("cv2_bp"),
+    )

@@ -926,3 +926,89 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_cents"),
         )
     )
+
+
+@query(
+    "q335_path_hierarchy_rollup",
+    oracle="""
+    WITH leaf AS (
+      SELECT r_name || '/' || n_name || '/' || c_mktsegment AS path,
+             count(*)::BIGINT AS n,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    ),
+    exploded AS (
+      SELECT unnest([
+               string_split(path, '/')[1],
+               string_split(path, '/')[1] || '/' || string_split(path, '/')[2],
+               path
+             ]) AS pfx,
+             unnest([1, 2, 3]) AS lvl,
+             n, bal_cents
+      FROM leaf
+    )
+    SELECT pfx AS path, lvl::BIGINT AS level,
+           sum(n)::BIGINT AS n_customers,
+           sum(bal_cents)::BIGINT AS bal_cents
+    FROM exploded GROUP BY 1, 2
+    """,
+    tags=("warehouse", "hierarchy", "path-rollup"),
+)
+def path_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup over PATH STRINGS — the aggregation shape for
+    hierarchies that live as materialized paths (file trees, category
+    taxonomies, org charts) rather than normalized dimension tables:
+    each leaf row fans out to its ancestor prefixes (region,
+    region/nation, region/nation/segment) and one hash agg keyed on
+    (prefix, level) produces every level of the tree in a single pass —
+    q18's ROLLUP without needing the hierarchy's columns to be
+    separate, and correct for ragged/unbounded-depth paths where ROLLUP
+    cannot apply. The fan-out is map-side (explode of ≤ depth prefixes
+    per PRE-AGGREGATED leaf — the leaf aggregation runs first, so the
+    explode multiplies group rows, not fact rows).
+
+    Scale posture: one fact-scaled agg on the leaf path (broadcast dim
+    joins before it), then depth× explode of the bounded leaf-group
+    table into the final partial-agged rollup."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    leaf = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.concat_ws("/", "r_name", "n_name", "c_mktsegment").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+    )
+    parts = F.split("path", "/")
+    exploded = leaf.select(
+        F.explode(
+            F.array(
+                F.struct(F.element_at(parts, 1).alias("pfx"), F.lit(1).alias("lvl")),
+                F.struct(
+                    F.concat_ws(
+                        "/", F.element_at(parts, 1), F.element_at(parts, 2)
+                    ).alias("pfx"),
+                    F.lit(2).alias("lvl"),
+                ),
+                F.struct(F.col("path").alias("pfx"), F.lit(3).alias("lvl")),
+            )
+        ).alias("e"),
+        "n",
+        "bal_cents",
+    )
+    return exploded.groupBy(
+        F.col("e.pfx").alias("path"), F.col("e.lvl").cast("long").alias("level")
+    ).agg(
+        F.sum("n").cast("long").alias("n_customers"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+    )
