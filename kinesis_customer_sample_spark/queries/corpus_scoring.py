@@ -884,9 +884,18 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({_DSIR_HASH_SPARK}) % {_DSIR_B}").alias("feat"),
         )
     )
-    feats = tok.groupBy("feat").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_c"),
-        F.count(F.lit(1)).alias("r_c"),
+    # localCheckpoint: feats (exactly 1024 rows) feeds tots AND the weight
+    # table inside one plan — without it the explode+hash pass re-runs per
+    # consumer (the q299 recompute class; modest here because the token
+    # arrays themselves are already persisted, but the plan stops scaling
+    # recomputes with corpus size)
+    feats = (
+        tok.groupBy("feat")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_c"),
+            F.count(F.lit(1)).alias("r_c"),
+        )
+        .localCheckpoint()
     )
     tots = F.broadcast(
         feats.agg(F.sum("t_c").alias("t_tot"), F.sum("r_c").alias("r_tot"))
