@@ -154,6 +154,9 @@ HEADLINE = [
     "q333_heavy_hitter_churn",
     "q334_interevent_burstiness",
     "q335_path_hierarchy_rollup",
+    "q336_tokenizer_fertility_audit",
+    "q337_training_mix_data_card",
+    "q338_cross_source_leakage_matrix",
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose
     # ~26 COUNT iterations are inherently serial — excluded like the
     # E2E family)

@@ -931,3 +931,110 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(quota), "source").filter(
         F.col("rk") <= F.least("quota", "nh")
     ).select("doc_id", "source", "quota", "rk")
+
+
+@query(
+    "q336_tokenizer_fertility_audit",
+    oracle=f"""
+    SELECT lang, source,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS n_chars,
+           sum(len({_DUCK_TOKS}))::BIGINT AS n_tokens,
+           (sum(len({_DUCK_TOKS})) * 10000 // sum(length(text)))::BIGINT
+             AS fertility_bp,
+           (sum(len({_DUCK_TOKS})) // count(*))::BIGINT AS avg_doc_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("llm", "tokenizer", "fertility", "data-card"),
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (lang, source) — tokens produced per
+    10k characters, the metric that tells you which languages/sources
+    your tokenizer fragments (high fertility = more tokens per char =
+    more compute per byte of content and shorter effective context for
+    that slice; the standard multilingual-tokenizer health check).
+    Integer basis points via truncating division; character counts are
+    codepoint counts in both engines, so the ratio is exact.
+
+    Scale posture: one scan, one map-side-partial agg over the bounded
+    (lang, source) grid — the cheapest query shape there is. Companion
+    to q63 (which language), q92 (packing under a token budget), and
+    q337 (the token-share data card)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.size(F.expr(_SPARK_TOKS))
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CAST(sum(size({_SPARK_TOKS})) * 10000 div sum(length(text)) AS BIGINT)"
+        ).alias("fertility_bp"),
+        F.expr(f"CAST(sum(size({_SPARK_TOKS})) div count(1) AS BIGINT)").alias(
+            "avg_doc_tokens"
+        ),
+    )
+
+
+@query(
+    "q337_training_mix_data_card",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang,
+             count(*)::BIGINT AS n_docs,
+             sum(len({_DUCK_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM g),
+    ranked AS (
+      SELECT source, lang, n_docs, n_tokens,
+             (n_tokens * 10000 // t)::BIGINT AS token_share_bp,
+             row_number() OVER (ORDER BY n_tokens DESC, source, lang)
+               ::BIGINT AS rnk,
+             (sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang
+                                  ROWS UNBOUNDED PRECEDING) * 10000 // t)
+               ::BIGINT AS cum_share_bp
+      FROM g CROSS JOIN tot
+    )
+    SELECT source, lang, n_docs, n_tokens, token_share_bp, rnk, cum_share_bp
+    FROM ranked
+    """,
+    tags=("llm", "data-card", "mixture", "accounting"),
+)
+def training_mix_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix data card: per (source, lang) slice, document and
+    TOKEN counts, token share of the corpus in basis points, rank by
+    token volume, and the cumulative share — the accounting table every
+    dataset release publishes and every mixture-rebalancing decision
+    (q140) starts from. 'Docs' lie about mixtures (a slice can be 1% of
+    docs and 20% of tokens); this counts what the model actually trains
+    on. All shares are truncating integer basis points.
+
+    Scale posture: one tokenize-count agg over the bounded slice grid;
+    the share/rank/cumulative windows run on the grid (slices, not
+    rows), with the corpus total as a 1-row cross join."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.expr(_SPARK_TOKS))).cast("long").alias("n_tokens"),
+        )
+    )
+    tot = F.broadcast(g.agg(F.sum("n_tokens").alias("t")))
+    w = W.orderBy(F.col("n_tokens").desc(), "source", "lang")
+    return (
+        g.crossJoin(tot)
+        .withColumn("token_share_bp", F.expr("CAST(n_tokens * 10000 div t AS BIGINT)"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_share_bp",
+            F.expr(
+                "CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source, lang "
+                "ROWS UNBOUNDED PRECEDING) * 10000 div t AS BIGINT)"
+            ),
+        )
+        .select(
+            "source", "lang", "n_docs", "n_tokens", "token_share_bp", "rnk", "cum_share_bp"
+        )
+    )

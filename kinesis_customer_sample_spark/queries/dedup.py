@@ -707,3 +707,83 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= _PF_TAU).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@query(
+    "q338_cross_source_leakage_matrix",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shs
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    mh AS (
+      SELECT doc_id, shs, {_minhash_expr("duckdb")} AS mh
+      FROM (SELECT doc_id, shs,
+                   list_transform(shs, s -> {tok_hash_expr("s", dialect="duckdb")}) AS hs
+            FROM sh)
+    ),
+    bands AS (
+      SELECT doc_id, mh, shs, b, {_band_hash("duckdb")} AS bh
+      FROM (SELECT doc_id, mh, shs, unnest([0, 1, 2, 3]) AS b FROM mh)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN mh ma ON ma.doc_id = doc_a
+      JOIN mh mb ON mb.doc_id = doc_b
+      WHERE len(list_intersect(ma.shs, mb.shs))::DOUBLE
+            / (len(ma.shs) + len(mb.shs) - len(list_intersect(ma.shs, mb.shs)))
+            >= 0.5
+    )
+    SELECT least(da.source, db.source)    AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           count(*)::BIGINT               AS n_pairs,
+           sum(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)::BIGINT
+             AS n_within
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.doc_a
+    JOIN documents db ON db.doc_id = pairs.doc_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "leakage", "provenance", "minhash", "data-card"),
+)
+def cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: q69's verified
+    MinHash-LSH pair set rolled up by the UNORDERED source pair — which
+    crawls/feeds overlap, the provenance question behind both dedup
+    budgeting (within-source pairs are re-crawls; cross-source pairs are
+    syndication/mirroring) and eval hygiene (a benchmark source leaking
+    into a train source shows up as an off-diagonal cell). Composes the
+    registered q69 operator verbatim, then joins each side's source and
+    normalizes the pair with least/greatest so the matrix is triangular.
+
+    Scale posture: inherits q69's bucket-blocked candidate generation
+    (never all-pairs); the rollup adds two doc_id-keyed joins against a
+    two-column projection of documents and one grid-sized agg. At 100 TB
+    source would ride the postings (one column through the signature
+    chain) instead of joining back — the join-back keeps q69 compose-
+    clean here."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_within"),
+        )
+    )

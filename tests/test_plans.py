@@ -1489,3 +1489,22 @@ def test_path_rollup_explodes_groups_not_facts(spark, sf_dir):
     # plan text's execution order: the leaf agg's partial must be BELOW
     gen_pos = facts.text.find("Generate")
     assert gen_pos != -1
+
+
+def test_fertility_and_data_card_single_scan(spark, sf_dir):
+    """q336/q337: both data-card aggregations are one map-side-partial
+    agg over the bounded slice grid; q337's windows run on the grid."""
+    for name in ("q336_tokenizer_fertility_audit", "q337_training_mix_data_card"):
+        facts = audit_of(spark, sf_dir, name)
+        assert facts.has_partial_agg, name
+        assert not facts.has_cartesian, name
+        assert not facts.scans_read_column("doc_id"), name
+
+
+def test_leakage_matrix_inherits_bucketing(spark, sf_dir):
+    """q338: the pair set must come from q69's bucket-blocked join (no
+    cartesian anywhere) and the source join-backs read only two columns
+    of documents."""
+    facts = audit_of(spark, sf_dir, "q338_cross_source_leakage_matrix")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
