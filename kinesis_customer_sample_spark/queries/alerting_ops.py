@@ -230,18 +230,20 @@ def heavy_hitter_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
 
     def topk(pred, side: str):
-        w = W.orderBy(F.col("n").desc(), "user_id")
-        return (
+        counts = (
             ev.filter(pred)
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _HHD_K)
-            .select(
-                F.col("user_id").alias(f"u_{side}"),
-                F.col("rk").alias(f"rank_{side}"),
-                F.col("n").alias(f"n_{side}"),
-            )
+        )
+        # top-k FIRST via TakeOrderedAndProject (parallel partial top-k per
+        # task — never a single-partition rank over all users, the q264
+        # pattern); the rank window then runs on the k-row result only
+        top = counts.orderBy(F.col("n").desc(), "user_id").limit(_HHD_K)
+        w = W.orderBy(F.col("n").desc(), "user_id")
+        return top.withColumn("rk", F.row_number().over(w)).select(
+            F.col("user_id").alias(f"u_{side}"),
+            F.col("rk").alias(f"rank_{side}"),
+            F.col("n").alias(f"n_{side}"),
         )
 
     ta = topk(F.col("ts") < _HHD_CUT, "a")

@@ -1460,10 +1460,12 @@ def test_q12_shape_filter_before_join(spark, sf_dir):
 
 
 def test_heavy_hitter_churn_bounded_delta(spark, sf_dir):
-    """q333: the churn delta joins two k-row top-k tables — any equi
-    strategy is fine at k=20, but no cartesian; the per-window aggs are
-    map-side partial."""
+    """q333: each window's top-k must be a TakeOrderedAndProject
+    (parallel partial top-k — never a single-partition rank over all
+    users); the churn delta joins two k-row tables, no cartesian; the
+    per-window aggs are map-side partial."""
     facts = audit_of(spark, sf_dir, "q333_heavy_hitter_churn")
+    assert facts.text.count("TakeOrderedAndProject") >= 2
     assert not facts.has_cartesian
     assert facts.has_partial_agg
 
