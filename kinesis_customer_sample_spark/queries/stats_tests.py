@@ -451,15 +451,18 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Bernoulli test, so the cumulative LLR is pure integer algebra:
 #   success: ln(p1/p0)·1e6 = 154151      failure: ln(q1/q0)·1e6 = −74108
 #   accept H1 at +ln((1−β)/α)·1e6 = 2944439, accept H0 at −2944439.
-_SPRT_S = 154151
-_SPRT_F = -74108
-_SPRT_THR = 2944439
-_SPRT_VALUE_CUT = 50.0
+# Canonical values live in streaming/stateful.py (the streaming twin q339
+# shares them; queries import streaming, never the reverse).
+from kinesis_customer_sample_spark.streaming.stateful import (  # noqa: E402
+    SPRT_F as _SPRT_F,
+    SPRT_S as _SPRT_S,
+    SPRT_THR as _SPRT_THR,
+    SPRT_VALUE_CUT as _SPRT_VALUE_CUT,
+)
 
-
-@query(
-    "q317_sprt_sequential_test",
-    oracle=f"""
+# Shared by q317 (batch) and q339 (streaming) — ONE oracle text, so the
+# stream/batch-equivalence claim can never drift into two definitions.
+SPRT_ORACLE = f"""
     WITH obs AS (
       SELECT user_id % 2 AS arm, ts, event_id,
              CASE WHEN value > {_SPRT_VALUE_CUT} THEN {_SPRT_S}
@@ -493,7 +496,12 @@ _SPRT_VALUE_CUT = 50.0
                 ELSE 'continue' END AS decision
     FROM (SELECT arm, llr_mu, n FROM finals WHERE rk = 1) w
     LEFT JOIN (SELECT arm, llr_mu, n FROM hits WHERE rk = 1) h USING (arm)
-    """,
+    """
+
+
+@query(
+    "q317_sprt_sequential_test",
+    oracle=SPRT_ORACLE,
     tags=("stats", "sequential-test", "sprt", "ab-test"),
 )
 def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1133,3 +1133,99 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("event_id").cast("bigint").alias("min_event_id"),
         F.max("event_id").cast("bigint").alias("max_event_id"),
     )
+
+
+def _sprt_oracle() -> str:
+    from kinesis_customer_sample_spark.queries.stats_tests import SPRT_ORACLE
+
+    return SPRT_ORACLE
+
+
+@query(
+    "q339_stream_sprt_sequential",
+    oracle=None,  # set below — shares q317's oracle text verbatim
+    tags=("streaming", "stateful", "sprt", "sequential-test"),
+)
+def stream_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q317's SPRT as a REAL stream — the promise q317's docstring makes,
+    kept: per-arm integer LLR walks run in `applyInPandasWithState`
+    (four-integer state per arm), events replay in two time-ordered
+    arrival shards (q245 Spark-side prep — global time split ⇒ per-arm
+    monotone batches), and each micro-batch re-emits the arm's walk
+    state in update mode. The final row per arm (max n) is formatted to
+    q317's exact output contract and checked against q317's ORACLE TEXT
+    VERBATIM — hash equality proves the incremental stateful walk is
+    bit-identical to the batch window derivation, including the frozen
+    first boundary crossing (SPRT stops sampling at the crossing; later
+    data must not move the decision point).
+
+    Scale posture: state is 4 integers per arm; the stream shuffles once
+    on the arm key per batch; within-batch disorder is sorted inside the
+    group function, cross-batch order is the replay contract (on a real
+    bus, shard ordering per key — guide:13)."""
+    import os
+    import tempfile
+
+    from kinesis_customer_sample_spark.streaming.replay import (
+        run_to_completion,
+        write_ordered_shards,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import sprt_stream
+
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "value",
+    )
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    mid = (lo + hi) // 2
+    sharded = ev.withColumn(
+        "batch_id",
+        F.when(F.unix_micros("ts") <= F.lit(mid), F.lit(0)).otherwise(F.lit(1)),
+    )
+    src_dir = os.path.join(tempfile.mkdtemp(prefix="kcss_sprt_stream_"), "src")
+    write_ordered_shards(sharded, src_dir, 2, "batch_id")
+    stream = (
+        spark.readStream.schema("arm long, ts timestamp, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = run_to_completion(sprt_stream(stream), output_mode="update")
+    w = W.partitionBy("arm").orderBy(F.col("n").desc())
+    final = (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import SPRT_THR
+
+    return final.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.when(F.col("decided_n") > 0, F.col("decided_n"))
+        .otherwise(F.col("n"))
+        .cast("bigint")
+        .alias("n_at_decision"),
+        F.when(F.col("decided_n") > 0, F.col("decided_llr"))
+        .otherwise(F.col("llr_mu"))
+        .cast("bigint")
+        .alias("llr_mu"),
+        F.when(
+            (F.col("decided_n") > 0) & (F.col("decided_llr") >= SPRT_THR), "accept_h1"
+        )
+        .when(
+            (F.col("decided_n") > 0) & (F.col("decided_llr") <= -SPRT_THR), "accept_h0"
+        )
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+
+# share q317's oracle text verbatim (one definition, two engines' paths;
+# set post-registration because stats_tests imports after this module)
+import dataclasses as _dc  # noqa: E402
+
+from kinesis_customer_sample_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q339_stream_sprt_sequential"] = _dc.replace(
+    _REG["q339_stream_sprt_sequential"], oracle=_sprt_oracle().strip()
+)

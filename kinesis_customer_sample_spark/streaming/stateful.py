@@ -492,3 +492,54 @@ def kmv_sketch_stream(hashed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SPRT (Wald sequential test) — q317's stateful twin. Constants
+# are canonical HERE (stats_tests imports them) because queries import
+# streaming, never the reverse. Bernoulli LLR increments are integer
+# micro-nat constants, so per-arm state is four integers and the walk is
+# bit-identical to the batch window (q317's oracle doubles as the
+# stream/batch-equivalence gate).
+
+SPRT_S = 154151  # ln(0.35/0.30) µ-nats per success
+SPRT_F = -74108  # ln(0.65/0.70) µ-nats per failure
+SPRT_THR = 2944439  # ±ln(19) µ-nats (alpha = beta = 0.05)
+SPRT_VALUE_CUT = 50.0
+
+SPRT_OUT_SCHEMA = "arm long, n long, llr_mu long, decided_n long, decided_llr long"
+SPRT_STATE_SCHEMA = "n long, llr long, decided_n long, decided_llr long"
+
+
+def sprt_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-arm sequential LLR walk. decided_n == 0 means 'no boundary
+    crossed yet' (observation indices are 1-based, so 0 is a safe
+    sentinel); once crossed, the decision point is frozen — SPRT stops
+    sampling at the first crossing, later data must not move it."""
+    n, llr, dec_n, dec_llr = state.get if state.exists else (0, 0, 0, 0)
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    for v in pdf["value"]:
+        n += 1
+        llr += SPRT_S if float(v) > SPRT_VALUE_CUT else SPRT_F
+        if dec_n == 0 and (llr >= SPRT_THR or llr <= -SPRT_THR):
+            dec_n, dec_llr = n, llr
+    state.update((n, llr, dec_n, dec_llr))
+    yield pd.DataFrame(
+        [{"arm": key[0], "n": n, "llr_mu": llr, "decided_n": dec_n, "decided_llr": dec_llr}]
+    )
+
+
+def sprt_stream(events: DataFrame) -> DataFrame:
+    """Streaming SPRT per experiment arm (update mode: each micro-batch
+    re-emits the arm's walk state; the latest row is the answer)."""
+    return events.groupBy("arm").applyInPandasWithState(
+        sprt_fn,
+        outputStructType=SPRT_OUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
