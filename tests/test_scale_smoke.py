@@ -748,3 +748,78 @@ def test_longest_prefix_match_covers_2m_addresses(spark):
     # one-route-per-address: re-resolving via max_by agrees with window top-1
     top1 = cand.groupBy("k").agg(F.max_by("route", F.struct("plen", (-F.col("route")).alias("nr"))).alias("r"))
     assert top1.count() == row["matched"]
+
+
+def test_emd_dense_grid_invariants_at_5m_rows(spark):
+    """q327's EMD shape at 5M events: the dense grid must hold exactly
+    20 bins per day (missing bins zero-filled — CDF alignment), every
+    day's CDF must end within truncation slack of 10000 bp, and every
+    day-over-day EMD must land in [0, bins·10000]."""
+    ev = _synth_events(spark)
+    binned = ev.select(
+        F.to_date("ts").alias("day"),
+        F.least(F.floor(F.col("value") / 5).cast("long"), F.lit(19)).alias("bin"),
+    )
+    counts = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("c"))
+    days = binned.select("day").distinct()
+    bins = spark.range(20).select(F.col("id").alias("bin"))
+    grid = (
+        days.crossJoin(F.broadcast(bins))
+        .join(counts, ["day", "bin"], "left")
+        .select("day", "bin", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    per_day = grid.groupBy("day").agg(F.count(F.lit(1)).alias("nb"))
+    assert per_day.filter(F.col("nb") != 20).count() == 0
+    w_day = W.partitionBy("day")
+    cdf = grid.withColumn(
+        "share", F.expr("CAST(c * 10000 AS BIGINT) div sum(c) OVER (PARTITION BY day)")
+    ).withColumn(
+        "cdf",
+        F.sum("share").over(w_day.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ends = cdf.groupBy("day").agg(F.max("cdf").alias("end"))
+    # truncating division loses < 1 bp per bin → end ∈ (10000 − 20, 10000]
+    assert ends.filter((F.col("end") > 10000) | (F.col("end") <= 10000 - 20)).count() == 0
+    lagged = cdf.withColumn(
+        "prev", F.lag("cdf").over(W.partitionBy("bin").orderBy("day"))
+    ).filter(F.col("prev").isNotNull())
+    emd = lagged.groupBy("day").agg(F.sum(F.abs(F.col("cdf") - F.col("prev"))).alias("e"))
+    assert emd.filter((F.col("e") < 0) | (F.col("e") > 20 * 10000)).count() == 0
+
+
+def test_binseg_gain_nonnegative_at_5m_rows(spark):
+    """q330's prefix-sum binseg at 5M rows: the level-1 argmax gain must
+    be ≥ 0 for every series (splitting can never increase L2 cost) and
+    the chosen split index must be interior (1 ≤ k < n)."""
+    ev = _synth_events(spark).withColumn("series", F.col("user_id") % 5)
+    daily = ev.groupBy("series", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_ord = W.partitionBy("series").orderBy("day")
+    w_all = W.partitionBy("series")
+    idx = (
+        daily.withColumn("k", F.row_number().over(w_ord))
+        .withColumn("s", F.sum("x").over(w_ord.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("t", F.sum("x").over(w_all))
+        .filter(F.col("k") < F.col("n"))
+    )
+    gain = (
+        (F.col("s") * F.col("s")).cast("double") / F.col("k")
+        + ((F.col("t") - F.col("s")) * (F.col("t") - F.col("s"))).cast("double")
+        / (F.col("n") - F.col("k"))
+        - (F.col("t") * F.col("t")).cast("double") / F.col("n")
+    )
+    best = (
+        idx.withColumn("g", gain)
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("series").orderBy(F.col("g").desc(), "k")),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    rows = best.select("series", "g", "k", "n").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["g"] >= -1e-6, r
+        assert 1 <= r["k"] < r["n"], r
