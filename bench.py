@@ -157,6 +157,7 @@ HEADLINE = [
     "q336_tokenizer_fertility_audit",
     "q337_training_mix_data_card",
     "q338_cross_source_leakage_matrix",
+    "q340_percent_of_parent",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

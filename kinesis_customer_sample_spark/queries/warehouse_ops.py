@@ -1012,3 +1012,106 @@ def path_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_customers"),
         F.sum("bal_cents").cast("long").alias("bal_cents"),
     )
+
+
+@query(
+    "q340_percent_of_parent",
+    oracle="""
+    WITH leaf AS (
+      SELECT r_name || '/' || n_name || '/' || c_mktsegment AS path,
+             count(*)::BIGINT AS n
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1
+    ),
+    nodes AS (
+      SELECT pfx AS path, lvl, sum(n)::BIGINT AS n
+      FROM (
+        SELECT unnest([
+                 string_split(path, '/')[1],
+                 string_split(path, '/')[1] || '/' || string_split(path, '/')[2],
+                 path
+               ]) AS pfx,
+               unnest([1, 2, 3]) AS lvl,
+               n
+        FROM leaf
+      ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS t FROM nodes WHERE lvl = 1)
+    SELECT c.path, c.lvl::BIGINT AS level, c.n AS n_customers,
+           CASE WHEN c.lvl = 1
+                THEN (c.n * 10000 // tot.t)
+                ELSE (c.n * 10000 // p.n) END::BIGINT AS pct_of_parent_bp
+    FROM nodes c
+    LEFT JOIN nodes p
+      ON p.lvl = c.lvl - 1
+     AND p.path = array_to_string(string_split(c.path, '/')[1 : c.lvl - 1], '/')
+    CROSS JOIN tot
+    """,
+    tags=("warehouse", "hierarchy", "percent-of-parent", "olap"),
+)
+def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent over the path hierarchy — the drill-down ratio
+    every OLAP tree view shows next to each node (what share of ASIA is
+    NATION_7? what share of NATION_7 is BUILDING?): q335's node table
+    self-joined child→parent by stripping the last path segment, shares
+    in truncating basis points; level-1 nodes ratio against the grand
+    total. The self-join is on the (path, level) node table — sized by
+    the hierarchy, not the fact table, so it broadcasts at any corpus
+    scale; the only fact-scaled work is the single leaf aggregation
+    (inherited from q335's explode-after-agg shape)."""
+    c = table(spark, sf_dir, "customer")
+    n = F.broadcast(table(spark, sf_dir, "nation"))
+    r = F.broadcast(table(spark, sf_dir, "region"))
+    leaf = (
+        c.join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.concat_ws("/", "r_name", "n_name", "c_mktsegment").alias("path"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    parts = F.split("path", "/")
+    nodes = (
+        leaf.select(
+            F.explode(
+                F.array(
+                    F.struct(F.element_at(parts, 1).alias("pfx"), F.lit(1).alias("lvl")),
+                    F.struct(
+                        F.concat_ws(
+                            "/", F.element_at(parts, 1), F.element_at(parts, 2)
+                        ).alias("pfx"),
+                        F.lit(2).alias("lvl"),
+                    ),
+                    F.struct(F.col("path").alias("pfx"), F.lit(3).alias("lvl")),
+                )
+            ).alias("e"),
+            "n",
+        )
+        .groupBy(F.col("e.pfx").alias("path"), F.col("e.lvl").alias("lvl"))
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    tot = nodes.filter(F.col("lvl") == 1).agg(F.sum("n")).first()[0]
+    parent_path = F.expr("array_join(slice(split(path, '/'), 1, lvl - 1), '/')")
+    child = nodes.select("path", "lvl", "n", parent_path.alias("c_ppath"))
+    parent = F.broadcast(
+        nodes.select(
+            F.col("path").alias("p_path"), F.col("lvl").alias("plvl"), F.col("n").alias("pn")
+        )
+    )
+    return (
+        child.join(
+            parent,
+            (F.col("c_ppath") == F.col("p_path")) & (F.col("plvl") == F.col("lvl") - 1),
+            "left",
+        )
+        .select(
+            "path",
+            F.col("lvl").cast("bigint").alias("level"),
+            F.col("n").alias("n_customers"),
+            F.when(
+                F.col("lvl") == 1, F.expr(f"CAST(n * 10000 div {tot} AS BIGINT)")
+            )
+            .otherwise(F.expr("CAST(n * 10000 div pn AS BIGINT)"))
+            .alias("pct_of_parent_bp"),
+        )
+    )
