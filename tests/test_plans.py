@@ -1510,3 +1510,14 @@ def test_leakage_matrix_inherits_bucketing(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q338_cross_source_leakage_matrix")
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+
+
+def test_percent_of_parent_hierarchy_sized_join(spark, sf_dir):
+    """q340: the child→parent self-join runs on the hierarchy-sized node
+    table and must broadcast; the only fact-scaled work is the leaf agg
+    (partial); dims broadcast below it."""
+    facts = audit_of(spark, sf_dir, "q340_percent_of_parent")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
