@@ -77,67 +77,16 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
 
 from kinesis_customer_sample_spark.registry import reorder_registry
 
-# Round-5 driver-walk priority (the driver's correctness walk has stopped
+# Round-6 driver-walk priority (the driver's correctness walk has stopped
 # after exactly 50 entries in every round so far; the first 50 slots are the
-# round's verification budget). Round 4 was 50/50 green, zero regressions
-# (q191 is rows-only-by-design — "rows-only ok" per VERDICT r4 — so it does
-# not re-enter the walk). The entire list below is the remaining
-# verification debt: all 124 never-driver-checked queries, oldest
-# registration first (q151+ corpus-scoring/warehouse wave, then q205+
-# timeseries/profiling/stats/TPC-H shapes, then q232+, then q266+ and the
-# round-4 q292+ wave). Queries registered this round append after these.
+# round's verification budget). Round 5 was 50/50 green, zero regressions,
+# certifying q151-q174 + q205-q231. The list below is the remaining
+# verification debt: all 101 never-driver-checked queries, oldest
+# registration first (q232+ spatial/backfill/python-extension wave, then
+# q266+ and the round-4/5 q292+..q340 waves). Queries registered this round
+# append after these; regenerate with scripts/next_priority.py.
 reorder_registry(
     [
-        "q151_unigram_lm_score",
-        "q152_hard_negative_mining",
-        "q153_semantic_dedup",
-        "q154_char_trigram_entropy",
-        "q155_partitioned_layout_prune",
-        "q156_embedding_outliers",
-        "q157_sliding_chunks",
-        "q158_source_quality_norm",
-        "q159_pagerank_power_iteration",
-        "q160_incremental_agg_merge",
-        "q161_cdc_merge_apply",
-        "q162_schema_evolution_union",
-        "q163_bucketed_colocated_join",
-        "q164_zscore_anomaly",
-        "q165_lsh_recall_eval",
-        "q166_interval_lookup_join",
-        "q167_lang_confusion_matrix",
-        "q168_recursive_cte_reachability",
-        "q169_listagg_sorted",
-        "q170_dynamic_session_window",
-        "q171_token_heavy_hitters",
-        "q172_bigram_lm_score",
-        "q173_keeper_longest_doc",
-        "q174_incremental_minhash_index",
-        "q205_ohlc_downsample",
-        "q206_ewma_smoothing",
-        "q207_ngram_dup_rate",
-        "q208_chunk_mean_pooling",
-        "q209_key_skew_audit",
-        "q210_media_ahash_neardup",
-        "q211_histogram_merge_quantiles",
-        "q212_event_sequence_match",
-        "q213_stream_ewma_stateful",
-        "q215_prefix_filter_jaccard",
-        "q216_min_cost_supplier",
-        "q217_promo_revenue",
-        "q218_or_predicate_revenue",
-        "q219_important_stock",
-        "q220_excess_share_suppliers",
-        "q221_bpe_merge_learning",
-        "q222_stream_ohlc",
-        "q223_linear_interpolation",
-        "q224_cusum_changepoint",
-        "q225_benford_screen",
-        "q226_bpe_apply_accounting",
-        "q227_skyline_pareto_front",
-        "q228_groupwise_ols_trend",
-        "q229_linear_attribution",
-        "q230_chisq_independence",
-        "q231_mad_robust_outliers",  # 50 <-- driver walk cap
         "q232_grid_proximity_join",
         "q233_contentops_streaming_e2e",
         "q234_selective_backfill",
@@ -187,7 +136,7 @@ reorder_registry(
         "q286_link_prediction_jaccard",
         "q287_inverse_cdf_sample",
         "q288_sql_pipe_syntax",
-        "q289_lateral_topk_join",
+        "q289_lateral_topk_join",  # 50 <-- driver walk cap
         "q290_observed_metrics",
         "q291_arrow_map_bytes",
         "q292_connected_components",
@@ -212,5 +161,32 @@ reorder_registry(
         "q311_embedding_gramian",
         "q312_deadline_funnel",
         "q313_null_aware_anti_join",
+        "q314_hits_authorities",
+        "q315_bellman_ford_cheapest",
+        "q316_sorted_neighborhood_pairs",
+        "q317_sprt_sequential_test",
+        "q318_snapshot_time_travel",
+        "q319_longest_prefix_match",
+        "q320_sweepline_concurrency",
+        "q321_feature_standardization_audit",
+        "q322_neyman_stratified_sample",
+        "q323_lag1_autocorrelation",
+        "q324_stream_dedup_within_watermark",
+        "q325_arrow_grouped_centroids",
+        "q326_randomized_response_counts",
+        "q327_emd_drift",
+        "q328_positional_phrase_search",
+        "q329_weekday_seasonal_adjust",
+        "q330_binseg_changepoints",
+        "q331_forecast_revenue_change",
+        "q332_shipping_modes_priority",
+        "q333_heavy_hitter_churn",
+        "q334_interevent_burstiness",
+        "q335_path_hierarchy_rollup",
+        "q336_tokenizer_fertility_audit",
+        "q337_training_mix_data_card",
+        "q338_cross_source_leakage_matrix",
+        "q339_stream_sprt_sequential",
+        "q340_percent_of_parent",
     ]
 )

@@ -364,8 +364,10 @@ def randomized_response_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rb").cast("bigint").alias("reported_pos"),
         F.sum("b").cast("bigint").alias("true_pos"),
         # greatest(…, 0): a sampling dip below p·n would make the numerator
-        # negative, where DuckDB // floors and Spark div truncates — clamp
-        # (a negative debiased rate is estimator noise anyway)
+        # negative — clamp to 0 on BOTH sides. The clamp guards estimator
+        # noise only (a negative debiased rate is meaningless); it is NOT a
+        # division-semantics patch: DuckDB `//` truncates toward zero
+        # (-7//2 = -3), same as Spark `div`, so the engines agree either way.
         F.expr(
             f"greatest(sum(rb) * 10000 - {_RR_FLIP_PCT} * 100 * count(1), 0) div {denom}"
         )

@@ -269,9 +269,10 @@ def arrow_grouped_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE Arrow table, per-dim integer centroid sums run as numpy int64
     column math (no pandas boxing, no per-row Python), and the result is
     a 64-row Arrow batch per group. Means are milli-quantized with
-    TRUNCATING division (matched CASE in the oracle — Python's // floors
-    negatives, int(a/b) truncates; the oracle states truncation
-    explicitly), so both engines emit identical integers.
+    TRUNCATING division toward zero, the semantics Spark `div` and
+    DuckDB `//` already share (-7//2 = -3 in both engines); only
+    Python/numpy `//` FLOORS negatives, so the Arrow kernel handles
+    negative sums explicitly and both engines emit identical integers.
 
     Scale posture (100 TB): one shuffle on label; per-group work is a
     single C-speed reduction over the group's Arrow buffers; output is

@@ -914,7 +914,10 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(base, "manifest_1.json")) as fh:
         snap1 = json.load(fh)
     live = [f["path"] for f in snap1 if f["bucket_min"] < 2]  # manifest prune
-    assert len(live) == 2, "manifest pruning must skip non-matching buckets"
+    if len(live) != 2:  # not `assert` — must survive python -O
+        raise RuntimeError(
+            f"manifest pruning must skip non-matching buckets: kept {live}"
+        )
     return (
         spark.read.parquet(*live)
         .filter(F.col("bucket") < 2)  # residual predicate (file-level prune is coarse)

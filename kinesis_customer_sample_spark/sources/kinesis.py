@@ -97,18 +97,43 @@ def file_record_stream(spark: SparkSession, records_dir: str) -> DataFrame:
 def write_record_batches(df_records, out_dir: str, n_batches: int = 2) -> None:
     """Split a batch records DataFrame into `n_batches` replay files,
     preserving per-shard sequence order within and across files (earlier
-    sequence numbers land in earlier files — guide:13's contract)."""
-    pdf = df_records.toPandas()
-    # numeric order over decimal strings: (length, value)
-    pdf = pdf.iloc[
-        pdf["sequence_number"].map(lambda s: (len(s), s)).argsort(kind="mergesort")
-    ].reset_index(drop=True)
-    chunk = (len(pdf) + n_batches - 1) // n_batches
+    sequence numbers land in earlier files — guide:13's contract).
+
+    Spark-side end to end (no toPandas driver funnel): each record gets an
+    ordered ntile bucket over the numeric (length, value) sequence order,
+    then each bucket is written as one single-file sorted batch with
+    strictly increasing mtimes (FileStreamSource replays pending files in
+    mtime order). The ntile window is unpartitioned by construction — a
+    total order over records IS the replay contract — which caps this
+    helper at fixture scale; production replay shards by key via
+    streaming/replay.write_ordered_shards."""
+    import shutil
+
+    from pyspark.sql import Window
+
     os.makedirs(out_dir, exist_ok=True)
+    bucketed = df_records.withColumn(
+        "_batch",
+        F.ntile(n_batches).over(Window.orderBy(*seq_sort_cols())),
+    )
+    base_cols = [c for c in df_records.columns]
     for i in range(n_batches):
-        part = pdf.iloc[i * chunk : (i + 1) * chunk]
-        if len(part):
-            part.to_parquet(os.path.join(out_dir, f"batch-{i:04d}.parquet"), index=False)
+        tmp = os.path.join(out_dir, f"_tmp_batch_{i}")
+        (
+            bucketed.filter(F.col("_batch") == i + 1)
+            .select(*base_cols)
+            .sort(*seq_sort_cols())
+            .coalesce(1)
+            .write.parquet(tmp)
+        )
+        parts = [
+            p for p in os.listdir(tmp) if p.startswith("part-") and p.endswith(".parquet")
+        ]
+        if parts:
+            dst = os.path.join(out_dir, f"batch-{i:04d}.parquet")
+            shutil.move(os.path.join(tmp, parts[0]), dst)
+            os.utime(dst, (1_700_000_000 + 1000 * i, 1_700_000_000 + 1000 * i))
+        shutil.rmtree(tmp)
 
 
 def content_operation_stream(records: DataFrame, fetch: Fetch = http_fetch) -> DataFrame:

@@ -87,3 +87,47 @@ def test_lsh_recall_covers_exact_pairs(spark, sf_dir):
     }
     assert exact  # fixture must actually contain near-dups
     assert exact <= lsh
+
+
+def test_positional_filter_lossless_and_pruning(spark, sf_dir):
+    """q215's PPJoin positional + length filters must (a) strictly shrink
+    the pre-verify candidate set vs the plain prefix-postings distinct —
+    that reduction is the whole point of carrying token positions — and
+    (b) lose NOTHING: every pair the exact verify keeps must survive the
+    filtered candidate generation (the filters are upper-bound prunes,
+    provably lossless, so equality of the final pair sets is exact)."""
+    from kinesis_customer_sample_spark.queries.dedup import (
+        _PF_TAU,
+        _pf_candidates,
+        _pf_prefix_postings,
+    )
+
+    docs, ranked = _pf_prefix_postings(spark, sf_dir)
+    plain = _pf_candidates(ranked, positional=False)
+    pruned = _pf_candidates(ranked, positional=True)
+    n_plain, n_pruned = plain.count(), pruned.count()
+    assert n_pruned < n_plain, (n_pruned, n_plain)
+
+    def verify(cand):
+        da = docs.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("toks").alias("toks_a"),
+            F.col("n").alias("na"),
+        )
+        db = docs.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("toks").alias("toks_b"),
+            F.col("n").alias("nb"),
+        )
+        j = (
+            cand.join(da, "doc_a")
+            .join(db, "doc_b")
+            .withColumn("c", F.size(F.array_intersect("toks_a", "toks_b")))
+        )
+        jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in j.filter(jac >= _PF_TAU).select("doc_a", "doc_b").collect()
+        }
+
+    assert verify(pruned) == verify(plain)

@@ -1487,10 +1487,11 @@ def test_path_rollup_explodes_groups_not_facts(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
     assert "Generate" in facts.text
     assert facts.has_partial_agg
-    # Generate must appear after (above) the first HashAggregate in the
-    # plan text's execution order: the leaf agg's partial must be BELOW
+    # Plan text prints top-down, so "explode multiplies group rows, not
+    # fact rows" means Generate must print BEFORE the deepest (leaf
+    # partial) HashAggregate — i.e. above it in execution order.
     gen_pos = facts.text.find("Generate")
-    assert gen_pos != -1
+    assert gen_pos < facts.text.rfind("HashAggregate")
 
 
 def test_fertility_and_data_card_single_scan(spark, sf_dir):
@@ -1506,10 +1507,15 @@ def test_fertility_and_data_card_single_scan(spark, sf_dir):
 def test_leakage_matrix_inherits_bucketing(spark, sf_dir):
     """q338: the pair set must come from q69's bucket-blocked join (no
     cartesian anywhere) and the source join-backs read only two columns
-    of documents."""
+    of documents. The pair-set memo is cleared first so the audit sees
+    the full candidate-generation chain, not a checkpoint scan."""
+    from kinesis_customer_sample_spark.queries.dedup import clear_pair_set_memo
+
+    clear_pair_set_memo()
     facts = audit_of(spark, sf_dir, "q338_cross_source_leakage_matrix")
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+    clear_pair_set_memo()  # drop the lazy checkpoint this audit registered
 
 
 def test_percent_of_parent_hierarchy_sized_join(spark, sf_dir):

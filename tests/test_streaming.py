@@ -653,3 +653,23 @@ def test_split_router_retry_is_idempotent(spark):
     assert per_route == {"valid": 10, "quarantine": 12}
     null_routes = [r.route for r in out.filter("value IS NULL").collect()]
     assert null_routes == ["quarantine", "quarantine"]
+
+
+def test_transform_with_state_v2_availability_probe():
+    """Standing probe for the arbitrary-state-v2 environment block
+    (SURVEY.md: `transformWithStateInPandas`'s Python worker imports
+    `google.protobuf`, absent in this no-pip image). The claim must stay
+    evidence-backed each round: if protobuf ever appears in the image,
+    this test FAILS loudly as the signal to port one of q245/q339 to the
+    v2 API as its certification query (round-5 verdict item 5)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        available = True
+    except ImportError:
+        available = False
+    assert not available, (
+        "google.protobuf is now importable — transformWithStateInPandas is "
+        "likely unblocked; port q245 or q339 to the v2 API and update "
+        "SURVEY.md's environment-blocked row"
+    )
