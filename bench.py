@@ -158,6 +158,19 @@ HEADLINE = [
     "q337_training_mix_data_card",
     "q338_cross_source_leakage_matrix",
     "q340_percent_of_parent",
+    # round-6 wave: ranking eval, leakage-safe feature prep, inequality
+    # stats, table-format deletes, graph structure, privacy, storage
+    # advisory, anti-entropy, streaming semi join
+    "q341_ndcg_mrr_eval",
+    "q342_target_encoding_oof",
+    "q343_gini_by_segment",
+    "q344_positional_delete_apply",
+    "q345_degree_assortativity",
+    "q346_l_diversity_audit",
+    "q347_dwell_bounce_rollup",
+    "q349_quantile_normalization",
+    "q350_encoding_advisor",
+    "q351_merkle_range_diff",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

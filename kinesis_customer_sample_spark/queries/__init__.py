@@ -73,6 +73,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     streaming_ml,
     basket_ops,
     graph_ranking,
+    eval_prep_ops,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -1,0 +1,345 @@
+"""Retrieval-evaluation and feature-prep operators — round-6 wave
+(SURVEY.md §2B): NDCG@k + MRR ranking metrics, leakage-safe out-of-fold
+target encoding, and cross-group quantile normalization. With q281 (AUC),
+q279/q304 (calibration) and q165 (recall@k) these complete the offline
+ranking-eval layer; target encoding and quantile normalization are the
+two classic feature transforms whose NAIVE forms leak the label or the
+group identity — both implemented in their leakage-safe variants.
+
+Cross-engine determinism:
+- NDCG's log2 discounts are the ONLY transcendental inputs, so they are
+  computed once in Python and inlined as integer µ-unit literals into
+  BOTH dialects — neither engine ever calls log.
+- Target encoding keeps the smoothed mean as one integer rational
+  (sum_excl·cnt_g + m·sum_g) / (cnt_g·(cnt_excl + m)) in milli-cents;
+  products stay under int64 through sf0.1 (documented bound below).
+- Quantile normalization averages integer n_chars at equal ranks —
+  integer div, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+_NDCG_K = 10
+_NDCG_N_QUERIES = 8  # vec_id 0..7 are the query batch (q152's constant-batch pattern)
+
+# Integer µ-unit DCG discounts: W[i] = round(1e6 / log2(i + 1)), i = 1..k.
+# Computed HERE, inlined as literals into both dialects — the oracle gate
+# must never depend on two engines' log implementations agreeing.
+_DCG_W = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+# Ideal-DCG prefix sums: _IDCG[j] = W[1] + … + W[j]  (j = 0..k)
+_IDCG = [0]
+for _w in _DCG_W:
+    _IDCG.append(_IDCG[-1] + _w)
+
+
+def _rank_case(col: str) -> str:
+    """CASE mapping a 1-based rank to its µ-unit discount (same text in
+    both dialects — pure integer literals)."""
+    arms = " ".join(
+        f"WHEN {col} = {i + 1} THEN {w}" for i, w in enumerate(_DCG_W)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+def _idcg_case(col: str) -> str:
+    """CASE mapping min(n_rel, k) to the ideal-DCG prefix sum."""
+    arms = " ".join(
+        f"WHEN {col} >= {_NDCG_K} THEN {_IDCG[_NDCG_K]}"
+        if j == _NDCG_K
+        else f"WHEN {col} = {j} THEN {_IDCG[j]}"
+        for j in range(_NDCG_K, 0, -1)
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@query(
+    "q341_ndcg_mrr_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings WHERE vec_id < {_NDCG_N_QUERIES}
+    ),
+    corpus AS (
+      SELECT vec_id, label,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS cv
+      FROM embeddings WHERE vec_id >= {_NDCG_N_QUERIES}
+    ),
+    nrel AS (
+      SELECT q.qid, count(*)::BIGINT AS n_rel
+      FROM q JOIN corpus c ON c.label = q.qlabel
+      GROUP BY q.qid
+    ),
+    scored AS (
+      SELECT q.qid, q.qlabel, c.vec_id, c.label,
+             list_sum([qv[i + 1] * cv[i + 1] FOR i IN range(64)]) AS s
+      FROM q CROSS JOIN corpus c
+    ),
+    ranked AS (
+      SELECT qid, qlabel, label,
+             row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS r
+      FROM scored
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= {_NDCG_K}),
+    perq AS (
+      SELECT qid, any_value(qlabel) AS qlabel,
+             sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+             sum(CASE WHEN label = qlabel
+                      THEN {_rank_case("r")} ELSE 0 END)::BIGINT AS dcg_mu,
+             coalesce(min(CASE WHEN label = qlabel THEN r END), 0)::BIGINT
+               AS first_rel_rank
+      FROM top GROUP BY qid
+    )
+    SELECT p.qid::BIGINT AS qid,
+           p.qlabel::BIGINT AS qlabel,
+           n.n_rel,
+           p.n_hits,
+           p.dcg_mu,
+           ({_idcg_case("least(n.n_rel, " + str(_NDCG_K) + ")")})::BIGINT AS idcg_mu,
+           round(p.dcg_mu::DOUBLE
+                 / ({_idcg_case("least(n.n_rel, " + str(_NDCG_K) + ")")}), 6) AS ndcg,
+           p.first_rel_rank,
+           (CASE WHEN p.first_rel_rank = 0 THEN 0
+                 ELSE 1000000 // p.first_rel_rank END)::BIGINT AS rr_mu
+    FROM perq p JOIN nrel n ON n.qid = p.qid
+    """,
+    tags=("ml-eval", "ndcg", "mrr", "ranking", "retrieval"),
+)
+def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 and MRR for a constant query batch against the embedding
+    corpus — the offline ranking-eval pair every retrieval stack reports
+    alongside recall (q165) and AUC (q281). Relevance is binary label
+    match; scores are exact integer dot products of milli-quantized
+    vectors; the log2 position discounts are integer µ-unit LITERALS
+    inlined into both dialects, so no engine evaluates a logarithm.
+
+    Scale posture (100 TB): the query side is a constant-size broadcast
+    (8 vectors — q152's constant-batch shape), so the scored relation is
+    corpus-linear. Top-k selection is TWO-PHASE: a partition-local top-10
+    per (query, shuffle partition) first, then the global rank window
+    runs over ≤ queries·partitions·k survivor rows — never a k-partition
+    window over the full scored relation (8 hot partitions of N rows is
+    exactly the skew shape the two-phase select exists to avoid)."""
+    emb = table(spark, sf_dir, "embeddings")
+    milli = "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    q = (
+        emb.filter(F.col("vec_id") < _NDCG_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.expr(milli).alias("qv"),
+        )
+    )
+    corpus = emb.filter(F.col("vec_id") >= _NDCG_N_QUERIES).select(
+        "vec_id", "label", F.expr(milli).alias("cv")
+    )
+    n_rel = (
+        corpus.join(F.broadcast(q.select("qid", "qlabel")), F.col("label") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    dot = "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "qid", "qlabel", "vec_id", "label", F.expr(dot).alias("s")
+    )
+    # two-phase top-k: local top-10 within each (qid, physical partition)
+    # is a superset of the global top-10 per qid for ANY row placement
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "lr",
+            F.row_number().over(
+                W.partitionBy("qid", "pid").orderBy(F.col("s").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("lr") <= _NDCG_K)
+    )
+    top = (
+        local.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.col("s").desc(), "vec_id")
+            ),
+        )
+        .filter(F.col("r") <= _NDCG_K)
+    )
+    rel = F.col("label") == F.col("qlabel")
+    perq = top.groupBy("qid").agg(
+        F.first("qlabel").alias("qlabel"),
+        F.sum(F.when(rel, 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        F.sum(F.when(rel, F.expr(_rank_case("r"))).otherwise(0))
+        .cast("bigint")
+        .alias("dcg_mu"),
+        F.coalesce(F.min(F.when(rel, F.col("r"))), F.lit(0))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+    )
+    idcg = F.expr(_idcg_case(f"least(n_rel, {_NDCG_K})")).cast("bigint")
+    return (
+        perq.join(F.broadcast(n_rel), "qid")
+        .select(
+            F.col("qid").cast("bigint").alias("qid"),
+            F.col("qlabel").cast("bigint").alias("qlabel"),
+            "n_rel",
+            "n_hits",
+            "dcg_mu",
+            idcg.alias("idcg_mu"),
+            F.round(F.col("dcg_mu") / idcg, 6).alias("ndcg"),
+            "first_rel_rank",
+            F.when(F.col("first_rel_rank") == 0, F.lit(0))
+            .otherwise(F.expr("1000000 div first_rel_rank"))
+            .cast("bigint")
+            .alias("rr_mu"),
+        )
+    )
+
+
+_TE_FOLDS = 5
+_TE_SMOOTH_M = 20  # pseudo-count weight of the global prior
+
+
+@query(
+    "q342_target_encoding_oof",
+    oracle=f"""
+    WITH base AS (
+      SELECT o.o_orderkey % {_TE_FOLDS} AS fold,
+             c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_fold AS (
+      SELECT segment, fold, count(*)::BIGINT AS cnt_f, sum(cents)::BIGINT AS sum_f
+      FROM base GROUP BY segment, fold
+    ),
+    per_seg AS (
+      SELECT segment, sum(cnt_f)::BIGINT AS cnt_s, sum(sum_f)::BIGINT AS sum_s
+      FROM per_fold GROUP BY segment
+    ),
+    tot AS (
+      SELECT sum(cnt_s)::BIGINT AS cnt_g, sum(sum_s)::BIGINT AS sum_g FROM per_seg
+    )
+    SELECT f.segment,
+           f.fold::BIGINT AS fold,
+           f.cnt_f AS n_fold,
+           (((s.sum_s - f.sum_f) * g.cnt_g + {_TE_SMOOTH_M} * g.sum_g) * 1000
+            // (g.cnt_g * ((s.cnt_s - f.cnt_f) + {_TE_SMOOTH_M})))::BIGINT
+             AS enc_millicents
+    FROM per_fold f
+    JOIN per_seg s ON s.segment = f.segment
+    CROSS JOIN tot g
+    """,
+    tags=("ml-prep", "target-encoding", "leakage-safe", "feature-store"),
+)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding — the leakage-safe form of the classic
+    categorical feature: each (segment, fold) cell's encoding is the
+    smoothed mean order value computed WITHOUT that fold's own rows
+    (encode-time rows never see their own target), shrunk toward the
+    global mean with m=20 pseudo-counts. The smoothed mean
+    (sum_excl + m·mean_g)/(cnt_excl + m) is kept as ONE integer rational
+    (sum_excl·cnt_g + m·sum_g)·1000 / (cnt_g·(cnt_excl + m)) in
+    milli-cents — no float division until never. int64 bound: at sf0.1
+    sum_excl·cnt_g ≈ 1.5e9·1.5e5 ≈ 2e14, ×1000 ≈ 2e17 < 9.2e18; the
+    q311-style overflow note applies at sf ≳ 3 (switch to DECIMAL(38,0)).
+
+    Scale posture (100 TB): one fact-dim hash join, then two cascaded
+    hash aggs whose outputs are (segments×folds)- and segment-sized; the
+    global totals are a 1-row broadcast. Folds come from a deterministic
+    key hash, so the encoding is reproducible row-for-row."""
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    base = o.join(c, "o_custkey")
+    per_fold = base.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_f"),
+        F.sum("cents").cast("bigint").alias("sum_f"),
+    )
+    per_seg = per_fold.groupBy("segment").agg(
+        F.sum("cnt_f").cast("bigint").alias("cnt_s"),
+        F.sum("sum_f").cast("bigint").alias("sum_s"),
+    )
+    glob = per_seg.agg(
+        F.sum("cnt_s").cast("bigint").alias("cnt_g"),
+        F.sum("sum_s").cast("bigint").alias("sum_g"),
+    )
+    return (
+        per_fold.join(per_seg, "segment")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "segment",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("cnt_f").alias("n_fold"),
+            F.expr(
+                f"((sum_s - sum_f) * cnt_g + {_TE_SMOOTH_M} * sum_g) * 1000 "
+                f"div (cnt_g * ((cnt_s - cnt_f) + {_TE_SMOOTH_M}))"
+            )
+            .cast("bigint")
+            .alias("enc_millicents"),
+        )
+    )
+
+
+@query(
+    "q349_quantile_normalization",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r
+      FROM documents
+    ),
+    ref AS (
+      SELECT r, sum(n_chars)::BIGINT AS sum_chars, count(*)::BIGINT AS n_srcs
+      FROM ranked GROUP BY r
+    )
+    SELECT k.source, k.r::BIGINT AS r, k.n_chars,
+           (ref.sum_chars * 1000 // ref.n_srcs)::BIGINT AS norm_millichars
+    FROM ranked k JOIN ref ON ref.r = k.r
+    """,
+    tags=("ml-prep", "quantile-normalization", "window"),
+)
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization (the bioinformatics/feature-prep
+    standard): within each source, rank documents by n_chars; the
+    normalized value at rank r is the mean across sources of the r-th
+    order statistic, so every source ends up with an identical value
+    distribution while each document keeps its within-source rank. The
+    fixture's equal group sizes make the rank-mean form exact; unequal
+    groups would interpolate to a common grid first (documented
+    restriction, same family as q272's interpolated quantiles).
+
+    Scale posture (100 TB): the rank window is PARTITIONED by source
+    (never global); the reference distribution is a rank-keyed hash agg
+    of group-count size; the re-join is rank-keyed. Integer n_chars and
+    integer div keep both engines bit-identical."""
+    d = table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    ranked = d.withColumn(
+        "r",
+        F.row_number().over(W.partitionBy("source").orderBy("n_chars", "doc_id")),
+    )
+    ref = ranked.groupBy("r").agg(
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_srcs"),
+    )
+    return (
+        ranked.join(ref, "r")
+        .select(
+            "source",
+            F.col("r").cast("bigint").alias("r"),
+            "n_chars",
+            F.expr("sum_chars * 1000 div n_srcs").cast("bigint").alias("norm_millichars"),
+        )
+    )

@@ -191,3 +191,95 @@ def bellman_ford_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()  # truncate lineage per round (q292 pattern)
         )
     return dist.select(F.col("node").alias("part_key"), "dist")
+
+
+@query(
+    "q345_degree_assortativity",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    ends AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+      UNION ALL
+      SELECT db.d AS x, da.d AS y
+      FROM und e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS m2,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+      FROM ends
+    )
+    SELECT m2 // 2 AS n_edges,
+           round((m2 * sxy - sx * sy)::DOUBLE
+                 / sqrt((m2 * sxx - sx * sx)::DOUBLE
+                        * (m2 * syy - sy * sy)::DOUBLE), 6) AS assortativity
+    FROM s
+    """,
+    tags=("graph", "assortativity", "degree-correlation"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — Newman's r: the
+    Pearson correlation of endpoint degrees over all edge-end pairs
+    (each undirected edge contributes both orientations, the standard
+    symmetrized form). Positive r = hubs link hubs (social-network
+    shape); negative = hubs link leaves (star/infrastructure shape) —
+    the one-number summary of a graph's joint degree structure,
+    complementing q180's clustering coefficient. All five sufficient
+    statistics are exact integer sums; the only floats are the final
+    sqrt and division, identical IEEE on identical integers.
+
+    Scale posture (100 TB): degree table via one hash agg over edge
+    endpoints; degrees join back to edges by node key (two hash joins —
+    the build sides are node-sized, not edge-sized); the moment
+    aggregation is one map-side-combined pass with a 1-row result. No
+    windows, no iteration, never materializes anything larger than the
+    edge list. Cites q180's edge derivation (graph_quality_ops._EDGES_SQL)
+    so graph statistics stay comparable across queries."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        _copurchase_edges,
+    )
+
+    und = _copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    joined = und.join(da, "a").join(db, "b")
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    s = ends.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        F.expr("m2 div 2").cast("bigint").alias("n_edges"),
+        F.round(
+            (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            6,
+        ).alias("assortativity"),
+    )

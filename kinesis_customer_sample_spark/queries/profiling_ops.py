@@ -28,7 +28,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -380,3 +380,235 @@ def randomized_response_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_pos",
         "debiased_bp",
     )
+
+
+_LDIV_L = 3
+_LDIV_H_MU_MIN = 1_098_612  # floor(ln(3)·1e6): entropy-ℓ bar at ℓ = 3
+
+
+@query(
+    "q346_l_diversity_audit",
+    oracle=f"""
+    WITH vals AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+             (CAST(floor(c_acctbal) AS BIGINT) // 2000)::BIGINT AS sens,
+             count(*)::BIGINT AS cnt
+      FROM customer
+      GROUP BY 1, 2, 3
+    ),
+    cells AS (
+      SELECT nationkey, segment,
+             sum(cnt)::BIGINT AS k,
+             count(*)::BIGINT AS l_distinct,
+             sum(cnt * floor(ln(cnt) * 1000000)::BIGINT)::BIGINT AS sum_clnc_mu
+      FROM vals GROUP BY 1, 2
+    )
+    SELECT nationkey::BIGINT AS nationkey, segment, k, l_distinct,
+           (floor(ln(k) * 1000000)::BIGINT - sum_clnc_mu // k)::BIGINT AS h_mu,
+           (l_distinct >= {_LDIV_L}) AS distinct_l_ok,
+           ((floor(ln(k) * 1000000)::BIGINT - sum_clnc_mu // k)
+              >= {_LDIV_H_MU_MIN}) AS entropy_l_ok
+    FROM cells
+    """,
+    tags=("governance", "privacy", "l-diversity", "entropy"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ℓ-diversity audit — the privacy gate k-anonymity (q284) cannot
+    provide: a QI cell can be k-anonymous yet leak the SENSITIVE value
+    outright when every member shares it (the homogeneity attack). Per
+    quasi-identifier cell (nation, segment) over the sensitive
+    account-balance band: distinct ℓ-diversity (≥ ℓ distinct sensitive
+    values) and entropy ℓ-diversity (H(sensitive|cell) ≥ ln ℓ). The
+    entropy uses the repo's integer µ-nat identity H = ln k − Σc·ln(c)/k
+    with per-distinct-count log floors (the q180/q151 pattern), so both
+    engines produce identical integers.
+
+    Scale posture (100 TB): two cascaded hash aggs — (QI, sensitive)
+    value counts first (map-side combined), then QI cells; output is the
+    QI-cell grid, the operator's honest size. ln() is evaluated only per
+    DISTINCT count value, never per row."""
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(floor(c_acctbal) AS BIGINT) div 2000").alias("sens"),
+    )
+    vals = c.groupBy("nationkey", "segment", "sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    cells = vals.groupBy("nationkey", "segment").agg(
+        F.sum("cnt").cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("l_distinct"),
+        F.sum(F.expr("cnt * CAST(floor(ln(cnt) * 1000000) AS BIGINT)"))
+        .cast("bigint")
+        .alias("sum_clnc_mu"),
+    )
+    h_mu = F.expr(
+        "CAST(floor(ln(k) * 1000000) AS BIGINT) - sum_clnc_mu div k"
+    ).cast("bigint")
+    return cells.select(
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        "segment",
+        "k",
+        "l_distinct",
+        h_mu.alias("h_mu"),
+        (F.col("l_distinct") >= _LDIV_L).alias("distinct_l_ok"),
+        (h_mu >= _LDIV_H_MU_MIN).alias("entropy_l_ok"),
+    )
+
+
+_ENC_RG = 512  # row-group granularity: l_orderkey div 512, the unit real
+# columnar writers choose encodings at (per row group, not per table)
+
+# (column, value expr, width expr) — width in bytes; shared arithmetic,
+# dialect-specific only in the date/oct functions
+_ENC_SPECS = [
+    ("l_returnflag", "l_returnflag", "octet"),
+    ("l_linestatus", "l_linestatus", "octet"),
+    ("l_quantity", "qty", "8"),
+    ("l_suppkey", "l_suppkey", "8"),
+    ("l_shipdate", "days", "8"),
+]
+
+
+def _enc_oracle() -> str:
+    blocks, finals = [], []
+    for name, _, _ in _ENC_SPECS:
+        if name == "l_quantity":
+            vexpr = "CAST(round(l_quantity) AS BIGINT)"
+        elif name == "l_shipdate":
+            vexpr = "date_diff('day', DATE '1970-01-01', l_shipdate::DATE)"
+        else:
+            vexpr = name
+        # DuckDB: octet_length is BLOB-only; strlen is the byte length
+        wexpr = (
+            f"strlen({name})::BIGINT"
+            if name in ("l_returnflag", "l_linestatus")
+            else "8::BIGINT"
+        )
+        tag = name.replace("l_", "")
+        blocks.append(f"""
+    b_{tag} AS (
+      SELECT l_orderkey // {_ENC_RG} AS rg, l_orderkey AS ok,
+             l_linenumber AS ln, {vexpr} AS v, {wexpr} AS w
+      FROM lineitem
+    ),
+    r_{tag} AS (
+      SELECT CASE WHEN lag(v) OVER (PARTITION BY rg ORDER BY ok, ln, v)
+                       IS DISTINCT FROM v THEN 1 ELSE 0 END AS br, w
+      FROM b_{tag}
+    ),
+    s_{tag} AS (
+      SELECT count(*)::BIGINT AS n, sum(w)::BIGINT AS width_sum,
+             sum(br)::BIGINT AS runs
+      FROM r_{tag}
+    ),
+    d_{tag} AS (
+      SELECT count(*)::BIGINT AS d, sum(w)::BIGINT AS dwidth_sum
+      FROM (SELECT DISTINCT v, w FROM b_{tag})
+    )""")
+        finals.append(f"""
+    SELECT '{name}' AS column_name, n, d AS n_distinct, runs,
+           width_sum AS plain_bytes,
+           (n * ((length(bin(greatest(d - 1, 1))) + 7) // 8)
+              + dwidth_sum)::BIGINT AS dict_bytes,
+           (runs * ((width_sum // n) + 4))::BIGINT AS rle_bytes,
+           CASE WHEN width_sum <= (n * ((length(bin(greatest(d - 1, 1))) + 7) // 8) + dwidth_sum)
+                 AND width_sum <= (runs * ((width_sum // n) + 4)) THEN 'plain'
+                WHEN (n * ((length(bin(greatest(d - 1, 1))) + 7) // 8) + dwidth_sum)
+                      <= (runs * ((width_sum // n) + 4)) THEN 'dict'
+                ELSE 'rle' END AS encoding_choice
+    FROM s_{tag}, d_{tag}""")
+    return "WITH" + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query(
+    "q350_encoding_advisor",
+    oracle=_enc_oracle(),
+    tags=("profiling", "storage", "encoding", "columnar"),
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding advisor: per column, the byte-size estimates a
+    parquet/ORC writer weighs when picking PLAIN vs DICTIONARY vs RLE —
+    value bytes, distinct-dictionary bytes (n·⌈log2 d/8⌉ codes + the
+    dictionary itself), and run-length bytes (runs·(avg_width+4)) — with
+    runs counted inside l_orderkey-div-512 row groups under the table's natural
+    (l_orderkey, l_linenumber) clustering, exactly the granularity real
+    writers decide at. The advisor's argmin is the encoding a tuned
+    layout would choose; feeding it is the point of Z-order (q110) and
+    compaction (q187), which exist to RAISE run lengths.
+
+    Scale posture (100 TB): per column, one row-group-partitioned lag
+    window (row groups are the natural parallel unit — no global order)
+    plus two hash aggs (full + distinct). Columns process independently —
+    at scale each is its own scan-light job over one column's pages. The
+    bit-width ⌈log2⌉ comes from length(bin(d−1)) — integer in both
+    engines, no float log."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "l_suppkey",
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+            F.expr(
+                "datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')"
+            ).cast("bigint").alias("days"),
+        )
+        .withColumn("rg", F.expr(f"l_orderkey div {_ENC_RG}"))
+    )
+    parts = []
+    for name, vcol, wkind in _ENC_SPECS:
+        w = (
+            F.expr(f"octet_length({vcol})").cast("bigint")
+            if wkind == "octet"
+            else F.lit(8).cast("bigint")
+        )
+        base = li.select(
+            "rg", "l_orderkey", "l_linenumber", F.col(vcol).alias("v"), w.alias("w")
+        )
+        # v is the last sort key: (l_orderkey, l_linenumber) is not unique in
+        # the fixture, and equal-v ties are interchangeable — the run count
+        # is well-defined only under a total order
+        lag_v = F.lag("v").over(
+            W.partitionBy("rg").orderBy("l_orderkey", "l_linenumber", "v")
+        )
+        r = base.withColumn(
+            "br", F.when(~lag_v.eqNullSafe(F.col("v")), 1).otherwise(0)
+        )
+        s = r.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("w").cast("bigint").alias("width_sum"),
+            F.sum("br").cast("bigint").alias("runs"),
+        )
+        d = (
+            base.select("v", "w")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("d"),
+                F.sum("w").cast("bigint").alias("dwidth_sum"),
+            )
+        )
+        dict_b = "n * ((length(bin(greatest(d - 1, 1))) + 7) div 8) + dwidth_sum"
+        rle_b = "runs * ((width_sum div n) + 4)"
+        parts.append(
+            s.crossJoin(F.broadcast(d)).select(
+                F.lit(name).alias("column_name"),
+                "n",
+                F.col("d").alias("n_distinct"),
+                "runs",
+                F.col("width_sum").alias("plain_bytes"),
+                F.expr(dict_b).cast("bigint").alias("dict_bytes"),
+                F.expr(rle_b).cast("bigint").alias("rle_bytes"),
+                F.expr(
+                    f"CASE WHEN width_sum <= ({dict_b}) AND width_sum <= ({rle_b}) "
+                    f"THEN 'plain' WHEN ({dict_b}) <= ({rle_b}) THEN 'dict' "
+                    f"ELSE 'rle' END"
+                ).alias("encoding_choice"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

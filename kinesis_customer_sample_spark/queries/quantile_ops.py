@@ -381,3 +381,73 @@ def inverse_cdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000 * wt div total AS BIGINT)").alias("expected_milli"),
         )
     )
+
+
+@query(
+    "q343_gini_by_segment",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v,
+             o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    ranked AS (
+      SELECT segment, v,
+             row_number() OVER (PARTITION BY segment ORDER BY v, o_orderkey)
+               AS i,
+             count(*) OVER (PARTITION BY segment) AS n
+      FROM base
+    ),
+    agg AS (
+      SELECT segment, any_value(n)::BIGINT AS n,
+             sum(v)::BIGINT AS total_cents,
+             sum((2 * i - n - 1) * v)::BIGINT AS num
+      FROM ranked GROUP BY segment
+    )
+    SELECT segment, n, total_cents,
+           round(num::DOUBLE / (n::DOUBLE * total_cents), 6) AS gini
+    FROM agg
+    """,
+    tags=("stats", "gini", "inequality", "two-level-window"),
+)
+def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of order value per market segment — the
+    inequality measure behind revenue-concentration dashboards
+    (complements q203's top-share Pareto cut with the full-distribution
+    statistic). Uses the rank identity G = Σ(2i−n−1)·x_(i) / (n·Σx), but
+    never materializes ranks row-by-row: on the (segment, distinct-cents)
+    grid a value v with multiplicity k occupying inclusive cumulative
+    ranks (c−k+1 … c) contributes v·(k·(2c−k+1) − k·(n+1)) in closed
+    form — an exact integer per grid row, summed associatively.
+
+    Scale posture (100 TB): reuses _grid_cumulative's two-level pattern —
+    hash-agg to the distinct-value grid, bucket-partitioned cumsum
+    windows, broadcast bucket offsets; NO global ordered window (the same
+    no-serialize argument as q272). The oracle ranks row-by-row instead —
+    same result by the tie-invariance of the rank sum. int64 bound:
+    Σ|contrib| ≈ n²·v̄ ≈ 1e16 at sf0.1; switch the two sums to
+    DECIMAL(38,0) beyond sf ≈ 1 (the q311-style documented bound)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    grid = _grid_cumulative(o.join(c, "o_custkey"), "segment", _QB_WIDTH)
+    contrib = F.expr("v * (cnt * (2 * c - cnt + 1) - cnt * (n + 1))")
+    agg = grid.groupBy("segment").agg(
+        F.first("n").cast("bigint").alias("n"),
+        F.sum(F.expr("v * cnt")).cast("bigint").alias("total_cents"),
+        F.sum(contrib).cast("bigint").alias("num"),
+    )
+    return agg.select(
+        "segment",
+        "n",
+        "total_cents",
+        F.round(
+            F.col("num")
+            / (F.col("n").cast("double") * F.col("total_cents").cast("double")),
+            6,
+        ).alias("gini"),
+    )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.queries.composites3 import _SESSION_GAP_US
 from kinesis_customer_sample_spark.registry import query
 
 
@@ -174,4 +175,93 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((cents - lag(cents) OVER (PARTITION BY event_type ORDER BY week)) * 10000 "
             "div lag(cents) OVER (PARTITION BY event_type ORDER BY week) AS BIGINT)"
         ).alias("cents_growth_bp"),
+    )
+
+
+@query(
+    "q347_dwell_bounce_rollup",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > {_SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT user_id, sid,
+             count(*)::BIGINT AS n_events,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
+             min_by(event_type, lpad(epoch_us(ts)::VARCHAR, 20, '0') || event_type)
+               AS entry_type
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT entry_type,
+           count(*)::BIGINT AS n_sessions,
+           sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+           (sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+              // count(*))::BIGINT AS bounce_bp,
+           (sum(dur_s) // count(*))::BIGINT AS avg_dwell_s
+    FROM per_sess GROUP BY entry_type
+    """,
+    tags=("analytics", "sessionization", "bounce-rate", "dwell-time"),
+)
+def dwell_bounce_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell-time and bounce-rate report, keyed by session ENTRY event
+    type — the canonical web-analytics rollup: sessionize per user with
+    the 12 h gap rule (q108's gaps-and-islands machinery; events'
+    synthetic inter-arrival median is ≈ 7.3 h), then classify each
+    session by its first event, count single-event sessions as bounces,
+    and report integer basis-point bounce rate and integer-seconds mean
+    dwell. (ts, event_type) is the total order inside a user — ts alone
+    can tie in the fixture.
+
+    Scale posture (100 TB): both windows are USER-partitioned (the q108
+    argument: user timelines are small and independent); per-session and
+    per-entry-type rollups are hash aggs; the final table is
+    entry-type-sized. min_by picks the entry event without a second
+    window pass."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_type")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    marked = ev.withColumn(
+        "is_new",
+        F.when(
+            prev_us.isNull() | ((us - prev_us) > _SESSION_GAP_US), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "(unix_micros(CAST(max(ts) AS TIMESTAMP))"
+            " - unix_micros(CAST(min(ts) AS TIMESTAMP))) div 1000000"
+        )
+        .cast("bigint")
+        .alias("dur_s"),
+        # min_by key: zero-padded micros ++ type — a portable total order
+        # (DuckDB min_by has no composite-key overload)
+        F.expr(
+            "min_by(event_type, lpad(CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING), 20, '0') || event_type)"
+        ).alias("entry_type"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        F.expr(
+            "CAST(sum(IF(n_events = 1, 1, 0)) * 10000 div count(1) AS BIGINT)"
+        ).alias("bounce_bp"),
+        F.expr("CAST(sum(dur_s) div count(1) AS BIGINT)").alias("avg_dwell_s"),
     )

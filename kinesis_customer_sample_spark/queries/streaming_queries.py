@@ -1229,3 +1229,63 @@ from kinesis_customer_sample_spark.registry import REGISTRY as _REG  # noqa: E40
 _REG["q339_stream_sprt_sequential"] = _dc.replace(
     _REG["q339_stream_sprt_sequential"], oracle=_sprt_oracle().strip()
 )
+
+
+@query(
+    "q348_stream_stream_semi_join",
+    oracle="""
+    SELECT p.user_id,
+           count(*)::BIGINT AS n_preceded,
+           sum(CAST(round(p.value * 100) AS BIGINT))::BIGINT AS preceded_cents
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'view' AND c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 72 HOUR AND p.ts
+      )
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "stream-stream", "left-semi"),
+)
+def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — the existence-check member of the
+    streaming-join family (q111 inner, q183 left outer): emit each
+    purchase AT MOST ONCE if the same user had ≥ 1 view in the preceding
+    72 h. Semi is the right tool when only the fact of a preceding event
+    matters: unlike q111's inner join it never multiplies a purchase by
+    its N matching views, so the output (and every downstream agg) stays
+    purchase-sized. Both sides are real file-replay streams with 1 h
+    watermarks; the event-time range bounds join state exactly as in
+    q111. The oracle is the equivalent batch EXISTS — the driver
+    hash-match proves stream/batch semi-join equivalence.
+
+    State posture at 100 TB: keyed by user_id, expired by watermark +
+    range — steady-state ≈ one 72 h view window per active user; the
+    semi form additionally drops each matched purchase from state at
+    first match instead of buffering for more matches."""
+    ev = events_stream(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "value")
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    kept = purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 72 HOURS"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "left_semi",
+    )
+    rows = run_to_completion(kept, output_mode="append")
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_preceded"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("preceded_cents"),
+    )

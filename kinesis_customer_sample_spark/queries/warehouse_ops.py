@@ -1118,3 +1118,285 @@ def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pct_of_parent_bp"),
         )
     )
+
+
+_PD_N_FILES = 4  # base data files (file_id = o_orderkey % 4)
+_PD_DEL_MOD = 97  # deterministic delete predicate: o_orderkey % 97 == 0
+
+
+@query(
+    "q344_positional_delete_apply",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_live,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             AS total_cents
+    FROM orders
+    WHERE o_orderkey % {_PD_DEL_MOD} != 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("warehouse", "merge-on-read", "positional-delete", "iceberg"),
+)
+def positional_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read positional deletes — the OTHER half of the modern
+    table-format mechanic next to q318's manifest snapshots: deletes are
+    committed as tiny (file_id, pos) tombstone files instead of
+    rewriting data files, and the READER applies them by anti-joining
+    row positions at scan time. The engine writes {_PD_N_FILES} base
+    files (file_id = o_orderkey % {_PD_N_FILES}, pos = rank of
+    o_orderkey within the file — deterministic, standing in for parquet
+    row order), commits one delete file tombstoning every row whose
+    o_orderkey % {_PD_DEL_MOD} == 0, then reads base ⟕anti⟕ deletes on
+    (file_id, pos) and aggregates the LIVE rows. The oracle recomputes
+    from the raw table with the logical predicate — proving the
+    positional indirection resolves to exactly the intended rows.
+
+    Scale posture (100 TB): delete files are keyed by (file_id, pos), so
+    the anti join is file-local — real readers apply each data file's
+    tombstones during its own scan with zero shuffle; here the equi-join
+    on the composite key is the engine-level equivalent, with the
+    delete side orders-of-magnitude smaller (1/{_PD_DEL_MOD} of rows)
+    and broadcastable. Writes per-run scratch (run_scratch_dir)."""
+    from kinesis_customer_sample_spark.streaming.replay import run_scratch_dir
+
+    base_dir = run_scratch_dir("q344", sf_dir)
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("file_id", (F.col("o_orderkey") % _PD_N_FILES).cast("int"))
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                W.partitionBy("file_id").orderBy("o_orderkey")
+            ),
+        )
+    )
+    base_path = os.path.join(base_dir, "base")
+    o.write.partitionBy("file_id").parquet(base_path)
+    deletes_path = os.path.join(base_dir, "deletes")
+    (
+        o.filter(F.col("o_orderkey") % _PD_DEL_MOD == 0)
+        .select("file_id", "pos")
+        .write.parquet(deletes_path)
+    )
+
+    base = spark.read.parquet(base_path)
+    dels = spark.read.parquet(deletes_path)
+    live = base.join(F.broadcast(dels), ["file_id", "pos"], "left_anti")
+    return live.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+    )
+
+
+_MK_BUCKET = 256  # merkle leaf width in o_orderkey units
+_MK_DROP = 997  # snapshot B drops keys ≡ 0 (mod 997)      — "removed"
+_MK_FLIP = 501  # snapshot B flips status on keys ≡ 0 (mod 501) — "changed"
+_MK_ADD = 5  # snapshot B appends 5 synthetic keys            — "added"
+
+
+def _mk_row_hash_sql() -> str:
+    """Portable per-row digest over (key, status, cents) — pure integer
+    arithmetic plus the repo's polynomial string hash, textually identical
+    in both dialects."""
+    from kinesis_customer_sample_spark.functions import MOD_P, tok_hash_expr
+
+    # dialect-agnostic: both engines accept this exact arithmetic text
+    return (
+        f"(((o_orderkey % {MOD_P}) * 31 + (cents % {MOD_P})) % {MOD_P} * 31 "
+        f"+ {{status_hash}}) % {MOD_P}"
+    )
+
+
+@query(
+    "q351_merkle_range_diff",
+    oracle=None,  # placeholder — replaced below at registration
+    tags=("warehouse", "merkle", "anti-entropy", "reconciliation"),
+)
+def merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy range diff — how replicated stores
+    reconcile a 100 TB table WITHOUT comparing every row (q125's full
+    diff is the row-level tool; this is the range-level triage above it):
+    both snapshots reduce to per-bucket digests (sum of portable row
+    hashes mod P + row count over o_orderkey div 256 leaves), digests
+    full-outer-join on the bucket id, and ONLY diverging buckets are
+    re-read row-by-row to classify added/removed/changed. Snapshot B is
+    a deterministic perturbation of A (drop %997 keys, flip status on
+    %501 keys, append 5 rows), so every divergence class is exercised.
+
+    Scale posture (100 TB): the digest pass is one map-side-combined agg
+    per snapshot (sum is associative; mod taken after — bucket_rows·P
+    must fit int64, fine to ~9e9 rows/bucket); the digest join is
+    bucket-grid-sized metadata. The row-level recheck joins ONLY the
+    diverging buckets' rows (broadcast bucket-id semi-filter), which at
+    a production drift rate is a vanishing fraction of the table — the
+    whole point of the merkle triage. Buckets are key ranges, so on a
+    range-partitioned layout the recheck prunes to matching files."""
+    from kinesis_customer_sample_spark.functions import MOD_P, tok_hash_expr
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    added = spark.range(_MK_ADD).select(
+        (F.lit(10_000_000_000) + F.col("id")).alias("o_orderkey"),
+        F.lit("N").alias("status"),
+        ((F.col("id") + 1) * 12345).alias("cents"),
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % _MK_DROP != 0)
+        .withColumn(
+            "status",
+            F.when(F.col("o_orderkey") % _MK_FLIP == 0, F.lit("X")).otherwise(
+                F.col("status")
+            ),
+        )
+        .unionByName(added)
+    )
+
+    hash_sql = _mk_row_hash_sql().format(
+        status_hash=tok_hash_expr("status", dialect="spark")
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("h", F.expr(hash_sql))
+            .withColumn("bucket", F.expr(f"o_orderkey div {_MK_BUCKET}"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                (F.sum("h") % MOD_P).cast("bigint").alias("dig"),
+            )
+        )
+
+    da, db_ = digests(o), digests(b)
+    diverged = (
+        da.select("bucket", F.col("cnt").alias("cnt_a"), F.col("dig").alias("dig_a"))
+        .join(
+            db_.select(
+                "bucket", F.col("cnt").alias("cnt_b"), F.col("dig").alias("dig_b")
+            ),
+            "bucket",
+            "full_outer",
+        )
+        .filter(
+            ~(
+                F.col("dig_a").eqNullSafe(F.col("dig_b"))
+                & F.col("cnt_a").eqNullSafe(F.col("cnt_b"))
+            )
+        )
+        .select("bucket")
+    )
+    with_bucket = lambda df: df.withColumn(  # noqa: E731
+        "bucket", F.expr(f"o_orderkey div {_MK_BUCKET}")
+    )
+    ra = with_bucket(o).join(F.broadcast(diverged), "bucket")
+    rb = with_bucket(b).join(F.broadcast(diverged), "bucket")
+    rows = (
+        ra.select(
+            "bucket",
+            "o_orderkey",
+            F.col("status").alias("st_a"),
+            F.col("cents").alias("c_a"),
+        )
+        .join(
+            rb.select(
+                "bucket",
+                "o_orderkey",
+                F.col("status").alias("st_b"),
+                F.col("cents").alias("c_b"),
+            ),
+            ["bucket", "o_orderkey"],
+            "full_outer",
+        )
+    )
+    return rows.groupBy("bucket").agg(
+        F.sum(F.when(F.col("st_a").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("st_b").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("st_a").isNotNull()
+                & F.col("st_b").isNotNull()
+                & (
+                    ~F.col("st_a").eqNullSafe(F.col("st_b"))
+                    | ~F.col("c_a").eqNullSafe(F.col("c_b"))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+    )
+
+
+def _mk_register_oracle() -> None:
+    """Attach q351's oracle (needs the DuckDB-dialect status hash)."""
+    import textwrap
+    from dataclasses import replace
+
+    from kinesis_customer_sample_spark.functions import MOD_P, tok_hash_expr
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    h = _mk_row_hash_sql().format(
+        status_hash=tok_hash_expr("status", dialect="duckdb")
+    )
+    oracle = f"""
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {_MK_FLIP} = 0 THEN 'X' ELSE status END
+               AS status,
+             cents
+      FROM a WHERE o_orderkey % {_MK_DROP} != 0
+      UNION ALL
+      SELECT 10000000000 + i AS o_orderkey, 'N' AS status,
+             (i + 1) * 12345 AS cents
+      FROM (SELECT unnest(range({_MK_ADD})) AS i)
+    ),
+    ha AS (SELECT *, ({h})::BIGINT AS h, o_orderkey // {_MK_BUCKET} AS bucket FROM a),
+    hb AS (SELECT *, ({h})::BIGINT AS h, o_orderkey // {_MK_BUCKET} AS bucket FROM b),
+    da AS (SELECT bucket, count(*)::BIGINT AS cnt, (sum(h) % {MOD_P})::BIGINT AS dig
+           FROM ha GROUP BY bucket),
+    db AS (SELECT bucket, count(*)::BIGINT AS cnt, (sum(h) % {MOD_P})::BIGINT AS dig
+           FROM hb GROUP BY bucket),
+    div_b AS (
+      SELECT coalesce(da.bucket, db.bucket) AS bucket
+      FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+      WHERE NOT (da.dig IS NOT DISTINCT FROM db.dig
+                 AND da.cnt IS NOT DISTINCT FROM db.cnt)
+    ),
+    ra AS (SELECT ha.* FROM ha JOIN div_b USING (bucket)),
+    rb AS (SELECT hb.* FROM hb JOIN div_b USING (bucket)),
+    rows_ AS (
+      SELECT coalesce(ra.bucket, rb.bucket) AS bucket,
+             ra.status AS st_a, rb.status AS st_b,
+             ra.cents AS c_a, rb.cents AS c_b
+      FROM ra FULL OUTER JOIN rb
+        ON ra.bucket = rb.bucket AND ra.o_orderkey = rb.o_orderkey
+    )
+    SELECT bucket,
+           sum(CASE WHEN st_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+           sum(CASE WHEN st_b IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           sum(CASE WHEN st_a IS NOT NULL AND st_b IS NOT NULL
+                     AND (st_a IS DISTINCT FROM st_b
+                          OR c_a IS DISTINCT FROM c_b)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_changed
+    FROM rows_ GROUP BY bucket
+    """
+    REGISTRY["q351_merkle_range_diff"] = replace(
+        REGISTRY["q351_merkle_range_diff"], oracle=textwrap.dedent(oracle).strip()
+    )
+
+
+_mk_register_oracle()

@@ -1527,3 +1527,107 @@ def test_percent_of_parent_hierarchy_sized_join(spark, sf_dir):
     assert facts.join_strategies.get("SortMergeJoin", 0) == 0
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+
+
+# ---------------------------------------------------------------- round 6
+
+
+def test_ndcg_constant_query_batch_broadcasts(spark, sf_dir):
+    """q341: the 8-query batch must broadcast into the scoring join (the
+    q152 constant-batch shape) and top-k selection must be windowed in
+    two phases — never a cartesian, always map-side partials for the
+    per-query rollup."""
+    facts = audit_of(spark, sf_dir, "q341_ndcg_mrr_eval")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_target_encoding_cascaded_aggs(spark, sf_dir):
+    """q342: the out-of-fold encoding is two cascaded hash aggs over one
+    fact-dim join; the global totals enter via broadcast, never a
+    re-scan."""
+    facts = audit_of(spark, sf_dir, "q342_target_encoding_oof")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian or facts.join_strategies.get(
+        "BroadcastNestedLoopJoin", 0
+    ), "global totals must broadcast"
+    # two-column projection of customer: name/acctbal never read
+    assert not facts.scans_read_column("c_name")
+    assert not facts.scans_read_column("c_acctbal")
+
+
+def test_gini_no_global_window(spark, sf_dir):
+    """q343: the grid cumsum must stay bucket-partitioned — a global
+    ordered window (one-task serialization) is the failure mode the
+    closed-form contribution exists to avoid."""
+    facts = audit_of(spark, sf_dir, "q343_gini_by_segment")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+
+
+def test_positional_deletes_broadcast_anti(spark, sf_dir):
+    """q344: the tombstone side is orders/97 rows — the anti join must
+    broadcast it, and the reader must not re-sort the base files."""
+    facts = audit_of(spark, sf_dir, "q344_positional_delete_apply")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_assortativity_node_sized_builds(spark, sf_dir):
+    """q345: degrees join back to edges with node-sized build sides; the
+    moment reduction is one partial-agg pass; no window anywhere."""
+    facts = audit_of(spark, sf_dir, "q345_degree_assortativity")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+
+
+def test_l_diversity_two_level_agg(spark, sf_dir):
+    """q346: (QI, sensitive) counts then QI cells — both hash aggs with
+    map-side partials; ln() rides the count column, so no window, no
+    join."""
+    facts = audit_of(spark, sf_dir, "q346_l_diversity_audit")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert "Window" not in facts.text
+
+
+def test_dwell_bounce_user_partitioned_windows(spark, sf_dir):
+    """q347: every window partitions by user_id (q108's argument); no
+    global window, no join."""
+    facts = audit_of(spark, sf_dir, "q347_dwell_bounce_rollup")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies == {}
+    assert facts.has_partial_agg
+
+
+def test_quantile_norm_partitioned_rank(spark, sf_dir):
+    """q349: the rank window partitions by source; the reference
+    distribution joins back on the rank key — no global window."""
+    facts = audit_of(spark, sf_dir, "q349_quantile_normalization")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+
+
+def test_encoding_advisor_rowgroup_windows(spark, sf_dir):
+    """q350: run counting must stay row-group-partitioned (the unit real
+    writers decide at) — a global lag window would serialize the table
+    through one task."""
+    facts = audit_of(spark, sf_dir, "q350_encoding_advisor")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian or facts.join_strategies.get(
+        "BroadcastNestedLoopJoin", 0
+    )
+
+
+def test_merkle_diff_broadcasts_diverged_buckets(spark, sf_dir):
+    """q351: the row-level recheck must reach rows via a broadcast of the
+    (tiny) diverging-bucket list — the triage property; digest passes are
+    partial-agg'd."""
+    facts = audit_of(spark, sf_dir, "q351_merkle_range_diff")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg

@@ -823,3 +823,96 @@ def test_binseg_gain_nonnegative_at_5m_rows(spark):
     for r in rows:
         assert r["g"] >= -1e-6, r
         assert 1 <= r["k"] < r["n"], r
+
+
+def test_gini_closed_form_matches_rank_sum_at_5m_rows(spark):
+    """q343's grid closed-form contribution at 5M rows over a known
+    distribution: for values 0..K-1 uniform (c copies each), Gini has the
+    closed form (K²−1)/(3·K·(K−1)/2·... — instead of trusting algebra,
+    compare the grid formula against the direct rank identity computed on
+    the DISTINCT grid (both integer, must be bit-equal)."""
+    K = 1_000
+    n = 5_000_000
+    df = spark.range(n).select(
+        F.lit("g").alias("segment"), (F.col("id") % K).alias("v")
+    )
+    g = df.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("segment").orderBy("v")
+    grid = g.withColumn(
+        "c", F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0))
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy("segment")))
+    num_grid = grid.agg(
+        F.sum(F.expr("v * (cnt * (2 * c - cnt + 1) - cnt * (n + 1))"))
+    ).collect()[0][0]
+    # direct identity on the same grid: sum over ranks via per-value ranges
+    # Σ_{i=a..b} (2i−n−1)·v with a=c−cnt+1, b=c equals the closed form —
+    # recompute it termwise per distinct value with sequence explode
+    direct = (
+        grid.withColumn("i", F.explode(F.expr("sequence(c - cnt + 1, c)")))
+        .agg(F.sum(F.expr("v * (2 * i - n - 1)")))
+        .collect()[0][0]
+    )
+    assert num_grid == direct
+
+
+def test_encoding_runs_conserve_at_5m_rows(spark):
+    """q350's row-group run counting at 5M rows: runs summed over groups
+    must equal (boundaries within groups) and be bounded by n and by
+    n_groups·distinct — and a constant column must yield exactly one run
+    per row group."""
+    n = 5_000_000
+    rg_width = 4096
+    df = spark.range(n).select(
+        (F.col("id") / rg_width).cast("bigint").alias("rg"),
+        F.col("id").alias("ok"),
+        (F.col("id") % 7).alias("v"),
+        F.lit(1).alias("const"),
+    )
+    for col, expect_one_per_group in (("v", False), ("const", True)):
+        lag_v = F.lag(col).over(W.partitionBy("rg").orderBy("ok"))
+        runs = (
+            df.withColumn("br", F.when(~lag_v.eqNullSafe(F.col(col)), 1).otherwise(0))
+            .agg(F.sum("br"))
+            .collect()[0][0]
+        )
+        n_groups = (n + rg_width - 1) // rg_width
+        if expect_one_per_group:
+            assert runs == n_groups
+        else:
+            # %7 alternates every row: every row starts a run
+            assert runs == n
+
+
+def test_merkle_digest_detects_single_flip_at_5m_rows(spark):
+    """q351's digest pass at 5M rows: flipping ONE row's payload must
+    diverge exactly one bucket digest, and identical tables must diverge
+    zero — the anti-entropy core property, at scale, via one
+    map-side-combined agg per side."""
+    from kinesis_customer_sample_spark.functions import MOD_P
+
+    n = 5_000_000
+    a = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 31 % 1_000_003).alias("payload")
+    )
+    b = a.withColumn(
+        "payload",
+        F.when(F.col("k") == 2_345_678, F.col("payload") + 1).otherwise(
+            F.col("payload")
+        ),
+    )
+
+    def digs(df):
+        return (
+            df.withColumn("h", F.expr(f"(k % {MOD_P}) * 31 + (payload % {MOD_P})"))
+            .withColumn("bucket", F.expr("k div 4096"))
+            .groupBy("bucket")
+            .agg((F.sum("h") % MOD_P).alias("dig"))
+        )
+
+    da, db_ = digs(a), digs(b)
+    joined = da.select("bucket", F.col("dig").alias("da")).join(
+        db_.select("bucket", F.col("dig").alias("db")), "bucket", "full_outer"
+    )
+    diverged = joined.filter(~F.col("da").eqNullSafe(F.col("db"))).collect()
+    assert len(diverged) == 1
+    assert diverged[0]["bucket"] == 2_345_678 // 4096
