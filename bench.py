@@ -171,6 +171,13 @@ HEADLINE = [
     "q349_quantile_normalization",
     "q350_encoding_advisor",
     "q351_merkle_range_diff",
+    "q352_greedy_set_cover",
+    "q353_temporal_embargo_split",
+    "q354_partition_profile_drift",
+    "q355_dynamic_pivot",
+    "q356_json_schema_inference",
+    "q357_dynamic_partition_pruning",
+    "q358_zipf_rank_frequency",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

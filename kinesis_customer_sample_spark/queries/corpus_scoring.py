@@ -1050,3 +1050,87 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ZIPF_TOP = 100  # fit over the top-R tokens (bounded by construction)
+
+
+@query(
+    "q358_zipf_rank_frequency",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT {_ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT row_number() OVER (ORDER BY c DESC, tok) AS r, c FROM top
+    ),
+    xy AS (
+      SELECT floor(ln(r) * 1000000)::BIGINT AS x,
+             floor(ln(c) * 1000000)::BIGINT AS y
+      FROM pts
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+             sum(y * y)::BIGINT AS syy
+      FROM xy
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) AS slope,
+           round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    tags=("llm", "corpus-stats", "zipf", "ols"),
+)
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit — the corpus-health one-liner: natural
+    language sits near slope −1 on log rank vs log frequency; template
+    spam flattens the head, truncated vocab bends the tail. OLS over the
+    top-100 tokens' (ln rank, ln count) in integer µ-units (the q151
+    floor discipline, so ln is evaluated only on small integers and both
+    engines see identical point sets); slope and r² come from the five
+    integer sufficient statistics — floats only in the final two
+    divisions.
+
+    Scale posture (100 TB): token counts are one map-side-combined hash
+    agg; the top-R cut is TakeOrderedAndProject (never a full sort); the
+    rank window runs over exactly R = 100 rows by construction —
+    the bounded-grid argument, same as q211's 32-bin CDF."""
+    counts = (
+        _docs_with_tokens(spark, sf_dir)
+        .select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), "tok").limit(_ZIPF_TOP)
+    pts = top.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("c").desc(), "tok"))
+    )
+    xy = pts.select(
+        F.expr("CAST(floor(ln(r) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(c) * 1000000) AS BIGINT)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(num.cast("double") / denx, 6).alias("slope"),
+        F.round(
+            num.cast("double") * num / (denx.cast("double") * deny), 6
+        ).alias("r2"),
+    )

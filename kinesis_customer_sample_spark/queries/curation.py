@@ -1038,3 +1038,99 @@ def training_mix_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "lang", "n_docs", "n_tokens", "token_share_bp", "rnk", "cum_share_bp"
         )
     )
+
+
+_SC_ROUNDS = 3  # greedy set-cover steps (k picks)
+
+
+def _sc_oracle() -> str:
+    """Unrolled 3-round greedy set-cover in DuckDB (same argmax + anti-join
+    algebra the Spark loop runs; LIMIT 1 with (n DESC, source) tiebreak)."""
+    from kinesis_customer_sample_spark.queries.dedup import _DUCK_SHINGLES
+
+    parts = [f"""
+    st AS (
+      SELECT DISTINCT source, tok FROM (
+        SELECT source, unnest({_DUCK_SHINGLES}) AS tok
+        FROM (SELECT source, {_DUCK_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 3
+      )
+    ),
+    g1 AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+    p1 AS (SELECT source, n FROM g1 ORDER BY n DESC, source LIMIT 1),
+    c1 AS (SELECT DISTINCT tok FROM st
+           WHERE source IN (SELECT source FROM p1))"""]
+    for i in (2, 3):
+        prev_p = " UNION ALL ".join(f"SELECT source FROM p{j}" for j in range(1, i))
+        parts.append(f"""
+    g{i} AS (
+      SELECT source, count(*)::BIGINT AS n FROM st
+      WHERE source NOT IN ({prev_p})
+        AND tok NOT IN (SELECT tok FROM c{i - 1})
+      GROUP BY source
+    ),
+    p{i} AS (SELECT source, n FROM g{i} ORDER BY n DESC, source LIMIT 1),
+    c{i} AS (SELECT DISTINCT tok FROM st
+             WHERE source IN ({prev_p} UNION ALL SELECT source FROM p{i}))""")
+    finals = "\n    UNION ALL\n".join(
+        f"""SELECT {i}::BIGINT AS step, source, n AS n_new,
+           (SELECT count(*)::BIGINT FROM c{i}) AS n_covered FROM p{i}"""
+        for i in (1, 2, 3)
+    )
+    return "WITH" + ",".join(parts) + "\n    " + finals
+
+
+@query(
+    "q352_greedy_set_cover",
+    oracle=_sc_oracle(),
+    tags=("llm", "data-selection", "set-cover", "submodular"),
+)
+def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set-cover data selection — the submodular-maximization
+    staple of training-data curation (pick the k sources that together
+    cover the most distinct 3-token shingles; the 1−1/e greedy guarantee is why every
+    practical selector is this loop): each round counts, per unpicked
+    source, the tokens NOT yet covered, and picks the argmax (ties →
+    lexicographic source). The oracle unrolls the identical three rounds
+    in SQL, so the driver hash-match certifies the whole argmax/anti-join
+    cascade, not just the final cover size.
+
+    Scale posture (100 TB): the (source, token) incidence is built ONCE
+    (distinct → persisted); each round is one anti join against the
+    covered-token set plus one source-keyed hash agg; driver state is k
+    picked source NAMES (bounded scalars — the q221 BPE-argmax pattern,
+    never a data collect). k is small by problem statement; rounds are
+    sequential by the greedy's definition."""
+    from kinesis_customer_sample_spark.queries.dedup import _SPARK_SHINGLES
+
+    src_tok = (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    picked: list[str] = []
+    rows: list[tuple] = []
+    for step in range(1, _SC_ROUNDS + 1):
+        remaining = src_tok.filter(~F.col("source").isin(picked)) if picked else src_tok
+        if picked:
+            covered = (
+                src_tok.filter(F.col("source").isin(picked)).select("tok").distinct()
+            )
+            remaining = remaining.join(covered, "tok", "left_anti")
+        gains = remaining.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
+        best = gains.orderBy(F.col("n").desc(), F.col("source")).limit(1).collect()[0]
+        picked.append(best["source"])
+        n_covered = (
+            src_tok.filter(F.col("source").isin(picked))
+            .select("tok")
+            .distinct()
+            .count()
+        )
+        rows.append((step, best["source"], int(best["n"]), int(n_covered)))
+    return spark.createDataFrame(
+        rows, "step bigint, source string, n_new bigint, n_covered bigint"
+    )

@@ -1043,3 +1043,66 @@ def positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_pos",
         )
     )
+
+
+_EMB_TEST_DAYS = 5  # test horizon: last 5 days before the corpus max day
+_EMB_GAP_DAYS = 2  # embargo gap dropped between train and test
+
+
+@query(
+    "q353_temporal_embargo_split",
+    oracle=f"""
+    WITH anchor AS (SELECT max(date_trunc('day', ts)) AS amax FROM events),
+    marked AS (
+      SELECT event_type,
+             CASE
+               WHEN ts >= amax - INTERVAL {_EMB_TEST_DAYS} DAY THEN 'test'
+               WHEN ts >= amax - INTERVAL {_EMB_TEST_DAYS + _EMB_GAP_DAYS} DAY
+                 THEN 'embargo'
+               ELSE 'train'
+             END AS split,
+             ts
+      FROM events CROSS JOIN anchor
+    )
+    SELECT event_type, split,
+           count(*)::BIGINT AS n,
+           min(date_trunc('day', ts)) AS first_day,
+           max(date_trunc('day', ts)) AS last_day
+    FROM marked GROUP BY event_type, split
+    """,
+    tags=("ml-prep", "split", "embargo", "leakage-safe", "temporal"),
+)
+def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split WITH EMBARGO — the time-series form of
+    leakage-safe splitting (q179 blocks by entity; this blocks by time):
+    the last 5 days are test, the 2 days before them are DROPPED
+    (embargoed) so that features computed over trailing windows in train
+    can never overlap a test label's lookback — the purged-CV rule from
+    financial ML, equally binding for any pipeline whose features are
+    rolling aggregates. Split boundaries anchor to the corpus's own max
+    day, so the split is reproducible from data alone.
+
+    Scale posture (100 TB): the anchor is a 1-row broadcast (one
+    column-pruned scan of ts); the assignment is a pure map; the audit
+    rollup is one hash agg. The split column would be written back as a
+    partition column, making each split's read partition-pruned."""
+    ev = table(spark, sf_dir, "events").select("event_type", "ts")
+    anchor = ev.agg(F.date_trunc("day", F.max(F.date_trunc("day", "ts"))).alias("amax"))
+    marked = ev.crossJoin(F.broadcast(anchor)).withColumn(
+        "split",
+        F.when(
+            F.col("ts") >= F.col("amax") - F.expr(f"INTERVAL {_EMB_TEST_DAYS} DAYS"),
+            F.lit("test"),
+        )
+        .when(
+            F.col("ts")
+            >= F.col("amax") - F.expr(f"INTERVAL {_EMB_TEST_DAYS + _EMB_GAP_DAYS} DAYS"),
+            F.lit("embargo"),
+        )
+        .otherwise(F.lit("train")),
+    )
+    return marked.groupBy("event_type", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("first_day"),
+        F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("last_day"),
+    )

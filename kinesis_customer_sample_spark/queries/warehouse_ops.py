@@ -1400,3 +1400,59 @@ def _mk_register_oracle() -> None:
 
 
 _mk_register_oracle()
+
+
+@query(
+    "q357_dynamic_partition_pruning",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           count(*)::BIGINT AS n_items,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS revenue_cents
+    FROM lineitem
+    WHERE quarter(l_shipdate) = 1
+    GROUP BY 1
+    """,
+    tags=("warehouse", "dynamic-partition-pruning", "layout", "join"),
+)
+def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime companion to q155's static
+    partition pruning: the fact table is laid out partitioned by ship
+    month, the filter lives on a DIMENSION (month attributes: quarter),
+    and the month list that survives the dim filter is only known at run
+    time — Catalyst inserts a dynamicpruning subquery into the fact scan
+    so only Q1 month directories are read, without the query ever naming
+    them. This is THE mechanism that makes star-schema date filters cheap
+    on partitioned 100 TB facts (a static reader would scan all months).
+    The plan test asserts the dynamicpruning expression is present in the
+    fact scan's partition filters.
+
+    Scale posture (100 TB): partition count = months (bounded metadata);
+    the dim is month-grain (broadcast); pruning happens before file
+    listing I/O. Scratch layout is written per run (run_scratch_dir)."""
+    from kinesis_customer_sample_spark.streaming.replay import run_scratch_dir
+
+    base = run_scratch_dir("q357", sf_dir)
+    li = table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    fact_path = os.path.join(base, "fact")
+    li.write.partitionBy("ship_month").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    months = (
+        li.select("ship_month")
+        .distinct()
+        .withColumn(
+            "qtr", F.quarter(F.to_date(F.concat(F.col("ship_month"), F.lit("-01"))))
+        )
+    )
+    dim = months.filter(F.col("qtr") == 1)
+    return (
+        fact.join(F.broadcast(dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -1631,3 +1631,83 @@ def test_merkle_diff_broadcasts_diverged_buckets(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+
+
+def test_set_cover_incidence_built_once(spark, sf_dir):
+    """q352: the (source, shingle) incidence is persisted and each round
+    is anti-join + hash agg — no cartesian, no window."""
+    facts = audit_of(spark, sf_dir, "q352_greedy_set_cover")
+    # result is a driver-assembled k-row table; audit the INCIDENCE build
+    from kinesis_customer_sample_spark.queries.dedup import _SPARK_SHINGLES
+    from kinesis_customer_sample_spark.queries.text_analysis import _docs_with_tokens
+    from kinesis_customer_sample_spark.plans import audit as _audit
+
+    spark.catalog.clearCache()  # audit the build, not q352's cache hit
+    inc = (
+        _docs_with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("source", F.explode(F.expr(_SPARK_SHINGLES)).alias("tok"))
+        .distinct()
+    )
+    inc_facts = _audit(inc)
+    # a keys-only distinct carries no "partial_" agg functions; the
+    # two-phase shape shows as partial+final HashAggregate pairs
+    assert inc_facts.text.count("HashAggregate") >= 2
+    assert not inc_facts.has_cartesian
+
+
+def test_embargo_split_single_scan_shape(spark, sf_dir):
+    """q353: anchor broadcasts (1 row); assignment is a map; audit is one
+    partial agg — and the anchor scan reads only ts."""
+    facts = audit_of(spark, sf_dir, "q353_temporal_embargo_split")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian or facts.join_strategies.get(
+        "BroadcastNestedLoopJoin", 0
+    )
+    assert not facts.scans_read_column("props")
+    assert not facts.scans_read_column("user_id")
+
+
+def test_profile_drift_grid_window(spark, sf_dir):
+    """q354: the trailing window runs on the (type × day) grid above the
+    partial agg, partitioned by event_type — never over raw rows."""
+    facts = audit_of(spark, sf_dir, "q354_partition_profile_drift")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+
+
+def test_dynamic_pivot_single_agg(spark, sf_dir):
+    """q355: after the driver-side value discovery, the pivot is ONE hash
+    agg with map-side partials — no join, no window."""
+    facts = audit_of(spark, sf_dir, "q355_dynamic_pivot")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert "Window" not in facts.text
+
+
+def test_schema_inference_full_scan_is_map_only_agg(spark, sf_dir):
+    """q356: the full-corpus pass is from_json projection + one global
+    agg; the sampling phase never appears in the returned plan."""
+    facts = audit_of(spark, sf_dir, "q356_json_schema_inference")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert not facts.scans_read_column("user_id")
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
+    """q357: THE assertion — the fact scan's PartitionFilters must carry a
+    dynamicpruningexpression (runtime month list from the dim filter),
+    and the dim must broadcast."""
+    facts = audit_of(spark, sf_dir, "q357_dynamic_partition_pruning")
+    assert "dynamicpruning" in facts.text.lower()
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+
+
+def test_zipf_bounded_rank_window(spark, sf_dir):
+    """q358: the only window sits above a 100-row TakeOrderedAndProject —
+    bounded by construction; token counting is partial-agg'd."""
+    facts = audit_of(spark, sf_dir, "q358_zipf_rank_frequency")
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text
