@@ -178,6 +178,17 @@ HEADLINE = [
     "q356_json_schema_inference",
     "q357_dynamic_partition_pruning",
     "q358_zipf_rank_frequency",
+    # round-6 wave 3: storage-stat skipping, sparse similarity join,
+    # compaction planning, weighted sampling, boilerplate strip, feature
+    # selection, dimensional ETL (q364 full-outer stream join excluded
+    # with the streaming-E2E family)
+    "q359_zone_map_skipping",
+    "q360_sparse_cosine_join",
+    "q361_compaction_bin_packing",
+    "q362_priority_sampling",
+    "q363_boilerplate_strip",
+    "q365_information_gain",
+    "q366_star_schema_conformance",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

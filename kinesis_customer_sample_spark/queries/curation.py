@@ -1134,3 +1134,210 @@ def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step bigint, source string, n_new bigint, n_covered bigint"
     )
+
+
+# priority sampling: per-segment sample size and the modulus that turns a
+# mixed orderkey hash into a uniform in (0, 1] (u = (h + 1) / P)
+_PS_K = 16
+_PS_P = 1_000_000_007
+_PS_MIX = 2_654_435_761  # Knuth multiplicative mix (q152/q271 lesson)
+
+
+@query(
+    "q362_priority_sampling",
+    oracle=f"""
+    WITH w AS (
+      SELECT c.c_mktsegment AS segment, o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+             ((o.o_orderkey * {_PS_MIX}) % {_PS_P}) AS h
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    pri AS (
+      SELECT segment, o_orderkey, cents,
+             (cents * {_PS_P} // (h + 1))::BIGINT AS priority,
+             row_number() OVER (PARTITION BY segment
+                                ORDER BY (cents * {_PS_P} // (h + 1)) DESC,
+                                         o_orderkey) AS rn
+      FROM w
+    ),
+    tau AS (
+      SELECT segment, priority AS tau FROM pri WHERE rn = {_PS_K} + 1
+    )
+    SELECT p.segment,
+           count(*)::BIGINT                                   AS k_sample,
+           min(t.tau)::BIGINT                                 AS tau,
+           sum(greatest(p.cents, t.tau))::BIGINT              AS est_total_cents,
+           min(tot.true_cents)::BIGINT                        AS true_total_cents,
+           (abs(sum(greatest(p.cents, t.tau)) - min(tot.true_cents)) * 10000
+              // min(tot.true_cents))::BIGINT                 AS err_bp
+    FROM pri p
+    JOIN tau t ON p.segment = t.segment
+    JOIN (SELECT segment, sum(cents)::BIGINT AS true_cents FROM w GROUP BY 1) tot
+      ON p.segment = tot.segment
+    WHERE p.rn <= {_PS_K}
+    GROUP BY 1
+    """,
+    tags=("sampling", "sketch", "estimator", "curation"),
+)
+def priority_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup) — the weighted fixed-size
+    sample whose subset-sum estimator is provably near-optimal: each item
+    gets priority w/u with u uniform in (0,1], the k highest priorities
+    are kept, and Σ max(wᵢ, τ) over the sample (τ = the (k+1)-th
+    priority) is an unbiased estimate of the group's total weight. Here
+    the estimate is audited against the true per-segment revenue. The
+    uniform is a DETERMINISTIC mixed hash of the orderkey and the
+    priority is one integer rational w·P div (h+1) — identical
+    truncation semantics in both engines, no float anywhere.
+
+    Scale posture (100 TB): one fact-dim hash join (customer dim
+    broadcastable at dim scale), per-segment top-(k+1) via a bounded
+    partitioned window (segments are a bounded set; at an unbounded key
+    this would be the q333 TakeOrdered shape), and the true totals fold
+    in the same shuffled pass. Sample size k is constant per group, so
+    the output is segment-grid-sized."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    w = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            ((F.col("o_orderkey") * _PS_MIX) % _PS_P).alias("h"),
+        )
+        .withColumn("priority", F.expr(f"cents * {_PS_P} div (h + 1)"))
+    )
+    win = W.partitionBy("segment").orderBy(F.desc("priority"), "o_orderkey")
+    pri = w.withColumn("rn", F.row_number().over(win))
+    tau = pri.filter(F.col("rn") == _PS_K + 1).select(
+        "segment", F.col("priority").alias("tau")
+    )
+    tot = w.groupBy("segment").agg(F.sum("cents").alias("true_cents"))
+    est = F.sum(F.greatest(F.col("cents"), F.col("tau")))
+    return (
+        pri.filter(F.col("rn") <= _PS_K)
+        .join(tau, "segment")
+        .join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("k_sample"),
+            F.min("tau").alias("tau"),
+            est.cast("bigint").alias("est_total_cents"),
+            F.min("true_cents").alias("true_total_cents"),
+            F.expr(
+                "abs(sum(greatest(cents, tau)) - min(true_cents)) * 10000 "
+                "div min(true_cents)"
+            ).cast("bigint").alias("err_bp"),
+        )
+    )
+
+
+# boilerplate-strip gates: anchor-text share above this is navigation, not
+# content; stripped docs below the floor are chrome-only shells
+_LINKDENSITY_MAX_BP = 2_500
+_CLEAN_MIN_CHARS = 50
+
+
+@query(
+    "q363_boilerplate_strip",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><p>' || replace(text, '. ', '.</p><p>')
+               || '</p><a href="/' || source || '">' || source
+               || ' home</a> <a href="/more">more</a></body></html>' AS html
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))                  AS clean,
+             list_reduce(
+               list_prepend(0, list_transform(
+                 regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1),
+                 a -> length(a))),
+               (acc, x) -> acc + x)                                  AS link_chars
+      FROM h
+    )
+    SELECT doc_id,
+           length(clean)::BIGINT                                     AS clean_len,
+           link_chars::BIGINT                                        AS link_chars,
+           (link_chars * 10000 // (length(clean) + link_chars))::BIGINT
+                                                                     AS link_density_bp,
+           (length(clean) >= {_CLEAN_MIN_CHARS}
+            AND link_chars * 10000 // (length(clean) + link_chars)
+                < {_LINKDENSITY_MAX_BP})                             AS keep,
+           substring(clean, 1, 40)                                   AS head
+    FROM s
+    """,
+    tags=("curation", "text", "boilerplate", "quality"),
+)
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip + link-density gate — the first transform a
+    web-crawl corpus passes (trafilatura/jusText's core decision,
+    re-expressed declaratively): strip markup to visible text, measure
+    what share of the page was anchor text, and drop chrome-heavy or
+    hollow pages. The fixture's documents are wrapped in a DETERMINISTIC
+    synthetic page frame (nav links derived from the source field) so the
+    strip contract is exercised end-to-end with an exact oracle; on a
+    real crawl only the wrapping step disappears. Link density =
+    anchor_chars / (clean + anchor chars) in integer basis points.
+
+    Scale posture (100 TB): pure map — two regexp passes and one
+    bounded-list fold per document, whole-stage codegen, no shuffle, no
+    Python; the gate prunes before anything downstream shuffles. Regex
+    class kept to RE2∩Java ('<[^>]*>') so both engines agree by
+    construction."""
+    docs = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.regexp_replace(F.col("text"), r"\. ", ".</p><p>"),
+        F.lit('</p><a href="/'),
+        F.col("source"),
+        F.lit('">'),
+        F.col("source"),
+        F.lit(' home</a> <a href="/more">more</a></body></html>'),
+    )
+    # NOTE: Spark regexp_replace('. ') treats the pattern as regex — escape
+    # the dot; DuckDB replace() above is literal, so the two must agree on
+    # the same literal substitution.
+    s = docs.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(html, "<[^>]*>", " "), r"\s+", " "
+            )
+        ).alias("clean"),
+        F.expr(
+            "aggregate(transform(regexp_extract_all("
+            + _html_expr_sql()
+            + ", '<a [^>]*>([^<]*)</a>', 1), a -> length(a)), 0, (acc, x) -> acc + x)"
+        ).alias("link_chars"),
+    )
+    density_bp = F.expr("link_chars * 10000 div (length(clean) + link_chars)")
+    return s.select(
+        "doc_id",
+        F.length("clean").cast("bigint").alias("clean_len"),
+        F.col("link_chars").cast("bigint"),
+        density_bp.cast("bigint").alias("link_density_bp"),
+        (
+            (F.length("clean") >= _CLEAN_MIN_CHARS)
+            & (density_bp < _LINKDENSITY_MAX_BP)
+        ).alias("keep"),
+        F.substring("clean", 1, 40).alias("head"),
+    )
+
+
+def _html_expr_sql() -> str:
+    """The synthetic page frame as a SQL expression string (the Spark side
+    needs it twice: once under regexp_replace via the DataFrame API, once
+    inside the higher-order aggregate, which only takes SQL text)."""
+    return (
+        "concat('<html><body><p>', regexp_replace(text, '\\\\. ', '.</p><p>'), "
+        "'</p><a href=\"/', source, '\">', source, "
+        "' home</a> <a href=\"/more\">more</a></body></html>')"
+    )

@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.functions import MOD_P, band_hash_expr, cosine_expr, tok_hash_expr
 from kinesis_customer_sample_spark.functions.porthash import _PERM_OFF
-from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS, _SPARK_TOKS
+from kinesis_customer_sample_spark.queries.text_analysis import (
+    _DUCK_TOKS,
+    _SPARK_TOKS,
+    _docs_with_tokens,
+)
 from kinesis_customer_sample_spark.registry import query
 
 # 3-token shingles (distinct), per dialect
@@ -897,4 +901,114 @@ def cross_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_within"),
         )
+    )
+
+
+# sparse-cosine join dials: terms appearing in more than this many docs are
+# pruned from the index (their idf weight is near zero anyway — classic
+# stopword pruning for similarity joins), and the near-dup cut in percent
+_SC_DF_CAP = 96
+_SC_TAU_PCT = 25  # cos ≥ 0.25  ⇔  10000·dot² ≥ 25²·‖a‖²·‖b‖²
+_SC_TOPK = 20
+
+
+@query(
+    "q360_sparse_cosine_join",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+           HAVING count(*) <= {_SC_DF_CAP}),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.tf * floor((ln(n.n_docs) - ln(df.df)) * 1000)::BIGINT AS w
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    ),
+    norm AS (SELECT doc_id, sum(w * w)::BIGINT AS n2 FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w)::BIGINT AS dot
+      FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, dot,
+           (10000 * CAST(dot AS HUGEINT) * dot
+              >= {_SC_TAU_PCT * _SC_TAU_PCT}
+                 * CAST(na.n2 AS HUGEINT) * nb.n2)  AS near
+    FROM dots
+    JOIN norm na ON na.doc_id = doc_a
+    JOIN norm nb ON nb.doc_id = doc_b
+    ORDER BY dot DESC, doc_a, doc_b
+    LIMIT {_SC_TOPK}
+    """,
+    tags=("llm", "dedup", "similarity-join", "tfidf"),
+)
+def sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs join — the inverted-index similarity
+    join (DISCO / ClusterJoin lineage) that complements q215's set-overlap
+    Jaccard: documents as sparse TF-IDF vectors, candidate pairs generated
+    ONLY through shared index terms, dot products accumulated by a hash
+    agg over the postings join, and the cosine threshold decided in exact
+    integer arithmetic — cos ≥ τ ⇔ 10⁴·dot² ≥ τ²·‖a‖²·‖b‖² with the
+    squares in decimal-128, so no float sqrt ever runs. IDF is floored to
+    integer milli-units per distinct df (the q151 log discipline).
+
+    Scale posture (100 TB): the df-cap (≤{_SC_DF_CAP} docs) is the scale
+    lever — it bounds every posting list, so candidate volume is
+    Σ_term df² ≤ cap · Σ df (linear in corpus), the exact hot-key
+    discipline q69/q215 use (DF_CAP there). Weights/norms are
+    vocabulary- and corpus-sized hash aggs; the pair agg shuffles on
+    (doc_a, doc_b) with map-side combine; final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    tok = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _SC_DF_CAP)
+    )
+    n = F.broadcast(
+        table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = (
+        tf.join(df, "tok")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "tok",
+            F.expr(
+                "tf * CAST(floor((ln(n_docs) - ln(df)) * 1000) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    tau2 = _SC_TAU_PCT * _SC_TAU_PCT
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            F.expr(
+                f"10000 * CAST(dot AS DECIMAL(38, 0)) * dot "
+                f">= {tau2} * CAST(na2 AS DECIMAL(38, 0)) * nb2"
+            ).alias("near"),
+        )
+        .orderBy(F.desc("dot"), "doc_a", "doc_b")
+        .limit(_SC_TOPK)
     )

@@ -526,3 +526,103 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "u", "v")
         .limit(_LP_TOPK)
     )
+
+
+@query(
+    "q364_stream_full_outer_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS cut
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts FROM events, cutoff
+      WHERE event_type = 'purchase' AND ts <= cut
+    ),
+    c AS (
+      SELECT user_id, ts FROM events, cutoff
+      WHERE event_type = 'click' AND ts <= cut - INTERVAL 72 HOUR
+    )
+    SELECT coalesce(p.user_id, c.user_id)                    AS user_key,
+           count(*)::BIGINT                                  AS n_rows,
+           count(*) FILTER (p.user_id IS NOT NULL
+                        AND c.user_id IS NOT NULL)::BIGINT   AS n_matched,
+           count(*) FILTER (c.user_id IS NULL)::BIGINT       AS n_purchase_only,
+           count(*) FILTER (p.user_id IS NULL)::BIGINT       AS n_click_only
+    FROM p FULL OUTER JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 72 HOUR AND p.ts
+    GROUP BY 1
+    """,
+    tags=("streaming", "join", "stream-stream", "full-outer"),
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the streaming
+    join matrix (inner q111, left outer q183, left semi q348): BOTH
+    sides' unmatched rows must emit with nulls, and each side's outer
+    emission is gated on the OTHER side's watermark passing its window.
+    Unlike q183, the provably-closed-window cutoff therefore applies to
+    BOTH inputs (above each watermark node, the q183 lesson), and the
+    click cutoff sits a full range-width (72 h) EARLIER: a click's match
+    window looks FORWARD (purchases in [c, c+72 h]), so its outer
+    emission is only gated once the watermark passes c + 72 h — clicks
+    nearer the end would stay in limbo and the stream would undercount
+    click-only rows (found the hard way: 67 user rows short at sf0.01).
+    With the asymmetric cutoffs every window closes before the final
+    availableNow watermark and the stream equals the batch full outer
+    join — hash-checked.
+
+    State posture (100 TB): keyed by user_id on both sides, rows expire
+    at watermark + 72 h range; output is append-mode with outer rows
+    emitted on watermark passage, exactly the semantics a billing-grade
+    reconciliation stream needs (every click AND every purchase accounted
+    once)."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    cut = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                "least(max(CASE WHEN event_type = 'click' THEN ts END), "
+                "max(CASE WHEN event_type = 'purchase' THEN ts END)) "
+                "- INTERVAL 2 HOUR"
+            ).alias("cut")
+        )
+        .collect()[0]["cut"]
+    )
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("click_ts") <= F.lit(cut) - F.expr("INTERVAL 72 HOURS"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("purchase_ts") <= F.lit(cut))
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 72 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "full_outer",
+    )
+    rows = run_to_completion(pairs, output_mode="append")
+    return rows.groupBy(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_key")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(
+            F.when(F.col("p_user").isNotNull() & F.col("c_user").isNotNull(), 1)
+        ).alias("n_matched"),
+        F.count(F.when(F.col("c_user").isNull(), 1)).alias("n_purchase_only"),
+        F.count(F.when(F.col("p_user").isNull(), 1)).alias("n_click_only"),
+    )

@@ -560,3 +560,117 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+@query(
+    "q365_information_gain",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS y,
+             l_linestatus AS f_linestatus,
+             CAST(year(l_shipdate) AS VARCHAR) AS f_ship_year,
+             CAST(floor(l_quantity / 10)::BIGINT AS VARCHAR) AS f_qty_bucket
+      FROM lineitem
+    ),
+    tall AS (
+      SELECT 'linestatus' AS feature, f_linestatus AS x, y FROM base
+      UNION ALL SELECT 'ship_year', f_ship_year, y FROM base
+      UNION ALL SELECT 'qty_bucket', f_qty_bucket, y FROM base
+    ),
+    cxy AS (SELECT feature, x, y, count(*)::BIGINT AS c FROM tall GROUP BY 1, 2, 3),
+    hy AS (
+      SELECT floor(ln(sum(cy)) * 1000000)::BIGINT
+               - sum(cy * floor(ln(cy) * 1000000)::BIGINT) // sum(cy) AS h_y_mu,
+             sum(cy)::BIGINT AS n
+      FROM (SELECT y, sum(c) AS cy FROM cxy
+            WHERE feature = 'linestatus' GROUP BY y) m
+    ),
+    per_x AS (
+      SELECT feature, x,
+             sum(c * floor(ln(c) * 1000000)::BIGINT) AS cxy_lncxy,
+             sum(c) * floor(ln(sum(c)) * 1000000)::BIGINT AS cx_lncx
+      FROM cxy GROUP BY 1, 2
+    ),
+    hyx AS (
+      SELECT feature,
+             (sum(cx_lncx) - sum(cxy_lncxy)) // (SELECT n FROM hy) AS h_yx_mu
+      FROM per_x GROUP BY 1
+    )
+    SELECT feature,
+           (SELECT h_y_mu FROM hy)::BIGINT                 AS h_y_mu,
+           h_yx_mu::BIGINT                                 AS h_y_given_x_mu,
+           ((SELECT h_y_mu FROM hy) - h_yx_mu)::BIGINT     AS info_gain_mu,
+           rank() OVER (ORDER BY (SELECT h_y_mu FROM hy) - h_yx_mu DESC, feature)
+             ::BIGINT                                      AS ig_rank
+    FROM hyx
+    """,
+    tags=("stats", "feature-selection", "entropy", "information-gain"),
+)
+def information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature ranking — the decision-tree / feature-
+    selection staple IG(X) = H(Y) − H(Y|X) over categorical candidate
+    features, computed entirely from integer counts: every entropy term
+    is c·⌊10⁶·ln c⌋ (ln applied ONLY to integers, the q151/q346 log
+    discipline), summed and divided by N in integer µ-nats, so both
+    engines agree bit-for-bit. Target = return flag; candidates =
+    line status, ship year, quantity bucket.
+
+    Scale posture (100 TB): one scan explodes each row into the 3
+    (feature, x, y) triples map-side (a bounded ×3 fan-out), then ONE
+    map-side-combined hash agg to the (feature × x × y) grid — the grid
+    is cardinality-sized (tens of rows), everything after is grid
+    algebra. No window touches fact rows; the rank runs over 3 rows."""
+    base = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("y"),
+        F.create_map(
+            F.lit("linestatus"), F.col("l_linestatus"),
+            F.lit("ship_year"), F.year("l_shipdate").cast("string"),
+            F.lit("qty_bucket"),
+            F.expr("CAST(CAST(l_quantity AS BIGINT) div 10 AS STRING)"),
+        ).alias("feats"),
+    )
+    tall = base.select("y", F.explode("feats").alias("feature", "x"))
+    cxy = tall.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    # H(Y) from any one feature's marginal (identical for all three)
+    cy = (
+        cxy.filter(F.col("feature") == "linestatus")
+        .groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+    )
+    hy = F.broadcast(
+        cy.agg(
+            F.expr(
+                "CAST(floor(ln(sum(cy)) * 1000000) AS BIGINT) "
+                "- sum(cy * CAST(floor(ln(cy) * 1000000) AS BIGINT)) div sum(cy)"
+            ).alias("h_y_mu"),
+            F.sum("cy").alias("n"),
+        )
+    )
+    per_x = cxy.groupBy("feature", "x").agg(
+        F.expr(
+            "sum(c * CAST(floor(ln(c) * 1000000) AS BIGINT))"
+        ).alias("cxy_lncxy"),
+        F.expr(
+            "sum(c) * CAST(floor(ln(sum(c)) * 1000000) AS BIGINT)"
+        ).alias("cx_lncx"),
+    )
+    hyx = (
+        per_x.crossJoin(hy)
+        .groupBy("feature")
+        .agg(
+            F.expr("(sum(cx_lncx) - sum(cxy_lncxy)) div min(n)").alias("h_yx_mu"),
+            F.min("h_y_mu").alias("h_y_mu"),
+        )
+    )
+    ig = hyx.select(
+        "feature",
+        F.col("h_y_mu").cast("bigint"),
+        F.col("h_yx_mu").cast("bigint").alias("h_y_given_x_mu"),
+        (F.col("h_y_mu") - F.col("h_yx_mu")).cast("bigint").alias("info_gain_mu"),
+    )
+    return ig.withColumn(
+        "ig_rank",
+        F.rank().over(W.orderBy(F.desc("info_gain_mu"), "feature")).cast("bigint"),
+    )

@@ -1456,3 +1456,197 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "q359_zone_map_skipping",
+    oracle="""
+    SELECT (l_orderkey // 1024)::BIGINT AS file_id,
+           count(*)::BIGINT             AS n_rows,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+           (min(l_shipdate) <= TIMESTAMP '1995-03-31 23:59:59'
+            AND max(l_shipdate) >= TIMESTAMP '1995-03-01 00:00:00')
+                                        AS must_read,
+           count(*) FILTER (l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+                        AND l_shipdate <= TIMESTAMP '1995-03-31 23:59:59')
+               ::BIGINT                 AS n_match,
+           ((min(l_shipdate) <= TIMESTAMP '1995-03-31 23:59:59'
+             AND max(l_shipdate) >= TIMESTAMP '1995-03-01 00:00:00')
+            OR count(*) FILTER (l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+                            AND l_shipdate <= TIMESTAMP '1995-03-31 23:59:59') = 0)
+                                        AS sound
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("warehouse", "zone-map", "data-skipping", "layout"),
+)
+def zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) data-skipping audit — the row-group/file-stat
+    mechanic under every modern lakehouse reader (parquet row-group stats,
+    Delta/Iceberg file stats, ORC stripe stats), made explicit: files are
+    the natural ingest clustering (orderkey ranges), each file carries a
+    [min,max] ship-date zone, and a date predicate must read exactly the
+    files whose zone intersects it. The output proves the SOUNDNESS
+    theorem per file: a skipped file (must_read = false) contains zero
+    matching rows — which is why skipping is safe at any scale — and
+    exposes the effectiveness ratio (files read / files total) that the
+    clustering investment (q110 Z-order, q155/q357 partition layout)
+    exists to improve.
+
+    Scale posture (100 TB): ONE scan, one map-side-combined hash agg to
+    the file grid (n_files rows ≈ metadata scale, ~1e6 at 100 TB);
+    min/max/count and the predicate count fold in the same aggregation —
+    no join-back, no second pass. The grid is what a real reader holds in
+    its manifest cache."""
+    lo, hi = "1995-03-01 00:00:00", "1995-03-31 23:59:59"
+    li = table(spark, sf_dir, "lineitem")
+    in_pred = F.col("l_shipdate").between(F.lit(lo), F.lit(hi))
+    must_read = (F.min("l_shipdate") <= F.lit(hi)) & (
+        F.max("l_shipdate") >= F.lit(lo)
+    )
+    n_match = F.count(F.when(in_pred, 1))
+    return (
+        li.groupBy((F.col("l_orderkey") / 1024).cast("bigint").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("min_ship"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("max_ship"),
+            must_read.alias("must_read"),
+            n_match.alias("n_match"),
+            (must_read | (n_match == 0)).alias("sound"),
+        )
+    )
+
+
+# next-fit compaction target: bins close when the cumulative byte offset
+# crosses a multiple of this (file inventory is metadata — one row per
+# file — so the planning window costs nothing at any data scale)
+_BIN_TARGET_BYTES = 64_000
+
+
+@query(
+    "q361_compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, (doc_id // 64)::BIGINT AS chunk,
+             sum(n_chars)::BIGINT AS bytes
+      FROM documents GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT source, chunk, bytes,
+             ((sum(bytes) OVER w - bytes) // {_BIN_TARGET_BYTES})::BIGINT AS bin_id
+      FROM files
+      WINDOW w AS (ORDER BY bytes DESC, source, chunk
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT bin_id,
+           count(*)::BIGINT     AS n_files,
+           sum(bytes)::BIGINT   AS bin_bytes,
+           max(bytes)::BIGINT   AS largest_file
+    FROM planned GROUP BY 1
+    """,
+    tags=("warehouse", "compaction", "bin-packing", "maintenance"),
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction bin-packing PLAN — the decision layer above q187's
+    physical rewrite: given a small-file inventory (per source × chunk,
+    bytes), sort descending and assign files to target-sized output bins
+    by cumulative byte offset (next-fit-decreasing). Sorting big files
+    first is the classic packing heuristic: the tail of small files fills
+    the gaps, so bins land near the target instead of fragmenting. The
+    output is the plan a maintenance job would hand to q187's rewriter:
+    bin → file count, bytes, largest member.
+
+    Scale posture (100 TB): the inventory is METADATA — one row per file
+    (~1e6 rows for 100 TB of 100 MB files), independent of data volume,
+    so the single-partition planning window is a driver-sized sort, the
+    same cost class as a manifest listing. The DATA never moves here;
+    only the plan is computed. The grid output is bin-sized."""
+    files = (
+        table(spark, sf_dir, "documents")
+        .groupBy(
+            "source", (F.col("doc_id") / 64).cast("bigint").alias("chunk")
+        )
+        .agg(F.sum("n_chars").alias("bytes"))
+    )
+    w = W.orderBy(F.desc("bytes"), "source", "chunk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    planned = files.withColumn(
+        "bin_id",
+        ((F.sum("bytes").over(w) - F.col("bytes")) / _BIN_TARGET_BYTES).cast(
+            "bigint"
+        ),
+    )
+    return planned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.max("bytes").alias("largest_file"),
+    )
+
+
+@query(
+    "q366_star_schema_conformance",
+    oracle="""
+    WITH dim_type AS (
+      SELECT event_type, dense_rank() OVER (ORDER BY event_type) AS type_sk
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    dim_user AS (
+      SELECT user_id, dense_rank() OVER (ORDER BY user_id) AS user_sk
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    fact AS (
+      SELECT t.type_sk, u.user_sk
+      FROM events e
+      JOIN dim_type t USING (event_type)
+      JOIN dim_user u USING (user_id)
+    )
+    SELECT t.type_sk::BIGINT AS type_sk, t.event_type,
+           count(*)::BIGINT  AS n_facts,
+           count(DISTINCT f.user_sk)::BIGINT AS n_users,
+           (sum(f.user_sk * 31 + f.type_sk) % 1000000007)::BIGINT AS fact_checksum
+    FROM fact f JOIN dim_type t USING (type_sk)
+    GROUP BY 1, 2
+    """,
+    tags=("warehouse", "etl", "star-schema", "surrogate-key"),
+)
+def star_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema conformance build — the ETL staple that turns a flat
+    event feed into dimensional form: distinct natural keys become
+    dimension tables with DETERMINISTIC surrogate keys (dense_rank over
+    the sorted natural key — rerunnable, collision-free), the fact table
+    is rewritten onto surrogates, and the output proves referential
+    closure (every fact row joined back through the dim without loss,
+    witnessed by the checksum over surrogate pairs).
+
+    Scale posture (100 TB): dims are distinct-key-sized (a hash agg),
+    the one-time dense_rank sort is the dim-build investment — facts
+    NEVER enter a global window; the surrogate substitution is two hash
+    joins (type dim broadcasts; the user dim join shuffles on user_id,
+    the same key the fact arrives clustered on). Checksum is mod-P
+    integer, order-insensitive by commutativity."""
+    ev = table(spark, sf_dir, "events")
+    dim_type = ev.select("event_type").distinct().withColumn(
+        "type_sk", F.dense_rank().over(W.orderBy("event_type"))
+    )
+    dim_user = ev.select("user_id").distinct().withColumn(
+        "user_sk", F.dense_rank().over(W.orderBy("user_id"))
+    )
+    fact = (
+        ev.join(F.broadcast(dim_type), "event_type")
+        .join(dim_user, "user_id")
+        .select("type_sk", "user_sk")
+    )
+    return (
+        fact.join(F.broadcast(dim_type), "type_sk")
+        .groupBy("type_sk", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            F.countDistinct("user_sk").alias("n_users"),
+            (
+                F.sum(F.col("user_sk") * 31 + F.col("type_sk")) % 1_000_000_007
+            ).cast("bigint").alias("fact_checksum"),
+        )
+    )

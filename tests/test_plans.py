@@ -1711,3 +1711,78 @@ def test_zipf_bounded_rank_window(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q358_zipf_rank_frequency")
     assert facts.has_partial_agg
     assert "TakeOrderedAndProject" in facts.text
+
+
+def test_zone_map_single_pass(spark, sf_dir):
+    """q359: zone map + predicate count fold in ONE map-side-partial hash
+    agg over one scan — no join-back, no second pass, no window."""
+    facts = audit_of(spark, sf_dir, "q359_zone_map_skipping")
+    assert facts.has_partial_agg
+    assert facts.n_exchanges <= 1  # the single agg shuffle to the file grid
+    assert "Window" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_sparse_cosine_join_shapes(spark, sf_dir):
+    """q360: candidates only via the postings equi-join (no cartesian),
+    totals broadcast, final top-k is TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q360_sparse_cosine_join")
+    assert not facts.has_cartesian
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.has_partial_agg
+    # the 1-row corpus count must arrive by broadcast, never a shuffle
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+
+
+def test_compaction_plan_is_metadata_sized(spark, sf_dir):
+    """q361: the fact scan reads only the inventory columns (source,
+    doc_id, n_chars) — text never enters the plan; the single-partition
+    window runs on the file inventory, after the files agg."""
+    facts = audit_of(spark, sf_dir, "q361_compaction_bin_packing")
+    assert not facts.scans_read_column("text")
+    assert facts.has_partial_agg
+    # window AFTER the inventory agg: plan prints top-down, so the Window
+    # node must appear before the deepest (leaf) HashAggregate
+    assert facts.text.find("Window") < facts.text.rfind("HashAggregate")
+
+
+def test_priority_sampling_broadcasts_dim(spark, sf_dir):
+    """q362: the customer dim broadcasts; the per-segment top-(k+1) is a
+    bounded partitioned window, never an unpartitioned one."""
+    facts = audit_of(spark, sf_dir, "q362_priority_sampling")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    # the window spec must name the segment partition key (a global,
+    # unpartitioned window would print without it)
+    assert re.search(r"Window .*partition.*segment|windowspecdefinition\(segment", facts.text, re.DOTALL | re.IGNORECASE)
+
+
+def test_boilerplate_strip_map_only(spark, sf_dir):
+    """q363: pure per-row map — no Exchange at all, no Python UDF; the
+    regex ladder stays JVM-side."""
+    facts = audit_of(spark, sf_dir, "q363_boilerplate_strip")
+    assert facts.n_exchanges == 0
+    assert "BatchEvalPython" not in facts.text
+    assert "ArrowEvalPython" not in facts.text
+
+
+def test_information_gain_single_scan_grid(spark, sf_dir):
+    """q365: one lineitem scan, explode fans to the 3-feature tall form
+    map-side, ONE partial agg to the grid; the rank window runs on 3 rows
+    (grid-sized), and lineitem is scanned exactly once."""
+    facts = audit_of(spark, sf_dir, "q365_information_gain")
+    assert facts.has_partial_agg
+    # the H(Y) scalar arrives as a 1-row broadcast nested loop — the only
+    # allowed non-equi join; nothing row-scaled may cartesian
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert facts.text.count("lineitem") <= 2  # persist barrier: ≤2 scans
+
+
+def test_star_schema_fact_never_windows(spark, sf_dir):
+    """q366: dense_rank windows run over DISTINCT keys (dim build), the
+    fact substitution is joins — the type dim must broadcast."""
+    facts = audit_of(spark, sf_dir, "q366_star_schema_conformance")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert not facts.has_cartesian
+    # windows sit above a distinct (HashAggregate) build, not the raw scan
+    assert facts.has_partial_agg

@@ -916,3 +916,67 @@ def test_merkle_digest_detects_single_flip_at_5m_rows(spark):
     diverged = joined.filter(~F.col("da").eqNullSafe(F.col("db"))).collect()
     assert len(diverged) == 1
     assert diverged[0]["bucket"] == 2_345_678 // 4096
+
+
+def test_sparse_cosine_candidates_linear_at_2m_postings(spark):
+    """q360's inverted-index join at 2M postings (200k docs × 10 terms,
+    Zipf-ish term popularity): with the df-cap applied the candidate pair
+    count must stay bounded by cap · n_postings (the linearity claim),
+    and every emitted dot is positive. The uncapped hot term (df ≈ 200k)
+    would alone contribute ~2·10¹⁰ pairs — the cap is what makes the join
+    runnable at all."""
+    n_docs, terms_per_doc, cap = 200_000, 10, 64
+    postings = spark.range(n_docs * terms_per_doc).select(
+        (F.col("id") % n_docs).alias("doc_id"),
+        # term ids: id*2654435761 % 1000003 folded into a power-law-ish
+        # space — low ids are hot (term 0 lands in ~every doc's slot 0)
+        F.when(F.col("id") % terms_per_doc == 0, F.lit(0))
+        .otherwise((F.col("id") * 2654435761) % 65_537)
+        .alias("term"),
+        ((F.col("id") * 31) % 7 + 1).alias("w"),
+    )
+    df = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = postings.join(df.filter(F.col("df") <= cap), "term")
+    n_postings = kept.count()
+    a = kept.select(F.col("doc_id").alias("a"), "term", F.col("w").alias("wa"))
+    b = kept.select(F.col("doc_id").alias("b"), "term", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.min("dot").alias("min_dot")
+    ).collect()[0]
+    assert stats["n_pairs"] > 0
+    assert stats["n_pairs"] <= cap * n_postings
+    assert stats["min_dot"] >= 1
+
+
+def test_priority_sampling_estimator_at_5m_rows(spark):
+    """q362's priority-sample estimator at 5M weighted rows across 16
+    groups: k = 256 per group, integer-rational priorities; the subset-sum
+    estimate must land within 10% of every group's true total (the DLT
+    guarantee gives ~1/√k relative error, ≈ 6%)."""
+    P, MIX, K = 1_000_000_007, 2_654_435_761, 256
+    rows = spark.range(N).select(
+        F.col("id"),
+        (F.col("id") % 16).alias("g"),
+        ((F.col("id") * 13) % 997 + 1).alias("w"),
+        ((F.col("id") * MIX) % P).alias("h"),
+    ).withColumn("priority", F.expr(f"w * {P} div (h + 1)"))
+    w = W.partitionBy("g").orderBy(F.desc("priority"), "id")
+    pri = rows.withColumn("rn", F.row_number().over(w))
+    tau = pri.filter(F.col("rn") == K + 1).select("g", F.col("priority").alias("tau"))
+    true = rows.groupBy("g").agg(F.sum("w").alias("true_w"))
+    est = (
+        pri.filter(F.col("rn") <= K)
+        .join(tau, "g")
+        .groupBy("g")
+        .agg(F.sum(F.greatest(F.col("w"), F.col("tau"))).alias("est_w"))
+        .join(true, "g")
+        .select((F.abs(F.col("est_w") - F.col("true_w")) * 100 / F.col("true_w")).alias("err_pct"))
+    )
+    worst = est.agg(F.max("err_pct")).collect()[0][0]
+    assert worst < 10.0, f"priority-sample error {worst:.1f}% exceeds 10%"
