@@ -189,6 +189,16 @@ HEADLINE = [
     "q363_boilerplate_strip",
     "q365_information_gain",
     "q366_star_schema_conformance",
+    # round-6 wave 4: bandit scoring, SLA percentiles, multiplicative
+    # hierarchy, RFM, negative sampling, TWAP, negation funnel (q374
+    # stream anti join excluded with the streaming-E2E family)
+    "q367_ucb1_arm_ranking",
+    "q368_sla_burn_rate",
+    "q369_bom_explosion",
+    "q370_rfm_segmentation",
+    "q371_negative_sampling",
+    "q372_time_weighted_average",
+    "q373_negation_funnel",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

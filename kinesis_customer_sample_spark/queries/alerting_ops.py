@@ -263,3 +263,161 @@ def heavy_hitter_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# UCB1 dials: a "win" is an event whose value clears this bar; total plays
+# N and per-arm n are integer counts, so ln/sqrt run on identical integers
+_UCB_WIN_MIN = 150.0
+
+
+@query(
+    "q367_ucb1_arm_ranking",
+    oracle=f"""
+    WITH arms AS (
+      SELECT event_type AS arm,
+             count(*)::BIGINT AS n,
+             count(*) FILTER (value >= {_UCB_WIN_MIN})::BIGINT AS wins
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS big_n FROM arms)
+    SELECT arm, n, wins,
+           (wins * 10000 // n)::BIGINT AS mean_bp,
+           round(wins::DOUBLE / n + sqrt(2.0 * ln(big_n::DOUBLE) / n), 6)
+             AS ucb_score,
+           rank() OVER (
+             ORDER BY round(wins::DOUBLE / n
+                            + sqrt(2.0 * ln(big_n::DOUBLE) / n), 6) DESC,
+                      arm)::BIGINT AS ucb_rank
+    FROM arms CROSS JOIN tot
+    """,
+    tags=("alerting", "bandit", "ucb", "exploration"),
+)
+def ucb1_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 multi-armed-bandit arm ranking — the exploration/exploitation
+    score an adaptive experimentation platform computes each refresh:
+    score(arm) = mean reward + √(2·ln N / n). Means and counts are exact
+    integers from one hash agg; the ln/sqrt run ONCE per arm on those
+    identical integers and the score is rounded in-projection (the q258
+    float discipline: identical sequence of IEEE ops on identical inputs,
+    never a float accumulation).
+
+    Scale posture (100 TB): one map-side-combined agg to the arm grid
+    (arms are a bounded set), the 1-row total broadcasts, ranking runs on
+    grid rows. The reward definition (value ≥ bar) folds into the same
+    scan — no second pass."""
+    arms = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("arm"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("value") >= _UCB_WIN_MIN, 1)).alias("wins"),
+        )
+    )
+    tot = F.broadcast(arms.agg(F.sum("n").alias("big_n")))
+    score = F.round(
+        F.col("wins").cast("double") / F.col("n")
+        + F.sqrt(F.lit(2.0) * F.log(F.col("big_n").cast("double")) / F.col("n")),
+        6,
+    )
+    return (
+        arms.crossJoin(tot)
+        .select(
+            "arm",
+            "n",
+            "wins",
+            F.expr("wins * 10000 div n").cast("bigint").alias("mean_bp"),
+            score.alias("ucb_score"),
+        )
+        .withColumn(
+            "ucb_rank",
+            F.rank().over(W.orderBy(F.desc("ucb_score"), "arm")).cast("bigint"),
+        )
+    )
+
+
+# SLA dials: the 99th percentile (disc) per (type × day) must stay under
+# this latency bar; a window "burns" when it breaches
+_SLA_P99_MAX_CENTS = 47_500  # value*100 as integer latency units
+
+
+@query(
+    "q368_sla_burn_rate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS lat
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, lat,
+             row_number() OVER (PARTITION BY event_type, day ORDER BY lat) AS rn,
+             count(*) OVER (PARTITION BY event_type, day) AS n
+      FROM obs
+    ),
+    p99 AS (
+      SELECT event_type, day, n::BIGINT AS n, lat::BIGINT AS p99_lat
+      FROM ranked
+      WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, p99_lat,
+           (p99_lat > {_SLA_P99_MAX_CENTS}) AS breached,
+           sum(CASE WHEN p99_lat > {_SLA_P99_MAX_CENTS} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+             AS burn_3d,
+           (sum(CASE WHEN p99_lat > {_SLA_P99_MAX_CENTS} THEN 1 ELSE 0 END)
+             OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) >= 2) AS page_now
+    FROM p99
+    """,
+    tags=("alerting", "sla", "percentile", "burn-rate"),
+)
+def sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA burn-rate monitor — the SRE error-budget mechanic: per
+    (service × day) compute the EXACT discrete p99 latency (the value at
+    rank ⌈0.99·n⌉ — disc, not interpolated, so it is pure integer rank
+    selection), flag breaches against the SLO bar, and page when ≥2 of
+    the trailing 3 days breached. Exact-percentile-by-rank keeps both
+    engines bit-identical where interpolated percentiles would drift.
+
+    Scale posture (100 TB): the rank window partitions by (type × day) —
+    bounded state per partition, never global; the burn window then runs
+    on the (type × day) GRID (tens of rows per type), the q354 trailing
+    pattern. At 100 TB the per-day rank sort is the only row-scale work
+    and shards perfectly."""
+    obs = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("lat"),
+    )
+    wd = W.partitionBy("event_type", "day")
+    ranked = obs.select(
+        "event_type",
+        "day",
+        "lat",
+        F.row_number().over(wd.orderBy("lat")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    p99 = ranked.filter(
+        F.col("rn") == F.ceil(F.lit(0.99) * F.col("n")).cast("bigint")
+    ).select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint"),
+        F.col("lat").alias("p99_lat"),
+    )
+    burn_w = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(-2, W.currentRow)
+    )
+    burn = F.sum(
+        F.when(F.col("p99_lat") > _SLA_P99_MAX_CENTS, 1).otherwise(0)
+    ).over(burn_w)
+    return p99.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "p99_lat",
+        (F.col("p99_lat") > _SLA_P99_MAX_CENTS).alias("breached"),
+        burn.cast("bigint").alias("burn_3d"),
+        (burn >= 2).alias("page_now"),
+    )

@@ -1134,3 +1134,105 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") * num / (denx.cast("double") * deny), 6
         ).alias("r2"),
     )
+
+
+# negative-sampling dials: number of deterministic draws, and the mix
+# constants that turn a draw index into a uniform in [0, W)
+_NEG_DRAWS = 256
+_NEG_MIX = 2_654_435_761
+_NEG_P = 1_000_000_007
+
+
+@query(
+    "q371_negative_sampling",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*)::BIGINT AS c FROM tok GROUP BY 1),
+    -- unigram^(3/4) weights: c^0.75 = sqrt(c)·sqrt(sqrt(c)) — two
+    -- correctly-rounded IEEE sqrts, no pow/exp (portability)
+    wt AS (
+      SELECT tok, floor(1000 * sqrt(c::DOUBLE) * sqrt(sqrt(c::DOUBLE)))::BIGINT AS w
+      FROM counts
+    ),
+    cum AS (
+      SELECT tok, w,
+             (sum(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) - w) AS lo,
+             sum(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING)       AS hi
+      FROM wt
+    ),
+    total AS (SELECT sum(w)::BIGINT AS tw FROM wt),
+    draws AS (
+      SELECT ((i * {_NEG_MIX}) % {_NEG_P}) % (SELECT tw FROM total) AS u
+      FROM generate_series(1, {_NEG_DRAWS}) AS t(i)
+    ),
+    hits AS (
+      SELECT c.tok, c.w FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi
+    )
+    SELECT tok,
+           count(*)::BIGINT AS n_sampled,
+           (count(*) * 10000 // {_NEG_DRAWS})::BIGINT AS sampled_bp,
+           (min(w) * 10000 // (SELECT tw FROM total))::BIGINT AS expected_bp
+    FROM hits
+    GROUP BY tok
+    ORDER BY n_sampled DESC, tok
+    LIMIT 20
+    """,
+    tags=("llm", "sampling", "negative-sampling", "training"),
+)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling from the unigram^¾ distribution — the word2vec /
+    contrastive-training staple: token draw probability ∝ count^0.75
+    (flattens the head so frequent tokens don't dominate negatives).
+    Determinism discipline: the ¾ power is sqrt(c)·sqrt(√c) — sqrt is a
+    CORRECTLY-ROUNDED IEEE op, so both engines produce bit-identical
+    weights where pow/exp could drift a ulp; draws are mixed-hash
+    uniforms reduced mod the total weight; a draw lands in a token's
+    cumulative [lo, hi) interval.
+
+    Scale posture (100 TB): weights/cumulatives are VOCABULARY-sized (the
+    q358 grid class — the single-partition cumsum runs over vocab rows,
+    never corpus rows); the draw batch is constant (256) and broadcasts
+    into the interval join, so sampling cost is O(vocab) regardless of
+    corpus size. Top-20 via TakeOrderedAndProject."""
+    tok = _docs_with_tokens(spark, sf_dir).select(F.explode("toks").alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    wt = counts.select(
+        "tok",
+        F.expr(
+            "CAST(floor(1000 * sqrt(CAST(c AS DOUBLE)) "
+            "* sqrt(sqrt(CAST(c AS DOUBLE)))) AS BIGINT)"
+        ).alias("w"),
+    )
+    cw = W.orderBy("tok").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = wt.select(
+        "tok",
+        "w",
+        (F.sum("w").over(cw) - F.col("w")).alias("lo"),
+        F.sum("w").over(cw).alias("hi"),
+    )
+    total = F.broadcast(wt.agg(F.sum("w").alias("tw")))
+    draws = (
+        spark.range(1, _NEG_DRAWS + 1)
+        .crossJoin(total)
+        .select(
+            (((F.col("id") * _NEG_MIX) % _NEG_P) % F.col("tw")).alias("u"),
+            "tw",
+        )
+    )
+    hits = F.broadcast(draws).join(
+        cum, (F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi"))
+    )
+    return (
+        hits.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr(f"count(1) * 10000 div {_NEG_DRAWS}")
+            .cast("bigint")
+            .alias("sampled_bp"),
+            F.expr("min(w) * 10000 div min(tw)").cast("bigint").alias("expected_bp"),
+        )
+        .orderBy(F.desc("n_sampled"), "tok")
+        .limit(20)
+    )

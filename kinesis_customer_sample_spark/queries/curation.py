@@ -1341,3 +1341,84 @@ def _html_expr_sql() -> str:
         "'</p><a href=\"/', source, '\">', source, "
         "' home</a> <a href=\"/more\">more</a></body></html>')"
     )
+
+
+@query(
+    "q370_rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))
+               ::BIGINT AS recency_d,
+             count(*)::BIGINT AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS monetary_c
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, recency_d, frequency, monetary_c,
+             ntile(5) OVER (ORDER BY recency_d DESC, o_custkey)  AS r_score,
+             ntile(5) OVER (ORDER BY frequency, o_custkey)       AS f_score,
+             ntile(5) OVER (ORDER BY monetary_c, o_custkey)      AS m_score
+      FROM rfm
+    )
+    SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT AS segment_code,
+           count(*)::BIGINT                                 AS n_customers,
+           (sum(monetary_c) // count(*))::BIGINT            AS avg_monetary_c,
+           min(recency_d)::BIGINT                           AS best_recency_d
+    FROM scored GROUP BY 1
+    """,
+    tags=("curation", "segmentation", "rfm", "analytics"),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) segmentation — the marketing-
+    analytics staple: score every customer 1–5 on each axis by exact
+    quintile (ntile with a deterministic custkey tiebreak — ties would
+    otherwise make quintile edges engine-dependent), concatenate into
+    the familiar 111–555 segment code, and profile each segment. Recency
+    anchors to the corpus max order date (a broadcast scalar), so the
+    query is rerunnable-stable.
+
+    Scale posture (100 TB): the RFM base is one hash agg to the CUSTOMER
+    grain; the three ntile windows run over the customer dim (dim-sized,
+    the q366 dim-build cost class — at extreme customer counts each
+    becomes a 2-pass percentile cut, same contract). The segment rollup
+    is 125 rows."""
+    orders = table(spark, sf_dir, "orders")
+    anchor = F.broadcast(orders.agg(F.max("o_orderdate").alias("mx")))
+    rfm = (
+        orders.crossJoin(anchor)
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.min("mx"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "monetary_c"
+            ),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "recency_d",
+        "frequency",
+        "monetary_c",
+        F.ntile(5).over(W.orderBy(F.desc("recency_d"), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy("monetary_c", "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("bigint").alias("segment_code")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.expr("sum(monetary_c) div count(1)")
+            .cast("bigint")
+            .alias("avg_monetary_c"),
+            F.min("recency_d").alias("best_recency_d"),
+        )
+    )

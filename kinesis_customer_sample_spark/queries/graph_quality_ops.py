@@ -626,3 +626,91 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("c_user").isNull(), 1)).alias("n_purchase_only"),
         F.count(F.when(F.col("p_user").isNull(), 1)).alias("n_click_only"),
     )
+
+
+@query(
+    "q374_stream_anti_join",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'purchase'))
+             - INTERVAL 2 HOUR AS cut
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, ts FROM events, cutoff
+      WHERE event_type = 'purchase' AND ts <= cut
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           count(*)::BIGINT AS n_unattributed,
+           min(p.event_id)::BIGINT AS first_event_id
+    FROM p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM c
+      WHERE c.user_id = p.user_id
+        AND c.ts BETWEEN p.ts - INTERVAL 72 HOUR AND p.ts
+    )
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join", "stream-stream", "anti"),
+)
+def stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream ANTI join — purchases with NO click in their 72 h
+    lookback (the "dark conversions" feed an attribution pipeline
+    quarantines). Structured Streaming has no native streaming anti
+    join, so this implements the standard composition: the q183 LEFT
+    OUTER stream-stream interval join followed by an IS NULL filter on
+    the match side — outer rows only emit once the click-side watermark
+    proves no match can still arrive, which is EXACTLY anti-join
+    semantics under event time. Same closed-window cutoff discipline as
+    q183 (backward-looking windows only, so just the purchase side is
+    cut). Oracle is batch NOT EXISTS — hash-equivalence shows the
+    composition is the anti join.
+
+    State posture (100 TB): identical to q183 (keyed by user, watermark
+    + 72 h expiry); the null filter is stateless post-join."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+
+    cut = (
+        table(spark, sf_dir, "events")
+        .agg(
+            F.expr(
+                "least(max(CASE WHEN event_type = 'click' THEN ts END), "
+                "max(CASE WHEN event_type = 'purchase' THEN ts END)) "
+                "- INTERVAL 2 HOUR"
+            ).alias("cut")
+        )
+        .collect()[0]["cut"]
+    )
+    ev = events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+        .filter(F.col("purchase_ts") <= F.lit(cut))
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 72 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    )
+    rows = run_to_completion(pairs, output_mode="append")
+    return (
+        rows.filter(F.col("c_user").isNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unattributed"),
+            F.min("event_id").alias("first_event_id"),
+        )
+    )

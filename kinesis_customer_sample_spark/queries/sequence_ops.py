@@ -185,3 +185,69 @@ def deadline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_s2_to_s3_sec"),
     ).select(F.col("stage").cast("bigint").alias("stage"), "n_users", "avg_s1_to_s2_sec", "avg_s2_to_s3_sec")
+
+
+@query(
+    "q373_negation_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_user_days,
+           count(*) FILTER (regexp_matches(path, 'v.*p'))::BIGINT
+             AS n_reached,
+           count(*) FILTER (regexp_matches(path, 'v[^e]*p'))::BIGINT
+             AS n_clean,
+           count(*) FILTER (regexp_matches(path, 'v.*p')
+                            AND NOT regexp_matches(path, 'v[^e]*p'))::BIGINT
+             AS n_error_blocked
+    FROM seq GROUP BY 1
+    """,
+    tags=("sequence", "funnel", "negation", "cep"),
+)
+def negation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with a NEGATION condition — the CEP pattern `A …(no C)… B`
+    that ordinary ordered funnels (q132) cannot state: a user-day
+    converts CLEANLY only if some view precedes a purchase with NO error
+    between them ('v[^e]*p' over the initial-letter event path), and the
+    difference against the unconditioned funnel isolates journeys a
+    mid-funnel error blocked. The per-user-day path is built by an
+    ordered aggregation and the pattern is one regex — the NFA the CEP
+    engine would run, delegated to the regex engine (RE2∩Java-safe
+    class).
+
+    Scale posture (100 TB): one shuffle to (user × day) — sessions-sized
+    state per group, the same key discipline as q108; path strings are
+    bounded by per-day activity; the day rollup reuses the shuffle's
+    day component. No window, no join."""
+    seq = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "ts", "event_id", F.substring("event_type", 1, 1).alias("ch")
+                            )
+                        )
+                    ),
+                    lambda s: s.ch,
+                ),
+                "",
+            ).alias("path")
+        )
+    )
+    reached = F.col("path").rlike("v.*p")
+    clean = F.col("path").rlike("v[^e]*p")
+    return seq.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.count(F.when(reached, 1)).alias("n_reached"),
+        F.count(F.when(clean, 1)).alias("n_clean"),
+        F.count(F.when(reached & ~clean, 1)).alias("n_error_blocked"),
+    )

@@ -518,3 +518,68 @@ def interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_s div n_gaps").cast("long").alias("mean_gap_s"),
         F.when(F.col("sum_s") >= 100, cv2).cast("long").alias("cv2_bp"),
     )
+
+
+@query(
+    "q372_time_weighted_average",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type, day, cents,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type, day ORDER BY ts, cents)
+                      - ts)::BIGINT AS dur_us
+      FROM obs
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT                       AS n_segments,
+           sum(dur_us)::BIGINT                    AS held_us,
+           (sum(cents * dur_us) // sum(dur_us))::BIGINT AS twap_cents
+    FROM seg WHERE dur_us IS NOT NULL AND dur_us > 0
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "twap", "interval-weighted", "window"),
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) — the irregular-sampling mean every
+    metrics/market system needs (TimescaleDB's `time_weight`, kdb's
+    wavg): each observation's value is HELD until the next observation,
+    so the day's average weights each value by its holding duration, not
+    by sample count — a sensor that reports 1000× while flat no longer
+    drowns the one spike. Last-observation-carried-forward segments come
+    from one lead() per (series × day); the weighted mean is exact
+    integer cents·µs div µs — durations are MICROSECONDS end to end
+    because the fixture's timestamps are sub-second and second-grain
+    truncation (Spark) vs rounding (DuckDB epoch()) drifts by ±1 s.
+
+    Scale posture (100 TB): the window partitions by (series × day) —
+    the q368 bounded-partition discipline, shardable to any width; the
+    rollup reuses the same shuffle keys (no second exchange). Zero-length
+    segments (duplicate timestamps) drop out by the dur > 0 guard on
+    both sides identically."""
+    obs = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("event_type", "day").orderBy("ts", "cents")
+    seg = obs.select(
+        "event_type",
+        "day",
+        "cents",
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur_us"),  # ntz→timestamp under the pinned-UTC session
+    ).filter(F.col("dur_us").isNotNull() & (F.col("dur_us") > 0))
+    return seg.groupBy(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur_us").alias("held_us"),
+        F.expr("sum(cents * dur_us) div sum(dur_us)").cast("bigint").alias("twap_cents"),
+    )

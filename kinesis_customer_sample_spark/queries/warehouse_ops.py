@@ -1650,3 +1650,98 @@ def star_schema_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("fact_checksum"),
         )
     )
+
+
+# BOM tree: child part → parent part div 10 (a 10-ary assembly tree over
+# the part table), qty-per = child % 3 + 1; roots are parts 0..9
+_BOM_QTY = "p_partkey % 3 + 1"
+
+
+@query(
+    "q369_bom_explosion",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT p_partkey AS child, p_partkey // 10 AS parent,
+             (p_partkey % 3 + 1)::BIGINT AS qty
+      FROM part WHERE p_partkey >= 10
+    ),
+    walk AS (
+      SELECT child AS node, parent AS anc, qty AS mult FROM edges
+      UNION ALL
+      SELECT w.node, e.parent, w.mult * e.qty
+      FROM walk w JOIN edges e ON w.anc = e.child
+    )
+    SELECT anc::BIGINT AS root,
+           count(*)::BIGINT AS n_descendants,
+           (sum(mult) % 1000000007)::BIGINT AS total_units_modp,
+           max(mult)::BIGINT AS max_path_mult
+    FROM walk WHERE anc < 10
+    GROUP BY 1
+    """,
+    tags=("warehouse", "hierarchy", "bom", "recursive"),
+)
+def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion — the MULTIPLICATIVE hierarchy rollup
+    q335's path-sum form cannot express: walking from every component up
+    the assembly tree, quantities multiply along the path (3 widgets per
+    bracket × 2 brackets per chassis = 6 per chassis), and each root
+    aggregates total units over all transitive descendants. The walk is
+    the q120/q292 iterative-join fixpoint: depth-many self-joins, each
+    carrying (node, ancestor, path-multiplicity); depth is ⌈log₁₀ of the
+    key space⌉, computed from a bounded driver scalar. Oracle is the
+    textbook recursive CTE.
+
+    Scale posture (100 TB): each iteration is one hash join edge-keyed on
+    the current ancestor (edges table is part-dim-sized and reusable —
+    persisted once); intermediate multiplicities stay ≤ 3^depth (int64-
+    safe to depth 40). Assembly DAG depth in practice is ≤ ~12 — the
+    iteration count is structural, not data-scaled."""
+    import math
+
+    part = table(spark, sf_dir, "part")
+    max_key = part.agg(F.max("p_partkey")).collect()[0][0]
+    depth = max(1, math.ceil(math.log10(max(int(max_key), 2))))
+    edges = (
+        part.filter(F.col("p_partkey") >= 10)
+        .select(
+            F.col("p_partkey").alias("child"),
+            F.expr("p_partkey div 10").alias("parent"),
+            F.expr(_BOM_QTY).cast("bigint").alias("qty"),
+        )
+        .persist()
+    )
+    walk = edges.select(
+        F.col("child").alias("node"),
+        F.col("parent").alias("anc"),
+        F.col("qty").alias("mult"),
+    )
+    frontier = walk
+    for _ in range(depth):
+        nxt = (
+            frontier.join(
+                edges.select(
+                    F.col("child").alias("anc"),
+                    F.col("parent").alias("nxt_anc"),
+                    F.col("qty").alias("nxt_qty"),
+                ),
+                "anc",
+            )
+            .select(
+                "node",
+                F.col("nxt_anc").alias("anc"),
+                (F.col("mult") * F.col("nxt_qty")).alias("mult"),
+            )
+        )
+        if nxt.isEmpty():
+            break
+        walk = walk.unionByName(nxt)
+        frontier = nxt
+    return (
+        walk.filter(F.col("anc") < 10)
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_descendants"),
+            (F.sum("mult") % 1_000_000_007).cast("bigint").alias("total_units_modp"),
+            F.max("mult").alias("max_path_mult"),
+        )
+    )

@@ -1786,3 +1786,71 @@ def test_star_schema_fact_never_windows(spark, sf_dir):
     assert not facts.has_cartesian
     # windows sit above a distinct (HashAggregate) build, not the raw scan
     assert facts.has_partial_agg
+
+
+def test_ucb1_grid_only(spark, sf_dir):
+    """q367: one partial agg to the arm grid; the total is a 1-row
+    broadcast (BNLJ is the only non-equi join); ranking runs on grid."""
+    facts = audit_of(spark, sf_dir, "q367_ucb1_arm_ranking")
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert "CartesianProduct" not in facts.text
+
+
+def test_sla_windows_stay_partitioned(spark, sf_dir):
+    """q368: both windows carry partition keys — the rank window by
+    (event_type, day), the burn window by event_type. A global window
+    would print an empty partition spec."""
+    facts = audit_of(spark, sf_dir, "q368_sla_burn_rate")
+    assert re.search(
+        r"windowspecdefinition\(event_type.*day", facts.text, re.DOTALL | re.IGNORECASE
+    ) or re.search(r"Window .*partition.*event_type", facts.text, re.DOTALL | re.IGNORECASE)
+    assert not facts.has_cartesian
+
+
+def test_bom_walk_is_hash_joins(spark, sf_dir):
+    """q369: every fixpoint iteration must be a hash join on the ancestor
+    key (broadcast at dim scale) — no cartesian anywhere in the unioned
+    walk; the rollup combines map-side."""
+    facts = audit_of(spark, sf_dir, "q369_bom_explosion")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+
+
+def test_rfm_base_is_hash_agg(spark, sf_dir):
+    """q370: the RFM base reduces orders to customer grain BEFORE any
+    window; ntile windows run over the reduced dim (plan prints the
+    windows above the leaf aggregate)."""
+    facts = audit_of(spark, sf_dir, "q370_rfm_segmentation")
+    assert facts.has_partial_agg
+    assert facts.text.find("Window") < facts.text.rfind("HashAggregate")
+    assert "CartesianProduct" not in facts.text
+
+
+def test_negative_sampling_broadcasts_draws(spark, sf_dir):
+    """q371: the constant draw batch must broadcast into the interval
+    containment join (BNLJ) — the vocab side never shuffles for it."""
+    facts = audit_of(spark, sf_dir, "q371_negative_sampling")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert "CartesianProduct" not in facts.text
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_twap_window_partitioned(spark, sf_dir):
+    """q372: the lead() window partitions by (event_type, day) — bounded
+    state; the rollup reuses the same keys (≤2 exchanges total)."""
+    facts = audit_of(spark, sf_dir, "q372_time_weighted_average")
+    assert re.search(
+        r"windowspecdefinition\(event_type.*day", facts.text, re.DOTALL | re.IGNORECASE
+    ) or re.search(r"Window .*partition.*event_type", facts.text, re.DOTALL | re.IGNORECASE)
+    assert facts.n_exchanges <= 2
+
+
+def test_negation_funnel_no_window_no_join(spark, sf_dir):
+    """q373: the path build is an aggregation (ObjectHashAggregate for
+    collect_list), not a window; the whole query is join-free."""
+    facts = audit_of(spark, sf_dir, "q373_negation_funnel")
+    assert "Window" not in facts.text
+    assert not facts.join_strategies  # no joins at all
+    assert "Aggregate" in facts.text

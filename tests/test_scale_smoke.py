@@ -980,3 +980,61 @@ def test_priority_sampling_estimator_at_5m_rows(spark):
     )
     worst = est.agg(F.max("err_pct")).collect()[0][0]
     assert worst < 10.0, f"priority-sample error {worst:.1f}% exceeds 10%"
+
+
+def test_bom_fixpoint_converges_on_2m_node_tree(spark):
+    """q369's multiplicative walk on a 2M-node 10-ary tree (depth 7):
+    the fixpoint must close in depth iterations and conserve every
+    non-root node into exactly one root's descendant count."""
+    n = 2_000_000
+    edges = spark.range(10, n).select(
+        F.col("id").alias("child"),
+        F.expr("id div 10").alias("parent"),
+        (F.col("id") % 3 + 1).alias("qty"),
+    ).persist()
+    walk = edges.select(
+        F.col("child").alias("node"), F.col("parent").alias("anc"),
+        F.col("qty").alias("mult"),
+    )
+    frontier = walk
+    for _ in range(8):
+        nxt = frontier.join(
+            edges.select(
+                F.col("child").alias("anc"), F.col("parent").alias("nxt_anc"),
+                F.col("qty").alias("nxt_qty"),
+            ),
+            "anc",
+        ).select(
+            "node", F.col("nxt_anc").alias("anc"),
+            (F.col("mult") * F.col("nxt_qty")).alias("mult"),
+        )
+        if nxt.isEmpty():
+            break
+        walk = walk.unionByName(nxt)
+        frontier = nxt
+    rolled = walk.filter(F.col("anc") < 10).groupBy("anc").agg(
+        F.count(F.lit(1)).alias("n_desc")
+    )
+    total = rolled.agg(F.sum("n_desc")).collect()[0][0]
+    assert total == n - 10  # every non-root reaches exactly one root
+    edges.unpersist()
+
+
+def test_negation_funnel_paths_conserve_at_5m_rows(spark):
+    """q373's ordered path aggregation at 5M events / 50k user-days: the
+    summed path lengths must equal the event count (every event lands in
+    exactly one path, in order)."""
+    ev = _synth_events(spark).withColumn(
+        "ch", F.substring(F.concat(F.lit("x"), (F.col("event_id") % 5).cast("string")), 2, 1)
+    )
+    paths = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda s: s.ch,
+            ),
+            "",
+        ).alias("path")
+    )
+    total_chars = paths.select(F.sum(F.length("path")).alias("s")).collect()[0]["s"]
+    assert total_chars == N
