@@ -199,6 +199,14 @@ HEADLINE = [
     "q371_negative_sampling",
     "q372_time_weighted_average",
     "q373_negation_funnel",
+    # round-6 wave 5: lakehouse GC, FD discovery, readability, model
+    # calibration, privacy triad completion, mergeable NDV sketch
+    "q375_vacuum_planning",
+    "q376_functional_dependency_audit",
+    "q377_readability_score",
+    "q378_brier_calibration",
+    "q379_t_closeness_audit",
+    "q380_kmv_distinct_sketch",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -1422,3 +1422,78 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("recency_d").alias("best_recency_d"),
         )
     )
+
+
+# Flesch reading-ease bands (integer milli-points to stay engine-exact)
+_FLESCH_EASY_MILLI = 70_000
+_FLESCH_HARD_MILLI = 30_000
+
+
+@query(
+    "q377_readability_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS})::BIGINT                              AS n_words,
+             greatest(1, length(text) - length(replace(text, '.', '')))::BIGINT
+                                                                    AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                                                                    AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           (206835 - 1015 * n_words // n_sentences
+                   - 84600 * n_syllables // greatest(n_words, 1))::BIGINT
+             AS flesch_milli,
+           CASE
+             WHEN 206835 - 1015 * n_words // n_sentences
+                         - 84600 * n_syllables // greatest(n_words, 1)
+                  >= {_FLESCH_EASY_MILLI} THEN 'easy'
+             WHEN 206835 - 1015 * n_words // n_sentences
+                         - 84600 * n_syllables // greatest(n_words, 1)
+                  < {_FLESCH_HARD_MILLI} THEN 'hard'
+             ELSE 'standard'
+           END AS band
+    FROM m
+    """,
+    tags=("curation", "text", "readability", "quality"),
+)
+def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring — the curation-filter classic next to
+    Gopher rules (q138): 206.835 − 1.015·(words/sentence) −
+    84.6·(syllables/word), with syllables approximated by vowel-group
+    runs (the standard heuristic). Every term is integer milli-points
+    with truncating division, so the score and band are bit-identical
+    across engines; sentence count clamps to ≥1 (headline-only docs).
+
+    Scale posture (100 TB): pure map over documents — a regex count,
+    two string lengths, integer arithmetic; whole-stage codegen, no
+    shuffle. The band label is what a mix-targeting pipeline (q140)
+    consumes as a grouping key downstream."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_SPARK_TOKS}) AS BIGINT)").alias("n_words"),
+        F.greatest(
+            F.lit(1),
+            F.length("text") - F.length(F.regexp_replace("text", r"\.", "")),
+        ).cast("bigint").alias("n_sentences"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"
+        ).alias("n_syllables"),
+    )
+    flesch = F.expr(
+        "206835 - 1015 * n_words div n_sentences "
+        "- 84600 * n_syllables div greatest(n_words, 1)"
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.cast("bigint").alias("flesch_milli"),
+        F.when(flesch >= _FLESCH_EASY_MILLI, "easy")
+        .when(flesch < _FLESCH_HARD_MILLI, "hard")
+        .otherwise("standard")
+        .alias("band"),
+    )

@@ -343,3 +343,75 @@ def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_chars * 1000 div n_srcs").cast("bigint").alias("norm_millichars"),
         )
     )
+
+
+# Brier/calibration synthetic model: deterministic mixed-hash "score" in
+# basis points, shifted upward for true positives so the reliability
+# curve has signal at fixture scale
+_BRIER_MIX = 2_654_435_761
+_BRIER_P = 1_000_000_007
+
+
+@query(
+    "q378_brier_calibration",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id,
+             (label % 2)::BIGINT AS y,
+             least(9999, ((vec_id * {_BRIER_MIX}) % {_BRIER_P}) % 7000
+                          + (label % 2) * 2500)::BIGINT AS p_bp
+      FROM embeddings
+    ),
+    binned AS (
+      SELECT (p_bp // 1000)::BIGINT AS bin, y, p_bp,
+             (p_bp - y * 10000) * (p_bp - y * 10000) AS sq
+      FROM scored
+    )
+    SELECT bin,
+           count(*)::BIGINT                        AS n,
+           (sum(p_bp) // count(*))::BIGINT         AS mean_p_bp,
+           (sum(y) * 10000 // count(*))::BIGINT    AS frac_pos_bp,
+           abs(sum(p_bp) // count(*)
+               - sum(y) * 10000 // count(*))::BIGINT AS calib_gap_bp,
+           (sum(sq) // count(*))::BIGINT           AS brier_e8
+    FROM binned GROUP BY 1
+    """,
+    tags=("eval", "calibration", "brier", "ml-metrics"),
+)
+def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + reliability (calibration) bins — the probabilistic-
+    model eval next to AUC (q281) and NDCG (q341): predictions in integer
+    basis points are binned by decile, and each bin reports predicted
+    mean vs observed positive rate (their gap is the reliability-diagram
+    deviation) plus the per-bin Brier contribution (p − y)², exact in
+    integer bp² (e-8 units). The synthetic model is a deterministic
+    mixed hash shifted by the true label, so the curve has signal and
+    both engines derive identical predictions.
+
+    Scale posture (100 TB): pure map to (bin, y, p) then ONE hash agg to
+    the 10-row bin grid; every metric folds into the same agg — no
+    second pass, no window, no join."""
+    scored = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.least(
+            F.lit(9999),
+            ((F.col("vec_id") * _BRIER_MIX) % _BRIER_P) % 7000
+            + (F.col("label") % 2) * 2500,
+        ).cast("bigint").alias("p_bp"),
+    )
+    binned = scored.select(
+        F.expr("p_bp div 1000").cast("bigint").alias("bin"),
+        "y",
+        "p_bp",
+        ((F.col("p_bp") - F.col("y") * 10000) * (F.col("p_bp") - F.col("y") * 10000)).alias("sq"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(p_bp) div count(1)").cast("bigint").alias("mean_p_bp"),
+        F.expr("sum(y) * 10000 div count(1)").cast("bigint").alias("frac_pos_bp"),
+        F.expr(
+            "abs(sum(p_bp) div count(1) - sum(y) * 10000 div count(1))"
+        ).cast("bigint").alias("calib_gap_bp"),
+        F.expr("sum(sq) div count(1)").cast("bigint").alias("brier_e8"),
+    )

@@ -612,3 +612,294 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# FD-audit support bar: a dependency "holds approximately" when at least
+# this share (basis points) of rows agree with their group's dominant Y
+_FD_SUPPORT_MIN_BP = 9_900
+
+
+@query(
+    "q376_functional_dependency_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT 'brand_to_prefix' AS fd, p_brand AS x,
+             substring(p_type, 1, 6) AS y FROM part
+      UNION ALL
+      SELECT 'key_to_brand', CAST(p_partkey AS VARCHAR), p_brand FROM part
+      UNION ALL
+      SELECT 'size_to_brand', CAST(p_size AS VARCHAR), p_brand FROM part
+    ),
+    cxy AS (SELECT fd, x, y, count(*)::BIGINT AS c FROM base GROUP BY 1, 2, 3),
+    per_x AS (
+      SELECT fd, x, sum(c) AS n_x, max(c) AS dom_c,
+             count(*) AS n_y
+      FROM cxy GROUP BY 1, 2
+    )
+    SELECT fd,
+           count(*)::BIGINT                                  AS n_groups,
+           count(*) FILTER (n_y > 1)::BIGINT                 AS n_violating_groups,
+           (sum(dom_c) * 10000 // sum(n_x))::BIGINT          AS support_bp,
+           (sum(dom_c) * 10000 // sum(n_x) >= {_FD_SUPPORT_MIN_BP}) AS holds
+    FROM per_x GROUP BY 1
+    """,
+    tags=("profiling", "data-quality", "functional-dependency", "discovery"),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit — the data-profiling
+    primitive (Deequ/Metanome's FD check) behind schema discovery and
+    quality gates: for each declared candidate X → Y, measure how much
+    of the table agrees with its group's DOMINANT Y (support = Σ max-Y
+    count / N in basis points) and how many X groups witness a
+    violation. An exact key dependency scores 10000 bp with zero
+    violating groups; a near-FD surfaces with its exception rate, the
+    actionable number for a cleaning pipeline.
+
+    Scale posture (100 TB): the q365 tall-form trick — one scan fans
+    each row into the bounded candidate list map-side, ONE hash agg to
+    the (fd × x × y) grid, then grid algebra; dominant-Y is max(c), no
+    window, no self-join. Candidate count is declared and bounded."""
+    part = table(spark, sf_dir, "part")
+    base = part.select(
+        F.explode(
+            F.create_map(
+                F.lit("brand_to_prefix"),
+                F.struct(F.col("p_brand").alias("x"), F.substring("p_type", 1, 6).alias("y")),
+                F.lit("key_to_brand"),
+                F.struct(F.col("p_partkey").cast("string").alias("x"), F.col("p_brand").alias("y")),
+                F.lit("size_to_brand"),
+                F.struct(F.col("p_size").cast("string").alias("x"), F.col("p_brand").alias("y")),
+            )
+        ).alias("fd", "xy")
+    ).select("fd", F.col("xy.x").alias("x"), F.col("xy.y").alias("y"))
+    cxy = base.groupBy("fd", "x", "y").agg(F.count(F.lit(1)).alias("c"))
+    per_x = cxy.groupBy("fd", "x").agg(
+        F.sum("c").alias("n_x"),
+        F.max("c").alias("dom_c"),
+        F.count(F.lit(1)).alias("n_y"),
+    )
+    support = F.expr("sum(dom_c) * 10000 div sum(n_x)")
+    return per_x.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n_y") > 1, 1)).alias("n_violating_groups"),
+        support.cast("bigint").alias("support_bp"),
+        (support >= _FD_SUPPORT_MIN_BP).alias("holds"),
+    )
+
+
+# t-closeness dials: 5 ordinal acctbal buckets, threshold t ≤ 0.2
+_TC_BUCKETS = 5
+_TC_MAX_BP = 2_000
+
+
+@query(
+    "q379_t_closeness_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment AS qi_seg, (c_nationkey % 5)::BIGINT AS qi_band,
+             least({_TC_BUCKETS - 1}, greatest(0,
+               floor((c_acctbal + 1000) / 2500)))::BIGINT AS sb
+      FROM customer
+    ),
+    cells AS (SELECT DISTINCT qi_seg, qi_band FROM base),
+    buckets AS (SELECT unnest(generate_series(0, {_TC_BUCKETS - 1}))::BIGINT AS sb),
+    grid AS (
+      SELECT c.qi_seg, c.qi_band, b.sb,
+             coalesce(cnt.c, 0)::BIGINT AS c
+      FROM cells c CROSS JOIN buckets b
+      LEFT JOIN (SELECT qi_seg, qi_band, sb, count(*)::BIGINT AS c
+                 FROM base GROUP BY 1, 2, 3) cnt
+        ON cnt.qi_seg = c.qi_seg AND cnt.qi_band = c.qi_band AND cnt.sb = b.sb
+    ),
+    cum_cell AS (
+      SELECT qi_seg, qi_band, sb,
+             sum(c) OVER (PARTITION BY qi_seg, qi_band ORDER BY sb) AS cum_c,
+             sum(c) OVER (PARTITION BY qi_seg, qi_band) AS n
+      FROM grid
+    ),
+    cum_glob AS (
+      SELECT sb, sum(cum_c) AS cum_g
+      FROM cum_cell GROUP BY sb
+    ),
+    tot AS (SELECT sum(c)::BIGINT AS big_n FROM grid)
+    SELECT qi_seg, qi_band,
+           min(n)::BIGINT AS n,
+           (sum(abs(cum_c * big_n - cum_g * n)) * 10000
+              // (({_TC_BUCKETS} - 1) * min(n) * min(big_n)))::BIGINT AS t_bp,
+           (sum(abs(cum_c * big_n - cum_g * n)) * 10000
+              // (({_TC_BUCKETS} - 1) * min(n) * min(big_n))
+              > {_TC_MAX_BP}) AS violates
+    FROM cum_cell JOIN cum_glob USING (sb) CROSS JOIN tot
+    WHERE sb < {_TC_BUCKETS - 1}
+    GROUP BY 1, 2
+    """,
+    tags=("profiling", "privacy", "t-closeness", "emd"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the privacy triad (k-anonymity q284,
+    ℓ-diversity q346): a QI cell violates when the DISTRIBUTION of the
+    sensitive attribute inside the cell strays from the global one — the
+    attack ℓ-diversity misses when values are diverse but skewed. For an
+    ordinal sensitive attribute the distance is the 1-D earth-mover
+    (q327's metric): mean |ΔCDF| over bucket boundaries, kept exact by
+    cross-multiplication (|cum_c·N − cum_g·n|) and emitted in basis
+    points. Missing buckets are densified from a literal bucket spine so
+    cumulative sums always cover all {_TC_BUCKETS} levels.
+
+    Scale posture (100 TB): one hash agg to the (cell × bucket) grid,
+    windows run on the grid (≤ cells·{_TC_BUCKETS} rows), the global CDF
+    derives FROM the cell cumulatives (no second scan), and the 1-row
+    total broadcasts."""
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("qi_seg"),
+        (F.col("c_nationkey") % 5).cast("bigint").alias("qi_band"),
+        F.least(
+            F.lit(_TC_BUCKETS - 1),
+            F.greatest(F.lit(0), F.floor((F.col("c_acctbal") + 1000) / 2500)),
+        ).cast("bigint").alias("sb"),
+    )
+    cnt = base.groupBy("qi_seg", "qi_band", "sb").agg(F.count(F.lit(1)).alias("c"))
+    cells = base.select("qi_seg", "qi_band").distinct()
+    buckets = F.broadcast(
+        cells.sparkSession.range(_TC_BUCKETS).select(F.col("id").cast("bigint").alias("sb"))
+    )
+    grid = (
+        cells.crossJoin(buckets)
+        .join(cnt, ["qi_seg", "qi_band", "sb"], "left")
+        .select("qi_seg", "qi_band", "sb", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    wc = W.partitionBy("qi_seg", "qi_band")
+    cum_cell = grid.select(
+        "qi_seg",
+        "qi_band",
+        "sb",
+        F.sum("c").over(wc.orderBy("sb")).alias("cum_c"),
+        F.sum("c").over(wc).alias("n"),
+    )
+    cum_glob = cum_cell.groupBy("sb").agg(F.sum("cum_c").alias("cum_g"))
+    tot = F.broadcast(grid.agg(F.sum("c").alias("big_n")))
+    t_bp = F.expr(
+        f"sum(abs(cum_c * big_n - cum_g * n)) * 10000 "
+        f"div (({_TC_BUCKETS} - 1) * min(n) * min(big_n))"
+    )
+    return (
+        cum_cell.join(cum_glob, "sb")
+        .crossJoin(tot)
+        .filter(F.col("sb") < _TC_BUCKETS - 1)
+        .groupBy("qi_seg", "qi_band")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            t_bp.cast("bigint").alias("t_bp"),
+            (t_bp > _TC_MAX_BP).alias("violates"),
+        )
+    )
+
+
+# KMV sketch dials
+_KMV_K = 64
+_KMV_MIX = 2_654_435_761
+_KMV_P = 1_000_000_007
+
+
+@query(
+    "q380_kmv_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, ((user_id + 1) * {_KMV_MIX}) % {_KMV_P} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    ),
+    sketches AS (SELECT event_type, h, rn FROM ranked WHERE rn <= {_KMV_K}),
+    per_group AS (
+      SELECT event_type AS grp,
+             (SELECT count(DISTINCT user_id) FROM events e2
+              WHERE e2.event_type = s.event_type)::BIGINT AS exact_nd,
+             max(h)::BIGINT AS h_k
+      FROM sketches s GROUP BY s.event_type
+    ),
+    merged_ranked AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn
+      FROM (SELECT DISTINCT h FROM sketches) u
+    ),
+    merged AS (
+      SELECT 'ALL' AS grp,
+             (SELECT count(DISTINCT user_id) FROM events)::BIGINT AS exact_nd,
+             max(h)::BIGINT AS h_k
+      FROM merged_ranked WHERE rn <= {_KMV_K}
+    ),
+    unioned AS (
+      SELECT * FROM per_group UNION ALL SELECT * FROM merged
+    )
+    SELECT grp, exact_nd, h_k,
+           (({_KMV_K} - 1)::BIGINT * {_KMV_P} // h_k)::BIGINT AS est_nd,
+           (abs(({_KMV_K} - 1)::BIGINT * {_KMV_P} // h_k - exact_nd) * 10000
+              // exact_nd)::BIGINT AS err_bp
+    FROM unioned
+    """,
+    tags=("profiling", "sketch", "kmv", "distinct", "mergeable"),
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch — the mergeable NDV
+    estimator that, unlike HLL (q191, rows-only by necessity), is
+    HASH-MATCH checkable because the sketch IS k integers: hash every
+    key with the portable mix, keep the k smallest distinct values per
+    group, estimate NDV = (k−1)·P / h_k. The merge property is proven
+    in-query: the global sketch is computed FROM the per-group sketches
+    (k smallest of their union — the union of k-minima contains the
+    global k minima), and its estimate is audited against the exact
+    global distinct alongside every group's.
+
+    Scale posture (100 TB): the distinct-(group, h) agg is the only
+    row-scale shuffle; the per-group top-k window runs on distinct keys
+    (and at an unbounded group count the same contract is a k-capped
+    min-heap agg); the merge stage touches only groups·k rows — the
+    reason sketches exist. Exact NDVs here are the AUDIT, not the
+    production path."""
+    ev = table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", (((F.col("user_id") + 1) * _KMV_MIX) % _KMV_P).alias("h"))
+        .distinct()
+    )
+    ranked = hashed.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+    )
+    sketches = ranked.filter(F.col("rn") <= _KMV_K).persist()
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_nd")
+    )
+    per_group = (
+        sketches.groupBy(F.col("event_type"))
+        .agg(F.max("h").alias("h_k"))
+        .join(exact, "event_type")
+        .select(F.col("event_type").alias("grp"), "exact_nd", F.col("h_k").cast("bigint"))
+    )
+    merged_ranked = (
+        sketches.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+    )
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_nd"))
+    merged = (
+        merged_ranked.filter(F.col("rn") <= _KMV_K)
+        .agg(F.max("h").alias("h_k"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(F.lit("ALL").alias("grp"), "exact_nd", F.col("h_k").cast("bigint"))
+    )
+    est = F.expr(f"CAST({_KMV_K} - 1 AS BIGINT) * {_KMV_P} div h_k")
+    return (
+        per_group.unionByName(merged)
+        .select(
+            "grp",
+            "exact_nd",
+            "h_k",
+            est.cast("bigint").alias("est_nd"),
+            F.expr(
+                f"abs(CAST({_KMV_K} - 1 AS BIGINT) * {_KMV_P} div h_k - exact_nd) "
+                "* 10000 div exact_nd"
+            ).cast("bigint").alias("err_bp"),
+        )
+    )

@@ -1745,3 +1745,100 @@ def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mult").alias("max_path_mult"),
         )
     )
+
+
+# retention policy for q375: only the latest snapshot is retained; files
+# appear in snapshots as follows (A..F = bucket files, G/H = compaction
+# rewrites of buckets 0-1):  s1 = {b0..b3}, s2 = s1 + {b4,b5},
+# s3 = {G(b0+b1), b2..b5} — so expiring s1/s2 orphans exactly b0 and b1
+_VACUUM_CUT = "1995-07-01"
+
+
+@query(
+    "q375_vacuum_planning",
+    oracle=f"""
+    WITH files AS (
+      SELECT (o_orderkey % 6)::BIGINT AS bucket,
+             count(*)::BIGINT AS n_rows,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS bytes
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_VACUUM_CUT} 00:00:00' OR o_orderkey % 6 >= 4
+      GROUP BY 1
+    ),
+    refs AS (
+      -- snapshot 3 (the only retained one) references the compaction
+      -- rewrite of buckets 0-1 plus originals 2-5; the rewrite G is
+      -- file_id 100
+      SELECT bucket AS file_id FROM files WHERE bucket >= 2
+      UNION ALL SELECT 100 AS file_id
+    ),
+    inventory AS (
+      SELECT bucket AS file_id, n_rows, bytes FROM files
+      UNION ALL
+      SELECT 100, sum(n_rows)::BIGINT, sum(bytes)::BIGINT
+      FROM files WHERE bucket < 2
+    )
+    SELECT i.file_id,
+           i.n_rows,
+           i.bytes,
+           (r.file_id IS NOT NULL)                           AS live,
+           CASE WHEN r.file_id IS NOT NULL THEN 'keep'
+                ELSE 'delete' END                            AS action
+    FROM inventory i LEFT JOIN refs r ON i.file_id = r.file_id
+    """,
+    tags=("warehouse", "vacuum", "retention", "maintenance", "lakehouse"),
+)
+def vacuum_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-expiration / VACUUM planning — the GC layer every
+    manifest-based table format (q318) needs: snapshots s1/s2 are past
+    retention, s3 (which compacted buckets 0-1 into one rewrite file)
+    is live, and the plan marks each file in the physical inventory
+    keep/delete by anti-joining the live manifests' reference set. The
+    two orphans are exactly the compacted-away originals — deleting a
+    still-referenced file (the classic vacuum bug) is impossible by
+    construction because liveness is a JOIN against the retained
+    manifest, never a timestamp heuristic.
+
+    Scale posture (100 TB): the whole plan is METADATA algebra — file
+    inventory and manifest references are one-row-per-file tables (the
+    q361 class); the data itself is never touched until the delete
+    executes. The reference set is manifest-sized and broadcasts."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") < F.lit(f"{_VACUUM_CUT} 00:00:00"))
+        | (F.col("o_orderkey") % 6 >= 4)
+    )
+    files = o.groupBy((F.col("o_orderkey") % 6).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("bytes"),
+    ).persist()
+    refs = (
+        files.filter(F.col("bucket") >= 2)
+        .select(F.col("bucket").alias("file_id"))
+        .unionByName(
+            files.limit(1).select(F.lit(100).cast("bigint").alias("file_id"))
+        )
+    )
+    inventory = files.select(
+        F.col("bucket").alias("file_id"), "n_rows", "bytes"
+    ).unionByName(
+        files.filter(F.col("bucket") < 2).agg(
+            F.lit(100).cast("bigint").alias("file_id"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("bytes").alias("bytes"),
+        )
+    )
+    live = F.col("file_id_ref").isNotNull()
+    return (
+        inventory.join(
+            F.broadcast(refs.select(F.col("file_id").alias("file_id_ref"))),
+            F.col("file_id") == F.col("file_id_ref"),
+            "left",
+        )
+        .select(
+            "file_id",
+            "n_rows",
+            "bytes",
+            live.alias("live"),
+            F.when(live, "keep").otherwise("delete").alias("action"),
+        )
+    )

@@ -1854,3 +1854,61 @@ def test_negation_funnel_no_window_no_join(spark, sf_dir):
     assert "Window" not in facts.text
     assert not facts.join_strategies  # no joins at all
     assert "Aggregate" in facts.text
+
+
+def test_vacuum_plan_metadata_joins(spark, sf_dir):
+    """q375: liveness is a broadcast left join of the file inventory
+    against the refs set — no cartesian, aggregation map-side-combined."""
+    facts = audit_of(spark, sf_dir, "q375_vacuum_planning")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_fd_audit_single_scan_no_window(spark, sf_dir):
+    """q376: the tall-form fan-out means ONE part scan, no window, no
+    self-join; dominant-Y is max() inside the grid agg."""
+    facts = audit_of(spark, sf_dir, "q376_functional_dependency_audit")
+    assert "Window" not in facts.text
+    assert not facts.join_strategies
+    assert facts.has_partial_agg
+    assert facts.text.count("part.parquet") == 1  # exactly one scan
+
+
+def test_readability_map_only(spark, sf_dir):
+    """q377: zero exchanges, zero joins — a pure projected map."""
+    facts = audit_of(spark, sf_dir, "q377_readability_score")
+    assert facts.n_exchanges == 0
+    assert not facts.join_strategies
+    assert "BatchEvalPython" not in facts.text
+
+
+def test_brier_single_agg(spark, sf_dir):
+    """q378: one scan, one partial agg to the bin grid; every metric
+    folds into the same aggregation."""
+    facts = audit_of(spark, sf_dir, "q378_brier_calibration")
+    assert facts.has_partial_agg
+    assert facts.n_exchanges <= 1
+    assert "Window" not in facts.text
+
+
+def test_t_closeness_windows_grid_sized(spark, sf_dir):
+    """q379: cumulative windows partition by the QI cell (never global
+    over raw rows) and the customer table is scanned at most twice
+    (cells + counts, both pre-aggregated)."""
+    facts = audit_of(spark, sf_dir, "q379_t_closeness_audit")
+    assert re.search(
+        r"windowspecdefinition\(qi_seg", facts.text, re.IGNORECASE
+    ) or re.search(r"Window .*partition.*qi_seg", facts.text, re.DOTALL | re.IGNORECASE)
+    assert facts.has_partial_agg
+
+
+def test_kmv_sketch_distinct_then_topk(spark, sf_dir):
+    """q380: the only row-scale shuffle is the distinct agg; per-group
+    minima come from a partitioned window over distinct keys."""
+    facts = audit_of(spark, sf_dir, "q380_kmv_distinct_sketch")
+    assert facts.has_partial_agg
+    assert re.search(
+        r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE
+    ) or re.search(r"Window .*partition.*event_type", facts.text, re.DOTALL | re.IGNORECASE)
+    assert not facts.has_cartesian
