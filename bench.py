@@ -207,6 +207,14 @@ HEADLINE = [
     "q378_brier_calibration",
     "q379_t_closeness_audit",
     "q380_kmv_distinct_sketch",
+    # round-6 wave 6: hashing-trick features, forecast eval (pinball /
+    # conformal), survival, k-core, bloom sizing
+    "q381_feature_hashing",
+    "q382_pinball_loss_eval",
+    "q383_conformal_intervals",
+    "q384_kaplan_meier",
+    "q385_kcore_peel",
+    "q386_bloom_sizing_advisor",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

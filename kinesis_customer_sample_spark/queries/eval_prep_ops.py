@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.functions import tok_hash_expr
+from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS
 from kinesis_customer_sample_spark.registry import query
 
 _NDCG_K = 10
@@ -414,4 +416,280 @@ def brier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(sum(p_bp) div count(1) - sum(y) * 10000 div count(1))"
         ).cast("bigint").alias("calib_gap_bp"),
         F.expr("sum(sq) div count(1)").cast("bigint").alias("brier_e8"),
+    )
+
+
+# feature-hashing dials: dimension and the signed-hash split point
+_FH_DIM = 64
+
+# duck-dialect mirror of the portable token hash (the q151 discipline:
+# one definition per dialect, textually adjacent)
+from kinesis_customer_sample_spark.functions.porthash import (  # noqa: E402
+    tok_hash_expr as _th,
+)
+
+_DUCK_TOK_HASH = _th("tok", dialect="duckdb")
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kinesis_customer_sample_spark.queries.text_analysis import (
+        _docs_with_tokens,
+    )
+
+    return _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+
+
+@query(
+    "q381_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             ({_DUCK_TOK_HASH}) % {_FH_DIM} AS bucket,
+             CASE WHEN (({_DUCK_TOK_HASH}) // {_FH_DIM}) % 2 = 0
+                  THEN 1 ELSE -1 END AS sign
+      FROM tok
+    ),
+    vec AS (
+      SELECT doc_id, bucket, sum(sign)::BIGINT AS v
+      FROM hashed GROUP BY 1, 2
+    )
+    SELECT bucket,
+           count(*)::BIGINT                          AS n_docs_touching,
+           sum(abs(v))::BIGINT                       AS l1_mass,
+           (sum(v * v) % 1000000007)::BIGINT         AS checksum_modp
+    FROM vec GROUP BY bucket
+    """,
+    tags=("llm", "feature-hashing", "training-prep", "sparse"),
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the "hashing trick", Weinberger et al.) — the
+    fixed-dimension sparse featurizer that needs NO vocabulary table:
+    each token hashes to one of {_FH_DIM} buckets with a ±1 sign drawn
+    from an independent hash bit (the signed variant that makes the
+    estimator unbiased under collisions). The per-document sparse vector
+    is the signed count per bucket; the output audits the bucket-level
+    mass distribution and a mod-P checksum of the squared values.
+
+    Scale posture (100 TB): bucket/sign are pure expressions on the
+    portable token hash — no dictionary join, which is the entire point
+    of the trick at web scale; one hash agg to (doc × bucket), one to
+    the {_FH_DIM}-row bucket grid. Vocabulary growth costs nothing."""
+    tok = _docs_tokens(spark, sf_dir)
+    h = tok_hash_expr("tok", dialect="spark")
+    hashed = tok.select(
+        "doc_id",
+        F.expr(f"({h}) % {_FH_DIM}").alias("bucket"),
+        F.expr(
+            f"CASE WHEN (({h}) div {_FH_DIM}) % 2 = 0 THEN 1 ELSE -1 END"
+        ).alias("sign"),
+    )
+    vec = hashed.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("v"))
+    return vec.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs_touching"),
+        F.sum(F.abs(F.col("v"))).alias("l1_mass"),
+        (F.sum(F.col("v") * F.col("v")) % 1_000_000_007)
+        .cast("bigint")
+        .alias("checksum_modp"),
+    )
+
+
+# forecast-eval dials: trailing window width in days, pinball quantiles in
+# basis points, conformal calibration cut and miscoverage level
+_FC_TRAIL = 7
+_PINBALL_Q_BP = (5_000, 9_000)
+_CONF_CAL_DAYS = 20
+_CONF_ALPHA_BP = 1_000  # 90% target coverage
+
+
+def _daily_forecast_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q382/q383 front end: per (event_type × day) actual daily
+    cents plus the trailing-{_FC_TRAIL}-day-mean forecast (known at day
+    start — the window ends at -1). Grid-sized everywhere."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_FC_TRAIL, -1)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+        F.expr(
+            f"sum(cents) OVER (PARTITION BY event_type ORDER BY day "
+            f"ROWS BETWEEN {_FC_TRAIL} PRECEDING AND 1 PRECEDING) "
+            f"div count(1) OVER (PARTITION BY event_type ORDER BY day "
+            f"ROWS BETWEEN {_FC_TRAIL} PRECEDING AND 1 PRECEDING)"
+        ).alias("fcast"),
+    ).filter(F.col("n_trail") == _FC_TRAIL)
+
+
+_DUCK_DAILY_GRID = f"""
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT event_type, day, cents,
+             count(*) OVER w AS n_trail,
+             (sum(cents) OVER w // count(*) OVER w) AS fcast
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {_FC_TRAIL} PRECEDING AND 1 PRECEDING)
+    ),
+    ready AS (SELECT * FROM grid WHERE n_trail = {_FC_TRAIL})
+"""
+
+
+@query(
+    "q382_pinball_loss_eval",
+    oracle=f"""
+    WITH {_DUCK_DAILY_GRID},
+    tall AS (
+      SELECT event_type, day, cents, fcast, q_bp
+      FROM ready CROSS JOIN (VALUES ({_PINBALL_Q_BP[0]}), ({_PINBALL_Q_BP[1]}))
+        AS q(q_bp)
+    )
+    SELECT event_type, q_bp::BIGINT AS q_bp,
+           count(*)::BIGINT AS n_days,
+           (sum(greatest(q_bp * (cents - fcast),
+                         (q_bp - 10000) * (cents - fcast))) // 10000)::BIGINT
+             AS pinball_sum_cents,
+           (sum(abs(cents - fcast)) // count(*))::BIGINT AS mae_cents
+    FROM tall GROUP BY 1, 2
+    """,
+    tags=("eval", "forecast", "pinball", "quantile-loss"),
+)
+def pinball_loss_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss backtest — the forecast-eval metric for
+    asymmetric cost: L_q(y, ŷ) = max(q·(y−ŷ), (q−1)·(y−ŷ)), evaluated
+    at q = 0.5 and 0.9 against a trailing-{_FC_TRAIL}-day-mean daily
+    forecast. Everything is integer: quantiles in basis points, losses
+    summed before one final div — exact cross-engine. MAE rides along
+    for reference (pinball at q=0.5 is MAE/2, a free sanity identity).
+
+    Scale posture (100 TB): actuals reduce to the (series × day) grid in
+    one hash agg; the forecast window and the loss both run on grid
+    rows. Constant quantile fan-out (×2) is map-side."""
+    grid = _daily_forecast_grid(spark, sf_dir)
+    qs = F.broadcast(
+        grid.sparkSession.createDataFrame(
+            [(q,) for q in _PINBALL_Q_BP], "q_bp bigint"
+        )
+    )
+    tall = grid.crossJoin(qs)
+    diff = F.col("cents") - F.col("fcast")
+    return tall.groupBy("event_type", "q_bp").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr(
+            "sum(greatest(q_bp * (cents - fcast), "
+            "(q_bp - 10000) * (cents - fcast))) div 10000"
+        ).cast("bigint").alias("pinball_sum_cents"),
+        F.expr("sum(abs(cents - fcast)) div count(1)")
+        .cast("bigint")
+        .alias("mae_cents"),
+    )
+
+
+@query(
+    "q383_conformal_intervals",
+    oracle=f"""
+    WITH {_DUCK_DAILY_GRID},
+    anchored AS (
+      SELECT r.*,
+             (SELECT min(day) FROM ready) AS d0
+      FROM ready r
+    ),
+    split AS (
+      SELECT event_type, day, abs(cents - fcast) AS resid,
+             (day < d0 + INTERVAL {_CONF_CAL_DAYS} DAY) AS is_cal
+      FROM anchored
+    ),
+    cal AS (
+      SELECT event_type, resid,
+             row_number() OVER (PARTITION BY event_type ORDER BY resid) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_cal
+      FROM split WHERE is_cal
+    ),
+    qhat AS (
+      SELECT event_type, n_cal::BIGINT AS n_cal, resid::BIGINT AS qhat
+      FROM cal
+      WHERE rn = least(n_cal,
+                       CAST(ceil((n_cal + 1) * (10000 - {_CONF_ALPHA_BP}) / 10000.0)
+                            AS BIGINT))
+    )
+    SELECT s.event_type, q.n_cal, q.qhat,
+           count(*)::BIGINT AS n_test,
+           (count(*) FILTER (s.resid <= q.qhat) * 10000 // count(*))::BIGINT
+             AS coverage_bp
+    FROM split s JOIN qhat q USING (event_type)
+    WHERE NOT s.is_cal
+    GROUP BY 1, 2, 3
+    """,
+    tags=("eval", "forecast", "conformal", "uncertainty"),
+)
+def conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction — the distribution-free uncertainty
+    wrapper: calibrate the residual quantile q̂ at rank
+    ⌈(n+1)(1−α)⌉ on the first {_CONF_CAL_DAYS} days, then audit the
+    guaranteed ≥(1−α) coverage of ŷ ± q̂ on the held-out days. The rank
+    selection is exact-disc (the q368 discipline) so q̂ is an integer
+    from the data, and coverage lands in basis points.
+
+    Scale posture (100 TB): everything after the daily hash agg runs on
+    the (series × day) grid; the calibration window is a partitioned
+    rank window over ≤{_CONF_CAL_DAYS} rows per series; q̂ broadcasts
+    back to the test slice."""
+    grid = _daily_forecast_grid(spark, sf_dir)
+    d0 = F.broadcast(grid.agg(F.min("day").alias("d0")))
+    split = (
+        grid.crossJoin(d0)
+        .select(
+            "event_type",
+            "day",
+            F.abs(F.col("cents") - F.col("fcast")).alias("resid"),
+            (F.col("day") < F.date_add(F.col("d0"), _CONF_CAL_DAYS)).alias("is_cal"),
+        )
+    )
+    wcal = W.partitionBy("event_type")
+    cal = split.filter("is_cal").select(
+        "event_type",
+        "resid",
+        F.row_number().over(wcal.orderBy("resid")).alias("rn"),
+        F.count(F.lit(1)).over(wcal).alias("n_cal"),
+    )
+    qhat = cal.filter(
+        F.col("rn")
+        == F.least(
+            F.col("n_cal"),
+            F.ceil(
+                (F.col("n_cal") + 1) * (10000 - _CONF_ALPHA_BP) / F.lit(10000.0)
+            ).cast("bigint"),
+        )
+    ).select(
+        "event_type", F.col("n_cal").cast("bigint"), F.col("resid").alias("qhat")
+    )
+    return (
+        split.filter(~F.col("is_cal"))
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.expr(
+                "count_if(resid <= qhat) * 10000 div count(1)"
+            ).cast("bigint").alias("coverage_bp"),
+        )
     )

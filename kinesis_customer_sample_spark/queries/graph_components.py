@@ -287,3 +287,109 @@ def temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("user_id").cast("bigint").alias("user_id"), "first_reached", "min_hops")
     )
+
+
+# k-core dials: coreness threshold and the SYNCHRONIZED peel-round count
+# (the q270 contract style: a fixed unroll both engines execute)
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+@query(
+    "q385_kcore_peel",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+    n0 AS (SELECT s AS node FROM e GROUP BY s HAVING count(*) >= {_KCORE_K}),
+    e1 AS (SELECT e.s, e.t FROM e
+           JOIN n0 a ON a.node = e.s JOIN n0 b ON b.node = e.t),
+    n1 AS (SELECT s AS node FROM e1 GROUP BY s HAVING count(*) >= {_KCORE_K}),
+    e2 AS (SELECT e1.s, e1.t FROM e1
+           JOIN n1 a ON a.node = e1.s JOIN n1 b ON b.node = e1.t),
+    n2 AS (SELECT s AS node FROM e2 GROUP BY s HAVING count(*) >= {_KCORE_K}),
+    e3 AS (SELECT e2.s, e2.t FROM e2
+           JOIN n2 a ON a.node = e2.s JOIN n2 b ON b.node = e2.t),
+    rounds AS (
+      SELECT 0 AS round, count(DISTINCT s)::BIGINT AS n_nodes,
+             (count(*) / 2)::BIGINT AS n_edges,
+             (sum(DISTINCT s) % 1000000007)::BIGINT AS node_checksum
+      FROM e
+      UNION ALL
+      SELECT 1, count(DISTINCT s)::BIGINT, (count(*) / 2)::BIGINT,
+             (sum(DISTINCT s) % 1000000007)::BIGINT FROM e1
+      UNION ALL
+      SELECT 2, count(DISTINCT s)::BIGINT, (count(*) / 2)::BIGINT,
+             (sum(DISTINCT s) % 1000000007)::BIGINT FROM e2
+      UNION ALL
+      SELECT 3, count(DISTINCT s)::BIGINT, (count(*) / 2)::BIGINT,
+             (sum(DISTINCT s) % 1000000007)::BIGINT FROM e3
+    )
+    SELECT round::BIGINT AS round, n_nodes, n_edges, node_checksum FROM rounds
+    """,
+    tags=("graph", "k-core", "peeling", "iterative"),
+)
+def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling ({_KCORE_ROUNDS} synchronized rounds at
+    k = {_KCORE_K}) — the degeneracy decomposition's workhorse: each
+    round drops every node of degree < k and the edges touching it; what
+    survives all rounds approximates the k-core (and IS the k-core once
+    a round removes nothing — full peeling iterates to that fixpoint at
+    scale; the round count here is the declared contract so the oracle
+    can unroll it, the q270 precedent). The output traces the shrinking
+    (nodes, edges, checksum) per round — the curve a graph-health
+    monitor plots.
+
+    Scale posture (100 TB): each round = one degree hash-agg + two
+    semi-join edge filters (broadcast when the survivor set shrinks) —
+    the standard distributed peel; the co-purchase edge build is the
+    q180/q270 shared shape with its per-order fan-out bound. Edge list
+    persists across rounds."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .distinct()
+    )
+    e = e0.unionByName(e0.select(F.col("t").alias("s"), F.col("s").alias("t"))).persist()
+    rows = []
+
+    def _summary(edges: DataFrame, rnd: int) -> DataFrame:
+        return edges.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.countDistinct("s").cast("bigint").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            (F.sum_distinct(F.col("s")) % 1_000_000_007)
+            .cast("bigint")
+            .alias("node_checksum"),
+        )
+
+    cur = e
+    rows.append(_summary(cur, 0))
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        survivors = (
+            cur.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("s").alias("node"))
+        )
+        cur = (
+            cur.join(survivors.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(
+                survivors.withColumnRenamed("node", "t"), "t", "left_semi"
+            )
+            .persist()
+        )
+        rows.append(_summary(cur, rnd))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

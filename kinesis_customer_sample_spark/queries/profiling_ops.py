@@ -903,3 +903,81 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("err_bp"),
         )
     )
+
+
+# Bloom sizing constants for p = 1%: m = n·ln(1/p)/ln²2 = n·9.5851,
+# k = (m/n)·ln2 — both as integer rationals (×10⁴) so the advisor is
+# bit-identical cross-engine
+_BLOOM_M_PER_N_E4 = 95_851
+_BLOOM_LN2_E4 = 6_931
+
+
+@query(
+    "q386_bloom_sizing_advisor",
+    oracle=f"""
+    WITH ndv AS (
+      SELECT 'o_custkey' AS col, count(DISTINCT o_custkey)::BIGINT AS n FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', count(DISTINCT o_orderkey)::BIGINT FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(DISTINCT o_orderpriority)::BIGINT FROM orders
+    )
+    SELECT col, n,
+           ((n * {_BLOOM_M_PER_N_E4} + 9999) // 10000)::BIGINT      AS m_bits,
+           (((n * {_BLOOM_M_PER_N_E4} + 9999) // 10000) * {_BLOOM_LN2_E4}
+              + n * 5000) // (n * 10000)                            AS k_hashes,
+           ((((n * {_BLOOM_M_PER_N_E4} + 9999) // 10000) + 7) // 8)::BIGINT
+                                                                    AS bytes_total,
+           (((n * {_BLOOM_M_PER_N_E4} + 9999) // 10000) // n)::BIGINT
+                                                                    AS bits_per_key
+    FROM ndv
+    """,
+    tags=("profiling", "bloom", "sizing", "advisor", "storage"),
+)
+def bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisor — the closed-form decision every
+    writer that embeds per-column Bloom filters (parquet, ORC, q175's
+    semi-join reduction) makes: for target FPR p = 1%, optimal bits
+    m = n·ln(1/p)/ln²2 and hash count k = (m/n)·ln 2, computed per
+    column from its NDV. Both formulas are integer rationals on shared
+    ×10⁴ constants (ceil for m — undersizing violates the FPR target;
+    round-half-up for k), so the advice is bit-identical cross-engine.
+    A 5-value priority column gets 6 bytes; the key columns get ~1.2 B
+    per key — the number that decides whether the filter is worth
+    writing at all.
+
+    Scale posture (100 TB): three count-distincts over one scan (Spark
+    plans them as one expand + agg); at production scale the NDV input
+    would be the q380 KMV estimate instead of the exact count — the
+    advisor itself is grid-sized either way."""
+    o = table(spark, sf_dir, "orders")
+    ndv = (
+        o.agg(F.countDistinct("o_custkey").alias("n"))
+        .select(F.lit("o_custkey").alias("col"), "n")
+        .unionByName(
+            o.agg(F.countDistinct("o_orderkey").alias("n")).select(
+                F.lit("o_orderkey").alias("col"), "n"
+            )
+        )
+        .unionByName(
+            o.agg(F.countDistinct("o_orderpriority").alias("n")).select(
+                F.lit("o_orderpriority").alias("col"), "n"
+            )
+        )
+    )
+    m_bits = F.expr(f"(n * {_BLOOM_M_PER_N_E4} + 9999) div 10000")
+    return ndv.select(
+        "col",
+        F.col("n").cast("bigint"),
+        m_bits.cast("bigint").alias("m_bits"),
+        F.expr(
+            f"(((n * {_BLOOM_M_PER_N_E4} + 9999) div 10000) * {_BLOOM_LN2_E4} "
+            f"+ n * 5000) div (n * 10000)"
+        ).cast("bigint").alias("k_hashes"),
+        F.expr(
+            f"(((n * {_BLOOM_M_PER_N_E4} + 9999) div 10000) + 7) div 8"
+        ).cast("bigint").alias("bytes_total"),
+        F.expr(
+            f"((n * {_BLOOM_M_PER_N_E4} + 9999) div 10000) div n"
+        ).cast("bigint").alias("bits_per_key"),
+    )

@@ -674,3 +674,109 @@ def information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ig_rank",
         F.rank().over(W.orderBy(F.desc("info_gain_mu"), "feature")).cast("bigint"),
     )
+
+
+# churn definition for the survival curve: no activity in the final 7 days
+_KM_CHURN_GAP_D = 7
+
+
+@query(
+    "q384_kaplan_meier",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    users AS (
+      SELECT user_id,
+             (epoch_us(max(ts) - min(ts)) // 3600000000)::BIGINT AS dur_d,
+             (max(ts) < (SELECT mx FROM anchor) - INTERVAL {_KM_CHURN_GAP_D} DAY)
+               AS churned
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT dur_d,
+             count(*) FILTER (churned)::BIGINT      AS d,
+             count(*) FILTER (NOT churned)::BIGINT  AS c
+      FROM users GROUP BY 1
+    ),
+    risk AS (
+      SELECT dur_d, d, c,
+             ((SELECT count(*) FROM users)
+              - coalesce(sum(d + c) OVER (ORDER BY dur_d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT
+               AS n_risk
+      FROM grid
+    )
+    SELECT dur_d, n_risk, d, c,
+           sum(CASE WHEN d > 0
+                    THEN floor(ln(greatest(n_risk - d, 1)) * 1000000)::BIGINT
+                         - floor(ln(n_risk) * 1000000)::BIGINT
+                    ELSE 0 END)
+             OVER (ORDER BY dur_d ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS surv_mu_ln
+    FROM risk
+    """,
+    tags=("stats", "survival", "kaplan-meier", "churn"),
+)
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve — time-to-churn with right-censoring:
+    a user's duration is first→last activity IN HOURS; users active in the
+    final {_KM_CHURN_GAP_D} days are CENSORED (they inform the at-risk
+    denominator but never count as events — dropping them would bias
+    survival down, the classic mistake). The product Π(1 − dᵢ/nᵢ) is
+    carried in integer µ-ln units — each factor is ⌊10⁶·ln(n−d)⌋ −
+    ⌊10⁶·ln n⌋ on INTEGER counts (the q151 log discipline), summed by a
+    cumulative window, so the curve is bit-identical across engines.
+    The n=d terminal step clamps to ln 1 (S would be −∞; documented).
+
+    Scale posture (100 TB): one hash agg to the user grain, one to the
+    duration grid; at-risk counts and the survival cumsum are windows
+    over the GRID (distinct durations — bounded), never user rows."""
+    ev = table(spark, sf_dir, "events")
+    anchor = F.broadcast(ev.agg(F.max("ts").alias("mx")))
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(anchor)
+        .select(
+            F.expr(
+                "(unix_micros(CAST(last_ts AS TIMESTAMP)) "
+                "- unix_micros(CAST(first_ts AS TIMESTAMP))) div 3600000000"
+            ).cast("bigint").alias("dur_d"),
+            (
+                F.col("last_ts")
+                < F.col("mx") - F.expr(f"INTERVAL {_KM_CHURN_GAP_D} DAYS")
+            ).alias("churned"),
+        )
+    ).persist()
+    total = F.broadcast(users.agg(F.count(F.lit(1)).alias("n_total")))
+    grid = users.groupBy("dur_d").agg(
+        F.count(F.when(F.col("churned"), 1)).alias("d"),
+        F.count(F.when(~F.col("churned"), 1)).alias("c"),
+    )
+    wprev = W.orderBy("dur_d").rowsBetween(W.unboundedPreceding, -1)
+    risk = (
+        grid.crossJoin(total)
+        .select(
+            "dur_d",
+            "d",
+            "c",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wprev), F.lit(0))
+            ).cast("bigint").alias("n_risk"),
+        )
+    )
+    step = F.when(
+        F.col("d") > 0,
+        F.expr(
+            "CAST(floor(ln(greatest(n_risk - d, 1)) * 1000000) AS BIGINT) "
+            "- CAST(floor(ln(n_risk) * 1000000) AS BIGINT)"
+        ),
+    ).otherwise(F.lit(0))
+    wcum = W.orderBy("dur_d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return risk.select(
+        "dur_d",
+        "n_risk",
+        "d",
+        "c",
+        F.sum(step).over(wcum).cast("bigint").alias("surv_mu_ln"),
+    )

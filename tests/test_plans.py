@@ -1912,3 +1912,51 @@ def test_kmv_sketch_distinct_then_topk(spark, sf_dir):
         r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE
     ) or re.search(r"Window .*partition.*event_type", facts.text, re.DOTALL | re.IGNORECASE)
     assert not facts.has_cartesian
+
+
+def test_feature_hashing_no_dictionary_join(spark, sf_dir):
+    """q381: the whole point of the hashing trick — NO vocabulary join;
+    bucket/sign are expressions, the plan is two aggs and zero joins."""
+    facts = audit_of(spark, sf_dir, "q381_feature_hashing")
+    assert not facts.join_strategies
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+
+
+def test_forecast_grid_windows_partitioned(spark, sf_dir):
+    """q382/q383: the trailing-forecast window partitions by event_type
+    and runs on the daily grid (after the hash agg, plan top-down)."""
+    for name in ("q382_pinball_loss_eval", "q383_conformal_intervals"):
+        facts = audit_of(spark, sf_dir, name)
+        assert re.search(
+            r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE
+        ), name
+        assert facts.text.find("Window") < facts.text.rfind("HashAggregate"), name
+        assert not facts.has_cartesian or facts.join_strategies.get(
+            "BroadcastNestedLoopJoin", 0
+        ) >= 1, name
+
+
+def test_kaplan_meier_windows_on_grid(spark, sf_dir):
+    """q384: the at-risk and survival windows run on the duration grid —
+    above the leaf (user-grain) aggregate in the printed plan."""
+    facts = audit_of(spark, sf_dir, "q384_kaplan_meier")
+    assert facts.has_partial_agg
+    assert facts.text.find("Window") < facts.text.rfind("HashAggregate")
+
+
+def test_kcore_rounds_are_semi_joins(spark, sf_dir):
+    """q385: each peel round filters edges with LEFT SEMI joins against
+    the survivor set — no outer/cartesian shapes anywhere."""
+    facts = audit_of(spark, sf_dir, "q385_kcore_peel")
+    assert not facts.has_cartesian
+    assert "LeftSemi" in facts.text
+
+
+def test_bloom_advisor_grid_only(spark, sf_dir):
+    """q386: three distinct-aggs over one table, unioned — no joins, no
+    windows; the advice is pure grid arithmetic."""
+    facts = audit_of(spark, sf_dir, "q386_bloom_sizing_advisor")
+    assert not facts.join_strategies
+    assert "Window" not in facts.text
+    assert facts.has_partial_agg
