@@ -215,6 +215,14 @@ HEADLINE = [
     "q384_kaplan_meier",
     "q385_kcore_peel",
     "q386_bloom_sizing_advisor",
+    # round-6 wave 7: mobility, legacy ingest, CDC production, SCD QA,
+    # planner advice, interval algebra
+    "q387_trajectory_stops",
+    "q388_fixed_width_parse",
+    "q389_cdc_changelog_producer",
+    "q390_scd2_integrity_audit",
+    "q391_join_strategy_advisor",
+    "q392_interval_union_coverage",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -6,7 +6,7 @@ skewed high-cardinality aggregation input)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -193,4 +193,82 @@ def bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("day").agg(
         F.expr("CAST(sum(bit_count(bits)) AS BIGINT)").alias("n_distinct_users"),
         F.count(F.lit(1)).alias("n_words"),
+    )
+
+
+# join-strategy advisor: Spark's default autoBroadcastJoinThreshold
+_ADVISOR_BROADCAST_BYTES = 10 * 1024 * 1024
+# declared per-table average row widths (bytes) — in production these come
+# from file statistics; shared literals keep the advice oracle-checkable
+_ADVISOR_WIDTHS = {
+    "region": 40,
+    "nation": 44,
+    "customer": 96,
+    "supplier": 88,
+    "part": 104,
+    "orders": 72,
+    "lineitem": 112,
+}
+
+
+@query(
+    "q391_join_strategy_advisor",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT 'region' AS tbl, count(*)::BIGINT AS n_rows,
+             (count(*) * {_ADVISOR_WIDTHS["region"]})::BIGINT AS est_bytes
+        FROM region
+      UNION ALL SELECT 'nation', count(*), count(*) * {_ADVISOR_WIDTHS["nation"]} FROM nation
+      UNION ALL SELECT 'customer', count(*), count(*) * {_ADVISOR_WIDTHS["customer"]} FROM customer
+      UNION ALL SELECT 'supplier', count(*), count(*) * {_ADVISOR_WIDTHS["supplier"]} FROM supplier
+      UNION ALL SELECT 'part', count(*), count(*) * {_ADVISOR_WIDTHS["part"]} FROM part
+      UNION ALL SELECT 'orders', count(*), count(*) * {_ADVISOR_WIDTHS["orders"]} FROM orders
+      UNION ALL SELECT 'lineitem', count(*), count(*) * {_ADVISOR_WIDTHS["lineitem"]} FROM lineitem
+    )
+    SELECT tbl, n_rows, est_bytes,
+           (est_bytes <= {_ADVISOR_BROADCAST_BYTES})        AS broadcastable,
+           CASE WHEN est_bytes <= {_ADVISOR_BROADCAST_BYTES}
+                THEN 'broadcast-hash'
+                ELSE 'shuffle-hash-or-sort-merge' END       AS advice,
+           rank() OVER (ORDER BY est_bytes, tbl)::BIGINT    AS size_rank
+    FROM sizes
+    """,
+    tags=("scale", "advisor", "join-strategy", "statistics"),
+)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor — the cost-based decision Catalyst makes
+    from table statistics, surfaced as a queryable artifact (the
+    companion to q235's fanout preflight): estimated bytes = rows ×
+    declared avg width per table, compared against the broadcast
+    threshold (Spark's 10 MB default). Sub-threshold tables get
+    broadcast-hash advice — exactly the hint a query author (or an
+    auto-tuner) applies with `broadcast()`; the rest shuffle. The plan
+    audits elsewhere in this repo (test_plans.py) verify the engine
+    AGREES with this advice wherever we assert BroadcastHashJoin.
+
+    Scale posture (100 TB): seven count-star scans (metadata-answerable
+    from parquet footers) and a 7-row grid — the advisor costs nothing
+    and runs before any join is planned."""
+    parts = []
+    for tbl, width in _ADVISOR_WIDTHS.items():
+        parts.append(
+            table(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) * width).cast("bigint").alias("est_bytes"),
+            )
+        )
+    sizes = parts[0]
+    for p in parts[1:]:
+        sizes = sizes.unionByName(p)
+    bc = F.col("est_bytes") <= _ADVISOR_BROADCAST_BYTES
+    return sizes.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        bc.alias("broadcastable"),
+        F.when(bc, "broadcast-hash")
+        .otherwise("shuffle-hash-or-sort-merge")
+        .alias("advice"),
+        F.rank().over(W.orderBy("est_bytes", "tbl")).cast("bigint").alias("size_rank"),
     )

@@ -222,3 +222,95 @@ def federated_union_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("n_name").alias("n_names"),
         F.min("n_name").alias("first_name"),
     )
+
+
+# fixed-width layout for q388 (legacy mainframe-ish export of orders):
+#   cols 1-12  o_orderkey   right-aligned, zero-padded
+#   cols 13-24 o_custkey    right-aligned, zero-padded
+#   cols 25-25 status       1 char
+#   cols 26-37 total cents  right-aligned, zero-padded
+#   cols 38-47 orderdate    yyyy-MM-dd
+_FW_KEY_W, _FW_CUST_W, _FW_CENTS_W = 12, 12, 12
+
+
+@query(
+    "q388_fixed_width_parse",
+    oracle=f"""
+    WITH lines AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), {_FW_KEY_W}, '0')
+             || lpad(CAST(o_custkey AS VARCHAR), {_FW_CUST_W}, '0')
+             || substring(o_orderstatus, 1, 1)
+             || lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                     {_FW_CENTS_W}, '0')
+             || strftime(o_orderdate, '%Y-%m-%d') AS line
+      FROM orders
+    ),
+    parsed AS (
+      SELECT CAST(substring(line, 1, {_FW_KEY_W}) AS BIGINT) AS o_orderkey,
+             CAST(substring(line, {_FW_KEY_W + 1}, {_FW_CUST_W}) AS BIGINT)
+               AS o_custkey,
+             substring(line, {_FW_KEY_W + _FW_CUST_W + 1}, 1) AS status,
+             CAST(substring(line, {_FW_KEY_W + _FW_CUST_W + 2}, {_FW_CENTS_W})
+                  AS BIGINT) AS cents,
+             substring(line, {_FW_KEY_W + _FW_CUST_W + _FW_CENTS_W + 2}, 10)
+               AS order_date
+      FROM lines
+    )
+    SELECT status,
+           substring(order_date, 1, 4)          AS order_year,
+           count(*)::BIGINT                     AS n_orders,
+           sum(cents)::BIGINT                   AS total_cents,
+           (sum(o_orderkey * 31 + o_custkey) % 1000000007)::BIGINT
+                                                AS key_checksum
+    FROM parsed GROUP BY 1, 2
+    """,
+    tags=("sources", "fixed-width", "legacy", "parse"),
+)
+def fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record parsing — the legacy-ingest surface (mainframe
+    exports, COBOL copybooks) every migration pipeline eventually meets:
+    rows are rendered to a 47-character fixed layout (the write side of
+    the round-trip, so the layout is exercised too) and parsed back by
+    COLUMN POSITION — substring + cast, no delimiter logic anywhere.
+    The rollup's checksum proves field boundaries landed exactly (one
+    character of drift scrambles keys and the hash).
+
+    Scale posture (100 TB): render and parse are both pure codegen maps
+    (lpad/substring/cast) — zero shuffles until the final grid agg; the
+    layout constants are shared literals with the oracle so the contract
+    is reviewable in one place."""
+    o = table(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), _FW_KEY_W, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), _FW_CUST_W, "0"),
+        F.substring("o_orderstatus", 1, 1),
+        F.lpad(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            _FW_CENTS_W,
+            "0",
+        ),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+    )
+    lines = o.select(line.alias("line"))
+    parsed = lines.select(
+        F.substring("line", 1, _FW_KEY_W).cast("bigint").alias("o_orderkey"),
+        F.substring("line", _FW_KEY_W + 1, _FW_CUST_W)
+        .cast("bigint")
+        .alias("o_custkey"),
+        F.substring("line", _FW_KEY_W + _FW_CUST_W + 1, 1).alias("status"),
+        F.substring("line", _FW_KEY_W + _FW_CUST_W + 2, _FW_CENTS_W)
+        .cast("bigint")
+        .alias("cents"),
+        F.substring(
+            "line", _FW_KEY_W + _FW_CUST_W + _FW_CENTS_W + 2, 10
+        ).alias("order_date"),
+    )
+    return parsed.groupBy(
+        "status", F.substring("order_date", 1, 4).alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        (
+            F.sum(F.col("o_orderkey") * 31 + F.col("o_custkey")) % 1_000_000_007
+        ).cast("bigint").alias("key_checksum"),
+    )

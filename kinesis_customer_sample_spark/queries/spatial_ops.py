@@ -22,7 +22,7 @@ engine-dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -184,4 +184,107 @@ def point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("inside_share"),
         )
+    )
+
+
+# trajectory dials: synthetic planar positions from the event hash, stop
+# = consecutive fixes within this L∞ radius, reported if ≥ this many fixes
+_TRAJ_CELL = 1_000_000
+_STOP_RADIUS = 120_000
+_STOP_MIN_FIXES = 3
+
+
+@query(
+    "q387_trajectory_stops",
+    oracle=f"""
+    WITH fixes AS (
+      SELECT user_id, ts, event_id,
+             ((event_id * 2654435761) % {_TRAJ_CELL})::BIGINT AS x,
+             ((event_id * 40503) % {_TRAJ_CELL})::BIGINT      AS y
+      FROM events
+    ),
+    steps AS (
+      SELECT user_id, ts, event_id, x, y,
+             CASE WHEN greatest(
+                    abs(x - lag(x) OVER w), abs(y - lag(y) OVER w))
+                  <= {_STOP_RADIUS}
+                  AND lag(x) OVER w IS NOT NULL
+             THEN 0 ELSE 1 END AS is_break
+      FROM fixes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    segs AS (
+      SELECT user_id, ts, event_id,
+             sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM steps
+    ),
+    stops AS (
+      SELECT user_id, seg_id, count(*)::BIGINT AS n_fixes
+      FROM segs GROUP BY 1, 2
+      HAVING count(*) >= {_STOP_MIN_FIXES}
+    )
+    SELECT user_id,
+           count(*)::BIGINT       AS n_stops,
+           sum(n_fixes)::BIGINT   AS n_stop_fixes,
+           max(n_fixes)::BIGINT   AS longest_stop_fixes
+    FROM stops GROUP BY 1
+    """,
+    tags=("spatial", "trajectory", "stop-detection", "mobility"),
+)
+def trajectory_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory stop detection — the mobility-analytics primitive
+    (stay-point extraction): consecutive position fixes within an L∞
+    radius belong to one candidate stop; runs of ≥{_STOP_MIN_FIXES}
+    fixes are stops. Positions are deterministic hash-planar coordinates
+    (the q232 integer plane) so the operator contract — lag-based
+    break detection, gaps-and-islands segment ids, run-length filter —
+    is exercised end-to-end with an exact oracle; with real GPS columns
+    only the projection changes.
+
+    Scale posture (100 TB): one (user)-partitioned window chain (the
+    q108 sessionize discipline — per-user state, shard-parallel), one
+    hash agg to segments, one to users. The L∞ metric keeps the
+    comparison pure integer (no sqrt)."""
+    fixes = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 2654435761) % _TRAJ_CELL).alias("x"),
+        ((F.col("event_id") * 40503) % _TRAJ_CELL).alias("y"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = fixes.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.greatest(
+                    F.abs(F.col("x") - F.lag("x").over(w)),
+                    F.abs(F.col("y") - F.lag("y").over(w)),
+                )
+                <= _STOP_RADIUS
+            )
+            & F.lag("x").over(w).isNotNull(),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_break"),
+    )
+    segs = steps.select(
+        "user_id",
+        F.sum("is_break")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("seg_id"),
+    )
+    stops = (
+        segs.groupBy("user_id", "seg_id")
+        .agg(F.count(F.lit(1)).alias("n_fixes"))
+        .filter(F.col("n_fixes") >= _STOP_MIN_FIXES)
+    )
+    return stops.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_stops"),
+        F.sum("n_fixes").alias("n_stop_fixes"),
+        F.max("n_fixes").alias("longest_stop_fixes"),
     )

@@ -583,3 +583,97 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dur_us").alias("held_us"),
         F.expr("sum(cents * dur_us) div sum(dur_us)").cast("bigint").alias("twap_cents"),
     )
+
+
+# interval-union dials: each event claims ±30 min of user attention
+_IU_PAD_MIN = 30
+
+
+@query(
+    "q392_interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id,
+             ts - INTERVAL {_IU_PAD_MIN} MINUTE AS lo,
+             ts + INTERVAL {_IU_PAD_MIN} MINUTE AS hi
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, lo, hi,
+             CASE WHEN lo <= max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS is_new
+      FROM iv
+    ),
+    grouped AS (
+      SELECT user_id, lo, hi,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY lo, hi
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    islands AS (
+      SELECT user_id, island, min(lo) AS start_ts, max(hi) AS end_ts,
+             count(*)::BIGINT AS n_intervals
+      FROM grouped GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_islands,
+           sum(n_intervals)::BIGINT AS n_intervals,
+           (sum(epoch_us(end_ts - start_ts)) // 60000000)::BIGINT
+             AS covered_minutes
+    FROM islands GROUP BY 1
+    """,
+    tags=("timeseries", "intervals", "union", "coverage"),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key interval UNION (merge overlapping intervals) — the set-
+    algebra primitive under attention/uptime/coverage metrics: each
+    event claims ±{_IU_PAD_MIN} min, overlapping claims merge into
+    islands, and covered time is the sum of island lengths — counting
+    overlap once, which a naive Σ(hi−lo) double-counts. The merge is
+    the RUNNING-MAX variant of gaps-and-islands (an interval is new only
+    if it starts after the max end seen so far — plain lag() fails on
+    nested intervals, the classic bug).
+
+    Scale posture (100 TB): one user-partitioned window chain (q108
+    discipline), aggs reuse the same key. Durations are exact integer
+    µs (the q372 lesson) floored to minutes once at the end."""
+    iv = table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts") - F.expr(f"INTERVAL {_IU_PAD_MIN} MINUTES")).alias("lo"),
+        (F.col("ts") + F.expr(f"INTERVAL {_IU_PAD_MIN} MINUTES")).alias("hi"),
+    )
+    w = W.partitionBy("user_id").orderBy("lo", "hi")
+    marked = iv.select(
+        "user_id",
+        "lo",
+        "hi",
+        F.when(
+            F.col("lo")
+            <= F.max("hi").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            0,
+        )
+        .otherwise(1)
+        .alias("is_new"),
+    )
+    grouped = marked.select(
+        "user_id",
+        "lo",
+        "hi",
+        F.sum("is_new")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    islands = grouped.groupBy("user_id", "island").agg(
+        F.min("lo").alias("start_ts"),
+        F.max("hi").alias("end_ts"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_intervals").alias("n_intervals"),
+        F.expr(
+            "sum(unix_micros(CAST(end_ts AS TIMESTAMP)) "
+            "- unix_micros(CAST(start_ts AS TIMESTAMP))) div 60000000"
+        ).cast("bigint").alias("covered_minutes"),
+    )

@@ -1842,3 +1842,171 @@ def vacuum_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(live, "keep").otherwise("delete").alias("action"),
         )
     )
+
+
+# changelog-producer cut: "old" snapshot is orders strictly before, "new"
+# snapshot swaps priority for half the overlap and adds the rest
+_CDF_CUT = "1995-07-01"
+
+
+@query(
+    "q389_cdc_changelog_producer",
+    oracle=f"""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderpriority AS v
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CDF_CUT} 00:00:00'
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN '9-RECLASSIFIED'
+                  ELSE o_orderpriority END AS v
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_CDF_CUT} 00:00:00' AND o_orderkey % 3 != 0
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_CDF_CUT} 00:00:00'
+    ),
+    log AS (
+      SELECT coalesce(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  ELSE 'update' END AS op,
+             o.v AS before_v, n.v AS after_v
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+      WHERE o.k IS NULL OR n.k IS NULL OR o.v != n.v
+    )
+    SELECT op,
+           count(*)::BIGINT AS n_rows,
+           (sum(k) % 1000000007)::BIGINT AS key_checksum,
+           count(DISTINCT before_v)::BIGINT AS n_before_values,
+           count(DISTINCT after_v)::BIGINT  AS n_after_values
+    FROM log GROUP BY 1
+    """,
+    tags=("warehouse", "cdc", "changelog", "change-data-feed"),
+)
+def cdc_changelog_producer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog PRODUCTION — the inverse of q161's MERGE apply and
+    the other half of the q125 diff: given two table versions, emit the
+    change-data-feed rows (op ∈ insert/update/delete with before/after
+    images) a downstream consumer would replay — exactly what
+    Delta/Iceberg's change feed materializes. Unchanged rows are
+    suppressed by the value inequality, so the log is delta-sized, not
+    table-sized.
+
+    Scale posture (100 TB): ONE full outer hash join on the key (both
+    snapshots shuffle once on the same key — co-partitioned if the table
+    is bucketed, q163), inequality filter before anything aggregates.
+    The op rollup is 3 rows; real consumers would read `log` itself."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit(f"{_CDF_CUT} 00:00:00")).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("v")
+    )
+    new = (
+        o.filter(
+            (F.col("o_orderdate") < F.lit(f"{_CDF_CUT} 00:00:00"))
+            & (F.col("o_orderkey") % 3 != 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 7 == 0, "9-RECLASSIFIED")
+            .otherwise(F.col("o_orderpriority"))
+            .alias("v"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderdate") >= F.lit(f"{_CDF_CUT} 00:00:00")).select(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+    )
+    log = (
+        old.withColumnRenamed("k", "ok")
+        .withColumnRenamed("v", "ov")
+        .join(
+            new.withColumnRenamed("k", "nk").withColumnRenamed("v", "nv"),
+            F.col("ok") == F.col("nk"),
+            "full_outer",
+        )
+        .filter(
+            F.col("ok").isNull()
+            | F.col("nk").isNull()
+            | (F.col("ov") != F.col("nv"))
+        )
+        .select(
+            F.coalesce("ok", "nk").alias("k"),
+            F.when(F.col("ok").isNull(), "insert")
+            .when(F.col("nk").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.col("ov").alias("before_v"),
+            F.col("nv").alias("after_v"),
+        )
+    )
+    return log.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum("k") % 1_000_000_007).cast("bigint").alias("key_checksum"),
+        F.countDistinct("before_v").alias("n_before_values"),
+        F.countDistinct("after_v").alias("n_after_values"),
+    )
+
+
+@query(
+    "q390_scd2_integrity_audit",
+    oracle="""
+    WITH hist AS (
+      SELECT o_custkey AS k, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to,
+             o_orderpriority AS attr
+      FROM orders
+    )
+    SELECT count(*)::BIGINT                                    AS n_versions,
+           count(*) FILTER (valid_to IS NULL)::BIGINT          AS n_current,
+           count(*) FILTER (valid_to IS NOT NULL
+                            AND valid_to < valid_from)::BIGINT AS n_negative_spans,
+           count(*) FILTER (valid_to IS NOT NULL
+                            AND valid_to = valid_from)::BIGINT AS n_zero_spans,
+           count(DISTINCT k)::BIGINT                           AS n_keys
+    FROM hist
+    """,
+    tags=("warehouse", "scd2", "integrity", "audit"),
+)
+def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval integrity audit — the QA gate a q118-built
+    history table must pass before anyone trusts an as-was join (q188):
+    per key, version intervals must tile time with NO gaps and NO
+    overlaps. Built with the lead() construction, gaps/overlaps are
+    impossible BY CONSTRUCTION — so the audit counts the two failure
+    modes (negative spans = overlap symptom, zero-width spans = same-
+    instant double-versioning, the real-world hazard) and the exactly-
+    one-current-row-per-key invariant (n_current must equal n_keys).
+
+    Scale posture (100 TB): one key-partitioned window over the history
+    (version-count-sized per key), one global agg. The audit reads the
+    history ONCE and never joins."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return hist.agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_current"),
+        F.count(
+            F.when(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") < F.col("valid_from")),
+                1,
+            )
+        ).alias("n_negative_spans"),
+        F.count(
+            F.when(
+                F.col("valid_to").isNotNull()
+                & (F.col("valid_to") == F.col("valid_from")),
+                1,
+            )
+        ).alias("n_zero_spans"),
+        F.countDistinct("k").alias("n_keys"),
+    )

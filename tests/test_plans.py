@@ -1960,3 +1960,45 @@ def test_bloom_advisor_grid_only(spark, sf_dir):
     assert not facts.join_strategies
     assert "Window" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_trajectory_windows_user_partitioned(spark, sf_dir):
+    """q387: the lag/island windows must partition by user_id."""
+    facts = audit_of(spark, sf_dir, "q387_trajectory_stops")
+    assert re.search(r"windowspecdefinition\(user_id", facts.text, re.IGNORECASE)
+    assert facts.has_partial_agg
+    assert not facts.join_strategies
+
+
+def test_fixed_width_map_only_until_grid(spark, sf_dir):
+    """q388: render+parse are codegen maps — one exchange (the grid agg),
+    no joins, no Python."""
+    facts = audit_of(spark, sf_dir, "q388_fixed_width_parse")
+    assert facts.n_exchanges <= 1
+    assert not facts.join_strategies
+    assert "BatchEvalPython" not in facts.text
+
+
+def test_cdc_producer_single_outer_join(spark, sf_dir):
+    """q389: exactly one join — the full outer on the key; the change
+    filter sits above it, the rollup combines map-side."""
+    facts = audit_of(spark, sf_dir, "q389_cdc_changelog_producer")
+    assert sum(facts.join_strategies.values()) == 1
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_scd2_audit_never_joins(spark, sf_dir):
+    """q390: one key-partitioned window + one agg; join-free."""
+    facts = audit_of(spark, sf_dir, "q390_scd2_integrity_audit")
+    assert not facts.join_strategies
+    assert re.search(r"windowspecdefinition\(o_custkey", facts.text, re.IGNORECASE)
+
+
+def test_interval_union_running_max_windows(spark, sf_dir):
+    """q392: the merge windows partition by user_id (running max + island
+    cumsum), aggs reuse the key — no join anywhere."""
+    facts = audit_of(spark, sf_dir, "q392_interval_union_coverage")
+    assert re.search(r"windowspecdefinition\(user_id", facts.text, re.IGNORECASE)
+    assert not facts.join_strategies
+    assert facts.has_partial_agg

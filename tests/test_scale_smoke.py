@@ -1089,3 +1089,36 @@ def test_kcore_shrink_is_monotone_at_1m_edges(spark):
     # invariant is that degrees were ≥ k against the PREVIOUS edge set;
     # assert the weaker but exact property: no isolated survivors
     assert min_deg is None or min_deg >= 1
+
+
+def test_interval_union_coverage_bounds_at_5m_rows(spark):
+    """q392's running-max merge at 5M intervals / 50k users: covered
+    time must be ≤ naive Σ(hi−lo) (overlap counted once) and ≥ the
+    largest single interval per user; islands ≤ intervals."""
+    pad = 1_800_000_000  # ±30 min in µs
+    iv = _synth_events(spark).select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) - pad).alias("lo"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + pad).alias("hi"),
+    )
+    w = W.partitionBy("user_id").orderBy("lo", "hi")
+    marked = iv.withColumn(
+        "is_new",
+        F.when(
+            F.col("lo") <= F.max("hi").over(w.rowsBetween(W.unboundedPreceding, -1)), 0
+        ).otherwise(1),
+    )
+    grouped = marked.withColumn(
+        "island", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    islands = grouped.groupBy("user_id", "island").agg(
+        F.min("lo").alias("s"), F.max("hi").alias("e"), F.count(F.lit(1)).alias("n")
+    )
+    stats = islands.agg(
+        F.sum(F.col("e") - F.col("s")).alias("covered"),
+        F.sum("n").alias("n_iv"),
+        F.count(F.lit(1)).alias("n_islands"),
+    ).collect()[0]
+    naive = iv.agg(F.sum(F.col("hi") - F.col("lo"))).collect()[0][0]
+    assert stats["covered"] <= naive
+    assert stats["n_islands"] <= stats["n_iv"] == N
