@@ -223,6 +223,11 @@ HEADLINE = [
     "q390_scd2_integrity_audit",
     "q391_join_strategy_advisor",
     "q392_interval_union_coverage",
+    # round-6 wave 8: trainable models as relational algebra
+    "q393_naive_bayes_langid",
+    "q394_decision_stump",
+    "q395_diff_in_diff",
+    "q396_item_item_jaccard_cf",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -280,3 +280,95 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("fit", 6).alias("iso_rate"),
         )
     )
+
+
+# decision-stump dials: candidate thresholds over quantity
+_STUMP_THRESHOLDS = tuple(range(5, 50, 5))
+
+
+@query(
+    "q394_decision_stump",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    cand AS (
+      SELECT unnest(ARRAY{list(_STUMP_THRESHOLDS)})::BIGINT AS thr
+    ),
+    split AS (
+      SELECT c.thr,
+             sum(CASE WHEN b.x <= c.thr THEN 1 ELSE 0 END)::BIGINT          AS n_l,
+             sum(CASE WHEN b.x <= c.thr THEN b.y ELSE 0 END)::BIGINT        AS p_l,
+             sum(CASE WHEN b.x > c.thr THEN 1 ELSE 0 END)::BIGINT           AS n_r,
+             sum(CASE WHEN b.x > c.thr THEN b.y ELSE 0 END)::BIGINT         AS p_r
+      FROM base b CROSS JOIN cand c
+      GROUP BY 1
+    ),
+    scored AS (
+      -- weighted Gini×N in integer micro-units: per side,
+      -- n_s·gini_s = n_s − (p² + (n−p)²)/n_s, scaled 1e6 with
+      -- truncating division (shared contract both engines)
+      SELECT thr, n_l, p_l, n_r, p_r,
+             (n_l * 1000000
+                - (p_l * p_l + (n_l - p_l) * (n_l - p_l)) * 1000000
+                  // greatest(n_l, 1))
+             + (n_r * 1000000
+                - (p_r * p_r + (n_r - p_r) * (n_r - p_r)) * 1000000
+                  // greatest(n_r, 1)) AS wgini_e6
+      FROM split
+    )
+    SELECT thr, n_l, p_l, n_r, p_r, wgini_e6::BIGINT AS wgini_e6,
+           rank() OVER (ORDER BY wgini_e6, thr)::BIGINT AS split_rank
+    FROM scored
+    """,
+    tags=("ml", "decision-stump", "gini", "learner"),
+)
+def decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learning — the 1-level tree split chooser (the
+    inner loop of every GBDT): for each candidate threshold over the
+    quantity feature, compute both children's class counts in ONE pass
+    (row × bounded-candidate fan-out, conditional aggregation) and score
+    the split by weighted Gini impurity — held in integer micro-units
+    via n·Gini = n − (p² + (n−p)²)/n with truncating division, so the
+    ranking is bit-stable across engines. split_rank 1 is the stump a
+    tree builder would take; emitting the whole curve shows the margin.
+
+    Scale posture (100 TB): candidates are a bounded literal list, the
+    fan-out is map-side (broadcast nested loop over {len(_STUMP_THRESHOLDS)}
+    rows), and the whole scan reduces to a {len(_STUMP_THRESHOLDS)}-row
+    grid in one map-side-combined agg — the classic histogram-based
+    split finder."""
+    base = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cand = F.broadcast(
+        base.sparkSession.createDataFrame(
+            [(t,) for t in _STUMP_THRESHOLDS], "thr bigint"
+        )
+    )
+    split = (
+        base.crossJoin(cand)
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("thr"), 1).otherwise(0)).alias("n_l"),
+            F.sum(F.when(F.col("x") <= F.col("thr"), F.col("y")).otherwise(0)).alias("p_l"),
+            F.sum(F.when(F.col("x") > F.col("thr"), 1).otherwise(0)).alias("n_r"),
+            F.sum(F.when(F.col("x") > F.col("thr"), F.col("y")).otherwise(0)).alias("p_r"),
+        )
+    )
+    wgini = F.expr(
+        "(n_l * 1000000 - (p_l * p_l + (n_l - p_l) * (n_l - p_l)) * 1000000 "
+        "div greatest(n_l, 1)) "
+        "+ (n_r * 1000000 - (p_r * p_r + (n_r - p_r) * (n_r - p_r)) * 1000000 "
+        "div greatest(n_r, 1))"
+    )
+    return (
+        split.select("thr", "n_l", "p_l", "n_r", "p_r", wgini.cast("bigint").alias("wgini_e6"))
+        .withColumn(
+            "split_rank",
+            F.rank().over(W.orderBy("wgini_e6", "thr")).cast("bigint"),
+        )
+    )

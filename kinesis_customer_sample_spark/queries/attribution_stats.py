@@ -423,3 +423,82 @@ def eb_smoothed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((x + {_EB_ALPHA}) * 10000 div (n + {_EB_ALPHA} + {_EB_BETA}) AS BIGINT)"
         ).alias("smoothed_rate_bp"),
     )
+
+
+# diff-in-diff dials: deterministic treatment assignment + period split
+_DID_SPLIT = "2024-01-16"
+
+
+@query(
+    "q395_diff_in_diff",
+    oracle=f"""
+    WITH panel AS (
+      SELECT (user_id % 2 = 1) AS treated,
+             (ts >= TIMESTAMP '{_DID_SPLIT} 00:00:00') AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT treated, post,
+             count(*)::BIGINT AS n,
+             (sum(cents) // count(*))::BIGINT AS mean_c
+      FROM panel GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN treated AND post THEN mean_c END)         AS tp,
+        max(CASE WHEN treated AND NOT post THEN mean_c END)     AS tpre,
+        max(CASE WHEN NOT treated AND post THEN mean_c END)     AS cp,
+        max(CASE WHEN NOT treated AND NOT post THEN mean_c END) AS cpre,
+        max(CASE WHEN treated AND post THEN n END)              AS n_tp,
+        max(CASE WHEN treated AND NOT post THEN n END)          AS n_tpre,
+        max(CASE WHEN NOT treated AND post THEN n END)          AS n_cp,
+        max(CASE WHEN NOT treated AND NOT post THEN n END)      AS n_cpre
+      FROM cells
+    )
+    SELECT tp::BIGINT AS treat_post_c, tpre::BIGINT AS treat_pre_c,
+           cp::BIGINT AS ctrl_post_c, cpre::BIGINT AS ctrl_pre_c,
+           (n_tp + n_tpre + n_cp + n_cpre)::BIGINT AS n_total,
+           ((tp - tpre) - (cp - cpre))::BIGINT AS did_cents
+    FROM wide
+    """,
+    tags=("stats", "causal", "diff-in-diff", "experiment"),
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse causal estimator when
+    randomization isn't available: (treated post − treated pre) −
+    (control post − control pre) cancels both the group-level baseline
+    difference and the common time trend, leaving the treatment effect
+    under parallel trends. Assignment is a deterministic user-id parity
+    (the q260 hash-assignment discipline), the four panel cells are one
+    hash agg, and the estimate is exact integer cents.
+
+    Scale posture (100 TB): one scan → 4-row cell grid → 1-row pivot;
+    nothing after the first agg touches row-scale data. The per-cell n's
+    ride along for the analyst's variance check."""
+    panel = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("ts") >= F.lit(f"{_DID_SPLIT} 00:00:00")).alias("post"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cells = panel.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cents) div count(1)").alias("mean_c"),
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("treated") & F.col("post"), F.col("mean_c"))).alias("tp"),
+        F.max(F.when(F.col("treated") & ~F.col("post"), F.col("mean_c"))).alias("tpre"),
+        F.max(F.when(~F.col("treated") & F.col("post"), F.col("mean_c"))).alias("cp"),
+        F.max(F.when(~F.col("treated") & ~F.col("post"), F.col("mean_c"))).alias("cpre"),
+        F.sum("n").alias("n_total"),
+    )
+    return wide.select(
+        F.col("tp").cast("bigint").alias("treat_post_c"),
+        F.col("tpre").cast("bigint").alias("treat_pre_c"),
+        F.col("cp").cast("bigint").alias("ctrl_post_c"),
+        F.col("cpre").cast("bigint").alias("ctrl_pre_c"),
+        F.col("n_total").cast("bigint"),
+        ((F.col("tp") - F.col("tpre")) - (F.col("cp") - F.col("cpre")))
+        .cast("bigint")
+        .alias("did_cents"),
+    )

@@ -115,3 +115,95 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift"), F.desc("n_both"), "part_a", "part_b"
     ).limit(_TOPK)
+
+
+# item-item CF dials: popularity cap (hot items prune, the q360 df-cap
+# discipline), minimum co-occurrence support, top-N output
+_CF_POP_CAP = 200
+_CF_MIN_CO = 3
+_CF_TOPN = 25
+
+
+@query(
+    "q396_item_item_jaccard_cf",
+    oracle=f"""
+    WITH baskets AS (
+      SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    pop AS (
+      SELECT i, count(*)::BIGINT AS c FROM baskets GROUP BY 1
+      HAVING count(*) <= {_CF_POP_CAP}
+    ),
+    kept AS (SELECT b.u, b.i FROM baskets b JOIN pop USING (i)),
+    co AS (
+      SELECT a.i AS i1, b.i AS i2, count(*)::BIGINT AS c12
+      FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+      GROUP BY 1, 2
+      HAVING count(*) >= {_CF_MIN_CO}
+    )
+    SELECT co.i1, co.i2, co.c12,
+           p1.c AS c1, p2.c AS c2,
+           (co.c12 * 10000 // (p1.c + p2.c - co.c12))::BIGINT AS jaccard_bp
+    FROM co
+    JOIN pop p1 ON p1.i = co.i1
+    JOIN pop p2 ON p2.i = co.i2
+    ORDER BY jaccard_bp DESC, co.c12 DESC, co.i1, co.i2
+    LIMIT {_CF_TOPN}
+    """,
+    tags=("recommender", "collaborative-filtering", "jaccard", "similarity-join"),
+)
+def item_item_jaccard_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering with Jaccard similarity — the
+    co-occurrence recommender ("customers who bought X also bought Y"):
+    binary user×item baskets, co-occurrence counted through a user-keyed
+    self-join, and similarity = c12/(c1+c2−c12) — an EXACT integer
+    rational in basis points, so unlike cosine no sqrt ever runs.
+    Min-support prunes noise pairs; the popularity cap bounds every
+    user-join fan-in exactly as q360's df-cap does (a mega-popular item
+    would pair with everything and recommend nothing).
+
+    Scale posture (100 TB): candidate volume ≤ cap·Σ per-item count
+    (corpus-linear); the self-join shuffles once on the user key,
+    co-counts combine map-side, and the final top-N is
+    TakeOrderedAndProject. This is the batch half of every
+    "similar items" service; the ANN family (q99/q121) serves the
+    embedding half."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    baskets = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .distinct()
+    )
+    pop = (
+        baskets.groupBy("i")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _CF_POP_CAP)
+    )
+    kept = baskets.join(pop.select("i"), "i").persist()
+    a = kept.select(F.col("u"), F.col("i").alias("i1"))
+    b = kept.select(F.col("u"), F.col("i").alias("i2"))
+    co = (
+        a.join(b, "u")
+        .filter(F.col("i1") < F.col("i2"))
+        .groupBy("i1", "i2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _CF_MIN_CO)
+    )
+    return (
+        co.join(pop.select(F.col("i").alias("i1"), F.col("c").alias("c1")), "i1")
+        .join(pop.select(F.col("i").alias("i2"), F.col("c").alias("c2")), "i2")
+        .select(
+            "i1",
+            "i2",
+            "c12",
+            "c1",
+            "c2",
+            F.expr("c12 * 10000 div (c1 + c2 - c12)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+        )
+        .orderBy(F.desc("jaccard_bp"), F.desc("c12"), "i1", "i2")
+        .limit(_CF_TOPN)
+    )

@@ -1236,3 +1236,138 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sampled"), "tok")
         .limit(20)
     )
+
+
+# naive-bayes dials: holdout = every 5th doc; Laplace add-1 smoothing
+_NB_TEST_MOD = 5
+
+
+@query(
+    "q393_naive_bayes_langid",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS toks,
+             (doc_id % {_NB_TEST_MOD} = 0) AS is_test
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, lang, is_test, unnest(toks) AS tok FROM docs
+    ),
+    classes AS (
+      SELECT lang AS c, count(*)::BIGINT AS n_docs
+      FROM docs WHERE NOT is_test GROUP BY 1
+    ),
+    vocab AS (SELECT count(DISTINCT tok)::BIGINT AS v
+              FROM tok WHERE NOT is_test),
+    ctc AS (
+      SELECT lang AS c, tok, count(*)::BIGINT AS n
+      FROM tok WHERE NOT is_test GROUP BY 1, 2
+    ),
+    cn AS (SELECT c, sum(n)::BIGINT AS n_c FROM ctc GROUP BY 1),
+    -- score every (test doc, class): Σ ln((c_tc+1)) − n_toks·ln(n_c+V)
+    -- + ln(class prior); unseen (tok, class) pairs contribute ln 1 = 0
+    -- for the numerator via the left join coalesce
+    pairs AS (
+      SELECT t.doc_id, t.lang AS actual, cl.c, t.tok
+      FROM tok t CROSS JOIN classes cl
+      WHERE t.is_test
+    ),
+    scored AS (
+      SELECT p.doc_id, p.actual, p.c,
+             sum(floor(ln(coalesce(x.n, 0) + 1) * 1000000)::BIGINT)
+               - count(*) * (SELECT floor(ln(cn.n_c + vocab.v) * 1000000)::BIGINT
+                             FROM cn, vocab WHERE cn.c = p.c)
+               + (SELECT floor(ln(classes.n_docs) * 1000000)::BIGINT
+                  FROM classes WHERE classes.c = p.c)
+               AS score_mu
+      FROM pairs p
+      LEFT JOIN ctc x ON x.c = p.c AND x.tok = p.tok
+      GROUP BY 1, 2, 3
+    ),
+    predicted AS (
+      SELECT doc_id, actual, c AS pred
+      FROM scored
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_mu DESC, c) = 1
+    )
+    SELECT actual, pred, count(*)::BIGINT AS n
+    FROM predicted GROUP BY 1, 2
+    """,
+    tags=("llm", "classifier", "naive-bayes", "language-id"),
+)
+def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language-ID — a TRAINABLE model expressed
+    entirely as relational algebra: train on 4/5 of the corpus (per-class
+    token counts + Laplace smoothing), score every holdout document
+    against every class as Σ ln(c_tc+1) − n·ln(n_c+V) + ln prior in
+    integer µ-nats (the q151 log discipline — ln only ever sees
+    integers), predict by deterministic argmax, and emit the confusion
+    matrix. The model IS three small tables — exactly how NB deploys at
+    scale.
+
+    Scale posture (100 TB): class-term counts are vocabulary×classes
+    (model-sized); the scoring join is test-tokens × bounded class list
+    with the model hash-joined on (class, tok); argmax is one
+    partitioned window over the (doc × class) grid. Training is two
+    hash aggs."""
+    docs = _docs_with_tokens(spark, sf_dir).withColumn(
+        "is_test", F.col("doc_id") % _NB_TEST_MOD == 0
+    )
+    tok = docs.select(
+        "doc_id", "lang", "is_test", F.explode("toks").alias("tok")
+    ).persist()
+    train = tok.filter(~F.col("is_test"))
+    classes = (
+        docs.filter(~F.col("is_test"))
+        .groupBy(F.col("lang").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    vocab = train.agg(F.countDistinct("tok").alias("v"))
+    ctc = train.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cn = ctc.groupBy("c").agg(F.sum("n").alias("n_c"))
+    class_const = F.broadcast(
+        classes.join(cn, "c")
+        .crossJoin(vocab)
+        .select(
+            "c",
+            F.expr("CAST(floor(ln(n_c + v) * 1000000) AS BIGINT)").alias("denom_mu"),
+            F.expr("CAST(floor(ln(n_docs) * 1000000) AS BIGINT)").alias("prior_mu"),
+        )
+    )
+    pairs = (
+        tok.filter("is_test")
+        .select("doc_id", F.col("lang").alias("actual"), "tok")
+        .crossJoin(F.broadcast(classes.select("c")))
+    )
+    scored = (
+        pairs.join(ctc, ["c", "tok"], "left")
+        .groupBy("doc_id", "actual", "c")
+        .agg(
+            F.expr(
+                "sum(CAST(floor(ln(coalesce(n, 0) + 1) * 1000000) AS BIGINT))"
+            ).alias("num_mu"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        .join(class_const, "c")
+        .select(
+            "doc_id",
+            "actual",
+            "c",
+            (
+                F.col("num_mu")
+                - F.col("n_toks") * F.col("denom_mu")
+                + F.col("prior_mu")
+            ).alias("score_mu"),
+        )
+    )
+    predicted = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score_mu"), "c")
+        ),
+    ).filter(F.col("rn") == 1)
+    return predicted.groupBy(
+        "actual", F.col("c").alias("pred")
+    ).agg(F.count(F.lit(1)).alias("n"))

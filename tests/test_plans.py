@@ -2002,3 +2002,41 @@ def test_interval_union_running_max_windows(spark, sf_dir):
     assert re.search(r"windowspecdefinition\(user_id", facts.text, re.IGNORECASE)
     assert not facts.join_strategies
     assert facts.has_partial_agg
+
+
+def test_naive_bayes_model_is_hash_joined(spark, sf_dir):
+    """q393: the scoring join brings the model in by hash join on
+    (class, tok); the class list broadcasts; argmax is a doc-partitioned
+    window."""
+    facts = audit_of(spark, sf_dir, "q393_naive_bayes_langid")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert re.search(r"windowspecdefinition\(doc_id", facts.text, re.IGNORECASE)
+
+
+def test_decision_stump_one_pass_grid(spark, sf_dir):
+    """q394: bounded candidate fan-out via broadcast nested loop, then
+    ONE map-side-combined agg to the threshold grid."""
+    facts = audit_of(spark, sf_dir, "q394_decision_stump")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert facts.has_partial_agg
+    assert "CartesianProduct" not in facts.text
+
+
+def test_did_reduces_immediately(spark, sf_dir):
+    """q395: one scan straight into the cell agg — no joins, no windows;
+    everything after is grid algebra."""
+    facts = audit_of(spark, sf_dir, "q395_diff_in_diff")
+    assert not facts.join_strategies
+    assert "Window" not in facts.text
+    assert facts.has_partial_agg
+
+
+def test_item_cf_capped_self_join(spark, sf_dir):
+    """q396: the co-occurrence self-join is an equi-join on the user key
+    (no cartesian), pruned by the popularity cap; final top-N is
+    TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q396_item_item_jaccard_cf")
+    assert not facts.has_cartesian
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.has_partial_agg
