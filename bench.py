@@ -228,6 +228,12 @@ HEADLINE = [
     "q394_decision_stump",
     "q395_diff_in_diff",
     "q396_item_item_jaccard_cf",
+    # round-6 wave 9: graph fingerprinting, tolerance as-of, robust
+    # clamping, and the maintenance capstone
+    "q397_wl_refinement",
+    "q398_asof_tolerance_join",
+    "q399_winsorization",
+    "q400_maintenance_report",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -393,3 +393,107 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# Weisfeiler-Lehman dials: synchronized refinement rounds (the q385
+# fixed-unroll contract)
+_WL_ROUNDS = 2
+
+
+@query(
+    "q397_wl_refinement",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    e AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+    l0 AS (
+      SELECT s AS node, count(*)::BIGINT AS lab FROM e GROUP BY s
+    ),
+    l1 AS (
+      SELECT e.s AS node,
+             list_reduce(
+               list_prepend(7::BIGINT, list_sort(list(l0n.lab))),
+               (a, c) -> (a * 31 + c) % 1000000007) AS lab
+      FROM e JOIN l0 l0n ON l0n.node = e.t
+      GROUP BY e.s
+    ),
+    l2 AS (
+      SELECT e.s AS node,
+             list_reduce(
+               list_prepend(7::BIGINT, list_sort(list(l1n.lab))),
+               (a, c) -> (a * 31 + c) % 1000000007) AS lab
+      FROM e JOIN l1 l1n ON l1n.node = e.t
+      GROUP BY e.s
+    )
+    SELECT 1::BIGINT AS round, count(DISTINCT lab)::BIGINT AS n_colors,
+           (sum(DISTINCT lab) % 1000000007)::BIGINT AS color_checksum
+    FROM l1
+    UNION ALL
+    SELECT 2, count(DISTINCT lab), (sum(DISTINCT lab) % 1000000007)::BIGINT
+    FROM l2
+    """,
+    tags=("graph", "weisfeiler-lehman", "color-refinement", "fingerprint"),
+)
+def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler–Lehman color refinement ({_WL_ROUNDS} synchronized
+    rounds) — the graph-fingerprinting primitive under graph-dedup and
+    GNN expressivity: start from degree labels, then each round rehash
+    every node as fold(sorted multiset of neighbor labels) — nodes stay
+    same-colored iff their neighborhoods are indistinguishable at that
+    radius. The per-round color count is the refinement curve; the
+    checksum fingerprints the palette (two runs/graphs comparable by one
+    row). Fold/sort are the portable mod-P polynomial so both engines
+    hash identically; the unroll count is the declared contract (q385).
+
+    Scale posture (100 TB): one edge-keyed hash join + sorted-list agg
+    per round (neighbor multisets are degree-bounded); colors are
+    node-sized. The same plan repeats per round — fixpoint-many at
+    production, structurally identical."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e0 = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
+        .distinct()
+    )
+    e = e0.unionByName(
+        e0.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).persist()
+    labels = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("lab")
+    )
+    outs = []
+    for rnd in range(1, _WL_ROUNDS + 1):
+        labels = (
+            e.join(
+                labels.select(F.col("node").alias("t"), F.col("lab").alias("nlab")),
+                "t",
+            )
+            .groupBy(F.col("s").alias("node"))
+            .agg(
+                F.expr(
+                    "aggregate(array_sort(collect_list(nlab)), "
+                    "CAST(7 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007)"
+                ).alias("lab")
+            )
+        ).persist()
+        outs.append(
+            labels.agg(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.countDistinct("lab").alias("n_colors"),
+                (F.sum_distinct(F.col("lab")) % 1_000_000_007)
+                .cast("bigint")
+                .alias("color_checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -24,7 +24,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -320,5 +320,103 @@ def binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("side").alias("segment"),
             F.col("day").alias("split_day"),
             F.round("gain", 6).alias("gain_r6"),
+        )
+    )
+
+
+# winsorization dials: clamp at the exact disc p01 / p99 per event type
+_WINSOR_LO_BP = 100
+_WINSOR_HI_BP = 9_900
+
+
+@query(
+    "q399_winsorization",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM obs
+    ),
+    fences AS (
+      SELECT event_type,
+             max(CASE WHEN rn = greatest(1, (n * {_WINSOR_LO_BP}) // 10000)
+                      THEN cents END) AS lo,
+             max(CASE WHEN rn = least(n, (n * {_WINSOR_HI_BP} + 9999) // 10000)
+                      THEN cents END) AS hi
+      FROM ranked GROUP BY 1
+    )
+    SELECT o.event_type,
+           count(*)::BIGINT                                        AS n,
+           min(f.lo)::BIGINT                                       AS lo_cents,
+           min(f.hi)::BIGINT                                       AS hi_cents,
+           count(*) FILTER (o.cents < f.lo)::BIGINT                AS n_clamped_lo,
+           count(*) FILTER (o.cents > f.hi)::BIGINT                AS n_clamped_hi,
+           (sum(least(greatest(o.cents, f.lo), f.hi)) // count(*))::BIGINT
+                                                                   AS winsor_mean_c,
+           (sum(o.cents) // count(*))::BIGINT                      AS raw_mean_c
+    FROM obs o JOIN fences f USING (event_type)
+    GROUP BY 1
+    """,
+    tags=("quality", "winsorize", "robust", "outliers"),
+)
+def winsorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact disc p01/p99 — the robust-mean companion
+    to the REMOVAL fences (Tukey q128, MAD q231): extreme values are
+    CLAMPED to the percentile fences instead of dropped, preserving row
+    count (the property aggregation pipelines need — a sum over a
+    winsorized column still covers every row). Fences are exact rank
+    selections (the q368 discipline); the audit reports how many rows
+    each side clamped and the raw-vs-winsorized mean shift — the number
+    that tells you whether the tail was driving the metric.
+
+    Scale posture (100 TB): rank windows partition by series; fences
+    (series-grid-sized) broadcast back; the clamp is a stateless
+    projection folded into the final agg."""
+    obs = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    wp = W.partitionBy("event_type")
+    ranked = obs.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    fences = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr(f"(n * {_WINSOR_LO_BP}) div 10000")),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.least(
+                    F.col("n"), F.expr(f"(n * {_WINSOR_HI_BP} + 9999) div 10000")
+                ),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        obs.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("lo_cents"),
+            F.min("hi").alias("hi_cents"),
+            F.count(F.when(F.col("cents") < F.col("lo"), 1)).alias("n_clamped_lo"),
+            F.count(F.when(F.col("cents") > F.col("hi"), 1)).alias("n_clamped_hi"),
+            F.expr("sum(least(greatest(cents, lo), hi)) div count(1)")
+            .cast("bigint")
+            .alias("winsor_mean_c"),
+            F.expr("sum(cents) div count(1)").cast("bigint").alias("raw_mean_c"),
         )
     )

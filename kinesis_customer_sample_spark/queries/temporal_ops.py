@@ -684,3 +684,87 @@ def partition_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev_bp.cast("bigint").alias("dev_bp"),
         (dev_bp > _PDM_DRIFT_BP).alias("drifted"),
     )
+
+
+# as-of tolerance: matches older than this are rejected (pandas
+# merge_asof(tolerance=...) semantics)
+_ASOF_TOL_HOURS = 24
+
+
+@query(
+    "q398_asof_tolerance_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    best AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             max(o.o_orderdate) AS match_ts
+      FROM ev e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      GROUP BY 1, 2, 3
+    ),
+    tol AS (
+      SELECT event_id, user_id,
+             CASE WHEN match_ts IS NOT NULL
+                   AND match_ts >= ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+                  THEN match_ts END AS match_ts
+      FROM best
+    )
+    SELECT user_id,
+           count(*)::BIGINT                                   AS n_events,
+           count(match_ts)::BIGINT                            AS n_matched,
+           count(*) FILTER (match_ts IS NULL)::BIGINT         AS n_stale_or_none
+    FROM tol GROUP BY 1
+    """,
+    tags=("temporal", "asof", "tolerance", "join"),
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE — pandas `merge_asof(tolerance=...)`
+    semantics, completing the as-of family (backward q13, forward q189):
+    each purchase takes the latest order at-or-before it, but a match
+    older than {_ASOF_TOL_HOURS} h is REJECTED to null — stale context
+    is worse than none (the feature-freshness rule every point-in-time
+    feature store enforces). The tolerance must be applied AFTER the
+    argmax, not as a join predicate — pre-filtering would promote an
+    even staler second-best row into a false match.
+
+    Scale posture (100 TB): the backward-match is the q13 shape (range
+    join + max aggregation on the event key, one shuffle each side);
+    the tolerance test is a stateless post-projection. At production the
+    same plan runs bucketed on user/custkey (q163)."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    best = (
+        ev.join(
+            o,
+            (ev.user_id == o.user_id) & (F.col("o_orderdate") <= F.col("ts")),
+            "left",
+        )
+        .drop(o.user_id)
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("o_orderdate").alias("match_ts"))
+    )
+    tol = best.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("match_ts").isNotNull()
+            & (
+                F.col("match_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_ASOF_TOL_HOURS} HOURS")
+            ),
+            F.col("match_ts"),
+        ).alias("match_ts"),
+    )
+    return tol.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("match_ts").alias("n_matched"),
+        F.count(F.when(F.col("match_ts").isNull(), 1)).alias("n_stale_or_none"),
+    )

@@ -2010,3 +2010,86 @@ def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_zero_spans"),
         F.countDistinct("k").alias("n_keys"),
     )
+
+
+def _maintenance_capstone_oracle() -> str:
+    """q400's oracle COMPOSES the already-registered q359/q361/q375
+    oracles verbatim (registry lookup, no text duplication): each becomes
+    a CTE whose grid is rolled up to one report row."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    z = REGISTRY["q359_zone_map_skipping"].oracle
+    c = REGISTRY["q361_compaction_bin_packing"].oracle
+    v = REGISTRY["q375_vacuum_planning"].oracle
+    return f"""
+    WITH zone AS ({z}), pack AS ({c}), vac AS ({v})
+    SELECT 'zone_map' AS domain,
+           count(*)::BIGINT AS n_units,
+           count(*) FILTER (NOT must_read)::BIGINT AS n_actionable,
+           (sum(CASE WHEN must_read THEN n_rows ELSE 0 END) * 10000
+              // sum(n_rows))::BIGINT AS headline_bp
+    FROM zone
+    UNION ALL
+    SELECT 'compaction', count(*)::BIGINT,
+           sum(n_files)::BIGINT,
+           (max(bin_bytes) * 10000 // sum(bin_bytes))::BIGINT
+    FROM pack
+    UNION ALL
+    SELECT 'vacuum', count(*)::BIGINT,
+           count(*) FILTER (NOT live)::BIGINT,
+           (sum(CASE WHEN NOT live THEN bytes ELSE 0 END) * 10000
+              // sum(bytes))::BIGINT
+    FROM vac
+    """
+
+
+@query(
+    "q400_maintenance_report",
+    oracle=_maintenance_capstone_oracle(),
+    tags=("warehouse", "maintenance", "capstone", "report"),
+)
+def maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly maintenance report — the capstone that unifies the three
+    storage-maintenance planners into the one-page summary an operator
+    reads: zone-map effectiveness (share of rows in must-read files —
+    the clustering-health number), compaction plan shape (files per bin,
+    largest-bin share), and vacuum reclaim (orphan share of bytes). Both
+    sides COMPOSE the q359/q361/q375 definitions verbatim — the Spark
+    side calls the registered query functions, the oracle splices their
+    registered SQL — so the report can never drift from the operators it
+    summarizes.
+
+    Scale posture (100 TB): three metadata-or-grid-sized inputs (see the
+    composed queries' own postures), each reduced to one row. This is
+    the query a scheduler runs nightly and alerts on."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    zone = REGISTRY["q359_zone_map_skipping"].fn(spark, sf_dir)
+    pack = REGISTRY["q361_compaction_bin_packing"].fn(spark, sf_dir)
+    vac = REGISTRY["q375_vacuum_planning"].fn(spark, sf_dir)
+    z = zone.agg(
+        F.lit("zone_map").alias("domain"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.count(F.when(~F.col("must_read"), 1)).alias("n_actionable"),
+        F.expr(
+            "sum(CASE WHEN must_read THEN n_rows ELSE 0 END) * 10000 "
+            "div sum(n_rows)"
+        ).cast("bigint").alias("headline_bp"),
+    )
+    p = pack.agg(
+        F.lit("compaction").alias("domain"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("n_files").alias("n_actionable"),
+        F.expr("max(bin_bytes) * 10000 div sum(bin_bytes)")
+        .cast("bigint")
+        .alias("headline_bp"),
+    )
+    v = vac.agg(
+        F.lit("vacuum").alias("domain"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.count(F.when(~F.col("live"), 1)).alias("n_actionable"),
+        F.expr(
+            "sum(CASE WHEN NOT live THEN bytes ELSE 0 END) * 10000 div sum(bytes)"
+        ).cast("bigint").alias("headline_bp"),
+    )
+    return z.unionByName(p).unionByName(v)

@@ -2040,3 +2040,43 @@ def test_item_cf_capped_self_join(spark, sf_dir):
     assert not facts.has_cartesian
     assert "TakeOrderedAndProject" in facts.text
     assert facts.has_partial_agg
+
+
+def test_wl_round_is_join_plus_sorted_fold(spark, sf_dir):
+    """q397: each round is an edge-keyed hash join + list agg; no
+    cartesian; distinct-color counts combine partially."""
+    facts = audit_of(spark, sf_dir, "q397_wl_refinement")
+    assert not facts.has_cartesian
+    assert sum(facts.join_strategies.values()) >= 2  # edge build + rounds
+    assert "Window" not in facts.text
+
+
+def test_asof_tolerance_is_q13_shape(spark, sf_dir):
+    """q398: backward range join + argmax agg on the event key; the
+    tolerance is a projection, NOT a join predicate (plan shows no
+    second join)."""
+    facts = audit_of(spark, sf_dir, "q398_asof_tolerance_join")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert sum(facts.join_strategies.values()) == 1
+
+
+def test_winsorize_fences_broadcast_back(spark, sf_dir):
+    """q399: rank windows partition by event_type; the series-grid
+    fences come back by broadcast join."""
+    facts = audit_of(spark, sf_dir, "q399_winsorization")
+    assert re.search(r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE)
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+
+
+def test_maintenance_report_no_row_scale_joins(spark, sf_dir):
+    """q400: three composed planners, each reduced to one row before the
+    union — no cartesian; the only Window is q361's metadata-sized
+    bin-packing window (ordered by file bytes), never a raw-row one."""
+    facts = audit_of(spark, sf_dir, "q400_maintenance_report")
+    assert not facts.has_cartesian
+    assert re.search(r"windowspecdefinition\(bytes", facts.text, re.IGNORECASE)
+    assert not re.search(r"windowspecdefinition\(o_orderkey", facts.text, re.IGNORECASE)
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
