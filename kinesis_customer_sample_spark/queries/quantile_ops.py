@@ -36,8 +36,18 @@ _RFM_ANCHOR = "2024-01-31"
 
 def _grid_cumulative(df: DataFrame, group: str, width: int) -> DataFrame:
     """(group, v, cnt, c, n): per-distinct-value counts with INCLUSIVE
-    cumulative count c and group total n, via bucket-partitioned windows +
-    triangular bucket offsets (no global window). `v` must be integral."""
+    cumulative count c and group total n, via bucket-partitioned windows
+    for the ROW level + a per-group cumsum window over the BUCKET-grid
+    totals for the offsets (no row-scale global window anywhere).
+
+    The offset stage used to be a triangular self-join on bucket < bucket
+    — quadratic in OCCUPIED buckets, which is fine for a ~25-bucket
+    events grid but blew up to 1.9e9 joined rows on the order-totalprice
+    domain (27k occupied buckets per segment at sf0.1 → 118 s, caught by
+    the round-6 bench). The bucket-totals table is grid-sized (domain
+    range / width, data-volume-independent), so an ordered window over it
+    is O(grid) per group and the hazard the two-level pattern exists to
+    avoid — a GLOBAL window over ROW-scale data — never appears."""
     g = df.groupBy(group, "v").agg(F.count(F.lit(1)).alias("cnt"))
     g = g.withColumn("bucket", F.floor(F.col("v") / width))
     w_loc = (
@@ -47,16 +57,15 @@ def _grid_cumulative(df: DataFrame, group: str, width: int) -> DataFrame:
     )
     local = g.withColumn("lc", F.sum("cnt").over(w_loc))
     totals = g.groupBy(group, "bucket").agg(F.sum("cnt").alias("t"))
-    starts = (
-        totals.alias("a")
-        .join(
-            totals.alias("b"),
-            (F.col(f"b.{group}") == F.col(f"a.{group}"))
-            & (F.col("b.bucket") < F.col("a.bucket")),
-            "left",
-        )
-        .groupBy(F.col(f"a.{group}").alias(group), F.col("a.bucket").alias("bucket"))
-        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("s"))
+    w_off = (
+        W.partitionBy(group)
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    starts = totals.select(
+        group,
+        "bucket",
+        F.coalesce(F.sum("t").over(w_off), F.lit(0)).alias("s"),
     )
     n = totals.groupBy(group).agg(F.sum("t").alias("n"))
     return (

@@ -2080,3 +2080,21 @@ def test_maintenance_report_no_row_scale_joins(spark, sf_dir):
     assert not re.search(r"windowspecdefinition\(o_orderkey", facts.text, re.IGNORECASE)
     assert facts.has_partial_agg
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_gini_offsets_are_windows_not_triangular(spark, sf_dir):
+    """q343 regression (round-6 bench: 118 s at sf0.1): the bucket-offset
+    stage must be a per-segment window over the bucket grid, NOT the old
+    triangular bucket<bucket self-join — quadratic in occupied buckets
+    (27k per segment on the totalprice domain → 1.9e9 joined rows). The
+    plan may contain only the fact-dim equi-join plus broadcast
+    grid join-backs; every join must be an equi hash join."""
+    facts = audit_of(spark, sf_dir, "q343_gini_by_segment")
+    assert not facts.has_cartesian
+    assert "SortMergeJoin" not in facts.join_strategies
+    # the offset window: partitioned by segment, ordered by bucket
+    assert re.search(r"windowspecdefinition\(segment", facts.text, re.IGNORECASE)
+    # old shape detector: a non-broadcast join of totals against itself
+    # printed a second shuffle-side HashAggregate under a Join with a
+    # range condition; assert no join carries a '<' bucket predicate
+    assert not re.search(r"Join .*bucket#\d+L? <", facts.text)
