@@ -234,6 +234,11 @@ HEADLINE = [
     "q398_asof_tolerance_join",
     "q399_winsorization",
     "q400_maintenance_report",
+    # round-6 wave 10: decay ranking, range-frame limiter audit, robust
+    # estimation
+    "q401_trending_leaderboard",
+    "q402_rate_limit_audit",
+    "q403_median_of_means",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -421,3 +421,69 @@ def sla_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         burn.cast("bigint").alias("burn_3d"),
         (burn >= 2).alias("page_now"),
     )
+
+
+# rate-limit audit dials: max events per user per trailing window
+_RL_WINDOW_S = 3_600
+_RL_LIMIT = 5
+
+
+@query(
+    "q402_rate_limit_audit",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, event_id, epoch_us(ts)::BIGINT // 1000000 AS sec
+      FROM events
+    ),
+    counted AS (
+      SELECT user_id, event_id, sec,
+             count(*) OVER (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN {_RL_WINDOW_S} PRECEDING
+                                      AND CURRENT ROW) AS n_in_window
+      FROM obs
+    )
+    SELECT user_id,
+           count(*)::BIGINT                                       AS n_events,
+           count(*) FILTER (n_in_window > {_RL_LIMIT})::BIGINT    AS n_throttled,
+           max(n_in_window)::BIGINT                               AS peak_in_window,
+           (count(*) FILTER (n_in_window > {_RL_LIMIT}) * 10000
+              // count(*))::BIGINT                                AS throttle_bp
+    FROM counted GROUP BY 1
+    """,
+    tags=("alerting", "rate-limit", "range-frame", "window"),
+)
+def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate-limit audit — "would this traffic have been
+    throttled at N per hour?": for every event, count the same user's
+    events in the trailing {_RL_WINDOW_S}-second window with a RANGE
+    frame (value-based, so burst events at the same second all see each
+    other — a ROWS frame undercounts exactly when it matters), then
+    roll up per-user throttle exposure. This is the offline audit run
+    before changing a production limiter's threshold.
+
+    Scale posture (100 TB): one user-partitioned range window over
+    integer seconds (bounded per-user state, shard-parallel — the q108
+    key discipline), rollup reuses the same shuffle. The RANGE frame is
+    the one window-frame surface the rest of the repo's ROWS frames
+    don't exercise."""
+    obs = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("sec"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_RL_WINDOW_S, W.currentRow)
+    )
+    counted = obs.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_in_window")
+    )
+    return counted.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("n_in_window") > _RL_LIMIT, 1)).alias("n_throttled"),
+        F.max("n_in_window").alias("peak_in_window"),
+        F.expr(
+            f"count_if(n_in_window > {_RL_LIMIT}) * 10000 div count(1)"
+        ).cast("bigint").alias("throttle_bp"),
+    )

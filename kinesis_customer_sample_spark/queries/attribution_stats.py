@@ -502,3 +502,86 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("did_cents"),
     )
+
+
+# median-of-means dials: bucket count per group (odd, so the median is a
+# single exact rank)
+_MOM_BUCKETS = 9
+_MOM_MIX = 2_654_435_761
+_MOM_P = 1_000_000_007
+
+
+@query(
+    "q403_median_of_means",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             ((event_id * {_MOM_MIX}) % {_MOM_P}) % {_MOM_BUCKETS} AS b,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    bucket_means AS (
+      SELECT event_type, b,
+             (sum(cents) // count(*))::BIGINT AS mean_c,
+             count(*)::BIGINT AS n_b
+      FROM obs GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, mean_c, n_b,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_c, b) AS rn
+      FROM bucket_means
+    )
+    SELECT r.event_type,
+           min(t.plain_mean_c)::BIGINT AS plain_mean_c,
+           min(r.mean_c)::BIGINT       AS mom_c,
+           min(t.n)::BIGINT            AS n
+    FROM ranked r
+    JOIN (SELECT event_type, (sum(cents) // count(*))::BIGINT AS plain_mean_c,
+                 count(*)::BIGINT AS n
+          FROM obs GROUP BY 1) t USING (event_type)
+    WHERE r.rn = ({_MOM_BUCKETS} + 1) / 2
+    GROUP BY 1
+    """,
+    tags=("stats", "robust", "median-of-means", "estimator"),
+)
+def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means — the robust mean estimator with exponential
+    concentration under heavy tails (the streaming/adversarial-data
+    standard): rows hash deterministically into {_MOM_BUCKETS} buckets
+    per group, each bucket's exact integer mean is computed, and the
+    estimate is the exact middle bucket-mean (odd bucket count → a
+    single rank, no interpolation). The plain mean rides along — their
+    gap is the heavy-tail signal.
+
+    Scale posture (100 TB): one hash agg to groups×{_MOM_BUCKETS}
+    bucket rows, a window over that bounded grid, done. This is the
+    estimator the q211/q380 sketch family uses when a mean (not a
+    quantile) must survive outliers."""
+    obs = table(spark, sf_dir, "events").select(
+        "event_type",
+        (((F.col("event_id") * _MOM_MIX) % _MOM_P) % _MOM_BUCKETS).alias("b"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    bucket_means = obs.groupBy("event_type", "b").agg(
+        F.expr("sum(cents) div count(1)").alias("mean_c"),
+        F.count(F.lit(1)).alias("n_b"),
+    )
+    ranked = bucket_means.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("event_type").orderBy("mean_c", "b")),
+    )
+    totals = obs.groupBy("event_type").agg(
+        F.expr("sum(cents) div count(1)").cast("bigint").alias("plain_mean_c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == (_MOM_BUCKETS + 1) // 2)
+        .join(totals, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("plain_mean_c").cast("bigint").alias("plain_mean_c"),
+            F.min("mean_c").cast("bigint").alias("mom_c"),
+            F.min("n").cast("bigint").alias("n"),
+        )
+    )

@@ -394,3 +394,69 @@ def weekday_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x") - F.col("seasonal_mean")).cast("long").alias("residual"),
         )
     )
+
+
+# trending dials: half-life in days (decay = integer halving per elapsed
+# half-life — exact in both engines, no exp())
+_TREND_HALF_LIFE_D = 7
+_TREND_TOPK = 10
+
+
+@query(
+    "q401_trending_leaderboard",
+    oracle=f"""
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    scored AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT)
+               // (1::BIGINT << least(62,
+                    (date_diff('day', ts, (SELECT mx FROM anchor))
+                     // {_TREND_HALF_LIFE_D})::BIGINT)) AS decayed_c,
+             CAST(round(value * 100) AS BIGINT) AS raw_c
+      FROM events
+    )
+    SELECT user_id,
+           sum(decayed_c)::BIGINT AS trend_score_c,
+           sum(raw_c)::BIGINT     AS lifetime_c,
+           count(*)::BIGINT       AS n_events
+    FROM scored GROUP BY 1
+    ORDER BY trend_score_c DESC, user_id
+    LIMIT {_TREND_TOPK}
+    """,
+    tags=("trend", "leaderboard", "decay", "top-k"),
+)
+def trending_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending leaderboard with half-life decay — the freshness-aware
+    ranking every "top right now" surface runs: each event's value is
+    halved once per elapsed {_TREND_HALF_LIFE_D}-day half-life
+    (integer right-shift by whole half-lives — the EXACT, engine-stable
+    discretization of exponential decay; no exp() ever runs), summed
+    per user, top-{_TREND_TOPK} taken. Lifetime totals ride along so
+    the output shows WHY a smaller-lifetime user out-trends a whale.
+
+    Scale posture (100 TB): decay is a pure map against a broadcast
+    1-row anchor, ONE map-side-combined agg to the user grain, and the
+    leaderboard is TakeOrderedAndProject — never a global sort. The
+    shift clamps at 62 so ancient events decay to zero instead of
+    overflowing the shift."""
+    ev = table(spark, sf_dir, "events")
+    anchor = F.broadcast(ev.agg(F.max("ts").alias("mx")))
+    scored = ev.crossJoin(anchor).select(
+        "user_id",
+        F.expr(
+            f"CAST(round(value * 100) AS BIGINT) "
+            f"div shiftleft(CAST(1 AS BIGINT), "
+            f"least(62, CAST(datediff(mx, ts) div {_TREND_HALF_LIFE_D} AS INT)))"
+        ).alias("decayed_c"),
+        F.round(F.col("value") * 100).cast("bigint").alias("raw_c"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.sum("decayed_c").alias("trend_score_c"),
+            F.sum("raw_c").alias("lifetime_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("trend_score_c"), "user_id")
+        .limit(_TREND_TOPK)
+    )

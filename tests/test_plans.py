@@ -2098,3 +2098,31 @@ def test_gini_offsets_are_windows_not_triangular(spark, sf_dir):
     # printed a second shuffle-side HashAggregate under a Join with a
     # range condition; assert no join carries a '<' bucket predicate
     assert not re.search(r"Join .*bucket#\d+L? <", facts.text)
+
+
+def test_trending_is_map_agg_takeordered(spark, sf_dir):
+    """q401: decay is a map against the broadcast anchor; one partial
+    agg; TakeOrderedAndProject — never a global sort."""
+    facts = audit_of(spark, sf_dir, "q401_trending_leaderboard")
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+
+
+def test_rate_limit_uses_range_frame(spark, sf_dir):
+    """q402: the trailing window must be a RANGE frame (value-based) —
+    a ROWS frame here is a correctness bug on same-second bursts."""
+    facts = audit_of(spark, sf_dir, "q402_rate_limit_audit")
+    assert re.search(r"specifiedwindowframe\(RangeFrame", facts.text) or (
+        "RANGE BETWEEN" in facts.text.upper()
+    )
+    assert re.search(r"windowspecdefinition\(user_id", facts.text, re.IGNORECASE)
+
+
+def test_median_of_means_grid_window(spark, sf_dir):
+    """q403: bucket means are one hash agg; the median rank window runs
+    on the bounded (group × bucket) grid."""
+    facts = audit_of(spark, sf_dir, "q403_median_of_means")
+    assert facts.has_partial_agg
+    assert re.search(r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE)
+    assert not facts.has_cartesian
