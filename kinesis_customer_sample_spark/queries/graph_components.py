@@ -348,16 +348,12 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard distributed peel; the co-purchase edge build is the
     q180/q270 shared shape with its per-order fan-out bound. Edge list
     persists across rounds."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e0 = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
-        .distinct()
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    e0 = shared_copurchase_edges(spark, sf_dir).select(
+        F.col("a").alias("s"), F.col("b").alias("t")
     )
     e = e0.unionByName(e0.select(F.col("t").alias("s"), F.col("s").alias("t"))).persist()
     rows = []
@@ -452,16 +448,12 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round (neighbor multisets are degree-bounded); colors are
     node-sized. The same plan repeats per round — fixpoint-many at
     production, structurally identical."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e0 = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("t"))
-        .distinct()
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    e0 = shared_copurchase_edges(spark, sf_dir).select(
+        F.col("a").alias("s"), F.col("b").alias("t")
     )
     e = e0.unionByName(
         e0.select(F.col("t").alias("s"), F.col("s").alias("t"))

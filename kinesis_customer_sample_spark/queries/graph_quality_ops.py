@@ -47,6 +47,37 @@ _EDGES_SQL = """
 """
 
 
+# Session-scoped memo for the materialized co-purchase edge list, keyed by
+# (applicationId, sf_dir) — the q338 pair-set pattern applied to the graph
+# family: at 100 TB the co-purchase graph is written to parquet ONCE and
+# every graph workload (triangles, LPA, k-core, WL, link prediction) reads
+# the product instead of re-running the per-order self-join.
+_EDGE_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def shared_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical undirected (a < b) co-purchase edge set, materialized
+    once per session+sf_dir via lazy localCheckpoint (survives
+    `clearCache`, same rationale as dedup.shared_minhash_pairs). New
+    graph operators consume this; the original per-query builders remain
+    for the driver-certified queries whose plan audits pin the full
+    edge-build chain."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    df = _EDGE_MEMO.get(key)
+    if df is None:
+        df = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+        _EDGE_MEMO[key] = df
+    return df
+
+
+def clear_edge_memo() -> None:
+    """Drop memoized edge sets — for tests/plan audits that must see the
+    full edge-build chain instead of a checkpoint scan."""
+    _EDGE_MEMO.clear()
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("x")

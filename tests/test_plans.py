@@ -1947,8 +1947,15 @@ def test_kaplan_meier_windows_on_grid(spark, sf_dir):
 
 def test_kcore_rounds_are_semi_joins(spark, sf_dir):
     """q385: each peel round filters edges with LEFT SEMI joins against
-    the survivor set — no outer/cartesian shapes anywhere."""
+    the survivor set — no outer/cartesian shapes anywhere. Edge memo
+    cleared so the audit covers the edge build too."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        clear_edge_memo,
+    )
+
+    clear_edge_memo()
     facts = audit_of(spark, sf_dir, "q385_kcore_peel")
+    clear_edge_memo()
     assert not facts.has_cartesian
     assert "LeftSemi" in facts.text
 
@@ -2044,8 +2051,16 @@ def test_item_cf_capped_self_join(spark, sf_dir):
 
 def test_wl_round_is_join_plus_sorted_fold(spark, sf_dir):
     """q397: each round is an edge-keyed hash join + list agg; no
-    cartesian; distinct-color counts combine partially."""
+    cartesian; distinct-color counts combine partially. The edge memo is
+    cleared first so the audit sees the full edge-build chain (q338
+    pattern), not a checkpoint scan."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        clear_edge_memo,
+    )
+
+    clear_edge_memo()
     facts = audit_of(spark, sf_dir, "q397_wl_refinement")
+    clear_edge_memo()
     assert not facts.has_cartesian
     assert sum(facts.join_strategies.values()) >= 2  # edge build + rounds
     assert "Window" not in facts.text
