@@ -239,6 +239,9 @@ HEADLINE = [
     "q401_trending_leaderboard",
     "q402_rate_limit_audit",
     "q403_median_of_means",
+    # round-6 wave 11: sharding + closed-form recurrences
+    "q404_consistent_hash_rebalance",
+    "q405_clamped_running_balance",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

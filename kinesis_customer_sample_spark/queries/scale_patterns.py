@@ -272,3 +272,104 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("advice"),
         F.rank().over(W.orderBy("est_bytes", "tbl")).cast("bigint").alias("size_rank"),
     )
+
+
+# consistent-hashing dials: virtual nodes per server, before/after server
+# counts, and the shared mix constants
+_CH_VNODES = 16
+_CH_SERVERS = 8
+_CH_MIX = 2_654_435_761
+_CH_P = 1_000_000_007
+
+
+@query(
+    "q404_consistent_hash_rebalance",
+    oracle=f"""
+    WITH keys AS (
+      SELECT o_orderkey AS k, ((o_orderkey * {_CH_MIX}) % {_CH_P}) AS h
+      FROM orders
+    ),
+    ring AS (
+      SELECT (s.i % {_CH_SERVERS + 1}) AS server,
+             ((s.i * 48271 + 11) * {_CH_MIX}) % {_CH_P} AS p,
+             (s.i % {_CH_SERVERS + 1}) < {_CH_SERVERS} AS in_before
+      FROM generate_series(0, {(_CH_SERVERS + 1) * _CH_VNODES - 1}) AS s(i)
+    ),
+    assigned AS (
+      SELECT k.k,
+             coalesce(min_by(r.server, r.p) FILTER (r.in_before AND r.p >= k.h),
+                      (SELECT min_by(server, p) FROM ring WHERE in_before))
+               AS server_before,
+             coalesce(min_by(r.server, r.p) FILTER (r.p >= k.h),
+                      (SELECT min_by(server, p) FROM ring)) AS server_after
+      FROM keys k CROSS JOIN ring r
+      GROUP BY k.k, k.h
+    )
+    SELECT server_before::BIGINT AS server_before,
+           count(*)::BIGINT AS n_keys,
+           count(*) FILTER (server_after != server_before)::BIGINT AS n_moved,
+           (count(*) FILTER (server_after != server_before) * 10000
+              // count(*))::BIGINT AS moved_bp
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("scale", "consistent-hashing", "sharding", "rebalance"),
+)
+def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring assignment + rebalance audit — the
+    sharding mechanic under every distributed cache/store: keys map to
+    the first virtual node clockwise on the hash ring (min ring point ≥
+    key hash, wrapping to the global min), and adding server
+    {_CH_SERVERS} must move only ≈ 1/(n+1) of keys — the property that
+    makes consistent hashing worth it vs mod-N (which moves ≈ all). Both
+    the before and after assignments fold in ONE pass over one ring
+    fan-out (two conditional min_bys in the same aggregation), so the
+    audit needs no key-keyed self-join at all. All hashes are the shared
+    integer mix.
+
+    Scale posture (100 TB): the ring is {(_CH_SERVERS + 1) * _CH_VNODES}
+    literal rows (broadcast); each key fans out ring-width map-side and
+    reduces immediately — one pass, no row-scale join or window. This is
+    also the routing layer q86/q129's salting strategies assume."""
+    keys = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        ((F.col("o_orderkey") * _CH_MIX) % _CH_P).alias("h"),
+    )
+    n_ring = (_CH_SERVERS + 1) * _CH_VNODES
+    ring = F.broadcast(
+        keys.sparkSession.range(n_ring).select(
+            (F.col("id") % (_CH_SERVERS + 1)).alias("server"),
+            F.expr(f"((id * 48271 + 11) * {_CH_MIX}) % {_CH_P}").alias("p"),
+            (F.col("id") % (_CH_SERVERS + 1) < _CH_SERVERS).alias("in_before"),
+        )
+    )
+    wrap_before = F.broadcast(
+        ring.filter("in_before").agg(F.expr("min_by(server, p)").alias("wb"))
+    )
+    wrap_after = F.broadcast(ring.agg(F.expr("min_by(server, p)").alias("wa")))
+    assigned = (
+        keys.join(ring, how="cross")
+        .groupBy("k", "h")
+        .agg(
+            F.expr(
+                "min_by(server, CASE WHEN in_before AND p >= h THEN p END)"
+            ).alias("sb"),
+            F.expr("min_by(server, CASE WHEN p >= h THEN p END)").alias("sa"),
+        )
+        .crossJoin(wrap_before)
+        .crossJoin(wrap_after)
+        .select(
+            "k",
+            F.coalesce("sb", "wb").alias("server_before"),
+            F.coalesce("sa", "wa").alias("server_after"),
+        )
+    )
+    return assigned.groupBy(F.col("server_before").cast("bigint")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(
+            F.when(F.col("server_after") != F.col("server_before"), 1)
+        ).alias("n_moved"),
+        F.expr(
+            "count_if(server_after != server_before) * 10000 div count(1)"
+        ).cast("bigint").alias("moved_bp"),
+    )

@@ -677,3 +677,86 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "- unix_micros(CAST(start_ts AS TIMESTAMP))) div 60000000"
         ).cast("bigint").alias("covered_minutes"),
     )
+
+
+@query(
+    "q405_clamped_running_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT event_type, ts, event_id,
+             CASE WHEN user_id % 3 = 0
+                  THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS flow_c
+      FROM events
+    ),
+    pref1 AS (
+      SELECT event_type, ts, event_id,
+             sum(flow_c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS p
+      FROM flows
+    ),
+    pref AS (
+      SELECT event_type, p,
+             least(0, min(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS floor_p
+      FROM pref1
+    )
+    SELECT event_type,
+           count(*)::BIGINT                              AS n_flows,
+           count(*) FILTER (p - floor_p = 0)::BIGINT     AS n_stockout_points,
+           max(p - floor_p)::BIGINT                      AS peak_balance_c,
+           (sum(p - floor_p) // count(*))::BIGINT        AS mean_balance_c,
+           (-min(floor_p))::BIGINT                       AS total_lost_demand_c
+    FROM pref GROUP BY 1
+    """,
+    tags=("timeseries", "running-balance", "clamp", "closed-form"),
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running balance (stock-outs / cash-register / water-
+    tank) — the nonlinear recurrence S_t = max(0, S_{t−1} + x_t) that
+    looks like it needs per-row iteration, solved in CLOSED WINDOW FORM
+    by the folding identity S_t = P_t − min(0, min_{j≤t} P_j) (prefix
+    sum minus its running floor). One pass, two stacked windows, exact
+    integers — the technique that keeps "iterative" business recurrences
+    out of applyInPandas. The audit reports stock-out points, the peak
+    and mean balance, and total lost demand (the clamp's absorbed
+    deficit).
+
+    Scale posture (100 TB): both windows partition by series with the
+    same ordering (one shuffle, one sort — Spark plans them in a single
+    Window node chain); the rollup reuses the key. No Python, no
+    recursion, no state."""
+    flows = table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("user_id") % 3 == 0,
+            -F.round(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+        .alias("flow_c"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = flows.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("flow_c").over(w).alias("p"),
+    ).select(
+        "event_type",
+        "p",
+        F.least(F.lit(0), F.min("p").over(w)).alias("floor_p"),
+    )
+    bal = F.col("p") - F.col("floor_p")
+    return pref.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_flows"),
+        F.count(F.when(bal == 0, 1)).alias("n_stockout_points"),
+        F.max(bal).alias("peak_balance_c"),
+        F.expr("sum(p - floor_p) div count(1)").cast("bigint").alias("mean_balance_c"),
+        (-F.min("floor_p")).cast("bigint").alias("total_lost_demand_c"),
+    )

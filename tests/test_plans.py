@@ -2141,3 +2141,22 @@ def test_median_of_means_grid_window(spark, sf_dir):
     assert facts.has_partial_agg
     assert re.search(r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE)
     assert not facts.has_cartesian
+
+
+def test_consistent_hash_ring_broadcasts(spark, sf_dir):
+    """q404: both assignments fan keys out against the broadcast literal
+    ring (BNLJ) and reduce immediately; no row-scale shuffle joins."""
+    facts = audit_of(spark, sf_dir, "q404_consistent_hash_rebalance")
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 2
+    assert "SortMergeJoin" not in facts.join_strategies
+    assert facts.has_partial_agg
+
+
+def test_clamped_balance_single_window_chain(spark, sf_dir):
+    """q405: both windows share the (event_type | ts, event_id) spec —
+    Spark must plan them in one sorted window chain (exactly one
+    exchange for the partition key, no join, no Python)."""
+    facts = audit_of(spark, sf_dir, "q405_clamped_running_balance")
+    assert not facts.join_strategies
+    assert re.search(r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE)
+    assert "BatchEvalPython" not in facts.text
