@@ -242,6 +242,9 @@ HEADLINE = [
     # round-6 wave 11: sharding + closed-form recurrences
     "q404_consistent_hash_rebalance",
     "q405_clamped_running_balance",
+    # round-6 wave 12: contract + sizing advisors
+    "q406_schema_drift_diff",
+    "q407_partition_sizing_advisor",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -373,3 +373,79 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_if(server_after != server_before) * 10000 div count(1)"
         ).cast("bigint").alias("moved_bp"),
     )
+
+
+# partition-sizing advisor targets (Spark defaults: 128 MB input splits;
+# shuffle-partition target sized so post-shuffle partitions land near it)
+_PS_MAX_PARTITION_BYTES = 128 * 1024 * 1024
+_PS_SHUFFLE_TARGET_BYTES = 64 * 1024 * 1024
+
+
+@query(
+    "q407_partition_sizing_advisor",
+    oracle=f"""
+    WITH sizes AS (
+      SELECT 'customer' AS tbl, count(*)::BIGINT AS n_rows,
+             (count(*) * {_ADVISOR_WIDTHS["customer"]})::BIGINT AS est_bytes
+        FROM customer
+      UNION ALL SELECT 'orders', count(*), count(*) * {_ADVISOR_WIDTHS["orders"]} FROM orders
+      UNION ALL SELECT 'lineitem', count(*), count(*) * {_ADVISOR_WIDTHS["lineitem"]} FROM lineitem
+    )
+    SELECT tbl, n_rows, est_bytes,
+           greatest(1, (est_bytes + {_PS_MAX_PARTITION_BYTES} - 1)
+                        // {_PS_MAX_PARTITION_BYTES})::BIGINT   AS scan_partitions,
+           greatest(1, (est_bytes + {_PS_SHUFFLE_TARGET_BYTES} - 1)
+                        // {_PS_SHUFFLE_TARGET_BYTES})::BIGINT  AS shuffle_partitions,
+           (est_bytes // greatest(1,
+              (est_bytes + {_PS_SHUFFLE_TARGET_BYTES} - 1)
+                // {_PS_SHUFFLE_TARGET_BYTES}))::BIGINT         AS bytes_per_task
+    FROM sizes
+    """,
+    tags=("scale", "advisor", "partitioning", "sizing"),
+)
+def partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-sizing advisor — the other half of q391's join advice:
+    from rows × declared width, derive the scan partition count at the
+    128 MB `maxPartitionBytes` default and the shuffle partition count
+    that lands post-shuffle tasks near a 64 MB spill-safe target — the
+    two knobs (`spark.sql.files.maxPartitionBytes`,
+    `spark.sql.shuffle.partitions`) this repo's own session builder
+    sizes, now computed instead of guessed. Ceiling-division integer
+    rationals on shared constants keep it exact cross-engine.
+
+    Scale posture (100 TB): count-stars (footer-answerable) + a 3-row
+    grid; at 100 TB the same arithmetic says ~800k scan tasks and why
+    AQE coalescing matters — the advisor IS the sizing argument
+    SCALE.md makes in prose."""
+    parts = []
+    for tbl in ("customer", "orders", "lineitem"):
+        width = _ADVISOR_WIDTHS[tbl]
+        parts.append(
+            table(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) * width).cast("bigint").alias("est_bytes"),
+            )
+        )
+    sizes = parts[0]
+    for p_ in parts[1:]:
+        sizes = sizes.unionByName(p_)
+    scan_p = F.expr(
+        f"greatest(1, (est_bytes + {_PS_MAX_PARTITION_BYTES} - 1) "
+        f"div {_PS_MAX_PARTITION_BYTES})"
+    )
+    shuf_p = F.expr(
+        f"greatest(1, (est_bytes + {_PS_SHUFFLE_TARGET_BYTES} - 1) "
+        f"div {_PS_SHUFFLE_TARGET_BYTES})"
+    )
+    return sizes.select(
+        "tbl",
+        "n_rows",
+        "est_bytes",
+        scan_p.cast("bigint").alias("scan_partitions"),
+        shuf_p.cast("bigint").alias("shuffle_partitions"),
+        F.expr(
+            f"est_bytes div greatest(1, (est_bytes + {_PS_SHUFFLE_TARGET_BYTES} - 1) "
+            f"div {_PS_SHUFFLE_TARGET_BYTES})"
+        ).cast("bigint").alias("bytes_per_task"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -313,4 +313,96 @@ def fixed_width_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum(F.col("o_orderkey") * 31 + F.col("o_custkey")) % 1_000_000_007
         ).cast("bigint").alias("key_checksum"),
+    )
+
+
+@query(
+    "q406_schema_drift_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT * FROM (VALUES
+        ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+        ('o_orderstatus', 'string'), ('o_totalprice', 'double'),
+        ('o_orderdate', 'timestamp_ntz')) AS t(col, dtype)
+    ),
+    v2 AS (
+      SELECT * FROM (VALUES
+        ('o_orderkey', 'bigint'), ('o_custkey', 'bigint'),
+        ('o_orderstatus', 'string'), ('o_totalprice', 'bigint'),
+        ('o_orderdate', 'timestamp_ntz'), ('priority_rank', 'int'))
+        AS t(col, dtype)
+    )
+    SELECT coalesce(a.col, b.col) AS col,
+           a.dtype AS v1_type, b.dtype AS v2_type,
+           CASE WHEN a.col IS NULL THEN 'added'
+                WHEN b.col IS NULL THEN 'dropped'
+                WHEN a.dtype != b.dtype THEN 'type_changed'
+                ELSE 'unchanged' END AS change
+    FROM v1 a FULL OUTER JOIN v2 b ON a.col = b.col
+    """,
+    tags=("sources", "schema", "drift", "contract"),
+)
+def schema_drift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift DDL diff — the contract check a pipeline runs before
+    trusting a new table version: two versions of the orders table are
+    WRITTEN to scratch (v2 narrows totalprice to integer cents and adds
+    a derived column), their schemas are read back FROM THE PARQUET
+    FOOTERS (never from expectations), and the diff classifies every
+    column added / dropped / type_changed / unchanged — the input a
+    schema-evolution gate (q162) or a data contract (q198) consumes.
+    The oracle states the expected DDL verbatim as literal rows, so a
+    drift in what Spark writes would itself fail the check.
+
+    Scale posture (100 TB): footer reads are metadata I/O (no data
+    scan); the diff is a full outer join over column-count rows. The
+    scratch write is fixture-sized here but the operator's cost at any
+    scale is the two footer reads."""
+    import os as _os
+
+    from kinesis_customer_sample_spark.streaming.replay import run_scratch_dir
+
+    base = run_scratch_dir("q406", sf_dir)
+    o = table(spark, sf_dir, "orders")
+    v1_path, v2_path = _os.path.join(base, "v1"), _os.path.join(base, "v2")
+    o.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    ).limit(100).write.mode("overwrite").parquet(v1_path)
+    o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_totalprice"),
+        "o_orderdate",
+        F.dense_rank()
+        .over(W.orderBy("o_orderpriority"))
+        .cast("int")
+        .alias("priority_rank"),
+    ).limit(100).write.mode("overwrite").parquet(v2_path)
+
+    def schema_df(path: str, tag: str) -> DataFrame:
+        fields = [
+            (f.name, f.dataType.simpleString())
+            for f in spark.read.parquet(path).schema.fields
+        ]
+        return spark.createDataFrame(fields, f"col string, {tag} string")
+
+    a = schema_df(v1_path, "v1_type")
+    b = schema_df(v2_path, "v2_type")
+    return (
+        a.withColumnRenamed("col", "col_a")
+        .join(
+            b.withColumnRenamed("col", "col_b"),
+            F.col("col_a") == F.col("col_b"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("col_a", "col_b").alias("col"),
+            "v1_type",
+            "v2_type",
+            F.when(F.col("col_a").isNull(), "added")
+            .when(F.col("col_b").isNull(), "dropped")
+            .when(F.col("v1_type") != F.col("v2_type"), "type_changed")
+            .otherwise("unchanged")
+            .alias("change"),
+        )
     )

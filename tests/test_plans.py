@@ -2160,3 +2160,21 @@ def test_clamped_balance_single_window_chain(spark, sf_dir):
     assert not facts.join_strategies
     assert re.search(r"windowspecdefinition\(event_type", facts.text, re.IGNORECASE)
     assert "BatchEvalPython" not in facts.text
+
+
+def test_schema_drift_diff_is_metadata_join(spark, sf_dir):
+    """q406: the diff itself is a tiny full outer join over locally
+    created column rows — no parquet DATA scan may appear in the final
+    plan (footers were read at build time, not scan time)."""
+    facts = audit_of(spark, sf_dir, "q406_schema_drift_diff")
+    assert "Scan parquet" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_partition_advisor_count_stars(spark, sf_dir):
+    """q407: three count-star aggs unioned — no joins, no windows; the
+    sizing arithmetic is pure projection."""
+    facts = audit_of(spark, sf_dir, "q407_partition_sizing_advisor")
+    assert not facts.join_strategies
+    assert "Window" not in facts.text
+    assert facts.has_partial_agg
