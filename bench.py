@@ -245,6 +245,9 @@ HEADLINE = [
     # round-6 wave 12: contract + sizing advisors
     "q406_schema_drift_diff",
     "q407_partition_sizing_advisor",
+    # round-6 wave 13: streaming TWAP twin (excluded with the streaming
+    # family) + the curation release-gate capstone
+    "q409_release_gate_capstone",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

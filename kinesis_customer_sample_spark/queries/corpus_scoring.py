@@ -1371,3 +1371,99 @@ def naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return predicted.groupBy(
         "actual", F.col("c").alias("pred")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+
+def _release_gate_oracle() -> str:
+    """q409's oracle composes the REGISTERED q363/q377/q154 oracles
+    verbatim (the q400/q408 registry-splice pattern) and joins their
+    per-document verdicts on doc_id — the release gate can never drift
+    from the gates it aggregates. q154 drops docs whose normalized text
+    is shorter than 3 chars, so its verdict joins LEFT and absent rows
+    count as failing the entropy gate (too short to certify)."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    strip = REGISTRY["q363_boilerplate_strip"].oracle
+    read = REGISTRY["q377_readability_score"].oracle
+    ent = REGISTRY["q154_char_trigram_entropy"].oracle
+    return f"""
+    WITH strip AS ({strip}), readab AS ({read}), ent AS ({ent}),
+    gated AS (
+      SELECT d.doc_id, d.source,
+             s.keep                                        AS pass_strip,
+             (r.band != 'hard')                            AS pass_read,
+             coalesce(NOT e.repetitive, false)             AS pass_entropy
+      FROM documents d
+      JOIN strip s ON s.doc_id = d.doc_id
+      JOIN readab r ON r.doc_id = d.doc_id
+      LEFT JOIN ent e ON e.doc_id = d.doc_id
+    )
+    SELECT source,
+           count(*)::BIGINT                                      AS n_docs,
+           count(*) FILTER (pass_strip)::BIGINT                  AS n_pass_strip,
+           count(*) FILTER (pass_read)::BIGINT                   AS n_pass_read,
+           count(*) FILTER (pass_entropy)::BIGINT                AS n_pass_entropy,
+           count(*) FILTER (pass_strip AND pass_read
+                            AND pass_entropy)::BIGINT            AS n_released,
+           (count(*) FILTER (pass_strip AND pass_read AND pass_entropy)
+              * 10000 // count(*))::BIGINT                       AS release_bp
+    FROM gated GROUP BY 1
+    """
+
+
+@query(
+    "q409_release_gate_capstone",
+    oracle=_release_gate_oracle(),
+    tags=("curation", "capstone", "release-gate", "quality"),
+)
+def release_gate_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release gate — the curation capstone that unifies this
+    round's quality screens the way q400 unifies the maintenance
+    planners: every document must pass the boilerplate/link-density gate
+    (q363), the readability band (q377, not 'hard'), and the trigram
+    degeneracy screen (q154, not repetitive; too-short docs fail by
+    definition), and the per-source scoreboard reports each gate's pass
+    rate plus the released share — the one-page answer to "what survives
+    if we ship these thresholds?". Both sides compose the registered
+    definitions (Spark: registry fns joined on doc_id; oracle: registered
+    SQL spliced), so gate and report cannot drift.
+
+    Scale posture (100 TB): three map-heavy per-doc screens (each
+    documented at its own query) joined on the document key — at scale
+    these share one scan via the persisted token/text table — and one
+    grid rollup by source."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    strip = REGISTRY["q363_boilerplate_strip"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("pass_strip")
+    )
+    read = REGISTRY["q377_readability_score"].fn(spark, sf_dir).select(
+        "doc_id", (F.col("band") != "hard").alias("pass_read")
+    )
+    ent = REGISTRY["q154_char_trigram_entropy"].fn(spark, sf_dir).select(
+        "doc_id", (~F.col("repetitive")).alias("pass_entropy_raw")
+    )
+    gated = (
+        docs.join(strip, "doc_id")
+        .join(read, "doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "source",
+            "pass_strip",
+            "pass_read",
+            F.coalesce("pass_entropy_raw", F.lit(False)).alias("pass_entropy"),
+        )
+    )
+    released = F.col("pass_strip") & F.col("pass_read") & F.col("pass_entropy")
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("pass_strip"), 1)).alias("n_pass_strip"),
+        F.count(F.when(F.col("pass_read"), 1)).alias("n_pass_read"),
+        F.count(F.when(F.col("pass_entropy"), 1)).alias("n_pass_entropy"),
+        F.count(F.when(released, 1)).alias("n_released"),
+        F.expr(
+            "count_if(pass_strip AND pass_read AND pass_entropy) * 10000 "
+            "div count(1)"
+        ).cast("bigint").alias("release_bp"),
+    )

@@ -1289,3 +1289,4 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("preceded_cents"),
     )
+

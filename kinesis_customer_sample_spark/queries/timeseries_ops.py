@@ -760,3 +760,60 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(p - floor_p) div count(1)").cast("bigint").alias("mean_balance_c"),
         (-F.min("floor_p")).cast("bigint").alias("total_lost_demand_c"),
     )
+
+
+
+def _stream_twap_oracle() -> str:
+    """q408's oracle IS q372's, spliced from the registry (the q400
+    composition pattern): stream/batch equivalence demands the batch
+    definition verbatim, so drift is impossible."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    return REGISTRY["q372_time_weighted_average"].oracle
+
+
+@query(
+    "q408_stream_twap_stateful",
+    oracle=_stream_twap_oracle(),
+    tags=("streaming", "stateful", "timeseries", "twap"),
+)
+def stream_twap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TWAP via `applyInPandasWithState` — q372's holding-
+    segment fold as live keyed state, the q206/q213 batch/stream pairing
+    applied to time-weighted averages: state per (series × day) is five
+    integers (last observation + accumulated cents·µs / µs / segments);
+    each arriving observation CLOSES the previous one's segment, so the
+    running TWAP is exact at every batch boundary. Oracle is q372's SQL
+    spliced verbatim from the registry — bit-exact stream/batch
+    equivalence for LOCF-integrated state, with the same (ts, cents)
+    tie order and the same zero-duration skip. Final value per key via
+    max_by(n_segments) (monotone per batch, q213 discipline).
+
+    State posture (100 TB): O(1) integers per open (series × day) key;
+    at production a day-grain key count is bounded and old days stop
+    receiving events (an EventTimeTimeout would GC them, the q245
+    surface)."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import twap_stream
+
+    obs = events_stream(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    updates = run_to_completion(twap_stream(obs), output_mode="update")
+    return updates.groupBy("event_type", "day").agg(
+        F.max("n_segments").alias("n_segments"),
+        F.max_by("held_us", "n_segments").alias("held_us"),
+        F.max_by("twap_cents", "n_segments").alias("twap_cents"),
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_segments",
+        "held_us",
+        "twap_cents",
+    )

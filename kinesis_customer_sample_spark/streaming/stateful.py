@@ -543,3 +543,64 @@ def sprt_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP: the q372 batch operator as keyed LOCF state. State per
+# (event_type, day) = (last_us, last_cents, acc_num, acc_den, n_segments);
+# each arriving observation CLOSES the previous one's holding segment
+# (value held until the next observation), exactly the batch lead() fold.
+# Within-batch disorder is handled by sorting on (ts, cents) — the batch
+# twin's tie order — and zero-length segments are skipped on both sides.
+
+TWAP_OUT_SCHEMA = (
+    "event_type string, day date, n_segments long, held_us long, twap_cents long"
+)
+TWAP_STATE_SCHEMA = (
+    "last_us long, last_cents long, acc_num long, acc_den long, n_segments long"
+)
+
+
+def twap_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts", "cents"], kind="mergesort"
+    )
+    last_us, last_cents, num, den, nseg = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    for ts, cents in zip(pdf["ts"], pdf["cents"]):
+        us = int(pd.Timestamp(ts).value // 1000)
+        if last_us is not None:
+            dur = us - last_us
+            if dur > 0:
+                num += int(last_cents) * dur
+                den += dur
+                nseg += 1
+        last_us, last_cents = us, int(cents)
+    state.update((last_us, last_cents, num, den, nseg))
+    if den > 0:
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "day": key[1],
+                    "n_segments": nseg,
+                    "held_us": den,
+                    "twap_cents": num // den,
+                }
+            ]
+        )
+
+
+def twap_stream(obs: DataFrame) -> DataFrame:
+    """Streaming per-(series × day) TWAP (update mode: each micro-batch
+    emits the key's running time-weighted average)."""
+    return obs.groupBy("event_type", "day").applyInPandasWithState(
+        twap_fn,
+        outputStructType=TWAP_OUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2178,3 +2178,12 @@ def test_partition_advisor_count_stars(spark, sf_dir):
     assert not facts.join_strategies
     assert "Window" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_release_gate_joins_on_doc_key(spark, sf_dir):
+    """q409: the three composed screens join on doc_id (hash joins, no
+    cartesian) and the rollup combines map-side."""
+    facts = audit_of(spark, sf_dir, "q409_release_gate_capstone")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert sum(facts.join_strategies.values()) >= 3
