@@ -248,6 +248,9 @@ HEADLINE = [
     # round-6 wave 13: streaming TWAP twin (excluded with the streaming
     # family) + the curation release-gate capstone
     "q409_release_gate_capstone",
+    # round-6 wave 14: training-order stratification + compliance
+    "q410_stratified_interleave",
+    "q411_forget_me_propagation",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -1497,3 +1497,157 @@ def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("standard")
         .alias("band"),
     )
+
+
+# interleave audit: window width for the mix check
+_IL_WINDOW = 20
+
+
+@query(
+    "q410_stratified_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, source,
+             row_number() OVER (ORDER BY r, source, doc_id) AS pos
+      FROM ranked
+    ),
+    windows AS (
+      SELECT ((pos - 1) // {_IL_WINDOW})::BIGINT AS w, source,
+             count(*)::BIGINT AS c
+      FROM ordered GROUP BY 1, 2
+    )
+    SELECT w,
+           count(*)::BIGINT  AS n_sources_present,
+           max(c)::BIGINT    AS max_from_one_source,
+           sum(c)::BIGINT    AS n_docs
+    FROM windows GROUP BY 1
+    ORDER BY w
+    """,
+    tags=("curation", "training-order", "interleave", "stratified"),
+)
+def stratified_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-order interleave — the ordering construction
+    between q141's global shuffle and raw concatenation: rank documents
+    WITHIN each source, then order globally by (within-source rank,
+    source) — the classic round-robin interleave that guarantees every
+    consecutive training window sees a near-uniform source mix (no
+    curriculum accidents from a source-sorted corpus). The audit grids
+    the order into {_IL_WINDOW}-doc windows and reports per-window
+    source presence and the max single-source share — the numbers a
+    data-loader reviewer checks.
+
+    Scale posture (100 TB): one source-partitioned rank window
+    (shard-parallel) + the global order materialized only as window
+    STATISTICS (the grid agg) — the full ordered corpus is written by
+    the same sortWithinPartitions/partition-key layout q141 documents;
+    no row-scale global window survives in this audit (the global
+    row_number here runs over the doc table once, the same cost class
+    as q141's keyed sort)."""
+    ranked = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("doc_id"))
+        .alias("r"),
+    )
+    ordered = ranked.select(
+        "source",
+        F.row_number().over(W.orderBy("r", "source", "doc_id")).alias("pos"),
+    )
+    windows = ordered.groupBy(
+        ((F.col("pos") - 1) / _IL_WINDOW).cast("bigint").alias("w"), "source"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        windows.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources_present"),
+            F.max("c").alias("max_from_one_source"),
+            F.sum("c").alias("n_docs"),
+        )
+        .orderBy("w")
+    )
+
+
+# forget-me audit: deterministic deletion cohort (every 97th user)
+_RTBF_MOD = 97
+
+
+@query(
+    "q411_forget_me_propagation",
+    oracle=f"""
+    WITH del AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {_RTBF_MOD} = 0
+    ),
+    counts AS (
+      SELECT 'events' AS tbl, count(*)::BIGINT AS n_rows,
+             (SELECT count(*) FROM events e JOIN del d USING (user_id))::BIGINT
+               AS n_affected
+      FROM events
+      UNION ALL
+      SELECT 'orders', count(*),
+             (SELECT count(*) FROM orders o JOIN del d ON o.o_custkey = d.user_id)
+      FROM orders
+      UNION ALL
+      SELECT 'customer', count(*),
+             (SELECT count(*) FROM customer c JOIN del d ON c.c_custkey = d.user_id)
+      FROM customer
+    )
+    SELECT tbl, n_rows, n_affected,
+           (n_affected * 10000 // n_rows)::BIGINT AS affected_bp,
+           (SELECT count(*) FROM del)::BIGINT     AS n_subjects
+    FROM counts
+    """,
+    tags=("curation", "privacy", "rtbf", "compliance"),
+)
+def forget_me_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit — the compliance query run
+    BEFORE executing a deletion batch: a subject cohort (here a
+    deterministic fixture cohort; in production the request queue)
+    is traced through every table that keys on the subject, counting
+    rows each table must delete or anonymize. The per-table affected
+    share is the blast-radius number a DPO signs off on, and the plan
+    (broadcast semi joins against the cohort) is EXACTLY the shape the
+    actual delete job uses — audit and execution share one definition.
+
+    Scale posture (100 TB): the cohort is request-queue-sized and
+    broadcasts; each table contributes one scan with a broadcast
+    semi/inner join — no shuffle of fact data; counts combine
+    map-side. The q375 vacuum pattern then reclaims the rewritten
+    files."""
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    del_ = ev.filter(F.col("user_id") % _RTBF_MOD == 0).select("user_id").distinct()
+    n_subjects = F.broadcast(del_.agg(F.count(F.lit(1)).alias("n_subjects")))
+
+    def audit_tbl(df: DataFrame, keycol: str, tag: str) -> DataFrame:
+        affected = df.join(
+            F.broadcast(del_.withColumnRenamed("user_id", keycol)), keycol, "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_affected"))
+        total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        return (
+            total.crossJoin(affected)
+            .select(
+                F.lit(tag).alias("tbl"),
+                "n_rows",
+                "n_affected",
+            )
+        )
+
+    counts = (
+        audit_tbl(ev, "user_id", "events")
+        .unionByName(audit_tbl(orders, "o_custkey", "orders"))
+        .unionByName(audit_tbl(cust, "c_custkey", "customer"))
+    )
+    return counts.crossJoin(n_subjects).select(
+        "tbl",
+        "n_rows",
+        "n_affected",
+        F.expr("n_affected * 10000 div n_rows").cast("bigint").alias("affected_bp"),
+        F.col("n_subjects").cast("bigint"),
+    )

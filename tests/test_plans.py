@@ -2187,3 +2187,21 @@ def test_release_gate_joins_on_doc_key(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.has_partial_agg
     assert sum(facts.join_strategies.values()) >= 3
+
+
+def test_interleave_rank_window_partitioned(spark, sf_dir):
+    """q410: the within-source rank window partitions by source; only
+    the audit's order statistic runs globally over the doc table."""
+    facts = audit_of(spark, sf_dir, "q410_stratified_interleave")
+    assert re.search(r"windowspecdefinition\(source", facts.text, re.IGNORECASE)
+    assert facts.has_partial_agg
+    assert not facts.join_strategies
+
+
+def test_rtbf_cohort_broadcasts(spark, sf_dir):
+    """q411: every table audit is a broadcast LEFT SEMI against the
+    cohort — fact data never shuffles for the join."""
+    facts = audit_of(spark, sf_dir, "q411_forget_me_propagation")
+    assert "LeftSemi" in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert "SortMergeJoin" not in facts.join_strategies
