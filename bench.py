@@ -251,6 +251,7 @@ HEADLINE = [
     # round-6 wave 14: training-order stratification + compliance
     "q410_stratified_interleave",
     "q411_forget_me_propagation",
+    "q412_theil_decomposition",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -460,3 +460,117 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q412_theil_decomposition",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    -- per distinct value within segment: Theil needs Σ v·ln v — ln only
+    -- ever sees INTEGER cents (per distinct value, q151 discipline)
+    seg AS (
+      SELECT segment,
+             count(*)::BIGINT AS n,
+             sum(v)::BIGINT   AS s,
+             sum(v * floor(ln(v) * 1000000)::BIGINT)::BIGINT AS sum_vlnv_mu
+      FROM base GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n)::BIGINT AS big_n, sum(s)::BIGINT AS big_s,
+             sum(sum_vlnv_mu)::BIGINT AS tot_vlnv_mu
+      FROM seg
+    ),
+    -- within-segment Theil T_g (µ-nats): Σ(v/s)·ln(v·n/s)
+    --   = sum_vlnv/s + ln n − ln s ; share = s/S
+    within AS (
+      SELECT segment, n, s,
+             (sum_vlnv_mu // s
+              + floor(ln(n) * 1000000)::BIGINT
+              - floor(ln(s) * 1000000)::BIGINT) AS t_within_mu,
+             (s * 10000 // (SELECT big_s FROM tot))::BIGINT AS share_bp
+      FROM seg
+    ),
+    rollup AS (
+      SELECT 'ALL' AS segment,
+             (SELECT big_n FROM tot) AS n, (SELECT big_s FROM tot) AS s,
+             ((SELECT tot_vlnv_mu FROM tot) // (SELECT big_s FROM tot)
+              + floor(ln((SELECT big_n FROM tot)) * 1000000)::BIGINT
+              - floor(ln((SELECT big_s FROM tot)) * 1000000)::BIGINT)
+               AS t_within_mu,
+             10000::BIGINT AS share_bp
+    )
+    SELECT segment, n, s AS total_cents, t_within_mu::BIGINT AS theil_mu,
+           share_bp FROM within
+    UNION ALL
+    SELECT segment, n, s, t_within_mu::BIGINT, share_bp FROM rollup
+    """,
+    tags=("stats", "inequality", "theil", "decomposition"),
+)
+def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index per segment + overall — the inequality measure that,
+    unlike Gini (q343), DECOMPOSES exactly: T_total = Σ share_g·T_g +
+    T_between, so an analyst can say how much revenue inequality lives
+    WITHIN segments vs between them (the 'ALL' row carries the total;
+    the between term is the reader's subtraction — every input to it is
+    in the output). T = Σ (v/S)·ln(v·N/S) is computed entirely from
+    integer sufficient statistics: Σv, N, and Σ v·⌊10⁶·ln v⌋ — ln only
+    ever sees integer cents (per row value) or integer totals, the q151
+    discipline, so both engines agree bit-for-bit.
+
+    Scale posture (100 TB): one fact-dim join + ONE hash agg to the
+    segment grid carrying three sufficient statistics; the rollup is
+    grid algebra. No window, no second scan — the decomposability is
+    exactly why Theil (not Gini) is the scalable drill-down
+    inequality metric."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.expr(
+                "sum(v * CAST(floor(ln(v) * 1000000) AS BIGINT))"
+            ).alias("sum_vlnv_mu"),
+        )
+        .persist()
+    )
+    tot = F.broadcast(
+        seg.agg(
+            F.sum("n").alias("big_n"),
+            F.sum("s").alias("big_s"),
+            F.sum("sum_vlnv_mu").alias("tot_vlnv_mu"),
+        )
+    )
+    t_mu = F.expr(
+        "sum_vlnv_mu div s + CAST(floor(ln(n) * 1000000) AS BIGINT) "
+        "- CAST(floor(ln(s) * 1000000) AS BIGINT)"
+    )
+    within = seg.crossJoin(tot).select(
+        "segment",
+        "n",
+        F.col("s").alias("total_cents"),
+        t_mu.cast("bigint").alias("theil_mu"),
+        F.expr("s * 10000 div big_s").cast("bigint").alias("share_bp"),
+    )
+    rollup = tot.select(
+        F.lit("ALL").alias("segment"),
+        F.col("big_n").alias("n"),
+        F.col("big_s").alias("total_cents"),
+        F.expr(
+            "tot_vlnv_mu div big_s + CAST(floor(ln(big_n) * 1000000) AS BIGINT) "
+            "- CAST(floor(ln(big_s) * 1000000) AS BIGINT)"
+        ).cast("bigint").alias("theil_mu"),
+        F.lit(10000).cast("bigint").alias("share_bp"),
+    )
+    return within.unionByName(rollup)

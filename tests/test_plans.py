@@ -2205,3 +2205,12 @@ def test_rtbf_cohort_broadcasts(spark, sf_dir):
     assert "LeftSemi" in facts.text
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
     assert "SortMergeJoin" not in facts.join_strategies
+
+
+def test_theil_single_agg_grid(spark, sf_dir):
+    """q412: one fact-dim broadcast join, ONE partial agg to the segment
+    grid with three sufficient statistics; rollup is grid algebra."""
+    facts = audit_of(spark, sf_dir, "q412_theil_decomposition")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
