@@ -252,6 +252,7 @@ HEADLINE = [
     "q410_stratified_interleave",
     "q411_forget_me_propagation",
     "q412_theil_decomposition",
+    "q413_local_clustering_profile",
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

@@ -745,3 +745,96 @@ def stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("first_event_id"),
         )
     )
+
+
+@query(
+    "q413_local_clustering_profile",
+    oracle=f"""
+    WITH und AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    -- each id-ordered triangle (a<b<c via e1=(a,b), e2=(b,c), e3=(a,c))
+    -- credits ALL THREE corners one closed wedge
+    tri_corner AS (
+      SELECT e1.a AS node FROM und e1
+      JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+      UNION ALL
+      SELECT e1.b FROM und e1
+      JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+      UNION ALL
+      SELECT e2.b FROM und e1
+      JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT d.node, d.d,
+             coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+             CASE WHEN d.d >= 2
+                  THEN (coalesce(t.n_tri, 0) * 1000000 * 2 // (d.d * (d.d - 1)))
+                  ELSE 0 END AS lcc_mu
+      FROM deg d
+      LEFT JOIN (SELECT node, count(*)::BIGINT AS n_tri FROM tri_corner
+                 GROUP BY node) t
+        ON t.node = d.node
+    )
+    SELECT (lcc_mu // 100000)::BIGINT AS lcc_decile,
+           count(*)::BIGINT           AS n_nodes,
+           (sum(d) // count(*))::BIGINT AS mean_degree,
+           max(n_tri)::BIGINT         AS max_triangles
+    FROM per_node GROUP BY 1
+    """,
+    tags=("graph", "clustering", "local", "profile"),
+)
+def local_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient profile — the node-grain
+    companion to q180's single global number: every triangle credits its
+    three corners, each node's coefficient is 2·tri/(d·(d−1)) in integer
+    µ-units, and the output is the decile histogram of coefficients with
+    per-bin degree context — the curve that separates a clustered social
+    graph from a star-dominated one even when the GLOBAL coefficient is
+    identical. Triangle enumeration is the same id-ordered join as the
+    oracle (orientation-free here; the corner credit needs all three
+    corners anyway).
+
+    Scale posture (100 TB): triangle enumeration reuses the
+    materialized edge product (shared_copurchase_edges); the corner
+    fan-out is ×3 map-side; per-node rollup and the decile grid are
+    hash aggs. At hub-heavy graphs the q180 degree-orientation bound
+    applies to the enumeration join's build side."""
+    und = shared_copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = und.select(F.col("a").alias("ta"), F.col("b").alias("tb"))
+    e2 = und.select(F.col("a").alias("tb"), F.col("b").alias("tc"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = e1.join(e2, "tb").join(e3, ["ta", "tc"]).persist()
+    corners = (
+        tris.select(F.col("ta").alias("node"))
+        .unionAll(tris.select(F.col("tb").alias("node")))
+        .unionAll(tris.select(F.col("tc").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    per_node = deg.join(corners, "node", "left").select(
+        "d",
+        F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+        F.when(
+            F.col("d") >= 2,
+            F.expr("coalesce(n_tri, 0) * 1000000 * 2 div (d * (d - 1))"),
+        )
+        .otherwise(0)
+        .alias("lcc_mu"),
+    )
+    return per_node.groupBy(
+        F.expr("lcc_mu div 100000").cast("bigint").alias("lcc_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d) div count(1)").cast("bigint").alias("mean_degree"),
+        F.max("n_tri").alias("max_triangles"),
+    )

@@ -2214,3 +2214,17 @@ def test_theil_single_agg_grid(spark, sf_dir):
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert facts.has_partial_agg
     assert "Window" not in facts.text
+
+
+def test_local_clustering_no_cartesian(spark, sf_dir):
+    """q413: triangle enumeration is equi-joins over the edge product;
+    corner credit is a map-side union; grids are hash aggs."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        clear_edge_memo,
+    )
+
+    clear_edge_memo()
+    facts = audit_of(spark, sf_dir, "q413_local_clustering_profile")
+    clear_edge_memo()
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
