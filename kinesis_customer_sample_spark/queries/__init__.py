@@ -74,6 +74,7 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
     basket_ops,
     graph_ranking,
     eval_prep_ops,
+    stats_assoc,
 )
 
 from kinesis_customer_sample_spark.registry import reorder_registry

@@ -2228,3 +2228,72 @@ def test_local_clustering_no_cartesian(spark, sf_dir):
     clear_edge_memo()
     assert not facts.has_cartesian
     assert facts.has_partial_agg
+
+
+def test_spearman_two_level_rank_windows(spark, sf_dir):
+    """q414: midranks come from ONE melted grid chain — every Window is
+    partitioned (two-level cumsum, never a global ordered window), the
+    x-rank join back to rows broadcasts, and no join is cartesian."""
+    facts = audit_of(spark, sf_dir, "q414_spearman_rank_corr")
+    assert "Window" in facts.text
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert facts.has_partial_agg
+
+
+def test_kendall_joins_cell_grid_not_rows(spark, sf_dir):
+    """q415: concordance pairs come from the (x, y) CELL grid self-join
+    (grid², bounded 550/group), never a row self-join: the join input
+    is an aggregated relation, rows are touched by exactly one partial
+    agg, and nothing is cartesian."""
+    facts = audit_of(spark, sf_dir, "q415_kendall_tau_b")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    # the self-join runs on the aggregated cell grid: the plan must show
+    # an InMemoryTableScan (persisted grid) feeding the join, and no
+    # Window at all (tie corrections are marginal-grid algebra)
+    assert "InMemoryTableScan" in facts.text
+    assert "Window" not in facts.text
+
+
+def test_anova_single_scan_grid_algebra(spark, sf_dir):
+    """q416: one map-side-combined hash agg to the k-row group grid; no
+    joins, no windows; the scan reads only (event_type, value)."""
+    facts = audit_of(spark, sf_dir, "q416_anova_oneway")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert "Window" not in facts.text
+    assert not facts.scans_read_column("props")
+    assert not facts.scans_read_column("user_id")
+
+
+def test_cramers_v_broadcast_grid_algebra(spark, sf_dir):
+    """q417: the fact collapses to the seg×nation grid once (persisted);
+    marginals/totals join back as broadcasts; no cartesian product (the
+    1-row total attaches via BroadcastNestedLoopJoin, the house idiom)."""
+    facts = audit_of(spark, sf_dir, "q417_cramers_v")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert facts.has_partial_agg
+
+
+def test_jsd_single_tokenize_pass_grid(spark, sf_dir):
+    """q418: one tokenize pass over the filtered corpus, one hash agg to
+    the token grid with BOTH corpus counts as conditional sums (never a
+    join of two scans); totals broadcast."""
+    facts = audit_of(spark, sf_dir, "q418_js_divergence")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+
+
+def test_psi_grid_complete_and_broadcast(spark, sf_dir):
+    """q419: band/period classification is map-side; the complete-grid
+    LEFT join and the totals join run grid-vs-grid with broadcasts; the
+    events scan reads only (event_type, value, ts)."""
+    facts = audit_of(spark, sf_dir, "q419_psi_drift")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.scans_read_column("props")
