@@ -273,3 +273,236 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     )
+
+
+# q420/q421 (round 7): precision-recall & calibration siblings of q281's
+# rank-statistic AUC — same integer linear scorer (weights = vec 0), same
+# two-level score cumsum, different evaluation geometry.
+_AP_P_AT = 10  # precision@k probe depth
+
+
+@query(
+    "q420_average_precision",
+    oracle=f"""
+    WITH w AS (
+      SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS wv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, (e.label = {_AUC_POS_LABEL}) AS y,
+             list_sum([CAST(round(e.embedding[i + 1] * 1000) AS BIGINT) * wv[i + 1]
+                       FOR i IN range(64)]) AS s
+      FROM embeddings e CROSS JOIN w
+      WHERE e.vec_id != 0
+    ),
+    ranked AS (
+      SELECT y,
+             row_number() OVER (ORDER BY s DESC, vec_id) AS k,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)
+               OVER (ORDER BY s DESC, vec_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rel
+      FROM scored
+    ),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_scored,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_rel,
+             sum(CASE WHEN y THEN (cum_rel * 1000000) // k ELSE 0 END)::BIGINT
+               AS sum_prec_mu,
+             max(CASE WHEN k <= {_AP_P_AT} THEN cum_rel ELSE 0 END)::BIGINT
+               AS rel_at_k
+      FROM ranked
+    )
+    SELECT n_scored, n_rel,
+           (sum_prec_mu // n_rel)::BIGINT AS ap_mu,
+           (rel_at_k * 10000 // {_AP_P_AT})::BIGINT AS p_at_{_AP_P_AT}_bp
+    FROM agg
+    """,
+    tags=("ml-eval", "average-precision", "pr-auc", "rank-statistic"),
+)
+def average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the exact area under the precision-recall
+    curve at every relevant hit) of the q281 linear scorer — the metric
+    that, unlike AUC, weights the TOP of the ranking, which is what
+    retrieval and imbalanced-label evaluation actually care about. The
+    ranking is a deterministic total order (score DESC, vec_id ASC — no
+    tie ambiguity), positions and relevance prefix-counts come from the
+    two-level bucket cumsum over BOTH running sums at once, and each
+    precision term is the integer floor (cum_rel·10⁶) div k, so the sum
+    is order-insensitive µ-units; AP = Σ/R. Precision@{at} rides the
+    same pass as max(cum_rel at k ≤ {at}).
+
+    Scale posture: identical to q281 — the only ordered structure is the
+    per-(score-bucket) local window plus a triangular bucket-offset
+    join; scoring is one broadcast zip_with pass. No global window, no
+    second scan.""".format(at=_AP_P_AT)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "qi"
+        ),
+    )
+    wvec = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("qi").alias("wv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(wvec)
+        .select(
+            "vec_id",
+            (F.col("label") == _AUC_POS_LABEL).alias("y"),
+            F.expr(
+                "aggregate(zip_with(qi, wv, (x, w) -> x * w), "
+                "CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("s"),
+        )
+        .withColumn("neg", -F.col("s"))
+        .withColumn("rel", F.when(F.col("y"), 1).otherwise(0))
+    )
+    scored = scored.withColumn("bucket", F.expr(f"neg div {_AUC_BUCKET}"))
+    w_loc = (
+        W.partitionBy("bucket")
+        .orderBy("neg", "vec_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = scored.withColumn("lk", F.count(F.lit(1)).over(w_loc)).withColumn(
+        "lrel", F.sum("rel").over(w_loc)
+    )
+    totals = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("rel").alias("trel")
+    )
+    starts = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("b.t"), F.lit(0)).alias("st"),
+            F.coalesce(F.sum("b.trel"), F.lit(0)).alias("strel"),
+        )
+    )
+    ranked = local.join(F.broadcast(starts), "bucket").select(
+        "y",
+        (F.col("st") + F.col("lk")).alias("k"),
+        (F.col("strel") + F.col("lrel")).alias("cum_rel"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when(F.col("y"), F.expr("(cum_rel * 1000000) div k")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sum_prec_mu"),
+        F.max(
+            F.when(F.col("k") <= _AP_P_AT, F.col("cum_rel")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rel_at_k"),
+    )
+    return agg.select(
+        "n_scored",
+        "n_rel",
+        F.expr("sum_prec_mu div n_rel").cast("bigint").alias("ap_mu"),
+        F.expr(f"rel_at_k * 10000 div {_AP_P_AT}")
+        .cast("bigint")
+        .alias(f"p_at_{_AP_P_AT}_bp"),
+    )
+
+
+@query(
+    "q421_expected_calibration_error",
+    oracle=f"""
+    WITH w AS (
+      SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS wv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT (e.label = {_AUC_POS_LABEL}) AS y,
+             list_sum([CAST(round(e.embedding[i + 1] * 1000) AS BIGINT) * wv[i + 1]
+                       FOR i IN range(64)]) AS s
+      FROM embeddings e CROSS JOIN w
+      WHERE e.vec_id != 0
+    ),
+    rng AS (SELECT min(s) AS smin, max(s) AS smax FROM scored),
+    conf AS (
+      SELECT y,
+             least(((s - smin) * 10000) // (smax - smin), 9999) AS conf_bp
+      FROM scored CROSS JOIN rng
+    ),
+    bins AS (
+      SELECT conf_bp // 1000 AS bin,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos,
+             sum(conf_bp)::BIGINT AS sconf
+      FROM conf GROUP BY 1
+    ),
+    terms AS (
+      SELECT bin, n,
+             n * abs((pos * 10000) // n - sconf // n) AS gap_w,
+             abs((pos * 10000) // n - sconf // n) AS gap
+      FROM bins
+    )
+    SELECT (SELECT sum(n) FROM bins)::BIGINT AS n_scored,
+           (SELECT count(*) FROM bins)::BIGINT AS n_bins_used,
+           (sum(gap_w) // (SELECT sum(n) FROM bins))::BIGINT AS ece_bp,
+           max(gap)::BIGINT AS mce_bp
+    FROM terms
+    """,
+    tags=("ml-eval", "calibration", "ece"),
+)
+def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected & maximum calibration error of the q281 scorer with
+    min-max-normalized confidence — the reliability summary that q279's
+    calibration-bin TABLE feeds: ECE = Σ_b (n_b/N)·|acc_b − conf_b| and
+    MCE = max_b of the same gap, both in integer basis points (acc and
+    mean-confidence per bin are integer-floor ratios, the gap is exact
+    integer |·|, and the weighted sum is integer before one final div).
+
+    Scale posture: one scoring pass (broadcast weight vector), a 2-value
+    broadcast min/max, one hash-agg to the 10-bin grid, grid algebra
+    after — the bin grid is constant-size at any corpus scale."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "qi"
+        ),
+    )
+    wvec = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("qi").alias("wv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(wvec)
+        .select(
+            (F.col("label") == _AUC_POS_LABEL).alias("y"),
+            F.expr(
+                "aggregate(zip_with(qi, wv, (x, w) -> x * w), "
+                "CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("s"),
+        )
+    )
+    rng = F.broadcast(scored.agg(F.min("s").alias("smin"), F.max("s").alias("smax")))
+    conf = scored.crossJoin(rng).select(
+        "y",
+        F.least(
+            F.expr("((s - smin) * 10000) div (smax - smin)"), F.lit(9999)
+        ).alias("conf_bp"),
+    )
+    bins = conf.groupBy(F.expr("conf_bp div 1000").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("pos"),
+        F.sum("conf_bp").cast("bigint").alias("sconf"),
+    )
+    terms = bins.select(
+        "bin",
+        "n",
+        F.expr("n * abs((pos * 10000) div n - sconf div n)").alias("gap_w"),
+        F.expr("abs((pos * 10000) div n - sconf div n)").alias("gap"),
+    )
+    return terms.agg(
+        F.sum("n").cast("bigint").alias("n_scored"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_used"),
+        F.expr("sum(gap_w) div sum(n)").cast("bigint").alias("ece_bp"),
+        F.max("gap").cast("bigint").alias("mce_bp"),
+    )

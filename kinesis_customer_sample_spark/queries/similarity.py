@@ -729,3 +729,125 @@ def feature_standardization_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("n_out", F.lit(0)).cast("bigint").alias("n_outliers3"),
         )
     )
+
+
+# q423 (round 7): Matryoshka truncated-dimension retrieval agreement —
+# the eval that decides whether serving can keep only the first d/2
+# dimensions of every embedding (MRL-style nested representations).
+_MAT_NQ = 8      # probe queries: vec_id 0..7
+_MAT_K = 10      # top-k depth
+_MAT_HALF = 32   # truncated prefix width (of 64)
+
+
+@query(
+    "q423_matryoshka_truncation_agreement",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings WHERE vec_id < {_MAT_NQ}
+    ),
+    c AS (
+      SELECT vec_id,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS cv
+      FROM embeddings WHERE vec_id >= {_MAT_NQ}
+    ),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             list_sum([qv[i + 1] * cv[i + 1] FOR i IN range(64)]) AS s_full,
+             list_sum([qv[i + 1] * cv[i + 1] FOR i IN range({_MAT_HALF})]) AS s_half
+      FROM q CROSS JOIN c
+    ),
+    topf AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY s_full DESC, vec_id) AS r
+        FROM scored) WHERE r <= {_MAT_K}
+    ),
+    toph AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY s_half DESC, vec_id) AS r
+        FROM scored) WHERE r <= {_MAT_K}
+    )
+    SELECT f.qid,
+           count(h.vec_id)::BIGINT AS overlap_at_{_MAT_K},
+           (count(h.vec_id) * 10000 // {_MAT_K})::BIGINT AS agreement_bp
+    FROM topf f LEFT JOIN toph h ON h.qid = f.qid AND h.vec_id = f.vec_id
+    GROUP BY f.qid
+    ORDER BY f.qid
+    """,
+    tags=("similarity", "matryoshka", "ann-eval", "truncation"),
+)
+def matryoshka_truncation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation eval: for each probe query, how much of the
+    exact full-dimension top-{k} survives when retrieval uses only the
+    first {half} of 64 dimensions? (The go/no-go measurement before
+    halving vector-serving memory with MRL-nested embeddings.) Both
+    rankings come from ONE scoring pass — the prefix dot product is a
+    slice of the same zip_with array — with the deterministic
+    (score DESC, vec_id) total order; overlap@k is a self-equi-join of
+    the two per-query top-k sets.
+
+    Scale posture: queries broadcast (constant {nq} rows), the corpus is
+    scanned once, both scores ride the same row, and the per-query
+    top-k extraction is a rank-window partitioned BY QUERY (never
+    global). The final overlap join touches 2·k·{nq} rows. At 100 TB the
+    full-score leg would come from the ANN index (q99/q121); pairing it
+    with the truncated leg is unchanged.""".format(
+        k=_MAT_K, half=_MAT_HALF, nq=_MAT_NQ
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "v"
+        ),
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < _MAT_NQ).select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        )
+    )
+    c = e.filter(F.col("vec_id") >= _MAT_NQ).select(
+        "vec_id", F.col("v").alias("cv")
+    )
+    scored = c.crossJoin(q).select(
+        "qid",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(qv, cv, (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (a, v) -> a + v)"
+        ).alias("s_full"),
+        F.expr(
+            f"aggregate(zip_with(slice(qv, 1, {_MAT_HALF}), slice(cv, 1, {_MAT_HALF}),"
+            " (a, b) -> a * b), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("s_half"),
+    ).persist()
+    wf = W.partitionBy("qid").orderBy(F.col("s_full").desc(), "vec_id")
+    wh = W.partitionBy("qid").orderBy(F.col("s_half").desc(), "vec_id")
+    topf = (
+        scored.withColumn("r", F.row_number().over(wf))
+        .filter(F.col("r") <= _MAT_K)
+        .select("qid", "vec_id")
+    )
+    toph = (
+        scored.withColumn("r", F.row_number().over(wh))
+        .filter(F.col("r") <= _MAT_K)
+        .select("qid", "vec_id")
+    )
+    return (
+        topf.alias("f")
+        .join(
+            toph.alias("h"),
+            (F.col("h.qid") == F.col("f.qid")) & (F.col("h.vec_id") == F.col("f.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("f.qid").alias("qid"))
+        .agg(
+            F.count(F.col("h.vec_id")).cast("bigint").alias(f"overlap_at_{_MAT_K}"),
+            F.expr(f"CAST(count(h.vec_id) * 10000 div {_MAT_K} AS BIGINT)").alias(
+                "agreement_bp"
+            ),
+        )
+        .orderBy("qid")
+    )

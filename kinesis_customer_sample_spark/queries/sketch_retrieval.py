@@ -1106,3 +1106,64 @@ def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias("first_day"),
         F.date_trunc("day", F.max("ts")).cast("timestamp_ntz").alias("last_day"),
     )
+
+
+# q422 (round 7): trigram wildcard-search index — how a substring query
+# ('%needle%', which no B-tree or prefix index can serve) runs without a
+# full-corpus LIKE scan.
+_TRI_NEEDLE = "scan slow fast"
+
+
+@query(
+    "q422_trigram_substring_search",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE contains(lower(text), '{_TRI_NEEDLE}')
+    ORDER BY doc_id
+    """,
+    tags=("retrieval", "trigram", "substring", "index"),
+)
+def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring search via a trigram posting index — the pg_trgm /
+    code-search-engine pattern: a doc can contain the needle only if it
+    contains EVERY trigram of the needle (lossless necessary condition),
+    so candidates = docs whose distinct-trigram postings cover the
+    needle's trigram set, and only candidates pay the exact `contains`
+    verify. The oracle is the brute LIKE scan; equality is the
+    covering-set theorem, not luck.
+
+    Scale posture: the posting build (explode of per-doc DISTINCT
+    trigrams) is the one heavy pass and at 100 TB is a MATERIALIZED
+    index partitioned by trigram — the probe then reads only the
+    needle's ~13 trigram partitions (modeled here by the trigram IN
+    filter sitting directly on the generate output, before any shuffle).
+    The covering check is one hash-agg with a literal-count HAVING; the
+    verify touches candidate docs only, joined back by doc_id."""
+    tris = sorted({_TRI_NEEDLE[i : i + 3] for i in range(len(_TRI_NEEDLE) - 2)})
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.col("text")).alias("t"), "n_chars")
+        .persist()
+    )
+    tri_lit = ", ".join("'" + t.replace("'", "\\'") + "'" for t in tris)
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+            )
+        ).alias("tri"),
+    ).filter(F.expr(f"tri IN ({tri_lit})"))
+    cand = (
+        postings.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") == len(tris))
+        .select("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(cand), "doc_id")
+        .filter(F.expr(f"contains(t, '{_TRI_NEEDLE}')"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -2297,3 +2297,46 @@ def test_psi_grid_complete_and_broadcast(spark, sf_dir):
     assert facts.has_partial_agg
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert not facts.scans_read_column("props")
+
+
+def test_average_precision_two_level_cumsum(spark, sf_dir):
+    """q420: the only ordered structure is the per-score-bucket local
+    window (two-level cumsum) — no global window; scoring broadcasts
+    the weight vector."""
+    facts = audit_of(spark, sf_dir, "q420_average_precision")
+    assert "Window" in facts.text
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_ece_constant_bin_grid(spark, sf_dir):
+    """q421: one scoring pass, broadcast min/max, one hash agg to the
+    constant 10-bin grid; no window at all."""
+    facts = audit_of(spark, sf_dir, "q421_expected_calibration_error")
+    assert "Window" not in facts.text
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_trigram_probe_filters_before_shuffle(spark, sf_dir):
+    """q422: the needle-trigram IN filter sits on the generate output
+    BEFORE the covering-count shuffle (the index-probe model), the
+    candidate set broadcasts back, and nothing is cartesian."""
+    facts = audit_of(spark, sf_dir, "q422_trigram_substring_search")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    # Filter must appear above Generate (plan prints top-down: the
+    # probe filter applies to exploded postings before aggregation)
+    gen = facts.text.find("Generate")
+    filt = facts.text.find("Filter")
+    assert gen != -1 and filt != -1 and filt < gen
+
+
+def test_matryoshka_per_query_windows_one_scan(spark, sf_dir):
+    """q423: queries broadcast; both rankings ride one persisted scoring
+    pass; rank windows are partitioned BY QUERY, never global."""
+    facts = audit_of(spark, sf_dir, "q423_matryoshka_truncation_agreement")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+    assert "InMemoryTableScan" in facts.text
