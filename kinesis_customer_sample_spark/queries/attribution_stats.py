@@ -585,3 +585,295 @@ def median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").cast("bigint").alias("n"),
         )
     )
+
+
+# q428 (round 7): Markov removal-effect attribution — the data-driven
+# multi-touch model (vs q177 last-touch / q229 linear position rules).
+_MK_STEPS = 5          # bounded absorption horizon (oracle unrolls the same)
+_MK_CONV = "purchase"  # absorbing conversion event
+_MK_PPM = 1_000_000
+
+# shared SQL: user-day paths truncated at first conversion, melted into
+# START/channel/CONV/LOSS transitions (dialect-portable except div)
+_MK_PATH_SQL = """
+    ev AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type
+      FROM events
+    ),
+    fp AS (
+      SELECT user_id, day, min(ts) AS fts FROM ev
+      WHERE event_type = '{conv}' GROUP BY user_id, day
+    ),
+    kept AS (
+      SELECT e.user_id, e.day, e.ts, e.event_id, e.event_type,
+             (fp.fts IS NOT NULL) AS converted
+      FROM ev e LEFT JOIN fp ON fp.user_id = e.user_id AND fp.day = e.day
+      WHERE e.event_type != '{conv}' AND (fp.fts IS NULL OR e.ts < fp.fts)
+    ),
+    seq AS (
+      SELECT user_id, day, event_type, converted,
+             lead(event_type) OVER (PARTITION BY user_id, day
+                                    ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id, day
+                                ORDER BY ts, event_id) AS rn
+      FROM kept
+    ),
+    trans AS (
+      SELECT event_type AS src,
+             coalesce(nxt, CASE WHEN converted THEN 'CONV' ELSE 'LOSS' END) AS dst
+      FROM seq
+      UNION ALL
+      SELECT 'START' AS src, event_type AS dst FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT 'START' AS src, 'CONV' AS dst
+      FROM fp LEFT JOIN (SELECT DISTINCT user_id, day FROM kept) k
+        ON k.user_id = fp.user_id AND k.day = fp.day
+      WHERE k.user_id IS NULL
+    ),
+    tcnt AS (SELECT src, dst, count(*) AS c FROM trans GROUP BY src, dst)
+"""
+
+
+@query(
+    "q428_markov_removal_attribution",
+    oracle=(
+        "WITH "
+        + _MK_PATH_SQL.format(conv=_MK_CONV)
+        + f""",
+    tprob AS (
+      SELECT src, dst,
+             (c * {_MK_PPM} // sum(c) OVER (PARTITION BY src))::BIGINT AS p
+      FROM tcnt
+    ),
+    channels AS (
+      SELECT DISTINCT src AS ch FROM tprob WHERE src NOT IN ('START')
+    ),
+    scen AS (SELECT 'FULL' AS scenario UNION ALL SELECT ch FROM channels),
+    sedge0 AS (
+      SELECT s.scenario, t.src,
+             CASE WHEN t.dst = s.scenario THEN 'LOSS' ELSE t.dst END AS dst,
+             t.p
+      FROM scen s JOIN tprob t ON t.src != s.scenario
+    ),
+    sedge AS (
+      SELECT scenario, src, dst, sum(p)::BIGINT AS p
+      FROM sedge0 GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT scenario, 'CONV', 'CONV', {_MK_PPM}::BIGINT FROM scen
+    ),
+    s0 AS (SELECT scenario, 'START' AS node, {_MK_PPM}::BIGINT AS mass FROM scen),
+    s1 AS (SELECT e.scenario, e.dst AS node, sum(s.mass * e.p // {_MK_PPM})::BIGINT AS mass
+           FROM s0 s JOIN sedge e ON e.scenario = s.scenario AND e.src = s.node
+           GROUP BY 1, 2),
+    s2 AS (SELECT e.scenario, e.dst AS node, sum(s.mass * e.p // {_MK_PPM})::BIGINT AS mass
+           FROM s1 s JOIN sedge e ON e.scenario = s.scenario AND e.src = s.node
+           GROUP BY 1, 2),
+    s3 AS (SELECT e.scenario, e.dst AS node, sum(s.mass * e.p // {_MK_PPM})::BIGINT AS mass
+           FROM s2 s JOIN sedge e ON e.scenario = s.scenario AND e.src = s.node
+           GROUP BY 1, 2),
+    s4 AS (SELECT e.scenario, e.dst AS node, sum(s.mass * e.p // {_MK_PPM})::BIGINT AS mass
+           FROM s3 s JOIN sedge e ON e.scenario = s.scenario AND e.src = s.node
+           GROUP BY 1, 2),
+    s5 AS (SELECT e.scenario, e.dst AS node, sum(s.mass * e.p // {_MK_PPM})::BIGINT AS mass
+           FROM s4 s JOIN sedge e ON e.scenario = s.scenario AND e.src = s.node
+           GROUP BY 1, 2),
+    conv AS (
+      SELECT scenario, coalesce(sum(mass), 0)::BIGINT AS conv_ppm
+      FROM scen LEFT JOIN s5 USING (scenario)
+      WHERE node = 'CONV' OR node IS NULL
+      GROUP BY scenario
+    ),
+    eff AS (
+      SELECT c.ch AS channel,
+             f.conv_ppm AS conv_full_ppm,
+             w.conv_ppm AS conv_without_ppm,
+             greatest(f.conv_ppm - w.conv_ppm, 0)::BIGINT AS removal_ppm
+      FROM channels c
+      JOIN conv f ON f.scenario = 'FULL'
+      JOIN conv w ON w.scenario = c.ch
+    )
+    SELECT channel, conv_full_ppm, conv_without_ppm, removal_ppm,
+           (removal_ppm * 10000 // (SELECT sum(removal_ppm) FROM eff))::BIGINT
+             AS attribution_bp
+    FROM eff ORDER BY channel
+    """
+    ),
+    tags=("attribution", "markov", "removal-effect", "iterative"),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution — the data-driven multi-touch
+    model: build the first-order channel transition graph from user-day
+    paths (truncated at first conversion; START source, CONV/LOSS
+    absorbers), then for each channel ask "how much conversion mass
+    survives if this channel's inbound edges are redirected to LOSS?".
+    Attribution share = normalized removal effect. Absorption runs as a
+    BOUNDED {steps}-step integer mass walk in ppm (each step floors
+    mass·p/10⁶ — the q159/q314 iterative-graph discipline), and ALL
+    scenarios (FULL + one per channel) walk simultaneously as one
+    scenario-keyed state table; the oracle unrolls the identical five
+    steps in SQL, so the driver hash-match proves the distributed
+    iteration equals the closed-form derivation.
+
+    Scale posture: the heavy work is one pass over events into per-(user,
+    day) sequences (partitioned lead/row_number windows), collapsing to a
+    transition-count grid that is |channels|²-bounded; the walk iterates
+    on a ≤ (channels+3)·scenarios-row state — driver-loop DataFrame
+    algebra over broadcast-sized grids, rows never iterate.""".format(
+        steps=_MK_STEPS
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "event_id", "event_type"
+    )
+    fp = (
+        ev.filter(F.col("event_type") == _MK_CONV)
+        .groupBy("user_id", "day")
+        .agg(F.min("ts").alias("fts"))
+    )
+    kept = (
+        ev.join(fp, ["user_id", "day"], "left")
+        .filter(
+            (F.col("event_type") != _MK_CONV)
+            & (F.col("fts").isNull() | (F.col("ts") < F.col("fts")))
+        )
+        .withColumn("converted", F.col("fts").isNotNull())
+    )
+    wseq = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = kept.select(
+        "user_id",
+        "day",
+        "event_type",
+        "converted",
+        F.lead("event_type").over(wseq).alias("nxt"),
+        F.row_number().over(wseq).alias("rn"),
+    )
+    trans = (
+        seq.select(
+            F.col("event_type").alias("src"),
+            F.coalesce(
+                F.col("nxt"),
+                F.when(F.col("converted"), F.lit("CONV")).otherwise(F.lit("LOSS")),
+            ).alias("dst"),
+        )
+        .unionByName(
+            seq.filter(F.col("rn") == 1).select(
+                F.lit("START").alias("src"), F.col("event_type").alias("dst")
+            )
+        )
+        .unionByName(
+            fp.join(
+                seq.select("user_id", "day").distinct(), ["user_id", "day"], "left_anti"
+            ).select(F.lit("START").alias("src"), F.lit("CONV").alias("dst"))
+        )
+    )
+    tcnt = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    wsrc = W.partitionBy("src")
+    tprob = tcnt.select(
+        "src",
+        "dst",
+        F.expr(f"c * {_MK_PPM}")
+        .cast("bigint")
+        .alias("cn"),
+        F.sum("c").over(wsrc).alias("tot"),
+    ).select(
+        "src", "dst", F.expr("cn div tot").cast("bigint").alias("p")
+    )
+    # localCheckpoint truncates the event-window lineage: scen/sedge/eff
+    # each re-reference this grid several times, and without the barrier
+    # every reference re-runs the whole path-extraction chain (measured
+    # 89 s → ~3 s at sf0.01). ~|channels|² rows — driver-scale.
+    tprob = tprob.localCheckpoint()
+    channels = (
+        tprob.filter(F.col("src") != "START").select(F.col("src").alias("ch")).distinct()
+    )
+    scen = F.broadcast(
+        channels.select(F.col("ch").alias("scenario")).unionByName(
+            spark.createDataFrame([("FULL",)], ["scenario"])
+        )
+    )
+    sedge0 = scen.join(tprob, F.col("src") != F.col("scenario")).select(
+        "scenario",
+        "src",
+        F.when(F.col("dst") == F.col("scenario"), F.lit("LOSS"))
+        .otherwise(F.col("dst"))
+        .alias("dst"),
+        "p",
+    )
+    sedge = (
+        sedge0.groupBy("scenario", "src", "dst")
+        .agg(F.sum("p").cast("bigint").alias("p"))
+        .unionByName(
+            scen.select(
+                "scenario",
+                F.lit("CONV").alias("src"),
+                F.lit("CONV").alias("dst"),
+                F.lit(_MK_PPM).cast("bigint").alias("p"),
+            )
+        )
+        .persist()
+    )
+    state = scen.select(
+        "scenario", F.lit("START").alias("node"), F.lit(_MK_PPM).cast("bigint").alias("mass")
+    )
+    for _ in range(_MK_STEPS):
+        state = (
+            state.alias("st")
+            .join(
+                sedge.alias("ed"),
+                (F.col("ed.scenario") == F.col("st.scenario"))
+                & (F.col("ed.src") == F.col("st.node")),
+            )
+            .groupBy(
+                F.col("ed.scenario").alias("scenario"), F.col("ed.dst").alias("node")
+            )
+            .agg(
+                F.sum(F.expr(f"st.mass * ed.p div {_MK_PPM}"))
+                .cast("bigint")
+                .alias("mass")
+            )
+        )
+    conv = (
+        scen.join(
+            state.filter(F.col("node") == "CONV").select("scenario", "mass"),
+            "scenario",
+            "left",
+        )
+        .select(
+            "scenario", F.coalesce(F.col("mass"), F.lit(0)).cast("bigint").alias("conv_ppm")
+        )
+    )
+    eff = (
+        channels.join(
+            conv.filter(F.col("scenario") == "FULL").select(
+                F.col("conv_ppm").alias("conv_full_ppm")
+            )
+        )
+        .join(
+            conv.select(
+                F.col("scenario").alias("ch"), F.col("conv_ppm").alias("conv_without_ppm")
+            ),
+            "ch",
+        )
+        .select(
+            F.col("ch").alias("channel"),
+            "conv_full_ppm",
+            "conv_without_ppm",
+            F.greatest(F.col("conv_full_ppm") - F.col("conv_without_ppm"), F.lit(0))
+            .cast("bigint")
+            .alias("removal_ppm"),
+        )
+        .localCheckpoint()
+    )
+    totre = F.broadcast(eff.agg(F.sum("removal_ppm").alias("tot_re")))
+    return (
+        eff.crossJoin(totre)
+        .select(
+            "channel",
+            "conv_full_ppm",
+            "conv_without_ppm",
+            "removal_ppm",
+            F.expr("removal_ppm * 10000 div tot_re").cast("bigint").alias(
+                "attribution_bp"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -283,3 +283,202 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# q424/q425 (round 7): neighborhood-weighted link prediction and bounded
+# 2-hop harmonic centrality over the shared co-purchase edge product.
+_AA_DEG_CAP = 50   # shared-neighbor degree cap (q286/q68 hot-hub bound)
+_AA_TOPK = 20
+_EDGES_SQL_UND = """
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+"""
+
+
+@query(
+    "q424_adamic_adar",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL_UND}),
+    e AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT s AS node, count(*)::BIGINT AS d FROM e GROUP BY s),
+    kept AS (
+      SELECT e.s, e.t, deg.d AS dt FROM e JOIN deg ON deg.node = e.t
+      WHERE deg.d <= {_AA_DEG_CAP}
+    ),
+    common AS (
+      -- Σ_z 1/ln(deg z) in µ-units: 10¹² div ⌊10⁶·ln d⌋ (d ≥ 2 — a
+      -- SHARED neighbor has at least two edges, so ln never sees 1)
+      SELECT a.s AS u, b.s AS v,
+             count(*)::BIGINT AS n_common,
+             sum(1000000000000 // floor(ln(a.dt) * 1000000)::BIGINT)::BIGINT
+               AS aa_mu
+      FROM kept a JOIN kept b ON a.t = b.t AND a.s < b.s
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT c.* FROM common c
+      LEFT JOIN e0 ON e0.a = c.u AND e0.b = c.v
+      WHERE e0.a IS NULL
+    )
+    SELECT u, v, n_common, aa_mu
+    FROM cand
+    ORDER BY aa_mu DESC, u, v
+    LIMIT {_AA_TOPK}
+    """,
+    tags=("graph", "link-prediction", "adamic-adar"),
+)
+def adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction — q286's candidate machinery with the
+    hub-discounted score Σ_z 1/ln(deg z): a shared RARE neighbor is
+    strong evidence of a missing edge, a shared hub is weak (Jaccard
+    treats them alike — that is the whole point of the variant). The
+    shared neighbor's degree rides the postings row, so the score is one
+    integer sum: 10¹² div ⌊10⁶·ln d⌋ µ-units per witness (d ≥ 2 always —
+    a shared neighbor has ≥ 2 edges — so ln(1)=0 can never divide).
+
+    Scale posture: candidates from the capped co-neighbor postings join
+    (hot hubs bounded exactly like q68's DF cap — a degree-k hub would
+    otherwise mint k² pairs), never all-pairs; existing edges drop via
+    anti-join; top-20 via TakeOrderedAndProject. Consumes the
+    session-materialized edge product (shared_copurchase_edges)."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    e0 = shared_copurchase_edges(spark, sf_dir)
+    e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    kept = (
+        e.join(deg.withColumnRenamed("node", "t"), "t")
+        .filter(F.col("d") <= _AA_DEG_CAP)
+        .select("s", "t", F.col("d").alias("dt"))
+    )
+    common = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.t") == F.col("y.t")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .groupBy(F.col("x.s").alias("u"), F.col("y.s").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(
+                F.expr(
+                    "1000000000000 div CAST(floor(ln(x.dt) * 1000000) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("aa_mu"),
+        )
+    )
+    cand = common.join(
+        e0.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        cand.select("u", "v", "n_common", "aa_mu")
+        .orderBy(F.desc("aa_mu"), "u", "v")
+        .limit(_AA_TOPK)
+    )
+
+
+@query(
+    "q425_harmonic_centrality_2hop",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL_UND}),
+    e AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT s AS node, count(*)::BIGINT AS d FROM e GROUP BY s),
+    kept AS (
+      SELECT e.s, e.t FROM e JOIN deg ON deg.node = e.t
+      WHERE deg.d <= {_AA_DEG_CAP}
+    ),
+    two_hop AS (
+      SELECT DISTINCT a.s AS u, b.s AS w
+      FROM kept a JOIN kept b ON a.t = b.t AND a.s != b.s
+    ),
+    strict2 AS (
+      SELECT t.u, count(*)::BIGINT AS n2
+      FROM two_hop t
+      LEFT JOIN e ON e.s = t.u AND e.t = t.w
+      WHERE e.s IS NULL
+      GROUP BY 1
+    )
+    SELECT deg.node AS part_key, deg.d AS n1,
+           coalesce(s.n2, 0) AS n2,
+           (deg.d * 1000000 + coalesce(s.n2, 0) * 500000)::BIGINT AS harmonic_mu
+    FROM deg LEFT JOIN strict2 s ON s.u = deg.node
+    ORDER BY harmonic_mu DESC, part_key
+    LIMIT {_AA_TOPK}
+    """,
+    tags=("graph", "centrality", "harmonic"),
+)
+def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 2-hop harmonic centrality: C(v) = Σ_{{d(u,v)≤2}} 1/d(u,v)
+    = n₁ + n₂/2 — the distance-discounted reach score (closeness
+    centrality's robust cousin: finite under disconnection, which is why
+    it is THE centrality for real, disconnected graphs). Exact per-node
+    neighbor and strict-2-hop counts in µ-units; distance-2 witnesses
+    come from the capped co-neighbor postings join with direct edges
+    removed by anti-join — the same candidate geometry as q424, reused
+    deliberately so the two rankings are comparable.
+
+    Scale posture: bounded-radius centrality is the industry-standard
+    scalable truncation (full harmonic needs all-pairs BFS); the 2-hop
+    set is DISTINCT-deduped before counting so hub double-paths don't
+    inflate reach, and the hot-hub cap bounds the postings fan-out. One
+    more hop = one more postings join round. Consumes the shared edge
+    product."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    e0 = shared_copurchase_edges(spark, sf_dir)
+    e = e0.select(F.col("a").alias("s"), F.col("b").alias("t")).unionAll(
+        e0.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    deg = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    kept = (
+        e.join(deg.withColumnRenamed("node", "t"), "t")
+        .filter(F.col("d") <= _AA_DEG_CAP)
+        .select("s", "t")
+    )
+    two_hop = (
+        kept.alias("x")
+        .join(
+            kept.alias("y"),
+            (F.col("x.t") == F.col("y.t")) & (F.col("x.s") != F.col("y.s")),
+        )
+        .select(F.col("x.s").alias("u"), F.col("y.s").alias("w"))
+        .distinct()
+    )
+    strict2 = (
+        two_hop.join(
+            e.select(F.col("s").alias("u"), F.col("t").alias("w")),
+            ["u", "w"],
+            "left_anti",
+        )
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    )
+    return (
+        deg.join(strict2.withColumnRenamed("u", "node"), "node", "left")
+        .select(
+            F.col("node").alias("part_key"),
+            F.col("d").alias("n1"),
+            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n2"),
+            (F.col("d") * 1000000 + F.coalesce(F.col("n2"), F.lit(0)) * 500000)
+            .cast("bigint")
+            .alias("harmonic_mu"),
+        )
+        .orderBy(F.desc("harmonic_mu"), "part_key")
+        .limit(_AA_TOPK)
+    )

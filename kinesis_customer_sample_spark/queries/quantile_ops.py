@@ -574,3 +574,98 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(10000).cast("bigint").alias("share_bp"),
     )
     return within.unionByName(rollup)
+
+
+# q429 (round 7): Herfindahl–Hirschman concentration — the antitrust /
+# supply-risk index completing the inequality family (q343 Gini ranks
+# dispersion, q412 Theil decomposes it, HHI measures CONCENTRATION in
+# the units regulators use: squared percentage shares, 0..10000).
+_HHI_MODERATE = 1500
+_HHI_HIGH = 2500
+
+
+@query(
+    "q429_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nk, sum(r)::BIGINT AS t, count(*)::BIGINT AS n_sup FROM rev GROUP BY 1),
+    shares AS (
+      SELECT rev.nk, n_sup, t,
+             (r * 10000 // t) AS share_bp
+      FROM rev JOIN tot USING (nk)
+    ),
+    hhi AS (
+      SELECT nk, min(n_sup) AS n_suppliers, min(t) AS total_cents,
+             (sum(share_bp * share_bp) // 10000)::BIGINT AS hhi
+      FROM shares GROUP BY nk
+    )
+    SELECT n.n_name AS nation, n_suppliers, total_cents, hhi,
+           CASE WHEN hhi >= {_HHI_HIGH} THEN 'high'
+                WHEN hhi >= {_HHI_MODERATE} THEN 'moderate'
+                ELSE 'low' END AS concentration
+    FROM hhi JOIN nation n ON n.n_nationkey = hhi.nk
+    ORDER BY nation
+    """,
+    tags=("stats", "concentration", "hhi", "inequality"),
+)
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of supplier revenue concentration per
+    nation — Σ(squared percent shares), the regulator's market-power
+    screen and the supply-chain analyst's single-source-risk flag (one
+    supplier = 10000; atomistic market → 0), with the DOJ's 1500/2500
+    banding emitted as the verdict. Shares floor to integer basis points
+    (r·10⁴ div total) and HHI = Σshare² div 10⁴ — all-integer, order-
+    insensitive.
+
+    Scale posture: one fact hash-agg to (nation, supplier) revenue, one
+    rollup to nation totals joined back grid-vs-grid, one squared-share
+    agg; the nation-name join broadcasts. Identical plan at any scale —
+    the grids are dimension-bounded."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("c"),
+    )
+    sup = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").alias("nk")
+    )
+    rev = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nk", "l_suppkey")
+        .agg(F.sum("c").cast("bigint").alias("r"))
+    )
+    tot = rev.groupBy("nk").agg(
+        F.sum("r").cast("bigint").alias("t"), F.count(F.lit(1)).cast("bigint").alias("n_sup")
+    )
+    shares = rev.join(F.broadcast(tot), "nk").select(
+        "nk", "n_sup", "t", F.expr("r * 10000 div t").alias("share_bp")
+    )
+    hhi = shares.groupBy("nk").agg(
+        F.min("n_sup").alias("n_suppliers"),
+        F.min("t").alias("total_cents"),
+        F.expr("CAST(sum(share_bp * share_bp) div 10000 AS BIGINT)").alias("hhi"),
+    )
+    nat = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation")
+    )
+    return (
+        hhi.join(F.broadcast(nat), "nk")
+        .select(
+            "nation",
+            "n_suppliers",
+            "total_cents",
+            "hhi",
+            F.when(F.col("hhi") >= _HHI_HIGH, "high")
+            .when(F.col("hhi") >= _HHI_MODERATE, "moderate")
+            .otherwise("low")
+            .alias("concentration"),
+        )
+        .orderBy("nation")
+    )

@@ -817,3 +817,232 @@ def stream_twap_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         "held_us",
         "twap_cents",
     )
+
+
+# q426/q427 (round 7): rolling cross-series correlation and SAX motif
+# mining over the calendar-bounded hourly/daily grids.
+_RC_A, _RC_B = "click", "purchase"
+_RC_WIN = 24  # trailing window, hours
+_SAX_WORD = 3  # motif word length, days
+
+
+@query(
+    "q426_rolling_correlation",
+    oracle=f"""
+    WITH spine AS (
+      SELECT unnest(generate_series(
+               date_trunc('hour', (SELECT min(ts) FROM events)),
+               date_trunc('hour', (SELECT max(ts) FROM events)),
+               INTERVAL 1 HOUR)) AS h
+    ),
+    hx AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = '{_RC_A}'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = '{_RC_B}'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events WHERE event_type IN ('{_RC_A}', '{_RC_B}')
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT spine.h, coalesce(hx.x, 0) AS x, coalesce(hx.y, 0) AS y
+      FROM spine LEFT JOIN hx ON hx.h = spine.h
+    ),
+    roll AS (
+      SELECT h,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+             sum(x * y) OVER w AS sxy
+      FROM g
+      WINDOW w AS (ORDER BY h ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(h AS TIMESTAMP) AS hour_ts, sx::BIGINT AS sum_x_c, sy::BIGINT AS sum_y_c,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                           / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
+                                  * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+                END AS corr24
+    FROM roll WHERE n = {_RC_WIN}
+    ORDER BY hour_ts
+    """,
+    tags=("timeseries", "rolling", "correlation"),
+)
+def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour rolling Pearson correlation between the hourly
+    {a} and {b} spend series — the co-movement monitor that catches a
+    decoupling (e.g. clicks keep flowing but purchases stop) hours
+    before daily rollups would. The hour spine is generated from the
+    data's own bounds so gaps become honest zero-spend hours (both
+    engines see the identical dense grid); all six rolling sufficient
+    statistics are INTEGER window sums over cents, and the correlation
+    is the one guarded double expression (degenerate zero-variance
+    windows emit NULL on both sides, never NaN).
+
+    Scale posture: the heavy input collapses to the calendar-bounded
+    hourly grid first (one map-side-combined agg; ≤ 24·days rows by
+    construction — the q262/q282 bounded-grid argument), so the single
+    ordered window runs over a provably tiny input, with all six sums
+    sharing ONE window frame.""".format(a=_RC_A, b=_RC_B)
+    ev = table(spark, sf_dir, "events")
+    bounds = F.broadcast(
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+    )
+    hx = (
+        ev.filter(F.col("event_type").isin(_RC_A, _RC_B))
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == _RC_A,
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == _RC_B,
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+    )
+    g = spine.join(hx, "h", "left").select(
+        "h",
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+    w = W.orderBy("h").rowsBetween(-(_RC_WIN - 1), W.currentRow)
+    roll = g.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        roll.filter(F.col("n") == _RC_WIN)
+        .select(
+            F.col("h").alias("hour_ts"),
+            F.col("sx").alias("sum_x_c"),
+            F.col("sy").alias("sum_y_c"),
+            F.when(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+                & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+                F.round(
+                    (d("n") * d("sxy") - d("sx") * d("sy"))
+                    / F.sqrt(
+                        (d("n") * d("sxx") - d("sx") * d("sx"))
+                        * (d("n") * d("syy") - d("sy") * d("sy"))
+                    ),
+                    6,
+                ),
+            ).alias("corr24"),
+        )
+        .orderBy("hour_ts")
+    )
+
+
+@query(
+    "q427_sax_motifs",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT event_type, day,
+             ntile(4) OVER (PARTITION BY event_type ORDER BY v, day) AS q
+      FROM daily
+    ),
+    words AS (
+      SELECT event_type, day,
+             chr((96 + q)::INTEGER)
+             || chr((96 + lead(q, 1) OVER (PARTITION BY event_type ORDER BY day))::INTEGER)
+             || chr((96 + lead(q, 2) OVER (PARTITION BY event_type ORDER BY day))::INTEGER)
+               AS word,
+             lead(q, {_SAX_WORD - 1}) OVER (PARTITION BY event_type ORDER BY day)
+               AS complete
+      FROM sym
+    ),
+    freq AS (
+      SELECT event_type, word, count(*)::BIGINT AS n
+      FROM words WHERE complete IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, word AS top_motif, n AS n_occurrences
+    FROM (
+      SELECT event_type, word, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, word) AS r
+      FROM freq) WHERE r = 1
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "sax", "motif", "symbolic"),
+)
+def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style motif mining: each series' daily totals are symbolized
+    into empirical quartiles (a/b/c/d — rank-based breakpoints, so no
+    mean/σ floats and the alphabet adapts per series), consecutive
+    {w}-day symbols concatenate into words, and the modal word per
+    series is its dominant local shape ('aab' = two quiet days then a
+    surge). ntile's deterministic (value, day) total order makes the
+    symbolization bit-identical across engines.
+
+    Scale posture: rows → calendar-bounded daily grid (one hash agg);
+    every window (ntile, lead, top-1) is partitioned by series and runs
+    over ≤ days-in-window rows; word frequencies are one grid agg. At
+    100 TB the alphabet/breakpoint step would read per-series t-digest
+    cutpoints instead of ntile — the symbolize/word/count pipeline is
+    unchanged.""".format(w=_SAX_WORD)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v"))
+    )
+    sym = daily.select(
+        "event_type",
+        "day",
+        F.ntile(4)
+        .over(W.partitionBy("event_type").orderBy("v", "day"))
+        .alias("q"),
+    )
+    wd = W.partitionBy("event_type").orderBy("day")
+    words = sym.select(
+        "event_type",
+        F.concat(
+            F.chr(F.col("q") + 96),
+            F.chr(F.lead("q", 1).over(wd) + 96),
+            F.chr(F.lead("q", 2).over(wd) + 96),
+        ).alias("word"),
+        F.lead("q", _SAX_WORD - 1).over(wd).alias("complete"),
+    )
+    freq = (
+        words.filter(F.col("complete").isNotNull())
+        .groupBy("event_type", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = (
+        freq.withColumn(
+            "r",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("n"), "word")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("word").alias("top_motif"),
+            F.col("n").alias("n_occurrences"),
+        )
+        .orderBy("event_type")
+    )
+    return top

@@ -2340,3 +2340,75 @@ def test_matryoshka_per_query_windows_one_scan(spark, sf_dir):
     assert "No Partition Defined" not in facts.text
     assert not facts.has_cartesian
     assert "InMemoryTableScan" in facts.text
+
+
+def test_adamic_adar_capped_postings_no_cartesian(spark, sf_dir):
+    """q424: candidates come from the capped co-neighbor postings join
+    (equi on the shared neighbor), never all-pairs; the anti-join drops
+    existing edges; top-k is TakeOrderedAndProject."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        clear_edge_memo,
+    )
+
+    clear_edge_memo()
+    facts = audit_of(spark, sf_dir, "q424_adamic_adar")
+    clear_edge_memo()
+    assert not facts.has_cartesian
+    assert "TakeOrderedAndProject" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_harmonic_centrality_distinct_before_count(spark, sf_dir):
+    """q425: the 2-hop witness set is DISTINCT-deduped before counting
+    (hub double-paths must not inflate reach) and direct edges drop via
+    anti-join; nothing cartesian."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        clear_edge_memo,
+    )
+
+    clear_edge_memo()
+    facts = audit_of(spark, sf_dir, "q425_harmonic_centrality_2hop")
+    clear_edge_memo()
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_rolling_corr_single_window_frame(spark, sf_dir):
+    """q426: all six rolling sufficient statistics share ONE window frame
+    over the calendar-bounded hourly grid (exactly one Window node), and
+    the heavy input collapses via a partial agg first."""
+    facts = audit_of(spark, sf_dir, "q426_rolling_correlation")
+    assert facts.has_partial_agg
+    # single ordered pass: exactly one Window NODE in the final plan
+    import re as _re
+
+    assert len(_re.findall(r"\bWindow \(\d+\)", facts.text)) == 1
+
+
+def test_sax_windows_partitioned_by_series(spark, sf_dir):
+    """q427: ntile/lead/top-1 windows are all partitioned by series —
+    never a global window over rows."""
+    facts = audit_of(spark, sf_dir, "q427_sax_motifs")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_markov_walk_iterates_on_grids(spark, sf_dir):
+    """q428: the transition grid is checkpoint-truncated and the L-step
+    walk joins grid-vs-grid; path extraction windows are partitioned by
+    (user, day)."""
+    facts = audit_of(spark, sf_dir, "q428_markov_removal_attribution")
+    assert "No Partition Defined" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_hhi_dimension_bounded_grids(spark, sf_dir):
+    """q429: one fact agg to (nation, supplier), broadcast joins for the
+    totals and the nation dim, no window, no cartesian."""
+    facts = audit_of(spark, sf_dir, "q429_hhi_concentration")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+    assert not facts.has_cartesian
