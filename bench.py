@@ -253,6 +253,32 @@ HEADLINE = [
     "q411_forget_me_propagation",
     "q412_theil_decomposition",
     "q413_local_clustering_profile",
+    # round-7 waves
+    "q414_spearman_rank_corr",
+    "q415_kendall_tau_b",
+    "q416_anova_oneway",
+    "q417_cramers_v",
+    "q418_js_divergence",
+    "q419_psi_drift",
+    "q420_average_precision",
+    "q421_expected_calibration_error",
+    "q422_trigram_substring_search",
+    "q423_matryoshka_truncation_agreement",
+    "q424_adamic_adar",
+    "q425_harmonic_centrality_2hop",
+    "q426_rolling_correlation",
+    "q427_sax_motifs",
+    "q429_hhi_concentration",
+    "q430_ivf_nprobe_ann",
+    "q431_jaro_winkler_linkage",
+    "q432_rake_keyphrases",
+    "q433_cohort_ltv_curve",
+    "q435_abc_xyz_classification",
+    "q436_jl_projection_distortion",
+    "q437_markov_next_event_accuracy",
+    "q438_experiment_sample_size",
+    # (q428 Markov removal attribution and q434 PPR join the excluded
+    # iterative family — localCheckpoint rounds dominate wall time)
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its
     # wall time is multi-batch file/stream machinery, not operator cost)
     # (q309 SQL-scripting bisection: a control-flow semantics demo whose

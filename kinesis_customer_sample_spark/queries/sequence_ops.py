@@ -251,3 +251,126 @@ def negation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clean, 1)).alias("n_clean"),
         F.count(F.when(reached & ~clean, 1)).alias("n_error_blocked"),
     )
+
+
+# q437 (round 7): Markov next-event prediction accuracy — q181 builds
+# the transition matrix; this query EVALUATES it as a predictor with an
+# honest temporal train/test split (the backtest discipline of q283
+# applied to sequence models).
+_MKV_SPLIT = "2024-01-22"  # train < split, test >= split
+
+
+@query(
+    "q437_markov_next_event_accuracy",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    train AS (
+      SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS c
+      FROM seq WHERE nxt IS NOT NULL AND ts < TIMESTAMP '{_MKV_SPLIT} 00:00:00'
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT src, dst AS predicted FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS r
+        FROM train) WHERE r = 1
+    ),
+    test AS (
+      SELECT event_type AS src, nxt AS actual
+      FROM seq WHERE nxt IS NOT NULL AND ts >= TIMESTAMP '{_MKV_SPLIT} 00:00:00'
+    ),
+    scored AS (
+      SELECT t.src, p.predicted,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN t.actual = p.predicted THEN 1 ELSE 0 END)::BIGINT
+               AS n_correct
+      FROM test t JOIN pred p USING (src)
+      GROUP BY 1, 2
+    )
+    SELECT src, predicted, n, n_correct,
+           (n_correct * 10000 // n)::BIGINT AS accuracy_bp
+    FROM scored
+    UNION ALL
+    SELECT 'ALL', NULL, sum(n)::BIGINT, sum(n_correct)::BIGINT,
+           (sum(n_correct) * 10000 // sum(n))::BIGINT
+    FROM scored
+    ORDER BY src
+    """,
+    tags=("sequence", "markov", "backtest", "ml-eval"),
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov next-event predictor backtest: train a first-order
+    predictor (per source state, the modal next event with (count, name)
+    tie-break) on everything before {split}, score top-1 accuracy on
+    everything after — the honest temporal split that q181's in-sample
+    transition matrix cannot claim. Per-state accuracy rows plus the
+    'ALL' rollup, all in integer basis points.
+
+    Scale posture: sequence pairs come from per-(user, day) partitioned
+    lead windows (one pass serves train and test via the split
+    predicate); the predictor is a |states|-row grid (argmax by window
+    over the transition grid) that BROADCASTS to the test join; accuracy
+    is one hash-agg.""".format(split=_MKV_SPLIT)
+    from pyspark.sql import Window as W
+
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    wseq = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seq = seq.withColumn("nxt", F.lead("event_type").over(wseq)).filter(
+        F.col("nxt").isNotNull()
+    ).persist()
+    split = F.lit(_MKV_SPLIT).cast("timestamp")
+    train = (
+        seq.filter(F.col("ts") < split)
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = (
+        train.withColumn(
+            "r", F.row_number().over(W.partitionBy("src").orderBy(F.desc("c"), "dst"))
+        )
+        .filter(F.col("r") == 1)
+        .select("src", F.col("dst").alias("predicted"))
+    )
+    test = seq.filter(F.col("ts") >= split).select(
+        F.col("event_type").alias("src"), F.col("nxt").alias("actual")
+    )
+    scored = (
+        test.join(F.broadcast(pred), "src")
+        .groupBy("src", "predicted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .persist()
+    )
+    per_state = scored.select(
+        "src",
+        "predicted",
+        "n",
+        "n_correct",
+        F.expr("n_correct * 10000 div n").cast("bigint").alias("accuracy_bp"),
+    )
+    rollup = scored.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("n_correct").cast("bigint").alias("n_correct"),
+    ).select(
+        F.lit("ALL").alias("src"),
+        F.lit(None).cast("string").alias("predicted"),
+        "n",
+        "n_correct",
+        F.expr("n_correct * 10000 div n").cast("bigint").alias("accuracy_bp"),
+    )
+    return per_state.unionByName(rollup).orderBy("src")

@@ -851,3 +851,130 @@ def matryoshka_truncation_agreement(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("qid")
     )
+
+
+# q436 (round 7): Johnson–Lindenstrauss random-projection distortion
+# audit — the measurement that licenses 64-d → 16-d dimensionality
+# reduction before ANN/clustering (the JL lemma promises pairwise
+# distances survive; this query measures by how much on OUR corpus).
+_JL_K = 16       # target dimensionality
+_JL_PAIR_GAP = 250  # pair (a, a + gap) — deterministic pair sample
+_JL_P0 = 20      # first corpus id (skip centroid/query reserves)
+# deterministic ±1 projection signs: parity of a Weyl-style integer mix,
+# identical literal arithmetic both engines
+_JL_SIGN = "(CASE WHEN ({i} * 2654435761 + {j} * 40503) % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+@query(
+    "q436_jl_projection_distortion",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS q
+      FROM embeddings WHERE vec_id >= {_JL_P0}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             [a.q[i + 1] - b.q[i + 1] FOR i IN range(64)] AS dv
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + {_JL_PAIR_GAP}
+    ),
+    proj AS (
+      SELECT a_id, b_id,
+             list_sum([dv[i + 1] * dv[i + 1] FOR i IN range(64)]) AS d2_full,
+             [list_sum([dv[i + 1]
+                        * (CASE WHEN (i * 2654435761 + j * 40503) % 2 = 0
+                                THEN 1 ELSE -1 END)
+                        FOR i IN range(64)])
+              FOR j IN range({_JL_K})] AS y
+      FROM pairs
+    ),
+    ratio AS (
+      SELECT a_id, b_id, d2_full,
+             list_sum([y[j + 1] * y[j + 1] FOR j IN range({_JL_K})]) AS d2_proj,
+             (list_sum([y[j + 1] * y[j + 1] FOR j IN range({_JL_K})]) * 10000
+              // ({_JL_K} * d2_full))::BIGINT AS ratio_bp
+      FROM proj WHERE d2_full > 0
+    )
+    SELECT (ratio_bp // 2500)::BIGINT AS band,
+           count(*)::BIGINT AS n_pairs,
+           min(ratio_bp)::BIGINT AS min_ratio_bp,
+           max(ratio_bp)::BIGINT AS max_ratio_bp,
+           (sum(ratio_bp) // count(*))::BIGINT AS mean_ratio_bp
+    FROM ratio GROUP BY 1 ORDER BY 1
+    """,
+    tags=("similarity", "johnson-lindenstrauss", "projection", "audit"),
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project every sampled
+    pair's DIFFERENCE vector through a deterministic ±1 sign matrix
+    (Achlioptas construction — the sign is the parity of an integer
+    Weyl mix of (i, j), identical literal arithmetic in both engines,
+    no RNG) down to {k} dims, and band the squared-distance ratio
+    d²_proj/(k·d²_full) in basis points (10000 = distances perfectly
+    preserved in expectation). The histogram of bands IS the empirical
+    JL guarantee for this corpus — the go/no-go before serving reduced
+    vectors.
+
+    Scale posture: pairs come from an equi self-join at a fixed id gap
+    (deterministic sampling, no cross product); projection and both
+    norms are map-side integer array algebra per pair; output is a
+    constant-size band grid. At 100 TB the same audit runs on any
+    sampled pair table.""".format(k=_JL_K)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "q"
+        ),
+    ).filter(F.col("vec_id") >= _JL_P0)
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            F.col("b.vec_id") == F.col("a.vec_id") + _JL_PAIR_GAP,
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.expr(
+                "zip_with(a.q, b.q, (x, y) -> x - y)"
+            ).alias("dv"),
+        )
+    )
+    proj_cols = ", ".join(
+        "aggregate(zip_with(dv, sequence(0, 63), (d, i) -> d * "
+        + _JL_SIGN.format(i="i", j=j)
+        + "), CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        for j in range(_JL_K)
+    )
+    proj = pairs.select(
+        "a_id",
+        "b_id",
+        F.expr(
+            "aggregate(zip_with(dv, dv, (x, y) -> x * y), CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + t)"
+        ).alias("d2_full"),
+        F.expr(f"array({proj_cols})").alias("y"),
+    )
+    ratio = proj.filter(F.col("d2_full") > 0).select(
+        F.expr(
+            "aggregate(zip_with(y, y, (a, b) -> a * b), CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + t)"
+        ).alias("d2_proj"),
+        "d2_full",
+    ).select(
+        F.expr(f"CAST(d2_proj * 10000 div ({_JL_K} * d2_full) AS BIGINT)").alias(
+            "ratio_bp"
+        )
+    )
+    return (
+        ratio.groupBy(F.expr("CAST(ratio_bp div 2500 AS BIGINT)").alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("ratio_bp").cast("bigint").alias("min_ratio_bp"),
+            F.max("ratio_bp").cast("bigint").alias("max_ratio_bp"),
+            F.expr("CAST(sum(ratio_bp) div count(1) AS BIGINT)").alias(
+                "mean_ratio_bp"
+            ),
+        )
+        .orderBy("band")
+    )

@@ -780,3 +780,111 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c",
         F.sum(step).over(wcum).cast("bigint").alias("surv_mu_ln"),
     )
+
+
+# q438 (round 7): two-proportion experiment sizing — the power-analysis
+# step BEFORE q258's A/B z-test: given pilot-week conversion rates per
+# hash-assigned arm, how many users per arm does a properly powered
+# experiment need? z constants are shared literals (α=0.05 two-sided,
+# power=0.80); rates come from the same deterministic porthash
+# assignment as the A/B test itself.
+_SS_PILOT_END = "2024-01-08"
+_SS_Z_ALPHA = 1.959964  # z_{0.975}
+_SS_Z_BETA = 0.841621   # z_{0.80}
+
+
+@query(
+    "q438_experiment_sample_size",
+    oracle=f"""
+    WITH pilot AS (
+      SELECT user_id,
+             ({tok_hash_expr(chr(39) + 'ab-' + chr(39) + " || user_id::VARCHAR", dialect="duckdb")}) % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase'
+                      AND value >= {_AB_CONV_MIN} THEN 1 ELSE 0 END) AS conv
+      FROM events
+      WHERE ts < TIMESTAMP '{_SS_PILOT_END} 00:00:00'
+      GROUP BY 1, 2
+    ),
+    arms AS (
+      SELECT arm, count(*)::BIGINT AS n_users, sum(conv)::BIGINT AS n_conv,
+             (sum(conv) * 10000 // count(*))::BIGINT AS rate_bp
+      FROM pilot GROUP BY 1
+    ),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN rate_bp END) AS p1_bp,
+             max(CASE WHEN arm = 1 THEN rate_bp END) AS p2_bp,
+             max(CASE WHEN arm = 0 THEN n_users END) AS n1,
+             max(CASE WHEN arm = 1 THEN n_users END) AS n2
+      FROM arms
+    )
+    SELECT p1_bp::BIGINT AS p1_bp, p2_bp::BIGINT AS p2_bp, n1::BIGINT AS n_pilot_a,
+           n2::BIGINT AS n_pilot_b,
+           abs(p1_bp - p2_bp)::BIGINT AS delta_bp,
+           CAST(ceil(
+             ({_SS_Z_ALPHA} + {_SS_Z_BETA}) * ({_SS_Z_ALPHA} + {_SS_Z_BETA})
+             * ((p1_bp / 10000.0) * (1 - p1_bp / 10000.0)
+                + (p2_bp / 10000.0) * (1 - p2_bp / 10000.0))
+             / ((p1_bp / 10000.0 - p2_bp / 10000.0)
+                * (p1_bp / 10000.0 - p2_bp / 10000.0))
+           ) AS BIGINT) AS n_per_arm
+    FROM wide
+    """,
+    tags=("stats", "power-analysis", "experiment-sizing"),
+)
+def experiment_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size calculator: from the pilot week's
+    hash-assigned arms (same deterministic assignment as the A/B z-test
+    family) take each arm's conversion rate in integer basis points,
+    then n per arm = ⌈(z_α/2+z_β)²·(p₁q₁+p₂q₂)/Δ²⌉ at 5% two-sided
+    significance and 80% power — the calculation every experimentation
+    platform runs before committing traffic. Rates are integer floors;
+    the closed form is one double expression over those integers with
+    shared literal z constants, identical IEEE sequence both engines.
+
+    Scale posture: one filtered pass → per-user conversion flags
+    (map-side hash assignment, no assignment table) → a 2-row arm grid;
+    everything after is constant-size algebra."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(_SS_PILOT_END).cast("timestamp")
+    )
+    pilot = ev.groupBy(
+        "user_id",
+        F.expr(
+            "("
+            + tok_hash_expr("'ab-' || CAST(user_id AS STRING)", dialect="spark")
+            + ") % 2"
+        ).alias("arm"),
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= _AB_CONV_MIN),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    arms = pilot.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    ).withColumn("rate_bp", F.expr("n_conv * 10000 div n_users").cast("bigint"))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("rate_bp"))).alias("p1_bp"),
+        F.max(F.when(F.col("arm") == 1, F.col("rate_bp"))).alias("p2_bp"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n2"),
+    )
+    zsum = _SS_Z_ALPHA + _SS_Z_BETA
+    return wide.select(
+        F.col("p1_bp").cast("bigint").alias("p1_bp"),
+        F.col("p2_bp").cast("bigint").alias("p2_bp"),
+        F.col("n1").cast("bigint").alias("n_pilot_a"),
+        F.col("n2").cast("bigint").alias("n_pilot_b"),
+        F.abs(F.col("p1_bp") - F.col("p2_bp")).cast("bigint").alias("delta_bp"),
+        F.expr(
+            f"CAST(ceil(({_SS_Z_ALPHA} + {_SS_Z_BETA}) * ({_SS_Z_ALPHA} + {_SS_Z_BETA})"
+            " * ((p1_bp / 10000.0) * (1 - p1_bp / 10000.0)"
+            "    + (p2_bp / 10000.0) * (1 - p2_bp / 10000.0))"
+            " / ((p1_bp / 10000.0 - p2_bp / 10000.0)"
+            "    * (p1_bp / 10000.0 - p2_bp / 10000.0))) AS BIGINT)"
+        ).alias("n_per_arm"),
+    )

@@ -2093,3 +2093,131 @@ def maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("headline_bp"),
     )
     return z.unionByName(p).unionByName(v)
+
+
+# q435 (round 7): ABC-XYZ inventory classification — the planner's 3×3
+# matrix combining revenue concentration (ABC: q203's Pareto cut turned
+# into per-item classes) with demand variability (XYZ: coefficient of
+# variation over the monthly demand series, zero months included).
+_ABC_A_BP = 8000   # A: first 80% of cumulative revenue
+_ABC_B_BP = 9500   # B: to 95%
+_XYZ_BUCKET = 1_000_000  # two-level cumsum bucket width (cents)
+
+
+@query(
+    "q435_abc_xyz_classification",
+    oracle=f"""
+    WITH months AS (
+      SELECT count(DISTINCT date_trunc('month', l_shipdate))::BIGINT AS w
+      FROM lineitem
+    ),
+    demand AS (
+      SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+             sum(l_quantity)::BIGINT AS q,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS r
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             sum(q)::BIGINT AS s, sum(q * q)::BIGINT AS qq,
+             sum(r)::BIGINT AS rev_c
+      FROM demand GROUP BY 1
+    ),
+    tot AS (SELECT sum(rev_c)::BIGINT AS total_rev FROM per_part),
+    ranked AS (
+      SELECT l_partkey, rev_c, s, qq,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum_rev
+      FROM per_part
+    )
+    SELECT l_partkey AS part_key, rev_c,
+           (cum_rev * 10000 // total_rev)::BIGINT AS cum_share_bp,
+           CASE WHEN cum_rev * 10000 // total_rev <= {_ABC_A_BP} THEN 'A'
+                WHEN cum_rev * 10000 // total_rev <= {_ABC_B_BP} THEN 'B'
+                ELSE 'C' END AS abc,
+           -- cv² = (W·ΣQ² − S²)/S² vs 0.25 / 1.0, cross-multiplied:
+           CASE WHEN s = 0 THEN 'Z'
+                WHEN 4 * (w * qq - s * s) <= s * s THEN 'X'
+                WHEN (w * qq - s * s) <= s * s THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM ranked CROSS JOIN months CROSS JOIN tot
+    ORDER BY part_key
+    """,
+    tags=("warehouse", "inventory", "abc-xyz", "classification"),
+)
+def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-XYZ classification: every part gets a revenue class (A/B/C by
+    cumulative-share Pareto cut at 80/95%) and a demand-stability class
+    (X/Y/Z by coefficient of variation of its MONTHLY demand with zero
+    months counted — the planner's forecastability axis). The zero
+    months never materialize: with W = global month count broadcast,
+    Var·W² = W·ΣQ² − S² uses only observed-month sufficient statistics
+    (zeros add nothing to S or ΣQ²), and the cv thresholds (0.5, 1.0)
+    compare cross-multiplied integers — no dense (part × month) fill,
+    no sqrt, no division.
+
+    Scale posture: one (part, month) partial agg, one per-part rollup,
+    and the ABC cumulative runs as the two-level bucket cumsum over the
+    PART dimension (million-row scale at 100 TB — exactly why the
+    global window is banned) with (revenue DESC, part) total order."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", F.col("l_shipdate")).alias("m"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("r"),
+    )
+    months = F.broadcast(
+        li.agg(F.countDistinct("m").cast("bigint").alias("w"))
+    )
+    demand = li.groupBy("l_partkey", "m").agg(
+        F.sum("q").alias("q"), F.sum("r").alias("r")
+    )
+    per_part = demand.groupBy("l_partkey").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+        F.sum("r").cast("bigint").alias("rev_c"),
+    )
+    tot = F.broadcast(per_part.agg(F.sum("rev_c").alias("total_rev")))
+    # two-level cumulative over (rev DESC, part): bucket on negated revenue
+    b = per_part.withColumn("bucket", F.expr(f"(-rev_c) div {_XYZ_BUCKET}"))
+    w_loc = (
+        W.partitionBy("bucket")
+        .orderBy(F.desc("rev_c"), "l_partkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = b.withColumn("lc", F.sum("rev_c").over(w_loc))
+    totals = b.groupBy("bucket").agg(F.sum("rev_c").alias("t"))
+    starts = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("b.bucket") < F.col("a.bucket"), "left")
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.coalesce(F.sum("b.t"), F.lit(0)).alias("st"))
+    )
+    ranked = local.join(F.broadcast(starts), "bucket").withColumn(
+        "cum_rev", F.col("st") + F.col("lc")
+    )
+    return (
+        ranked.crossJoin(months)
+        .crossJoin(tot)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            "rev_c",
+            F.expr("cum_rev * 10000 div total_rev").cast("bigint").alias(
+                "cum_share_bp"
+            ),
+            F.expr(
+                f"CASE WHEN cum_rev * 10000 div total_rev <= {_ABC_A_BP} THEN 'A'"
+                f" WHEN cum_rev * 10000 div total_rev <= {_ABC_B_BP} THEN 'B'"
+                " ELSE 'C' END"
+            ).alias("abc"),
+            F.expr(
+                "CASE WHEN s = 0 THEN 'Z'"
+                " WHEN 4 * (w * qq - s * s) <= s * s THEN 'X'"
+                " WHEN (w * qq - s * s) <= s * s THEN 'Y'"
+                " ELSE 'Z' END"
+            ).alias("xyz"),
+        )
+        .orderBy("part_key")
+    )

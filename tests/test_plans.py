@@ -2491,3 +2491,42 @@ def test_ppr_iterates_join_agg_rounds(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.has_partial_agg
     assert "TakeOrderedAndProject" in facts.text
+
+
+def test_abc_xyz_two_level_pareto_no_dense_fill(spark, sf_dir):
+    """q435: the ABC cumulative is the two-level bucket cumsum over the
+    part dimension (no global window); XYZ variance uses observed-month
+    sufficient statistics only (no part×month dense grid: exactly two
+    aggregates above the scan)."""
+    facts = audit_of(spark, sf_dir, "q435_abc_xyz_classification")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_jl_projection_map_side_band_grid(spark, sf_dir):
+    """q436: the pair join is an equi join at a fixed id gap; projection
+    and norms are map-side array algebra; output is a constant band
+    grid (one partial agg, no window)."""
+    facts = audit_of(spark, sf_dir, "q436_jl_projection_distortion")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+
+
+def test_markov_backtest_broadcast_predictor(spark, sf_dir):
+    """q437: one sequence pass (per-user-day windows) serves train and
+    test; the |states|-row predictor broadcasts to the test join."""
+    facts = audit_of(spark, sf_dir, "q437_markov_next_event_accuracy")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert not facts.has_cartesian
+
+
+def test_sample_size_map_side_assignment(spark, sf_dir):
+    """q438: arm assignment is a map-side portable hash (no assignment
+    table, no join before the per-user agg); the arm grid is 2 rows."""
+    facts = audit_of(spark, sf_dir, "q438_experiment_sample_size")
+    assert facts.join_strategies == {}
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
