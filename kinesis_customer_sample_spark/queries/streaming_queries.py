@@ -1290,3 +1290,75 @@ def stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("preceded_cents"),
     )
 
+
+
+@query(
+    "q439_stream_histogram_quantiles",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type,
+             least(CAST(round(value * 100) AS BIGINT) // 2500, 19) AS bin
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type, bin, count(*)::BIGINT AS c FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, c,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM cnt
+    ),
+    qs AS (SELECT unnest([5000, 9000, 9900]) AS p_bp),
+    hit AS (
+      SELECT c.event_type, q.p_bp, min(c.bin) AS qbin,
+             min(c.n)::BIGINT AS n
+      FROM cum c CROSS JOIN qs q
+      WHERE c.cum >= (c.n * q.p_bp + 9999) // 10000
+      GROUP BY 1, 2
+    )
+    SELECT event_type, min(n)::BIGINT AS n_obs,
+           max(CASE WHEN p_bp = 5000 THEN qbin * 2500 END)::BIGINT AS p50_lo_c,
+           max(CASE WHEN p_bp = 9000 THEN qbin * 2500 END)::BIGINT AS p90_lo_c,
+           max(CASE WHEN p_bp = 9900 THEN qbin * 2500 END)::BIGINT AS p99_lo_c
+    FROM hit GROUP BY 1
+    ORDER BY event_type
+    """,
+    tags=("streaming", "stateful", "quantile", "sketch"),
+)
+def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming histogram quantiles — q211's mergeable fixed-bin
+    histogram carried as keyed STREAM STATE (`applyInPandasWithState`):
+    per event type the state is a constant 20-bin count vector over
+    value cents, each micro-batch folds its rows in by vector addition
+    (associative + commutative — retry- and repartition-safe), and the
+    emitted p50/p90/p99 are the bin floors at ceil(n·p) rank. The batch
+    oracle derives identical quantiles from a windowed cumulative over
+    the same bins — stream/batch equivalence is the correctness gate
+    (the q51/q52 discipline), and the final row per key is the max-n_obs
+    update.
+
+    Scale posture: state is 20 longs per key REGARDLESS of stream
+    length — the sketch property that lets a billion-event key hold
+    constant store size (RocksDB-ready like every stateful op here);
+    quantile extraction is O(bins) at emit time."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import (
+        hist_quantile_stream,
+    )
+
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    updates = run_to_completion(hist_quantile_stream(ev), output_mode="update")
+    return (
+        updates.groupBy("event_type")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max_by("p50_lo_c", "n_obs").alias("p50_lo_c"),
+            F.max_by("p90_lo_c", "n_obs").alias("p90_lo_c"),
+            F.max_by("p99_lo_c", "n_obs").alias("p99_lo_c"),
+        )
+        .orderBy("event_type")
+    )

@@ -604,3 +604,69 @@ def twap_stream(obs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram state (q439): per event_type the state is a
+# 20-bin count vector over value cents — the constant-size mergeable sketch
+# that answers any quantile at read time (q211's batch histogram carried as
+# stream state). Bins merge by vector addition, so the operator is
+# associative/commutative — the property that makes it safe under retries
+# and repartitioning.
+
+HIST_NBINS = 20
+HIST_BIN_W_C = 2500  # cents per bin ($25); values cap into the last bin
+HIST_OUT_SCHEMA = (
+    "event_type string, n_obs long, p50_lo_c long, p90_lo_c long, p99_lo_c long"
+)
+HIST_STATE_SCHEMA = "bins array<long>, n_obs long"
+_HIST_QS_BP = (5000, 9000, 9900)
+
+
+def _hist_quantile_lo(bins: list, n: int, p_bp: int) -> int:
+    rank = (n * p_bp + 9999) // 10000
+    cum = 0
+    for i, c in enumerate(bins):
+        cum += c
+        if cum >= rank:
+            return i * HIST_BIN_W_C
+    return (HIST_NBINS - 1) * HIST_BIN_W_C
+
+
+def hist_quantile_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    bins, n = (
+        (list(state.get[0]), state.get[1]) if state.exists else ([0] * HIST_NBINS, 0)
+    )
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            c = int(round(float(v) * 100))
+            b = min(c // HIST_BIN_W_C, HIST_NBINS - 1)
+            bins[b] += 1
+            n += 1
+    state.update((bins, n))
+    qs = [_hist_quantile_lo(bins, n, p) for p in _HIST_QS_BP]
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_obs": n,
+                "p50_lo_c": qs[0],
+                "p90_lo_c": qs[1],
+                "p99_lo_c": qs[2],
+            }
+        ]
+    )
+
+
+def hist_quantile_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-type histogram-quantile state (update mode: each
+    micro-batch emits the type's current p50/p90/p99 bin floors)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        hist_quantile_fn,
+        outputStructType=HIST_OUT_SCHEMA,
+        stateStructType=HIST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -492,3 +492,62 @@ def test_kmv_sketch_merge_invariance(spark, sf_dir):
     )
     merged = [r.h for r in per_shard.orderBy("h").limit(_KMV_K).collect()]
     assert whole == merged
+
+
+def test_stream_hist_quantiles_multibatch_equals_batch(spark, sf_dir):
+    """q439's histogram state must MERGE across micro-batch boundaries:
+    replay events as three files with maxFilesPerTrigger=1 and check the
+    final per-type quantile floors equal the one-shot batch derivation
+    (bin-count vectors are associative — three partial folds must land on
+    the same histogram)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.registry import load_registry
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.stateful import (
+        hist_quantile_stream,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    pdf = ev.orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    with tempfile.TemporaryDirectory() as td:
+        n = len(pdf)
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            pdf.iloc[lo : lo + (n + 2) // 3].to_parquet(
+                os.path.join(td, f"part-{i}.parquet"), index=False
+            )
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td)
+        )
+        updates = run_to_completion(
+            hist_quantile_stream(stream.select("event_type", "value")),
+            output_mode="update",
+        )
+        final = (
+            updates.groupBy("event_type")
+            .agg(
+                F.max("n_obs").alias("n_obs"),
+                F.max_by("p50_lo_c", "n_obs").alias("p50_lo_c"),
+                F.max_by("p90_lo_c", "n_obs").alias("p90_lo_c"),
+                F.max_by("p99_lo_c", "n_obs").alias("p99_lo_c"),
+            )
+            .toPandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+    reg = load_registry()
+    batch = (
+        reg["q439_stream_histogram_quantiles"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert final.equals(batch)
