@@ -2449,7 +2449,7 @@ def test_ivf_probe_prunes_candidates(spark, sf_dir):
 
 
 def test_jw_blocked_pairs_broadcast_topk(spark, sf_dir):
-    """q431: candidate pairs come from the first-token block equi-join of
+    """q431: candidate pairs come from the two-token block equi-join of
     the persisted title table (never n²); top-k is
     TakeOrderedAndProject; the UDF is Arrow-batched (ArrowEvalPython),
     not row-at-a-time BatchEvalPython."""
