@@ -2530,3 +2530,48 @@ def test_sample_size_map_side_assignment(spark, sf_dir):
     assert facts.join_strategies == {}
     assert facts.has_partial_agg
     assert "Window" not in facts.text
+
+
+def test_mase_grid_joins_above_partial_agg(spark, sf_dir):
+    """q440: both lag alignments join the aggregated (type, day) grid
+    with itself — partial agg below, no cartesian, no window at all."""
+    facts = audit_of(spark, sf_dir, "q440_mase_smape_scorecard")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+    assert "Window" not in facts.text
+
+
+def test_croston_secondary_sort_single_python_pass(spark, sf_dir):
+    """q441: the sequential recursion is ONE mapInPandas over a
+    repartition-by-part + sortWithinPartitions stream (the q297
+    pattern): exactly one Python eval, Arrow-batched, above a partial
+    agg; the brand dimension broadcasts."""
+    facts = audit_of(spark, sf_dir, "q441_croston_intermittent")
+    # one plan node (the formatted plan lists every node twice: tree + detail)
+    assert facts.text.count("MapInPandas") in (1, 2)
+    assert "FlatMapGroupsInPandas" not in facts.text
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "BatchEvalPython" not in facts.text
+
+
+def test_acf_broadcast_lag_dimension(spark, sf_dir):
+    """q442/q443: the lag grid is a broadcast nested-loop against the
+    aggregated day grid (constant rows), the pair alignment an equi
+    join, and the stats one partial hash-agg — never a row-level
+    cartesian of the fact table."""
+    for name in ("q442_acf_profile", "q443_leadlag_crosscorr"):
+        facts = audit_of(spark, sf_dir, name)
+        assert facts.has_partial_agg
+        # the 7-row lag dim crossJoin must be the broadcast variant
+        assert "BroadcastNestedLoopJoin" in facts.text
+        assert "CartesianProduct" not in facts.text
+
+
+def test_drawdown_windows_partitioned_by_segment(spark, sf_dir):
+    """q444: cumsum/running-peak/argmax windows are all partitioned per
+    segment over the day grid; the customer dim join broadcasts."""
+    facts = audit_of(spark, sf_dir, "q444_max_drawdown")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg

@@ -1122,3 +1122,43 @@ def test_interval_union_coverage_bounds_at_5m_rows(spark):
     naive = iv.agg(F.sum(F.col("hi") - F.col("lo"))).collect()[0][0]
     assert stats["covered"] <= naive
     assert stats["n_islands"] <= stats["n_iv"] == N
+
+
+def test_croston_state_survives_batch_splits_at_2m_rows(spark):
+    """q441's secondary-sort Croston at 2M demand occurrences / 100k
+    parts: one output row per part; the SES level z is a convex
+    combination of observed demands (min q ≤ z ≤ max q) and the
+    interval level p ≥ 1 — and the result is IDENTICAL under a tiny
+    Arrow batch size, proving the carry-state survives batch splits."""
+    from kinesis_customer_sample_spark.queries.forecast_eval_ops import croston_over
+
+    n, parts = 2_000_000, 100_000
+    weekly = spark.range(n).select(
+        (F.col("id") % parts).alias("pk"),
+        # strictly increasing weeks per part with irregular gaps
+        ((F.col("id") / parts).cast("long") * 3 + (F.col("id") % 5)).alias("w"),
+        ((F.col("id") * 13) % 97 + 1).alias("q"),
+    ).groupBy("pk", "w").agg(F.max("q").alias("q"))
+    out = croston_over(weekly).persist()
+    bounds = weekly.groupBy("pk").agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax")
+    )
+    joined = out.join(bounds, out.partkey == bounds.pk)
+    bad = joined.filter(
+        (F.col("size_level") < F.col("qmin") - 1e-9)
+        | (F.col("size_level") > F.col("qmax") + 1e-9)
+        | (F.col("interval_level") < 1.0 - 1e-9)
+    ).count()
+    assert bad == 0
+    assert out.count() == parts
+    # batch-split equivalence on a 100k-part slice with 1k-row batches
+    sub = weekly.filter(F.col("pk") < 5_000)
+    base = {r["partkey"]: r["forecast"] for r in croston_over(sub).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        split = {r["partkey"]: r["forecast"] for r in croston_over(sub).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert split == base
+    out.unpersist()
