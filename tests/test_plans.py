@@ -2575,3 +2575,52 @@ def test_drawdown_windows_partitioned_by_segment(spark, sf_dir):
     assert "No Partition Defined" not in facts.text
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert facts.has_partial_agg
+
+
+def test_theil_sen_pairs_on_month_grid(spark, sf_dir):
+    """q445: the pairwise-slope join is grid² on the aggregated
+    (nation, month) table — partial agg below it, dims broadcast, no
+    cartesian, and the median partitions by nation."""
+    facts = audit_of(spark, sf_dir, "q445_theil_sen_slope")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_huber_fixed_unroll_broadcast_centers(spark, sf_dir):
+    """q446: three fixed IRLS passes — each joins the broadcast 5-row
+    center grid, never a driver loop; no window, no cartesian."""
+    facts = audit_of(spark, sf_dir, "q446_huber_location")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_mutual_information_grid_only(spark, sf_dir):
+    """q447: one fact hash-agg to the 25-cell contingency grid; the MI
+    and H(X) reductions are grid algebra with broadcast marginals; the
+    1-row total travels by broadcast nested loop."""
+    facts = audit_of(spark, sf_dir, "q447_mutual_information")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "CartesianProduct" not in facts.text
+
+
+def test_lorenz_ntile_partitioned_by_region(spark, sf_dir):
+    """q448: the only row-level window is the per-region ntile (total
+    order, never `No Partition Defined`); cumulatives run on the
+    region×decile grid."""
+    facts = audit_of(spark, sf_dir, "q448_lorenz_curve")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert facts.has_partial_agg
+
+
+def test_yule_walker_reuses_acf_shape(spark, sf_dir):
+    """q449: same plan class as q442 — broadcast 2-row lag dim against
+    the day grid, one partial agg, closed-form projection (no extra
+    shuffle for the pivot beyond the stats agg)."""
+    facts = audit_of(spark, sf_dir, "q449_yule_walker_ar2")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "CartesianProduct" not in facts.text
