@@ -2624,3 +2624,52 @@ def test_yule_walker_reuses_acf_shape(spark, sf_dir):
     assert facts.has_partial_agg
     assert "BroadcastNestedLoopJoin" in facts.text
     assert "CartesianProduct" not in facts.text
+
+
+def test_kn_model_tables_are_build_sides(spark, sf_dir):
+    """q450: training produces vocabulary-sized model tables probed by
+    hash joins from the held-out scan; the 1-row type total broadcasts
+    (nested loop), and no cartesian of row-level inputs appears."""
+    facts = audit_of(spark, sf_dir, "q450_kn_bigram_heldout")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "CartesianProduct" not in facts.text
+
+
+def test_burrows_dense_grid_integer_sums(spark, sf_dir):
+    """q451: the dense source×word grid comes from a broadcast word dim;
+    the z-score stats and pair deltas are hash-aggs (no window)."""
+    facts = audit_of(spark, sf_dir, "q451_burrows_delta")
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_soundex_runs_on_vocabulary_not_corpus(spark, sf_dir):
+    """q452: soundex is computed on the DISTINCT-token table (after the
+    count hash-agg), so the string pipeline cost is vocabulary-sized;
+    plan shows agg-over-agg with no join at all."""
+    facts = audit_of(spark, sf_dir, "q452_soundex_blocking")
+    assert facts.has_partial_agg
+    assert facts.join_strategies == {}
+    assert "soundex" in facts.text
+
+
+def test_fs_pairs_blocked_weights_broadcast(spark, sf_dir):
+    """q453: candidate pairs come from the lang equi-join block (never a
+    cartesian); the 1-row pivoted weight table broadcasts back to the
+    scoring pass; top-k is TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q453_fellegi_sunter")
+    assert not facts.has_cartesian
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_novelty_cumsum_partitions_by_dim(spark, sf_dir):
+    """q454: the prefix cumsum partitions by dimension index (64
+    partitions) — never `No Partition Defined`; the per-vector reduce
+    is one partial hash-agg; top-k is TakeOrderedAndProject."""
+    facts = audit_of(spark, sf_dir, "q454_embedding_novelty")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+    assert "TakeOrderedAndProject" in facts.text
