@@ -1,0 +1,330 @@
+"""Risk & trainable-model wave (round 7, SURVEY.md §2B): empirical
+Value-at-Risk / Expected Shortfall (CVaR) over the daily revenue-change
+distribution, and a logistic-regression fit as PURE relational algebra —
+two fixed Newton–Raphson (IRLS) steps over integer-quantized sufficient
+statistics with a Cramer 3×3 solve, continuing the house 'trainable
+models as relational algebra' line (q377 Naive Bayes, q384 decision
+stump, q446 Huber IRLS). No counterpart in the reference snapshot
+(docs/user-guide.md:58-145); mandated by the expanded §2B surface.
+
+Cross-engine determinism:
+- VaR is a DISCRETE order statistic (k = ⌈αn⌉-th largest integer loss,
+  integer ranks, integer cents) and ES an integer tail mean — no
+  interpolation, no floats at all until the final division;
+- the logistic fit quantizes every per-row probability to ⌊10⁶σ⌋ and
+  every IRLS weight to (pµ·(10⁶−pµ)) div 10³ BEFORE aggregation, so
+  the gradient and Hessian are EXACT integer sums (the q151 discipline
+  applied to σ instead of ln); the 3×3 Cramer determinants are spelled
+  with the IDENTICAL textual expression in both dialects, so both
+  engines evaluate the same IEEE op sequence;
+- σ itself (the one transcendental) follows the house floor-quantize
+  precedent (q151's ln, q377's µ-nat scoring): both engines' libm
+  agree on these arguments, and the floor collapses sub-µ noise.
+
+Scale posture (100 TB):
+- CVaR works on the (segment, day) grid; ranked windows partition per
+  segment over the bounded day grid;
+- the logistic fit is TWO full map-side passes over the fact scan,
+  each reducing to a 10-integer sufficient-statistics row (partial
+  agg → broadcastable 1-row state); the Newton solve is driver-free
+  scalar algebra in the plan — iteration depth is a compile-time
+  constant, exactly like q446.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from kinesis_customer_sample_spark.catalog import table
+from kinesis_customer_sample_spark.registry import query
+
+# q455: tail level α as an exact rational (95%)
+_VAR_NUM, _VAR_DEN = 95, 100
+# q456: label + feature definitions over lineitem
+_LR_Y = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+_LR_X1 = "CAST(round(l_quantity) AS BIGINT)"
+_LR_X2 = "CAST(round(l_discount * 100) AS BIGINT)"
+
+
+@query(
+    "q455_expected_shortfall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg, date_trunc('day', o.o_orderdate) AS day,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    chg AS (
+      SELECT seg, day,
+             (lag(cents) OVER (PARTITION BY seg ORDER BY day) - cents)::BIGINT
+               AS loss
+      FROM daily
+    ),
+    ranked AS (
+      SELECT seg, loss,
+             row_number() OVER (PARTITION BY seg ORDER BY loss DESC, day) AS rn,
+             count(*) OVER (PARTITION BY seg) AS n
+      FROM chg WHERE loss IS NOT NULL
+    ),
+    var AS (
+      SELECT seg, n, loss AS var_cents,
+             (n - (({_VAR_NUM} * n) // {_VAR_DEN})) AS k
+      FROM ranked
+      WHERE rn = n - (({_VAR_NUM} * n) // {_VAR_DEN})
+    ),
+    es AS (
+      SELECT r.seg,
+             sum(r.loss)::BIGINT AS tail_sum, count(*)::BIGINT AS tail_n
+      FROM ranked r JOIN var v ON v.seg = r.seg AND r.rn <= v.k
+      GROUP BY 1
+    )
+    SELECT v.seg AS segment, v.n::BIGINT AS n_days, v.k::BIGINT AS tail_k,
+           v.var_cents,
+           round(CAST(e.tail_sum AS DOUBLE) / e.tail_n, 6) AS es_cents
+    FROM var v JOIN es e ON e.seg = v.seg
+    ORDER BY segment
+    """,
+    tags=("risk", "value-at-risk", "expected-shortfall", "window"),
+)
+def expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical VaR{a} and Expected Shortfall (CVaR) of day-over-day
+    revenue DROPS per market segment: loss = yesterday − today in
+    cents; VaR is the k-th largest loss with k = n − ⌊αn⌋ (the
+    discrete upper-α quantile) and ES the mean of the k worst losses —
+    'when a bad day comes, how bad is the average bad day?'.
+
+    Determinism: losses are integer cents; the quantile is a pure
+    ORDER STATISTIC (integer ranks, day tie-break) — no interpolation;
+    ES is one integer-sum / count division at the end.
+
+    Scale: one codegen hash-agg to the (segment, day) grid; lag, rank
+    and the tail filter are windows partitioned per segment over the
+    bounded day grid; the 5-row VaR table joins back hash-side.""".format(
+        a=f"{_VAR_NUM}/{_VAR_DEN}"
+    )
+    daily = (
+        table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_trunc("day", "o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"))
+    )
+    w = W.partitionBy("seg").orderBy("day")
+    chg = daily.withColumn(
+        "loss", F.lag("cents").over(w) - F.col("cents")
+    ).filter(F.col("loss").isNotNull())
+    wr = W.partitionBy("seg").orderBy(F.desc("loss"), "day")
+    ranked = chg.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(W.partitionBy("seg"))
+    )
+    ranked = ranked.withColumn(
+        "k", F.expr(f"n - (({_VAR_NUM} * n) div {_VAR_DEN})")
+    )
+    var = ranked.filter(F.col("rn") == F.col("k")).select(
+        "seg", "n", "k", F.col("loss").alias("var_cents")
+    )
+    es = (
+        ranked.join(var.select("seg", F.col("k").alias("vk")), "seg")
+        .filter(F.col("rn") <= F.col("vk"))
+        .groupBy("seg")
+        .agg(F.sum("loss").alias("tail_sum"), F.count(F.lit(1)).alias("tail_n"))
+    )
+    return (
+        var.join(es, "seg")
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n").alias("n_days"),
+            F.col("k").alias("tail_k"),
+            "var_cents",
+            F.round(F.col("tail_sum").cast("double") / F.col("tail_n"), 6).alias(
+                "es_cents"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---- q456: shared textual algebra (identical in both dialects) -----------
+
+# sufficient statistics of one IRLS pass, given per-row integer weight
+# column `w` (micro-milli scale) and residual column `r` (micro scale)
+_LR_H = (
+    "sum(w)::BIGINT AS h00, sum(w * x1)::BIGINT AS h01, sum(w * x2)::BIGINT AS h02,"
+    " sum(w * x1 * x1)::BIGINT AS h11, sum(w * x1 * x2)::BIGINT AS h12,"
+    " sum(w * x2 * x2)::BIGINT AS h22,"
+    " sum(r)::BIGINT AS g0, sum(r * x1)::BIGINT AS g1, sum(r * x2)::BIGINT AS g2"
+)
+
+# Cramer 3×3 solve of H·δ = g (symmetric H), scale 1e3 (w is µ·m, g is µ):
+# spelled ONCE and used verbatim in both engines so the IEEE op sequence
+# is identical.
+_LR_DET = (
+    "(CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)"
+    " - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))"
+    " - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h22 AS DOUBLE)"
+    " - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))"
+    " + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h12 AS DOUBLE)"
+    " - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)))"
+)
+_LR_D0 = (
+    "(CAST(g0 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(h22 AS DOUBLE)"
+    " - CAST(h12 AS DOUBLE) * CAST(h12 AS DOUBLE))"
+    " - CAST(h01 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE)"
+    " - CAST(h12 AS DOUBLE) * CAST(g2 AS DOUBLE))"
+    " + CAST(h02 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h12 AS DOUBLE)"
+    " - CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)))"
+)
+_LR_D1 = (
+    "(CAST(h00 AS DOUBLE) * (CAST(g1 AS DOUBLE) * CAST(h22 AS DOUBLE)"
+    " - CAST(g2 AS DOUBLE) * CAST(h12 AS DOUBLE))"
+    " - CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h22 AS DOUBLE)"
+    " - CAST(h12 AS DOUBLE) * CAST(h02 AS DOUBLE))"
+    " + CAST(h02 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(g2 AS DOUBLE)"
+    " - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE)))"
+)
+_LR_D2 = (
+    "(CAST(h00 AS DOUBLE) * (CAST(h11 AS DOUBLE) * CAST(g2 AS DOUBLE)"
+    " - CAST(h12 AS DOUBLE) * CAST(g1 AS DOUBLE))"
+    " - CAST(h01 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(g2 AS DOUBLE)"
+    " - CAST(g1 AS DOUBLE) * CAST(h02 AS DOUBLE))"
+    " + CAST(g0 AS DOUBLE) * (CAST(h01 AS DOUBLE) * CAST(h12 AS DOUBLE)"
+    " - CAST(h11 AS DOUBLE) * CAST(h02 AS DOUBLE)))"
+)
+# δ_j = 1000 · det_j / det  (w carries µ·10⁻³, g carries µ)
+_LR_STEP = (
+    f"1000.0 * {_LR_D0} / {_LR_DET} AS d0,"
+    f" 1000.0 * {_LR_D1} / {_LR_DET} AS d1,"
+    f" 1000.0 * {_LR_D2} / {_LR_DET} AS d2"
+)
+# per-row quantized sigmoid at (b0, b1, b2)
+_LR_PMU = (
+    "CAST(floor(1000000.0 /"
+    " (1.0 + exp(-(b0 + b1 * x1 + b2 * x2)))) AS BIGINT)"
+)
+
+
+@query(
+    "q456_logistic_newton",
+    oracle=f"""
+    WITH r AS (
+      SELECT {_LR_Y} AS y, {_LR_X1} AS x1, {_LR_X2} AS x2 FROM lineitem
+    ),
+    -- step 1 from β = 0: σ = 1/2 exactly, so pµ = 500000 and
+    -- wq = (500000·500000) div 1000 = 250000000 are CONSTANTS
+    s1 AS (
+      SELECT {_LR_H}
+      FROM (SELECT x1, x2, 250000000 AS w,
+                   (y * 1000000 - 500000)::BIGINT AS r
+            FROM r)
+    ),
+    b1 AS (SELECT {_LR_STEP} FROM s1),
+    p2 AS (
+      SELECT r.y, r.x1, r.x2,
+             {_LR_PMU.replace('b0', 'b.d0').replace('b1 * x1', 'b.d1 * x1')
+                     .replace('b2 * x2', 'b.d2 * x2')} AS pmu
+      FROM r CROSS JOIN b1 b
+    ),
+    s2 AS (
+      SELECT {_LR_H}
+      FROM (SELECT x1, x2, (pmu * (1000000 - pmu)) // 1000 AS w,
+                   (y * 1000000 - pmu)::BIGINT AS r
+            FROM p2)
+    ),
+    b2 AS (SELECT {_LR_STEP} FROM s2),
+    fit AS (
+      SELECT a.d0 + b.d0 AS b0, a.d1 + b.d1 AS b1, a.d2 + b.d2 AS b2
+      FROM b1 a CROSS JOIN b2 b
+    ),
+    pred AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN {_LR_PMU.replace('b0', 'f.b0')
+                              .replace('b1 * x1', 'f.b1 * x1')
+                              .replace('b2 * x2', 'f.b2 * x2')} >= 500000
+                      THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos,
+             sum(y)::BIGINT AS n_pos
+      FROM r CROSS JOIN fit f
+    )
+    SELECT p.n, p.n_pos, p.n_pred_pos,
+           round(f.b0, 6) AS beta0, round(f.b1, 6) AS beta1,
+           round(f.b2, 6) AS beta2
+    FROM fit f CROSS JOIN pred p
+    """,
+    tags=("model-training", "logistic-regression", "newton", "irls"),
+)
+def logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression P(returnflag='R' | quantity, discount) fit
+    with TWO fixed Newton–Raphson steps from β=0, entirely as
+    relational algebra: each step is one map-side pass reducing to a
+    10-integer sufficient-statistics row (Hessian + gradient), then a
+    Cramer 3×3 solve in the projection — the q446 fixed-unroll
+    discipline applied to a real GLM.
+
+    Determinism: per-row σ quantizes to ⌊10⁶σ⌋ and IRLS weights to
+    (pµ·(10⁶−pµ)) div 10³ BEFORE aggregation (exact integer sums,
+    overflow-safe by construction: |H| ≤ 2.5·10⁸·50²·n); the Cramer
+    determinants are the IDENTICAL textual double expression in both
+    dialects; step 1 is closed-form (σ(0)=½ exactly). Only exp's libm
+    agreement is assumed — same class as the house ln precedent.
+
+    Scale: two fact-scan passes (β=0 pass folds into the moments agg),
+    each a partial map-side agg to ONE row; the β state travels by
+    broadcast nested-loop (1-row cross join); no driver loop, no
+    collect — the whole fit is a single static plan."""
+    r = table(spark, sf_dir, "lineitem").select(
+        F.expr(_LR_Y).alias("y"),
+        F.expr(_LR_X1).alias("x1"),
+        F.expr(_LR_X2).alias("x2"),
+    )
+    h_cols = _LR_H.replace("::BIGINT", "")  # Spark sums of BIGINT stay BIGINT
+    s1 = r.selectExpr(
+        "x1", "x2", "CAST(250000000 AS BIGINT) AS w",
+        "CAST(y * 1000000 - 500000 AS BIGINT) AS r",
+    ).selectExpr(*[c.strip() for c in h_cols.split(",")])
+    b1 = s1.selectExpr(*[c.strip() for c in _LR_STEP.split(",")])
+    pmu1 = (
+        _LR_PMU.replace("b0", "d0")
+        .replace("b1 * x1", "d1 * x1")
+        .replace("b2 * x2", "d2 * x2")
+    )
+    p2 = r.crossJoin(F.broadcast(b1)).selectExpr(
+        "y", "x1", "x2", f"{pmu1} AS pmu"
+    )
+    s2 = p2.selectExpr(
+        "x1", "x2", "(pmu * (1000000 - pmu)) div 1000 AS w",
+        "CAST(y * 1000000 - pmu AS BIGINT) AS r",
+    ).selectExpr(*[c.strip() for c in h_cols.split(",")])
+    b2 = s2.selectExpr(*[c.strip() for c in _LR_STEP.split(",")])
+    fit = (
+        b1.selectExpr("d0 AS a0", "d1 AS a1", "d2 AS a2")
+        .crossJoin(F.broadcast(b2))
+        .selectExpr("a0 + d0 AS b0", "a1 + d1 AS b1", "a2 + d2 AS b2")
+    )
+    pmu_fit = _LR_PMU  # uses b0/b1/b2 as produced by fit
+    pred = (
+        r.crossJoin(F.broadcast(fit))
+        .selectExpr("y", f"{pmu_fit} AS pmu")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CASE WHEN pmu >= 500000 THEN 1 ELSE 0 END")).alias(
+                "n_pred_pos"
+            ),
+            F.sum("y").alias("n_pos"),
+        )
+    )
+    return pred.crossJoin(F.broadcast(fit)).select(
+        "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_pred_pos").cast("long").alias("n_pred_pos"),
+        F.round("b0", 6).alias("beta0"),
+        F.round("b1", 6).alias("beta1"),
+        F.round("b2", 6).alias("beta2"),
+    )

@@ -2673,3 +2673,25 @@ def test_novelty_cumsum_partitions_by_dim(spark, sf_dir):
     assert "No Partition Defined" not in facts.text
     assert facts.has_partial_agg
     assert "TakeOrderedAndProject" in facts.text
+
+
+def test_es_order_statistic_partitioned(spark, sf_dir):
+    """q455: lag/rank/tail windows all partition by segment over the day
+    grid; the customer dim broadcasts; no interpolating percentile —
+    the quantile is an integer order statistic (no `percentile` call in
+    the plan)."""
+    facts = audit_of(spark, sf_dir, "q455_expected_shortfall")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert "percentile" not in facts.text.lower()
+
+
+def test_logistic_two_passes_one_row_state(spark, sf_dir):
+    """q456: the fit is fixed-unroll — fact-scan passes reduce to 1-row
+    sufficient-statistics aggregates, and β state travels by broadcast
+    nested loop; no window, no driver-side iteration artifacts."""
+    facts = audit_of(spark, sf_dir, "q456_logistic_newton")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "Window" not in facts.text
+    assert "CartesianProduct" not in facts.text
