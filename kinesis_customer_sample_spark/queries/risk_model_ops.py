@@ -328,3 +328,83 @@ def logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b1", 6).alias("beta1"),
         F.round("b2", 6).alias("beta2"),
     )
+
+
+def _model_eval_capstone_oracle() -> str:
+    """q458's oracle COMPOSES the already-registered q420/q421/q437/q440
+    oracles verbatim (registry lookup, no text duplication — the q400
+    capstone discipline): each becomes a CTE rolled up to one report
+    row."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    ap = REGISTRY["q420_average_precision"].oracle
+    ece = REGISTRY["q421_expected_calibration_error"].oracle
+    mk = REGISTRY["q437_markov_next_event_accuracy"].oracle
+    ms = REGISTRY["q440_mase_smape_scorecard"].oracle
+    return f"""
+    WITH ap AS ({ap}), ece AS ({ece}), mk AS ({mk}), ms AS ({ms})
+    SELECT 'retrieval' AS domain, n_scored::BIGINT AS n_units,
+           (ap_mu // 100)::BIGINT AS headline_bp
+    FROM ap
+    UNION ALL
+    SELECT 'calibration', n_scored::BIGINT, ece_bp::BIGINT
+    FROM ece
+    UNION ALL
+    SELECT 'sequence', n::BIGINT, accuracy_bp::BIGINT
+    FROM mk WHERE src = 'ALL'
+    UNION ALL
+    SELECT 'forecast', sum(n_eval)::BIGINT,
+           CAST(round(max(mase) * 10000) AS BIGINT)
+    FROM ms
+    """
+
+
+@query(
+    "q458_model_eval_scorecard",
+    oracle=_model_eval_capstone_oracle(),
+    tags=("ml-eval", "capstone", "report"),
+)
+def model_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation scorecard — the round-7 capstone that unifies
+    four evaluation families into the one-page summary an ML platform
+    dashboard reads: retrieval quality (q420 average precision, bp),
+    probability calibration (q421 ECE, bp), sequence-model skill (q437
+    Markov next-event accuracy on the 'ALL' row, bp), and forecast
+    health (q440 worst-series MASE, bp). Both sides COMPOSE the
+    registered definitions verbatim — the Spark side calls the query
+    functions, the oracle splices their registered SQL (the q400
+    capstone discipline) — so the scorecard can never drift from the
+    metrics it summarizes.
+
+    Determinism: every headline is already integer bp/micro in its
+    source query, or a round() of an identical double (q440's mase).
+
+    Scale posture: four grid-sized inputs (see the composed queries'
+    own postures), each reduced to one row — the nightly model-health
+    query a scheduler alerts on."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    ap = REGISTRY["q420_average_precision"].fn(spark, sf_dir)
+    ece = REGISTRY["q421_expected_calibration_error"].fn(spark, sf_dir)
+    mk = REGISTRY["q437_markov_next_event_accuracy"].fn(spark, sf_dir)
+    ms = REGISTRY["q440_mase_smape_scorecard"].fn(spark, sf_dir)
+    r1 = ap.select(
+        F.lit("retrieval").alias("domain"),
+        F.col("n_scored").cast("long").alias("n_units"),
+        F.expr("ap_mu div 100").cast("long").alias("headline_bp"),
+    )
+    r2 = ece.select(
+        F.lit("calibration").alias("domain"),
+        F.col("n_scored").cast("long").alias("n_units"),
+        F.col("ece_bp").cast("long").alias("headline_bp"),
+    )
+    r3 = mk.filter(F.col("src") == "ALL").select(
+        F.lit("sequence").alias("domain"),
+        F.col("n").cast("long").alias("n_units"),
+        F.col("accuracy_bp").cast("long").alias("headline_bp"),
+    )
+    r4 = ms.agg(
+        F.sum("n_eval").cast("long").alias("n_units"),
+        F.expr("CAST(round(max(mase) * 10000) AS BIGINT)").alias("headline_bp"),
+    ).select(F.lit("forecast").alias("domain"), "n_units", "headline_bp")
+    return r1.unionByName(r2).unionByName(r3).unionByName(r4)

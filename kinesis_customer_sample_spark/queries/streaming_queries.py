@@ -1362,3 +1362,120 @@ def stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_PSI_LN6 = "CAST(floor(1000000.0 * ln(CAST({a} AS DOUBLE))) AS BIGINT)"
+
+
+@query(
+    "q457_stream_psi_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             least(CAST(round(value * 100) AS BIGINT) // 2500, 19) AS bin,
+             CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             sum(is_ref)::BIGINT AS ref_c,
+             sum(1 - is_ref)::BIGINT AS cur_c
+      FROM binned GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT t.event_type, b.bin,
+             coalesce(c.ref_c, 0) + 1 AS r,
+             coalesce(c.cur_c, 0) + 1 AS a
+      FROM (SELECT DISTINCT event_type FROM binned) t
+      CROSS JOIN (SELECT unnest(range(0, 20)) AS bin) b
+      LEFT JOIN cnt c ON c.event_type = t.event_type AND c.bin = b.bin
+    ),
+    tot AS (
+      SELECT event_type, sum(r)::BIGINT AS rr, sum(a)::BIGINT AS aa
+      FROM dense GROUP BY 1
+    )
+    SELECT d.event_type,
+           (t.rr - 20)::BIGINT AS n_ref,
+           (t.aa - 20)::BIGINT AS n_cur,
+           round(CAST(sum((d.a * t.rr - d.r * t.aa)
+                 * ({_PSI_LN6.format(a='d.a * t.rr')}
+                    - {_PSI_LN6.format(a='d.r * t.aa')}))::BIGINT AS DOUBLE)
+                 / CAST(t.aa * t.rr AS DOUBLE) / 1e6, 6) AS psi
+    FROM dense d JOIN tot t ON t.event_type = d.event_type
+    GROUP BY d.event_type, t.rr, t.aa
+    ORDER BY d.event_type
+    """,
+    tags=("streaming", "stateful", "psi", "drift"),
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor — q419's Population Stability Index
+    carried as keyed STREAM STATE: per event type the state is a pair
+    of constant 20-bin histograms (frozen reference = rows before the
+    2024-01-15 boundary, current = rows after), each micro-batch folds
+    in by vector addition (commutative — order-, retry- and
+    repartition-safe, the q439 discipline), and PSI is computed AFTER
+    the stream in Spark SQL over the final emitted vectors with the
+    +1-smoothed integer micro-nat algebra — no transcendental ever
+    runs in Python, so the stream and the batch oracle share the exact
+    ln-of-integers terms.
+
+    Scale posture: state is 2×20 longs per key regardless of stream
+    length; the monitor pattern at 100 TB is this exact shape with the
+    reference frozen by a deployment timestamp and PSI alerts read off
+    each micro-batch emit."""
+    from kinesis_customer_sample_spark.streaming.replay import (
+        events_stream,
+        run_to_completion,
+    )
+    from kinesis_customer_sample_spark.streaming.stateful import psi_drift_stream
+
+    ev = events_stream(spark, sf_dir).select("event_type", "ts", "value")
+    updates = run_to_completion(psi_drift_stream(ev), output_mode="update")
+    final = (
+        updates.withColumn("n_tot", F.col("n_ref") + F.col("n_cur"))
+        .groupBy("event_type")
+        .agg(
+            F.max_by("ref_bins", "n_tot").alias("ref_bins"),
+            F.max_by("cur_bins", "n_tot").alias("cur_bins"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+        )
+    )
+    ln6 = "CAST(floor(1000000.0 * ln(CAST({a} AS DOUBLE))) AS BIGINT)"
+    dense = final.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.posexplode(F.arrays_zip("ref_bins", "cur_bins")).alias("bin", "z"),
+    ).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (F.col("z.ref_bins") + 1).alias("r"),
+        (F.col("z.cur_bins") + 1).alias("a"),
+        (F.col("n_ref") + 20).alias("rr"),
+        (F.col("n_cur") + 20).alias("aa"),
+    )
+    return (
+        dense.groupBy("event_type", "n_ref", "n_cur", "rr", "aa")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(a * rr - r * aa) * ({ln6.format(a='a * rr')} "
+                    f"- {ln6.format(a='r * aa')})"
+                )
+            ).alias("psi_sum")
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.round(
+                F.col("psi_sum").cast("double")
+                / (F.col("aa") * F.col("rr")).cast("double")
+                / 1e6,
+                6,
+            ).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

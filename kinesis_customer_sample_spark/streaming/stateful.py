@@ -670,3 +670,60 @@ def hist_quantile_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- q457: streaming PSI drift monitor ------------------------------------
+# Reference/current split at a FIXED event-time boundary so the fold stays
+# commutative (order- and repartition-safe): rows before the boundary build
+# the frozen reference histogram, rows after it the current one. PSI itself
+# is computed OUTSIDE the stream (Spark SQL over the emitted bin vectors),
+# so no transcendental ever runs in Python.
+PSI_SPLIT_TS = "2024-01-15"
+PSI_OUT_SCHEMA = (
+    "event_type string, n_ref long, n_cur long, "
+    "ref_bins array<long>, cur_bins array<long>"
+)
+PSI_STATE_SCHEMA = "ref_bins array<long>, cur_bins array<long>"
+
+
+def psi_drift_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        ref, cur = list(state.get[0]), list(state.get[1])
+    else:
+        ref, cur = [0] * HIST_NBINS, [0] * HIST_NBINS
+    split = pd.Timestamp(PSI_SPLIT_TS)
+    for pdf in pdfs:
+        for v, ts in zip(pdf["value"], pdf["ts"]):
+            c = int(round(float(v) * 100))
+            b = min(c // HIST_BIN_W_C, HIST_NBINS - 1)
+            if ts < split:
+                ref[b] += 1
+            else:
+                cur[b] += 1
+    state.update((ref, cur))
+    yield pd.DataFrame(
+        [
+            {
+                "event_type": key[0],
+                "n_ref": sum(ref),
+                "n_cur": sum(cur),
+                "ref_bins": ref,
+                "cur_bins": cur,
+            }
+        ]
+    )
+
+
+def psi_drift_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-type reference/current histogram state for the PSI
+    drift monitor (update mode: each micro-batch re-emits the key's bin
+    vectors)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        psi_drift_fn,
+        outputStructType=PSI_OUT_SCHEMA,
+        stateStructType=PSI_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

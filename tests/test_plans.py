@@ -2695,3 +2695,24 @@ def test_logistic_two_passes_one_row_state(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in facts.text
     assert "Window" not in facts.text
     assert "CartesianProduct" not in facts.text
+
+
+def test_psi_stream_state_constant_width(spark, sf_dir):
+    """q457: the post-stream PSI algebra explodes exactly the 2×20-bin
+    vectors (Generate over arrays_zip) and reduces with one hash-agg;
+    the final batch plan has no join at all (state already keyed)."""
+    facts = audit_of(spark, sf_dir, "q457_stream_psi_drift")
+    assert "Generate" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_scorecard_composes_four_domains(spark, sf_dir):
+    """q458: the capstone must return exactly one row per composed
+    domain, all headline values integer bp."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    out = load_registry()["q458_model_eval_scorecard"].fn(spark, sf_dir).collect()
+    assert sorted(r["domain"] for r in out) == [
+        "calibration", "forecast", "retrieval", "sequence",
+    ]
+    assert all(isinstance(r["headline_bp"], int) for r in out)

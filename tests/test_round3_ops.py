@@ -551,3 +551,72 @@ def test_stream_hist_quantiles_multibatch_equals_batch(spark, sf_dir):
         .sort_index()
     )
     assert final.equals(batch)
+
+
+def test_stream_psi_drift_multibatch_equals_batch(spark, sf_dir):
+    """q457's ref/cur histogram state must MERGE across micro-batch
+    boundaries AND across the reference split: replay events as three
+    time-ordered files with maxFilesPerTrigger=1 (so the split lands
+    mid-replay) and check the final per-type bin vectors equal the
+    one-shot batch derivation."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.streaming.replay import run_to_completion
+    from kinesis_customer_sample_spark.streaming.stateful import (
+        PSI_SPLIT_TS,
+        psi_drift_stream,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    pdf = ev.orderBy("ts").toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    with tempfile.TemporaryDirectory() as td:
+        n = len(pdf)
+        for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+            pdf.iloc[lo : lo + (n + 2) // 3].to_parquet(
+                os.path.join(td, f"part-{i}.parquet"), index=False
+            )
+        stream = (
+            spark.readStream.schema("event_type string, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(td)
+        )
+        updates = run_to_completion(psi_drift_stream(stream), output_mode="update")
+        final = (
+            updates.withColumn("n_tot", F.col("n_ref") + F.col("n_cur"))
+            .groupBy("event_type")
+            .agg(
+                F.max_by("ref_bins", "n_tot").alias("ref_bins"),
+                F.max_by("cur_bins", "n_tot").alias("cur_bins"),
+            )
+            .toPandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+    batch = (
+        ev.select(
+            "event_type",
+            F.expr("least(CAST(round(value * 100) AS BIGINT) div 2500, 19)").alias(
+                "bin"
+            ),
+            (F.col("ts") < F.lit(PSI_SPLIT_TS)).cast("int").alias("is_ref"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").alias("ref_c"),
+            F.sum(1 - F.col("is_ref")).alias("cur_c"),
+        )
+        .collect()
+    )
+    exp = {}
+    for r in batch:
+        ref, cur = exp.setdefault(r["event_type"], ([0] * 20, [0] * 20))
+        ref[r["bin"]] += r["ref_c"]
+        cur[r["bin"]] += r["cur_c"]
+    for et, (ref, cur) in exp.items():
+        assert list(final.loc[et, "ref_bins"]) == ref, et
+        assert list(final.loc[et, "cur_bins"]) == cur, et
