@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.functions import tok_hash_expr
-from kinesis_customer_sample_spark.queries.text_analysis import _DUCK_TOKS
+from kinesis_customer_sample_spark.queries.text_analysis import (
+    _DUCK_TOKS,
+    _docs_with_tokens,
+)
 from kinesis_customer_sample_spark.registry import query
 
 _NDCG_K = 10
@@ -692,4 +695,138 @@ def conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "count_if(resid <= qhat) * 10000 div count(1)"
             ).cast("bigint").alias("coverage_bp"),
         )
+    )
+
+
+# q461: budget share (exact rational 2/5 of the corpus token total) and
+# the quality-weight definition (English-doc count + 1 per source)
+_WF_B_NUM, _WF_B_DEN = 2, 5
+
+
+@query(
+    "q461_source_mix_waterfill",
+    oracle=f"""
+    WITH docs AS (
+      SELECT source, lang, len({_DUCK_TOKS}) AS n_toks FROM documents
+    ),
+    src AS (
+      SELECT source,
+             sum(n_toks)::BIGINT AS cap,
+             (count(*) FILTER (WHERE lang = 'en') + 1)::BIGINT AS w
+      FROM docs GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(cap)::BIGINT AS t, sum(w)::BIGINT AS wt,
+             (({_WF_B_NUM} * sum(cap)) // {_WF_B_DEN})::BIGINT AS b
+      FROM src
+    ),
+    ordered AS (
+      SELECT s.source, s.cap, s.w, t.b, t.wt,
+             coalesce(sum(s.cap) OVER (
+               ORDER BY CAST(s.cap AS DOUBLE) / s.w, s.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cumcap,
+             coalesce(sum(s.w) OVER (
+               ORDER BY CAST(s.cap AS DOUBLE) / s.w, s.source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS cumw
+      FROM src s CROSS JOIN tot t
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN cap * (wt - cumw) <= (b - cumcap) * w
+                  THEN 1 ELSE 0 END AS pred
+      FROM ordered
+    ),
+    capped AS (
+      SELECT *,
+             min(pred) OVER (
+               ORDER BY CAST(cap AS DOUBLE) / w, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS is_capped
+      FROM flagged
+    ),
+    waterline AS (
+      SELECT (SELECT b FROM tot) - sum(CASE WHEN is_capped = 1 THEN cap ELSE 0 END)
+               AS b_k,
+             (SELECT wt FROM tot) - sum(CASE WHEN is_capped = 1 THEN w ELSE 0 END)
+               AS w_k
+      FROM capped
+    )
+    SELECT c.source, c.cap AS cap_tokens, c.w AS weight,
+           c.is_capped::BIGINT AS is_capped,
+           CASE WHEN c.is_capped = 1 THEN c.cap
+                ELSE (wl.b_k * c.w) // wl.w_k END::BIGINT AS alloc_tokens
+    FROM capped c CROSS JOIN waterline wl
+    ORDER BY c.source
+    """,
+    tags=("training-prep", "data-mixing", "waterfill", "allocator"),
+)
+def source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix waterfilling allocator: distribute a token budget
+    B = {n}/{d} of the corpus across sources proportionally to a
+    quality weight (English-doc count + 1), capped by each source's
+    available tokens — the exact solver for max Σ alloc s.t.
+    alloc_s ≤ cap_s, alloc_s ∝ w_s among uncapped sources. Solved
+    CLOSED-FORM, not iteratively: sort sources by cap/w (the ratio at
+    which each source saturates), find the capped prefix with the
+    integer predicate cap·W_rem ≤ B_rem·w evaluated against prefix
+    sums, and give every uncapped source (B_k·w) div W_k — the
+    data-mixing step every multi-source pretraining pipeline runs.
+
+    Determinism: caps/weights/budget are integers; the saturation
+    order uses one IEEE division with a source tie-break; the capped
+    boundary is an integer predicate under a running min; allocations
+    are integer floor divisions.
+
+    Scale: one token hash-agg to the |sources| grid; everything after
+    (sort, prefix sums, waterline) is algebra on that broadcast-sized
+    grid — the allocator output then drives a map-side weighted
+    sampler (q100/q322) over the corpus."""
+    docs = _docs_with_tokens(spark, sf_dir).select(
+        "source", "lang", F.expr("size(toks)").alias("n_toks")
+    )
+    src = docs.groupBy("source").agg(
+        F.sum("n_toks").alias("cap"),
+        (F.count(F.when(F.col("lang") == "en", 1)) + 1).alias("w"),
+    )
+    tot = src.agg(
+        F.sum("cap").alias("t"),
+        F.sum("w").alias("wt"),
+        F.expr(f"({_WF_B_NUM} * sum(cap)) div {_WF_B_DEN}").alias("b"),
+    )
+    order = [(F.col("cap").cast("double") / F.col("w")), F.col("source")]
+    w_pre = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    w_cur = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("cumcap", F.coalesce(F.sum("cap").over(w_pre), F.lit(0)))
+        .withColumn("cumw", F.coalesce(F.sum("w").over(w_pre), F.lit(0)))
+        .withColumn(
+            "pred",
+            F.expr(
+                "CASE WHEN cap * (wt - cumw) <= (b - cumcap) * w "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("is_capped", F.min("pred").over(w_cur))
+    )
+    waterline = flagged.agg(
+        (F.first("b") - F.sum(F.expr("CASE WHEN is_capped = 1 THEN cap ELSE 0 END")))
+        .alias("b_k"),
+        (F.first("wt") - F.sum(F.expr("CASE WHEN is_capped = 1 THEN w ELSE 0 END")))
+        .alias("w_k"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(waterline))
+        .select(
+            "source",
+            F.col("cap").alias("cap_tokens"),
+            F.col("w").alias("weight"),
+            F.col("is_capped").cast("long").alias("is_capped"),
+            F.expr(
+                "CAST(CASE WHEN is_capped = 1 THEN cap "
+                "ELSE (b_k * w) div w_k END AS BIGINT)"
+            ).alias("alloc_tokens"),
+        )
+        .orderBy("source")
     )

@@ -570,3 +570,104 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# q460: expanding-window folds — train through day E, test the next 7 days
+_WF_FOLDS = (9, 16, 23)
+
+
+@query(
+    "q460_walk_forward_backtest",
+    oracle=f"""
+    WITH daily AS ({_DUCK_DAILY}),
+    folds AS (SELECT unnest([{", ".join(str(e) for e in _WF_FOLDS)}]) AS e),
+    train_naive AS (
+      SELECT f.e, a.event_type,
+             sum(abs(a.y - b.y))::BIGINT AS s_n, count(*)::BIGINT AS c_n
+      FROM folds f
+      JOIN daily a ON a.d <= f.e
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - 1
+      GROUP BY 1, 2
+    ),
+    test AS (
+      SELECT f.e, a.event_type,
+             sum(abs(a.y - b.y))::BIGINT AS s_f, count(*)::BIGINT AS c_f
+      FROM folds f
+      JOIN daily a ON a.d > f.e AND a.d <= f.e + {_SEASON}
+      JOIN daily b ON b.event_type = a.event_type AND b.d = a.d - {_SEASON}
+      GROUP BY 1, 2
+    )
+    SELECT t.event_type, t.e AS train_end_day,
+           n.c_n + 1 AS train_days, t.c_f AS n_eval,
+           round(CAST(t.s_f * n.c_n AS DOUBLE) / CAST(t.c_f * n.s_n AS DOUBLE), 6)
+             AS mase
+    FROM test t JOIN train_naive n
+      ON n.e = t.e AND n.event_type = t.event_type
+    ORDER BY t.event_type, t.e
+    """,
+    tags=("timeseries", "forecast-eval", "walk-forward", "backtest"),
+)
+def walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward (expanding-window) backtest of the seasonal-naive
+    forecaster: three folds train through day E ∈ {folds}, score the
+    NEXT {h} days with MASE whose denominator is the in-TRAIN naive
+    MAE only — the leakage-safe evaluation protocol (q354's embargo
+    discipline applied to time series): with a {h}-day horizon, every
+    y_(d−{h}) forecast source lies inside the training window by
+    construction.
+
+    Determinism: q440's integer-rational MASE per (fold, type) — four
+    integer sums, one double division, rounded in-query.
+
+    Scale: the fold dimension is a broadcast 3-row table against the
+    aggregated (type, day) grid; each fold's train/test alignment is
+    an integer range + equi join on the grid — the fact table is
+    scanned once for the shared daily hash-agg.""".format(
+        folds=list(_WF_FOLDS), h=_SEASON
+    )
+    daily = _daily_counts(spark, sf_dir)
+    folds = spark.createDataFrame([(e,) for e in _WF_FOLDS], "e int")
+    a, b = daily.alias("a"), daily.alias("b")
+    train_naive = (
+        F.broadcast(folds)
+        .join(a, F.col("a.d") <= F.col("e"))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") == F.col("a.d") - 1),
+        )
+        .groupBy("e", F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.abs(F.col("a.y") - F.col("b.y"))).alias("s_n"),
+            F.count(F.lit(1)).alias("c_n"),
+        )
+    )
+    test = (
+        F.broadcast(folds)
+        .join(a, (F.col("a.d") > F.col("e")) & (F.col("a.d") <= F.col("e") + _SEASON))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") == F.col("a.d") - _SEASON),
+        )
+        .groupBy("e", F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(F.abs(F.col("a.y") - F.col("b.y"))).alias("s_f"),
+            F.count(F.lit(1)).alias("c_f"),
+        )
+    )
+    return (
+        test.join(train_naive, ["e", "event_type"])
+        .select(
+            "event_type",
+            F.col("e").cast("int").alias("train_end_day"),
+            (F.col("c_n") + 1).alias("train_days"),
+            F.col("c_f").alias("n_eval"),
+            F.round(
+                (F.col("s_f") * F.col("c_n")).cast("double")
+                / (F.col("c_f") * F.col("s_n")).cast("double"),
+                6,
+            ).alias("mase"),
+        )
+        .orderBy("event_type", "train_end_day")
+    )

