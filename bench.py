@@ -277,6 +277,22 @@ HEADLINE = [
     "q436_jl_projection_distortion",
     "q437_markov_next_event_accuracy",
     "q438_experiment_sample_size",
+    "q440_mase_smape_scorecard",
+    "q441_croston_intermittent",
+    "q443_leadlag_crosscorr",
+    "q444_max_drawdown",
+    "q445_theil_sen_slope",
+    "q446_huber_location",
+    "q447_mutual_information",
+    "q450_kn_bigram_heldout",
+    "q451_burrows_delta",
+    "q453_fellegi_sunter",
+    "q455_expected_shortfall",
+    "q456_logistic_newton",
+    "q459_nelson_aalen",
+    "q460_walk_forward_backtest",
+    "q461_source_mix_waterfill",
+    "q462_ktruss_peel",
     # (q428 Markov removal attribution and q434 PPR join the excluded
     # iterative family — localCheckpoint rounds dominate wall time)
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its

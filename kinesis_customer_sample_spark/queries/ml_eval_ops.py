@@ -618,3 +618,157 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_t")
     )
+
+
+# q465: popularity recommender list size
+_REC_K = 10
+
+
+@query(
+    "q465_recsys_coverage_diversity",
+    oracle=f"""
+    WITH pur AS (
+      SELECT c.c_mktsegment AS seg, l.l_partkey AS pk,
+             count(*)::BIGINT AS n
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM pur),
+    pop AS (SELECT pk, sum(n)::BIGINT AS np FROM pur GROUP BY pk),
+    recs AS (
+      SELECT seg, pk, n,
+             row_number() OVER (PARTITION BY seg ORDER BY n DESC, pk) AS rk
+      FROM pur
+    ),
+    lists AS (SELECT seg, pk FROM recs WHERE rk <= {_REC_K}),
+    ild AS (
+      SELECT a.seg,
+             count(*)::BIGINT AS n_pairs,
+             sum(CASE WHEN pa.p_brand != pb.p_brand THEN 1 ELSE 0 END)::BIGINT
+               AS diff_pairs
+      FROM lists a JOIN lists b ON b.seg = a.seg AND b.pk > a.pk
+      JOIN part pa ON pa.p_partkey = a.pk
+      JOIN part pb ON pb.p_partkey = b.pk
+      GROUP BY a.seg
+    ),
+    nov AS (
+      SELECT l.seg,
+             count(*)::BIGINT AS k,
+             sum(CAST(floor(1000000.0 * ln(CAST(t.t AS DOUBLE))) AS BIGINT)
+                 - CAST(floor(1000000.0 * ln(CAST(p.np AS DOUBLE))) AS BIGINT)
+             )::BIGINT AS nov_mu_sum
+      FROM lists l JOIN pop p ON p.pk = l.pk CROSS JOIN tot t
+      GROUP BY l.seg
+    ),
+    per_seg AS (
+      SELECT i.seg,
+             n.k AS n_items,
+             (10000 * i.diff_pairs) // i.n_pairs AS ild_bp,
+             (n.nov_mu_sum // n.k)::BIGINT AS novelty_mu
+      FROM ild i JOIN nov n ON n.seg = i.seg
+    ),
+    cov AS (
+      SELECT 'ALL' AS seg,
+             count(DISTINCT pk)::BIGINT AS n_items,
+             (10000 * count(DISTINCT pk)) // (SELECT count(*) FROM part) AS ild_bp,
+             0::BIGINT AS novelty_mu
+      FROM lists
+    )
+    SELECT seg AS segment, n_items, ild_bp::BIGINT AS ild_bp, novelty_mu
+    FROM (SELECT * FROM per_seg UNION ALL SELECT * FROM cov)
+    ORDER BY segment
+    """,
+    tags=("recsys", "eval", "coverage", "diversity", "novelty"),
+)
+def recsys_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy recommender evaluation of the per-segment top-{k}
+    popularity recommender: intra-list diversity (share of item pairs
+    from different brands, bp), novelty (mean −ln item popularity in
+    integer micro-nats — the 'inverse popularity' surprise measure),
+    and, on the 'ALL' row, catalog coverage@{k} (distinct recommended
+    parts over the whole catalog, bp — reusing the ild_bp column as
+    documented). The metric trio every recsys ships next to its
+    accuracy numbers (q341 NDCG / q420 AP).
+
+    Determinism: counts are integers; ILD/coverage are integer bp
+    divisions; novelty uses the q151 ln-of-integers micro-nat floor
+    with an integer mean.
+
+    Scale: one fact hash-agg to the (segment, part) grid; top-{k} is a
+    partitioned ranked window on the grid; the pair join is k²-bounded
+    per segment with broadcast part dims; popularity/total are grid
+    rollups.""".format(k=_REC_K)
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    pur = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    tot = pur.agg(F.sum("n").alias("t"))
+    pop = pur.groupBy("pk").agg(F.sum("n").alias("np"))
+    w = W.partitionBy("seg").orderBy(F.desc("n"), "pk")
+    lists = (
+        pur.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _REC_K)
+        .select("seg", "pk")
+        .persist()
+    )
+    brands = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ild = (
+        lists.alias("a")
+        .join(
+            lists.alias("b"),
+            (F.col("b.seg") == F.col("a.seg")) & (F.col("b.pk") > F.col("a.pk")),
+        )
+        .join(
+            F.broadcast(brands.alias("pa")), F.col("a.pk") == F.col("pa.p_partkey")
+        )
+        .join(
+            F.broadcast(brands.alias("pb")), F.col("b.pk") == F.col("pb.p_partkey")
+        )
+        .groupBy(F.col("a.seg").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("pa.p_brand") != F.col("pb.p_brand"), 1).otherwise(0)
+            ).alias("diff_pairs"),
+        )
+    )
+    ln6 = "CAST(floor(1000000.0 * ln(CAST({a} AS DOUBLE))) AS BIGINT)"
+    nov = (
+        lists.join(pop, "pk")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(
+                F.expr(f"{ln6.format(a='t')} - {ln6.format(a='np')}")
+            ).alias("nov_mu_sum"),
+        )
+    )
+    per_seg = ild.join(nov, "seg").select(
+        F.col("seg").alias("segment"),
+        F.col("k").alias("n_items"),
+        F.expr("(10000 * diff_pairs) div n_pairs").alias("ild_bp"),
+        F.expr("CAST(nov_mu_sum div k AS BIGINT)").alias("novelty_mu"),
+    )
+    n_parts = table(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("npart"))
+    cov = (
+        lists.agg(F.countDistinct("pk").alias("nd"))
+        .crossJoin(F.broadcast(n_parts))
+        .select(
+            F.lit("ALL").alias("segment"),
+            F.col("nd").alias("n_items"),
+            F.expr("(10000 * nd) div npart").alias("ild_bp"),
+            F.lit(0).cast("bigint").alias("novelty_mu"),
+        )
+    )
+    return per_seg.unionByName(cov).orderBy("segment")

@@ -978,3 +978,139 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# q464 grid-DBSCAN dials: cell edge (value units), density threshold,
+# synchronized min-label rounds (the q270/q385 fixed-unroll contract)
+_GDB_INV_EPS = 20  # cell edge 0.05 → floor(x·20)
+_GDB_MINPTS = 5
+_GDB_ROUNDS = 4
+_GDB_OFF = 100  # shift to keep cell ids positive
+_GDB_CELL = (
+    f"(CAST(floor(embedding[{{one}}] * {_GDB_INV_EPS}) AS BIGINT) + {_GDB_OFF})"
+)
+
+
+def _gdb_label_round_sql(prev: str, i: int) -> str:
+    """One synchronized min-label round over the dense-cell adjacency."""
+    return f"""lab{i} AS (
+      SELECT p.cell, least(p.lab, coalesce(min(q.lab), p.lab)) AS lab
+      FROM {prev} p
+      LEFT JOIN adj a ON a.cell = p.cell
+      LEFT JOIN {prev} q ON q.cell = a.nbr
+      GROUP BY p.cell, p.lab
+    )"""
+
+
+@query(
+    "q464_grid_dbscan",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id,
+             (CAST(floor(embedding[1] * {_GDB_INV_EPS}) AS BIGINT) + {_GDB_OFF})
+               AS cx,
+             (CAST(floor(embedding[2] * {_GDB_INV_EPS}) AS BIGINT) + {_GDB_OFF})
+               AS cy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT cx, cy, cx * 1000 + cy AS cell, count(*)::BIGINT AS n_pts
+      FROM pts GROUP BY cx, cy
+    ),
+    dense AS (SELECT * FROM cells WHERE n_pts >= {_GDB_MINPTS}),
+    adj AS (
+      SELECT a.cell, b.cell AS nbr
+      FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cell != b.cell
+    ),
+    lab0 AS (SELECT cell, cell AS lab FROM dense),
+    {", ".join(_gdb_label_round_sql(f'lab{i}', i + 1) for i in range(_GDB_ROUNDS))}
+    SELECT l.lab::BIGINT AS cluster_label,
+           count(*)::BIGINT AS n_cells,
+           sum(d.n_pts)::BIGINT AS n_points
+    FROM lab{_GDB_ROUNDS} l JOIN dense d ON d.cell = l.cell
+    GROUP BY l.lab
+    UNION ALL
+    SELECT -1, count(*), coalesce(sum(n_pts), 0)::BIGINT
+    FROM cells WHERE n_pts < {_GDB_MINPTS}
+    ORDER BY n_points DESC, cluster_label
+    """,
+    tags=("clustering", "dbscan", "grid", "density"),
+)
+def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (distributed DBSCAN-lite) over the first
+    two embedding dimensions: quantize points into ε-cells
+    (ε = 1/{inv}), keep cells with ≥ {mp} points (density test),
+    union 8-adjacent dense cells into clusters via {r} synchronized
+    min-label rounds (the q270/q385 fixed-unroll contract — the label
+    grid converges once a round changes nothing), and report each
+    cluster's cell/point mass plus the sparse-cell noise bucket
+    (label −1). The grid formulation is how DBSCAN actually scales on
+    a cluster: the ε-neighborhood test becomes an equi-join on cell
+    ids instead of an all-pairs distance join.
+
+    Determinism: cells are integer floors of float32→double products;
+    adjacency, density and min-label propagation are pure integer
+    algebra.
+
+    Scale: one hash-agg to the cell grid (≪ points); adjacency is a
+    self-join on the bounded dense-cell set; each label round is one
+    grid-sized join+agg. Points are never pairwise compared."""
+    e = table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.expr(
+            f"CAST(floor(element_at(embedding, 1) * {_GDB_INV_EPS}) AS BIGINT)"
+            f" + {_GDB_OFF}"
+        ).alias("cx"),
+        F.expr(
+            f"CAST(floor(element_at(embedding, 2) * {_GDB_INV_EPS}) AS BIGINT)"
+            f" + {_GDB_OFF}"
+        ).alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_pts")).withColumn(
+        "cell", F.col("cx") * 1000 + F.col("cy")
+    )
+    dense = cells.filter(F.col("n_pts") >= _GDB_MINPTS).persist()
+    adj = (
+        dense.alias("a")
+        .join(
+            dense.alias("b"),
+            (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+            & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+            & (F.col("a.cell") != F.col("b.cell")),
+        )
+        .select(F.col("a.cell").alias("cell"), F.col("b.cell").alias("nbr"))
+        .persist()
+    )
+    lab = dense.select("cell", F.col("cell").alias("lab"))
+    for _ in range(_GDB_ROUNDS):
+        nbr_min = (
+            adj.join(lab.withColumnRenamed("cell", "nbr"), "nbr")
+            .groupBy("cell")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        lab = (
+            lab.join(nbr_min, "cell", "left")
+            .select(
+                "cell",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+        )
+    clusters = (
+        lab.join(dense.select("cell", "n_pts"), "cell")
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("n_pts").alias("n_points"))
+        .select(F.col("lab").alias("cluster_label"), "n_cells", "n_points")
+    )
+    noise = cells.filter(F.col("n_pts") < _GDB_MINPTS).agg(
+        F.lit(-1).cast("bigint").alias("cluster_label"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum("n_pts"), F.lit(0)).alias("n_points"),
+    )
+    return clusters.unionByName(noise).orderBy(
+        F.desc("n_points"), "cluster_label"
+    )

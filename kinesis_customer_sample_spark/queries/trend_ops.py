@@ -460,3 +460,189 @@ def trending_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("trend_score_c"), "user_id")
         .limit(_TREND_TOPK)
     )
+
+
+# q463 Holt-Winters additive: dyadic blends (exact IEEE scaling), weekly
+# season, dense 30-day grid from the events epoch
+_HW_ALPHA, _HW_1MA = 0.5, 0.5
+_HW_BETA, _HW_1MB = 0.25, 0.75
+_HW_GAMMA, _HW_1MG = 0.25, 0.75
+_HW_M = 7
+_HW_DAYS = 30
+
+
+def _hw_s_cols(update: bool) -> str:
+    """The seven seasonal state columns of the recursive CTE; when
+    `update`, rotate in the new value at phase (t+1) mod 7."""
+    cols = []
+    for j in range(_HW_M):
+        if update:
+            cols.append(
+                f"CASE WHEN (r.t + 1) % {_HW_M} = {j} "
+                f"THEN {_HW_GAMMA} * (o.y - ({_HW_ALPHA} * (o.y - r.s{j}) "
+                f"+ {_HW_1MA} * (r.l + r.b))) + {_HW_1MG} * r.s{j} "
+                f"ELSE r.s{j} END AS s{j}"
+            )
+        else:
+            cols.append(f"s{j}")
+    return ", ".join(cols)
+
+
+@query(
+    "q463_holt_winters_additive",
+    oracle=f"""
+    WITH RECURSIVE spend AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', date_trunc('day', ts)) AS t,
+             sum({_CENTS}) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT u.user_id, d.t,
+             CAST(coalesce(s.cents, 0) AS DOUBLE) / 100.0 AS y
+      FROM (SELECT DISTINCT user_id FROM spend) u
+      CROSS JOIN (SELECT unnest(range(0, {_HW_DAYS})) AS t) d
+      LEFT JOIN spend s ON s.user_id = u.user_id AND s.t = d.t
+    ),
+    init AS (
+      SELECT user_id,
+             sum(CASE WHEN t < {_HW_M} THEN y ELSE 0 END) / {_HW_M} AS l0,
+             (sum(CASE WHEN t >= {_HW_M} AND t < {2 * _HW_M} THEN y ELSE 0 END)
+              - sum(CASE WHEN t < {_HW_M} THEN y ELSE 0 END))
+               / {_HW_M * _HW_M} AS b0
+      FROM grid WHERE t < {2 * _HW_M} GROUP BY user_id
+    ),
+    s_init AS (
+      SELECT g.user_id,
+             {", ".join(f"max(CASE WHEN g.t = {j} THEN g.y - i.l0 END) AS s{j}"
+                        for j in range(_HW_M))}
+      FROM grid g JOIN init i ON i.user_id = g.user_id
+      WHERE g.t < {_HW_M}
+      GROUP BY g.user_id
+    ),
+    rec AS (
+      SELECT i.user_id, {_HW_M - 1} AS t, i.l0 AS l, i.b0 AS b,
+             {", ".join(f"s.s{j}" for j in range(_HW_M))}
+      FROM init i JOIN s_init s ON s.user_id = i.user_id
+      UNION ALL
+      SELECT r.user_id, r.t + 1,
+             {_HW_ALPHA} * (o.y - CASE
+               {" ".join(f"WHEN (r.t + 1) % {_HW_M} = {j} THEN r.s{j}"
+                         for j in range(_HW_M))} END)
+               + {_HW_1MA} * (r.l + r.b) AS l,
+             {_HW_BETA} * (({_HW_ALPHA} * (o.y - CASE
+               {" ".join(f"WHEN (r.t + 1) % {_HW_M} = {j} THEN r.s{j}"
+                         for j in range(_HW_M))} END)
+               + {_HW_1MA} * (r.l + r.b)) - r.l) + {_HW_1MB} * r.b AS b,
+             {_hw_s_cols(True)}
+      FROM rec r
+      JOIN grid o ON o.user_id = r.user_id AND o.t = r.t + 1
+      WHERE r.t + 1 < {_HW_DAYS}
+    )
+    SELECT r.user_id::BIGINT AS user_id,
+           round(r.l, 6) AS level,
+           round(r.b, 6) AS trend,
+           round(r.l + r.b + CASE
+             {" ".join(f"WHEN {_HW_DAYS} % {_HW_M} = {j} THEN r.s{j}"
+                       for j in range(_HW_M))} END, 6) AS next_day_forecast
+    FROM rec r WHERE r.t = {_HW_DAYS - 1}
+    ORDER BY user_id
+    """,
+    tags=("timeseries", "holt-winters", "seasonal", "mapInPandas"),
+)
+def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing per user over
+    the dense 30-day spend grid (missing days = 0 spend) with weekly
+    seasonality m=7: l ← α(y−s₋₇)+(1−α)(l+b), b ← β(Δl)+(1−β)b,
+    s ← γ(y−l_new)+(1−γ)s₋₇, textbook two-week init (l₀ = week-1 mean,
+    b₀ = (week-2 mean − week-1 mean)/7, s_j = y_j − l₀). Completes the
+    smoother family: q206 EWMA (level), q297 Holt (level+trend), and
+    now level+trend+season. Emits the final state and the next-day
+    forecast l + b + s_phase.
+
+    Determinism: ALL smoothing constants are dyadic rationals (1/2,
+    1/4), so every recursion step is exact-scaling IEEE arithmetic; the
+    oracle's recursive CTE carries the 7 seasonal states as rotating
+    columns and replays the identical op sequence — a hash match
+    proves bit-exact state replication (the q297 discipline with 9
+    state variables instead of 2).
+
+    Scale: the dense (user, day) grid is one hash-agg + a broadcast
+    30-row day dim; the inherently-sequential recursion runs via the
+    q297 secondary-sort mapInPandas pattern — O(rows) Python,
+    carry-state across Arrow batches, arbitrarily many users."""
+    spend = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("t"),
+        )
+        .agg(F.sum(F.expr(_CENTS)).alias("cents"))
+    )
+    users = spend.select("user_id").distinct()
+    days = spark.range(_HW_DAYS).select(F.col("id").cast("int").alias("t"))
+    grid = (
+        users.crossJoin(F.broadcast(days))
+        .join(spend, ["user_id", "t"], "left")
+        .select(
+            "user_id",
+            "t",
+            (F.coalesce(F.col("cents"), F.lit(0)).cast("double") / 100.0).alias("y"),
+        )
+    )
+
+    m, days_n = _HW_M, _HW_DAYS
+    al, oma = _HW_ALPHA, _HW_1MA
+    be, omb = _HW_BETA, _HW_1MB
+    ga, omg = _HW_GAMMA, _HW_1MG
+
+    def hw_partition(batches):
+        cur_uid, ys = None, []
+        out: dict[str, list] = {
+            "user_id": [], "level": [], "trend": [], "next_day_forecast": [],
+        }
+
+        def flush():
+            if cur_uid is None or len(ys) != days_n:
+                return
+            l = sum(ys[:m]) / m
+            b = (sum(ys[m : 2 * m]) - sum(ys[:m])) / (m * m)
+            s = [ys[j] - l for j in range(m)]
+            for t in range(m, days_n):
+                y = ys[t]
+                ph = t % m
+                l_new = al * (y - s[ph]) + oma * (l + b)
+                b = be * (l_new - l) + omb * b
+                s[ph] = ga * (y - l_new) + omg * s[ph]
+                l = l_new
+            out["user_id"].append(cur_uid)
+            out["level"].append(l)
+            out["trend"].append(b)
+            out["next_day_forecast"].append(l + b + s[days_n % m])
+
+        for pdf in batches:
+            for u, t, y in zip(
+                pdf["user_id"].to_numpy(), pdf["t"].to_numpy(), pdf["y"].to_numpy()
+            ):
+                u = int(u)
+                if u != cur_uid:
+                    flush()
+                    cur_uid, ys = u, []
+                ys.append(float(y))
+        flush()
+        yield pd.DataFrame(out)
+
+    out = (
+        grid.repartition("user_id")
+        .sortWithinPartitions("user_id", "t")
+        .mapInPandas(
+            hw_partition,
+            "user_id bigint, level double, trend double, next_day_forecast double",
+        )
+    )
+    return out.select(
+        "user_id",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("next_day_forecast", 6).alias("next_day_forecast"),
+    ).orderBy("user_id")

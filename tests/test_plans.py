@@ -2755,3 +2755,33 @@ def test_ktruss_triangle_joins_per_round(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert facts.has_partial_agg
+
+
+def test_hw_secondary_sort_single_python_pass(spark, sf_dir):
+    """q463: the dense grid comes from a broadcast 30-row day dim; the
+    9-variable recursion is ONE mapInPandas over the secondary-sorted
+    stream (q297 pattern) — Arrow-batched, no applyInPandas."""
+    facts = audit_of(spark, sf_dir, "q463_holt_winters_additive")
+    assert "MapInPandas" in facts.text
+    assert "FlatMapGroupsInPandas" not in facts.text
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_grid_dbscan_no_pairwise_points(spark, sf_dir):
+    """q464: points are never pairwise compared — the only self-join is
+    the bounded dense-CELL adjacency; label rounds are grid joins;
+    one partial agg below the cell grid."""
+    facts = audit_of(spark, sf_dir, "q464_grid_dbscan")
+    assert facts.has_partial_agg
+    assert not facts.has_cartesian
+
+
+def test_recsys_eval_list_bounded_pairs(spark, sf_dir):
+    """q465: the diversity pair join runs on the k-bounded ranked lists
+    (grid window partitioned per segment), brands broadcast, and the
+    novelty total travels by broadcast nested loop."""
+    facts = audit_of(spark, sf_dir, "q465_recsys_coverage_diversity")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert "BroadcastNestedLoopJoin" in facts.text
