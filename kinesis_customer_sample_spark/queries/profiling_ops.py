@@ -981,3 +981,216 @@ def bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((n * {_BLOOM_M_PER_N_E4} + 9999) div 10000) div n"
         ).cast("bigint").alias("bits_per_key"),
     )
+
+
+# q466: period split for the metric-delta root-cause report
+_RC_SPLIT = "1998-01-01"
+
+
+@query(
+    "q466_contribution_analysis",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             sum(CASE WHEN o.o_orderdate < TIMESTAMP '{_RC_SPLIT}'
+                      THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS xa,
+             sum(CASE WHEN o.o_orderdate >= TIMESTAMP '{_RC_SPLIT}'
+                      THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS xb
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(xa)::BIGINT AS ta, sum(xb)::BIGINT AS tb FROM rev)
+    SELECT r.nation, r.xa AS before_cents, r.xb AS after_cents,
+           (r.xb - r.xa)::BIGINT AS delta_cents,
+           ((10000 * r.xb) // t.tb - (10000 * r.xa) // t.ta)::BIGINT
+             AS share_shift_bp,
+           round(
+             (CAST(r.xa AS DOUBLE) / t.ta
+                * (ln(2.0 * r.xa * t.tb) - ln(CAST(r.xa AS DOUBLE) * t.tb
+                              + CAST(r.xb AS DOUBLE) * t.ta))
+              + CAST(r.xb AS DOUBLE) / t.tb
+                * (ln(2.0 * r.xb * t.ta) - ln(CAST(r.xa AS DOUBLE) * t.tb
+                              + CAST(r.xb AS DOUBLE) * t.ta))) / 2.0
+                / 0.693147180559945, 6) AS surprise
+    FROM rev r CROSS JOIN tot t
+    ORDER BY abs(delta_cents) DESC, r.nation
+    LIMIT 10
+    """,
+    tags=("profiling", "root-cause", "contribution", "adtributor"),
+)
+def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-delta root-cause report (Adtributor-style contribution
+    analysis): explain the revenue change across the {d} boundary by
+    the nation dimension — each value's absolute delta, its share
+    shift in bp, and its JS-divergence 'surprise' (how much its
+    before/after probability moved, in bits) — the top-10 explanation
+    rows an incident dashboard shows for 'why did the metric move?'.
+
+    Determinism: cents/deltas/share shifts are exact integers; the
+    per-row surprise is ONE textually-identical IEEE expression over
+    integer inputs (rounded per row, never summed across rows), so no
+    float aggregate exists; ties in the |delta| ranking break by
+    nation.
+
+    Scale: one fact hash-agg to the nation grid with broadcast dims;
+    the 1-row totals broadcast; ranking is a grid-sized top-k.""".format(
+        d=_RC_SPLIT
+    )
+    rev = (
+        table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.expr(
+                    f"CASE WHEN o_orderdate < TIMESTAMP '{_RC_SPLIT}' "
+                    "THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END"
+                )
+            ).alias("xa"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN o_orderdate >= TIMESTAMP '{_RC_SPLIT}' "
+                    "THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END"
+                )
+            ).alias("xb"),
+        )
+    )
+    tot = rev.agg(F.sum("xa").alias("ta"), F.sum("xb").alias("tb"))
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("xa").alias("before_cents"),
+            F.col("xb").alias("after_cents"),
+            (F.col("xb") - F.col("xa")).alias("delta_cents"),
+            F.expr("(10000 * xb) div tb - (10000 * xa) div ta").alias(
+                "share_shift_bp"
+            ),
+            F.round(
+                F.expr(
+                    "(CAST(xa AS DOUBLE) / ta"
+                    " * (ln(2.0 * xa * tb) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta))"
+                    " + CAST(xb AS DOUBLE) / tb"
+                    " * (ln(2.0 * xb * ta) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta)))"
+                    " / 2.0 / 0.693147180559945"
+                ),
+                6,
+            ).alias("surprise"),
+        )
+        .orderBy(F.abs(F.col("delta_cents")).desc(), "nation")
+        .limit(10)
+    )
+
+
+@query(
+    "q467_powerlaw_retention_fit",
+    oracle="""
+    WITH day0 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE date_trunc('day', ts) = TIMESTAMP '2024-01-01'
+    ),
+    n0 AS (SELECT count(*)::BIGINT AS n FROM day0),
+    act AS (
+      SELECT date_diff('day', DATE '2024-01-01', date_trunc('day', e.ts)) AS t,
+             count(DISTINCT e.user_id)::BIGINT AS nt
+      FROM events e JOIN day0 d ON d.user_id = e.user_id
+      WHERE date_trunc('day', e.ts) > TIMESTAMP '2024-01-01'
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT t,
+             CAST(floor(1000000.0 * ln(CAST(t AS DOUBLE))) AS BIGINT) AS x,
+             CAST(floor(1000000.0 * ln(CAST(nt AS DOUBLE))) AS BIGINT)
+             - (SELECT CAST(floor(1000000.0 * ln(CAST(n AS DOUBLE))) AS BIGINT)
+                FROM n0) AS y
+      FROM act
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha,
+           round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n / 1e6, 6)
+             AS ln_c
+    FROM s
+    """,
+    tags=("profiling", "retention", "power-law", "ols"),
+)
+def powerlaw_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law retention fit r(t) = c·t^(−α): regress ln(retention)
+    on ln(day) over the day-0 cohort's daily return rates — the decay
+    exponent α that growth models quote ('our retention follows a
+    −0.3 power law'). Output: point count, α, and ln c.
+
+    Determinism: both OLS coordinates are ⌊10⁶ln(integer)⌋ micro-nats
+    (the q151 discipline), so the regression's sufficient statistics
+    are exact integer sums; slope and intercept are closed-form double
+    ratios of those integers, rounded in-query.
+
+    Scale: one distinct-user day-0 pass (hash semi-join), one
+    per-day distinct hash-agg to the 29-row grid, and a 1-row OLS
+    reduce — the fit itself never touches row scale."""
+    ev = table(spark, sf_dir, "events")
+    day0 = (
+        ev.filter(F.expr("date_trunc('day', ts) = TIMESTAMP '2024-01-01'"))
+        .select("user_id")
+        .distinct()
+        .persist()
+    )
+    n0 = day0.agg(F.count(F.lit(1)).alias("n"))
+    act = (
+        ev.join(day0, "user_id", "left_semi")
+        .filter(F.expr("date_trunc('day', ts) > TIMESTAMP '2024-01-01'"))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("t")
+        )
+        .agg(F.countDistinct("user_id").alias("nt"))
+    )
+    ln6 = "CAST(floor(1000000.0 * ln(CAST({a} AS DOUBLE))) AS BIGINT)"
+    pts = act.crossJoin(F.broadcast(n0)).select(
+        "t",
+        F.expr(ln6.format(a="t")).alias("x"),
+        (F.expr(ln6.format(a="nt")) - F.expr(ln6.format(a="n"))).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(
+            -(
+                F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+                / F.expr("CAST(n * sxx - sx * sx AS DOUBLE)")
+            ),
+            6,
+        ).alias("alpha"),
+        F.round(
+            F.expr(
+                "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n / 1e6"
+            ),
+            6,
+        ).alias("ln_c"),
+    )

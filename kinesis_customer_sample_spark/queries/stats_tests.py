@@ -820,13 +820,13 @@ _SS_Z_BETA = 0.841621   # z_{0.80}
     SELECT p1_bp::BIGINT AS p1_bp, p2_bp::BIGINT AS p2_bp, n1::BIGINT AS n_pilot_a,
            n2::BIGINT AS n_pilot_b,
            abs(p1_bp - p2_bp)::BIGINT AS delta_bp,
-           CAST(ceil(
+           CASE WHEN p1_bp = p2_bp THEN -1 ELSE CAST(ceil(
              ({_SS_Z_ALPHA} + {_SS_Z_BETA}) * ({_SS_Z_ALPHA} + {_SS_Z_BETA})
              * ((p1_bp / 10000.0) * (1 - p1_bp / 10000.0)
                 + (p2_bp / 10000.0) * (1 - p2_bp / 10000.0))
              / ((p1_bp / 10000.0 - p2_bp / 10000.0)
                 * (p1_bp / 10000.0 - p2_bp / 10000.0))
-           ) AS BIGINT) AS n_per_arm
+           ) AS BIGINT) END AS n_per_arm
     FROM wide
     """,
     tags=("stats", "power-analysis", "experiment-sizing"),
@@ -881,10 +881,14 @@ def experiment_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("bigint").alias("n_pilot_b"),
         F.abs(F.col("p1_bp") - F.col("p2_bp")).cast("bigint").alias("delta_bp"),
         F.expr(
+            # identical pilot rates → undetectable effect; -1 sentinel keeps
+            # the tiny-SF fixture (where both arms floor to the same bp)
+            # total instead of dividing by zero
+            "CASE WHEN p1_bp = p2_bp THEN -1 ELSE "
             f"CAST(ceil(({_SS_Z_ALPHA} + {_SS_Z_BETA}) * ({_SS_Z_ALPHA} + {_SS_Z_BETA})"
             " * ((p1_bp / 10000.0) * (1 - p1_bp / 10000.0)"
             "    + (p2_bp / 10000.0) * (1 - p2_bp / 10000.0))"
             " / ((p1_bp / 10000.0 - p2_bp / 10000.0)"
-            "    * (p1_bp / 10000.0 - p2_bp / 10000.0))) AS BIGINT)"
+            "    * (p1_bp / 10000.0 - p2_bp / 10000.0))) AS BIGINT) END"
         ).alias("n_per_arm"),
     )

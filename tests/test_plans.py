@@ -2785,3 +2785,21 @@ def test_recsys_eval_list_bounded_pairs(spark, sf_dir):
     assert "No Partition Defined" not in facts.text
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
     assert "BroadcastNestedLoopJoin" in facts.text
+
+
+def test_contribution_single_grid_pass(spark, sf_dir):
+    """q466: one fact hash-agg to the nation grid, broadcast dims and
+    1-row totals, TakeOrderedAndProject top-k; the surprise expression
+    is per-row (no float aggregate exists in the plan)."""
+    facts = audit_of(spark, sf_dir, "q466_contribution_analysis")
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert "TakeOrderedAndProject" in facts.text
+
+
+def test_retention_fit_semi_join_cohort(spark, sf_dir):
+    """q467: the day-0 cohort restricts activity via LEFT SEMI join;
+    the OLS reduce is a 1-row aggregate over the 29-day grid."""
+    facts = audit_of(spark, sf_dir, "q467_powerlaw_retention_fit")
+    assert "LeftSemi" in facts.text
+    assert facts.has_partial_agg

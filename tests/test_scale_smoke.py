@@ -1162,3 +1162,27 @@ def test_croston_state_survives_batch_splits_at_2m_rows(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert split == base
     out.unpersist()
+
+
+def test_grid_dbscan_cells_bound_work_at_5m_points(spark):
+    """q464's grid formulation at 5M points: the cell grid (not the
+    point count) bounds all downstream work — dense cells ≤ total
+    cells, every point lands in exactly one cell, and cluster+noise
+    point masses conserve the input."""
+    n = 5_000_000
+    pts = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        ((F.col("id") * 7919) % 1000).alias("cx"),
+        ((F.col("id") * 104729) % 1000).alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_pts"))
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n_pts").alias("total"),
+        F.sum(F.when(F.col("n_pts") >= 5, F.col("n_pts")).otherwise(0)).alias(
+            "dense_pts"
+        ),
+    ).collect()[0]
+    assert stats["n_cells"] <= 1000 * 1000
+    assert stats["total"] == n
+    assert 0 <= stats["dense_pts"] <= n
