@@ -1046,3 +1046,101 @@ def sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return top
+
+
+# ---- q468: single-bin DFT at the weekly frequency ------------------------
+# cos/sin(2πk/7) as SHARED literal constants (full-precision reprs parse to
+# the identical double in both engines); the projection is an explicit
+# 7-term sum in FIXED textual order, so no engine-ordered float aggregate
+# ever exists.
+_DFT_COS = (
+    "1.0", "0.6234898018587336", "-0.22252093395631434", "-0.900968867902419",
+    "-0.9009688679024191", "-0.2225209339563146", "0.6234898018587334",
+)
+_DFT_SIN = (
+    "0.0", "0.7818314824680298", "0.9749279121818236", "0.43388373911755823",
+    "-0.433883739117558", "-0.9749279121818236", "-0.7818314824680299",
+)
+_DFT_S = " + ".join(
+    f"p{k} * CAST({_DFT_COS[k]} AS DOUBLE)" for k in range(7)
+)
+_DFT_C = " + ".join(
+    f"p{k} * CAST({_DFT_SIN[k]} AS DOUBLE)" for k in range(7)
+)
+
+
+@query(
+    "q468_weekly_spectral_power",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', date_trunc('day', ts))::BIGINT
+               AS d,
+             count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    phased AS (
+      SELECT event_type,
+             {", ".join(f"sum(CASE WHEN d % 7 = {k} THEN y ELSE 0 END)::BIGINT AS p{k}"
+                        for k in range(7))},
+             count(*)::BIGINT AS n,
+             sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round({_DFT_S}, 6) AS s_proj,
+           round({_DFT_C}, 6) AS c_proj,
+           round(2.0 * (({_DFT_S}) * ({_DFT_S}) + ({_DFT_C}) * ({_DFT_C})) * n
+                 / CAST(n * syy - sy * sy AS DOUBLE), 6) AS weekly_share
+    FROM phased ORDER BY event_type
+    """,
+    tags=("timeseries", "spectral", "dft", "seasonality"),
+)
+def weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-bin DFT at the weekly frequency (Goertzel-style): project
+    each event type's daily-count series onto cos/sin(2πt/7) and report
+    the projections plus the weekly bin's share of series variance
+    (Parseval ratio) — the spectral seasonality-strength detector that
+    complements q329's seasonal means and q442's ACF ('is there a
+    7-day rhythm, and how much of the variance does it own?').
+
+    Determinism: the 7 phase sums are exact integer aggregates (t mod 7
+    buckets); cos/sin are SHARED full-precision literals and the
+    projection is an explicit 7-term sum in fixed textual order —
+    no engine-ordered float aggregation exists anywhere; the variance
+    denominator is the n·Σy² − (Σy)² integer expansion.
+
+    Scale: one codegen hash-agg straight from the fact scan to 10
+    integers per type (the phase/moment vector IS the whole state) —
+    the cheapest possible spectral probe, map-side combinable, and the
+    same shape streams as a q213-style stateful fold."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01")).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    phased = daily.groupBy("event_type").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN d % 7 = {k} THEN y ELSE 0 END")).alias(f"p{k}")
+            for k in range(7)
+        ],
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return phased.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(F.expr(_DFT_S), 6).alias("s_proj"),
+        F.round(F.expr(_DFT_C), 6).alias("c_proj"),
+        F.round(
+            F.expr(
+                f"2.0 * (({_DFT_S}) * ({_DFT_S}) + ({_DFT_C}) * ({_DFT_C})) * n"
+                " / CAST(n * syy - sy * sy AS DOUBLE)"
+            ),
+            6,
+        ).alias("weekly_share"),
+    ).orderBy("event_type")

@@ -2221,3 +2221,194 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_key")
     )
+
+
+# q469: forecast month = last month of the orders span; seasonal-naive
+# uses the value 12 months earlier; shares from the full history
+_HR_SEASON_M = 12
+
+
+@query(
+    "q469_hierarchical_reconciliation",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             (date_part('year', o.o_orderdate) - 1995) * 12
+               + date_part('month', o.o_orderdate) - 1 AS m,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2, 3
+    ),
+    last_m AS (SELECT max(m) AS lm FROM monthly),
+    nat_fc AS (
+      SELECT region, nation, cents::BIGINT AS fc_direct
+      FROM monthly CROSS JOIN last_m
+      WHERE m = lm - {_HR_SEASON_M}
+    ),
+    reg_fc AS (
+      SELECT region, sum(fc_direct)::BIGINT AS fc_region_bu
+      FROM nat_fc GROUP BY region
+    ),
+    shares AS (
+      SELECT region, nation,
+             (10000 * sum(cents)) // (sum(sum(cents)) OVER (PARTITION BY region))
+               AS share_bp
+      FROM monthly GROUP BY region, nation
+    )
+    SELECT f.region, f.nation,
+           f.fc_direct,
+           ((g.fc_region_bu * s.share_bp) // 10000)::BIGINT AS fc_topdown,
+           (f.fc_direct - (g.fc_region_bu * s.share_bp) // 10000)::BIGINT
+             AS coherence_gap_cents,
+           s.share_bp::BIGINT AS share_bp
+    FROM nat_fc f
+    JOIN reg_fc g ON g.region = f.region
+    JOIN shares s ON s.region = f.region AND s.nation = f.nation
+    ORDER BY f.region, f.nation
+    """,
+    tags=("forecast", "hierarchy", "reconciliation", "warehouse"),
+)
+def hierarchical_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical forecast reconciliation audit (bottom-up vs
+    top-down): seasonal-naive nation forecasts (value 12 months before
+    the last month) roll bottom-up into region totals, while the
+    top-down path allocates that regional total back by each nation's
+    historical revenue share (integer bp) — the per-nation coherence
+    gap is what a MinT-style reconciler would minimize, and the report
+    every hierarchical-forecasting pipeline prints before choosing a
+    method.
+
+    Determinism: cents/months/shares are exact integers; both
+    allocation paths are integer div arithmetic.
+
+    Scale: one fact hash-agg to the (region, nation, month) grid; the
+    share window partitions by region over the nation grid; forecasts
+    select single grid rows via the broadcast 1-row last-month total."""
+    monthly = (
+        table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.expr(
+                "(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1"
+            ).alias("m"),
+        )
+        .agg(F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"))
+        .persist()
+    )
+    last_m = monthly.agg(F.max("m").alias("lm"))
+    nat_fc = (
+        monthly.crossJoin(F.broadcast(last_m))
+        .filter(F.col("m") == F.col("lm") - _HR_SEASON_M)
+        .select("region", "nation", F.col("cents").alias("fc_direct"))
+    )
+    reg_fc = nat_fc.groupBy("region").agg(F.sum("fc_direct").alias("fc_region_bu"))
+    shares = (
+        monthly.groupBy("region", "nation")
+        .agg(F.sum("cents").alias("nat_tot"))
+        .withColumn(
+            "share_bp",
+            F.expr(
+                "(10000 * nat_tot) div (sum(nat_tot) OVER (PARTITION BY region))"
+            ),
+        )
+        .select("region", "nation", "share_bp")
+    )
+    return (
+        nat_fc.join(F.broadcast(reg_fc), "region")
+        .join(shares, ["region", "nation"])
+        .select(
+            "region",
+            "nation",
+            "fc_direct",
+            F.expr("(fc_region_bu * share_bp) div 10000").alias("fc_topdown"),
+            F.expr("fc_direct - (fc_region_bu * share_bp) div 10000").alias(
+                "coherence_gap_cents"
+            ),
+            F.col("share_bp").cast("long").alias("share_bp"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# q470: skew advisor dials — target parallelism and reported top keys
+_SKEW_P = 32
+_SKEW_TOPK = 10
+
+
+@query(
+    "q470_skew_salting_advisor",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey AS k, count(*)::BIGINT AS c FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(c)::BIGINT AS t,
+             (sum(c) + {_SKEW_P} - 1) // {_SKEW_P} AS ideal
+      FROM keyed
+    )
+    SELECT k.k AS key, k.c AS n_rows,
+           ((10000 * k.c) // t.t)::BIGINT AS share_bp,
+           ((k.c + t.ideal - 1) // t.ideal)::BIGINT AS salt_factor,
+           CASE WHEN k.c > t.ideal THEN 1 ELSE 0 END::BIGINT AS needs_salt
+    FROM keyed k CROSS JOIN tot t
+    ORDER BY k.c DESC, k.k
+    LIMIT {_SKEW_TOPK}
+    """,
+    tags=("warehouse", "advisor", "skew", "salting"),
+)
+def skew_salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting advisor: from the join/agg key histogram
+    (orders.o_custkey), compare each hot key's row count against the
+    ideal per-partition load (⌈N/{p}⌉ for {p}-way parallelism) and
+    recommend a per-key salt factor ⌈count/ideal⌉ — the compile-time
+    input q129's salted join and AQE's skew thresholds consume. Top
+    {k} keys reported.
+
+    Determinism: counts, shares (bp) and salt factors are pure integer
+    ceil-div arithmetic; ordering ties break by key.
+
+    Scale: one codegen hash-agg to the key histogram (map-side
+    combinable); the 1-row total broadcasts; top-k is
+    TakeOrderedAndProject. This is metadata-scale work that PREVENTS
+    the row-scale pathology it measures.""".format(p=_SKEW_P, k=_SKEW_TOPK)
+    keyed = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = keyed.agg(
+        F.sum("c").alias("t"),
+        F.expr(f"(sum(c) + {_SKEW_P} - 1) div {_SKEW_P}").alias("ideal"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("key"),
+            F.col("c").alias("n_rows"),
+            F.expr("(10000 * c) div t").alias("share_bp"),
+            F.expr("(c + ideal - 1) div ideal").alias("salt_factor"),
+            F.expr("CASE WHEN c > ideal THEN 1 ELSE 0 END")
+            .cast("long")
+            .alias("needs_salt"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(_SKEW_TOPK)
+    )

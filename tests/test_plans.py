@@ -2803,3 +2803,33 @@ def test_retention_fit_semi_join_cohort(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q467_powerlaw_retention_fit")
     assert "LeftSemi" in facts.text
     assert facts.has_partial_agg
+
+
+def test_spectral_single_hash_agg(spark, sf_dir):
+    """q468: the whole spectral probe reduces in aggregates from the
+    fact scan (two hash-agg levels, map-side combinable) — no window,
+    no join beyond the dims, no float aggregate (the 7-term projection
+    is a fixed-order projection expression)."""
+    facts = audit_of(spark, sf_dir, "q468_weekly_spectral_power")
+    assert facts.has_partial_agg
+    assert "Window" not in facts.text
+    assert not facts.has_cartesian
+
+
+def test_reconciliation_grid_paths(spark, sf_dir):
+    """q469: both allocation paths run on the (region, nation, month)
+    grid — broadcast dims below, share window partitioned by region,
+    1-row last-month broadcast."""
+    facts = audit_of(spark, sf_dir, "q469_hierarchical_reconciliation")
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+    assert facts.has_partial_agg
+
+
+def test_skew_advisor_histogram_topk(spark, sf_dir):
+    """q470: one map-side-combinable key histogram, broadcast 1-row
+    total, TakeOrderedAndProject top-k — metadata-scale throughout."""
+    facts = audit_of(spark, sf_dir, "q470_skew_salting_advisor")
+    assert facts.has_partial_agg
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert "TakeOrderedAndProject" in facts.text
