@@ -1651,3 +1651,66 @@ def forget_me_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_affected * 10000 div n_rows").cast("bigint").alias("affected_bp"),
         F.col("n_subjects").cast("bigint"),
     )
+
+
+_ES_K = 50  # sample size for the weighted without-replacement draw
+
+
+@query(
+    "q471_weighted_sample_es",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(floor(1000000000000.0 *
+                    ln(CAST(({tok_hash_expr("o_orderkey::VARCHAR", dialect="duckdb")} + 1)
+                            AS DOUBLE) / 1000000007.0)
+                    / o_totalprice) AS BIGINT) AS key_nano
+      FROM orders
+    )
+    SELECT row_number() OVER (ORDER BY key_nano DESC, o_orderkey) AS draw_rank,
+           o_orderkey,
+           round(o_totalprice, 2) AS weight,
+           key_nano
+    FROM keyed
+    ORDER BY key_nano DESC, o_orderkey
+    LIMIT {_ES_K}
+    """,
+    tags=("curation", "sampling", "weighted", "porthash"),
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each order draws u ∈ (0,1] from the
+    portable rolling hash of its key and competes with key u^(1/w),
+    w = o_totalprice — the top-k by key is a bona-fide weight-
+    proportional WOR sample, reproducible on any engine. The monotone
+    transform ln(u)/w replaces u^(1/w) (same ordering), floored to
+    integer nano-units per the q419 integer-ln discipline so the rank
+    ORDER is integer-exact cross-engine (ties then break by orderkey).
+
+    Scale: the keying is one map-only codegen expression over the fact
+    scan; the global top-k is TakeOrderedAndProject (per-partition heaps
+    + a k-row driver merge) — no global sort, no shuffle of the
+    non-sampled mass. This is the one-pass 100 TB-safe way to draw a
+    weight-proportional sample for eval sets / annotation budgets;
+    complements q322's stratified Neyman allocation (size-stratified)
+    with importance-weighted selection."""
+    u = (
+        f"(CAST(({tok_hash_expr('CAST(o_orderkey AS STRING)', dialect='spark')} + 1) "
+        f"AS DOUBLE) / 1000000007.0)"
+    )
+    keyed = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            f"CAST(floor(1000000000000.0 * ln({u}) / o_totalprice) AS BIGINT)"
+        ).alias("key_nano"),
+    )
+    topk = keyed.orderBy(F.col("key_nano").desc(), "o_orderkey").limit(_ES_K)
+    return topk.select(
+        F.row_number()
+        .over(W.orderBy(F.col("key_nano").desc(), "o_orderkey"))
+        .alias("draw_rank"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("weight"),
+        "key_nano",
+    )

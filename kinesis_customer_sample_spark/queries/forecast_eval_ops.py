@@ -671,3 +671,102 @@ def walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "train_end_day")
     )
+
+
+# ---- q475: newsvendor service-level stock quantile ----------------------
+_NV_SERVICE_BP = 8000  # 80% cycle-service-level target, basis points
+
+
+@query(
+    "q475_newsvendor_stock",
+    oracle=f"""
+    WITH demand AS (
+      SELECT p.p_brand, date_trunc('day', l.l_shipdate) AS day,
+             CAST(round(sum(l.l_quantity)) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, d,
+             row_number() OVER (PARTITION BY p_brand ORDER BY d, day) AS rk,
+             count(*) OVER (PARTITION BY p_brand) AS n
+      FROM demand
+    ),
+    stock AS (
+      SELECT p_brand, min(d)::BIGINT AS stock_level, any_value(n)::BIGINT AS n_days
+      FROM ranked
+      WHERE rk * 10000 >= {_NV_SERVICE_BP} * n
+      GROUP BY p_brand
+    )
+    SELECT s.p_brand, s.n_days, s.stock_level,
+           sum(dm.d)::BIGINT AS total_demand,
+           sum(least(dm.d, s.stock_level))::BIGINT AS total_filled,
+           (sum(least(dm.d, s.stock_level)) * 10000 // sum(dm.d))::BIGINT
+             AS fill_rate_bp,
+           (sum(CASE WHEN dm.d <= s.stock_level THEN 1 ELSE 0 END) * 10000
+              // s.n_days)::BIGINT AS cycle_service_bp
+    FROM stock s JOIN demand dm ON dm.p_brand = s.p_brand
+    GROUP BY s.p_brand, s.n_days, s.stock_level
+    ORDER BY s.p_brand
+    """,
+    tags=("demand", "newsvendor", "quantile", "inventory"),
+)
+def newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking decision per brand: the critical-ratio answer
+    'stock the β-quantile of daily demand' at β = 80% cycle service
+    level, evaluated as the DISCRETE empirical quantile (smallest demand
+    whose rank covers β·n — percentile_disc semantics, no
+    interpolation), then audited in-sample: attained unit fill rate
+    Σmin(d, S)/Σd and cycle service Σ[d ≤ S]/n. The audit columns are
+    what an inventory platform actually monitors — the quantile alone
+    says nothing about how much demand the stock actually clears.
+
+    Determinism: demand is an exact integer-unit aggregate; quantile
+    selection is integer-rank arithmetic (rk·10⁴ ≥ β_bp·n); both audit
+    rates are exact integer basis-point divisions (div truncation,
+    identical both engines). No float exists anywhere.
+
+    Scale posture: one codegen hash-agg to the (brand, day) grid; the
+    rank window partitions per brand over the bounded day grid; the
+    audit re-join is brand-keyed against the same grid. At 100 TB the
+    grid is |brands|·|days| rows — dimension-sized, never fact-sized."""
+    demand = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(F.round(F.sum("l_quantity")).cast("bigint").alias("d"))
+    )
+    ranked = demand.select(
+        "p_brand",
+        "d",
+        F.row_number().over(W.partitionBy("p_brand").orderBy("d", "day")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("p_brand")).alias("n"),
+    )
+    stock = (
+        ranked.filter(F.col("rk") * 10000 >= _NV_SERVICE_BP * F.col("n"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("d").cast("bigint").alias("stock_level"),
+            F.first("n").cast("bigint").alias("n_days"),
+        )
+    )
+    return (
+        stock.join(demand, "p_brand")
+        .groupBy("p_brand", "n_days", "stock_level")
+        .agg(
+            F.sum("d").cast("bigint").alias("total_demand"),
+            F.sum(F.least("d", "stock_level")).cast("bigint").alias("total_filled"),
+            F.expr("sum(least(d, stock_level)) * 10000 div sum(d)")
+            .cast("bigint")
+            .alias("fill_rate_bp"),
+            F.expr(
+                "sum(CASE WHEN d <= stock_level THEN 1 ELSE 0 END) * 10000 div first(n_days)"
+            )
+            .cast("bigint")
+            .alias("cycle_service_bp"),
+        )
+        .orderBy("p_brand")
+    )

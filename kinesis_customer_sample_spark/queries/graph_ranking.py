@@ -607,3 +607,122 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppr_mu"), "part_key")
         .limit(_PPR_TOPK)
     )
+
+
+@query(
+    "q472_brand_modularity",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL_UND}),
+    m AS (SELECT count(*)::BIGINT AS m FROM e0),
+    nodes AS (
+      SELECT node, count(*)::BIGINT AS deg FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+      ) GROUP BY node
+    ),
+    labeled AS (
+      SELECT n.node, n.deg, p.p_brand
+      FROM nodes n JOIN part p ON p.p_partkey = n.node
+    ),
+    comm AS (
+      SELECT p_brand, count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS deg_sum
+      FROM labeled GROUP BY p_brand
+    ),
+    intra AS (
+      SELECT pa.p_brand, count(*)::BIGINT AS intra_edges
+      FROM e0
+      JOIN part pa ON pa.p_partkey = e0.a
+      JOIN part pb ON pb.p_partkey = e0.b
+      WHERE pa.p_brand = pb.p_brand
+      GROUP BY pa.p_brand
+    )
+    SELECT c.p_brand, c.n_nodes, c.deg_sum,
+           COALESCE(i.intra_edges, 0)::BIGINT AS intra_edges,
+           (SELECT m FROM m) AS m_edges,
+           round(CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / (SELECT m FROM m)
+                 - (CAST(c.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM m)))
+                   * (CAST(c.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM m))), 6)
+             AS q_contrib
+    FROM comm c LEFT JOIN intra i ON i.p_brand = c.p_brand
+    ORDER BY c.p_brand
+    """,
+    tags=("graph", "modularity", "community", "copurchase"),
+)
+def brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a GIVEN partition — the community-quality
+    score Q = Σ_c [e_c/m − (d_c/2m)²] evaluated for the brand partition
+    of the co-purchase part graph: 'do same-brand parts co-sell more
+    than a degree-preserving random rewiring predicts?' Emits one row
+    per community with its exact integer evidence (node count, degree
+    mass, intra-community edge count, total edges) plus its additive
+    Q-contribution — summing q_contrib IS the partition's modularity,
+    making this the objective evaluator for q90/q292's components and
+    q464's clusters.
+
+    Determinism: e_c, d_c, m are exact integer aggregates; the one
+    double expression is the same fixed text both engines evaluate;
+    rounded in-query.
+
+    Scale posture: consumes the session-materialized edge product
+    (shared_copurchase_edges, built once per 100 TB pipeline run);
+    brand labels arrive via broadcast dimension joins (part is the
+    small side); two hash-aggs to a 25-row community table — no
+    shuffle ever carries more than the edge list itself."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    e0 = shared_copurchase_edges(spark, sf_dir)
+    brands = F.broadcast(
+        table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    m = e0.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    comm = (
+        nodes.join(brands, nodes.node == brands.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("deg_sum"),
+        )
+    )
+    intra = (
+        e0.join(
+            brands.select(
+                F.col("p_partkey").alias("a"), F.col("p_brand").alias("brand_a")
+            ),
+            "a",
+        )
+        .join(
+            brands.select(
+                F.col("p_partkey").alias("b"), F.col("p_brand").alias("brand_b")
+            ),
+            "b",
+        )
+        .filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("p_brand"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    q_expr = (
+        "round(CAST(intra_edges AS DOUBLE) / m_edges"
+        " - (CAST(deg_sum AS DOUBLE) / (2.0 * m_edges))"
+        "   * (CAST(deg_sum AS DOUBLE) / (2.0 * m_edges)), 6)"
+    )
+    return (
+        comm.join(intra, "p_brand", "left")
+        .withColumn("intra_edges", F.coalesce("intra_edges", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_brand",
+            "n_nodes",
+            "deg_sum",
+            "intra_edges",
+            "m_edges",
+            F.expr(q_expr).alias("q_contrib"),
+        )
+        .orderBy("p_brand")
+    )

@@ -772,3 +772,205 @@ def recsys_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_seg.unionByName(cov).orderBy("segment")
+
+
+# ---- q473: cluster validity — simplified silhouette + Davies-Bouldin ----
+# Quantized-centroid discipline: every embedding coordinate becomes an
+# exact integer µ-unit (⌊10⁶v + 0.5⌋); the per-label centroid is the
+# TRUNCATED integer division of the µ-sum by n (identical div semantics
+# both engines), so every point↔centroid squared distance is an EXACT
+# int64 sum of 64 squared µ-diffs (|diff| ≤ ~2·10⁶ → Σ ≤ 2.6·10¹⁴,
+# overflow-safe at any corpus size because the centroid is bounded by
+# the value range, not the row count).
+
+
+@query(
+    "q473_cluster_validity",
+    oracle="""
+    WITH pt AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(v::DOUBLE * 1000000.0 + 0.5) AS BIGINT)) AS mu
+      FROM embeddings
+    ),
+    expl AS (
+      SELECT label, d AS dim, mu[d] AS v
+      FROM pt, generate_series(1, 64) AS g(d)
+    ),
+    cdim AS (
+      SELECT label, dim, sum(v)::BIGINT AS s, count(*)::BIGINT AS n
+      FROM expl GROUP BY label, dim
+    ),
+    cent AS (
+      SELECT label AS clabel,
+             list(s // n ORDER BY dim) AS cmu,
+             any_value(n) AS n
+      FROM cdim GROUP BY label
+    ),
+    d2 AS (
+      SELECT p.vec_id, p.label, c.clabel,
+             list_sum(list_transform(generate_series(1, 64),
+               d -> (p.mu[d] - c.cmu[d]) * (p.mu[d] - c.cmu[d])))::BIGINT AS d2
+      FROM pt p CROSS JOIN cent c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN d2 END) AS a2,
+             min(CASE WHEN clabel != label THEN d2 END) AS b2
+      FROM d2 GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT label,
+             count(*)::BIGINT AS n,
+             sum(CAST(floor(1000000.0 *
+                   (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+                   / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) + 0.5) AS BIGINT)
+                )::BIGINT AS s_mu_sum,
+             sum(CAST(floor(sqrt(CAST(a2 AS DOUBLE)) + 0.5) AS BIGINT))::BIGINT
+               AS own_dist_mu_sum
+      FROM ab GROUP BY label
+    ),
+    sigma AS (
+      SELECT label, n, s_mu_sum,
+             own_dist_mu_sum // n AS sigma_mu
+      FROM sil
+    ),
+    db AS (
+      SELECT i.label,
+             max((i.sigma_mu + j.sigma_mu) / 1000000.0
+                 / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                      d -> (ci.cmu[d] - cj.cmu[d]) * (ci.cmu[d] - cj.cmu[d])))
+                      AS DOUBLE)) / 1000000.0)) AS db_raw
+      FROM sigma i
+      JOIN sigma j ON j.label != i.label
+      JOIN cent ci ON ci.clabel = i.label
+      JOIN cent cj ON cj.clabel = j.label
+      GROUP BY i.label
+    )
+    SELECT s.label, s.n,
+           round(CAST(s.s_mu_sum AS DOUBLE) / (s.n * 1000000.0), 6)
+             AS mean_silhouette,
+           round(s.sigma_mu / 1000000.0, 6) AS sigma,
+           round(db.db_raw, 6) AS db_component
+    FROM sigma s JOIN db ON db.label = s.label
+    ORDER BY s.label
+    """,
+    tags=("ml-eval", "clustering", "silhouette", "davies-bouldin"),
+)
+def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-validity scorecard for a labeled embedding table: the
+    simplified (centroid-based) silhouette s = (b−a)/max(a,b) — a/b the
+    distances to the own/nearest-other centroid — plus each cluster's
+    dispersion σ and its Davies–Bouldin component max_j (σi+σj)/d(ci,cj).
+    This is the evaluator a clustering pipeline (q149 k-means, q464
+    DBSCAN, q153 semantic dedup) publishes: which clusters are tight,
+    which pair overlaps. Simplified silhouette is O(N·k) instead of the
+    O(N²) pairwise form — the only version that exists at 100 TB.
+
+    Determinism: quantized-centroid discipline (header note) — all
+    distances are exact int64 µ²-sums; sqrt is the one IEEE op (correctly
+    rounded, engine-identical); per-point silhouettes and distances are
+    floor-quantized to µ before the mean, so no float aggregate exists.
+
+    Scale posture: centroids are ONE hash-agg over the exploded (label,
+    dim) grid → k·64 rows, broadcast back; point scoring is a map-only
+    zip_with fold against the k-row centroid array table (N·k integer
+    folds, no shuffle); σ and DB run on the k-row summary. The explode
+    never shuffles raw vectors — only (label, dim, int) triples."""
+    pt = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))"
+        ).alias("mu"),
+    )
+    expl = pt.select(
+        "label", F.posexplode("mu").alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    cdim = expl.groupBy("label", "dim").agg(
+        F.sum("v").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cent = (
+        cdim.select(
+            F.col("label").alias("clabel"),
+            "dim",
+            F.expr("s div n").alias("c"),
+            "n",
+        )
+        .groupBy("clabel")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").alias("cmu"),
+            F.first("n").alias("n"),
+        )
+    )
+    d2 = pt.crossJoin(F.broadcast(cent.select("clabel", "cmu"))).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.expr(
+            "aggregate(zip_with(mu, cmu, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.min(F.expr("CASE WHEN clabel = label THEN d2 END")).alias("a2"),
+        F.min(F.expr("CASE WHEN clabel != label THEN d2 END")).alias("b2"),
+    )
+    sil = ab.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CAST(floor(1000000.0 * (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))"
+                " / sqrt(CAST(greatest(a2, b2) AS DOUBLE)) + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("s_mu_sum"),
+        F.sum(F.expr("CAST(floor(sqrt(CAST(a2 AS DOUBLE)) + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("own_dist_mu_sum"),
+    )
+    sigma = sil.select(
+        "label", "n", "s_mu_sum", F.expr("own_dist_mu_sum div n").alias("sigma_mu")
+    )
+    cent_b = F.broadcast(cent.select("clabel", "cmu"))
+    cdist = (
+        cent_b.alias("ci")
+        .crossJoin(cent_b.alias("cj"))
+        .filter(F.col("ci.clabel") != F.col("cj.clabel"))
+        .select(
+            F.col("ci.clabel").alias("li"),
+            F.col("cj.clabel").alias("lj"),
+            F.expr(
+                "sqrt(CAST(aggregate(zip_with(ci.cmu, cj.cmu, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)) / 1000000.0"
+            ).alias("cd"),
+        )
+    )
+    db = (
+        sigma.alias("i")
+        .join(cdist, F.col("i.label") == F.col("li"))
+        .join(
+            sigma.select(F.col("label").alias("lj"), F.col("sigma_mu").alias("sigma_mu_j")),
+            "lj",
+        )
+        .groupBy(F.col("i.label").alias("label"))
+        .agg(
+            F.max(
+                F.expr("(sigma_mu + sigma_mu_j) / 1000000.0 / cd")
+            ).alias("db_raw")
+        )
+    )
+    return (
+        sigma.join(db, "label")
+        .select(
+            "label",
+            "n",
+            F.round(F.expr("CAST(s_mu_sum AS DOUBLE) / (n * 1000000.0)"), 6).alias(
+                "mean_silhouette"
+            ),
+            F.round(F.expr("sigma_mu / 1000000.0"), 6).alias("sigma"),
+            F.round("db_raw", 6).alias("db_component"),
+        )
+        .orderBy("label")
+    )

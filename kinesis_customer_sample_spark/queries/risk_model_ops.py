@@ -408,3 +408,116 @@ def model_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(max(mase) * 10000) AS BIGINT)").alias("headline_bp"),
     ).select(F.lit("forecast").alias("domain"), "n_units", "headline_bp")
     return r1.unionByName(r2).unionByName(r3).unionByName(r4)
+
+
+# ---- q476: Sharpe / Sortino over daily revenue returns ------------------
+
+
+@query(
+    "q476_sharpe_sortino",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100.0) AS BIGINT))::BIGINT AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    ret AS (
+      SELECT o_orderpriority,
+             CAST(floor(1000000.0 * (cents - prev) / prev) AS BIGINT) AS r
+      FROM (
+        SELECT o_orderpriority, cents,
+               lag(cents) OVER (PARTITION BY o_orderpriority ORDER BY day)
+                 AS prev
+        FROM daily
+      ) WHERE prev IS NOT NULL AND prev > 0
+    ),
+    mom AS (
+      SELECT o_orderpriority,
+             count(*)::BIGINT AS n,
+             sum(r)::BIGINT AS s1,
+             sum(r * r)::BIGINT AS s2,
+             sum(CASE WHEN r < 0 THEN r * r ELSE 0 END)::BIGINT AS sneg2
+      FROM ret GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (s1 // n)::BIGINT AS mean_ret_ppm,
+           round(CAST(s1 AS DOUBLE)
+                 / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1), 6)
+             AS sharpe,
+           round(CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * sneg2), 6)
+             AS sortino,
+           CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1))
+                      / n) AS BIGINT) AS vol_ppm
+    FROM mom ORDER BY o_orderpriority
+    """,
+    tags=("risk", "sharpe", "sortino", "returns"),
+)
+def sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharpe and Sortino ratios of the daily revenue-return series per
+    order priority — the risk-adjusted-performance pair that extends
+    q435's VaR/ES tail view with the mean-per-unit-risk view: Sharpe
+    divides mean return by total volatility, Sortino by DOWNSIDE
+    deviation only (upside swings shouldn't count as risk). Zero
+    risk-free rate; population denominators.
+
+    Determinism: daily revenue is exact integer cents; each day-over-day
+    return is floor-quantized to integer ppm BEFORE aggregation (the
+    q419 discipline), so n/Σr/Σr²/Σr₋² are exact int64 sums; both
+    ratios reduce to single rationals over those sums — Sharpe =
+    S₁/√(n·S₂−S₁²), Sortino = S₁/√(n·S₋₂) — with one IEEE sqrt each,
+    rounded in-query.
+
+    Scale posture: one codegen hash-agg to the (priority, day) grid; the
+    lag window partitions per priority over the bounded day grid; the
+    moment reduction is map-side combinable to a 4-integer row per
+    segment. Nothing fact-sized ever reaches a window."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    ret = (
+        daily.select(
+            "o_orderpriority",
+            "cents",
+            F.lag("cents")
+            .over(W.partitionBy("o_orderpriority").orderBy("day"))
+            .alias("prev"),
+        )
+        .filter(F.col("prev").isNotNull() & (F.col("prev") > 0))
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(floor(1000000.0 * (cents - prev) / prev) AS BIGINT)").alias(
+                "r"
+            ),
+        )
+    )
+    mom = ret.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s1"),
+        F.sum(F.expr("r * r")).cast("bigint").alias("s2"),
+        F.sum(F.expr("CASE WHEN r < 0 THEN r * r ELSE 0 END"))
+        .cast("bigint")
+        .alias("sneg2"),
+    )
+    return mom.select(
+        "o_orderpriority",
+        "n",
+        F.expr("s1 div n").cast("bigint").alias("mean_ret_ppm"),
+        F.round(
+            F.expr(
+                "CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            ),
+            6,
+        ).alias("sharpe"),
+        F.round(
+            F.expr("CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * sneg2)"), 6
+        ).alias("sortino"),
+        F.expr(
+            "CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n) AS BIGINT)"
+        ).alias("vol_ppm"),
+    ).orderBy("o_orderpriority")

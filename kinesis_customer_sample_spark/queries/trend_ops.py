@@ -646,3 +646,131 @@ def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("trend", 6).alias("trend"),
         F.round("next_day_forecast", 6).alias("next_day_forecast"),
     ).orderBy("user_id")
+
+
+# ---- q474: Kalman local-level filter ------------------------------------
+_KAL_Q = 25.0   # process noise variance (level random walk)
+_KAL_R = 400.0  # observation noise variance
+
+
+@query(
+    "q474_kalman_local_level",
+    oracle=f"""
+    WITH RECURSIVE obs AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             CAST(y AS DOUBLE) AS y
+      FROM (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               count(*)::BIGINT AS y
+        FROM events GROUP BY 1, 2
+      )
+    ),
+    nn AS (SELECT event_type, max(t) AS n FROM obs GROUP BY event_type),
+    rec AS (
+      SELECT event_type, 1 AS t, y AS l,
+             CAST({_KAL_R} AS DOUBLE) AS p,
+             CAST(0.0 AS DOUBLE) AS k,
+             CAST(0.0 AS DOUBLE) AS sse
+      FROM obs WHERE t = 1
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             r.l + ((r.p + {_KAL_Q}) / ((r.p + {_KAL_Q}) + {_KAL_R}))
+                 * (o.y - r.l) AS l,
+             (1.0 - ((r.p + {_KAL_Q}) / ((r.p + {_KAL_Q}) + {_KAL_R})))
+                 * (r.p + {_KAL_Q}) AS p,
+             (r.p + {_KAL_Q}) / ((r.p + {_KAL_Q}) + {_KAL_R}) AS k,
+             r.sse + (o.y - r.l) * (o.y - r.l) AS sse
+      FROM rec r
+      JOIN obs o ON o.event_type = r.event_type AND o.t = r.t + 1
+    )
+    SELECT r.event_type, nn.n::BIGINT AS n_days,
+           round(r.l, 6) AS level,
+           round(r.k, 6) AS kalman_gain,
+           round(r.p, 6) AS pvar,
+           round(r.sse, 6) AS innov_sse
+    FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.t = nn.n
+    ORDER BY r.event_type
+    """,
+    tags=("timeseries", "kalman", "smoothing", "mapInPandas", "secondary-sort"),
+)
+def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter, local-level model, per event type's daily count
+    series: predict P⁻ = P + Q; gain K = P⁻/(P⁻+R); update
+    l += K·(y − l), P = (1−K)·P⁻ — the optimal (MMSE) recursive
+    smoother that q206's EWMA approximates with a FIXED gain; here the
+    gain adapts (large under high uncertainty, converging to the
+    steady-state Riccati value) and the posterior variance P is part of
+    the output, giving calibrated uncertainty for the q164/q201 anomaly
+    thresholds. Innovation SSE doubles as the model-fit score.
+
+    Determinism: the daily series is an exact integer count; the
+    recursion is a fixed SEQUENCE of IEEE-double ops (the gain's
+    rational is recomputed textually identically wherever it appears)
+    replayed by the oracle's recursive CTE marching t — the q297
+    discipline; a hash match proves bit-exact state replication.
+
+    Scale posture: one codegen hash-agg to the (type, day) grid, then
+    the inherently-sequential per-key recursion via repartition-by-key +
+    sortWithinPartitions + ONE mapInPandas pass (carry-state across
+    Arrow batches, O(rows) Python, arbitrarily many keys in parallel —
+    the q297 secondary-sort pattern, not per-group applyInPandas)."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+
+    q, r = _KAL_Q, _KAL_R
+
+    def kalman_partition(batches):
+        cur, ys = None, []
+        out: dict[str, list] = {
+            "event_type": [], "n_days": [], "level": [],
+            "kalman_gain": [], "pvar": [], "innov_sse": [],
+        }
+
+        def flush():
+            if cur is None or not ys:
+                return
+            l, p, k, sse = ys[0], r, 0.0, 0.0
+            for y in ys[1:]:
+                k = (p + q) / ((p + q) + r)
+                l_new = l + ((p + q) / ((p + q) + r)) * (y - l)
+                sse = sse + (y - l) * (y - l)
+                p_new = (1.0 - ((p + q) / ((p + q) + r))) * (p + q)
+                l, p = l_new, p_new
+            out["event_type"].append(cur)
+            out["n_days"].append(len(ys))
+            out["level"].append(l)
+            out["kalman_gain"].append(k)
+            out["pvar"].append(p)
+            out["innov_sse"].append(sse)
+
+        for pdf in batches:
+            for et, y in zip(pdf["event_type"].to_numpy(), pdf["y"].to_numpy()):
+                et = str(et)
+                if et != cur:
+                    flush()
+                    cur, ys = et, []
+                ys.append(float(y))
+        flush()
+        yield pd.DataFrame(out)
+
+    out = (
+        daily.repartition("event_type")
+        .sortWithinPartitions("event_type", "day")
+        .mapInPandas(
+            kalman_partition,
+            "event_type string, n_days bigint, level double, "
+            "kalman_gain double, pvar double, innov_sse double",
+        )
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.round("level", 6).alias("level"),
+        F.round("kalman_gain", 6).alias("kalman_gain"),
+        F.round("pvar", 6).alias("pvar"),
+        F.round("innov_sse", 6).alias("innov_sse"),
+    ).orderBy("event_type")

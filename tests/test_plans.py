@@ -2833,3 +2833,61 @@ def test_skew_advisor_histogram_topk(spark, sf_dir):
     assert facts.has_partial_agg
     assert "BroadcastNestedLoopJoin" in facts.text
     assert "TakeOrderedAndProject" in facts.text
+
+
+def test_weighted_sample_topk_heap(spark, sf_dir):
+    """q471: the A-ES draw is a map-only keying expression + global
+    top-k via TakeOrderedAndProject (per-partition heaps, k-row driver
+    merge) — the non-sampled mass never shuffles."""
+    facts = audit_of(spark, sf_dir, "q471_weighted_sample_es")
+    assert "TakeOrderedAndProject" in facts.text
+    assert not facts.has_cartesian
+
+
+def test_modularity_broadcast_dims(spark, sf_dir):
+    """q472: brand labels join via broadcast (part is the small side);
+    community/degree reductions are map-side combinable; the 1-row
+    total-edges state broadcasts."""
+    facts = audit_of(spark, sf_dir, "q472_brand_modularity")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+    assert "CartesianProduct" not in facts.text
+
+
+def test_cluster_validity_centroid_broadcast(spark, sf_dir):
+    """q473: point scoring is a map-only integer fold against the k-row
+    broadcast centroid table — raw vectors never hash-shuffle; only
+    (label, dim, int) triples reach an exchange."""
+    facts = audit_of(spark, sf_dir, "q473_cluster_validity")
+    assert "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+    assert "CartesianProduct" not in facts.text
+
+
+def test_kalman_secondary_sort_mapinpandas(spark, sf_dir):
+    """q474: the per-key recursion is ONE MapInPandas pass over a
+    repartition-by-key + sortWithinPartitions layout (q297 pattern) —
+    no per-group applyInPandas, no global window."""
+    facts = audit_of(spark, sf_dir, "q474_kalman_local_level")
+    assert "MapInPandas" in facts.text
+    assert facts.has_partial_agg
+    assert "No Partition Defined" not in facts.text
+
+
+def test_newsvendor_grid_windows(spark, sf_dir):
+    """q475: demand reduces to the (brand, day) grid in one partial agg;
+    the quantile rank window partitions per brand; the part dim joins
+    broadcast."""
+    facts = audit_of(spark, sf_dir, "q475_newsvendor_stock")
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
+    assert "No Partition Defined" not in facts.text
+
+
+def test_sharpe_partitioned_lag(spark, sf_dir):
+    """q476: the return lag window partitions per priority over the
+    bounded day grid; the moment reduction is map-side combinable."""
+    facts = audit_of(spark, sf_dir, "q476_sharpe_sortino")
+    assert facts.has_partial_agg
+    assert "No Partition Defined" not in facts.text
