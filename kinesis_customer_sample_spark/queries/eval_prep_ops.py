@@ -234,8 +234,9 @@ _TE_SMOOTH_M = 20  # pseudo-count weight of the global prior
     SELECT f.segment,
            f.fold::BIGINT AS fold,
            f.cnt_f AS n_fold,
-           (((s.sum_s - f.sum_f) * g.cnt_g + {_TE_SMOOTH_M} * g.sum_g) * 1000
-            // (g.cnt_g * ((s.cnt_s - f.cnt_f) + {_TE_SMOOTH_M})))::BIGINT
+           ((((s.sum_s - f.sum_f)::HUGEINT * g.cnt_g
+              + {_TE_SMOOTH_M} * g.sum_g::HUGEINT) * 1000)
+            // (g.cnt_g::HUGEINT * ((s.cnt_s - f.cnt_f) + {_TE_SMOOTH_M})))::BIGINT
              AS enc_millicents
     FROM per_fold f
     JOIN per_seg s ON s.segment = f.segment
@@ -251,9 +252,13 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     global mean with m=20 pseudo-counts. The smoothed mean
     (sum_excl + m·mean_g)/(cnt_excl + m) is kept as ONE integer rational
     (sum_excl·cnt_g + m·sum_g)·1000 / (cnt_g·(cnt_excl + m)) in
-    milli-cents — no float division until never. int64 bound: at sf0.1
-    sum_excl·cnt_g ≈ 1.5e9·1.5e5 ≈ 2e14, ×1000 ≈ 2e17 < 9.2e18; the
-    q311-style overflow note applies at sf ≳ 3 (switch to DECIMAL(38,0)).
+    milli-cents — no float division anywhere. The numerator product is
+    ~3·10²⁰ at sf0.1 (sum_excl ≈ 2.25e12 cents × cnt_g ≈ 1.5e5 × 1000),
+    past int64, so both engines evaluate the rational in 128-bit-class
+    integers: Spark as DECIMAL(38,0) (exact to 10³⁸, good past sf 10⁶),
+    DuckDB as HUGEINT. `div` on decimals and `//` on hugeints both
+    truncate toward zero; every quantity is positive, so the results
+    are the identical floor.
 
     Scale posture (100 TB): one fact-dim hash join, then two cascaded
     hash aggs whose outputs are (segments×folds)- and segment-sized; the
@@ -288,8 +293,9 @@ def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fold").cast("bigint").alias("fold"),
             F.col("cnt_f").alias("n_fold"),
             F.expr(
-                f"((sum_s - sum_f) * cnt_g + {_TE_SMOOTH_M} * sum_g) * 1000 "
-                f"div (cnt_g * ((cnt_s - cnt_f) + {_TE_SMOOTH_M}))"
+                f"(CAST(sum_s - sum_f AS DECIMAL(38,0)) * cnt_g "
+                f"+ {_TE_SMOOTH_M} * CAST(sum_g AS DECIMAL(38,0))) * 1000 "
+                f"div (CAST(cnt_g AS DECIMAL(38,0)) * ((cnt_s - cnt_f) + {_TE_SMOOTH_M}))"
             )
             .cast("bigint")
             .alias("enc_millicents"),
