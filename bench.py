@@ -293,6 +293,17 @@ HEADLINE = [
     "q460_walk_forward_backtest",
     "q461_source_mix_waterfill",
     "q462_ktruss_peel",
+    "q464_grid_dbscan",
+    "q465_recsys_coverage_diversity",
+    "q466_contribution_analysis",
+    "q468_weekly_spectral_power",
+    "q469_hierarchical_reconciliation",
+    "q471_weighted_sample_es",
+    "q472_brand_modularity",
+    "q473_cluster_validity",
+    "q474_kalman_local_level",
+    "q475_newsvendor_stock",
+    "q476_sharpe_sortino",
     # (q428 Markov removal attribution and q434 PPR join the excluded
     # iterative family — localCheckpoint rounds dominate wall time)
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its

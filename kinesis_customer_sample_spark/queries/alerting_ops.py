@@ -487,3 +487,173 @@ def rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"count_if(n_in_window > {_RL_LIMIT}) * 10000 div count(1)"
         ).cast("bigint").alias("throttle_bp"),
     )
+
+
+# ---- q480: Western Electric control-chart rules ---------------------------
+
+
+@query(
+    "q480_western_electric_rules",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS s1,
+             sum(x * x)::BIGINT AS s2
+      FROM daily GROUP BY event_type
+    ),
+    lim AS (
+      SELECT event_type, n,
+             (s1 * 1000000 // n)::BIGINT AS mu_mu,
+             CAST(floor(1000000.0 *
+                    sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / n)
+                  AS BIGINT) AS sigma_mu
+      FROM stats
+    ),
+    dev AS (
+      SELECT d.event_type, d.day,
+             d.x * 1000000 - l.mu_mu AS dev_mu,
+             l.sigma_mu
+      FROM daily d JOIN lim l ON l.event_type = d.event_type
+    ),
+    flags AS (
+      SELECT event_type, day,
+             CASE WHEN abs(dev_mu) > 3 * sigma_mu THEN 1 ELSE 0 END AS r1,
+             CASE WHEN count(*) OVER w3 = 3 AND
+                  (sum(CASE WHEN dev_mu > 2 * sigma_mu THEN 1 ELSE 0 END) OVER w3 >= 2
+                   OR sum(CASE WHEN dev_mu < -2 * sigma_mu THEN 1 ELSE 0 END) OVER w3 >= 2)
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN count(*) OVER w5 = 5 AND
+                  (sum(CASE WHEN dev_mu > sigma_mu THEN 1 ELSE 0 END) OVER w5 >= 4
+                   OR sum(CASE WHEN dev_mu < -sigma_mu THEN 1 ELSE 0 END) OVER w5 >= 4)
+                  THEN 1 ELSE 0 END AS r3,
+             CASE WHEN count(*) OVER w8 = 8 AND
+                  (sum(CASE WHEN dev_mu > 0 THEN 1 ELSE 0 END) OVER w8 = 8
+                   OR sum(CASE WHEN dev_mu < 0 THEN 1 ELSE 0 END) OVER w8 = 8)
+                  THEN 1 ELSE 0 END AS r4
+      FROM dev
+      WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             w5 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w8 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT f.event_type, l.n AS n_days, l.mu_mu, l.sigma_mu,
+           sum(f.r1)::BIGINT AS rule1_days,
+           sum(f.r2)::BIGINT AS rule2_days,
+           sum(f.r3)::BIGINT AS rule3_days,
+           sum(f.r4)::BIGINT AS rule4_days,
+           sum(CASE WHEN f.r1 + f.r2 + f.r3 + f.r4 > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS any_rule_days
+    FROM flags f JOIN lim l ON l.event_type = f.event_type
+    GROUP BY f.event_type, l.n, l.mu_mu, l.sigma_mu
+    ORDER BY f.event_type
+    """,
+    tags=("alerting", "control-chart", "western-electric", "spc"),
+)
+def western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Western Electric control-chart rules — the four classic SPC
+    pattern tests over each series' daily volume: (1) one point beyond
+    3-sigma, (2) 2 of 3 consecutive beyond 2-sigma on the same side,
+    (3) 4 of 5 consecutive beyond 1-sigma on the same side, (4) 8
+    consecutive on the same side of the mean. Rules 2-4 catch the
+    sustained small shifts a plain 3-sigma monitor (q164) misses and a
+    CUSUM (q224) reports only as one changepoint; this emits per-series
+    counts of days each rule fires — the control-chart summary an SRE
+    dashboard shows.
+
+    Determinism: the center line and sigma come from exact integer
+    moments (mu as the truncating s1*1e6 div n; sigma via one IEEE sqrt
+    of an exact integer then floor to mu-units); every band test is a
+    pure int64 comparison dev_mu vs k*sigma_mu; the run rules are
+    integer window sums with an exact full-window count guard. No float
+    survives past sigma's single sqrt.
+
+    Scale posture (100 TB): one map-side-combined hash-agg to the
+    (series, day) grid; limits are a |series|-row broadcast join; the
+    three run windows are PARTITIONED BY series over the bounded grid
+    (constant frames, single sort reused); final rollup is series-sized."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("s2"),
+    )
+    lim = stats.select(
+        "event_type",
+        "n",
+        F.expr("s1 * 1000000 div n").cast("bigint").alias("mu_mu"),
+        F.expr(
+            "CAST(floor(1000000.0 * sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) / n) AS BIGINT)"
+        ).alias("sigma_mu"),
+    )
+    dev = daily.join(F.broadcast(lim), "event_type").select(
+        "event_type",
+        "day",
+        F.expr("x * 1000000 - mu_mu").alias("dev_mu"),
+        "sigma_mu",
+        "n",
+        "mu_mu",
+    )
+    w3 = W.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    w5 = W.partitionBy("event_type").orderBy("day").rowsBetween(-4, 0)
+    w8 = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+    flags = dev.select(
+        "event_type",
+        "n",
+        "mu_mu",
+        "sigma_mu",
+        F.expr("CASE WHEN abs(dev_mu) > 3 * sigma_mu THEN 1 ELSE 0 END").alias("r1"),
+        F.when(
+            (F.count(F.lit(1)).over(w3) == 3)
+            & (
+                (F.sum(F.expr("CASE WHEN dev_mu > 2 * sigma_mu THEN 1 ELSE 0 END")).over(w3) >= 2)
+                | (F.sum(F.expr("CASE WHEN dev_mu < -2 * sigma_mu THEN 1 ELSE 0 END")).over(w3) >= 2)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+        F.when(
+            (F.count(F.lit(1)).over(w5) == 5)
+            & (
+                (F.sum(F.expr("CASE WHEN dev_mu > sigma_mu THEN 1 ELSE 0 END")).over(w5) >= 4)
+                | (F.sum(F.expr("CASE WHEN dev_mu < -sigma_mu THEN 1 ELSE 0 END")).over(w5) >= 4)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r3"),
+        F.when(
+            (F.count(F.lit(1)).over(w8) == 8)
+            & (
+                (F.sum(F.expr("CASE WHEN dev_mu > 0 THEN 1 ELSE 0 END")).over(w8) == 8)
+                | (F.sum(F.expr("CASE WHEN dev_mu < 0 THEN 1 ELSE 0 END")).over(w8) == 8)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r4"),
+    )
+    return (
+        flags.groupBy("event_type", F.col("n").alias("n_days"), "mu_mu", "sigma_mu")
+        .agg(
+            F.sum("r1").cast("bigint").alias("rule1_days"),
+            F.sum("r2").cast("bigint").alias("rule2_days"),
+            F.sum("r3").cast("bigint").alias("rule3_days"),
+            F.sum("r4").cast("bigint").alias("rule4_days"),
+            F.sum(F.expr("CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("any_rule_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -149,3 +149,112 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks.append((i, int(top["doc_id"]), int(top["rel_mu"])))
         selected.append(int(top["doc_id"]))
     return spark.createDataFrame(picks, "pick int, doc_id bigint, rel_mu bigint")
+
+
+# ---- q481: Borda rank aggregation across rankers --------------------------
+from pyspark.sql import Window as _W
+
+from kinesis_customer_sample_spark.registry import query as _query
+from kinesis_customer_sample_spark.catalog import table as _table
+
+
+@_query(
+    "q481_borda_rank_fusion",
+    oracle="""
+    WITH metrics AS (
+      SELECT p.p_brand,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT))::BIGINT AS revenue_c,
+             CAST(round(sum(l.l_quantity)) AS BIGINT) AS qty,
+             count(DISTINCT l.l_orderkey)::BIGINT AS n_orders
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand
+    ),
+    ranked AS (
+      SELECT p_brand, revenue_c, qty, n_orders,
+             row_number() OVER (ORDER BY revenue_c DESC, p_brand) AS r_rev,
+             row_number() OVER (ORDER BY qty DESC, p_brand) AS r_qty,
+             row_number() OVER (ORDER BY n_orders DESC, p_brand) AS r_ord,
+             count(*) OVER () AS k
+      FROM metrics
+    )
+    SELECT p_brand,
+           r_rev::BIGINT AS rank_revenue,
+           r_qty::BIGINT AS rank_quantity,
+           r_ord::BIGINT AS rank_orders,
+           (3 * k - r_rev - r_qty - r_ord)::BIGINT AS borda_score,
+           row_number() OVER (ORDER BY (3 * k - r_rev - r_qty - r_ord) DESC,
+                              p_brand)::BIGINT AS final_rank,
+           (greatest(r_rev, r_qty, r_ord) - least(r_rev, r_qty, r_ord))::BIGINT
+             AS rank_spread
+    FROM ranked
+    ORDER BY final_rank
+    """,
+    tags=("retrieval", "rank-aggregation", "borda", "fusion"),
+)
+def borda_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count rank aggregation — the positional cousin of q199's RRF:
+    three independent rankers order the brand universe (by net revenue,
+    by shipped quantity, by distinct-order breadth), each assigns K-r
+    points at rank r, and the fused ranking maximizes total points. RRF
+    rewards appearing ANYWHERE near the top of any list; Borda weights
+    every position linearly, the right fusion when rankers cover the
+    full universe (leaderboards, vendor scorecards) rather than top-k
+    retrieval. rank_spread (max-min across rankers) flags the entities
+    the rankers disagree on — the review queue.
+
+    Determinism: all three metrics are exact integers (cent-quantized
+    revenue, rounded quantity, distinct count); ranks are row_number
+    with the (metric DESC, brand) total tiebreak; the Borda score is
+    pure integer arithmetic. No float anywhere, not even at the end.
+
+    Scale posture (100 TB): one fact-dim broadcast join + hash-agg down
+    to the |brands| universe; the three rank windows and the final-rank
+    window run over that dimension-sized table (the unpartitioned
+    windows are over |entities| rows by construction — rank aggregation
+    is defined on the entity universe, which is bounded; for an
+    unbounded universe the q92 two-level bucket-rank pattern applies)."""
+    metrics = (
+        _table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(_table(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_c"),
+            F.round(F.sum("l_quantity")).cast("bigint").alias("qty"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    ranked = metrics.select(
+        "p_brand",
+        F.row_number()
+        .over(_W.orderBy(F.col("revenue_c").desc(), "p_brand"))
+        .alias("r_rev"),
+        F.row_number().over(_W.orderBy(F.col("qty").desc(), "p_brand")).alias("r_qty"),
+        F.row_number()
+        .over(_W.orderBy(F.col("n_orders").desc(), "p_brand"))
+        .alias("r_ord"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("k"),
+    )
+    return ranked.select(
+        "p_brand",
+        F.col("r_rev").cast("bigint").alias("rank_revenue"),
+        F.col("r_qty").cast("bigint").alias("rank_quantity"),
+        F.col("r_ord").cast("bigint").alias("rank_orders"),
+        F.expr("3 * k - r_rev - r_qty - r_ord").cast("bigint").alias("borda_score"),
+        F.row_number()
+        .over(_W.orderBy(F.expr("3 * k - r_rev - r_qty - r_ord").desc(), "p_brand"))
+        .cast("bigint")
+        .alias("final_rank"),
+        F.expr("greatest(r_rev, r_qty, r_ord) - least(r_rev, r_qty, r_ord)")
+        .cast("bigint")
+        .alias("rank_spread"),
+    ).orderBy("final_rank")

@@ -892,3 +892,223 @@ def experiment_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    * (p1_bp / 10000.0 - p2_bp / 10000.0))) AS BIGINT) END"
         ).alias("n_per_arm"),
     )
+
+
+# ---- q477: McNemar paired-classifier test --------------------------------
+# Two deterministic binary raters over documents, truth = (lang = 'en').
+# Rater A: the document contains the standalone token "the" (padded
+# substring match — identical `contains` semantics both engines).
+# Rater B: n_chars >= _MCN_LEN. Realistic discrimination is irrelevant to
+# the operator; what matters is that the discordant cells b/c are
+# non-degenerate at every SF.
+_MCN_LEN = 160
+_MCN_CHI2_MILLI_CRIT = 3841  # chi2(1, 0.95) = 3.841459 in milli-units
+
+
+@query(
+    "q477_mcnemar_paired_test",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             (lang = 'en') AS y,
+             contains(' ' || text || ' ', ' the ') AS a,
+             (n_chars >= {_MCN_LEN}) AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             count(*)::BIGINT AS n,
+             sum(CASE WHEN a = y AND b != y THEN 1 ELSE 0 END)::BIGINT AS b01,
+             sum(CASE WHEN a != y AND b = y THEN 1 ELSE 0 END)::BIGINT AS c10,
+             sum(CASE WHEN a = y AND b = y THEN 1 ELSE 0 END)::BIGINT AS both_right
+      FROM scored GROUP BY source
+    )
+    SELECT source, n, both_right, b01 AS a_only_right, c10 AS b_only_right,
+           CASE WHEN b01 + c10 = 0 THEN -1 ELSE
+             (1000 * greatest(abs(b01 - c10) - 1, 0) * greatest(abs(b01 - c10) - 1, 0))
+               // (b01 + c10) END AS chi2_milli,
+           CASE WHEN b01 + c10 = 0 THEN CAST(0 AS BIGINT) ELSE
+             CASE WHEN (1000 * greatest(abs(b01 - c10) - 1, 0)
+                        * greatest(abs(b01 - c10) - 1, 0))
+                       // (b01 + c10) > {_MCN_CHI2_MILLI_CRIT}
+                  THEN 1 ELSE 0 END END AS reject_h0
+    FROM cells ORDER BY source
+    """,
+    tags=("stats", "mcnemar", "paired-test", "model-eval"),
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for PAIRED classifiers — the correct significance
+    test when two models score the SAME examples (a two-proportion z-test
+    like q261 would ignore the pairing and waste power): only the
+    discordant cells matter, chi2 = (|b-c|-1)^2/(b+c) with continuity
+    correction, df=1. Emits the full paired confusion evidence per
+    source stratum plus the alpha=0.05 decision; b+c = 0 (no
+    disagreement) yields the shared -1 sentinel per the q438 rule.
+
+    Determinism: both raters and the truth are pure codegen predicates;
+    every cell is an exact integer count; chi2 is kept in integer
+    milli-units via one truncating division (numerator ~1000*(b-c)^2 <=
+    1000*n^2 — int64-safe to n ~ 3e6 discordant pairs per stratum;
+    strata are sources, bounded) and compared against the shared
+    3841-milli critical literal. No float exists anywhere.
+
+    Scale posture (100 TB): one map-side-combined hash-agg from the
+    document scan straight to a |sources|-row table; the test itself is
+    a projection. Column pruning keeps text/lang/n_chars only."""
+    scored = table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("lang") == "en").alias("y"),
+        F.expr("contains(' ' || text || ' ', ' the ')").alias("a"),
+        (F.col("n_chars") >= _MCN_LEN).alias("b"),
+    )
+    cells = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN a = y AND b != y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("b01"),
+        F.sum(F.expr("CASE WHEN a != y AND b = y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("c10"),
+        F.sum(F.expr("CASE WHEN a = y AND b = y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("both_right"),
+    )
+    chi2 = (
+        "(1000 * greatest(abs(b01 - c10) - 1, 0) * greatest(abs(b01 - c10) - 1, 0))"
+        " div (b01 + c10)"
+    )
+    return cells.select(
+        "source",
+        "n",
+        "both_right",
+        F.col("b01").alias("a_only_right"),
+        F.col("c10").alias("b_only_right"),
+        F.expr(f"CASE WHEN b01 + c10 = 0 THEN -1 ELSE {chi2} END").alias("chi2_milli"),
+        F.expr(
+            "CASE WHEN b01 + c10 = 0 THEN CAST(0 AS BIGINT) ELSE "
+            f"CASE WHEN {chi2} > {_MCN_CHI2_MILLI_CRIT} THEN 1 ELSE 0 END END"
+        )
+        .cast("bigint")
+        .alias("reject_h0"),
+    ).orderBy("source")
+
+
+# ---- q478: Fleiss' kappa multi-rater agreement ---------------------------
+# Three deterministic raters assign each document one of three size/density
+# categories from DIFFERENT signals; kappa asks how much their agreement
+# beats category-marginal chance. The category expressions are shared
+# literal text both engines.
+_FL_R1 = f"CASE WHEN n_chars < 150 THEN 0 WHEN n_chars < 170 THEN 1 ELSE 2 END"
+_FL_R2 = (
+    "CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 < 28 THEN 0 "
+    "WHEN length(text) - length(replace(text, ' ', '')) + 1 < 34 THEN 1 ELSE 2 END"
+)
+_FL_R3 = (
+    "CASE WHEN length(text) - length(replace(text, 'e', '')) < 40 THEN 0 "
+    "WHEN length(text) - length(replace(text, 'e', '')) < 50 THEN 1 ELSE 2 END"
+)
+
+
+@query(
+    "q478_fleiss_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             {_FL_R1} AS r1, {_FL_R2} AS r2, {_FL_R3} AS r3
+      FROM documents
+    ),
+    items AS (
+      SELECT source,
+             (CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS n0,
+             (CASE WHEN r1 = 1 THEN 1 ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+              + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS n1,
+             (CASE WHEN r1 = 2 THEN 1 ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+              + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS n2
+      FROM rated
+    ),
+    agg AS (
+      SELECT source,
+             count(*)::BIGINT AS n_items,
+             sum(n0 * n0 + n1 * n1 + n2 * n2)::BIGINT AS s2_sum,
+             sum(n0)::BIGINT AS c0, sum(n1)::BIGINT AS c1, sum(n2)::BIGINT AS c2
+      FROM items GROUP BY source
+    )
+    SELECT source, n_items, s2_sum, c0, c1, c2,
+           round((CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items)
+                  - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
+                     + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))
+                 / (1.0 - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
+                           + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items)),
+                 6) AS fleiss_kappa
+    FROM agg ORDER BY source
+    """,
+    tags=("stats", "fleiss-kappa", "agreement", "multi-rater"),
+)
+def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for n=3 raters x k=3
+    categories, the multi-rater generalization of q299's two-rater
+    Cohen's kappa (annotation-quality audits run this before trusting a
+    labeled corpus). Per item, P_i = (sum_j n_ij^2 - n)/(n(n-1)); kappa =
+    (P_bar - P_e)/(1 - P_e) with P_e = sum_j p_j^2 from the category
+    marginals. Raters are three independent deterministic size/density
+    rules (char count, token count, 'e'-mass) sharing literal CASE text
+    with the oracle.
+
+    Determinism: per-item category counts n_ij are exact integers (their
+    squares are in {{0,1,4,9}}); the per-source sufficient statistics
+    (N, sum n_ij^2, column marginals c_j) are exact int64 hash-agg
+    outputs; kappa is ONE shared double expression over those five
+    integers, rounded in-query — the q456 sufficient-statistics
+    discipline. c_j <= 3N keeps every aggregate int64-safe at any scale;
+    only the final double expression squares them.
+
+    Scale posture (100 TB): single map-side-combined hash-agg from the
+    document scan to a |sources|-row table — the rating CASE ladders are
+    pure codegen, no join, no window, no second pass."""
+    rated = table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(_FL_R1).alias("r1"),
+        F.expr(_FL_R2).alias("r2"),
+        F.expr(_FL_R3).alias("r3"),
+    )
+    items = rated.select(
+        "source",
+        F.expr(
+            "(CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END"
+            " + CASE WHEN r3 = 0 THEN 1 ELSE 0 END)"
+        ).alias("n0"),
+        F.expr(
+            "(CASE WHEN r1 = 1 THEN 1 ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN r3 = 1 THEN 1 ELSE 0 END)"
+        ).alias("n1"),
+        F.expr(
+            "(CASE WHEN r1 = 2 THEN 1 ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END"
+            " + CASE WHEN r3 = 2 THEN 1 ELSE 0 END)"
+        ).alias("n2"),
+    )
+    agg = items.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.expr("n0 * n0 + n1 * n1 + n2 * n2")).cast("bigint").alias("s2_sum"),
+        F.sum("n0").cast("bigint").alias("c0"),
+        F.sum("n1").cast("bigint").alias("c1"),
+        F.sum("n2").cast("bigint").alias("c2"),
+    )
+    return agg.select(
+        "source",
+        "n_items",
+        "s2_sum",
+        "c0",
+        "c1",
+        "c2",
+        F.round(
+            F.expr(
+                "(CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items)"
+                " - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1"
+                "    + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))"
+                " / (1.0 - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1"
+                "           + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))"
+            ),
+            6,
+        ).alias("fleiss_kappa"),
+    ).orderBy("source")

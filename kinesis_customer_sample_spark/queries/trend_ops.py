@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
@@ -774,3 +774,124 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pvar", 6).alias("pvar"),
         F.round("innov_sse", 6).alias("innov_sse"),
     ).orderBy("event_type")
+
+
+# ---- q479: classical additive decomposition (MA-7 trend) -----------------
+
+
+@query(
+    "q479_classical_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, x,
+             sum(x) OVER w AS sum7, count(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, day, isodow(day) AS wd,
+             x * 1000000 - (sum7 * 1000000 // 7) AS detr_mu
+      FROM tr WHERE cnt7 = 7
+    ),
+    sraw AS (
+      SELECT event_type, wd,
+             count(*)::BIGINT AS n_obs,
+             CAST(sum(detr_mu) AS BIGINT) // count(*) AS s_raw_mu
+      FROM detr GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT event_type, CAST(sum(s_raw_mu) AS BIGINT) // 7 AS adj_mu
+      FROM sraw GROUP BY event_type
+    ),
+    seas AS (
+      SELECT s.event_type, s.wd, s.n_obs,
+             (s.s_raw_mu - a.adj_mu)::BIGINT AS seasonal_mu
+      FROM sraw s JOIN adj a ON a.event_type = s.event_type
+    )
+    SELECT d.event_type, se.wd::BIGINT AS weekday, se.n_obs, se.seasonal_mu,
+           (sum(abs(d.detr_mu - se.seasonal_mu)) // count(*))::BIGINT
+             AS mean_abs_resid_mu
+    FROM detr d
+    JOIN seas se ON se.event_type = d.event_type AND se.wd = d.wd
+    GROUP BY d.event_type, se.wd, se.n_obs, se.seasonal_mu
+    ORDER BY d.event_type, weekday
+    """,
+    tags=("timeseries", "decomposition", "moving-average", "seasonal"),
+)
+def classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition — the textbook y = trend +
+    seasonal + residual split: trend is the CENTERED 7-term moving
+    average (only full windows), the weekday seasonal index is the mean
+    of the detrended series per ISO weekday, RE-CENTERED so the seven
+    indices sum to ~0 (the classical normalization), and the residual is
+    what remains. q329 publishes raw weekday means; this is the full
+    algorithm whose seasonal indices are trend-free — a level shift or
+    drift in the series cannot leak into them. Emits the (series,
+    weekday) index table plus the mean |residual| — the fit quality an
+    anomaly monitor thresholds against.
+
+    Determinism: daily counts are exact integers; the MA is kept as the
+    exact rational sum7*1e6 div 7 (truncating integer div, identical
+    both engines); detrended values, seasonal means, the centering
+    adjustment and residuals are all int64 mu-units with div truncation
+    toward zero at every step. No float exists anywhere.
+
+    Scale posture (100 TB): one map-side-combined hash-agg to the
+    (series, day) grid; the MA window and everything after run on that
+    bounded grid PARTITIONED BY series (|series|*|days| rows, never
+    fact-sized); seasonal tables are |series|*7 rows, joined back
+    broadcast-sized. Exactly one fact-scan shuffle in the whole plan."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    )
+    detr = tr.filter(F.col("cnt7") == 7).select(
+        "event_type",
+        "day",
+        (F.weekday("day") + 1).alias("wd"),  # ISO 1=Mon..7=Sun (q329 pattern)
+        F.expr("x * 1000000 - (sum7 * 1000000 div 7)").alias("detr_mu"),
+    )
+    sraw = detr.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr("sum(detr_mu) div count(1)").alias("s_raw_mu"),
+    )
+    adj = sraw.groupBy("event_type").agg(
+        F.expr("sum(s_raw_mu) div 7").alias("adj_mu")
+    )
+    seas = sraw.join(F.broadcast(adj), "event_type").select(
+        "event_type",
+        "wd",
+        "n_obs",
+        (F.col("s_raw_mu") - F.col("adj_mu")).cast("bigint").alias("seasonal_mu"),
+    )
+    return (
+        detr.join(F.broadcast(seas), ["event_type", "wd"])
+        .groupBy("event_type", "wd", "n_obs", "seasonal_mu")
+        .agg(
+            F.expr("sum(abs(detr_mu - seasonal_mu)) div count(1)")
+            .cast("bigint")
+            .alias("mean_abs_resid_mu")
+        )
+        .select(
+            "event_type",
+            F.col("wd").cast("bigint").alias("weekday"),
+            "n_obs",
+            "seasonal_mu",
+            "mean_abs_resid_mu",
+        )
+        .orderBy("event_type", "weekday")
+    )

@@ -2891,3 +2891,47 @@ def test_sharpe_partitioned_lag(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q476_sharpe_sortino")
     assert facts.has_partial_agg
     assert "No Partition Defined" not in facts.text
+
+
+def test_mcnemar_single_agg_no_join(spark, sf_dir):
+    # McNemar is one hash-agg from the scan: no join, no window, and the
+    # scan must prune to the four columns the raters and truth need
+    facts = audit_of(spark, sf_dir, "q477_mcnemar_paired_test")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "SortMergeJoin" not in facts.text and "BroadcastHashJoin" not in facts.text
+    assert not facts.scans_read_column("doc_id")
+
+
+def test_fleiss_single_agg_no_join(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q478_fleiss_kappa")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "Join" not in facts.text
+    assert "Window" not in facts.text
+
+
+def test_classical_decomposition_partitioned_windows(spark, sf_dir):
+    # the MA-7 window must be partitioned per series — never a global sort
+    facts = audit_of(spark, sf_dir, "q479_classical_decomposition")
+    assert not facts.has_cartesian
+    assert "Window" in facts.text
+    assert "No Partition Defined" not in facts.text
+    # seasonal tables join back broadcast-sized
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_western_electric_partitioned_run_windows(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q480_western_electric_rules")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_borda_dimension_sized_windows(spark, sf_dir):
+    # the fact table reaches one broadcast join + hash-agg; rank windows
+    # run over the brand universe only (after the agg, by construction)
+    facts = audit_of(spark, sf_dir, "q481_borda_rank_fusion")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.has_partial_agg
