@@ -252,7 +252,6 @@ HEADLINE = [
     "q410_stratified_interleave",
     "q411_forget_me_propagation",
     "q412_theil_decomposition",
-    "q413_local_clustering_profile",
     # round-7 waves
     "q414_spearman_rank_corr",
     "q415_kendall_tau_b",
@@ -313,8 +312,10 @@ HEADLINE = [
     # E2E family)
     # (q270 LPA joins the excluded iterative/graph family below)
     # NOT here: the iterative/graph family (q90 CC, q120 BFS, q159
-    # PageRank, q180 triangles, q184 ER, q292 hash-min CC, q293
-    # temporal reachability) — their cost is dominated by
+    # PageRank, q180 triangles, q413 per-node clustering profile —
+    # same triangle enumeration as q180, 9.3 s at sf0.1, q184 ER,
+    # q292 hash-min CC, q293 temporal reachability) — their cost is
+    # dominated by
     # graph materialization + iteration count, which swamps the
     # per-operator signal this suite measures (q180 alone is ~14 s at
     # sf0.1 vs < 2.5 s for everything else). They stay oracle-checked

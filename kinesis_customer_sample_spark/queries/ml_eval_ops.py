@@ -974,3 +974,129 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---- q484: Qini uplift curve ----------------------------------------------
+from kinesis_customer_sample_spark.functions import tok_hash_expr as _tok_hash
+
+
+@query(
+    "q484_qini_uplift_curve",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 10 AS cohort,
+             ({_tok_hash("'up-' || user_id::VARCHAR", dialect="duckdb")}) % 2
+               AS treated,
+             count(*)::BIGINT AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT cohort, score,
+             sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT AS n_t,
+             sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT AS n_c,
+             sum(CASE WHEN treated = 1 THEN converted ELSE 0 END)::BIGINT AS conv_t,
+             sum(CASE WHEN treated = 0 THEN converted ELSE 0 END)::BIGINT AS conv_c
+      FROM per_user GROUP BY cohort, score
+    ),
+    cum AS (
+      SELECT cohort, score,
+             sum(n_t) OVER w::BIGINT AS n_t_cum,
+             sum(n_c) OVER w::BIGINT AS n_c_cum,
+             sum(conv_t) OVER w::BIGINT AS conv_t_cum,
+             sum(conv_c) OVER w::BIGINT AS conv_c_cum
+      FROM grid
+      WINDOW w AS (PARTITION BY cohort ORDER BY score DESC)
+    )
+    SELECT cohort::BIGINT AS cohort, score, n_t_cum, n_c_cum,
+           conv_t_cum, conv_c_cum,
+           CASE WHEN n_c_cum = 0 THEN 0 ELSE
+             CAST((1000 * (conv_t_cum::HUGEINT * n_c_cum
+                           - conv_c_cum::HUGEINT * n_t_cum)) // n_c_cum
+                  AS BIGINT) END AS qini_milli
+    FROM cum ORDER BY cohort, score DESC
+    """,
+    tags=("ml-eval", "uplift", "qini", "causal"),
+)
+def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve — the evaluation standard for targeting models:
+    rank users by the model's score (here: activity volume, the
+    deterministic stand-in), sweep the targeting threshold from the top
+    down, and at each threshold report the INCREMENTAL conversions
+    Qini(t) = conv_t - conv_c * N_t/N_c. A model that just predicts
+    conversion (not uplift) produces a flat-to-falling curve; the area
+    under this curve is the Qini coefficient. Treatment is q261's
+    deterministic hash arm, so the curve needs no assignment table.
+    Stratified per cohort — uplift analyses always report segment
+    curves next to the pooled one.
+
+    Determinism: per-user score/conversion/arm are exact integers; the
+    curve lives on the (cohort, score) grid with integer cumulative
+    window sums; the Qini value is one integer cross-multiplication in
+    128-bit (DECIMAL(38,0) / HUGEINT — conv*N products pass int64 near
+    1e9 users per stratum) with a truncating division and the n_c=0
+    guard as the shared 0 sentinel.
+
+    Scale posture (100 TB): one per-user hash-agg (map-side combined),
+    one grid hash-agg, then windows PARTITIONED BY cohort over the
+    bounded (cohort x distinct-score) grid — the q92 two-level pattern;
+    no per-user window, no global sort."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+            F.max(
+                F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("converted"),
+        )
+        .select(
+            (F.col("user_id") % 10).alias("cohort"),
+            F.expr(
+                f"({_tok_hash(chr(39) + 'up-' + chr(39) + ' || CAST(user_id AS STRING)', dialect='spark')}) % 2"
+            ).alias("treated"),
+            "score",
+            "converted",
+        )
+    )
+    grid = per_user.groupBy("cohort", "score").agg(
+        F.sum(F.expr("CASE WHEN treated = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.expr("CASE WHEN treated = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.expr("CASE WHEN treated = 1 THEN converted ELSE 0 END"))
+        .cast("bigint")
+        .alias("conv_t"),
+        F.sum(F.expr("CASE WHEN treated = 0 THEN converted ELSE 0 END"))
+        .cast("bigint")
+        .alias("conv_c"),
+    )
+    w = W.partitionBy("cohort").orderBy(F.col("score").desc())
+    cum = grid.select(
+        "cohort",
+        "score",
+        F.sum("n_t").over(w).cast("bigint").alias("n_t_cum"),
+        F.sum("n_c").over(w).cast("bigint").alias("n_c_cum"),
+        F.sum("conv_t").over(w).cast("bigint").alias("conv_t_cum"),
+        F.sum("conv_c").over(w).cast("bigint").alias("conv_c_cum"),
+    )
+    return cum.select(
+        F.col("cohort").cast("bigint").alias("cohort"),
+        "score",
+        "n_t_cum",
+        "n_c_cum",
+        "conv_t_cum",
+        "conv_c_cum",
+        F.expr(
+            "CASE WHEN n_c_cum = 0 THEN 0 ELSE "
+            "CAST((1000 * (CAST(conv_t_cum AS DECIMAL(38,0)) * n_c_cum"
+            "              - CAST(conv_c_cum AS DECIMAL(38,0)) * n_t_cum))"
+            " div n_c_cum AS BIGINT) END"
+        ).alias("qini_milli"),
+    ).orderBy("cohort", F.col("score").desc())

@@ -473,15 +473,17 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- per distinct value within segment: Theil needs Σ v·ln v — ln only
     -- ever sees INTEGER cents (per distinct value, q151 discipline)
     seg AS (
+      -- Σ v·⌊10⁶ ln v⌋ is ~2.5e14 per row → past int64 once summed over a
+      -- big segment; accumulate in HUGEINT (Spark side: DECIMAL(38,0))
       SELECT segment,
              count(*)::BIGINT AS n,
              sum(v)::BIGINT   AS s,
-             sum(v * floor(ln(v) * 1000000)::BIGINT)::BIGINT AS sum_vlnv_mu
+             sum(v::HUGEINT * floor(ln(v) * 1000000)::BIGINT) AS sum_vlnv_mu
       FROM base GROUP BY 1
     ),
     tot AS (
       SELECT sum(n)::BIGINT AS big_n, sum(s)::BIGINT AS big_s,
-             sum(sum_vlnv_mu)::BIGINT AS tot_vlnv_mu
+             sum(sum_vlnv_mu) AS tot_vlnv_mu
       FROM seg
     ),
     -- within-segment Theil T_g (µ-nats): Σ(v/s)·ln(v·n/s)
@@ -539,8 +541,11 @@ def theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("v").alias("s"),
+            # per-row product is ~2.5e14; an int64 SUM overflows past ~40k
+            # rows per segment — accumulate in DECIMAL(38,0) (DuckDB twin:
+            # HUGEINT), exact to 1e38
             F.expr(
-                "sum(v * CAST(floor(ln(v) * 1000000) AS BIGINT))"
+                "sum(CAST(v AS DECIMAL(38,0)) * CAST(floor(ln(v) * 1000000) AS BIGINT))"
             ).alias("sum_vlnv_mu"),
         )
         .persist()

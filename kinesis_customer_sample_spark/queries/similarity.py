@@ -1114,3 +1114,106 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.unionByName(noise).orderBy(
         F.desc("n_points"), "cluster_label"
     )
+
+
+# ---- q482: reciprocal best match (mutual nearest neighbors) ---------------
+
+
+@query(
+    "q482_reciprocal_best_match",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket("embedding", dialect="duckdb")} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.bucket, a.vec_id AS src, c.vec_id AS dst,
+             {cosine_expr("a.embedding", "c.embedding", dialect="duckdb")} AS cos
+      FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id != a.vec_id
+    ),
+    best AS (
+      SELECT bucket, src, dst, cos,
+             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      FROM pairs
+    )
+    SELECT m1.src AS vec_a, m1.dst AS vec_b, m1.bucket,
+           m1.cos AS cosine
+    FROM best m1 JOIN best m2
+      ON m2.src = m1.dst AND m2.dst = m1.src AND m2.rk = 1
+    WHERE m1.rk = 1 AND m1.src < m1.dst
+    ORDER BY vec_a
+    """,
+    tags=("similarity", "mutual-nn", "entity-resolution", "lsh"),
+)
+def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best match (mutual nearest neighbors) — the
+    high-precision linkage rule: a pair qualifies only when each vector
+    is the OTHER's single best neighbor. One-directional best-match (a
+    kNN join) happily links a hub vector to hundreds of sources; the
+    mutuality condition kills hubs dead, which is why bilingual-lexicon
+    and record-linkage pipelines (and MNN batch-effect correction) use
+    exactly this rule as the confident-seed stage before transitive
+    clustering (q90) or richer scoring (q453 Fellegi-Sunter).
+
+    Determinism: candidates are bucket-local (the q73/q153 hyperplane-LSH
+    bucket, integer weights); per-pair cosine is the shared fold order
+    rounded to 6 dp; the best neighbor is row_number with the (cos DESC,
+    vec_id) total tiebreak, so the argmax cannot diverge cross-engine.
+
+    Scale posture (100 TB): pairwise work is BUCKET-LOCAL all-pairs,
+    never corpus all-pairs (more planes at larger corpora keep buckets
+    O(1)); the best-neighbor window partitions by source vector; the
+    mutuality check is an equi-join of the rank-1 table with itself on
+    the swapped key — one shuffle of a table that is <= one row per
+    vector."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
+        .withColumn("en", F.expr(norm_expr("embedding")))
+        .select("vec_id", "embedding", "bucket", "en")
+    )
+    a = e.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_a"),
+        F.col("en").alias("na"),
+    )
+    c = e.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_b"),
+        F.col("en").alias("nb"),
+    )
+    pairs = a.join(c, "bucket").filter(F.col("dst") != F.col("src")).select(
+        "bucket",
+        "src",
+        "dst",
+        F.round(
+            F.expr(dot64_expr("emb_a", "emb_b")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cos"),
+    )
+    best = pairs.select(
+        "bucket",
+        "src",
+        "dst",
+        "cos",
+        F.row_number()
+        .over(W.partitionBy("src").orderBy(F.col("cos").desc(), "dst"))
+        .alias("rk"),
+    ).filter(F.col("rk") == 1)
+    m2 = best.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    )
+    return (
+        best.join(m2, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "bucket",
+            F.col("cos").alias("cosine"),
+        )
+        .orderBy("vec_a")
+    )

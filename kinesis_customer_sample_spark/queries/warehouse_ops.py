@@ -2412,3 +2412,232 @@ def skew_salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "key")
         .limit(_SKEW_TOPK)
     )
+
+
+# ---- q483: materialized-view rollup rewrite audit --------------------------
+
+
+@query(
+    "q483_mv_rewrite_audit",
+    oracle="""
+    WITH mv AS (
+      -- the daily summary table a warehouse maintains incrementally
+      SELECT o_orderpriority, date_trunc('day', o_orderdate) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents,
+             count(*)::BIGINT AS cnt
+      FROM orders GROUP BY 1, 2
+    ),
+    from_mv AS (
+      SELECT o_orderpriority, date_trunc('month', day) AS month,
+             sum(cents)::BIGINT AS cents_mv, sum(cnt)::BIGINT AS n_mv,
+             count(*)::BIGINT AS mv_rows_read
+      FROM mv GROUP BY 1, 2
+    ),
+    from_base AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents_base,
+             count(*)::BIGINT AS n_base
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT b.o_orderpriority, b.month, b.cents_base, b.n_base,
+           m.cents_mv, m.n_mv, m.mv_rows_read,
+           (m.cents_mv // m.n_mv)::BIGINT AS avg_cents_via_mv,
+           CASE WHEN b.cents_base = m.cents_mv AND b.n_base = m.n_mv
+                THEN 1 ELSE 0 END AS rewrite_ok
+    FROM from_base b JOIN from_mv m
+      ON m.o_orderpriority = b.o_orderpriority AND m.month = b.month
+    ORDER BY b.o_orderpriority, b.month
+    """,
+    tags=("warehouse", "materialized-view", "rewrite", "rollup"),
+)
+def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view rollup-rewrite audit — the correctness check
+    behind every summary-table rewrite an optimizer (or a human) makes:
+    a monthly query answered from the DAILY MV must equal the answer
+    from the base table, because SUM and COUNT re-aggregate
+    associatively and AVG must be DERIVED as sum/count (averaging the
+    daily averages would be wrong — this query publishes the correct
+    derivation). Emits both answers side by side, the per-group match
+    flag, and mv_rows_read — the evidence for the rewrite's payoff (the
+    MV path reads |days|x|priorities| rows, not the fact table).
+
+    Determinism: cents are exact integers; both aggregation paths are
+    integer sums/counts; the derived average is one truncating integer
+    division. The match flag is computed in-query, so a driver hash
+    certifies the associativity equivalence itself.
+
+    Scale posture (100 TB): the base-path agg is one map-side-combined
+    hash-agg; the MV path re-aggregates a grid that is already
+    dimension-sized; the audit join keys on (priority, month) — grid
+    vs grid. In production only the MV leg runs; the base leg exists
+    here because the audit IS the operator."""
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    orders = table(spark, sf_dir, "orders")
+    mv = orders.groupBy(
+        "o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.expr(cents)).cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    from_mv = mv.groupBy(
+        "o_orderpriority", F.date_trunc("month", "day").alias("month")
+    ).agg(
+        F.sum("cents").cast("bigint").alias("cents_mv"),
+        F.sum("cnt").cast("bigint").alias("n_mv"),
+        F.count(F.lit(1)).cast("bigint").alias("mv_rows_read"),
+    )
+    from_base = orders.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.expr(cents)).cast("bigint").alias("cents_base"),
+        F.count(F.lit(1)).cast("bigint").alias("n_base"),
+    )
+    return (
+        from_base.join(from_mv, ["o_orderpriority", "month"])
+        .select(
+            "o_orderpriority",
+            "month",
+            "cents_base",
+            "n_base",
+            "cents_mv",
+            "n_mv",
+            "mv_rows_read",
+            F.expr("cents_mv div n_mv").cast("bigint").alias("avg_cents_via_mv"),
+            F.expr(
+                "CASE WHEN cents_base = cents_mv AND n_base = n_mv THEN 1 ELSE 0 END"
+            ).alias("rewrite_ok"),
+        )
+        .orderBy("o_orderpriority", "month")
+    )
+
+
+# ---- q485: clustering-depth layout audit ----------------------------------
+_CD_FILES = 16
+
+
+@query(
+    "q485_clustering_depth_audit",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders
+    ),
+    range_map AS (
+      SELECT day, ntile({_CD_FILES}) OVER (ORDER BY day) AS file_id FROM days
+    ),
+    files AS (
+      SELECT 'hash' AS layout, (o_orderkey % {_CD_FILES})::BIGINT AS file_id,
+             min(date_trunc('day', o_orderdate)) AS min_day,
+             max(date_trunc('day', o_orderdate)) AS max_day
+      FROM orders GROUP BY 2
+      UNION ALL
+      SELECT 'range', r.file_id::BIGINT,
+             min(date_trunc('day', o.o_orderdate)), max(date_trunc('day', o.o_orderdate))
+      FROM orders o
+      JOIN range_map r ON r.day = date_trunc('day', o.o_orderdate)
+      GROUP BY r.file_id
+    ),
+    bounds AS (
+      SELECT layout, min_day AS b, 1 AS delta FROM files
+      UNION ALL
+      SELECT layout, max_day + INTERVAL 1 DAY, -1 FROM files
+    ),
+    depth AS (
+      SELECT layout, b,
+             sum(sum(delta)) OVER (PARTITION BY layout ORDER BY b)::BIGINT AS d
+      FROM bounds GROUP BY layout, b
+    )
+    SELECT f.layout,
+           count(*)::BIGINT AS n_files,
+           (SELECT max(d) FROM depth WHERE depth.layout = f.layout)::BIGINT
+             AS max_overlap_depth,
+           (SELECT (sum(d) // count(*))::BIGINT FROM depth
+             WHERE depth.layout = f.layout AND d > 0) AS mean_overlap_depth,
+           sum(date_diff('day', f.min_day, f.max_day) + 1)::BIGINT
+             AS total_span_days
+    FROM files f GROUP BY f.layout ORDER BY f.layout
+    """,
+    tags=("warehouse", "layout", "clustering-depth", "advisor"),
+)
+def clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-depth audit — the table-layout metric behind every
+    OPTIMIZE/Z-ORDER decision (Iceberg/Delta report it as file overlap):
+    for a candidate sort key (order date), how many files' [min, max]
+    key ranges overlap at the worst point? A hash layout scatters every
+    day across all 16 files (depth = 16: every file must be read for any
+    date predicate); a range-clustered layout keeps depth ~1 (zone maps
+    prune to one file). This evaluates BOTH layouts logically — per-file
+    min/max from the grouping that WOULD produce each file — and sweeps
+    the boundaries (q320's sweep-line) to report max and mean overlap
+    depth, the direct predictor of q268/q359's skip rates.
+
+    Determinism: file ranges are exact date min/max from integer
+    grouping; the range layout's file assignment is ntile over the
+    DISTINCT-day grid with a total order; depth is an integer cumulative
+    sum over boundary deltas; means are truncating integer divisions.
+
+    Scale posture (100 TB): two hash-aggs over the fact (one per
+    layout) to |files|-row tables; the day grid is bounded; the
+    sweep-line and depth windows run over 2x2x|files| boundary rows. A
+    real table would read file stats from the manifest instead of
+    scanning — the metric algebra is identical."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("day", "o_orderdate").alias("day")
+    )
+    days = orders.select("day").distinct()
+    range_map = days.select(
+        "day", F.ntile(_CD_FILES).over(W.orderBy("day")).alias("file_id")
+    )
+    hash_files = orders.groupBy(
+        (F.col("o_orderkey") % _CD_FILES).cast("bigint").alias("file_id")
+    ).agg(F.min("day").alias("min_day"), F.max("day").alias("max_day")).select(
+        F.lit("hash").alias("layout"), "file_id", "min_day", "max_day"
+    )
+    range_files = (
+        orders.join(F.broadcast(range_map), "day")
+        .groupBy(F.col("file_id").cast("bigint").alias("file_id"))
+        .agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
+        .select(F.lit("range").alias("layout"), "file_id", "min_day", "max_day")
+    )
+    files = hash_files.unionByName(range_files)
+    bounds = files.select(
+        "layout", F.col("min_day").alias("b"), F.lit(1).alias("delta")
+    ).unionByName(
+        files.select(
+            "layout",
+            F.expr("max_day + INTERVAL 1 DAY").alias("b"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    depth = (
+        bounds.groupBy("layout", "b")
+        .agg(F.sum("delta").alias("dd"))
+        .select(
+            "layout",
+            "b",
+            F.sum("dd").over(W.partitionBy("layout").orderBy("b")).cast("bigint").alias("d"),
+        )
+    )
+    depth_stats = depth.filter(F.col("d") > 0).groupBy("layout").agg(
+        F.max("d").alias("max_overlap_depth_pos"),
+        F.expr("sum(d) div count(1)").cast("bigint").alias("mean_overlap_depth"),
+    )
+    depth_max = depth.groupBy("layout").agg(F.max("d").alias("max_overlap_depth"))
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.expr("datediff(max_day, min_day) + 1"))
+            .cast("bigint")
+            .alias("total_span_days"),
+        )
+        .join(depth_max, "layout")
+        .join(depth_stats.select("layout", "mean_overlap_depth"), "layout")
+        .select(
+            "layout",
+            "n_files",
+            F.col("max_overlap_depth").cast("bigint").alias("max_overlap_depth"),
+            "mean_overlap_depth",
+            "total_span_days",
+        )
+        .orderBy("layout")
+    )

@@ -2935,3 +2935,36 @@ def test_borda_dimension_sized_windows(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
     assert facts.has_partial_agg
+
+
+def test_rbm_bucket_local_pairs(spark, sf_dir):
+    # mutual-NN candidates must come from the LSH bucket equi-join —
+    # never a cartesian — and the best-neighbor window is per source
+    facts = audit_of(spark, sf_dir, "q482_reciprocal_best_match")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+
+
+def test_mv_rewrite_grid_join(spark, sf_dir):
+    # both aggregation paths are partial-agg'd; the audit join is
+    # grid-vs-grid (no fact-sized side after the aggs)
+    facts = audit_of(spark, sf_dir, "q483_mv_rewrite_audit")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_qini_two_level_no_per_user_window(spark, sf_dir):
+    # cumulative sums run on the (cohort, score) grid partitioned by
+    # cohort — never over per-user rows
+    facts = audit_of(spark, sf_dir, "q484_qini_uplift_curve")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+
+
+def test_clustering_depth_grid_sweep(spark, sf_dir):
+    # depth windows partition by layout; the range-map join back to the
+    # fact is broadcast (day grid is bounded)
+    facts = audit_of(spark, sf_dir, "q485_clustering_depth_audit")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
