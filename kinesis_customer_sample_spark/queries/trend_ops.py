@@ -653,6 +653,60 @@ _KAL_Q = 25.0   # process noise variance (level random walk)
 _KAL_R = 400.0  # observation noise variance
 
 
+def kalman_over(daily: DataFrame) -> DataFrame:
+    """Per-key 1-D Kalman local-level recursion over (event_type, day, y)
+    rows — the reusable secondary-sort mapInPandas core of q474 (shared
+    with the scale smokes, the croston_over pattern). Carry-state across
+    Arrow batches: a key's series may arrive split over many batches
+    within the sorted partition; the fold only flushes on key change or
+    end of partition."""
+    q, r = _KAL_Q, _KAL_R
+
+    def kalman_partition(batches):
+        cur, ys = None, []
+        out: dict[str, list] = {
+            "event_type": [], "n_days": [], "level": [],
+            "kalman_gain": [], "pvar": [], "innov_sse": [],
+        }
+
+        def flush():
+            if cur is None or not ys:
+                return
+            l, p, k, sse = ys[0], r, 0.0, 0.0
+            for y in ys[1:]:
+                k = (p + q) / ((p + q) + r)
+                l_new = l + ((p + q) / ((p + q) + r)) * (y - l)
+                sse = sse + (y - l) * (y - l)
+                p_new = (1.0 - ((p + q) / ((p + q) + r))) * (p + q)
+                l, p = l_new, p_new
+            out["event_type"].append(cur)
+            out["n_days"].append(len(ys))
+            out["level"].append(l)
+            out["kalman_gain"].append(k)
+            out["pvar"].append(p)
+            out["innov_sse"].append(sse)
+
+        for pdf in batches:
+            for et, y in zip(pdf["event_type"].to_numpy(), pdf["y"].to_numpy()):
+                et = str(et)
+                if et != cur:
+                    flush()
+                    cur, ys = et, []
+                ys.append(float(y))
+        flush()
+        yield pd.DataFrame(out)
+
+    return (
+        daily.repartition("event_type")
+        .sortWithinPartitions("event_type", "day")
+        .mapInPandas(
+            kalman_partition,
+            "event_type string, n_days bigint, level double, "
+            "kalman_gain double, pvar double, innov_sse double",
+        )
+    )
+
+
 @query(
     "q474_kalman_local_level",
     oracle=f"""
@@ -720,52 +774,7 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("y"))
     )
-
-    q, r = _KAL_Q, _KAL_R
-
-    def kalman_partition(batches):
-        cur, ys = None, []
-        out: dict[str, list] = {
-            "event_type": [], "n_days": [], "level": [],
-            "kalman_gain": [], "pvar": [], "innov_sse": [],
-        }
-
-        def flush():
-            if cur is None or not ys:
-                return
-            l, p, k, sse = ys[0], r, 0.0, 0.0
-            for y in ys[1:]:
-                k = (p + q) / ((p + q) + r)
-                l_new = l + ((p + q) / ((p + q) + r)) * (y - l)
-                sse = sse + (y - l) * (y - l)
-                p_new = (1.0 - ((p + q) / ((p + q) + r))) * (p + q)
-                l, p = l_new, p_new
-            out["event_type"].append(cur)
-            out["n_days"].append(len(ys))
-            out["level"].append(l)
-            out["kalman_gain"].append(k)
-            out["pvar"].append(p)
-            out["innov_sse"].append(sse)
-
-        for pdf in batches:
-            for et, y in zip(pdf["event_type"].to_numpy(), pdf["y"].to_numpy()):
-                et = str(et)
-                if et != cur:
-                    flush()
-                    cur, ys = et, []
-                ys.append(float(y))
-        flush()
-        yield pd.DataFrame(out)
-
-    out = (
-        daily.repartition("event_type")
-        .sortWithinPartitions("event_type", "day")
-        .mapInPandas(
-            kalman_partition,
-            "event_type string, n_days bigint, level double, "
-            "kalman_gain double, pvar double, innov_sse double",
-        )
-    )
+    out = kalman_over(daily)
     return out.select(
         "event_type",
         "n_days",

@@ -857,3 +857,22 @@ def test_waterfill_allocator_invariants(spark, sf_dir):
         assert abs(lhs - rhs) < max(a["weight"], b["weight"]) * max(
             a["weight"], b["weight"]
         )
+
+
+def test_rbm_pairs_form_a_matching(spark, sf_dir):
+    """q482's mutual-best-match output must be a MATCHING: no vector may
+    appear in two pairs (each vector has one best neighbor, and mutuality
+    makes the relation symmetric and functional), pairs are id-ordered,
+    and every cosine is a valid similarity."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    out = load_registry()["q482_reciprocal_best_match"].fn(spark, sf_dir).persist()
+    members = out.select(F.col("vec_a").alias("v")).unionAll(
+        out.select(F.col("vec_b").alias("v"))
+    )
+    assert members.count() == members.distinct().count()
+    assert out.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    assert out.filter((F.col("cosine") < -1.0) | (F.col("cosine") > 1.0)).count() == 0
+    out.unpersist()

@@ -1186,3 +1186,51 @@ def test_grid_dbscan_cells_bound_work_at_5m_points(spark):
     assert stats["n_cells"] <= 1000 * 1000
     assert stats["total"] == n
     assert 0 <= stats["dense_pts"] <= n
+
+
+def test_kalman_state_survives_batch_splits_at_2m_rows(spark):
+    """q474's secondary-sort Kalman at 2M daily observations / 100k keys:
+    one output row per key; the local-level posterior is a convex
+    combination of observations (min y ≤ level ≤ max y, since every gain
+    ∈ (0,1) and l₀ = y₀); the posterior variance is positive and below
+    the prior R; and the result is IDENTICAL under a tiny Arrow batch
+    size — the carry-state survives batch splits."""
+    from kinesis_customer_sample_spark.queries.trend_ops import kalman_over
+
+    n, keys = 2_000_000, 100_000
+    daily = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % keys)).alias("event_type"),
+        (F.col("id") / keys).cast("long").alias("day"),
+        ((F.col("id") * 37) % 211 + 5).cast("double").alias("y"),
+    )
+    out = kalman_over(daily).persist()
+    bounds = daily.groupBy("event_type").agg(
+        F.min("y").alias("ymin"), F.max("y").alias("ymax")
+    )
+    bad = (
+        out.join(bounds, "event_type")
+        .filter(
+            (F.col("level") < F.col("ymin") - 1e-9)
+            | (F.col("level") > F.col("ymax") + 1e-9)
+            | (F.col("pvar") <= 0.0)
+            | (F.col("pvar") >= 400.0)
+            | (F.col("kalman_gain") < 0.0)
+            | (F.col("kalman_gain") >= 1.0)
+        )
+        .count()
+    )
+    assert bad == 0
+    assert out.count() == keys
+    # batch-split equivalence on a 5k-key slice with 1k-row batches
+    sub = daily.filter(F.col("event_type").isin(*[f"k{i}" for i in range(50)]))
+    base = {r["event_type"]: (r["level"], r["pvar"], r["innov_sse"])
+            for r in kalman_over(sub).collect()}
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        split = {r["event_type"]: (r["level"], r["pvar"], r["innov_sse"])
+                 for r in kalman_over(sub).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert split == base
+    out.unpersist()
