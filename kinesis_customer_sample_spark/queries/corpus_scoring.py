@@ -1593,3 +1593,237 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("ws_mu").cast("bigint").alias("score_mu"))
     )
     return pscore.orderBy(F.desc("score_mu"), "phrase").limit(_RAKE_TOPK)
+
+
+# ---- q489: Good-Turing frequency smoothing ---------------------------------
+_GT_CMAX = 10
+
+
+@query(
+    "q489_good_turing",
+    oracle=f"""
+    WITH counts AS (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ff AS (SELECT c, count(*)::BIGINT AS n_c FROM counts GROUP BY c),
+    tot AS (SELECT sum(c * n_c)::BIGINT AS t FROM ff),
+    grid AS (SELECT unnest(range(0, {_GT_CMAX} + 1))::BIGINT AS c)
+    SELECT g.c,
+           coalesce(f.n_c, 0)::BIGINT AS n_c,
+           coalesce(f1.n_c, 0)::BIGINT AS n_next,
+           CASE WHEN g.c = 0 OR coalesce(f.n_c, 0) = 0 THEN -1 ELSE
+             (1000 * (g.c + 1) * coalesce(f1.n_c, 0) // f.n_c) END
+             AS c_star_milli,
+           ((g.c + 1) * coalesce(f1.n_c, 0) * 10000 // (SELECT t FROM tot))::BIGINT
+             AS mass_bp
+    FROM grid g
+    LEFT JOIN ff f ON f.c = g.c
+    LEFT JOIN ff f1 ON f1.c = g.c + 1
+    ORDER BY g.c
+    """,
+    tags=("llm", "good-turing", "smoothing", "frequency"),
+)
+def good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency smoothing — the estimator under every
+    count-based LM and coverage model: tokens seen c times should be
+    treated as if seen c* = (c+1)*N_{{c+1}}/N_c times, and the UNSEEN
+    mass equals N_1/T (the c=0 row of the same formula). Emits the
+    count-of-counts table for c = 0..10 with adjusted counts and the
+    probability mass GT assigns each count class — the smoothing table a
+    KN/Katz LM (q450) materializes, and the standard coverage answer to
+    'how much of the true distribution has my corpus not seen yet?'
+    (complementing q488's capture-recapture on documents).
+
+    Determinism: token counts, the count-of-counts histogram and T are
+    exact integers; c* is kept in integer milli-units with the shared -1
+    sentinel where N_c = 0 (q438 rule); mass is exact integer basis
+    points. No float anywhere.
+
+    Scale posture (100 TB): one tokenize pass (the shared persisted
+    token table), one hash-agg to token counts, one to the
+    count-of-counts histogram — which has at most max-count rows
+    regardless of corpus size; the c-grid join is an 11-row broadcast."""
+    toks = _docs_with_tokens(spark, sf_dir).select(
+        F.explode("toks").alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ff = counts.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("n_c"))
+    tot = ff.agg(F.sum(F.expr("c * n_c")).cast("bigint").alias("t"))
+    grid = spark.range(0, _GT_CMAX + 1).select(F.col("id").cast("bigint").alias("c"))
+    ff1 = ff.select((F.col("c") - 1).alias("c"), F.col("n_c").alias("n_next"))
+    return (
+        grid.join(F.broadcast(ff), "c", "left")
+        .join(F.broadcast(ff1), "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            F.coalesce("n_c", F.lit(0)).cast("bigint").alias("n_c"),
+            F.coalesce("n_next", F.lit(0)).cast("bigint").alias("n_next"),
+            F.expr(
+                "CASE WHEN c = 0 OR coalesce(n_c, 0) = 0 THEN -1 ELSE "
+                "1000 * (c + 1) * coalesce(n_next, 0) div n_c END"
+            ).alias("c_star_milli"),
+            F.expr("(c + 1) * coalesce(n_next, 0) * 10000 div t")
+            .cast("bigint")
+            .alias("mass_bp"),
+        )
+        .orderBy("c")
+    )
+
+
+# ---- q490: Heaps' law vocabulary growth -------------------------------------
+_HL_K = 8  # key-range checkpoints
+
+
+@query(
+    "q490_heaps_vocabulary_growth",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(doc_id) AS lo, max(doc_id) AS hi,
+             max(doc_id) - min(doc_id) + 1 AS span
+      FROM documents
+    ),
+    doc_ck AS (
+      SELECT CASE WHEN (d.doc_id - b.lo + 1) * {_HL_K} % b.span = 0
+                  THEN (d.doc_id - b.lo + 1) * {_HL_K} // b.span
+                  ELSE (d.doc_id - b.lo + 1) * {_HL_K} // b.span + 1 END AS ck
+      FROM documents d CROSS JOIN bounds b
+    ),
+    tok_min AS (
+      SELECT tok, min(doc_id) AS min_doc
+      FROM (SELECT DISTINCT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    tok_ck AS (
+      SELECT CASE WHEN (t.min_doc - b.lo + 1) * {_HL_K} % b.span = 0
+                  THEN (t.min_doc - b.lo + 1) * {_HL_K} // b.span
+                  ELSE (t.min_doc - b.lo + 1) * {_HL_K} // b.span + 1 END AS ck
+      FROM tok_min t CROSS JOIN bounds b
+    ),
+    grid AS (SELECT unnest(range(1, {_HL_K} + 1))::BIGINT AS k),
+    curve AS (
+      SELECT g.k,
+             (SELECT count(*) FROM doc_ck WHERE doc_ck.ck <= g.k)::BIGINT AS n_docs,
+             (SELECT count(*) FROM tok_ck WHERE tok_ck.ck <= g.k)::BIGINT AS vocab
+      FROM grid g
+    ),
+    pts AS (
+      SELECT k, n_docs, vocab,
+             CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM curve
+    ),
+    fit AS (
+      SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM pts
+    )
+    SELECT p.k, p.n_docs, p.vocab,
+           round(CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE), 6) AS heaps_beta,
+           round((CAST(f.sy AS DOUBLE)
+                  - CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                    / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) * f.sx)
+                 / f.n / 1000000.0, 6) AS heaps_lnk
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.k
+    """,
+    tags=("llm", "heaps-law", "vocabulary", "corpus-stats"),
+)
+def heaps_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' law vocabulary-growth audit — V(n) ~ K*n^beta, the corpus
+    twin of q358's Zipf fit: as the corpus grows (documents in doc_id
+    order, eight equal key-range checkpoints), how fast does the
+    vocabulary grow? beta ~ 0.5 is healthy natural text; beta near 1
+    flags ID/hash pollution (every doc brings new 'words'); beta near 0
+    flags template/boilerplate saturation. Emits the growth curve plus
+    the log-log OLS fit (beta, lnK) — the one-line corpus-health
+    indicator an ingest pipeline tracks release over release.
+
+    Determinism: each token's first-occurrence checkpoint is exact
+    integer arithmetic (ceil as (a % b = 0 ? a//b : a//b + 1) — shared
+    text); cumulative counts are integers; the two ln-of-integer
+    projections are floor-quantized micro-nats (q467 discipline); the
+    OLS ratio is one shared double expression over int64-safe sums.
+
+    Scale posture (100 TB): distinct (doc, token) then one hash-agg to
+    first occurrences; each token/document maps to its checkpoint with
+    pure row-local math (no join against the grid, no window over
+    tokens); cumulative curve and fit live on the 8-row grid. The
+    cross joins broadcast 1-row bounds/fit tables."""
+    docs = table(spark, sf_dir, "documents")
+    bounds = F.broadcast(
+        docs.agg(
+            F.min("doc_id").alias("lo"),
+            (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+        )
+    )
+    ck = (
+        f"CASE WHEN (x - lo + 1) * {_HL_K} % span = 0 "
+        f"THEN (x - lo + 1) * {_HL_K} div span "
+        f"ELSE (x - lo + 1) * {_HL_K} div span + 1 END"
+    )
+    doc_hist = (
+        docs.select(F.col("doc_id").alias("x"))
+        .crossJoin(bounds)
+        .select(F.expr(ck).alias("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    )
+    tok_min = (
+        _docs_with_tokens(spark, sf_dir)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .distinct()
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("x"))
+    )
+    tok_hist = (
+        tok_min.crossJoin(bounds)
+        .select(F.expr(ck).alias("ck"))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    )
+    grid = spark.range(1, _HL_K + 1).select(F.col("id").cast("bigint").alias("k"))
+    curve = (
+        grid.join(F.broadcast(doc_hist), grid.k >= doc_hist.ck, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("nd"), F.lit(0)).cast("bigint").alias("n_docs"))
+        .join(
+            grid.join(F.broadcast(tok_hist), grid.k >= tok_hist.ck, "left")
+            .groupBy("k")
+            .agg(F.coalesce(F.sum("nv"), F.lit(0)).cast("bigint").alias("vocab")),
+            "k",
+        )
+    )
+    pts = curve.select(
+        "k",
+        "n_docs",
+        "vocab",
+        F.expr("CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)").alias("y"),
+    )
+    fit = F.broadcast(
+        pts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+            F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        )
+    )
+    slope = "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)"
+    return (
+        pts.crossJoin(fit)
+        .select(
+            "k",
+            "n_docs",
+            "vocab",
+            F.round(F.expr(slope), 6).alias("heaps_beta"),
+            F.round(
+                F.expr(f"(CAST(sy AS DOUBLE) - {slope} * sx) / n / 1000000.0"), 6
+            ).alias("heaps_lnk"),
+        )
+        .orderBy("k")
+    )

@@ -770,3 +770,152 @@ def newsvendor_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---- q486: Theta-method forecast -----------------------------------------
+_TH_H = 7        # forecast horizon, days
+_TH_W = 20       # truncated-SES window (alpha = 1/2, binary weights)
+
+
+@query(
+    "q486_theta_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             row_number() OVER (PARTITION BY event_type ORDER BY day DESC)
+               AS rn_desc
+      FROM daily
+    ),
+    ols AS (
+      SELECT event_type,
+             count(*)::BIGINT AS n,
+             sum(t)::BIGINT AS st, sum(y)::BIGINT AS sy,
+             sum(t * y)::BIGINT AS sty, sum(t * t)::BIGINT AS stt
+      FROM idx GROUP BY event_type
+    ),
+    fit AS (
+      SELECT event_type, n,
+             ((n * sty - st * sy) * 1000000 // (n * stt - st * st))::BIGINT
+               AS b_mu,
+             ((sy * 1000000
+               - ((n * sty - st * sy) * 1000000 // (n * stt - st * st)) * st)
+              // n)::BIGINT AS a_mu
+      FROM ols
+    ),
+    z AS (
+      SELECT i.event_type, i.rn_desc,
+             2 * i.y * 1000000 - (f.a_mu + f.b_mu * i.t) AS z_mu,
+             f.n, f.a_mu, f.b_mu,
+             CASE WHEN f.n < {_TH_W} THEN f.n ELSE {_TH_W} END AS s
+      FROM idx i JOIN fit f ON f.event_type = i.event_type
+    ),
+    ses AS (
+      SELECT event_type, any_value(n) AS n_days,
+             any_value(a_mu) AS a_mu, any_value(b_mu) AS b_mu,
+             any_value(s) AS s,
+             sum(CASE WHEN rn_desc <= s
+                      THEN z_mu * (1::BIGINT << (s - rn_desc)) ELSE 0 END)::BIGINT
+               AS num
+      FROM z GROUP BY event_type
+    )
+    SELECT event_type, n_days, a_mu, b_mu,
+           (num // ((1::BIGINT << s) - 1))::BIGINT AS ses2_mu,
+           ((a_mu + b_mu * (n_days + {_TH_H})
+             + num // ((1::BIGINT << s) - 1)) // 2)::BIGINT AS forecast_mu
+    FROM ses ORDER BY event_type
+    """,
+    tags=("forecast", "theta", "ses", "m3"),
+)
+def theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (the M3-competition winner) per series: the
+    h-step forecast is the average of (a) the OLS linear trend
+    extrapolated to T+h — the theta=0 line — and (b) simple exponential
+    smoothing of the theta=2 line z_t = 2*y_t - (a + b*t), which doubles
+    local curvature around the trend. With alpha = 1/2 the SES weights
+    are exact powers of two, so the level collapses to the CLOSED-FORM
+    windowed sum sum_k z_{{T-k}} * 2^(s-1-k) / (2^s - 1) over the last
+    s <= 20 observations — no recursion, no mapInPandas, pure integer
+    arithmetic (the truncation discards weight < 1e-6 of the level;
+    documented, identical both engines).
+
+    Determinism: t indices and daily counts are integers; OLS a, b come
+    from the integer sufficient-statistics rationals (q228) floored to
+    mu-units; z, the binary-weighted numerator (|z|~1e10 x 2^19 x 20 ~
+    1e17, int64-safe) and every division are exact integer ops.
+
+    Scale posture (100 TB): one hash-agg to the (series, day) grid; two
+    rank windows PARTITIONED BY series on the grid; OLS and the SES
+    numerator are each one further grid-level hash-agg. Each series'
+    forecast is one row of integer algebra — no iteration anywhere."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    idx = daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(W.partitionBy("event_type").orderBy("day")).alias("t"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy(F.col("day").desc()))
+        .alias("rn_desc"),
+    )
+    ols = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("t * y")).cast("bigint").alias("sty"),
+        F.sum(F.expr("t * t")).cast("bigint").alias("stt"),
+    )
+    fit = ols.select(
+        "event_type",
+        "n",
+        F.expr("(n * sty - st * sy) * 1000000 div (n * stt - st * st)")
+        .cast("bigint")
+        .alias("b_mu"),
+        F.expr(
+            "(sy * 1000000 - ((n * sty - st * sy) * 1000000 div (n * stt - st * st)) * st) div n"
+        )
+        .cast("bigint")
+        .alias("a_mu"),
+    )
+    z = idx.join(F.broadcast(fit), "event_type").select(
+        "event_type",
+        "rn_desc",
+        F.expr("2 * y * 1000000 - (a_mu + b_mu * t)").alias("z_mu"),
+        "n",
+        "a_mu",
+        "b_mu",
+        F.expr(f"CASE WHEN n < {_TH_W} THEN n ELSE {_TH_W} END").alias("s"),
+    )
+    ses = z.groupBy("event_type").agg(
+        F.first("n").alias("n_days"),
+        F.first("a_mu").alias("a_mu"),
+        F.first("b_mu").alias("b_mu"),
+        F.first("s").alias("s"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN rn_desc <= s THEN z_mu * (CAST(1 AS BIGINT) << (s - rn_desc)) ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("num"),
+    )
+    return ses.select(
+        "event_type",
+        "n_days",
+        "a_mu",
+        "b_mu",
+        F.expr("num div ((CAST(1 AS BIGINT) << s) - 1)").cast("bigint").alias("ses2_mu"),
+        F.expr(
+            f"(a_mu + b_mu * (n_days + {_TH_H}) + num div ((CAST(1 AS BIGINT) << s) - 1)) div 2"
+        )
+        .cast("bigint")
+        .alias("forecast_mu"),
+    ).orderBy("event_type")

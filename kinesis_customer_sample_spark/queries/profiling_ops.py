@@ -1194,3 +1194,83 @@ def powerlaw_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ln_c"),
     )
+
+
+# ---- q488: Chapman capture-recapture population estimate -------------------
+from kinesis_customer_sample_spark.functions import tok_hash_expr as _tok
+
+
+@query(
+    "q488_capture_recapture",
+    oracle=f"""
+    WITH marked AS (
+      SELECT source,
+             CASE WHEN ({_tok("'cap1-' || doc_id::VARCHAR", dialect="duckdb")}) % 5 = 0
+                  THEN 1 ELSE 0 END AS s1,
+             CASE WHEN ({_tok("'cap2-' || doc_id::VARCHAR", dialect="duckdb")}) % 4 = 0
+                  THEN 1 ELSE 0 END AS s2
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             count(*)::BIGINT AS true_n,
+             sum(s1)::BIGINT AS n1,
+             sum(s2)::BIGINT AS n2,
+             sum(s1 * s2)::BIGINT AS m
+      FROM marked GROUP BY source
+    )
+    SELECT source, true_n, n1, n2, m,
+           ((n1 + 1) * (n2 + 1) // (m + 1) - 1)::BIGINT AS chapman_est,
+           (abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - true_n) * 10000
+             // true_n)::BIGINT AS err_bp
+    FROM agg ORDER BY source
+    """,
+    tags=("profiling", "capture-recapture", "estimation", "chapman"),
+)
+def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimator — estimate the size of a
+    population you can only SAMPLE: two independent deterministic
+    'captures' (20% and 25% hash samples) overlap in m documents, and
+    N-hat = (n1+1)(n2+1)/(m+1) - 1 recovers the total. The data-platform
+    use is estimating the size of an unobservable universe (how many
+    distinct upstream records exist given two partial feeds; how many
+    duplicates remain given two independent dedup passes) — and because
+    the fixture knows the truth, the output publishes the estimator's
+    actual error in basis points per source, making this a
+    self-certifying estimator audit.
+
+    Determinism: both capture marks come from the portable polynomial
+    hash (q91's split discipline); every count and the Chapman rational
+    are exact int64 ops (n1*n2 <= N^2 — int64-safe to N ~ 3e9 per
+    stratum; the DECIMAL(38,0) note applies beyond).
+
+    Scale posture (100 TB): ONE map-side-combined hash-agg from the
+    document scan to a |sources|-row table; the estimator is row-local
+    algebra. The two 'samples' never materialize — they are integer
+    indicator columns."""
+    s1 = f"CASE WHEN ({_tok(chr(39) + 'cap1-' + chr(39) + ' || CAST(doc_id AS STRING)', dialect='spark')}) % 5 = 0 THEN 1 ELSE 0 END"
+    s2 = f"CASE WHEN ({_tok(chr(39) + 'cap2-' + chr(39) + ' || CAST(doc_id AS STRING)', dialect='spark')}) % 4 = 0 THEN 1 ELSE 0 END"
+    agg = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.expr(s1).alias("s1"), F.expr(s2).alias("s2"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("true_n"),
+            F.sum("s1").cast("bigint").alias("n1"),
+            F.sum("s2").cast("bigint").alias("n2"),
+            F.sum(F.expr("s1 * s2")).cast("bigint").alias("m"),
+        )
+    )
+    return agg.select(
+        "source",
+        "true_n",
+        "n1",
+        "n2",
+        "m",
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1")
+        .cast("bigint")
+        .alias("chapman_est"),
+        F.expr("abs((n1 + 1) * (n2 + 1) div (m + 1) - 1 - true_n) * 10000 div true_n")
+        .cast("bigint")
+        .alias("err_bp"),
+    ).orderBy("source")

@@ -1112,3 +1112,114 @@ def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fleiss_kappa"),
     ).orderBy("source")
+
+
+# ---- q487: paired sign-flip permutation test -------------------------------
+_PERM_R = 64  # deterministic sign assignments
+
+
+@query(
+    "q487_signflip_permutation_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               - sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+               AS delta
+      FROM events GROUP BY 1
+    ),
+    obs AS (SELECT abs(sum(delta))::BIGINT AS t_obs, count(*)::BIGINT AS n_days
+            FROM daily),
+    reps AS (
+      SELECT r.r,
+             abs(sum(CASE WHEN
+                   ({tok_hash_expr("'perm-' || r.r::VARCHAR || '-' || d.di::VARCHAR", dialect="duckdb")}) % 2 = 0
+                 THEN d.delta ELSE -d.delta END))::BIGINT AS t_r
+      FROM daily d
+      CROSS JOIN (SELECT unnest(range(1, {_PERM_R} + 1)) AS r) r
+      GROUP BY r.r
+    )
+    SELECT o.n_days, o.t_obs,
+           {_PERM_R}::BIGINT AS n_reps,
+           sum(CASE WHEN rp.t_r >= o.t_obs THEN 1 ELSE 0 END)::BIGINT AS n_geq,
+           ((1 + sum(CASE WHEN rp.t_r >= o.t_obs THEN 1 ELSE 0 END)) * 1000
+             // ({_PERM_R} + 1))::BIGINT AS p_milli
+    FROM reps rp CROSS JOIN obs o
+    GROUP BY o.n_days, o.t_obs
+    """,
+    tags=("stats", "permutation-test", "sign-flip", "nonparametric"),
+)
+def signflip_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test — the exact nonparametric answer
+    to 'is the daily purchase-minus-click gap real?': under H0 the
+    paired difference is symmetric around 0, so each day's delta keeps
+    or flips its sign with equal probability; the p-value is the rank of
+    |sum delta| among the sign-flipped replicates, with the standard
+    (1 + #{{T_r >= T_obs}})/(R+1) add-one so p is never 0. Completes the
+    inference family: q258/q259 compare distributions, q260 bootstraps a
+    CI, q317 tests sequentially — this one tests a PAIRED effect with no
+    distributional assumption at all.
+
+    Determinism: daily deltas are exact integer counts; each of the 64
+    sign assignments comes from the portable polynomial hash of
+    (replicate, day-index) — identical integers both engines (the q260
+    replicate discipline); replicate statistics and the p-value are pure
+    integer arithmetic.
+
+    Scale posture (100 TB): one map-side-combined hash-agg to the day
+    grid, then a grid x 64 fan-out (map-side, bounded: |days| x R rows)
+    reduced to 64 integer sums — the q260 bootstrap shape. Nothing
+    fact-sized is exploded; the fan-out input is the aggregated grid."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')").alias("di")
+        )
+        .agg(
+            (
+                F.sum(F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+                - F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+            )
+            .cast("bigint")
+            .alias("delta")
+        )
+    )
+    obs = daily.agg(
+        F.abs(F.sum("delta")).cast("bigint").alias("t_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    sign_hash = tok_hash_expr(
+        "'perm-' || CAST(r AS STRING) || '-' || CAST(di AS STRING)",
+        dialect="spark",
+    )
+    reps = (
+        daily.select("di", "delta", F.explode(F.expr(f"sequence(1, {_PERM_R})")).alias("r"))
+        .groupBy("r")
+        .agg(
+            F.abs(
+                F.sum(
+                    F.expr(
+                        f"CASE WHEN ({sign_hash}) % 2 = 0 THEN delta ELSE -delta END"
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("t_r")
+        )
+    )
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .groupBy("n_days", "t_obs")
+        .agg(
+            F.lit(_PERM_R).cast("bigint").alias("n_reps"),
+            F.sum(F.expr("CASE WHEN t_r >= t_obs THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_geq"),
+            F.expr(
+                f"(1 + sum(CASE WHEN t_r >= t_obs THEN 1 ELSE 0 END)) * 1000 div ({_PERM_R} + 1)"
+            )
+            .cast("bigint")
+            .alias("p_milli"),
+        )
+        .select("n_days", "t_obs", "n_reps", "n_geq", "p_milli")
+    )

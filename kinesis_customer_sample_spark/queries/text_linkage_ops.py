@@ -582,7 +582,10 @@ def fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- two same-length unnests in one SELECT zip in DuckDB
       SELECT e.vec_id,
              unnest(range(1, len(e.embedding) + 1)) - 1 AS dim,
-             unnest([CAST(floor(1000000.0 * x) AS BIGINT)
+             -- x must widen to DOUBLE before the multiply: DuckDB's
+             -- DECIMAL*FLOAT stays float32, flooring 0.088272996*1e6 to
+             -- 88273 instead of 88272 (the r7 sf0.1 divergence)
+             unnest([CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)
                      for x in e.embedding]) AS qv
       FROM embeddings e
     ),
@@ -602,12 +605,13 @@ def fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pre GROUP BY vec_id
     )
     SELECT vec_id,
-           round(1.0 - CAST(num AS DOUBLE)
-                       / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE))), 6)
-             AS novelty
+           CAST(floor((1.0 - CAST(num AS DOUBLE)
+                       / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ns AS DOUBLE))))
+                      * 1000000.0) AS BIGINT)
+             AS novelty_mu
     FROM dots
     WHERE vec_id > (SELECT min(vec_id) FROM embeddings)
-    ORDER BY novelty DESC, vec_id
+    ORDER BY novelty_mu DESC, vec_id
     LIMIT {_NOV_TOPK}
     """,
     tags=("similarity", "embedding", "novelty", "streaming-order"),
@@ -622,7 +626,10 @@ def embedding_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: components quantize to ⌊10⁶x⌋ integers (float32 →
     double is exact); prefix sums, dot products and norms are exact
-    integer aggregates; one sqrt/division per vector at the end.
+    integer aggregates; one sqrt/division per vector at the end, and
+    the score is floor-quantized to µ by the SHARED floor(x·1e6) text
+    (r7 fix: round(x, 6) let the engines' different rounding
+    algorithms diverge on boundary doubles at sf0.1).
 
     Scale: the unrolled (vec, dim) grid partitions the prefix cumsum
     BY DIMENSION — 64 independent ordered partitions, never a global
@@ -657,13 +664,20 @@ def embedding_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") > F.col("mv"))
         .select(
             "vec_id",
-            F.round(
-                1.0
-                - F.col("num").cast("double")
-                / (F.sqrt(F.col("nq").cast("double")) * F.sqrt(F.col("ns").cast("double"))),
-                6,
-            ).alias("novelty"),
+            F.floor(
+                (
+                    1.0
+                    - F.col("num").cast("double")
+                    / (
+                        F.sqrt(F.col("nq").cast("double"))
+                        * F.sqrt(F.col("ns").cast("double"))
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("bigint")
+            .alias("novelty_mu"),
         )
-        .orderBy(F.desc("novelty"), "vec_id")
+        .orderBy(F.desc("novelty_mu"), "vec_id")
         .limit(_NOV_TOPK)
     )

@@ -92,10 +92,11 @@ def ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            count(*)::BIGINT AS n_obs,
-           round(list_reduce(
+           CAST(floor(list_reduce(
              list_prepend(0.0::DOUBLE, list(value::DOUBLE ORDER BY ts, event_id)),
-             (acc, v) -> acc * 0.9 + v * 0.1), 4) AS ewma,
-           round(avg(value), 4) AS plain_avg
+             (acc, v) -> acc * 0.9 + v * 0.1) * 1000000.0) AS BIGINT) AS ewma_mu,
+           (sum(CAST(round(value * 100) AS BIGINT)) * 10000
+             // count(*))::BIGINT AS plain_avg_mu
     FROM events
     GROUP BY user_id
     """,
@@ -108,7 +109,16 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     series once, then `aggregate(..., acc*0.9 + v*0.1)` inside whole-stage
     codegen. Emitted next to the plain mean so downstream can see the decay
     effect. The oracle runs the identical fold via `list_reduce` over
-    DuckDB's ordered `list()` aggregate — same FP sequence, exact match."""
+    DuckDB's ordered `list()` aggregate — same FP sequence, exact match.
+
+    Determinism (r7 fix): the fold's double is bit-identical both engines,
+    but round(x, 4) is NOT a shared algorithm — Spark rounds the exact
+    decimal expansion (BigDecimal HALF_UP) while DuckDB rounds via float
+    multiply, and a boundary-straddling value diverges in the last digit
+    (one user in 1500 at sf0.1). Both outputs are therefore quantized by
+    the shared floor(x*1e6) text (ewma_mu), and the plain mean is the
+    exact integer-cents rational sum_cents*10^4 div n (plain_avg_mu) —
+    float summation order never matters."""
     ev = table(spark, sf_dir, "events")
     series = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
@@ -121,8 +131,10 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_obs"),
-        F.round(fold, 4).alias("ewma"),
-        F.round(F.avg("value"), 4).alias("plain_avg"),
+        F.floor(fold * F.lit(1000000.0)).cast("bigint").alias("ewma_mu"),
+        F.expr("sum(CAST(round(value * 100) AS BIGINT)) * 10000 div count(1)")
+        .cast("bigint")
+        .alias("plain_avg_mu"),
     )
 
 

@@ -2968,3 +2968,47 @@ def test_clustering_depth_grid_sweep(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q485_clustering_depth_audit")
     assert not facts.has_cartesian
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_theta_forecast_grid_windows_no_iteration(spark, sf_dir):
+    # the closed-form SES means: windows partitioned by series on the day
+    # grid, two hash-agg reductions, no mapInPandas/Python anywhere
+    facts = audit_of(spark, sf_dir, "q486_theta_forecast")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert "mapInPandas" not in facts.text and "ArrowEvalPython" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_permutation_fanout_is_grid_sized(spark, sf_dir):
+    # the 64-rep explode runs on the aggregated day grid, after the one
+    # fact hash-agg — the Generate must sit above an aggregate
+    facts = audit_of(spark, sf_dir, "q487_signflip_permutation_test")
+    assert not facts.has_cartesian or "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+    assert facts.text.find("Generate") < facts.text.rfind("HashAggregate")
+
+
+def test_capture_recapture_single_agg(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q488_capture_recapture")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "Join" not in facts.text
+
+
+def test_good_turing_histogram_cascade(spark, sf_dir):
+    # token counts -> count-of-counts: two hash-aggs; the c-grid joins
+    # are broadcast over 11 rows
+    facts = audit_of(spark, sf_dir, "q489_good_turing")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_heaps_checkpoint_map_is_rowlocal(spark, sf_dir):
+    # tokens/docs map to checkpoints via row-local math against the
+    # broadcast 1-row bounds (a broadcast NLJ on the tiny grid is fine);
+    # the fact-side work is hash-aggregated before any join
+    facts = audit_of(spark, sf_dir, "q490_heaps_vocabulary_growth")
+    assert facts.has_partial_agg
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1

@@ -151,7 +151,9 @@ def test_stream_ewma_multibatch_equals_batch(spark, sf_dir):
             updates.groupBy("user_id")
             .agg(
                 F.max("n_obs").alias("n_obs"),
-                F.round(F.max_by("ewma", "n_obs"), 4).alias("ewma"),
+                F.floor(F.max_by("ewma", "n_obs") * F.lit(1000000.0))
+                .cast("bigint")
+                .alias("ewma_mu"),
             )
             .toPandas()
             .set_index("user_id")
@@ -159,13 +161,13 @@ def test_stream_ewma_multibatch_equals_batch(spark, sf_dir):
         )
     batch = (
         ewma_smoothing(spark, sf_dir)
-        .select("user_id", "n_obs", "ewma")
+        .select("user_id", "n_obs", "ewma_mu")
         .toPandas()
         .set_index("user_id")
         .sort_index()
     )
     assert (final["n_obs"] == batch["n_obs"]).all()
-    assert (final["ewma"] == batch["ewma"]).all()  # bit-exact, not approx
+    assert (final["ewma_mu"] == batch["ewma_mu"]).all()  # bit-exact, not approx
 
 
 def test_histogram_sketch_shard_invariance(spark, sf_dir):
