@@ -1012,3 +1012,193 @@ def sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot"), "doc_a", "doc_b")
         .limit(_SC_TOPK)
     )
+
+
+# ---- q492: MinHash estimator accuracy audit ---------------------------------
+
+
+def _minhash_audit_oracle() -> str:
+    """q492's oracle splices q69's REGISTERED oracle verbatim (the
+    q409/q400 registry-splice pattern) so the audited estimator can never
+    drift from the estimator being shipped."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    q69 = REGISTRY["q69_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH pairs AS ({q69}),
+    errs AS (
+      SELECT abs(CAST(round(est_jaccard * 10000) AS BIGINT)
+                 - CAST(round(jaccard * 10000) AS BIGINT)) AS err_bp
+      FROM pairs
+    )
+    SELECT (err_bp // 250)::BIGINT AS err_bucket,
+           count(*)::BIGINT AS n_pairs,
+           max(err_bp)::BIGINT AS max_err_bp,
+           (sum(err_bp) // count(*))::BIGINT AS mean_err_bp
+    FROM errs GROUP BY 1 ORDER BY 1
+    """
+
+
+@query(
+    "q492_minhash_accuracy_audit",
+    oracle=_minhash_audit_oracle(),
+    tags=("dedup", "minhash", "audit", "estimator"),
+)
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy audit — the self-certifying check a
+    dedup platform publishes next to its index: over q69's verified
+    near-duplicate pairs, how far is the 16-permutation signature
+    estimate (matching-component fraction) from the exact shingle
+    Jaccard? Emits the error histogram in 2.5%-wide buckets with max and
+    mean error per bucket. The binomial theory says stddev ~
+    sqrt(J(1-J)/16) ~ 0.12 at J = 0.5 — a bucket mass drifting past
+    that flags a broken permutation family long before recall visibly
+    degrades (the q488 estimator-audit discipline, applied to LSH).
+
+    Determinism: est_jaccard is an exact multiple of 1/16 and exact
+    Jaccard an exact rational, both rounded to 6 dp upstream in q69;
+    the audit re-quantizes to integer basis points and every histogram
+    statistic is exact int64.
+
+    Scale posture (100 TB): consumes q69's pair output (bucket-blocked,
+    never all-pairs) and reduces it with one map-side-combined hash-agg
+    to an <= 40-row histogram. The estimator and the audit share one
+    code path by construction (registry splice)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    errs = pairs.select(
+        F.expr(
+            "abs(CAST(round(est_jaccard * 10000) AS BIGINT)"
+            " - CAST(round(jaccard * 10000) AS BIGINT))"
+        ).alias("err_bp")
+    )
+    return (
+        errs.groupBy(F.expr("err_bp div 250").cast("bigint").alias("err_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("err_bp").cast("bigint").alias("max_err_bp"),
+            F.expr("sum(err_bp) div count(1)").cast("bigint").alias("mean_err_bp"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
+# ---- q493: LSH (bands x rows) parameter planner -----------------------------
+_LSH_COMBOS = ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+_LSH_TAU_BP = 6000     # design threshold (q215's tau = 0.6)
+_LSH_RECALL_MU = 900_000  # required collision probability at tau: 0.9
+
+
+def _pow_chain(x: str, n: int) -> str:
+    """Unrolled x^n as a parenthesized multiply chain via repeated
+    squaring — the SAME literal text runs in both engines, so the IEEE
+    sequence (and therefore the floored micro-units) cannot diverge the
+    way a libm pow() could."""
+    if n == 1:
+        return x
+    half = _pow_chain(x, n // 2)
+    sq = f"({half} * {half})"
+    return f"({sq} * {x})" if n % 2 else sq
+
+
+def _lsh_planner_sql() -> str:
+    legs = []
+    for b, r in _LSH_COMBOS:
+        # CAST to DOUBLE first: a bare `s_bp / 10000.0` is DECIMAL division
+        # in DuckDB (the q454 DECIMAL-literal trap) but double in Spark
+        s = "(CAST(s_bp AS DOUBLE) / 10000.0)"
+        p_r = _pow_chain(s, r)               # s^r
+        miss = f"(1.0 - {p_r})"
+        p = f"(1.0 - {_pow_chain(miss, b)})"  # 1 - (1-s^r)^b
+        legs.append(
+            f"SELECT s_bp, {b} AS bands, {r} AS rows_per_band, "
+            f"CAST(floor({p} * 1000000.0) AS BIGINT) AS p_micro FROM grid"
+        )
+    return " UNION ALL ".join(legs)
+
+
+@query(
+    "q493_lsh_parameter_planner",
+    oracle=f"""
+    WITH grid AS (
+      SELECT unnest(range(1, 20))::BIGINT * 500 AS s_bp
+    ),
+    curve AS ({_lsh_planner_sql()}),
+    at_tau AS (
+      SELECT bands, rows_per_band,
+             max(CASE WHEN s_bp = {_LSH_TAU_BP} THEN p_micro END)::BIGINT
+               AS p_at_tau_micro
+      FROM curve GROUP BY bands, rows_per_band
+    ),
+    ranked AS (
+      SELECT bands, rows_per_band, p_at_tau_micro,
+             CASE WHEN p_at_tau_micro >= {_LSH_RECALL_MU} THEN
+               row_number() OVER (
+                 PARTITION BY CASE WHEN p_at_tau_micro >= {_LSH_RECALL_MU}
+                              THEN 1 ELSE 0 END
+                 ORDER BY bands, rows_per_band)
+             ELSE 0 END AS pick
+      FROM at_tau
+    )
+    SELECT c.s_bp, c.bands::BIGINT AS bands,
+           c.rows_per_band::BIGINT AS rows_per_band, c.p_micro,
+           r.p_at_tau_micro,
+           (CASE WHEN r.pick = 1 THEN 1 ELSE 0 END)::BIGINT AS recommended
+    FROM curve c
+    JOIN ranked r ON r.bands = c.bands AND r.rows_per_band = c.rows_per_band
+    ORDER BY c.bands, c.s_bp
+    """,
+    tags=("dedup", "lsh", "planner", "advisor"),
+)
+def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH (bands x rows) parameter planner — the S-curve designer behind
+    q69/q303's 4x4 choice: for every factorization of the 16-component
+    signature, the collision probability 1 - (1 - s^r)^b over the
+    similarity grid s = 0.05..0.95, the value at the design threshold
+    tau = 0.6, and the recommendation (fewest bands — fewest index
+    copies — among combos whose recall at tau is >= 0.9). More bands
+    catch more low-similarity noise (cost); more rows sharpen the
+    threshold (risk of missing true pairs) — this emits the whole
+    trade-off surface an index operator reviews before resharding.
+
+    Determinism: powers are UNROLLED repeated-squaring multiply chains
+    (shared literal text, never libm pow, whose rounding is not
+    IEEE-pinned); the probability is floor-quantized to micro-units; the
+    recommendation is integer rank logic on the 5-row summary.
+
+    Scale posture: pure grid math — 19 similarity points x 5 combos; no
+    table scan at all. The planner runs once per index deployment."""
+    grid = spark.range(1, 20).select((F.col("id") * 500).cast("bigint").alias("s_bp"))
+    grid.createOrReplaceTempView("grid")
+    curve = spark.sql(f"WITH grid AS (SELECT * FROM grid) {_lsh_planner_sql()}")
+    at_tau = curve.groupBy("bands", "rows_per_band").agg(
+        F.max(
+            F.expr(f"CASE WHEN s_bp = {_LSH_TAU_BP} THEN p_micro END")
+        )
+        .cast("bigint")
+        .alias("p_at_tau_micro")
+    )
+    ranked = at_tau.select(
+        "bands",
+        "rows_per_band",
+        "p_at_tau_micro",
+        F.expr(
+            f"CASE WHEN p_at_tau_micro >= {_LSH_RECALL_MU} THEN "
+            f"row_number() OVER ("
+            f"  PARTITION BY CASE WHEN p_at_tau_micro >= {_LSH_RECALL_MU} THEN 1 ELSE 0 END"
+            f"  ORDER BY bands, rows_per_band) ELSE 0 END"
+        ).alias("pick"),
+    )
+    return (
+        curve.join(F.broadcast(ranked), ["bands", "rows_per_band"])
+        .select(
+            "s_bp",
+            F.col("bands").cast("bigint").alias("bands"),
+            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+            "p_micro",
+            "p_at_tau_micro",
+            F.expr("CASE WHEN pick = 1 THEN 1 ELSE 0 END")
+            .cast("bigint")
+            .alias("recommended"),
+        )
+        .orderBy("bands", "s_bp")
+    )

@@ -1100,3 +1100,165 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div n_c_cum AS BIGINT) END"
         ).alias("qini_milli"),
     ).orderBy("cohort", F.col("score").desc())
+
+
+# ---- q491: log-rank test (two-group survival comparison) -------------------
+
+
+@query(
+    "q491_logrank_test",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             ({_tok_hash("'ab-' || user_id::VARCHAR", dialect="duckdb")}) % 2 AS g,
+             min(ts) AS start_ts,
+             min(CASE WHEN event_type = 'purchase'
+                       AND CAST(round(value * 100) AS BIGINT) >= {_KM_CONV_CENTS}
+                      THEN ts END) AS conv_ts
+      FROM events GROUP BY user_id
+    ),
+    durations AS (
+      SELECT g,
+             CASE WHEN conv_ts IS NOT NULL
+                  THEN date_diff('day', start_ts::DATE, conv_ts::DATE)
+                  ELSE date_diff('day', start_ts::DATE, DATE '{_KM_OBS_END}')
+             END AS t,
+             (conv_ts IS NOT NULL) AS converted
+      FROM u
+    ),
+    byday AS (
+      SELECT t,
+             sum(CASE WHEN g = 1 AND converted THEN 1 ELSE 0 END)::BIGINT AS d1,
+             sum(CASE WHEN g = 0 AND converted THEN 1 ELSE 0 END)::BIGINT AS d0,
+             sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS leave1,
+             sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS leave0
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d1, d0,
+             sum(leave1) OVER (ORDER BY t DESC)::BIGINT AS n1,
+             sum(leave0) OVER (ORDER BY t DESC)::BIGINT AS n0
+      FROM byday
+    ),
+    terms AS (
+      SELECT t, d1, d0, n1, n0,
+             (d1 + d0) AS d, (n1 + n0) AS n,
+             ((d1 + d0) * n1 * 1000000 // (n1 + n0))::BIGINT AS e1_mu,
+             CASE WHEN n1 + n0 > 1 THEN
+               CAST((CAST(d1 + d0 AS HUGEINT) * n1 * n0
+                     * (n1 + n0 - d1 - d0) * 1000000)
+                    // (CAST(n1 + n0 AS HUGEINT) * (n1 + n0) * (n1 + n0 - 1))
+                    AS BIGINT)
+             ELSE 0 END AS v_mu
+      FROM risk WHERE d1 + d0 > 0
+    ),
+    sums AS (
+      SELECT count(*)::BIGINT AS n_event_days,
+             sum(d1)::BIGINT AS o1,
+             sum(e1_mu)::BIGINT AS e1_mu_sum,
+             sum(v_mu)::BIGINT AS v_mu_sum
+      FROM terms
+    )
+    SELECT n_event_days, o1, e1_mu_sum, v_mu_sum,
+           round((CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
+                 * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
+                 / (CAST(v_mu_sum AS DOUBLE) / 1000000.0), 6) AS chi2,
+           CASE WHEN (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
+                     * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
+                     / (CAST(v_mu_sum AS DOUBLE) / 1000000.0) > 3.841459
+                THEN 1 ELSE 0 END AS reject_h0
+    FROM sums
+    """,
+    tags=("survival", "logrank", "hypothesis-test", "ml-eval"),
+)
+def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test — THE standard comparison of two
+    survival curves: does the hash-assigned treatment arm reach the
+    first-big-purchase event at a different rate than control, honoring
+    right-censoring? At every event day the observed arm-1 events are
+    compared with the hypergeometric expectation d*n1/n given the
+    at-risk sets, and chi2 = (O-E)^2/V with the standard variance. This
+    is the inferential companion to q282/q384's Kaplan-Meier CURVES and
+    q459's Nelson-Aalen hazard — those estimate, this one tests.
+
+    Determinism: risk sets come from reversed integer cumsums per arm
+    (the q282 shape); per-day E and V are floor-quantized integer
+    micro-units (V's 4-integer product runs in HUGEINT/DECIMAL(38,0) —
+    d*n1*n0*(n-d)*1e6 passes int64 at ~1e5 users); O, sums of E_mu and
+    V_mu are exact int64; chi2 is one shared double expression.
+
+    Scale posture (100 TB): one per-user hash-agg, one per-day hash-agg,
+    two reversed cumsums over the bounded day grid, one global
+    reduction. No per-user windows, no joins beyond the grid."""
+    ev = table(spark, sf_dir, "events")
+    arm = f"({_tok_hash(chr(39) + 'ab-' + chr(39) + ' || CAST(user_id AS STRING)', dialect='spark')}) % 2"
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100).cast("bigint") >= _KM_CONV_CENTS),
+                F.col("ts"),
+            )
+        ).alias("conv_ts"),
+    ).select(F.expr(arm).alias("g"), "start_ts", "conv_ts")
+    durations = u.select(
+        "g",
+        F.when(
+            F.col("conv_ts").isNotNull(),
+            F.datediff(F.col("conv_ts").cast("date"), F.col("start_ts").cast("date")),
+        )
+        .otherwise(
+            F.datediff(F.lit(_KM_OBS_END).cast("date"), F.col("start_ts").cast("date"))
+        )
+        .alias("t"),
+        F.col("conv_ts").isNotNull().alias("converted"),
+    )
+    byday = durations.groupBy("t").agg(
+        F.sum(F.expr("CASE WHEN g = 1 AND converted THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.expr("CASE WHEN g = 0 AND converted THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.expr("CASE WHEN g = 1 THEN 1 ELSE 0 END")).cast("bigint").alias("leave1"),
+        F.sum(F.expr("CASE WHEN g = 0 THEN 1 ELSE 0 END")).cast("bigint").alias("leave0"),
+    )
+    w_rev = W.orderBy(F.col("t").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    risk = byday.select(
+        "t",
+        "d1",
+        "d0",
+        F.sum("leave1").over(w_rev).cast("bigint").alias("n1"),
+        F.sum("leave0").over(w_rev).cast("bigint").alias("n0"),
+    )
+    terms = risk.filter(F.expr("d1 + d0 > 0")).select(
+        "d1",
+        F.expr("(d1 + d0) * n1 * 1000000 div (n1 + n0)").cast("bigint").alias("e1_mu"),
+        F.expr(
+            "CASE WHEN n1 + n0 > 1 THEN "
+            "CAST((CAST(d1 + d0 AS DECIMAL(38,0)) * n1 * n0 "
+            "      * (n1 + n0 - d1 - d0) * 1000000) "
+            "     div (CAST(n1 + n0 AS DECIMAL(38,0)) * (n1 + n0) * (n1 + n0 - 1)) "
+            "     AS BIGINT) ELSE 0 END"
+        ).alias("v_mu"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_event_days"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_mu").cast("bigint").alias("e1_mu_sum"),
+        F.sum("v_mu").cast("bigint").alias("v_mu_sum"),
+    )
+    chi2 = (
+        "(CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)"
+        " * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)"
+        " / (CAST(v_mu_sum AS DOUBLE) / 1000000.0)"
+    )
+    return sums.select(
+        "n_event_days",
+        "o1",
+        "e1_mu_sum",
+        "v_mu_sum",
+        F.round(F.expr(chi2), 6).alias("chi2"),
+        F.expr(f"CASE WHEN {chi2} > 3.841459 THEN 1 ELSE 0 END").alias("reject_h0"),
+    )

@@ -1217,3 +1217,143 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a")
     )
+
+
+# ---- q494: SQ8 quantization distortion audit --------------------------------
+def _recon_expr(emb: str, mn: str, mx: str, *, dialect: str) -> str:
+    """Reconstructed (decoded) SQ8 array: code = clamp(floor((x-mn)*255 /
+    (mx-mn))), recon = mn + code*(mx-mn)/255 — q121's codec, inverted.
+    Same literal structure both engines; fold/index order is ascending
+    dimension in both."""
+    if dialect == "spark":
+        return (
+            f"transform(sequence(1, 64), i -> element_at({mn}, i) + "
+            f"coalesce(least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), "
+            f"CAST(floor((element_at({emb}, i) - element_at({mn}, i)) * 255.0 "
+            f"/ nullif(element_at({mx}, i) - element_at({mn}, i), 0.0)) AS BIGINT))), 0) "
+            f"* (element_at({mx}, i) - element_at({mn}, i)) / 255.0)"
+        )
+    return (
+        f"list_transform(range(1, 65), i -> {mn}[i] + "
+        f"coalesce(least(255, greatest(0, "
+        f"CAST(floor(({emb}[i] - {mn}[i]) * 255.0 "
+        f"/ nullif({mx}[i] - {mn}[i], 0.0)) AS BIGINT))), 0) "
+        f"* ({mx}[i] - {mn}[i]) / 255.0)"
+    )
+
+
+def _cos_mu_expr(a: str, b: str, *, dialect: str) -> str:
+    """Cosine of two double arrays, floor-quantized to integer µ — the
+    left-fold dot/norm order matches between Spark's aggregate() and
+    DuckDB's list_sum (the q72/q153 equivalence)."""
+    if dialect == "spark":
+        dot = (
+            "aggregate(zip_with({x}, {y}, (p, q) -> p * q), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    else:
+        dot = "list_sum(list_transform(range(1, 65), i -> {x}[i] * {y}[i]))"
+    ab = dot.format(x=a, y=b)
+    aa = dot.format(x=a, y=a)
+    bb = dot.format(x=b, y=b)
+    return f"CAST(floor(({ab}) / (sqrt({aa}) * sqrt({bb})) * 1000000.0) AS BIGINT)"
+
+
+@query(
+    "q494_sq8_distortion_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    stats AS (
+      SELECT list(mn ORDER BY d) AS mn_arr, list(mx ORDER BY d) AS mx_arr
+      FROM (
+        SELECT d, min(emb[d + 1]) AS mn, max(emb[d + 1]) AS mx
+        FROM e, range(64) t(d) GROUP BY d
+      )
+    ),
+    q AS (
+      SELECT e.emb AS qemb,
+             {_recon_expr("e.emb", "s.mn_arr", "s.mx_arr", dialect="duckdb")} AS qrec
+      FROM e CROSS JOIN stats s WHERE e.vec_id = {_QUERY_VEC_ID}
+    ),
+    scored AS (
+      SELECT e.vec_id,
+             abs({_cos_mu_expr("e.emb", "q.qemb", dialect="duckdb")}
+                 - {_cos_mu_expr(_recon_expr("e.emb", "s.mn_arr", "s.mx_arr", dialect="duckdb"), "q.qrec", dialect="duckdb")})
+               // 100 AS err_bp
+      FROM e CROSS JOIN stats s CROSS JOIN q
+      WHERE e.vec_id != {_QUERY_VEC_ID}
+    )
+    SELECT (err_bp // 10)::BIGINT AS err_bucket,
+           count(*)::BIGINT AS n_vecs,
+           max(err_bp)::BIGINT AS max_err_bp,
+           (sum(err_bp) // count(*))::BIGINT AS mean_err_bp
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    tags=("similarity", "quantization", "audit", "sq8"),
+)
+def sq8_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization distortion audit — the accuracy half of the
+    compression trade q121 ships: for every corpus vector, the cosine to
+    the query computed on RECONSTRUCTED (decode(encode(x))) vectors vs
+    the exact cosine, as a basis-point error histogram (1-bp buckets of
+    mean/max per decile bucket). This is the audit a vector platform
+    publishes per index build — rising distortion says the per-dimension
+    min/max trained on stale data no longer brackets the distribution
+    (the q492 estimator-audit discipline applied to quantization).
+
+    Determinism: codes are exact integers (clamped floor); the
+    reconstruction and both cosines are fixed-order folds over 64 dims
+    (identical literal structure both engines — Spark aggregate() vs
+    DuckDB list_sum left-fold, the q72 equivalence), floor-quantized to
+    integer µ before the subtraction; histogram stats are exact int64.
+
+    Scale posture (100 TB): the codec stats are ONE 64-row agg broadcast
+    back; encode/decode/score is map-only per vector (no shuffle of
+    vectors); the histogram is a bounded hash-agg. Corpus-linear."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("emb")
+    )
+    stats = F.broadcast(
+        e.select(F.posexplode("emb").alias("d0", "v"))
+        .groupBy(F.col("d0"))
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d0, mn))), x -> x.mn)"
+            ).alias("mn_arr"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(d0, mx))), x -> x.mx)"
+            ).alias("mx_arr"),
+        )
+    )
+    qrow = F.broadcast(
+        e.filter(F.col("vec_id") == _QUERY_VEC_ID)
+        .crossJoin(stats)
+        .select(
+            F.col("emb").alias("qemb"),
+            F.expr(
+                _recon_expr("emb", "mn_arr", "mx_arr", dialect="spark")
+            ).alias("qrec"),
+        )
+    )
+    scored = (
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(stats)
+        .crossJoin(qrow)
+        .select(
+            F.expr(
+                f"abs({_cos_mu_expr('emb', 'qemb', dialect='spark')}"
+                f" - {_cos_mu_expr(_recon_expr('emb', 'mn_arr', 'mx_arr', dialect='spark'), 'qrec', dialect='spark')})"
+                " div 100"
+            ).alias("err_bp")
+        )
+    )
+    return (
+        scored.groupBy(F.expr("err_bp div 10").cast("bigint").alias("err_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max("err_bp").cast("bigint").alias("max_err_bp"),
+            F.expr("sum(err_bp) div count(1)").cast("bigint").alias("mean_err_bp"),
+        )
+        .orderBy("err_bucket")
+    )

@@ -3012,3 +3012,33 @@ def test_heaps_checkpoint_map_is_rowlocal(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q490_heaps_vocabulary_growth")
     assert facts.has_partial_agg
     assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+
+
+def test_logrank_grid_cumsum_no_per_user_window(spark, sf_dir):
+    # risk sets come from reversed cumsums over the bounded day grid; all
+    # per-user work is one hash-agg
+    facts = audit_of(spark, sf_dir, "q491_logrank_test")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_minhash_audit_reuses_bucketed_pairs(spark, sf_dir):
+    # the audit consumes q69's bucket-blocked pair chain — still no
+    # cartesian anywhere, and the histogram is a partial-agg reduction
+    facts = audit_of(spark, sf_dir, "q492_minhash_accuracy_audit")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_lsh_planner_is_pure_grid_math(spark, sf_dir):
+    # no table scan at all: the planner reads only the in-memory grid
+    facts = audit_of(spark, sf_dir, "q493_lsh_parameter_planner")
+    assert "parquet" not in facts.text.lower()
+
+
+def test_sq8_audit_is_map_only_per_vector(spark, sf_dir):
+    # codec stats + query row broadcast back; scoring never shuffles
+    # vectors (only 1-row/64-row broadcast joins), histogram partial-aggs
+    facts = audit_of(spark, sf_dir, "q494_sq8_distortion_audit")
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+    assert facts.has_partial_agg
