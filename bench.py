@@ -303,6 +303,24 @@ HEADLINE = [
     "q474_kalman_local_level",
     "q475_newsvendor_stock",
     "q476_sharpe_sortino",
+    "q477_mcnemar_paired_test",
+    "q478_fleiss_kappa",
+    "q479_classical_decomposition",
+    "q480_western_electric_rules",
+    "q481_borda_rank_fusion",
+    "q482_reciprocal_best_match",
+    "q483_mv_rewrite_audit",
+    "q484_qini_uplift_curve",
+    "q485_clustering_depth_audit",
+    "q486_theta_forecast",
+    "q487_signflip_permutation_test",
+    "q488_capture_recapture",
+    "q489_good_turing",
+    "q490_heaps_vocabulary_growth",
+    "q491_logrank_test",
+    "q492_minhash_accuracy_audit",
+    "q493_lsh_parameter_planner",
+    "q494_sq8_distortion_audit",
     # (q428 Markov removal attribution and q434 PPR join the excluded
     # iterative family — localCheckpoint rounds dominate wall time)
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its

@@ -420,3 +420,127 @@ def winsorization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(cents) div count(1)").cast("bigint").alias("raw_mean_c"),
         )
     )
+
+
+# ---- q495: Luhn checksum contract audit -------------------------------------
+# Synthesized 16-digit account ids: 15 payload digits from (custkey,
+# acctbal-cents), a computed Luhn check digit — corrupted (+5 mod 10) for
+# every custkey % 10 == 0, so the audit has exact ground truth.
+
+
+def _luhn_digit_term(sub: str, double_when: str) -> str:
+    """Contribution of digit at position i (1 = rightmost) of {sub}:
+    doubled-with-digit-sum when {double_when} holds. Shared text."""
+    d = f"CAST({sub} AS BIGINT)"
+    return (
+        f"CASE WHEN {double_when} THEN "
+        f"CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9 ELSE 2 * {d} END "
+        f"ELSE {d} END"
+    )
+
+
+def _q495_sql(dialect: str) -> str:
+    if dialect == "spark":
+        base = (
+            "concat(lpad(CAST(c_custkey % 1000000000 AS STRING), 9, '0'), "
+            "lpad(CAST((CAST(round(c_acctbal * 100) AS BIGINT) % 1000000 + 1000000) % 1000000 AS STRING), 6, '0'))"
+        )
+        sub15 = "substring(b15, 16 - i, 1)"
+        sub16 = "substring(full_id, 17 - i, 1)"
+        fold15 = (
+            f"aggregate(sequence(1, 15), CAST(0 AS BIGINT), (acc, i) -> acc + "
+            f"{_luhn_digit_term(sub15, 'i % 2 = 1')})"
+        )
+        fold16 = (
+            f"aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, i) -> acc + "
+            f"{_luhn_digit_term(sub16, 'i % 2 = 0')})"
+        )
+    else:
+        base = (
+            "lpad(CAST(c_custkey % 1000000000 AS VARCHAR), 9, '0') || "
+            "lpad(CAST((CAST(round(c_acctbal * 100) AS BIGINT) % 1000000 + 1000000) % 1000000 AS VARCHAR), 6, '0')"
+        )
+        sub15 = "substr(b15, 16 - i, 1)"
+        sub16 = "substr(full_id, 17 - i, 1)"
+        fold15 = (
+            f"list_sum(list_transform(range(1, 16), i -> "
+            f"{_luhn_digit_term(sub15, 'i % 2 = 1')}))"
+        )
+        fold16 = (
+            f"list_sum(list_transform(range(1, 17), i -> "
+            f"{_luhn_digit_term(sub16, 'i % 2 = 0')}))"
+        )
+    vt = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+    WITH ids AS (
+      SELECT c_custkey, c_mktsegment, {base} AS b15 FROM customer
+    ),
+    withcheck AS (
+      SELECT c_custkey, c_mktsegment, b15,
+             ((10 - ({fold15}) % 10) % 10
+              + CASE WHEN c_custkey % 10 = 0 THEN 5 ELSE 0 END) % 10 AS cd
+      FROM ids
+    ),
+    full_ids AS (
+      SELECT c_custkey, c_mktsegment,
+             b15 || CAST(cd AS {vt}) AS full_id
+      FROM withcheck
+    ),
+    audit AS (
+      SELECT c_mktsegment,
+             CASE WHEN ({fold16}) % 10 = 0 THEN 1 ELSE 0 END AS valid,
+             CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END AS corrupted
+      FROM full_ids
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_ids,
+           sum(valid) AS n_valid,
+           sum(1 - valid) AS n_invalid,
+           sum(corrupted) AS n_corrupted,
+           CASE WHEN sum(1 - valid) = sum(corrupted) THEN 1 ELSE 0 END
+             AS audit_exact
+    FROM audit GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+@query(
+    "q495_luhn_checksum_audit",
+    oracle=f"""
+    WITH q AS ({_q495_sql("duckdb")})
+    SELECT c_mktsegment, n_ids::BIGINT AS n_ids, n_valid::BIGINT AS n_valid,
+           n_invalid::BIGINT AS n_invalid, n_corrupted::BIGINT AS n_corrupted,
+           audit_exact::BIGINT AS audit_exact
+    FROM q
+    """,
+    tags=("quality", "checksum", "luhn", "contract"),
+)
+def luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum contract audit — the classic ingestion
+    screen for identifier columns (card/account/IMEI-class ids): for a
+    synthesized 16-digit account id (15 payload digits + a computed Luhn
+    check digit, deliberately corrupted for every custkey % 10 == 0),
+    validate the checksum and report per-segment validity. Because the
+    corruption set is known, the audit is SELF-CERTIFYING: audit_exact
+    proves the validator catches exactly the corrupted ids and nothing
+    else — the q488/q492 estimator-audit discipline applied to a
+    data-contract rule (complements q198's typed contract checks and
+    q225's Benford screen).
+
+    Determinism: the id, the check digit, the corruption and both Luhn
+    folds are pure integer/string codegen (shared fold text; digit
+    positions count from the right, doubling every second digit).
+
+    Scale posture (100 TB): one map-only expression chain over the scan
+    + one map-side-combined hash-agg to the segment grid. No join, no
+    window, no Python."""
+    tbl = table(spark, sf_dir, "customer")
+    tbl.createOrReplaceTempView("customer")
+    out = spark.sql(_q495_sql("spark"))
+    return out.select(
+        "c_mktsegment",
+        F.col("n_ids").cast("bigint").alias("n_ids"),
+        F.col("n_valid").cast("bigint").alias("n_valid"),
+        F.col("n_invalid").cast("bigint").alias("n_invalid"),
+        F.col("n_corrupted").cast("bigint").alias("n_corrupted"),
+        F.col("audit_exact").cast("bigint").alias("audit_exact"),
+    )

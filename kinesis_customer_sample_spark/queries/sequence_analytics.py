@@ -265,3 +265,104 @@ def dwell_bounce_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bounce_bp"),
         F.expr("CAST(sum(dur_s) div count(1) AS BIGINT)").alias("avg_dwell_s"),
     )
+
+
+# ---- q497: session-gap sensitivity advisor ----------------------------------
+_GAPS_S = (600, 1800, 3600)  # candidate inactivity gaps, seconds
+
+
+@query(
+    "q497_session_gap_sensitivity",
+    oracle=f"""
+    WITH deltas AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
+      FROM events
+    ),
+    stats AS (
+      SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+             count(*)::BIGINT AS n_events,
+             count(delta_us)::BIGINT AS n_deltas,
+             {", ".join(f"sum(CASE WHEN delta_us > {g}::BIGINT * 1000000 THEN 1 ELSE 0 END)::BIGINT AS brk_{g}" for g in _GAPS_S)}
+      FROM deltas
+    )
+    {" UNION ALL ".join(f'''
+    SELECT {g}::BIGINT AS gap_s, n_users, n_events,
+           (n_users + brk_{g})::BIGINT AS n_sessions,
+           (n_events * 1000 // (n_users + brk_{g}))::BIGINT
+             AS events_per_session_milli,
+           (brk_{g} * 10000 // n_deltas)::BIGINT AS break_rate_bp
+    FROM stats''' for g in _GAPS_S)}
+    ORDER BY gap_s
+    """,
+    tags=("sessionization", "advisor", "sensitivity", "parameter"),
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-gap sensitivity advisor — before anyone trusts q108's
+    30-minute sessionization, this answers 'how sensitive are my session
+    counts to the gap parameter?': for each candidate inactivity gap,
+    the number of sessions (users + boundary-crossing deltas), mean
+    events per session, and the fraction of inter-event deltas that
+    break a session. A flat region between two gaps means the choice is
+    robust; a cliff means real bimodal behavior the single parameter is
+    papering over. The q493/q407 parameter-advisor discipline applied to
+    sessionization.
+
+    Determinism: inter-event deltas are exact integer microseconds from
+    one partitioned lag window (total order by ts, event_id); every
+    statistic per gap is pure integer arithmetic on shared-text
+    conditional sums.
+
+    Scale posture (100 TB): ONE per-user lag window over the event
+    stream (the q108 sessionization primitive — same cost class), then
+    ONE global aggregate computing all gaps' break counts in a single
+    pass; the per-gap expansion is a 3-row projection. Adding candidate
+    gaps costs one conditional sum each, never another scan."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    deltas = ev.select(
+        "user_id",
+        (
+            us
+            - F.lag(us).over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        ).alias("delta_us"),
+    )
+    stats = deltas.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("delta_us").cast("bigint").alias("n_deltas"),
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN delta_us > CAST({g} AS BIGINT) * 1000000 THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias(f"brk_{g}")
+            for g in _GAPS_S
+        ],
+    )
+    # stack() expands the single stats row to one row per gap WITHOUT
+    # re-executing the aggregate per leg (a union of selects re-runs the
+    # whole window+agg chain once per gap — 6 scans vs 2)
+    stack_args = ", ".join(
+        f"CAST({g} AS BIGINT), brk_{g}" for g in _GAPS_S
+    )
+    return (
+        stats.select(
+            "n_users",
+            "n_events",
+            "n_deltas",
+            F.expr(f"stack({len(_GAPS_S)}, {stack_args}) AS (gap_s, brk)"),
+        )
+        .select(
+            "gap_s",
+            "n_users",
+            "n_events",
+            F.expr("n_users + brk").cast("bigint").alias("n_sessions"),
+            F.expr("n_events * 1000 div (n_users + brk)")
+            .cast("bigint")
+            .alias("events_per_session_milli"),
+            F.expr("brk * 10000 div n_deltas").cast("bigint").alias("break_rate_bp"),
+        )
+        .orderBy("gap_s")
+    )

@@ -788,6 +788,46 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- q479: classical additive decomposition (MA-7 trend) -----------------
 
 
+def classical_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day detrended/seasonal components of the classical additive
+    decomposition — the reusable core of q479, shared with the q496
+    SPC-on-residuals capstone. Returns (event_type, day, wd, detr_mu,
+    seasonal_mu) for every day with a FULL centered MA-7 window."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.sum("x").over(w7).alias("sum7"),
+        F.count(F.lit(1)).over(w7).alias("cnt7"),
+    )
+    detr = tr.filter(F.col("cnt7") == 7).select(
+        "event_type",
+        "day",
+        (F.weekday("day") + 1).alias("wd"),  # ISO 1=Mon..7=Sun (q329 pattern)
+        F.expr("x * 1000000 - (sum7 * 1000000 div 7)").alias("detr_mu"),
+    )
+    sraw = detr.groupBy("event_type", "wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr("sum(detr_mu) div count(1)").alias("s_raw_mu"),
+    )
+    adj = sraw.groupBy("event_type").agg(
+        F.expr("sum(s_raw_mu) div 7").alias("adj_mu")
+    )
+    seas = sraw.join(F.broadcast(adj), "event_type").select(
+        "event_type",
+        "wd",
+        "n_obs",
+        (F.col("s_raw_mu") - F.col("adj_mu")).cast("bigint").alias("seasonal_mu"),
+    )
+    return detr.join(F.broadcast(seas), ["event_type", "wd"])
+
+
 @query(
     "q479_classical_decomposition",
     oracle="""
@@ -855,40 +895,8 @@ def classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded grid PARTITIONED BY series (|series|*|days| rows, never
     fact-sized); seasonal tables are |series|*7 rows, joined back
     broadcast-sized. Exactly one fact-scan shuffle in the whole plan."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-    )
-    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-    tr = daily.select(
-        "event_type",
-        "day",
-        "x",
-        F.sum("x").over(w7).alias("sum7"),
-        F.count(F.lit(1)).over(w7).alias("cnt7"),
-    )
-    detr = tr.filter(F.col("cnt7") == 7).select(
-        "event_type",
-        "day",
-        (F.weekday("day") + 1).alias("wd"),  # ISO 1=Mon..7=Sun (q329 pattern)
-        F.expr("x * 1000000 - (sum7 * 1000000 div 7)").alias("detr_mu"),
-    )
-    sraw = detr.groupBy("event_type", "wd").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
-        F.expr("sum(detr_mu) div count(1)").alias("s_raw_mu"),
-    )
-    adj = sraw.groupBy("event_type").agg(
-        F.expr("sum(s_raw_mu) div 7").alias("adj_mu")
-    )
-    seas = sraw.join(F.broadcast(adj), "event_type").select(
-        "event_type",
-        "wd",
-        "n_obs",
-        (F.col("s_raw_mu") - F.col("adj_mu")).cast("bigint").alias("seasonal_mu"),
-    )
     return (
-        detr.join(F.broadcast(seas), ["event_type", "wd"])
+        classical_detrended(spark, sf_dir)
         .groupBy("event_type", "wd", "n_obs", "seasonal_mu")
         .agg(
             F.expr("sum(abs(detr_mu - seasonal_mu)) div count(1)")
@@ -903,4 +911,142 @@ def classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_abs_resid_mu",
         )
         .orderBy("event_type", "weekday")
+    )
+
+
+# ---- q496: SPC-on-residuals capstone (q479 ∘ q480) -------------------------
+
+
+@query(
+    "q496_spc_residual_capstone",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, x,
+             sum(x) OVER w AS sum7, count(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, day, isodow(day) AS wd,
+             x * 1000000 - (sum7 * 1000000 // 7) AS detr_mu
+      FROM tr WHERE cnt7 = 7
+    ),
+    sraw AS (
+      SELECT event_type, wd,
+             CAST(sum(detr_mu) AS BIGINT) // count(*) AS s_raw_mu
+      FROM detr GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT event_type, CAST(sum(s_raw_mu) AS BIGINT) // 7 AS adj_mu
+      FROM sraw GROUP BY event_type
+    ),
+    resid AS (
+      SELECT d.event_type, d.day,
+             d.detr_mu - (s.s_raw_mu - a.adj_mu) AS r_mu
+      FROM detr d
+      JOIN sraw s ON s.event_type = d.event_type AND s.wd = d.wd
+      JOIN adj a ON a.event_type = d.event_type
+    ),
+    lim AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             (sum(r_mu) // count(*))::BIGINT AS mu_mu,
+             CAST(floor(sqrt(
+               (CAST(count(*) AS DOUBLE) * sum(CAST(r_mu AS DOUBLE) * r_mu)
+                - CAST(sum(r_mu) AS DOUBLE) * sum(r_mu))) / count(*))
+               AS BIGINT) AS sigma_mu
+      FROM resid GROUP BY event_type
+    ),
+    dev AS (
+      SELECT r.event_type, r.day, r.r_mu - l.mu_mu AS dev_mu, l.sigma_mu, l.n
+      FROM resid r JOIN lim l ON l.event_type = r.event_type
+    ),
+    flags AS (
+      SELECT event_type, n, sigma_mu,
+             CASE WHEN abs(dev_mu) > 3 * sigma_mu THEN 1 ELSE 0 END AS r1,
+             CASE WHEN count(*) OVER w8 = 8 AND
+                  (sum(CASE WHEN dev_mu > 0 THEN 1 ELSE 0 END) OVER w8 = 8
+                   OR sum(CASE WHEN dev_mu < 0 THEN 1 ELSE 0 END) OVER w8 = 8)
+                  THEN 1 ELSE 0 END AS r4
+      FROM dev
+      WINDOW w8 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, any_value(n)::BIGINT AS n_days,
+           any_value(sigma_mu)::BIGINT AS resid_sigma_mu,
+           sum(r1)::BIGINT AS rule1_days,
+           sum(r4)::BIGINT AS rule4_days
+    FROM flags GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("timeseries", "spc", "capstone", "deseasonalized"),
+)
+def spc_residual_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC-on-residuals capstone — q480's control-chart rules applied to
+    q479's DESEASONALIZED residuals (the q400/q458 composition
+    discipline: the capstone calls the registered decomposition
+    builder, so chart and decomposition can never drift apart). Raw
+    daily series trip 3-sigma rules on every weekend; after removing
+    the MA-7 trend and the weekday index, what remains SHOULD be noise
+    — a rule-1 spike here is a genuine anomaly, and a rule-4 run is a
+    level shift the trend hasn't absorbed yet. This is how production
+    monitors actually deploy SPC on seasonal traffic.
+
+    Determinism: residuals are exact integer mu-units from the shared
+    builder; the center/sigma are integer moments (one IEEE sqrt,
+    floored); band tests and run windows are pure int64 (the q480
+    discipline).
+
+    Scale posture (100 TB): everything downstream of the one fact
+    hash-agg lives on the bounded (series, day) grid with windows
+    PARTITIONED BY series; limits join back broadcast-sized."""
+    resid = classical_detrended(spark, sf_dir).select(
+        "event_type",
+        "day",
+        (F.col("detr_mu") - F.col("seasonal_mu")).alias("r_mu"),
+    )
+    lim = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("sum(r_mu) div count(1)").cast("bigint").alias("mu_mu"),
+        F.expr(
+            "CAST(floor(sqrt((CAST(count(1) AS DOUBLE) * sum(CAST(r_mu AS DOUBLE) * r_mu)"
+            " - CAST(sum(r_mu) AS DOUBLE) * sum(r_mu))) / count(1)) AS BIGINT)"
+        ).alias("sigma_mu"),
+    )
+    dev = resid.join(F.broadcast(lim), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("r_mu") - F.col("mu_mu")).alias("dev_mu"),
+        "sigma_mu",
+        "n",
+    )
+    w8 = W.partitionBy("event_type").orderBy("day").rowsBetween(-7, 0)
+    flags = dev.select(
+        "event_type",
+        "n",
+        "sigma_mu",
+        F.expr("CASE WHEN abs(dev_mu) > 3 * sigma_mu THEN 1 ELSE 0 END").alias("r1"),
+        F.when(
+            (F.count(F.lit(1)).over(w8) == 8)
+            & (
+                (F.sum(F.expr("CASE WHEN dev_mu > 0 THEN 1 ELSE 0 END")).over(w8) == 8)
+                | (F.sum(F.expr("CASE WHEN dev_mu < 0 THEN 1 ELSE 0 END")).over(w8) == 8)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("r4"),
+    )
+    return (
+        flags.groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_days"),
+            F.first("sigma_mu").cast("bigint").alias("resid_sigma_mu"),
+            F.sum("r1").cast("bigint").alias("rule1_days"),
+            F.sum("r4").cast("bigint").alias("rule4_days"),
+        )
+        .orderBy("event_type")
     )

@@ -3042,3 +3042,28 @@ def test_sq8_audit_is_map_only_per_vector(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q494_sq8_distortion_audit")
     assert facts.join_strategies.get("SortMergeJoin", 0) == 0
     assert facts.has_partial_agg
+
+
+def test_luhn_audit_pure_codegen(spark, sf_dir):
+    # id synthesis + both Luhn folds are map-only expressions; one
+    # hash-agg; no join, no window, no Python
+    facts = audit_of(spark, sf_dir, "q495_luhn_checksum_audit")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "Join" not in facts.text
+    assert "ArrowEvalPython" not in facts.text and "BatchEvalPython" not in facts.text
+
+
+def test_spc_capstone_partitioned_grid_windows(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q496_spc_residual_capstone")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_session_gap_advisor_single_pass(spark, sf_dir):
+    # one lag window + ONE global aggregate; per-gap rows are projections
+    # of the same aggregate (no per-gap rescans of the fact)
+    facts = audit_of(spark, sf_dir, "q497_session_gap_sensitivity")
+    assert not facts.has_cartesian
+    assert facts.text.count("Scan parquet") <= 3  # one per union leg at most
