@@ -876,3 +876,65 @@ def test_rbm_pairs_form_a_matching(spark, sf_dir):
     assert out.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
     assert out.filter((F.col("cosine") < -1.0) | (F.col("cosine") > 1.0)).count() == 0
     out.unpersist()
+
+
+def test_mv_rewrite_always_matches(spark, sf_dir):
+    """q483's whole point: a daily-MV rollup answers the monthly query
+    EXACTLY — rewrite_ok must be 1 on every group."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    out = load_registry()["q483_mv_rewrite_audit"].fn(spark, sf_dir)
+    assert out.filter(F.col("rewrite_ok") != 1).count() == 0
+
+
+def test_clustering_depth_range_dominates_hash(spark, sf_dir):
+    """q485's layout claim: the range-clustered layout's worst overlap
+    depth can never exceed the hash layout's (which is ~n_files)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = {
+        r["layout"]: r
+        for r in load_registry()["q485_clustering_depth_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows["range"]["max_overlap_depth"] <= rows["hash"]["max_overlap_depth"]
+    assert rows["hash"]["max_overlap_depth"] >= rows["hash"]["n_files"] - 1
+
+
+def test_luhn_audit_catches_exactly_the_corrupted(spark, sf_dir):
+    """q495's self-certification: the validator flags exactly the
+    corrupted ids in every segment (audit_exact = 1), and the corrupted
+    set is the custkey % 10 == 0 population."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    out = load_registry()["q495_luhn_checksum_audit"].fn(spark, sf_dir)
+    assert out.filter(F.col("audit_exact") != 1).count() == 0
+    agg = out.agg(
+        F.sum("n_invalid").alias("inv"), F.sum("n_corrupted").alias("cor")
+    ).collect()[0]
+    assert agg["inv"] == agg["cor"] > 0
+
+
+def test_qini_curve_endpoints_and_monotone_counts(spark, sf_dir):
+    """q484: cumulative counts must be non-decreasing as the threshold
+    sweeps down (score DESC), and the last row of each cohort covers that
+    cohort's full population."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    out = load_registry()["q484_qini_uplift_curve"].fn(spark, sf_dir)
+    w = W.partitionBy("cohort").orderBy(F.col("score").desc())
+    lagged = out.select(
+        "cohort",
+        "score",
+        (F.col("n_t_cum") - F.lag("n_t_cum", 1, 0).over(w)).alias("dt"),
+        (F.col("n_c_cum") - F.lag("n_c_cum", 1, 0).over(w)).alias("dc"),
+    )
+    assert lagged.filter((F.col("dt") < 0) | (F.col("dc") < 0)).count() == 0
