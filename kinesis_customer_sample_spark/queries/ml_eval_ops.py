@@ -1262,3 +1262,128 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(chi2), 6).alias("chi2"),
         F.expr(f"CASE WHEN {chi2} > 3.841459 THEN 1 ELSE 0 END").alias("reject_h0"),
     )
+
+
+# ---- q498: k-fold cross-validated decision stump ---------------------------
+_CV_FOLDS = 5
+_CV_THRESHOLDS = tuple(range(100, 260, 10))  # stump candidates on n_chars
+
+
+@query(
+    "q498_cv_stump_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id % {_CV_FOLDS} AS fold, n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grid AS (
+      SELECT fold, n_chars, y, count(*)::BIGINT AS c
+      FROM base GROUP BY 1, 2, 3
+    ),
+    th AS (SELECT unnest([{", ".join(str(t) for t in _CV_THRESHOLDS)}]) AS t),
+    cell AS (
+      -- per (fold, threshold): rows correct under "predict y=1 iff
+      -- n_chars >= t" that belong to this fold
+      SELECT g.fold, th.t,
+             sum(g.c)::BIGINT AS n,
+             sum(CASE WHEN (CASE WHEN g.n_chars >= th.t THEN 1 ELSE 0 END) = g.y
+                      THEN g.c ELSE 0 END)::BIGINT AS ok
+      FROM grid g CROSS JOIN th GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT t, sum(n)::BIGINT AS n_all, sum(ok)::BIGINT AS ok_all
+      FROM cell GROUP BY t
+    ),
+    train AS (
+      SELECT c.fold, c.t,
+             (o.n_all - c.n) AS n_train, (o.ok_all - c.ok) AS ok_train,
+             c.n AS n_test, c.ok AS ok_test,
+             row_number() OVER (
+               PARTITION BY c.fold
+               ORDER BY (o.ok_all - c.ok) * 1000000 // (o.n_all - c.n) DESC, c.t
+             ) AS rk
+      FROM cell c JOIN tot o ON o.t = c.t
+    )
+    SELECT fold::BIGINT AS fold, t::BIGINT AS chosen_threshold,
+           (ok_train * 10000 // n_train)::BIGINT AS train_acc_bp,
+           (ok_test * 10000 // n_test)::BIGINT AS test_acc_bp,
+           n_test
+    FROM train WHERE rk = 1 ORDER BY fold
+    """,
+    tags=("ml-eval", "cross-validation", "stump", "leakage-safe"),
+)
+def cv_stump_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated decision stump — the leakage-safe model-
+    evaluation PROTOCOL, demonstrated end to end: for each fold, train
+    (pick the accuracy-maximizing threshold on the OTHER folds only)
+    and evaluate on the held-out fold. The train-vs-test accuracy gap
+    per fold is the overfitting evidence; q394 trains the same stump on
+    everything (in-sample), q342 target-encodes out-of-fold — this one
+    completes the CV triad by selecting a HYPERPARAMETER out-of-fold.
+
+    Determinism: folds are doc_id % 5 (exact); the threshold grid is a
+    shared literal; per-(fold, threshold) counts are exact integers;
+    train stats come from the total-minus-fold identity (no second
+    scan); the argmax uses integer micro-accuracy with the smaller-
+    threshold tiebreak. No float anywhere.
+
+    Scale posture (100 TB): one hash-agg to the (fold, n_chars, label)
+    grid; the x16-threshold fan-out runs on that bounded grid, never on
+    rows; train selection is a window over 16 rows per fold."""
+    base = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _CV_FOLDS).alias("fold"),
+        "n_chars",
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
+    )
+    grid = base.groupBy("fold", "n_chars", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in _CV_THRESHOLDS], "t int"
+    )
+    cell = (
+        grid.crossJoin(F.broadcast(th))
+        .groupBy("fold", "t")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN (CASE WHEN n_chars >= t THEN 1 ELSE 0 END) = y "
+                    "THEN c ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("ok"),
+        )
+    )
+    tot = cell.groupBy("t").agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("ok").cast("bigint").alias("ok_all"),
+    )
+    train = cell.join(F.broadcast(tot), "t").select(
+        "fold",
+        "t",
+        (F.col("n_all") - F.col("n")).alias("n_train"),
+        (F.col("ok_all") - F.col("ok")).alias("ok_train"),
+        F.col("n").alias("n_test"),
+        F.col("ok").alias("ok_test"),
+        F.row_number()
+        .over(
+            W.partitionBy("fold").orderBy(
+                F.expr("(ok_all - ok) * 1000000 div (n_all - n)").desc(), "t"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        train.filter(F.col("rk") == 1)
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("t").cast("bigint").alias("chosen_threshold"),
+            F.expr("ok_train * 10000 div n_train").cast("bigint").alias("train_acc_bp"),
+            F.expr("ok_test * 10000 div n_test").cast("bigint").alias("test_acc_bp"),
+            "n_test",
+        )
+        .orderBy("fold")
+    )

@@ -366,3 +366,87 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_s")
     )
+
+
+# ---- q499: day-over-day audience overlap ------------------------------------
+
+
+@query(
+    "q499_audience_overlap",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    sizes AS (SELECT day, count(*)::BIGINT AS n FROM du GROUP BY day),
+    inter AS (
+      SELECT a.day AS day_a, count(*)::BIGINT AS n_common
+      FROM du a JOIN du b ON b.user_id = a.user_id
+                        AND b.day = a.day + INTERVAL 1 DAY
+      GROUP BY a.day
+    )
+    SELECT i.day_a, sa.n AS n_day_a, sb.n AS n_day_b, i.n_common,
+           (i.n_common * 10000 // (sa.n + sb.n - i.n_common))::BIGINT
+             AS jaccard_bp,
+           (i.n_common * 10000 // sa.n)::BIGINT AS retained_bp
+    FROM inter i
+    JOIN sizes sa ON sa.day = i.day_a
+    JOIN sizes sb ON sb.day = i.day_a + INTERVAL 1 DAY
+    ORDER BY i.day_a
+    """,
+    tags=("audience", "overlap", "retention", "jaccard"),
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience overlap — the EXACT set-level view of user
+    stickiness: for each consecutive day pair, the Jaccard of the two
+    active-user sets and the share of day-A users retained into day B.
+    q131's cohort matrix tracks sign-up cohorts and q136's WAU counts
+    unique users; this measures set CHURN between adjacent periods,
+    the metric that distinguishes a stable audience from a revolving
+    door at constant DAU (exact companion to what q271's KMV theta
+    sketches estimate at sketch scale).
+
+    Determinism: the (day, user) grid is exact-distinct; the
+    intersection is an equi-join on (user, day+1); Jaccard and retention
+    are integer basis points.
+
+    Scale posture (100 TB): one distinct to the (day, user) grid (the
+    per-day fan-in already bounded by DAU), then ONE self-equi-join on
+    user keyed with the adjacent-day predicate, and grid-sized size
+    joins. At sketch scale the same report reads q271's KMV unions
+    instead — this is the exact path."""
+    du = (
+        table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    sizes = du.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    b = du.select(
+        F.col("user_id"),
+        F.expr("day - INTERVAL 1 DAY").cast("date").alias("day"),
+    )
+    inter = (
+        du.join(b, ["user_id", "day"])
+        .groupBy(F.col("day").alias("day_a"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("day", "day_a").withColumnRenamed("n", "n_day_a"), "day_a")
+        .join(
+            sizes.select(
+                F.expr("day - INTERVAL 1 DAY").cast("date").alias("day_a"),
+                F.col("n").alias("n_day_b"),
+            ),
+            "day_a",
+        )
+        .select(
+            "day_a",
+            "n_day_a",
+            "n_day_b",
+            "n_common",
+            F.expr("n_common * 10000 div (n_day_a + n_day_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_bp"),
+            F.expr("n_common * 10000 div n_day_a").cast("bigint").alias("retained_bp"),
+        )
+        .orderBy("day_a")
+    )

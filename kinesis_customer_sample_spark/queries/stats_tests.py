@@ -1223,3 +1223,101 @@ def signflip_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_days", "t_obs", "n_reps", "n_geq", "p_milli")
     )
+
+
+
+# ---- q500: Gwet's AC1 agreement (prevalence-robust kappa) -------------------
+_AC1_EXPR = (
+    # Pa = (S2 - 3N)/(6N); pi_j = c_j/(3N);
+    # Pe = (1/(K-1)) * sum pi_j (1 - pi_j), K = 3
+    "((CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items))"
+    " - 0.5 * ((CAST(c0 AS DOUBLE) / (3.0 * n_items)) * (1.0 - CAST(c0 AS DOUBLE) / (3.0 * n_items))"
+    "         + (CAST(c1 AS DOUBLE) / (3.0 * n_items)) * (1.0 - CAST(c1 AS DOUBLE) / (3.0 * n_items))"
+    "         + (CAST(c2 AS DOUBLE) / (3.0 * n_items)) * (1.0 - CAST(c2 AS DOUBLE) / (3.0 * n_items))))"
+    " / (1.0 - 0.5 * ((CAST(c0 AS DOUBLE) / (3.0 * n_items)) * (1.0 - CAST(c0 AS DOUBLE) / (3.0 * n_items))"
+    "               + (CAST(c1 AS DOUBLE) / (3.0 * n_items)) * (1.0 - CAST(c1 AS DOUBLE) / (3.0 * n_items))"
+    "               + (CAST(c2 AS DOUBLE) / (3.0 * n_items)) * (1.0 - CAST(c2 AS DOUBLE) / (3.0 * n_items))))"
+)
+
+
+@query(
+    "q500_gwet_ac1",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             {_FL_R1} AS r1, {_FL_R2} AS r2, {_FL_R3} AS r3
+      FROM documents
+    ),
+    items AS (
+      SELECT source,
+             (CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN r3 = 0 THEN 1 ELSE 0 END) AS n0,
+             (CASE WHEN r1 = 1 THEN 1 ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END
+              + CASE WHEN r3 = 1 THEN 1 ELSE 0 END) AS n1,
+             (CASE WHEN r1 = 2 THEN 1 ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END
+              + CASE WHEN r3 = 2 THEN 1 ELSE 0 END) AS n2
+      FROM rated
+    ),
+    agg AS (
+      SELECT source,
+             count(*)::BIGINT AS n_items,
+             sum(n0 * n0 + n1 * n1 + n2 * n2)::BIGINT AS s2_sum,
+             sum(n0)::BIGINT AS c0, sum(n1)::BIGINT AS c1, sum(n2)::BIGINT AS c2
+      FROM items GROUP BY source
+    )
+    SELECT source, n_items,
+           round({_AC1_EXPR}, 6) AS gwet_ac1
+    FROM agg ORDER BY source
+    """,
+    tags=("stats", "gwet-ac1", "agreement", "multi-rater"),
+)
+def gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gwet's AC1 — the prevalence-robust agreement coefficient that
+    fixes the kappa paradox: when one category dominates, Fleiss' kappa
+    (q478) collapses toward zero even for raters who agree on nearly
+    every item, because its chance term squares the marginals; AC1's
+    chance term pi_j(1-pi_j)/(K-1) instead VANISHES at extreme
+    prevalence. Annotation-quality audits report both — a large
+    kappa-vs-AC1 gap is itself the prevalence warning. Same raters,
+    same per-source sufficient statistics as q478, so the two
+    coefficients are directly comparable row for row.
+
+    Determinism: identical integer sufficient statistics to q478 (exact
+    int64 hash-agg outputs); AC1 is one shared double expression over
+    those five integers, rounded in-query.
+
+    Scale posture (100 TB): single map-side-combined hash-agg from the
+    document scan to a |sources|-row table — the q477/q478 shape."""
+    rated = table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(_FL_R1).alias("r1"),
+        F.expr(_FL_R2).alias("r2"),
+        F.expr(_FL_R3).alias("r3"),
+    )
+    items = rated.select(
+        "source",
+        F.expr(
+            "(CASE WHEN r1 = 0 THEN 1 ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END"
+            " + CASE WHEN r3 = 0 THEN 1 ELSE 0 END)"
+        ).alias("n0"),
+        F.expr(
+            "(CASE WHEN r1 = 1 THEN 1 ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END"
+            " + CASE WHEN r3 = 1 THEN 1 ELSE 0 END)"
+        ).alias("n1"),
+        F.expr(
+            "(CASE WHEN r1 = 2 THEN 1 ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END"
+            " + CASE WHEN r3 = 2 THEN 1 ELSE 0 END)"
+        ).alias("n2"),
+    )
+    agg = items.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.expr("n0 * n0 + n1 * n1 + n2 * n2")).cast("bigint").alias("s2_sum"),
+        F.sum("n0").cast("bigint").alias("c0"),
+        F.sum("n1").cast("bigint").alias("c1"),
+        F.sum("n2").cast("bigint").alias("c2"),
+    )
+    return agg.select(
+        "source",
+        "n_items",
+        F.round(F.expr(_AC1_EXPR), 6).alias("gwet_ac1"),
+    ).orderBy("source")

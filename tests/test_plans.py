@@ -3067,3 +3067,26 @@ def test_session_gap_advisor_single_pass(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q497_session_gap_sensitivity")
     assert not facts.has_cartesian
     assert facts.text.count("Scan parquet") <= 3  # one per union leg at most
+
+
+def test_cv_stump_threshold_fanout_on_grid(spark, sf_dir):
+    # the x16 threshold fan-out must run on the (fold, n_chars, y) grid
+    # (after the partial agg), never on raw document rows
+    facts = audit_of(spark, sf_dir, "q498_cv_stump_eval")
+    assert not facts.has_cartesian or "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_audience_overlap_single_selfjoin(spark, sf_dir):
+    # one distinct to the (day, user) grid, one self-equi-join — no
+    # cartesian, no window
+    facts = audit_of(spark, sf_dir, "q499_audience_overlap")
+    assert not facts.has_cartesian
+    assert "Window" not in facts.text
+
+
+def test_gwet_ac1_single_agg(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q500_gwet_ac1")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert "Join" not in facts.text
