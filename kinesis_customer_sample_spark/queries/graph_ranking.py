@@ -726,3 +726,100 @@ def brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---- q501: degree-distribution power-law fit ---------------------------------
+
+
+@query(
+    "q501_degree_powerlaw_fit",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL_UND}),
+    deg AS (
+      SELECT node, count(*)::BIGINT AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0
+      ) GROUP BY node
+    ),
+    hist AS (SELECT d, count(*)::BIGINT AS n_nodes FROM deg GROUP BY d),
+    pts AS (
+      SELECT d, n_nodes,
+             CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM hist WHERE d >= 2
+    ),
+    fit AS (
+      SELECT count(*)::BIGINT AS k, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM pts
+    )
+    SELECT p.d AS degree, p.n_nodes,
+           round(CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE), 6) AS alpha_slope,
+           f.k AS n_fit_points
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.d
+    """,
+    tags=("graph", "degree-distribution", "power-law", "health"),
+)
+def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution power-law fit — the graph-health one-liner
+    (q358's Zipf / q467's retention discipline applied to the
+    co-purchase graph): the log-log OLS slope of the degree histogram.
+    A scale-free co-occurrence graph fits alpha ~ -2..-3; a slope near
+    0 flags a quasi-regular (random/synthetic) graph, and a cliff flags
+    a degree cap — exactly what q424/q68's hot-hub bounds assume, so
+    this PUBLISHES the evidence those caps rely on. Emits the histogram
+    plus the fitted slope on every row.
+
+    Determinism: degrees and the histogram are exact integers; the
+    log-log points are floor-quantized micro-nats; the slope is one
+    shared double expression over int64-safe sums (x, y <= ~3e7 even at
+    1e12 nodes — logs grow slowly).
+
+    Scale posture (100 TB): reuses the materialized edge product; degree
+    is one hash-agg, the histogram another (<= max-degree rows); the fit
+    is a 1-row broadcast. Nothing beyond the edge list ever shuffles."""
+    from kinesis_customer_sample_spark.queries.graph_quality_ops import (
+        shared_copurchase_edges,
+    )
+
+    und = shared_copurchase_edges(spark, sf_dir)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    pts = hist.filter(F.col("d") >= 2).select(
+        "d",
+        "n_nodes",
+        F.expr("CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1000000) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    fit = F.broadcast(
+        pts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+            F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        )
+    )
+    return (
+        pts.crossJoin(fit)
+        .select(
+            F.col("d").alias("degree"),
+            "n_nodes",
+            F.round(
+                F.expr(
+                    "CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)"
+                ),
+                6,
+            ).alias("alpha_slope"),
+            F.col("k").alias("n_fit_points"),
+        )
+        .orderBy("degree")
+    )

@@ -1387,3 +1387,360 @@ def cv_stump_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---- q503: point-biserial univariate feature screen --------------------------
+_PB_POS_LABEL = 0
+_PB_TOPK = 10
+_PB_R = (
+    # r_pb = (s1/n1 - s0/n0) / sigma * sqrt(n1*n0)/n,
+    # sigma^2 = (n*sq - (s1+s0)^2)/n^2 — one shared double expression
+    "((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)"
+    " / sqrt((CAST(n1 + n0 AS DOUBLE) * sq"
+    "         - (CAST(s1 AS DOUBLE) + s0) * (CAST(s1 AS DOUBLE) + s0))"
+    "        / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0)))"
+    " * sqrt(CAST(n1 AS DOUBLE) * n0) / (n1 + n0))"
+)
+
+
+@query(
+    "q503_point_biserial_screen",
+    oracle=f"""
+    WITH expl AS (
+      SELECT CASE WHEN label = {_PB_POS_LABEL} THEN 1 ELSE 0 END AS y,
+             unnest(range(1, 65)) AS dim,
+             unnest([CAST(floor(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)
+                     for x in embedding]) AS qv
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT dim,
+             sum(y)::BIGINT AS n1, sum(1 - y)::BIGINT AS n0,
+             sum(CASE WHEN y = 1 THEN qv ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN y = 0 THEN qv ELSE 0 END)::BIGINT AS s0,
+             sum(qv * qv)::BIGINT AS sq
+      FROM expl GROUP BY dim
+    ),
+    scored AS (
+      SELECT dim::BIGINT AS dim, n1, n0,
+             round({_PB_R}, 6) AS r_pb,
+             row_number() OVER (ORDER BY abs(round({_PB_R}, 6)) DESC, dim)
+               AS rank
+      FROM per_dim
+    )
+    SELECT rank::BIGINT AS rank, dim, n1, n0, r_pb
+    FROM scored WHERE rank <= {_PB_TOPK} ORDER BY rank
+    """,
+    tags=("ml-eval", "feature-screen", "point-biserial", "univariate"),
+)
+def point_biserial_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-biserial univariate feature screen — the first pass of every
+    feature-selection pipeline: for each of the 64 embedding dimensions,
+    the correlation between the (quantized) feature and the binary
+    label, ranked by |r|. Its square is the per-feature share of label
+    variance explained, and the top-k list is what q394's stump / q456's
+    logistic regression should be fed first. Complements q365's
+    information gain (which needs binning) with the parametric screen
+    that needs none.
+
+    Determinism: features quantize to floor-mu integers (float32->double
+    exact); each dimension's five sufficient statistics are exact int64
+    hash-agg outputs; r is one shared double expression; ranking orders
+    by the ROUNDED r with the dim tiebreak, so the top-k set cannot
+    diverge cross-engine. sq <= 64-dim bound (~4e12 per row-dim; 1e9
+    rows -> ~4e21 needs DECIMAL — documented, q311's note).
+
+    Scale posture (100 TB): one posexplode to (row, dim) pairs feeding
+    ONE map-side-combined hash-agg with 64 output rows; the screen
+    itself is a 64-row window. Nothing but integers ever shuffles."""
+    expl = table(spark, sf_dir, "embeddings").select(
+        F.expr(f"CASE WHEN label = {_PB_POS_LABEL} THEN 1 ELSE 0 END").alias("y"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "y",
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.expr("CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT)").alias("qv"),
+    )
+    per_dim = expl.groupBy("dim").agg(
+        F.sum("y").cast("bigint").alias("n1"),
+        F.sum(F.expr("1 - y")).cast("bigint").alias("n0"),
+        F.sum(F.expr("CASE WHEN y = 1 THEN qv ELSE 0 END")).cast("bigint").alias("s1"),
+        F.sum(F.expr("CASE WHEN y = 0 THEN qv ELSE 0 END")).cast("bigint").alias("s0"),
+        F.sum(F.expr("qv * qv")).cast("bigint").alias("sq"),
+    )
+    scored = per_dim.select(
+        "dim",
+        "n1",
+        "n0",
+        F.round(F.expr(_PB_R), 6).alias("r_pb"),
+    ).select(
+        "dim",
+        "n1",
+        "n0",
+        "r_pb",
+        F.row_number()
+        .over(W.orderBy(F.abs(F.col("r_pb")).desc(), "dim"))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return (
+        scored.filter(F.col("rank") <= _PB_TOPK)
+        .select("rank", "dim", "n1", "n0", "r_pb")
+        .orderBy("rank")
+    )
+
+
+# ---- q504: precision-recall curve + best-F1 threshold ------------------------
+_PR_K = 20
+
+
+@query(
+    "q504_pr_curve_f1",
+    oracle=f"""
+    WITH w AS (
+      SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS wv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT CASE WHEN e.label = {_AUC_POS_LABEL} THEN 1 ELSE 0 END AS y,
+             list_sum([CAST(round(e.embedding[i + 1] * 1000) AS BIGINT) * wv[i + 1]
+                       FOR i IN range(64)]) AS s
+      FROM embeddings e CROSS JOIN w
+      WHERE e.vec_id != 0
+    ),
+    bounds AS (
+      SELECT min(s) AS smin, max(s) - min(s) + 1 AS span,
+             sum(y)::BIGINT AS n_pos
+      FROM scored
+    ),
+    binned AS (
+      SELECT least((s - b.smin) * {_PR_K} // b.span, {_PR_K} - 1) AS ck,
+             sum(y)::BIGINT AS pos, count(*)::BIGINT AS n
+      FROM scored CROSS JOIN bounds b
+      GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, {_PR_K}))::BIGINT AS k),
+    cum AS (
+      SELECT g.k,
+             coalesce(sum(CASE WHEN bn.ck >= g.k THEN bn.pos END), 0)::BIGINT AS tp,
+             coalesce(sum(CASE WHEN bn.ck >= g.k THEN bn.n - bn.pos END), 0)::BIGINT
+               AS fp
+      FROM grid g LEFT JOIN binned bn ON bn.ck >= g.k
+      GROUP BY g.k
+    ),
+    pr AS (
+      SELECT c.k, (b.smin + c.k * b.span // {_PR_K})::BIGINT AS threshold,
+             c.tp, c.fp, (b.n_pos - c.tp)::BIGINT AS fn,
+             CASE WHEN c.tp + c.fp = 0 THEN -1
+                  ELSE (c.tp * 10000 // (c.tp + c.fp)) END AS precision_bp,
+             (c.tp * 10000 // b.n_pos)::BIGINT AS recall_bp,
+             CASE WHEN c.tp = 0 THEN 0
+                  ELSE (2 * c.tp * 10000 // (2 * c.tp + c.fp + b.n_pos - c.tp)) END
+               AS f1_bp
+      FROM cum c CROSS JOIN bounds b
+    )
+    SELECT k, threshold, tp, fp, fn, precision_bp, recall_bp, f1_bp,
+           CASE WHEN row_number() OVER (ORDER BY f1_bp DESC, k) = 1
+                THEN 1 ELSE 0 END AS is_best_f1
+    FROM pr ORDER BY k
+    """,
+    tags=("ml-eval", "precision-recall", "f1", "threshold"),
+)
+def pr_curve_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall curve + best-F1 operating point — the
+    threshold-tuning report that turns q281's ranking quality (AUC) into
+    a DEPLOYABLE decision: sweep 20 key-range thresholds over the linear
+    scorer (q281's integer dot product), report TP/FP/FN, precision,
+    recall and F1 at each, and flag the F1-maximizing threshold. q420's
+    average precision integrates this curve; this emits the curve itself
+    plus the argmax a serving config actually needs.
+
+    Determinism: scores are exact integer dot products; checkpoint
+    assignment is the q490 key-range integer ceil; cumulative TP/FP are
+    integer sums over the 20-row grid; precision/recall/F1 are exact
+    integer basis points (F1 = 2TP/(2TP+FP+FN) — single truncating
+    division, no float at all); the best flag uses the (f1, k) total
+    order.
+
+    Scale posture (100 TB): one map-side scorer pass + hash-agg to the
+    <= 20-bin histogram; the curve algebra runs entirely on the 20-row
+    grid. The scorer is the q281 broadcast zip_with — no shuffle carries
+    anything fact-sized but the integer (bin, counts) rows."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "qi"
+        ),
+    )
+    wvec = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("qi").alias("wv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(wvec)
+        .select(
+            F.expr(f"CASE WHEN label = {_AUC_POS_LABEL} THEN 1 ELSE 0 END").alias("y"),
+            F.expr(
+                "aggregate(zip_with(qi, wv, (x, w) -> x * w), "
+                "CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("s"),
+        )
+    )
+    bounds = F.broadcast(
+        scored.agg(
+            F.min("s").alias("smin"),
+            (F.max("s") - F.min("s") + 1).alias("span"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    binned = (
+        scored.crossJoin(bounds)
+        .groupBy(
+            F.expr(f"least((s - smin) * {_PR_K} div span, {_PR_K} - 1)").alias("ck")
+        )
+        .agg(
+            F.sum("y").cast("bigint").alias("pos"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    grid = spark.range(0, _PR_K).select(F.col("id").cast("bigint").alias("k"))
+    cum = (
+        grid.join(F.broadcast(binned), F.col("ck") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("pos"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.sum(F.expr("n - pos")), F.lit(0)).cast("bigint").alias("fp"),
+        )
+    )
+    pr = cum.crossJoin(bounds).select(
+        "k",
+        F.expr(f"smin + k * span div {_PR_K}").cast("bigint").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).cast("bigint").alias("fn"),
+        F.expr(
+            "CASE WHEN tp + fp = 0 THEN -1 ELSE tp * 10000 div (tp + fp) END"
+        ).alias("precision_bp"),
+        F.expr("tp * 10000 div n_pos").cast("bigint").alias("recall_bp"),
+        F.expr(
+            "CASE WHEN tp = 0 THEN 0 "
+            "ELSE 2 * tp * 10000 div (2 * tp + fp + n_pos - tp) END"
+        ).alias("f1_bp"),
+    )
+    return pr.select(
+        "k",
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "precision_bp",
+        "recall_bp",
+        "f1_bp",
+        F.expr(
+            "CASE WHEN row_number() OVER (ORDER BY f1_bp DESC, k) = 1 "
+            "THEN 1 ELSE 0 END"
+        ).alias("is_best_f1"),
+    ).orderBy("k")
+
+
+# ---- q505: disparate-impact (four-fifths rule) audit --------------------------
+_DI_THRESHOLD = 0  # decision boundary on the integer score (sign decision)
+_DI_FOUR_FIFTHS_BP = 8000
+
+
+@query(
+    "q505_disparate_impact_audit",
+    oracle=f"""
+    WITH w AS (
+      SELECT [CAST(round(x * 1000) AS BIGINT) FOR x IN embedding] AS wv
+      FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT e.label AS grp,
+             CASE WHEN list_sum(
+               [CAST(round(e.embedding[i + 1] * 1000) AS BIGINT) * wv[i + 1]
+                FOR i IN range(64)]) >= {_DI_THRESHOLD} THEN 1 ELSE 0 END AS pos
+      FROM embeddings e CROSS JOIN w
+      WHERE e.vec_id != 0
+    ),
+    rates AS (
+      SELECT grp, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+             (sum(pos) * 10000 // count(*))::BIGINT AS pos_rate_bp
+      FROM scored GROUP BY grp
+    ),
+    mx AS (SELECT max(pos_rate_bp) AS max_rate_bp FROM rates)
+    SELECT r.grp::BIGINT AS grp, r.n, r.n_pos, r.pos_rate_bp,
+           m.max_rate_bp::BIGINT AS max_rate_bp,
+           (r.pos_rate_bp * 10000 // m.max_rate_bp)::BIGINT AS impact_ratio_bp,
+           CASE WHEN r.pos_rate_bp * 10000 // m.max_rate_bp
+                     < {_DI_FOUR_FIFTHS_BP} THEN 1 ELSE 0 END
+             AS four_fifths_violation
+    FROM rates r CROSS JOIN mx m
+    ORDER BY grp
+    """,
+    tags=("ml-eval", "fairness", "disparate-impact", "governance"),
+)
+def disparate_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact audit (the EEOC four-fifths rule) — the model-
+    governance report every deployed classifier owes its review board:
+    per group (the embedding cluster label standing in for the protected
+    attribute), the scorer's positive-decision rate, each group's ratio
+    to the most-favored group, and the four-fifths flag (ratio < 80%).
+    The scorer and decision boundary are q281/q504's integer linear
+    scorer at threshold 0, so this composes directly with the AUC and
+    the PR operating point into one eval package.
+
+    Determinism: decisions are exact integer comparisons on integer dot
+    products; rates and ratios are exact integer basis points with the
+    (rate*1e4 div max_rate) cross-division. No float exists.
+
+    Scale posture (100 TB): the scorer is the broadcast zip_with
+    map pass; rates are one hash-agg to |groups| rows; the max is a
+    1-row broadcast. The audit costs one scan."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "qi"
+        ),
+    )
+    wvec = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("qi").alias("wv"))
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(wvec)
+        .select(
+            F.col("label").alias("grp"),
+            F.expr(
+                "CASE WHEN aggregate(zip_with(qi, wv, (x, w) -> x * w), "
+                f"CAST(0 AS BIGINT), (a, v) -> a + v) >= {_DI_THRESHOLD} "
+                "THEN 1 ELSE 0 END"
+            ).alias("pos"),
+        )
+    )
+    rates = scored.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.expr("sum(pos) * 10000 div count(1)").cast("bigint").alias("pos_rate_bp"),
+    )
+    mx = F.broadcast(rates.agg(F.max("pos_rate_bp").alias("max_rate_bp")))
+    return (
+        rates.crossJoin(mx)
+        .select(
+            F.col("grp").cast("bigint").alias("grp"),
+            "n",
+            "n_pos",
+            "pos_rate_bp",
+            F.col("max_rate_bp").cast("bigint").alias("max_rate_bp"),
+            F.expr("pos_rate_bp * 10000 div max_rate_bp")
+            .cast("bigint")
+            .alias("impact_ratio_bp"),
+            F.expr(
+                f"CASE WHEN pos_rate_bp * 10000 div max_rate_bp < {_DI_FOUR_FIFTHS_BP} "
+                "THEN 1 ELSE 0 END"
+            ).alias("four_fifths_violation"),
+        )
+        .orderBy("grp")
+    )

@@ -1274,3 +1274,89 @@ def capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("err_bp"),
     ).orderBy("source")
+
+
+# ---- q502: candidate-key discovery -------------------------------------------
+_CK_COMBOS = (
+    ("l_orderkey",),
+    ("l_orderkey", "l_linenumber"),
+    ("l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_partkey"),
+    ("l_orderkey", "l_partkey", "l_suppkey"),
+)
+
+
+def _ck_name(cols: tuple) -> str:
+    return "+".join(cols)
+
+
+@query(
+    "q502_candidate_key_discovery",
+    oracle=f"""
+    WITH counts AS (
+      SELECT count(*)::BIGINT AS n_rows,
+             {", ".join(
+                 "count(DISTINCT (" + ", ".join(c) + "))::BIGINT AS d_"
+                 + str(i) for i, c in enumerate(_CK_COMBOS))}
+      FROM lineitem
+    )
+    {" UNION ALL ".join(
+        f'''SELECT '{_ck_name(c)}' AS key_columns, n_rows,
+               d_{i} AS n_distinct,
+               (n_rows - d_{i})::BIGINT AS n_dup_rows,
+               CASE WHEN d_{i} = n_rows THEN 1 ELSE 0 END AS is_unique_key,
+               (d_{i} * 10000 // n_rows)::BIGINT AS uniqueness_bp
+        FROM counts''' for i, c in enumerate(_CK_COMBOS))}
+    ORDER BY key_columns
+    """,
+    tags=("profiling", "candidate-key", "uniqueness", "contract"),
+)
+def candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery — the uniqueness profile every schema
+    contract starts from: for a fixed set of column combinations over
+    the fact table, exact distinct counts vs row count, duplicate mass,
+    and the is-a-key verdict. This finds that (l_orderkey, l_linenumber)
+    is the true composite key while (l_partkey, l_suppkey) is NOT — the
+    fact a MERGE (q161), an IVM join (q255) or a dedup keeper policy
+    must know before choosing its key. Complements q376's functional-
+    dependency audit (FDs relate columns; keys identify rows).
+
+    Determinism: every statistic is an exact integer (exact DISTINCT,
+    never approximate — a key verdict cannot ride an estimate).
+
+    Scale posture (100 TB): ONE pass computing all combos' distincts
+    via Expand (map-side partial per combo — 5x row fan-out before the
+    partial agg, standard multi-countDistinct shape); the per-combo
+    expansion is a 5-row stack projection. At petabyte scale swap the
+    exact counts for q17's HLL per combo and keep the same report."""
+    combo_exprs = [
+        F.countDistinct(*[F.col(c) for c in combo]).cast("bigint").alias(f"d_{i}")
+        for i, combo in enumerate(_CK_COMBOS)
+    ]
+    counts = table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"), *combo_exprs
+    )
+    stack_args = ", ".join(
+        f"'{_ck_name(c)}', d_{i}" for i, c in enumerate(_CK_COMBOS)
+    )
+    return (
+        counts.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_CK_COMBOS)}, {stack_args}) AS (key_columns, n_distinct)"
+            ),
+        )
+        .select(
+            "key_columns",
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("n_dup_rows"),
+            F.expr("CASE WHEN n_distinct = n_rows THEN 1 ELSE 0 END").alias(
+                "is_unique_key"
+            ),
+            F.expr("n_distinct * 10000 div n_rows")
+            .cast("bigint")
+            .alias("uniqueness_bp"),
+        )
+        .orderBy("key_columns")
+    )

@@ -1186,13 +1186,24 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("en").alias("nb"),
     )
-    pairs = a.join(c, "bucket").filter(F.col("dst") != F.col("src")).select(
+    # score each UNORDERED pair once (src < dst), then mirror the scored
+    # row for the other direction — halves the 64-term dot-product work
+    # (cos is symmetric; the rank-1 window still needs both directions)
+    half = a.join(c, "bucket").filter(F.col("src") < F.col("dst")).select(
         "bucket",
         "src",
         "dst",
         F.round(
             F.expr(dot64_expr("emb_a", "emb_b")) / (F.col("na") * F.col("nb")), 6
         ).alias("cos"),
+    ).localCheckpoint(eager=False)
+    pairs = half.unionByName(
+        half.select(
+            "bucket",
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "cos",
+        )
     )
     best = pairs.select(
         "bucket",

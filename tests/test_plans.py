@@ -3090,3 +3090,36 @@ def test_gwet_ac1_single_agg(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.has_partial_agg
     assert "Join" not in facts.text
+
+
+def test_degree_powerlaw_histogram_cascade(spark, sf_dir):
+    # degree -> histogram are two hash-aggs; the fit is a broadcast 1-row
+    facts = audit_of(spark, sf_dir, "q501_degree_powerlaw_fit")
+    assert not facts.has_cartesian or "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_candidate_key_one_pass_expand(spark, sf_dir):
+    # all combos' distincts come from ONE scan via Expand; per-combo rows
+    # are a stack projection, not per-combo rescans
+    facts = audit_of(spark, sf_dir, "q502_candidate_key_discovery")
+    assert facts.text.count("Scan parquet") == 1
+    assert "Expand" in facts.text
+
+
+def test_point_biserial_single_agg_64_rows(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q503_point_biserial_screen")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_pr_curve_grid_algebra(spark, sf_dir):
+    # scorer pass + <=20-bin histogram; curve algebra on the 20-row grid
+    facts = audit_of(spark, sf_dir, "q504_pr_curve_f1")
+    assert facts.has_partial_agg
+
+
+def test_disparate_impact_one_scan(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q505_disparate_impact_audit")
+    assert facts.has_partial_agg
+    assert "SortMergeJoin" not in facts.text
