@@ -3103,7 +3103,9 @@ def test_candidate_key_one_pass_expand(spark, sf_dir):
     # all combos' distincts come from ONE scan via Expand; per-combo rows
     # are a stack projection, not per-combo rescans
     facts = audit_of(spark, sf_dir, "q502_candidate_key_discovery")
-    assert facts.text.count("Scan parquet") == 1
+    # formatted plans print each node once in the tree and once in the
+    # detail section — count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", facts.text)) == 1
     assert "Expand" in facts.text
 
 
