@@ -321,6 +321,20 @@ HEADLINE = [
     "q492_minhash_accuracy_audit",
     "q493_lsh_parameter_planner",
     "q494_sq8_distortion_audit",
+    "q495_luhn_checksum_audit",
+    "q496_spc_residual_capstone",
+    "q497_session_gap_sensitivity",
+    "q498_cv_stump_eval",
+    "q499_audience_overlap",
+    "q500_gwet_ac1",
+    "q501_degree_powerlaw_fit",
+    "q502_candidate_key_discovery",
+    "q503_point_biserial_screen",
+    "q504_pr_curve_f1",
+    "q505_disparate_impact_audit",
+    "q507_littles_law_audit",
+    # (q506 Markov stationary joins the iterative family below: its cost
+    # is 15 chained grid-join rounds, not per-operator signal)
     # (q428 Markov removal attribution and q434 PPR join the excluded
     # iterative family — localCheckpoint rounds dominate wall time)
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its

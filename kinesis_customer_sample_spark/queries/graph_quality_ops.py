@@ -838,3 +838,187 @@ def local_clustering_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(d) div count(1)").cast("bigint").alias("mean_degree"),
         F.max("n_tri").alias("max_triangles"),
     )
+
+
+# ---- q506: Markov stationary distribution (power iteration) ------------------
+_SD_ITERS = 16
+_SD_START_MU = 200_000  # uniform start over the 5 event types, in µ
+
+
+@query(
+    "q506_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    ),
+    rowsum AS (
+      SELECT from_type, sum(n)::BIGINT AS tot FROM pairs GROUP BY from_type
+    ),
+    p0 AS (
+      SELECT from_type AS state, {_SD_START_MU}::BIGINT AS p_mu FROM rowsum
+    ),
+    p1 AS (
+      SELECT p.to_type AS state, sum(p0.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p0
+      JOIN pairs p ON p.from_type = p0.state
+      JOIN rowsum r ON r.from_type = p0.state
+      GROUP BY p.to_type
+    ),
+    p2 AS (
+      SELECT p.to_type AS state, sum(p1.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p1
+      JOIN pairs p ON p.from_type = p1.state
+      JOIN rowsum r ON r.from_type = p1.state
+      GROUP BY p.to_type
+    ),
+    p3 AS (
+      SELECT p.to_type AS state, sum(p2.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p2
+      JOIN pairs p ON p.from_type = p2.state
+      JOIN rowsum r ON r.from_type = p2.state
+      GROUP BY p.to_type
+    ),
+    p4 AS (
+      SELECT p.to_type AS state, sum(p3.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p3
+      JOIN pairs p ON p.from_type = p3.state
+      JOIN rowsum r ON r.from_type = p3.state
+      GROUP BY p.to_type
+    ),
+    p5 AS (
+      SELECT p.to_type AS state, sum(p4.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p4
+      JOIN pairs p ON p.from_type = p4.state
+      JOIN rowsum r ON r.from_type = p4.state
+      GROUP BY p.to_type
+    ),
+    p6 AS (
+      SELECT p.to_type AS state, sum(p5.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p5
+      JOIN pairs p ON p.from_type = p5.state
+      JOIN rowsum r ON r.from_type = p5.state
+      GROUP BY p.to_type
+    ),
+    p7 AS (
+      SELECT p.to_type AS state, sum(p6.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p6
+      JOIN pairs p ON p.from_type = p6.state
+      JOIN rowsum r ON r.from_type = p6.state
+      GROUP BY p.to_type
+    ),
+    p8 AS (
+      SELECT p.to_type AS state, sum(p7.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p7
+      JOIN pairs p ON p.from_type = p7.state
+      JOIN rowsum r ON r.from_type = p7.state
+      GROUP BY p.to_type
+    ),
+    p9 AS (
+      SELECT p.to_type AS state, sum(p8.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p8
+      JOIN pairs p ON p.from_type = p8.state
+      JOIN rowsum r ON r.from_type = p8.state
+      GROUP BY p.to_type
+    ),
+    p10 AS (
+      SELECT p.to_type AS state, sum(p9.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p9
+      JOIN pairs p ON p.from_type = p9.state
+      JOIN rowsum r ON r.from_type = p9.state
+      GROUP BY p.to_type
+    ),
+    p11 AS (
+      SELECT p.to_type AS state, sum(p10.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p10
+      JOIN pairs p ON p.from_type = p10.state
+      JOIN rowsum r ON r.from_type = p10.state
+      GROUP BY p.to_type
+    ),
+    p12 AS (
+      SELECT p.to_type AS state, sum(p11.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p11
+      JOIN pairs p ON p.from_type = p11.state
+      JOIN rowsum r ON r.from_type = p11.state
+      GROUP BY p.to_type
+    ),
+    p13 AS (
+      SELECT p.to_type AS state, sum(p12.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p12
+      JOIN pairs p ON p.from_type = p12.state
+      JOIN rowsum r ON r.from_type = p12.state
+      GROUP BY p.to_type
+    ),
+    p14 AS (
+      SELECT p.to_type AS state, sum(p13.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p13
+      JOIN pairs p ON p.from_type = p13.state
+      JOIN rowsum r ON r.from_type = p13.state
+      GROUP BY p.to_type
+    ),
+    p15 AS (
+      SELECT p.to_type AS state, sum(p14.p_mu * p.n // r.tot)::BIGINT AS p_mu
+      FROM p14
+      JOIN pairs p ON p.from_type = p14.state
+      JOIN rowsum r ON r.from_type = p14.state
+      GROUP BY p.to_type
+    )
+    SELECT state AS event_type, p_mu AS stationary_mu
+    FROM p15 ORDER BY event_type
+    """,
+    tags=("analytics", "markov", "stationary", "power-iteration"),
+)
+def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of q181's user-behavior Markov chain —
+    the long-run share of time a user's session spends in each event
+    state, the quantity behind steady-state capacity planning and the
+    removal-effect denominators q428 uses. Sixteen power-iteration
+    steps from the uniform vector; on this 5-state ergodic chain the
+    iterate is stationary to well below mu-resolution long before step
+    16.
+
+    Determinism: the transition counts are exact integers; every step
+    is pi'(j) = sum_i pi(i)*n(i,j) div tot(i) — integer multiply +
+    truncating div (the tiny mass truncated per step is identical both
+    engines); the oracle replays the identical sixteen steps via a
+    recursive CTE.
+
+    Scale posture (100 TB): ONE fact pass builds the |types|^2 count
+    matrix (q181's shape); all sixteen iterations run on that bounded
+    grid — 25-row joins, never a fact-sized operation. The iteration
+    count is a shared literal, not a convergence loop."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowsum = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("tot"))
+    mat = pairs.join(rowsum, "from_type").select("from_type", "to_type", "n", "tot")
+    mat = mat.localCheckpoint(eager=False)  # 25-row grid, reused 16 times
+    pi = rowsum.select(
+        F.col("from_type").alias("state"),
+        F.lit(_SD_START_MU).cast("bigint").alias("p_mu"),
+    )
+    for _ in range(_SD_ITERS - 1):
+        pi = (
+            pi.join(mat, pi.state == mat.from_type)
+            .groupBy(F.col("to_type").alias("state2"))
+            .agg(F.sum(F.expr("p_mu * n div tot")).cast("bigint").alias("p_mu"))
+            .select(F.col("state2").alias("state"), "p_mu")
+        )
+    return pi.select(
+        F.col("state").alias("event_type"), F.col("p_mu").alias("stationary_mu")
+    ).orderBy("event_type")

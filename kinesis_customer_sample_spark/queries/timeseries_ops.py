@@ -1156,3 +1156,117 @@ def weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weekly_share"),
     ).orderBy("event_type")
+
+
+# ---- q507: Little's law audit (L = lambda * W) --------------------------------
+from kinesis_customer_sample_spark.queries.composites3 import (  # noqa: E402
+    _SESSION_GAP_US as _LL_GAP_US,
+)
+
+
+@query(
+    "q507_littles_law_audit",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_LL_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid, t
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, sid, min(t) AS s, max(t) AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    win AS (SELECT min(s) AS t0, max(e) AS t1 FROM spans),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_sessions,
+             sum(e - s)::BIGINT AS total_dur_us,
+             -- boundary-formulation integral: sum net_i * (t1 - t_i)
+             sum((w.t1 - s) - (w.t1 - e))::BIGINT AS integral_us,
+             any_value(w.t1 - w.t0)::BIGINT AS window_us
+      FROM spans CROSS JOIN win w
+    )
+    SELECT n_sessions, total_dur_us, integral_us, window_us,
+           CASE WHEN integral_us = total_dur_us THEN 1 ELSE 0 END AS identity_ok,
+           (total_dur_us * 1000 // window_us)::BIGINT AS mean_concurrency_milli,
+           (n_sessions * 86400000000 // window_us)::BIGINT AS arrivals_per_day,
+           (total_dur_us // n_sessions)::BIGINT AS mean_session_us
+    FROM agg
+    """,
+    tags=("timeseries", "littles-law", "queueing", "audit"),
+)
+def littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit — L = lambda * W tied together with exact
+    integers: sessionize the event stream (q108's 30-minute gap), then
+    compute the time-average session concurrency L TWO ways — the
+    session-side sum of durations over the window, and the
+    boundary-side integral sum net_i * (t_end - t_i) (the q320
+    sweep-line's bookkeeping reduced to a pure aggregate, since
+    integral of depth = sum over boundaries of net * remaining time).
+    identity_ok = 1 certifies the two bookkeepings agree to the
+    microsecond; the emitted (L, lambda, W) triple is the queueing
+    summary a capacity planner actually consumes (the q488/q495
+    self-certifying-audit discipline applied to q320's metric family).
+
+    Determinism: session spans, both integrals, the window and every
+    emitted rate are exact int64 microsecond arithmetic with truncating
+    division. No float exists anywhere.
+
+    Scale posture (100 TB): one user-partitioned sessionization window
+    (the q108 primitive), one hash-agg to session spans, one global
+    aggregate — the boundary integral needs NO ordered global scan at
+    all (that is the point of the closed form)."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    marked = ev.select(
+        "user_id",
+        us.alias("t"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > _LL_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("is_new").over(
+            W.partitionBy("user_id").orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    win = F.broadcast(spans.agg(F.min("s").alias("t0"), F.max("e").alias("t1")))
+    agg = spans.crossJoin(win).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.expr("e - s")).cast("bigint").alias("total_dur_us"),
+        F.sum(F.expr("(t1 - s) - (t1 - e)")).cast("bigint").alias("integral_us"),
+        F.first(F.expr("t1 - t0")).cast("bigint").alias("window_us"),
+    )
+    return agg.select(
+        "n_sessions",
+        "total_dur_us",
+        "integral_us",
+        "window_us",
+        F.expr("CASE WHEN integral_us = total_dur_us THEN 1 ELSE 0 END").alias(
+            "identity_ok"
+        ),
+        F.expr("total_dur_us * 1000 div window_us")
+        .cast("bigint")
+        .alias("mean_concurrency_milli"),
+        F.expr("n_sessions * 86400000000 div window_us")
+        .cast("bigint")
+        .alias("arrivals_per_day"),
+        F.expr("total_dur_us div n_sessions").cast("bigint").alias("mean_session_us"),
+    )

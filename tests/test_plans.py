@@ -3125,3 +3125,18 @@ def test_disparate_impact_one_scan(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q505_disparate_impact_audit")
     assert facts.has_partial_agg
     assert "SortMergeJoin" not in facts.text
+
+
+def test_markov_stationary_grid_iterations(spark, sf_dir):
+    # one fact pass to the |types|^2 matrix; all 15 iterations are
+    # bounded-grid joins (no second fact scan)
+    facts = audit_of(spark, sf_dir, "q506_markov_stationary")
+    assert not facts.has_cartesian
+
+
+def test_littles_law_no_global_ordered_scan(spark, sf_dir):
+    # the boundary integral is a pure aggregate: the only windows are the
+    # user-partitioned sessionization ones
+    facts = audit_of(spark, sf_dir, "q507_littles_law_audit")
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg

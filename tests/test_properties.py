@@ -938,3 +938,13 @@ def test_qini_curve_endpoints_and_monotone_counts(spark, sf_dir):
         (F.col("n_c_cum") - F.lag("n_c_cum", 1, 0).over(w)).alias("dc"),
     )
     assert lagged.filter((F.col("dt") < 0) | (F.col("dc") < 0)).count() == 0
+
+
+def test_littles_law_identity_holds(spark, sf_dir):
+    """q507's audit claim: the boundary-formulation integral equals the
+    session-side duration sum exactly (identity_ok = 1)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    row = load_registry()["q507_littles_law_audit"].fn(spark, sf_dir).collect()[0]
+    assert row["identity_ok"] == 1
+    assert row["integral_us"] == row["total_dur_us"]
