@@ -486,3 +486,108 @@ def pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("concentration_bp"),
     )
+
+
+# ---- q508: order/lineitem financial reconciliation ---------------------------
+
+
+@query(
+    "q508_financial_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                            * 100) AS BIGINT))::BIGINT AS charged_c,
+             count(*)::BIGINT AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    recon AS (
+      SELECT o.o_orderpriority,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_c,
+             coalesce(li.charged_c, 0) AS charged_c,
+             coalesce(li.n_lines, 0) AS n_lines,
+             CAST(round(o.o_totalprice * 100) AS BIGINT)
+               - coalesce(li.charged_c, 0) AS diff_c
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           sum(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END)::BIGINT AS n_lineless,
+           sum(CASE WHEN diff_c = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           sum(CASE WHEN abs(diff_c) <= n_lines THEN 1 ELSE 0 END)::BIGINT
+             AS n_within_rounding,
+           max(abs(diff_c))::BIGINT AS max_abs_diff_c,
+           sum(abs(diff_c))::BIGINT AS total_abs_diff_c,
+           sum(diff_c)::BIGINT AS net_diff_c
+    FROM recon GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("reconciliation", "finance", "contract", "cross-table"),
+)
+def financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation — the closing-the-books audit
+    every billing pipeline runs: does each order's HEADER total equal
+    the sum of its LINE charges (extended price net of discount, plus
+    tax)? Emits, per priority class, the exact-match count, the
+    within-per-line-rounding count (|diff| <= n_lines cents — the
+    honest tolerance when each line was rounded independently), the
+    worst and total absolute drift, and the NET drift (systematic bias
+    vs random rounding). Complements q182's referential integrity
+    (keys) and q198's contracts (types/ranges) with the VALUE-level
+    consistency dimension; q125's table diff compares snapshots of the
+    same table — this reconciles two tables claiming the same money.
+
+    Determinism: both sides quantize to exact integer cents per
+    row/line before any arithmetic; every statistic is an exact int64
+    aggregate.
+
+    Scale posture (100 TB): one map-side-combined hash-agg per table on
+    the SAME join key (orderkey — co-partitioned by construction in a
+    bucketed layout), one join at order grain, one rollup to the
+    priority grid."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("charged_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+    recon = (
+        table(spark, sf_dir, "orders")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("header_c"),
+            F.coalesce("charged_c", F.lit(0)).alias("charged_c"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            (
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                - F.coalesce("charged_c", F.lit(0))
+            ).alias("diff_c"),
+        )
+    )
+    return (
+        recon.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.expr("CASE WHEN n_lines = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_lineless"),
+            F.sum(F.expr("CASE WHEN diff_c = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(F.expr("CASE WHEN abs(diff_c) <= n_lines THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_within_rounding"),
+            F.max(F.abs("diff_c")).cast("bigint").alias("max_abs_diff_c"),
+            F.sum(F.abs("diff_c")).cast("bigint").alias("total_abs_diff_c"),
+            F.sum("diff_c").cast("bigint").alias("net_diff_c"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -7,7 +7,7 @@ then exactly the sort's prefix, making sort correctness observable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import register_views, table
@@ -276,4 +276,101 @@ def null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT o_custkey FROM orders
               WHERE o_orderstatus = 'F')) AS n_pass_clean
         """
+    )
+
+
+# ---- q509: top-k WITH TIES semantics ------------------------------------------
+_WT_K = 10
+
+
+@query(
+    "q509_topk_with_ties",
+    oracle=f"""
+    WITH metric AS (
+      SELECT p.p_brand, date_trunc('month', o.o_orderdate) AS month,
+             CAST(round(sum(l.l_quantity)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, month, qty,
+             rank() OVER (PARTITION BY month ORDER BY qty DESC) AS rk,
+             row_number() OVER (PARTITION BY month
+                                ORDER BY qty DESC, p_brand) AS rn
+      FROM metric
+    )
+    SELECT month, p_brand, qty,
+           rk::BIGINT AS rank,
+           CASE WHEN rn <= {_WT_K} THEN 1 ELSE 0 END AS in_plain_topk,
+           1 AS tie_spillover_marker
+    FROM ranked
+    -- months with fewer than k rows keep everything (the WITH TIES
+    -- contract): coalesce the absent k-th-rank threshold to +inf
+    WHERE rk <= coalesce((SELECT max(r2.rk) FROM ranked r2
+                 WHERE r2.month = ranked.month AND r2.rn = {_WT_K}),
+                 9223372036854775807)
+    ORDER BY month, rank, p_brand
+    """,
+    tags=("topk", "with-ties", "rank", "sql-surface"),
+)
+def topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH TIES (ANSI `FETCH FIRST k ROWS WITH TIES`) — the
+    rank-complete form of a leaderboard: every row tying the k-th
+    value is kept, so the report can never silently drop half of a tie
+    group the way a plain LIMIT k does. Emitted per month over brand
+    quantity with the plain-top-k membership flag, so the diff between
+    the two semantics (the tie spillover a LIMIT would cut) is visible
+    row by row — the q497-style parameter-semantics advisor for every
+    "top sellers" report built on this engine.
+
+    Determinism: the metric is an exact integer; WITH TIES is
+    rank() <= rank(row_number() = k) — pure integer window logic with
+    total tiebreaks on the row_number side.
+
+    Scale posture (100 TB): one fact hash-agg to the (brand, month)
+    grid; both windows partition by month over the bounded grid; the
+    k-th-rank threshold is a per-month scalar from the same window
+    pass (a self-join against the grid, month-keyed)."""
+    metric = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(table(spark, sf_dir, "part").select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("l_quantity")).cast("bigint").alias("qty"))
+    )
+    wm = W.partitionBy("month")
+    ranked = metric.select(
+        "p_brand",
+        "month",
+        "qty",
+        F.rank().over(wm.orderBy(F.col("qty").desc())).alias("rk"),
+        F.row_number().over(wm.orderBy(F.col("qty").desc(), "p_brand")).alias("rn"),
+    )
+    kth = ranked.filter(F.col("rn") == _WT_K).select(
+        F.col("month").alias("month_k"), F.col("rk").alias("rk_at_k")
+    )
+    return (
+        ranked.join(
+            F.broadcast(kth), ranked.month == F.col("month_k"), "left"
+        )
+        .filter(F.col("rk") <= F.coalesce("rk_at_k", F.lit(_WT_K)))
+        .select(
+            "month",
+            "p_brand",
+            "qty",
+            F.col("rk").cast("bigint").alias("rank"),
+            F.expr(f"CASE WHEN rn <= {_WT_K} THEN 1 ELSE 0 END").alias(
+                "in_plain_topk"
+            ),
+            F.lit(1).alias("tie_spillover_marker"),
+        )
+        .orderBy("month", "rank", "p_brand")
     )

@@ -3140,3 +3140,20 @@ def test_littles_law_no_global_ordered_scan(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q507_littles_law_audit")
     assert "No Partition Defined" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_financial_reconciliation_order_grain_join(spark, sf_dir):
+    # both sides pre-aggregate to order grain before the join; the rollup
+    # is priority-grid-sized
+    facts = audit_of(spark, sf_dir, "q508_financial_reconciliation")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+
+
+def test_with_ties_windows_on_grid(spark, sf_dir):
+    # rank windows run on the (brand, month) grid partitioned by month;
+    # the k-th threshold joins back broadcast
+    facts = audit_of(spark, sf_dir, "q509_topk_with_ties")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
