@@ -591,3 +591,107 @@ def financial_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---- q510: duplicate-payment detection ----------------------------------------
+_DP_WINDOW_DAYS = 3
+_DP_SIMILAR_BP = 100  # amounts within 1% flag as duplicate suspects
+
+
+@query(
+    "q510_duplicate_payment_scan",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey,
+             a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+             a.cents AS cents_a, b.cents AS cents_b,
+             abs(date_diff('day', a.d, b.d))::BIGINT AS gap_days,
+             (abs(a.cents - b.cents) * 10000
+               // greatest(a.cents, b.cents))::BIGINT AS amount_delta_bp
+      FROM o a JOIN o b
+        ON b.o_custkey = a.o_custkey
+       AND b.o_orderkey > a.o_orderkey
+       AND b.d >= a.d - INTERVAL {_DP_WINDOW_DAYS} DAY
+       AND b.d <= a.d + INTERVAL {_DP_WINDOW_DAYS} DAY
+    )
+    SELECT o_custkey, order_a, order_b, cents_a, cents_b, gap_days,
+           amount_delta_bp,
+           CASE WHEN amount_delta_bp <= {_DP_SIMILAR_BP} THEN 1 ELSE 0 END
+             AS duplicate_suspect
+    FROM pairs
+    ORDER BY o_custkey, order_a, order_b
+    """,
+    tags=("audit", "duplicate-payment", "fraud", "blocked-join"),
+)
+def duplicate_payment_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment scan — the accounts-payable audit classic: two
+    orders from the SAME customer within +-3 days are candidate
+    double-submissions; the pair is a duplicate SUSPECT when the
+    amounts agree within 1% (retry-with-adjustment, double-billing,
+    fraud). Exact dedup (q67) only catches byte-identical records; this
+    surfaces the near-miss auditors actually chase — identical payer,
+    near-identical time, near-identical money, different identifiers —
+    with the full evidence row (both amounts, the gap, the delta) for
+    the review queue, not just a verdict.
+
+    Determinism: amounts are exact integer cents; the amount delta is
+    an exact integer cross-division in basis points; pair order is
+    normalized (order_a < order_b).
+
+    Scale posture (100 TB): candidates are BLOCKED on the customer key
+    (the q119/q232 blocking discipline) — per-customer order counts are
+    naturally bounded, so the self-join is an equi-join over tiny
+    blocks with the day-window and amount predicates applied inside.
+    Never amount-unblocked, never cartesian."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_a"),
+        F.col("cents").alias("cents_a"),
+        F.col("d").alias("da"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("db"),
+    )
+    return (
+        a.join(b, "o_custkey")
+        .filter(
+            (F.col("order_b") > F.col("order_a"))
+            & (F.col("db") >= F.expr(f"da - INTERVAL {_DP_WINDOW_DAYS} DAY"))
+            & (F.col("db") <= F.expr(f"da + INTERVAL {_DP_WINDOW_DAYS} DAY"))
+        )
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            "cents_a",
+            "cents_b",
+            F.abs(F.datediff("db", "da")).cast("bigint").alias("gap_days"),
+            F.expr(
+                "abs(cents_a - cents_b) * 10000 div greatest(cents_a, cents_b)"
+            )
+            .cast("bigint")
+            .alias("amount_delta_bp"),
+        )
+        .select(
+            "*",
+            F.expr(
+                f"CASE WHEN amount_delta_bp <= {_DP_SIMILAR_BP} THEN 1 ELSE 0 END"
+            ).alias("duplicate_suspect"),
+        )
+        .orderBy("o_custkey", "order_a", "order_b")
+    )

@@ -3157,3 +3157,10 @@ def test_with_ties_windows_on_grid(spark, sf_dir):
     assert not facts.has_cartesian
     assert "No Partition Defined" not in facts.text
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_duplicate_payment_customer_blocked(spark, sf_dir):
+    # the self-join is equi-keyed on the customer block — no cartesian
+    facts = audit_of(spark, sf_dir, "q510_duplicate_payment_scan")
+    assert not facts.has_cartesian
+    assert "SortMergeJoin" in facts.text or "BroadcastHashJoin" in facts.text
