@@ -333,6 +333,11 @@ HEADLINE = [
     "q504_pr_curve_f1",
     "q505_disparate_impact_audit",
     "q507_littles_law_audit",
+    "q508_financial_reconciliation",
+    "q509_topk_with_ties",
+    "q510_duplicate_payment_scan",
+    "q511_semimarkov_holding_times",
+    "q512_behavior_entropy",
     # (q506 Markov stationary joins the iterative family below: its cost
     # is 15 chained grid-join rounds, not per-operator signal)
     # (q428 Markov removal attribution and q434 PPR join the excluded

@@ -1022,3 +1022,86 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pi.select(
         F.col("state").alias("event_type"), F.col("p_mu").alias("stationary_mu")
     ).orderBy("event_type")
+
+
+# ---- q511: semi-Markov holding times -----------------------------------------
+
+
+@query(
+    "q511_semimarkov_holding_times",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS state,
+             epoch_us(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts)
+               AS hold_us
+      FROM events
+    ),
+    agg AS (
+      SELECT state,
+             count(hold_us)::BIGINT AS n,
+             sum(hold_us)::BIGINT AS s1,
+             sum(hold_us::HUGEINT * hold_us) AS s2,
+             max(hold_us)::BIGINT AS max_us
+      FROM seq WHERE hold_us IS NOT NULL
+      GROUP BY state
+    )
+    SELECT state AS event_type, n,
+           (s1 // n)::BIGINT AS mean_hold_us,
+           CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1))
+                      / n) AS BIGINT) AS std_hold_us,
+           max_us AS max_hold_us,
+           -- exponential-fit rate in events per hour: 3600e6 / mean
+           (3600000000 * n // s1)::BIGINT AS exp_rate_per_hour,
+           -- coefficient of variation in milli-units: CoV=1 <=> memoryless
+           CAST(floor(1000.0 * sqrt((CAST(n AS DOUBLE) * s2
+                                     - CAST(s1 AS DOUBLE) * s1)) / s1)
+                AS BIGINT) AS cov_milli
+    FROM agg ORDER BY event_type
+    """,
+    tags=("analytics", "semi-markov", "holding-time", "dwell"),
+)
+def semimarkov_holding_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-Markov holding times — the missing half of the q181/q506
+    behavior model: the Markov chain says WHERE a session goes next;
+    this says HOW LONG it sits in each state first (time from an event
+    to the user's next event, attributed to the departing state). The
+    per-state mean/std/max, the exponential-fit rate, and the
+    coefficient of variation — CoV ~ 1 means memoryless (a plain CTMC
+    suffices), CoV >> 1 means bursty dwell (q334's global statistic,
+    resolved per state).
+
+    Determinism: holds are exact integer microseconds from one lag/lead
+    window; moments are exact int64 sums (hold^2 ~ 1e22 for week-long
+    holds... bounded here at ~1e17 by the fixture's horizon; the
+    DECIMAL(38,0) note applies for year-scale holds); std/CoV each use
+    one IEEE sqrt on exact integers, floored.
+
+    Scale posture (100 TB): ONE user-partitioned window pass (the q108
+    primitive) + one map-side-combined hash-agg to the |states| grid."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        F.col("event_type").alias("state"),
+        (F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - us).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull())
+    agg = seq.groupBy("state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hold_us").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(hold_us AS DECIMAL(38,0)) * hold_us")).alias("s2"),
+        F.max("hold_us").cast("bigint").alias("max_us"),
+    )
+    return agg.select(
+        F.col("state").alias("event_type"),
+        "n",
+        F.expr("s1 div n").cast("bigint").alias("mean_hold_us"),
+        F.expr(
+            "CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n) AS BIGINT)"
+        ).alias("std_hold_us"),
+        F.col("max_us").alias("max_hold_us"),
+        F.expr("3600000000 * n div s1").cast("bigint").alias("exp_rate_per_hour"),
+        F.expr(
+            "CAST(floor(1000.0 * sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / s1) AS BIGINT)"
+        ).alias("cov_milli"),
+    ).orderBy("event_type")

@@ -1360,3 +1360,84 @@ def candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_columns")
     )
+
+
+# ---- q512: per-user behavioral entropy ----------------------------------------
+
+
+@query(
+    "q512_behavior_entropy",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS c
+      FROM events GROUP BY 1, 2
+    ),
+    per_user AS (
+      -- H = ln(n) - (1/n) * sum c*ln(c), in integer micro-nats: every ln
+      -- sees an integer (q151 discipline); the per-user division truncates
+      SELECT user_id,
+             sum(c)::BIGINT AS n,
+             count(*)::BIGINT AS n_types,
+             (CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)
+              - sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+                // sum(c))::BIGINT AS h_mu
+      FROM cell GROUP BY user_id
+    )
+    SELECT user_id % 10 AS cohort,
+           count(*)::BIGINT AS n_users,
+           (sum(h_mu) // count(*))::BIGINT AS mean_entropy_mu,
+           min(h_mu)::BIGINT AS min_entropy_mu,
+           max(h_mu)::BIGINT AS max_entropy_mu,
+           sum(CASE WHEN n_types = 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_single_type_users
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+    tags=("profiling", "entropy", "behavior", "predictability"),
+)
+def behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral entropy — the predictability feature behind
+    churn/bot scoring: the Shannon entropy of each user's event-type
+    mix, H = ln n - (1/n) * sum c_i ln c_i, rolled up per cohort. A
+    bot replaying one action has H = 0; a user exercising the whole
+    surface approaches ln(5). q154 scores CHARACTER-level degeneracy of
+    text; this scores ACTION-level degeneracy of behavior — the
+    feature q164's anomaly flags and q264's DSIR selection can consume
+    directly.
+
+    Determinism: the c*ln(c) identity keeps every transcendental on an
+    INTEGER argument (the q151/q412 micro-nat discipline); per-user H
+    is an exact integer rational with one truncating division; cohort
+    rollups are exact int64.
+
+    Scale posture (100 TB): one hash-agg to the (user, type) grid, one
+    to users, one to the 10-row cohort grid — all map-side combined; no
+    window, no join."""
+    cell = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_user = cell.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.expr(
+            "CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))"
+            "   div sum(c)"
+        )
+        .cast("bigint")
+        .alias("h_mu"),
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.expr("sum(h_mu) div count(1)").cast("bigint").alias("mean_entropy_mu"),
+            F.min("h_mu").cast("bigint").alias("min_entropy_mu"),
+            F.max("h_mu").cast("bigint").alias("max_entropy_mu"),
+            F.sum(F.expr("CASE WHEN n_types = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_single_type_users"),
+        )
+        .orderBy("cohort")
+    )

@@ -3164,3 +3164,17 @@ def test_duplicate_payment_customer_blocked(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q510_duplicate_payment_scan")
     assert not facts.has_cartesian
     assert "SortMergeJoin" in facts.text or "BroadcastHashJoin" in facts.text
+
+
+def test_semimarkov_one_window_one_agg(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q511_semimarkov_holding_times")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.has_partial_agg
+
+
+def test_behavior_entropy_agg_cascade_no_window(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q512_behavior_entropy")
+    assert not facts.has_cartesian
+    assert "Window" not in facts.text
+    assert facts.has_partial_agg
