@@ -1202,3 +1202,101 @@ def lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands", "s_bp")
     )
+
+
+# ---- q513: near-dup ensemble Venn audit ----------------------------------------
+
+
+def _dedup_venn_oracle() -> str:
+    """q513's oracle splices the three REGISTERED pair-finder oracles
+    (q68 exact-Jaccard, q69 MinHash-LSH, q70 SimHash) verbatim — the
+    q409/q492 registry-splice pattern — so the audited finders can never
+    drift from the ones shipped."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    q68 = REGISTRY["q68_ngram_jaccard_pairs"].oracle
+    q69 = REGISTRY["q69_minhash_lsh_pairs"].oracle
+    q70 = REGISTRY["q70_simhash_pairs"].oracle
+    return f"""
+    WITH exact_p AS (SELECT doc_a, doc_b FROM ({q68})),
+    minhash_p AS (SELECT doc_a, doc_b FROM ({q69})),
+    simhash_p AS (SELECT doc_a, doc_b FROM ({q70})),
+    all_p AS (
+      SELECT doc_a, doc_b FROM exact_p
+      UNION SELECT doc_a, doc_b FROM minhash_p
+      UNION SELECT doc_a, doc_b FROM simhash_p
+    ),
+    flagged AS (
+      SELECT a.doc_a, a.doc_b,
+             CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+             CASE WHEN m.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_minhash,
+             CASE WHEN s.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_simhash
+      FROM all_p a
+      LEFT JOIN exact_p e ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b
+      LEFT JOIN minhash_p m ON m.doc_a = a.doc_a AND m.doc_b = a.doc_b
+      LEFT JOIN simhash_p s ON s.doc_a = a.doc_a AND s.doc_b = a.doc_b
+    )
+    SELECT in_exact, in_minhash, in_simhash,
+           count(*)::BIGINT AS n_pairs
+    FROM flagged
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """
+
+
+@query(
+    "q513_dedup_ensemble_venn",
+    oracle=_dedup_venn_oracle(),
+    tags=("dedup", "ensemble", "venn", "audit"),
+)
+def dedup_ensemble_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate ensemble Venn audit — the capstone comparison of
+    the three shipped pair finders on the same corpus: exact n-gram
+    Jaccard (q68, the truth at tau = 0.5), MinHash-LSH (q69, the
+    sketch), and SimHash (q70, the bitwise sketch). Each discovered
+    pair is placed in its Venn region; the region counts ARE the
+    operating characteristics — exact-only mass is the sketches' missed
+    recall, sketch-only mass is their different similarity notion
+    (SimHash weights term frequency; Jaccard does not). This is how a
+    dedup platform decides which tier to trust at which threshold
+    (the q492 estimator-audit discipline raised to the whole family).
+
+    Determinism: every leg is the registered finder verbatim (registry
+    splice on the oracle side, direct function composition on the Spark
+    side); region assignment is exact key joins; counts are int64.
+
+    Scale posture (100 TB): each finder is already blocked/bucketed
+    (lang blocks, LSH bands, signature chunks); the Venn overlay is
+    three equi-joins on normalized (doc_a, doc_b) keys over pair sets
+    that are tiny relative to the corpus."""
+    exact_p = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    minhash_p = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    simhash_p = simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    all_p = (
+        exact_p.unionByName(minhash_p).unionByName(simhash_p).distinct()
+    )
+    flagged = (
+        all_p.join(
+            exact_p.withColumn("in_exact", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
+        .join(
+            minhash_p.withColumn("in_minhash", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .join(
+            simhash_p.withColumn("in_simhash", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "left",
+        )
+        .select(
+            F.coalesce("in_exact", F.lit(0)).alias("in_exact"),
+            F.coalesce("in_minhash", F.lit(0)).alias("in_minhash"),
+            F.coalesce("in_simhash", F.lit(0)).alias("in_simhash"),
+        )
+    )
+    return (
+        flagged.groupBy("in_exact", "in_minhash", "in_simhash")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("in_exact", "in_minhash", "in_simhash")
+    )

@@ -3178,3 +3178,9 @@ def test_behavior_entropy_agg_cascade_no_window(spark, sf_dir):
     assert not facts.has_cartesian
     assert "Window" not in facts.text
     assert facts.has_partial_agg
+
+
+def test_dedup_venn_no_cartesian_overlay(spark, sf_dir):
+    # three bucketed finders + equi-join overlay: still zero cartesian
+    facts = audit_of(spark, sf_dir, "q513_dedup_ensemble_venn")
+    assert not facts.has_cartesian
