@@ -338,6 +338,8 @@ HEADLINE = [
     "q510_duplicate_payment_scan",
     "q511_semimarkov_holding_times",
     "q512_behavior_entropy",
+    "q513_dedup_ensemble_venn",
+    "q514_subject_access_report",
     # (q506 Markov stationary joins the iterative family below: its cost
     # is 15 chained grid-join rounds, not per-operator signal)
     # (q428 Markov removal attribution and q434 PPR join the excluded

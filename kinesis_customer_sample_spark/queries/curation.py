@@ -1714,3 +1714,112 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 2).alias("weight"),
         "key_nano",
     )
+
+
+# ---- q514: data-subject access report (DSAR) -----------------------------------
+_DSAR_MOD = 997  # deterministic subject sample: custkey % 997 == 0
+
+
+@query(
+    "q514_subject_access_report",
+    oracle=f"""
+    WITH subjects AS (
+      SELECT c_custkey AS subject_id FROM customer
+      WHERE c_custkey % {_DSAR_MOD} = 0
+    ),
+    o AS (
+      SELECT o_custkey AS subject_id, count(*)::BIGINT AS n,
+             min(o_orderdate) AS first_ts, max(o_orderdate) AS last_ts
+      FROM orders JOIN subjects ON subject_id = o_custkey GROUP BY 1
+    ),
+    l AS (
+      SELECT o.o_custkey AS subject_id, count(*)::BIGINT AS n,
+             min(o.o_orderdate) AS first_ts, max(o.o_orderdate) AS last_ts
+      FROM lineitem li
+      JOIN orders o ON o.o_orderkey = li.l_orderkey
+      JOIN subjects s ON s.subject_id = o.o_custkey
+      GROUP BY 1
+    ),
+    e AS (
+      SELECT user_id AS subject_id, count(*)::BIGINT AS n,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events JOIN subjects ON subject_id = user_id GROUP BY 1
+    )
+    SELECT s.subject_id, t.tbl, coalesce(t.n, 0) AS n_rows,
+           CAST(t.first_ts AS DATE) AS first_seen,
+           CAST(t.last_ts AS DATE) AS last_seen
+    FROM subjects s
+    JOIN (
+      SELECT 'orders' AS tbl, * FROM o
+      UNION ALL SELECT 'lineitem', * FROM l
+      UNION ALL SELECT 'events', * FROM e
+    ) t ON t.subject_id = s.subject_id
+    ORDER BY s.subject_id, t.tbl
+    """,
+    tags=("compliance", "dsar", "federated", "governance"),
+)
+def subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-subject access report (GDPR Art. 15 / CCPA) — for each
+    subject in the request batch, every table holding their data with
+    row counts and first/last-seen dates. The access-side companion of
+    q411's forget-me DELETION propagation: same subject keys, same
+    table graph (lineitem reached through its orders foreign key), but
+    read-only evidence instead of tombstones. The request batch is a
+    deterministic key sample standing in for the day's DSAR queue.
+
+    Determinism: subject selection is exact modular arithmetic; counts
+    and date bounds are exact aggregates.
+
+    Scale posture (100 TB): the subject batch is broadcast to every
+    table scan (semi-join pushdown — each scan filters before any
+    shuffle); per-table evidence is one hash-agg at subject grain; the
+    report union is batch-sized. Adding a table = one more broadcast
+    leg, never a new full-corpus pass."""
+    subjects = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % _DSAR_MOD == 0)
+        .select(F.col("c_custkey").alias("subject_id"))
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .join(subjects, F.col("o_custkey") == F.col("subject_id"))
+        .groupBy("subject_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderdate").cast("date").alias("first_seen"),
+            F.max("o_orderdate").cast("date").alias("last_seen"),
+        )
+        .select(F.lit("orders").alias("tbl"), "subject_id", "n_rows", "first_seen", "last_seen")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(subjects, F.col("o_custkey") == F.col("subject_id"))
+        .groupBy("subject_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderdate").cast("date").alias("first_seen"),
+            F.max("o_orderdate").cast("date").alias("last_seen"),
+        )
+        .select(F.lit("lineitem").alias("tbl"), "subject_id", "n_rows", "first_seen", "last_seen")
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .join(subjects, F.col("user_id") == F.col("subject_id"))
+        .groupBy("subject_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("ts").cast("date").alias("first_seen"),
+            F.max("ts").cast("date").alias("last_seen"),
+        )
+        .select(F.lit("events").alias("tbl"), "subject_id", "n_rows", "first_seen", "last_seen")
+    )
+    return (
+        o.unionByName(li)
+        .unionByName(e)
+        .select("subject_id", "tbl", "n_rows", "first_seen", "last_seen")
+        .orderBy("subject_id", "tbl")
+    )

@@ -3184,3 +3184,11 @@ def test_dedup_venn_no_cartesian_overlay(spark, sf_dir):
     # three bucketed finders + equi-join overlay: still zero cartesian
     facts = audit_of(spark, sf_dir, "q513_dedup_ensemble_venn")
     assert not facts.has_cartesian
+
+
+def test_dsar_broadcast_semijoin_every_leg(spark, sf_dir):
+    # the subject batch must broadcast into every table leg (never a
+    # shuffled join against a fact table)
+    facts = audit_of(spark, sf_dir, "q514_subject_access_report")
+    assert not facts.has_cartesian
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
