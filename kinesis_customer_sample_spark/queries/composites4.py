@@ -1499,3 +1499,112 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY part_key
         """
     )
+
+
+# ---- q515: SCD2 as-of snapshot matrix ------------------------------------------
+_AOM_CHECKPOINTS = ("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+
+
+@query(
+    "q515_asof_snapshot_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w != event_type
+                  THEN 1 ELSE 0 END AS is_change
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    v AS (
+      SELECT *, sum(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS version_seq
+      FROM g
+    ),
+    runs AS (
+      SELECT user_id, version_seq, min(event_type) AS state,
+             min(epoch_us(ts))::BIGINT AS valid_from_us
+      FROM v GROUP BY user_id, version_seq
+    ),
+    hist AS (
+      SELECT user_id, state, valid_from_us,
+             lead(valid_from_us) OVER (PARTITION BY user_id
+                                       ORDER BY version_seq) AS valid_to_us
+      FROM runs
+    ),
+    cks AS (
+      SELECT unnest([{", ".join("DATE '" + d + "'" for d in _AOM_CHECKPOINTS)}])
+        AS ck
+    )
+    SELECT c.ck AS as_of, h.state,
+           count(*)::BIGINT AS n_users
+    FROM hist h JOIN cks c
+      ON h.valid_from_us <= epoch_us(CAST(c.ck AS TIMESTAMP))
+     AND (h.valid_to_us IS NULL
+          OR h.valid_to_us > epoch_us(CAST(c.ck AS TIMESTAMP)))
+    GROUP BY c.ck, h.state
+    ORDER BY as_of, state
+    """,
+    tags=("warehouse", "scd2", "as-of", "time-travel"),
+)
+def asof_snapshot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF snapshot matrix — q118's SCD2 history queried at FOUR
+    checkpoints in one pass: how many users were in each state as of
+    each date? This is the time-travel report a dimension owner runs
+    after every backfill ('did the restatement change history?') and
+    the batch analogue of q318's manifest snapshots — there the FILES
+    time-travel, here the ROWS do, via [valid_from, valid_to) interval
+    semantics. One history build serves all checkpoints; a naive
+    implementation re-runs the dimension query per date.
+
+    Determinism: validity bounds are exact integer microseconds (q118's
+    build verbatim); checkpoint membership is integer interval algebra;
+    counts are exact.
+
+    Scale posture (100 TB): the SCD2 build is q118's one-shuffle shape;
+    the checkpoint overlay is a broadcast nested-loop against a 4-row
+    literal grid with interval predicates — per-version work is O(|cks|)
+    and the result is |cks| x |states| rows."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag("event_type").over(w)
+    is_change = F.when(
+        prev.isNull() | (prev != F.col("event_type")), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.withColumn("is_change", is_change)
+        .withColumn(
+            "version_seq",
+            F.sum("is_change")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "version_seq")
+        .agg(
+            F.min("event_type").alias("state"),
+            F.min(us).cast("bigint").alias("valid_from_us"),
+        )
+    )
+    hist = runs.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us")
+        .over(W.partitionBy("user_id").orderBy("version_seq"))
+        .alias("valid_to_us"),
+    )
+    cks = spark.createDataFrame(
+        [(d,) for d in _AOM_CHECKPOINTS], "ck string"
+    ).select(F.col("ck").cast("date").alias("ck"))
+    ck_us = F.unix_micros(F.col("ck").cast("timestamp"))
+    return (
+        hist.join(
+            F.broadcast(cks),
+            (F.col("valid_from_us") <= ck_us)
+            & (F.col("valid_to_us").isNull() | (F.col("valid_to_us") > ck_us)),
+        )
+        .groupBy(F.col("ck").alias("as_of"), "state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("as_of", "state")
+    )

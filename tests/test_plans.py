@@ -3192,3 +3192,9 @@ def test_dsar_broadcast_semijoin_every_leg(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q514_subject_access_report")
     assert not facts.has_cartesian
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 3
+
+
+def test_asof_matrix_single_history_build(spark, sf_dir):
+    # one SCD2 build serves all checkpoints: exactly one fact scan
+    facts = audit_of(spark, sf_dir, "q515_asof_snapshot_matrix")
+    assert len(re.findall(r"\(\d+\) Scan parquet", facts.text)) == 1
