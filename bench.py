@@ -341,6 +341,7 @@ HEADLINE = [
     "q513_dedup_ensemble_venn",
     "q514_subject_access_report",
     "q515_asof_snapshot_matrix",
+    "q516_funnel_wilson",
     # (q506 Markov stationary joins the iterative family below: its cost
     # is 15 chained grid-join rounds, not per-operator signal)
     # (q428 Markov removal attribution and q434 PPR join the excluded

@@ -877,3 +877,113 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---- q516: funnel with per-step Wilson intervals -------------------------------
+# every operand widens to DOUBLE explicitly: a bare `x + 1.9208` is
+# DECIMAL arithmetic in DuckDB (the q454/q493 literal trap)
+_FW_WILSON_LO = (
+    "CAST(floor(1000000.0 * ((CAST(x AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)"
+    " - 1.96 * sqrt((x * (n - x)) / CAST(n AS DOUBLE) + 0.9604)"
+    "   / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT)"
+)
+_FW_WILSON_HI = (
+    "CAST(floor(1000000.0 * ((CAST(x AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)"
+    " + 1.96 * sqrt((x * (n - x)) / CAST(n AS DOUBLE) + 0.9604)"
+    "   / (CAST(n AS DOUBLE) + 3.8416))) AS BIGINT)"
+)
+
+
+@query(
+    "q516_funnel_wilson",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_v,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_p
+      FROM events GROUP BY user_id
+    ),
+    reach AS (
+      SELECT count(*)::BIGINT AS n_users,
+             sum(CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS s1,
+             sum(CASE WHEN t_v IS NOT NULL AND t_c > t_v
+                      THEN 1 ELSE 0 END)::BIGINT AS s2,
+             sum(CASE WHEN t_v IS NOT NULL AND t_c > t_v AND t_p > t_c
+                      THEN 1 ELSE 0 END)::BIGINT AS s3
+      FROM per_user
+    ),
+    steps AS (
+      SELECT 1 AS step, 'any -> view' AS transition, n_users AS n, s1 AS x
+      FROM reach
+      UNION ALL SELECT 2, 'view -> click', s1, s2 FROM reach
+      UNION ALL SELECT 3, 'click -> purchase', s2, s3 FROM reach
+    )
+    SELECT step::BIGINT AS step, transition, n AS n_denom, x AS n_conv,
+           (x * 10000 // n)::BIGINT AS rate_bp,
+           {_FW_WILSON_LO} AS wilson_lo_mu,
+           {_FW_WILSON_HI} AS wilson_hi_mu
+    FROM steps ORDER BY step
+    """,
+    tags=("funnel", "wilson", "uncertainty", "composite"),
+)
+def funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel with per-step Wilson intervals — the uncertainty-aware
+    funnel report: first-occurrence ordering (first view before first
+    click before first purchase — the strict simplified funnel,
+    documented; q132 matches arbitrary subsequences) gives per-step
+    reach, and each step's conversion gets the 95% Wilson bound (q249's
+    formula) — so a dashboard can say whether step-2's dip is signal or
+    small-sample noise. Composite of the q132-family reach semantics
+    and q249's interval, emitted as the single artifact PMs consume.
+
+    Determinism: reach counts are exact integers from one hash-agg; the
+    Wilson bounds use the shared floor(x*1e6) quantization (the r7
+    round() hazard discipline) around one IEEE sqrt on exact integers.
+
+    Scale posture (100 TB): ONE per-user hash-agg (map-side combined,
+    three conditional mins), one 1-row reduction, a 3-row projection."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.expr("CASE WHEN event_type = 'view' THEN ts END")).alias("t_v"),
+            F.min(F.expr("CASE WHEN event_type = 'click' THEN ts END")).alias("t_c"),
+            F.min(F.expr("CASE WHEN event_type = 'purchase' THEN ts END")).alias(
+                "t_p"
+            ),
+        )
+    )
+    reach = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.expr("CASE WHEN t_v IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.expr("CASE WHEN t_v IS NOT NULL AND t_c > t_v THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(
+            F.expr(
+                "CASE WHEN t_v IS NOT NULL AND t_c > t_v AND t_p > t_c THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("s3"),
+    )
+    steps = reach.select(
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), 'any -> view', n_users, s1,"
+            " CAST(2 AS BIGINT), 'view -> click', s1, s2,"
+            " CAST(3 AS BIGINT), 'click -> purchase', s2, s3)"
+            " AS (step, transition, n, x)"
+        )
+    )
+    return steps.select(
+        "step",
+        "transition",
+        F.col("n").alias("n_denom"),
+        F.col("x").alias("n_conv"),
+        F.expr("x * 10000 div n").cast("bigint").alias("rate_bp"),
+        F.expr(_FW_WILSON_LO).alias("wilson_lo_mu"),
+        F.expr(_FW_WILSON_HI).alias("wilson_hi_mu"),
+    ).orderBy("step")

@@ -3198,3 +3198,10 @@ def test_asof_matrix_single_history_build(spark, sf_dir):
     # one SCD2 build serves all checkpoints: exactly one fact scan
     facts = audit_of(spark, sf_dir, "q515_asof_snapshot_matrix")
     assert len(re.findall(r"\(\d+\) Scan parquet", facts.text)) == 1
+
+
+def test_funnel_wilson_single_pass(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q516_funnel_wilson")
+    assert not facts.has_cartesian
+    assert facts.has_partial_agg
+    assert len(re.findall(r"\(\d+\) Scan parquet", facts.text)) == 1
