@@ -338,12 +338,14 @@ HEADLINE = [
     "q510_duplicate_payment_scan",
     "q511_semimarkov_holding_times",
     "q512_behavior_entropy",
-    "q513_dedup_ensemble_venn",
     "q514_subject_access_report",
     "q515_asof_snapshot_matrix",
     "q516_funnel_wilson",
     # (q506 Markov stationary joins the iterative family below: its cost
     # is 15 chained grid-join rounds, not per-operator signal)
+    # (q513 ensemble Venn is a composite that RUNS the full q68+q69+q70
+    # chains — its 9.3 s at sf0.1 is the sum of three finders, not one
+    # operator; each finder is benched individually)
     # (q428 Markov removal attribution and q434 PPR join the excluded
     # iterative family — localCheckpoint rounds dominate wall time)
     # (q339 streaming SPRT joins the excluded streaming-E2E family: its

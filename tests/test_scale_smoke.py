@@ -1234,3 +1234,56 @@ def test_kalman_state_survives_batch_splits_at_2m_rows(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert split == base
     out.unpersist()
+
+
+def test_littles_law_identity_at_5m_events(spark):
+    """q507's closed-form boundary integral must equal the interval-sum
+    exactly on 5M synthetic intervals — the identity is integer-exact at
+    any scale, so a single mismatch flags broken bookkeeping."""
+    n = 5_000_000
+    spans = spark.range(n).select(
+        (F.col("id") * 37 % 1_000_000_000).alias("s"),
+        (F.col("id") * 37 % 1_000_000_000 + (F.col("id") * 13 % 86_400)).alias("e"),
+    )
+    win = spans.agg(F.min("s").alias("t0"), F.max("e").alias("t1"))
+    row = (
+        spans.crossJoin(F.broadcast(win))
+        .agg(
+            F.sum(F.expr("e - s")).alias("dur"),
+            F.sum(F.expr("(t1 - s) - (t1 - e)")).alias("integral"),
+        )
+        .collect()[0]
+    )
+    assert row["integral"] == row["dur"]
+
+
+def test_behavior_entropy_bounds_at_5m_rows(spark):
+    """q512's per-key entropy at 5M rows / 250k keys: H is bounded by
+    [0, ln(n_types)] in micro-nats (floor slack ≤ 1µ per term), and
+    single-type keys report exactly 0."""
+    n, keys = 5_000_000, 250_000
+    cell = (
+        spark.range(n)
+        .select(
+            (F.col("id") % keys).alias("k"),
+            (F.col("id") % 7).alias("t"),
+        )
+        .groupBy("k", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    per_key = cell.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.expr(
+            "CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))"
+            "   div sum(c)"
+        ).alias("h_mu"),
+    )
+    import math
+
+    lim = int(math.log(7) * 1_000_000) + 2
+    bad = per_key.filter(
+        (F.col("h_mu") < -2) | (F.col("h_mu") > lim)
+        | ((F.col("n_types") == 1) & (F.col("h_mu") > 1))
+    ).count()
+    assert bad == 0
