@@ -521,3 +521,105 @@ def sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n) AS BIGINT)"
         ).alias("vol_ppm"),
     ).orderBy("o_orderpriority")
+
+
+# ---- q517: engine self-certification scorecard ---------------------------------
+
+
+def _selfcert_oracle() -> str:
+    """q517's oracle splices the four REGISTERED self-certifying audits
+    (q483 MV rewrite, q495 Luhn, q507 Little's law, q508 reconciliation)
+    and reduces each to (audit, n_rows, n_pass) — the q400/q458/q513
+    registry-splice discipline."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    mv = REGISTRY["q483_mv_rewrite_audit"].oracle
+    luhn = REGISTRY["q495_luhn_checksum_audit"].oracle
+    little = REGISTRY["q507_littles_law_audit"].oracle
+    recon = REGISTRY["q508_financial_reconciliation"].oracle
+    return f"""
+    WITH mv AS ({mv}), luhn AS ({luhn}), little AS ({little}),
+    recon AS ({recon}),
+    legs AS (
+      SELECT 'mv_rewrite' AS audit, count(*)::BIGINT AS n_rows,
+             sum(rewrite_ok)::BIGINT AS n_pass FROM mv
+      UNION ALL
+      SELECT 'luhn_contract', count(*)::BIGINT,
+             sum(audit_exact)::BIGINT FROM luhn
+      UNION ALL
+      SELECT 'littles_law', count(*)::BIGINT,
+             sum(identity_ok)::BIGINT FROM little
+      UNION ALL
+      SELECT 'financial_recon', count(*)::BIGINT,
+             sum(CASE WHEN n_within_rounding = n_orders THEN 1 ELSE 0 END)::BIGINT
+        FROM recon
+    )
+    SELECT audit, n_rows, n_pass,
+           CASE WHEN n_pass = n_rows THEN 1 ELSE 0 END AS all_green
+    FROM legs ORDER BY audit
+    """
+
+
+@query(
+    "q517_selfcert_scorecard",
+    oracle=_selfcert_oracle(),
+    tags=("capstone", "self-certification", "audit", "governance"),
+)
+def selfcert_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine self-certification scorecard — the closing artifact of the
+    audit family: every operator that proves an internal identity (the
+    MV rollup-rewrite equivalence q483, the Luhn catch-exactly-the-
+    corrupted contract q495, the Little's-law bookkeeping identity
+    q507, and the header-vs-lines financial reconciliation q508 at the
+    per-line-rounding tolerance) reduced to one (audit, rows, passes,
+    all_green) table. A platform publishes this per release: if any
+    all_green drops to 0, an internal invariant — not merely a data
+    expectation — broke. Composed THROUGH the registry (functions on
+    the Spark side, spliced SQL on the oracle side, the q400/q458
+    discipline), so the scorecard can never drift from the audits it
+    summarizes.
+
+    Scale posture: cost = the composed audits' own postures (each is
+    one-to-two hash-aggs); the scorecard itself is a 4-row union."""
+    from kinesis_customer_sample_spark.registry import REGISTRY
+
+    mv = REGISTRY["q483_mv_rewrite_audit"].fn(spark, sf_dir)
+    luhn = REGISTRY["q495_luhn_checksum_audit"].fn(spark, sf_dir)
+    little = REGISTRY["q507_littles_law_audit"].fn(spark, sf_dir)
+    recon = REGISTRY["q508_financial_reconciliation"].fn(spark, sf_dir)
+    legs = (
+        mv.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("rewrite_ok").cast("bigint").alias("n_pass"),
+        ).select(F.lit("mv_rewrite").alias("audit"), "n_rows", "n_pass")
+        .unionByName(
+            luhn.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("audit_exact").cast("bigint").alias("n_pass"),
+            ).select(F.lit("luhn_contract").alias("audit"), "n_rows", "n_pass")
+        )
+        .unionByName(
+            little.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("identity_ok").cast("bigint").alias("n_pass"),
+            ).select(F.lit("littles_law").alias("audit"), "n_rows", "n_pass")
+        )
+        .unionByName(
+            recon.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    F.expr(
+                        "CASE WHEN n_within_rounding = n_orders THEN 1 ELSE 0 END"
+                    )
+                )
+                .cast("bigint")
+                .alias("n_pass"),
+            ).select(F.lit("financial_recon").alias("audit"), "n_rows", "n_pass")
+        )
+    )
+    return legs.select(
+        "audit",
+        "n_rows",
+        "n_pass",
+        F.expr("CASE WHEN n_pass = n_rows THEN 1 ELSE 0 END").alias("all_green"),
+    ).orderBy("audit")

@@ -948,3 +948,15 @@ def test_littles_law_identity_holds(spark, sf_dir):
     row = load_registry()["q507_littles_law_audit"].fn(spark, sf_dir).collect()[0]
     assert row["identity_ok"] == 1
     assert row["integral_us"] == row["total_dur_us"]
+
+
+def test_selfcert_scorecard_all_green(spark, sf_dir):
+    """q517: every self-certifying audit must be all-green on the fixture
+    — a red row means an internal engine invariant broke."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    out = load_registry()["q517_selfcert_scorecard"].fn(spark, sf_dir)
+    assert out.filter(F.col("all_green") != 1).count() == 0
+    assert out.count() == 4
