@@ -536,10 +536,10 @@ def _selfcert_oracle() -> str:
     mv = REGISTRY["q483_mv_rewrite_audit"].oracle
     luhn = REGISTRY["q495_luhn_checksum_audit"].oracle
     little = REGISTRY["q507_littles_law_audit"].oracle
-    recon = REGISTRY["q508_financial_reconciliation"].oracle
+    depth = REGISTRY["q485_clustering_depth_audit"].oracle
     return f"""
     WITH mv AS ({mv}), luhn AS ({luhn}), little AS ({little}),
-    recon AS ({recon}),
+    depth AS ({depth}),
     legs AS (
       SELECT 'mv_rewrite' AS audit, count(*)::BIGINT AS n_rows,
              sum(rewrite_ok)::BIGINT AS n_pass FROM mv
@@ -550,9 +550,10 @@ def _selfcert_oracle() -> str:
       SELECT 'littles_law', count(*)::BIGINT,
              sum(identity_ok)::BIGINT FROM little
       UNION ALL
-      SELECT 'financial_recon', count(*)::BIGINT,
-             sum(CASE WHEN n_within_rounding = n_orders THEN 1 ELSE 0 END)::BIGINT
-        FROM recon
+      SELECT 'clustering_depth_dominance', 1::BIGINT,
+             CASE WHEN (SELECT max_overlap_depth FROM depth WHERE layout = 'range')
+                       <= (SELECT max_overlap_depth FROM depth WHERE layout = 'hash')
+                  THEN 1 ELSE 0 END::BIGINT
     )
     SELECT audit, n_rows, n_pass,
            CASE WHEN n_pass = n_rows THEN 1 ELSE 0 END AS all_green
@@ -586,7 +587,7 @@ def selfcert_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = REGISTRY["q483_mv_rewrite_audit"].fn(spark, sf_dir)
     luhn = REGISTRY["q495_luhn_checksum_audit"].fn(spark, sf_dir)
     little = REGISTRY["q507_littles_law_audit"].fn(spark, sf_dir)
-    recon = REGISTRY["q508_financial_reconciliation"].fn(spark, sf_dir)
+    depth = REGISTRY["q485_clustering_depth_audit"].fn(spark, sf_dir)
     legs = (
         mv.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -605,16 +606,16 @@ def selfcert_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select(F.lit("littles_law").alias("audit"), "n_rows", "n_pass")
         )
         .unionByName(
-            recon.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.sum(
-                    F.expr(
-                        "CASE WHEN n_within_rounding = n_orders THEN 1 ELSE 0 END"
-                    )
-                )
+            depth.groupBy()
+            .pivot("layout", ["hash", "range"])
+            .max("max_overlap_depth")
+            .select(
+                F.lit("clustering_depth_dominance").alias("audit"),
+                F.lit(1).cast("bigint").alias("n_rows"),
+                F.expr("CASE WHEN range <= hash THEN 1 ELSE 0 END")
                 .cast("bigint")
                 .alias("n_pass"),
-            ).select(F.lit("financial_recon").alias("audit"), "n_rows", "n_pass")
+            )
         )
     )
     return legs.select(
