@@ -341,6 +341,8 @@ HEADLINE = [
     "q514_subject_access_report",
     "q515_asof_snapshot_matrix",
     "q516_funnel_wilson",
+    "q519_brier_murphy_decomposition",
+    "q520_decomposition_strength",
     # (q506 Markov stationary joins the iterative family below: its cost
     # is 15 chained grid-join rounds, not per-operator signal)
     # (q513 ensemble Venn is a composite that RUNS the full q68+q69+q70

@@ -836,3 +836,133 @@ def source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- q519: Murphy decomposition of the Brier score -----------------------------
+
+
+@query(
+    "q519_brier_murphy_decomposition",
+    oracle=f"""
+    WITH scored AS (
+      SELECT (label % 2)::BIGINT AS y,
+             least(9999, ((vec_id * {_BRIER_MIX}) % {_BRIER_P}) % 7000
+                          + (label % 2) * 2500)::BIGINT AS p_bp
+      FROM embeddings
+    ),
+    bins AS (
+      SELECT (p_bp // 1000)::BIGINT AS bin,
+             count(*)::BIGINT AS n_k,
+             sum(p_bp)::BIGINT AS sp,
+             sum(p_bp::HUGEINT * p_bp) AS spp,
+             sum(y)::BIGINT AS sy
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT sum(n_k)::BIGINT AS n, sum(sy)::BIGINT AS yy,
+             sum(sp)::BIGINT AS sp_tot, sum(spp) AS spp_tot,
+             (SELECT sum(CASE WHEN y = 1 THEN p_bp ELSE 0 END)::BIGINT
+              FROM scored) AS spy_tot
+      FROM bins
+    )
+    SELECT t.n,
+           round((CAST(t.spp_tot AS DOUBLE) - 20000.0 * t.spy_tot
+                  + 100000000.0 * t.yy) / t.n / 1e8, 6) AS brier,
+           round((SELECT sum((CAST(b.sp AS DOUBLE) - 10000.0 * b.sy)
+                             * (CAST(b.sp AS DOUBLE) - 10000.0 * b.sy) / b.n_k)
+                  FROM bins b) / t.n / 1e8, 6) AS reliability,
+           round((SELECT sum(100000000.0
+                             * (CAST(b.sy AS DOUBLE) * t.n - CAST(t.yy AS DOUBLE) * b.n_k)
+                             * (CAST(b.sy AS DOUBLE) * t.n - CAST(t.yy AS DOUBLE) * b.n_k)
+                             / (CAST(b.n_k AS DOUBLE) * t.n * t.n))
+                  FROM bins b) / t.n / 1e8, 6) AS resolution,
+           round(100000000.0 * t.yy * (t.n - t.yy)
+                 / (CAST(t.n AS DOUBLE) * t.n) / 1e8, 6) AS uncertainty,
+           round((SELECT sum(CAST(b.spp AS DOUBLE)
+                             - CAST(b.sp AS DOUBLE) * b.sp / b.n_k)
+                  FROM bins b) / t.n / 1e8, 6) AS within_bin_var
+    FROM tot t
+    """,
+    tags=("eval", "brier", "murphy-decomposition", "calibration"),
+)
+def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — BS = reliability -
+    resolution + uncertainty + within-bin variance (exact once the
+    within-bin spread term is kept): reliability is what calibration
+    (q304/q421) can fix, resolution is the model's actual skill,
+    uncertainty is the task's irreducible floor. q378 plots the
+    reliability DIAGRAM; this emits the decomposition that says whether
+    retraining (resolution) or recalibrating (reliability) is the right
+    spend. Same deterministic synthetic scorer as q378, so the two
+    reports reconcile bin for bin.
+
+    Determinism: per-bin sufficient statistics (n, sum p, sum p^2 in
+    HUGEINT/DECIMAL, sum y, sum py) are exact integers; each component
+    is one shared double expression over those integers, rounded 6dp.
+
+    Scale posture (100 TB): one map + ONE hash-agg to the 10-bin grid
+    (plus one global pair for sum py); every component is grid algebra
+    over 10 rows."""
+    scored = table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("bigint").alias("y"),
+        F.expr(
+            f"least(9999, ((vec_id * {_BRIER_MIX}) % {_BRIER_P}) % 7000"
+            " + (label % 2) * 2500)"
+        )
+        .cast("bigint")
+        .alias("p_bp"),
+    )
+    bins = scored.groupBy(F.expr("p_bp div 1000").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("p_bp").cast("bigint").alias("sp"),
+        F.sum(F.expr("CAST(p_bp AS DECIMAL(38,0)) * p_bp")).alias("spp"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    spy = scored.agg(
+        F.sum(F.expr("CASE WHEN y = 1 THEN p_bp ELSE 0 END"))
+        .cast("bigint")
+        .alias("spy_tot")
+    )
+    tot = bins.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("yy"),
+        F.sum("spp").alias("spp_tot"),
+    ).crossJoin(F.broadcast(spy))
+    comp = bins.crossJoin(F.broadcast(tot)).agg(
+        F.first("n").alias("n"),
+        F.first("yy").alias("yy"),
+        F.first("spp_tot").alias("spp_tot"),
+        F.first("spy_tot").alias("spy_tot"),
+        F.sum(
+            F.expr(
+                "(CAST(sp AS DOUBLE) - 10000.0 * sy)"
+                " * (CAST(sp AS DOUBLE) - 10000.0 * sy) / n_k"
+            )
+        ).alias("rel_num"),
+        F.sum(
+            F.expr(
+                "100000000.0 * (CAST(sy AS DOUBLE) * n - CAST(yy AS DOUBLE) * n_k)"
+                " * (CAST(sy AS DOUBLE) * n - CAST(yy AS DOUBLE) * n_k)"
+                " / (CAST(n_k AS DOUBLE) * n * n)"
+            )
+        ).alias("res_num"),
+        F.sum(
+            F.expr("CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n_k")
+        ).alias("wbv_num"),
+    )
+    return comp.select(
+        "n",
+        F.round(
+            F.expr(
+                "(CAST(spp_tot AS DOUBLE) - 20000.0 * spy_tot"
+                " + 100000000.0 * yy) / n / 1e8"
+            ),
+            6,
+        ).alias("brier"),
+        F.round(F.expr("rel_num / n / 1e8"), 6).alias("reliability"),
+        F.round(F.expr("res_num / n / 1e8"), 6).alias("resolution"),
+        F.round(
+            F.expr("100000000.0 * yy * (n - yy) / (CAST(n AS DOUBLE) * n) / 1e8"), 6
+        ).alias("uncertainty"),
+        F.round(F.expr("wbv_num / n / 1e8"), 6).alias("within_bin_var"),
+    )

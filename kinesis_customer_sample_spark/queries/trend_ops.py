@@ -1050,3 +1050,149 @@ def spc_residual_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---- q520: seasonal- and trend-strength indices ---------------------------------
+
+
+@query(
+    "q520_decomposition_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, x,
+             sum(x) OVER w AS sum7, count(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    comp0 AS (
+      SELECT event_type, day, isodow(day) AS wd,
+             x * 1000000 AS y_mu,
+             x * 1000000 - (sum7 * 1000000 // 7) AS detr_mu
+      FROM tr WHERE cnt7 = 7
+    ),
+    sraw AS (
+      SELECT event_type, wd,
+             CAST(sum(detr_mu) AS BIGINT) // count(*) AS s_raw_mu
+      FROM comp0 GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT event_type, CAST(sum(s_raw_mu) AS BIGINT) // 7 AS adj_mu
+      FROM sraw GROUP BY event_type
+    ),
+    comp AS (
+      SELECT c.event_type,
+             c.detr_mu - (s.s_raw_mu - a.adj_mu) AS r_mu,
+             c.detr_mu AS sr_mu,
+             c.y_mu - (s.s_raw_mu - a.adj_mu) AS tr_mu
+      FROM comp0 c
+      JOIN sraw s ON s.event_type = c.event_type AND s.wd = c.wd
+      JOIN adj a ON a.event_type = c.event_type
+    ),
+    mom AS (
+      SELECT event_type, count(*)::BIGINT AS n,
+             sum(r_mu)::BIGINT AS s_r, sum(r_mu::HUGEINT * r_mu) AS ss_r,
+             sum(sr_mu)::BIGINT AS s_sr, sum(sr_mu::HUGEINT * sr_mu) AS ss_sr,
+             sum(tr_mu)::BIGINT AS s_tr, sum(tr_mu::HUGEINT * tr_mu) AS ss_tr
+      FROM comp GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(greatest(0.0,
+             1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)
+                   / (CAST(n AS DOUBLE) * ss_sr - CAST(s_sr AS DOUBLE) * s_sr)), 6)
+             AS seasonal_strength,
+           round(greatest(0.0,
+             1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)
+                   / (CAST(n AS DOUBLE) * ss_tr - CAST(s_tr AS DOUBLE) * s_tr)), 6)
+             AS trend_strength
+    FROM mom ORDER BY event_type
+    """,
+    tags=("timeseries", "decomposition", "strength", "stl"),
+)
+def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal- and trend-strength indices (Hyndman's STL features):
+    F_seasonal = max(0, 1 - Var(R)/Var(S+R)) and F_trend = max(0,
+    1 - Var(R)/Var(T+R)) over q479's classical decomposition — the two
+    numbers that summarize a whole decomposition plot, and the standard
+    features a forecast-model router (seasonal-naive vs Holt vs
+    Holt-Winters — q283/q297/q463) branches on. Closes the
+    decomposition family: q479 emits the components, q496 control-charts
+    the residuals, this scores the decomposition itself.
+
+    Determinism: all three component series are exact integer mu-units
+    (q479's build verbatim); variance numerators n*Sxx - Sx^2 accumulate
+    squares in HUGEINT/DECIMAL(38,0); each strength is one shared
+    double expression over those integers with the greatest(0, .) clamp,
+    rounded 6dp.
+
+    Scale posture (100 TB): identical to q479 — bounded (series, day)
+    grid windows, broadcast seasonal joins, one moment hash-agg per
+    series."""
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    comp0 = (
+        daily.select(
+            "event_type",
+            "day",
+            "x",
+            F.sum("x").over(w7).alias("sum7"),
+            F.count(F.lit(1)).over(w7).alias("cnt7"),
+        )
+        .filter(F.col("cnt7") == 7)
+        .select(
+            "event_type",
+            (F.weekday("day") + 1).alias("wd"),
+            F.expr("x * 1000000").alias("y_mu"),
+            F.expr("x * 1000000 - (sum7 * 1000000 div 7)").alias("detr_mu"),
+        )
+    )
+    sraw = comp0.groupBy("event_type", "wd").agg(
+        F.expr("sum(detr_mu) div count(1)").alias("s_raw_mu")
+    )
+    adj = sraw.groupBy("event_type").agg(
+        F.expr("sum(s_raw_mu) div 7").alias("adj_mu")
+    )
+    seas = sraw.join(F.broadcast(adj), "event_type").select(
+        "event_type", "wd", (F.col("s_raw_mu") - F.col("adj_mu")).alias("s_adj_mu")
+    )
+    comp = comp0.join(F.broadcast(seas), ["event_type", "wd"]).select(
+        "event_type",
+        (F.col("detr_mu") - F.col("s_adj_mu")).alias("r_mu"),
+        F.col("detr_mu").alias("sr_mu"),
+        (F.col("y_mu") - F.col("s_adj_mu")).alias("tr_mu"),
+    )
+    mom = comp.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r_mu").cast("bigint").alias("s_r"),
+        F.sum(F.expr("CAST(r_mu AS DECIMAL(38,0)) * r_mu")).alias("ss_r"),
+        F.sum("sr_mu").cast("bigint").alias("s_sr"),
+        F.sum(F.expr("CAST(sr_mu AS DECIMAL(38,0)) * sr_mu")).alias("ss_sr"),
+        F.sum("tr_mu").cast("bigint").alias("s_tr"),
+        F.sum(F.expr("CAST(tr_mu AS DECIMAL(38,0)) * tr_mu")).alias("ss_tr"),
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(
+            F.expr(
+                "greatest(0.0, 1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)"
+                " / (CAST(n AS DOUBLE) * ss_sr - CAST(s_sr AS DOUBLE) * s_sr))"
+            ),
+            6,
+        ).alias("seasonal_strength"),
+        F.round(
+            F.expr(
+                "greatest(0.0, 1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)"
+                " / (CAST(n AS DOUBLE) * ss_tr - CAST(s_tr AS DOUBLE) * s_tr))"
+            ),
+            6,
+        ).alias("trend_strength"),
+    ).orderBy("event_type")

@@ -3205,3 +3205,16 @@ def test_funnel_wilson_single_pass(spark, sf_dir):
     assert not facts.has_cartesian
     assert facts.has_partial_agg
     assert len(re.findall(r"\(\d+\) Scan parquet", facts.text)) == 1
+
+
+def test_murphy_decomposition_bin_grid(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q519_brier_murphy_decomposition")
+    assert not facts.has_cartesian or "BroadcastNestedLoopJoin" in facts.text
+    assert facts.has_partial_agg
+
+
+def test_decomposition_strength_grid_moments(spark, sf_dir):
+    facts = audit_of(spark, sf_dir, "q520_decomposition_strength")
+    assert not facts.has_cartesian
+    assert "No Partition Defined" not in facts.text
+    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
