@@ -678,9 +678,15 @@ _MK_PATH_SQL = """
            FROM s4 s JOIN sedge e ON e.scenario = s.scenario AND e.src = s.node
            GROUP BY 1, 2),
     conv AS (
-      SELECT scenario, coalesce(sum(mass), 0)::BIGINT AS conv_ppm
+      -- conditional agg, NOT a WHERE over the LEFT JOIN: filtering on
+      -- node='CONV' OR node IS NULL would drop a scenario entirely when s5
+      -- has rows for it but no CONV row (conversion unreachable within the
+      -- walk), while the Spark side emits that channel with mass 0 (r7
+      -- ADVICE — latent row-count divergence on degenerate data)
+      SELECT scenario,
+             coalesce(sum(CASE WHEN node = 'CONV' THEN mass END), 0)::BIGINT
+               AS conv_ppm
       FROM scen LEFT JOIN s5 USING (scenario)
-      WHERE node = 'CONV' OR node IS NULL
       GROUP BY scenario
     ),
     eff AS (

@@ -979,19 +979,20 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of q181's user-behavior Markov chain —
     the long-run share of time a user's session spends in each event
     state, the quantity behind steady-state capacity planning and the
-    removal-effect denominators q428 uses. Sixteen power-iteration
-    steps from the uniform vector; on this 5-state ergodic chain the
+    removal-effect denominators q428 uses. Fifteen power-iteration
+    transitions (_SD_ITERS - 1; the 16th "iterate" is the seed vector
+    itself) from the row-sum start; on this 5-state ergodic chain the
     iterate is stationary to well below mu-resolution long before step
-    16.
+    15.
 
     Determinism: the transition counts are exact integers; every step
     is pi'(j) = sum_i pi(i)*n(i,j) div tot(i) — integer multiply +
     truncating div (the tiny mass truncated per step is identical both
-    engines); the oracle replays the identical sixteen steps via a
-    recursive CTE.
+    engines); the oracle replays the identical fifteen transitions as
+    chained CTEs (p1..p15).
 
     Scale posture (100 TB): ONE fact pass builds the |types|^2 count
-    matrix (q181's shape); all sixteen iterations run on that bounded
+    matrix (q181's shape); all fifteen transitions run on that bounded
     grid — 25-row joins, never a fact-sized operation. The iteration
     count is a shared literal, not a convergence loop."""
     ev = table(spark, sf_dir, "events")
@@ -1007,7 +1008,7 @@ def markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rowsum = pairs.groupBy("from_type").agg(F.sum("n").cast("bigint").alias("tot"))
     mat = pairs.join(rowsum, "from_type").select("from_type", "to_type", "n", "tot")
-    mat = mat.localCheckpoint(eager=False)  # 25-row grid, reused 16 times
+    mat = mat.localCheckpoint(eager=False)  # 25-row grid, reused 15 times
     pi = rowsum.select(
         F.col("from_type").alias("state"),
         F.lit(_SD_START_MU).cast("bigint").alias("p_mu"),

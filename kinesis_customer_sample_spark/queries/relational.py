@@ -482,8 +482,8 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_name,
            count(*)::BIGINT AS n_customers,
-           round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
-             AS total_acctbal
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS total_acctbal_cents
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE c_acctbal > 0
     GROUP BY n_name
@@ -498,7 +498,10 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowers it to the identical logical plan as the nested form (same
     broadcast dim join, same partial agg), so this is a front-end
     coverage query: the oracle is plain ANSI SQL and must hash-match,
-    proving pipe-lowered plans compute the same relation."""
+    proving pipe-lowered plans compute the same relation. Output is
+    integer cents (BIGINT) — the earlier `round(cents / 100.0, 2)` shape
+    hash-diverged on the driver's oracle environment at a .xx5-adjacent
+    quotient (round-on-quotient hazard, SCALE.md; r7 red row post-mortem)."""
     from kinesis_customer_sample_spark.catalog import register_views
 
     register_views(spark, sf_dir)
@@ -511,7 +514,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                      sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
            GROUP BY n_name
         |> SELECT n_name, CAST(n_customers AS BIGINT) AS n_customers,
-                  round(cents / 100.0, 2) AS total_acctbal
+                  cents AS total_acctbal_cents
         """
     )
 

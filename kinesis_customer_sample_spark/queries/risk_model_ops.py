@@ -528,9 +528,12 @@ def sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _selfcert_oracle() -> str:
     """q517's oracle splices the four REGISTERED self-certifying audits
-    (q483 MV rewrite, q495 Luhn, q507 Little's law, q508 reconciliation)
-    and reduces each to (audit, n_rows, n_pass) — the q400/q458/q513
-    registry-splice discipline."""
+    (q483 MV rewrite, q495 Luhn, q507 Little's law, q485 clustering-depth
+    dominance) and reduces each to (audit, n_rows, n_pass) — the
+    q400/q458/q513 registry-splice discipline. q508 financial
+    reconciliation was deliberately swapped out for q485 (commit 35a29b3):
+    q508's pass criterion is a per-line-rounding TOLERANCE, not an exact
+    identity, so it doesn't belong in an exact-invariant scorecard."""
     from kinesis_customer_sample_spark.registry import REGISTRY
 
     mv = REGISTRY["q483_mv_rewrite_audit"].oracle
@@ -571,9 +574,11 @@ def selfcert_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit family: every operator that proves an internal identity (the
     MV rollup-rewrite equivalence q483, the Luhn catch-exactly-the-
     corrupted contract q495, the Little's-law bookkeeping identity
-    q507, and the header-vs-lines financial reconciliation q508 at the
-    per-line-rounding tolerance) reduced to one (audit, rows, passes,
-    all_green) table. A platform publishes this per release: if any
+    q507, and the clustering-depth dominance invariant q485 — range
+    layout's max overlap depth never exceeds hash layout's) reduced to
+    one (audit, rows, passes, all_green) table. q508 financial
+    reconciliation is deliberately excluded: its pass criterion is a
+    rounding tolerance, not an exact identity (swap in commit 35a29b3). A platform publishes this per release: if any
     all_green drops to 0, an internal invariant — not merely a data
     expectation — broke. Composed THROUGH the registry (functions on
     the Spark side, spliced SQL on the oracle side, the q400/q458

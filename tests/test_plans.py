@@ -2424,28 +2424,73 @@ def test_ivf_broadcast_centroids_partitioned_rerank(spark, sf_dir):
 
 
 def test_ivf_probe_prunes_candidates(spark, sf_dir):
-    """q430's nprobe cell restriction must actually prune: candidates
-    scored exactly = corpus members of probed cells < nprobe-fraction
-    bound with slack, and recall vs brute force is perfect on the
-    fixture (cells are coarse at this scale)."""
+    """q430's nprobe cell restriction must actually prune: rebuild the
+    cell assignment and probe tables with the query's own geometry and
+    MEASURE the per-query candidate count (probed-cell members); it must
+    stay under corpus * nprobe/ncells with 3x skew slack — i.e. the
+    probe step really touches a fraction of the corpus, not all of it."""
+    from pyspark.sql import Window as W
+
     from kinesis_customer_sample_spark.queries.pq_ann import (
         _IVF_CORP0,
         _IVF_NCELLS,
         _IVF_NPROBE,
+        _IVF_NQ,
     )
 
-    n_corpus = (
-        REGISTRY["q430_ivf_nprobe_ann"]
-        .fn(spark, sf_dir)
-        .sparkSession.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") >= _IVF_CORP0)
-        .count()
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))").alias(
+            "v"
+        ),
     )
-    # probing nprobe of ncells cells must examine fewer candidates than
-    # the whole corpus would cost: the expected fraction is nprobe/ncells;
-    # allow 3x skew slack for uneven cells
-    assert _IVF_NPROBE / _IVF_NCELLS * 3 < 1.0
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < _IVF_NCELLS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        )
+    )
+    l2 = (
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    assign = (
+        e.filter(F.col("vec_id") >= _IVF_CORP0)
+        .crossJoin(cent)
+        .select("vec_id", "cid", F.expr(l2).alias("d"))
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cid"))
+        )
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cid")
+    )
+    probes = (
+        e.filter(
+            (F.col("vec_id") >= _IVF_NCELLS)
+            & (F.col("vec_id") < _IVF_NCELLS + _IVF_NQ)
+        )
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("cv"))
+        .crossJoin(cent.withColumnRenamed("cv", "cv2").withColumnRenamed("cid", "c2"))
+        .select(
+            "qid",
+            F.col("c2").alias("cid"),
+            F.expr(
+                "aggregate(zip_with(cv, cv2, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+            ).alias("d"),
+        )
+        .withColumn(
+            "r", F.row_number().over(W.partitionBy("qid").orderBy("d", "cid"))
+        )
+        .filter(F.col("r") <= _IVF_NPROBE)
+        .select("qid", "cid")
+    )
+    n_corpus = assign.count()
+    n_candidates = probes.join(assign, "cid").count()  # rows reranked by q430
     assert n_corpus > 0
+    bound = _IVF_NQ * n_corpus * (_IVF_NPROBE / _IVF_NCELLS) * 3
+    assert n_candidates < bound, (n_candidates, bound)
+    # and pruning is real: strictly fewer than the brute-force scan
+    assert n_candidates < _IVF_NQ * n_corpus
 
 
 def test_jw_blocked_pairs_broadcast_topk(spark, sf_dir):
