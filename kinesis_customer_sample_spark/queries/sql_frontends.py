@@ -41,8 +41,7 @@ _BAND_LO, _BAND_HI = 15, 35
     )
     SELECT band,
            count(*)::BIGINT AS n_lines,
-           sum(cents)::BIGINT AS revenue_cents,
-           round(sum(cents) / 100.0, 2) AS revenue
+           sum(cents)::BIGINT AS revenue_cents
     FROM t
     GROUP BY band
     """,
@@ -72,9 +71,7 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT qty_band(l_quantity) AS band,
                CAST(count(*) AS BIGINT) AS n_lines,
-               sum(disc_cents(l_extendedprice, l_discount)) AS revenue_cents,
-               round(sum(disc_cents(l_extendedprice, l_discount)) / 100.0, 2)
-                 AS revenue
+               sum(disc_cents(l_extendedprice, l_discount)) AS revenue_cents
         FROM lineitem
         WHERE l_returnflag <> 'R'
         GROUP BY qty_band(l_quantity)
@@ -150,9 +147,9 @@ def session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY prio_yr, o_orderpriority, yr
     )
     SELECT prio_yr, o_orderpriority, yr, n_orders,
-           round(cents / 100.0, 2) AS total
+           cents AS total_cents
     FROM g
-    ORDER BY prio_yr, o_orderpriority, yr, n_orders, total
+    ORDER BY prio_yr, o_orderpriority, yr, n_orders, total_cents
     """,
     tags=("sql", "group-by-all", "star-except", "lateral-alias", "frontend"),
 )
@@ -160,8 +157,9 @@ def modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Modern SQL projection/grouping sugar in one query: a lateral column
     alias (`prio_yr` built from the `yr` alias defined in the same
     SELECT), GROUP BY ALL (group keys inferred from the non-aggregate
-    select list), SELECT * EXCEPT (drop the intermediate cents column),
-    and ORDER BY ALL. All four are analysis-time rewrites — the optimized
+    select list), SELECT * EXCEPT (drop the intermediate cents column,
+    re-emitted as integer total_cents — the round-on-quotient money shape
+    is banned, SCALE.md hazards), and ORDER BY ALL. All four are analysis-time rewrites — the optimized
     plan matches the explicit form (plan test) — so adopting them costs
     nothing at 100 TB. Oracle: the fully explicit equivalent. (Lateral
     aliases may not feed GROUP BY ALL inside the SAME select block —
@@ -170,7 +168,7 @@ def modern_sql_sugar(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, only=("orders",))
     return spark.sql(
         """
-        SELECT * EXCEPT (cents), round(cents / 100.0, 2) AS total
+        SELECT * EXCEPT (cents), cents AS total_cents
         FROM (
           SELECT prio_yr, o_orderpriority, yr,
                  CAST(count(*) AS BIGINT) AS n_orders,
