@@ -36,11 +36,36 @@ TABLES = (
 )
 
 
+# Scan-relation memo: `spark.read.parquet(path)` pays a ~80-100 ms schema-
+# inference round trip (file listing + footer read) EVERY call — a catalog
+# metastore would pay it once and cache the FileIndex (that is what
+# spark.table() against a real catalog does via the relation cache). Keyed
+# by (applicationId, sf_dir, name) so a new session or a different scale
+# directory never sees a stale relation; DataFrames are immutable plans, so
+# sharing one scan relation across queries is free. Measured: q35's build
+# cost (register_views over 10 tables per execution) drops ~0.8 s → ~0 on
+# re-execution, and the 514-query parity sweep saves the footer re-reads
+# wholesale. Fixture directories are read-only, so the cached file listing
+# cannot go stale; clear_table_memo() exists for code that rewrites a
+# fixture path in place (none in-repo today).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_memo() -> None:
+    """Drop all memoized scan relations (use after rewriting a fixture
+    path in place, which nothing in-repo currently does)."""
+    _TABLE_MEMO.clear()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     ensure_engine_conf(spark)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes)["ts"]
@@ -51,6 +76,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         else:  # native timestamp / timestamp_ntz fixture
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    _TABLE_MEMO[key] = df
     return df
 
 

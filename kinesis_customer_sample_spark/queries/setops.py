@@ -170,7 +170,7 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority query (TPC-H Q3 shape) via the spark.sql entry point
     over registered views — same Catalyst plan as the DataFrame API."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "orders", "lineitem"))
     return spark.sql(
         """
         SELECT o_orderkey,
