@@ -59,6 +59,29 @@ PARTIAL_AGG = [
     "q279_calibration_bins",
     "q284_k_anonymity_audit",
     "q45_fn_map_struct",  # explodes then aggregates — the agg is the point
+    # batch 2 (shapes probed before listing: every entry measured
+    # partial=True at sf0.001)
+    "q04_conditional_case",
+    "q31_union_all",
+    "q44_fn_explode",
+    "q62_tfidf_top_terms",
+    "q63_lang_id_heuristic",
+    "q76_timeseries_similarity",
+    "q83_lexicon_sentiment",
+    "q85_variant_json",
+    "q86_salted_skew_agg",  # salt stage + final: partial combine is the point
+    "q87_setops_all_variants",
+    "q88_except_all",
+    "q95_pivot",
+    "q100_stratified_sample",
+    "q101_priority_routing",
+    "q127_unpivot_measures",
+    "q169_listagg_sorted",
+    "q208_chunk_mean_pooling",
+    "q211_histogram_merge_quantiles",
+    "q223_linear_interpolation",
+    "q239_event_runs_rle",
+    "q256_sliding_distinct_bitmap",
 ]
 
 # join-shaped: candidate generation is blocked/bucketed by construction and
@@ -105,6 +128,11 @@ NO_CARTESIAN = [
     "q283_seasonal_naive_backtest",
     "q318_snapshot_time_travel",
     "q391_join_strategy_advisor",
+    # batch 2: set-op / join-backed queries (intersect/except compile to
+    # semi/anti joins; the TF-IDF and confusion-matrix queries carry
+    # broadcast joins)
+    "q33_intersect",
+    "q34_except",
 ]
 
 # filter-first scans: the predicate must reach the parquet reader.
@@ -117,6 +145,21 @@ PUSHDOWN = [
 # second exchange would mean an accidental re-partition of the scored rows.
 SINGLE_EXCHANGE = [
     "q64_quality_score",
+    # batch 2: partitioned-window / grouped-map queries — exactly the one
+    # keyed shuffle their semantics require (all measured exch=1, and the
+    # window is partitioned — never a "No Partition Defined" global sort)
+    "q24_win_ranking",
+    "q25_win_lag_lead",
+    "q26_win_frames",
+    "q27_win_latest_state",
+    "q28_win_topk_per_group",
+    "q47_contentops_latest_state",
+    "q60_text_tokenize",
+    "q79_media_frame_sample",
+    "q84_pandas_centroid_udaf",
+    "q130_win_distribution",
+    "q185_group_cap_sample",
+    "q291_arrow_map_bytes",
 ]
 
 # pure scalar-function / filter pipelines: map-only, zero exchanges.
@@ -133,6 +176,18 @@ MAP_ONLY = [
     "q65_token_count_regex",
     "q66_doc_fingerprint",
     "q290_observed_metrics",
+    # batch 2 (all measured exch=0 at sf0.001; q77's single join is a
+    # zero-exchange broadcast, q29's top-k is TakeOrderedAndProject)
+    "q02_projection_compute",
+    "q29_sort_nulls_limit",
+    "q39_fn_array_higher_order",
+    "q42_fn_hash_portable",
+    "q46_contentops_decode",
+    "q49_contentops_provenance",
+    "q77_multimodal_assembly",
+    "q89_fn_map_json_zip",
+    "q91_deterministic_split",
+    "q134_try_arithmetic",
 ]
 
 
@@ -161,6 +216,9 @@ def test_windowed_screen_single_shuffle(spark, sf_dir, name):
     facts = audit_of(spark, sf_dir, name)
     assert facts.n_exchanges <= 1, (
         f"{name}: windowed screen pays {facts.n_exchanges} exchanges"
+    )
+    assert "No Partition Defined" not in facts.text, (
+        f"{name}: window runs as an unpartitioned global sort"
     )
     assert not facts.has_cartesian
 
