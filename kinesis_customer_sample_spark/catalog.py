@@ -17,6 +17,8 @@ plain cast. Either way the result matches DuckDB's read of the same file.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,16 +41,22 @@ TABLES = (
 # Scan-relation memo: `spark.read.parquet(path)` pays a ~80-100 ms schema-
 # inference round trip (file listing + footer read) EVERY call — a catalog
 # metastore would pay it once and cache the FileIndex (that is what
-# spark.table() against a real catalog does via the relation cache). Keyed
-# by (applicationId, sf_dir, name) so a new session or a different scale
-# directory never sees a stale relation; DataFrames are immutable plans, so
-# sharing one scan relation across queries is free. Measured: q35's build
-# cost (register_views over 10 tables per execution) drops ~0.8 s → ~0 on
-# re-execution, and the 514-query parity sweep saves the footer re-reads
-# wholesale. Fixture directories are read-only, so the cached file listing
-# cannot go stale; clear_table_memo() exists for code that rewrites a
-# fixture path in place (none in-repo today).
-_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# spark.table() against a real catalog does via the relation cache).
+# Keyed per SparkSession OBJECT (WeakKeyDictionary), not per applicationId:
+# spark.newSession() clones share one appId but have separate catalogs, and
+# a DataFrame is bound to the session that built it — an appId key would
+# hand session B a relation whose temp-view registrations land in session
+# A's catalog. The weak keying also means entries die with their session,
+# so stopped/replaced sessions cannot accumulate. DataFrames are immutable
+# plans, so sharing one scan relation within a session is free. Measured:
+# q35's build cost (register_views over 10 tables per execution) drops
+# ~0.8 s → ~0 on re-execution, and the 514-query parity sweep saves the
+# footer re-reads wholesale. Fixture directories are read-only, so the
+# cached file listing cannot go stale; clear_table_memo() exists for code
+# that rewrites a fixture path in place (none in-repo today).
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def clear_table_memo() -> None:
@@ -62,8 +70,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     ensure_engine_conf(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    hit = _TABLE_MEMO.get(key)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    hit = per_session.get((sf_dir, name))
     if hit is not None:
         return hit
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -76,7 +84,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         else:  # native timestamp / timestamp_ntz fixture
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    _TABLE_MEMO[key] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 
@@ -85,9 +93,11 @@ def register_views(
 ) -> None:
     """Register fixture tables as temp views (for spark.sql queries).
 
-    `only` restricts registration to the named tables: each registration
-    re-reads a parquet footer (~60 ms), so a query touching one table
-    should not pay for ten (measured 0.65 s of pure view setup per call
-    at sf0.1 — the dominant cost of the SQL front-end queries)."""
+    `only` restricts registration to the named tables. The scan-relation
+    memo above absorbs the per-table parquet footer read on a warm
+    session, but the FIRST call per (session, sf_dir) still pays ~60 ms
+    per table, and every call pays a createOrReplaceTempView catalog
+    round-trip — so a query touching one table should still not register
+    ten."""
     for name in only if only is not None else TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -282,11 +282,13 @@ _UCB_WIN_MIN = 150.0
     tot AS (SELECT sum(n)::BIGINT AS big_n FROM arms)
     SELECT arm, n, wins,
            (wins * 10000 // n)::BIGINT AS mean_bp,
-           round(wins::DOUBLE / n + sqrt(2.0 * ln(big_n::DOUBLE) / n), 6)
-             AS ucb_score,
+           CAST(floor((wins::DOUBLE / n
+                       + sqrt(2.0 * ln(big_n::DOUBLE) / n)) * 1e6) AS BIGINT)
+             AS ucb_score_mu,
            rank() OVER (
-             ORDER BY round(wins::DOUBLE / n
-                            + sqrt(2.0 * ln(big_n::DOUBLE) / n), 6) DESC,
+             ORDER BY CAST(floor((wins::DOUBLE / n
+                            + sqrt(2.0 * ln(big_n::DOUBLE) / n)) * 1e6) AS BIGINT)
+                        DESC,
                       arm)::BIGINT AS ucb_rank
     FROM arms CROSS JOIN tot
     """,
@@ -297,9 +299,9 @@ def ucb1_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     score an adaptive experimentation platform computes each refresh:
     score(arm) = mean reward + √(2·ln N / n). Means and counts are exact
     integers from one hash agg; the ln/sqrt run ONCE per arm on those
-    identical integers and the score is rounded in-projection (the q258
-    float discipline: identical sequence of IEEE ops on identical inputs,
-    never a float accumulation).
+    identical integers and the score is floor-quantized to µ-units
+    in-projection (identical sequence of IEEE ops on identical inputs,
+    never a float accumulation, never round-on-quotient).
 
     Scale posture (100 TB): one map-side-combined agg to the arm grid
     (arms are a bounded set), the 1-row total broadcasts, ranking runs on
@@ -314,10 +316,11 @@ def ucb1_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = F.broadcast(arms.agg(F.sum("n").alias("big_n")))
-    score = F.round(
-        F.col("wins").cast("double") / F.col("n")
-        + F.sqrt(F.lit(2.0) * F.log(F.col("big_n").cast("double")) / F.col("n")),
-        6,
+    # floor-µ output (SCALE.md round-on-quotient ban): one shared double
+    # expression over exact integers, quantized by floor — never round()
+    score = F.expr(
+        "CAST(floor((CAST(wins AS DOUBLE) / n"
+        " + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / n)) * 1e6) AS BIGINT)"
     )
     return (
         arms.crossJoin(tot)
@@ -326,11 +329,11 @@ def ucb1_arm_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "wins",
             F.expr("wins * 10000 div n").cast("bigint").alias("mean_bp"),
-            score.alias("ucb_score"),
+            score.alias("ucb_score_mu"),
         )
         .withColumn(
             "ucb_rank",
-            F.rank().over(W.orderBy(F.desc("ucb_score"), "arm")).cast("bigint"),
+            F.rank().over(W.orderBy(F.desc("ucb_score_mu"), "arm")).cast("bigint"),
         )
     )
 

@@ -1081,9 +1081,11 @@ _ZIPF_TOP = 100  # fit over the top-R tokens (bounded by construction)
       FROM xy
     )
     SELECT n AS n_points,
-           round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) AS slope,
-           round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)), 6) AS r2
+           CAST(floor((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)
+                      * 1e6) AS BIGINT) AS slope_mu,
+           CAST(floor((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy))
+                 * 1e6) AS BIGINT) AS r2_mu
     FROM s
     """,
     tags=("llm", "corpus-stats", "zipf", "ols"),
@@ -1127,12 +1129,13 @@ def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # floor-µ outputs (SCALE.md round-on-quotient ban)
     return s.select(
         F.col("n").alias("n_points"),
-        F.round(num.cast("double") / denx, 6).alias("slope"),
-        F.round(
-            num.cast("double") * num / (denx.cast("double") * deny), 6
-        ).alias("r2"),
+        F.floor(num.cast("double") / denx * 1e6).cast("bigint").alias("slope_mu"),
+        F.floor(num.cast("double") * num / (denx.cast("double") * deny) * 1e6)
+        .cast("bigint")
+        .alias("r2_mu"),
     )
 
 
@@ -1721,12 +1724,13 @@ _HL_K = 8  # key-range checkpoints
       FROM pts
     )
     SELECT p.k, p.n_docs, p.vocab,
-           round(CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
-                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE), 6) AS heaps_beta,
-           round((CAST(f.sy AS DOUBLE)
+           CAST(floor(CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) * 1e6) AS BIGINT)
+             AS heaps_beta_mu,
+           CAST(floor((CAST(f.sy AS DOUBLE)
                   - CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
                     / CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE) * f.sx)
-                 / f.n / 1000000.0, 6) AS heaps_lnk
+                 / f.n / 1000000.0 * 1e6) AS BIGINT) AS heaps_lnk_mu
     FROM pts p CROSS JOIN fit f
     ORDER BY p.k
     """,
@@ -1820,10 +1824,13 @@ def heaps_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "n_docs",
             "vocab",
-            F.round(F.expr(slope), 6).alias("heaps_beta"),
-            F.round(
-                F.expr(f"(CAST(sy AS DOUBLE) - {slope} * sx) / n / 1000000.0"), 6
-            ).alias("heaps_lnk"),
+            F.expr(f"CAST(floor(({slope}) * 1e6) AS BIGINT)").alias(
+                "heaps_beta_mu"
+            ),
+            F.expr(
+                f"CAST(floor((CAST(sy AS DOUBLE) - {slope} * sx) / n / 1000000.0"
+                " * 1e6) AS BIGINT)"
+            ).alias("heaps_lnk_mu"),
         )
         .orderBy("k")
     )

@@ -109,8 +109,9 @@ def _idcg_case(col: str) -> str:
            p.n_hits,
            p.dcg_mu,
            ({_idcg_case("least(n.n_rel, " + str(_NDCG_K) + ")")})::BIGINT AS idcg_mu,
-           round(p.dcg_mu::DOUBLE
-                 / ({_idcg_case("least(n.n_rel, " + str(_NDCG_K) + ")")}), 6) AS ndcg,
+           (p.dcg_mu * 1000000
+                 // ({_idcg_case("least(n.n_rel, " + str(_NDCG_K) + ")")}))::BIGINT
+             AS ndcg_mu,
            p.first_rel_rank,
            (CASE WHEN p.first_rel_rank = 0 THEN 0
                  ELSE 1000000 // p.first_rel_rank END)::BIGINT AS rr_mu
@@ -197,7 +198,12 @@ def ndcg_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             "dcg_mu",
             idcg.alias("idcg_mu"),
-            F.round(F.col("dcg_mu") / idcg, 6).alias("ndcg"),
+            # pure integer ratio (both sides integers): dcg·10⁶ div idcg —
+            # no float quotient, no round (SCALE.md ban)
+            F.expr(
+                "CAST(dcg_mu * 1000000 div "
+                f"({_idcg_case('least(n_rel, ' + str(_NDCG_K) + ')')}) AS BIGINT)"
+            ).alias("ndcg_mu"),
             "first_rel_rank",
             F.when(F.col("first_rel_rank") == 0, F.lit(0))
             .otherwise(F.expr("1000000 div first_rel_rank"))
@@ -866,21 +872,21 @@ def source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bins
     )
     SELECT t.n,
-           round((CAST(t.spp_tot AS DOUBLE) - 20000.0 * t.spy_tot
-                  + 100000000.0 * t.yy) / t.n / 1e8, 6) AS brier,
-           round((SELECT sum((CAST(b.sp AS DOUBLE) - 10000.0 * b.sy)
+           CAST(floor((CAST(t.spp_tot AS DOUBLE) - 20000.0 * t.spy_tot
+                  + 100000000.0 * t.yy) / t.n / 1e8 * 1e6) AS BIGINT) AS brier_mu,
+           CAST(floor((SELECT sum((CAST(b.sp AS DOUBLE) - 10000.0 * b.sy)
                              * (CAST(b.sp AS DOUBLE) - 10000.0 * b.sy) / b.n_k)
-                  FROM bins b) / t.n / 1e8, 6) AS reliability,
-           round((SELECT sum(100000000.0
+                  FROM bins b) / t.n / 1e8 * 1e6) AS BIGINT) AS reliability_mu,
+           CAST(floor((SELECT sum(100000000.0
                              * (CAST(b.sy AS DOUBLE) * t.n - CAST(t.yy AS DOUBLE) * b.n_k)
                              * (CAST(b.sy AS DOUBLE) * t.n - CAST(t.yy AS DOUBLE) * b.n_k)
                              / (CAST(b.n_k AS DOUBLE) * t.n * t.n))
-                  FROM bins b) / t.n / 1e8, 6) AS resolution,
-           round(100000000.0 * t.yy * (t.n - t.yy)
-                 / (CAST(t.n AS DOUBLE) * t.n) / 1e8, 6) AS uncertainty,
-           round((SELECT sum(CAST(b.spp AS DOUBLE)
+                  FROM bins b) / t.n / 1e8 * 1e6) AS BIGINT) AS resolution_mu,
+           CAST(floor(100000000.0 * t.yy * (t.n - t.yy)
+                 / (CAST(t.n AS DOUBLE) * t.n) / 1e8 * 1e6) AS BIGINT) AS uncertainty_mu,
+           CAST(floor((SELECT sum(CAST(b.spp AS DOUBLE)
                              - CAST(b.sp AS DOUBLE) * b.sp / b.n_k)
-                  FROM bins b) / t.n / 1e8, 6) AS within_bin_var
+                  FROM bins b) / t.n / 1e8 * 1e6) AS BIGINT) AS within_bin_var_mu
     FROM tot t
     """,
     tags=("eval", "brier", "murphy-decomposition", "calibration"),
@@ -898,7 +904,9 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: per-bin sufficient statistics (n, sum p, sum p^2 in
     HUGEINT/DECIMAL, sum y, sum py) are exact integers; each component
-    is one shared double expression over those integers, rounded 6dp.
+    is one shared double expression over those integers, emitted as
+    floor-µ BIGINT (the SCALE.md quantization discipline — round(x, 6)
+    on a true quotient is the banned round-on-quotient shape).
 
     Scale posture (100 TB): one map + ONE hash-agg to the 10-bin grid
     (plus one global pair for sum py); every component is grid algebra
@@ -952,17 +960,21 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.select(
         "n",
-        F.round(
-            F.expr(
-                "(CAST(spp_tot AS DOUBLE) - 20000.0 * spy_tot"
-                " + 100000000.0 * yy) / n / 1e8"
-            ),
-            6,
-        ).alias("brier"),
-        F.round(F.expr("rel_num / n / 1e8"), 6).alias("reliability"),
-        F.round(F.expr("res_num / n / 1e8"), 6).alias("resolution"),
-        F.round(
-            F.expr("100000000.0 * yy * (n - yy) / (CAST(n AS DOUBLE) * n) / 1e8"), 6
-        ).alias("uncertainty"),
-        F.round(F.expr("wbv_num / n / 1e8"), 6).alias("within_bin_var"),
+        F.expr(
+            "CAST(floor((CAST(spp_tot AS DOUBLE) - 20000.0 * spy_tot"
+            " + 100000000.0 * yy) / n / 1e8 * 1e6) AS BIGINT)"
+        ).alias("brier_mu"),
+        F.expr("CAST(floor(rel_num / n / 1e8 * 1e6) AS BIGINT)").alias(
+            "reliability_mu"
+        ),
+        F.expr("CAST(floor(res_num / n / 1e8 * 1e6) AS BIGINT)").alias(
+            "resolution_mu"
+        ),
+        F.expr(
+            "CAST(floor(100000000.0 * yy * (n - yy)"
+            " / (CAST(n AS DOUBLE) * n) / 1e8 * 1e6) AS BIGINT)"
+        ).alias("uncertainty_mu"),
+        F.expr("CAST(floor(wbv_num / n / 1e8 * 1e6) AS BIGINT)").alias(
+            "within_bin_var_mu"
+        ),
     )

@@ -103,10 +103,8 @@ _DUCK_DAILY = """
       GROUP BY 1
     )
     SELECT s.event_type, s.c_f AS n_eval,
-           round(CAST(s.s_f * n.c_n AS DOUBLE) / CAST(s.c_f * n.s_n AS DOUBLE), 6)
-             AS mase,
-           round(CAST(s.smape_micro AS DOUBLE) / CAST(s.c_f AS DOUBLE) / 1e6, 6)
-             AS smape
+           (s.s_f * n.c_n * 1000000 // (s.c_f * n.s_n))::BIGINT AS mase_mu,
+           (s.smape_micro // s.c_f)::BIGINT AS smape_mu
     FROM seas s JOIN naive n ON n.event_type = s.event_type
     ORDER BY s.event_type
     """,
@@ -162,15 +160,12 @@ def mase_smape_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("c_f").alias("n_eval"),
-            F.round(
-                (F.col("s_f") * F.col("c_n")).cast("double")
-                / (F.col("c_f") * F.col("s_n")).cast("double"),
-                6,
-            ).alias("mase"),
-            F.round(
-                F.col("smape_micro").cast("double") / F.col("c_f").cast("double") / 1e6,
-                6,
-            ).alias("smape"),
+            # exact integer rationals in µ-units — no float quotient, no
+            # round (SCALE.md round-on-quotient ban)
+            F.expr("CAST(s_f * c_n * 1000000 div (c_f * s_n) AS BIGINT)").alias(
+                "mase_mu"
+            ),
+            F.expr("CAST(smape_micro div c_f AS BIGINT)").alias("smape_mu"),
         )
         .orderBy("event_type")
     )
@@ -205,9 +200,9 @@ def mase_smape_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rec r JOIN occ o ON o.pk = r.pk AND o.t = r.t + 1
     )
     SELECT r.pk AS partkey, nn.n AS n_demands,
-           round(r.z, 6) AS size_level,
-           round(r.p, 6) AS interval_level,
-           round(r.z / r.p, 6) AS forecast
+           CAST(floor(r.z * 1e6) AS BIGINT) AS size_level_mu,
+           CAST(floor(r.p * 1e6) AS BIGINT) AS interval_level_mu,
+           CAST(floor(r.z / r.p * 1e6) AS BIGINT) AS forecast_mu
     FROM rec r JOIN nn ON nn.pk = r.pk AND r.t = nn.n
     ORDER BY partkey
     """,
@@ -245,12 +240,16 @@ def croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("q"))
     )
     out = croston_over(weekly)
+    # floor-µ outputs (SCALE.md round-on-quotient ban): the recursion
+    # doubles are engine-identical; quantize by floor, never round
     return out.select(
         "partkey",
         "n_demands",
-        F.round("size_level", 6).alias("size_level"),
-        F.round("interval_level", 6).alias("interval_level"),
-        F.round("forecast", 6).alias("forecast"),
+        F.floor(F.col("size_level") * 1e6).cast("bigint").alias("size_level_mu"),
+        F.floor(F.col("interval_level") * 1e6)
+        .cast("bigint")
+        .alias("interval_level_mu"),
+        F.floor(F.col("forecast") * 1e6).cast("bigint").alias("forecast_mu"),
     ).orderBy("partkey")
 
 
@@ -332,8 +331,8 @@ _PEARSON_DEN = (
       FROM pairs GROUP BY 1, 2
     )
     SELECT event_type, lag, n AS n_pairs,
-           round({_PEARSON_NUM.replace('sy * sy', 'sy * sy')} /
-                 {_PEARSON_DEN}, 6) AS acf
+           CAST(floor({_PEARSON_NUM.replace('sy * sy', 'sy * sy')} /
+                 {_PEARSON_DEN} * 1e6) AS BIGINT) AS acf_mu
     FROM s
     ORDER BY event_type, lag
     """,
@@ -382,7 +381,9 @@ def acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "lag",
         F.col("n").alias("n_pairs"),
-        F.round(F.expr(f"{_PEARSON_NUM} / {_PEARSON_DEN}"), 6).alias("acf"),
+        F.floor(F.expr(f"{_PEARSON_NUM} / {_PEARSON_DEN}") * 1e6)
+        .cast("bigint")
+        .alias("acf_mu"),
     ).orderBy("event_type", "lag")
 
 
@@ -417,7 +418,7 @@ def acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT ta AS type_a, tb AS type_b, lag AS best_lag,
-           n AS n_pairs, round(r, 6) AS r
+           n AS n_pairs, CAST(floor(r * 1e6) AS BIGINT) AS r_mu
     FROM best WHERE rn = 1
     ORDER BY type_a, type_b
     """,
@@ -475,7 +476,7 @@ def leadlag_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tb").alias("type_b"),
             F.col("lag").alias("best_lag"),
             F.col("n").alias("n_pairs"),
-            F.round("r", 6).alias("r"),
+            F.floor(F.col("r") * 1e6).cast("bigint").alias("r_mu"),
         )
         .orderBy("type_a", "type_b")
     )
@@ -599,8 +600,7 @@ _WF_FOLDS = (9, 16, 23)
     )
     SELECT t.event_type, t.e AS train_end_day,
            n.c_n + 1 AS train_days, t.c_f AS n_eval,
-           round(CAST(t.s_f * n.c_n AS DOUBLE) / CAST(t.c_f * n.s_n AS DOUBLE), 6)
-             AS mase
+           (t.s_f * n.c_n * 1000000 // (t.c_f * n.s_n))::BIGINT AS mase_mu
     FROM test t JOIN train_naive n
       ON n.e = t.e AND n.event_type = t.event_type
     ORDER BY t.event_type, t.e
@@ -617,7 +617,8 @@ def walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction.
 
     Determinism: q440's integer-rational MASE per (fold, type) — four
-    integer sums, one double division, rounded in-query.
+    integer sums, emitted as the exact integer rational in µ-units
+    (truncating div on non-negative operands, both engines).
 
     Scale: the fold dimension is a broadcast 3-row table against the
     aggregated (type, day) grid; each fold's train/test alignment is
@@ -663,11 +664,11 @@ def walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").cast("int").alias("train_end_day"),
             (F.col("c_n") + 1).alias("train_days"),
             F.col("c_f").alias("n_eval"),
-            F.round(
-                (F.col("s_f") * F.col("c_n")).cast("double")
-                / (F.col("c_f") * F.col("s_n")).cast("double"),
-                6,
-            ).alias("mase"),
+            # exact integer rational in µ-units (SCALE.md ban on
+            # round-on-quotient outputs)
+            F.expr("CAST(s_f * c_n * 1000000 div (c_f * s_n) AS BIGINT)").alias(
+                "mase_mu"
+            ),
         )
         .orderBy("event_type", "train_end_day")
     )

@@ -638,10 +638,10 @@ def personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.p_brand, c.n_nodes, c.deg_sum,
            COALESCE(i.intra_edges, 0)::BIGINT AS intra_edges,
            (SELECT m FROM m) AS m_edges,
-           round(CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / (SELECT m FROM m)
+           CAST(floor((CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / (SELECT m FROM m)
                  - (CAST(c.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM m)))
-                   * (CAST(c.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM m))), 6)
-             AS q_contrib
+                   * (CAST(c.deg_sum AS DOUBLE) / (2.0 * (SELECT m FROM m))))
+                 * 1e6) AS BIGINT) AS q_contrib_mu
     FROM comm c LEFT JOIN intra i ON i.p_brand = c.p_brand
     ORDER BY c.p_brand
     """,
@@ -707,10 +707,11 @@ def brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("brand_a").alias("p_brand"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
     )
+    # floor-µ output (SCALE.md round-on-quotient ban)
     q_expr = (
-        "round(CAST(intra_edges AS DOUBLE) / m_edges"
+        "CAST(floor((CAST(intra_edges AS DOUBLE) / m_edges"
         " - (CAST(deg_sum AS DOUBLE) / (2.0 * m_edges))"
-        "   * (CAST(deg_sum AS DOUBLE) / (2.0 * m_edges)), 6)"
+        "   * (CAST(deg_sum AS DOUBLE) / (2.0 * m_edges))) * 1e6) AS BIGINT)"
     )
     return (
         comm.join(intra, "p_brand", "left")
@@ -722,7 +723,7 @@ def brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg_sum",
             "intra_edges",
             "m_edges",
-            F.expr(q_expr).alias("q_contrib"),
+            F.expr(q_expr).alias("q_contrib_mu"),
         )
         .orderBy("p_brand")
     )

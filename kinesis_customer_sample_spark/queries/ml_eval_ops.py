@@ -544,7 +544,7 @@ def expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM risk
     )
     SELECT t AS day_t, n_risk, d AS d_events, c AS c_censored,
-           round(sum(h_mu) OVER (ORDER BY t) / 1000000.0, 6) AS cum_hazard,
+           sum(h_mu) OVER (ORDER BY t)::BIGINT AS cum_hazard_mu,
            sum(v_p) OVER (ORDER BY t)::BIGINT AS var_pico
     FROM terms
     ORDER BY day_t
@@ -605,7 +605,7 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_asc = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         terms.withColumn(
-            "cum_hazard", F.round(F.sum("h_mu").over(w_asc) / 1000000.0, 6)
+            "cum_hazard_mu", F.sum("h_mu").over(w_asc).cast("bigint")
         )
         .withColumn("var_pico", F.sum("v_p").over(w_asc))
         .select(
@@ -613,7 +613,7 @@ def nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_risk",
             F.col("d").alias("d_events"),
             F.col("c").alias("c_censored"),
-            "cum_hazard",
+            "cum_hazard_mu",
             "var_pico",
         )
         .orderBy("day_t")
@@ -848,10 +848,10 @@ def recsys_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY i.label
     )
     SELECT s.label, s.n,
-           round(CAST(s.s_mu_sum AS DOUBLE) / (s.n * 1000000.0), 6)
-             AS mean_silhouette,
-           round(s.sigma_mu / 1000000.0, 6) AS sigma,
-           round(db.db_raw, 6) AS db_component
+           CAST(floor(CAST(s.s_mu_sum AS DOUBLE) / s.n) AS BIGINT)
+             AS mean_silhouette_mu,
+           s.sigma_mu::BIGINT AS sigma_mu,
+           CAST(floor(db.db_raw * 1000000.0) AS BIGINT) AS db_component_mu
     FROM sigma s JOIN db ON db.label = s.label
     ORDER BY s.label
     """,
@@ -966,11 +966,16 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "n",
-            F.round(F.expr("CAST(s_mu_sum AS DOUBLE) / (n * 1000000.0)"), 6).alias(
-                "mean_silhouette"
+            # floor-µ outputs (SCALE.md discipline) — the earlier
+            # round(x/10^k, 6) shapes were the banned round-on-quotient
+            # class; s_mu_sum/n is already µ-scaled so floor(÷n) IS µ
+            F.expr("CAST(floor(CAST(s_mu_sum AS DOUBLE) / n) AS BIGINT)").alias(
+                "mean_silhouette_mu"
             ),
-            F.round(F.expr("sigma_mu / 1000000.0"), 6).alias("sigma"),
-            F.round("db_raw", 6).alias("db_component"),
+            F.col("sigma_mu").cast("bigint").alias("sigma_mu"),
+            F.expr("CAST(floor(db_raw * 1000000.0) AS BIGINT)").alias(
+                "db_component_mu"
+            ),
         )
         .orderBy("label")
     )
@@ -1160,9 +1165,10 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms
     )
     SELECT n_event_days, o1, e1_mu_sum, v_mu_sum,
-           round((CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
+           CAST(floor((CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
                  * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
-                 / (CAST(v_mu_sum AS DOUBLE) / 1000000.0), 6) AS chi2,
+                 / (CAST(v_mu_sum AS DOUBLE) / 1000000.0) * 1e6) AS BIGINT)
+             AS chi2_mu,
            CASE WHEN (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
                      * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
                      / (CAST(v_mu_sum AS DOUBLE) / 1000000.0) > 3.841459
@@ -1259,7 +1265,8 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o1",
         "e1_mu_sum",
         "v_mu_sum",
-        F.round(F.expr(chi2), 6).alias("chi2"),
+        # floor-µ output (SCALE.md round-on-quotient ban)
+        F.expr(f"CAST(floor({chi2} * 1e6) AS BIGINT)").alias("chi2_mu"),
         F.expr(f"CASE WHEN {chi2} > 3.841459 THEN 1 ELSE 0 END").alias("reject_h0"),
     )
 
@@ -1423,12 +1430,13 @@ _PB_R = (
     ),
     scored AS (
       SELECT dim::BIGINT AS dim, n1, n0,
-             round({_PB_R}, 6) AS r_pb,
-             row_number() OVER (ORDER BY abs(round({_PB_R}, 6)) DESC, dim)
+             CAST(floor(({_PB_R}) * 1e6) AS BIGINT) AS r_pb_mu,
+             row_number() OVER (
+               ORDER BY abs(CAST(floor(({_PB_R}) * 1e6) AS BIGINT)) DESC, dim)
                AS rank
       FROM per_dim
     )
-    SELECT rank::BIGINT AS rank, dim, n1, n0, r_pb
+    SELECT rank::BIGINT AS rank, dim, n1, n0, r_pb_mu
     FROM scored WHERE rank <= {_PB_TOPK} ORDER BY rank
     """,
     tags=("ml-eval", "feature-screen", "point-biserial", "univariate"),
@@ -1472,20 +1480,21 @@ def point_biserial_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         "n1",
         "n0",
-        F.round(F.expr(_PB_R), 6).alias("r_pb"),
+        # floor-µ output (SCALE.md round-on-quotient ban)
+        F.expr(f"CAST(floor(({_PB_R}) * 1e6) AS BIGINT)").alias("r_pb_mu"),
     ).select(
         "dim",
         "n1",
         "n0",
-        "r_pb",
+        "r_pb_mu",
         F.row_number()
-        .over(W.orderBy(F.abs(F.col("r_pb")).desc(), "dim"))
+        .over(W.orderBy(F.abs(F.col("r_pb_mu")).desc(), "dim"))
         .cast("bigint")
         .alias("rank"),
     )
     return (
         scored.filter(F.col("rank") <= _PB_TOPK)
-        .select("rank", "dim", "n1", "n0", "r_pb")
+        .select("rank", "dim", "n1", "n0", "r_pb_mu")
         .orderBy("rank")
     )
 

@@ -415,7 +415,8 @@ def inverse_cdf_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked GROUP BY segment
     )
     SELECT segment, n, total_cents,
-           round(num::DOUBLE / (n::DOUBLE * total_cents), 6) AS gini
+           CAST(floor(num::DOUBLE / (n::DOUBLE * total_cents) * 1e6) AS BIGINT)
+             AS gini_mu
     FROM agg
     """,
     tags=("stats", "gini", "inequality", "two-level-window"),
@@ -450,15 +451,19 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("v * cnt")).cast("bigint").alias("total_cents"),
         F.sum(contrib).cast("bigint").alias("num"),
     )
+    # floor-µ output (SCALE.md round-on-quotient ban); the denominator
+    # stays double — n·total_cents exceeds int64 at large SF
     return agg.select(
         "segment",
         "n",
         "total_cents",
-        F.round(
-            F.col("num")
-            / (F.col("n").cast("double") * F.col("total_cents").cast("double")),
-            6,
-        ).alias("gini"),
+        F.floor(
+            F.col("num").cast("double")
+            / (F.col("n").cast("double") * F.col("total_cents").cast("double"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("gini_mu"),
     )
 
 

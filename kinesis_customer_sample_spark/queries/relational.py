@@ -504,7 +504,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     quotient (round-on-quotient hazard, SCALE.md; r7 red row post-mortem)."""
     from kinesis_customer_sample_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer", "nation"))
     return spark.sql(
         """
         FROM customer

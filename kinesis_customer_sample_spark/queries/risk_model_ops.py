@@ -82,7 +82,8 @@ _LR_X2 = "CAST(round(l_discount * 100) AS BIGINT)"
     )
     SELECT v.seg AS segment, v.n::BIGINT AS n_days, v.k::BIGINT AS tail_k,
            v.var_cents,
-           round(CAST(e.tail_sum AS DOUBLE) / e.tail_n, 6) AS es_cents
+           CAST(floor(CAST(e.tail_sum AS DOUBLE) / e.tail_n * 1e6) AS BIGINT)
+             AS es_cents_mu
     FROM var v JOIN es e ON e.seg = v.seg
     ORDER BY segment
     """,
@@ -145,9 +146,11 @@ def expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
             F.col("k").alias("tail_k"),
             "var_cents",
-            F.round(F.col("tail_sum").cast("double") / F.col("tail_n"), 6).alias(
-                "es_cents"
-            ),
+            # floor-µ-cents (SCALE.md round-on-quotient ban); double floor
+            # keeps negative-mean semantics engine-identical
+            F.floor(F.col("tail_sum").cast("double") / F.col("tail_n") * 1e6)
+            .cast("bigint")
+            .alias("es_cents_mu"),
         )
         .orderBy("segment")
     )
@@ -254,8 +257,9 @@ _LR_PMU = (
       FROM r CROSS JOIN fit f
     )
     SELECT p.n, p.n_pos, p.n_pred_pos,
-           round(f.b0, 6) AS beta0, round(f.b1, 6) AS beta1,
-           round(f.b2, 6) AS beta2
+           CAST(floor(f.b0 * 1e6) AS BIGINT) AS beta0_mu,
+           CAST(floor(f.b1 * 1e6) AS BIGINT) AS beta1_mu,
+           CAST(floor(f.b2 * 1e6) AS BIGINT) AS beta2_mu
     FROM fit f CROSS JOIN pred p
     """,
     tags=("model-training", "logistic-regression", "newton", "irls"),
@@ -324,9 +328,9 @@ def logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_pred_pos").cast("long").alias("n_pred_pos"),
-        F.round("b0", 6).alias("beta0"),
-        F.round("b1", 6).alias("beta1"),
-        F.round("b2", 6).alias("beta2"),
+        F.floor(F.col("b0") * 1e6).cast("bigint").alias("beta0_mu"),
+        F.floor(F.col("b1") * 1e6).cast("bigint").alias("beta1_mu"),
+        F.floor(F.col("b2") * 1e6).cast("bigint").alias("beta2_mu"),
     )
 
 
@@ -354,7 +358,7 @@ def _model_eval_capstone_oracle() -> str:
     FROM mk WHERE src = 'ALL'
     UNION ALL
     SELECT 'forecast', sum(n_eval)::BIGINT,
-           CAST(round(max(mase) * 10000) AS BIGINT)
+           (max(mase_mu) // 100)::BIGINT
     FROM ms
     """
 
@@ -377,7 +381,7 @@ def model_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics it summarizes.
 
     Determinism: every headline is already integer bp/micro in its
-    source query, or a round() of an identical double (q440's mase).
+    source query (q440's mase_mu converts µ → bp by integer div).
 
     Scale posture: four grid-sized inputs (see the composed queries'
     own postures), each reduced to one row — the nightly model-health
@@ -405,7 +409,7 @@ def model_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r4 = ms.agg(
         F.sum("n_eval").cast("long").alias("n_units"),
-        F.expr("CAST(round(max(mase) * 10000) AS BIGINT)").alias("headline_bp"),
+        F.expr("CAST(max(mase_mu) div 100 AS BIGINT)").alias("headline_bp"),
     ).select(F.lit("forecast").alias("domain"), "n_units", "headline_bp")
     return r1.unionByName(r2).unionByName(r3).unionByName(r4)
 
@@ -441,11 +445,11 @@ def model_eval_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority, n,
            (s1 // n)::BIGINT AS mean_ret_ppm,
-           round(CAST(s1 AS DOUBLE)
-                 / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1), 6)
-             AS sharpe,
-           round(CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * sneg2), 6)
-             AS sortino,
+           CAST(floor(CAST(s1 AS DOUBLE)
+                 / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 * 1e6) AS BIGINT) AS sharpe_mu,
+           CAST(floor(CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * sneg2)
+                 * 1e6) AS BIGINT) AS sortino_mu,
            CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1))
                       / n) AS BIGINT) AS vol_ppm
     FROM mom ORDER BY o_orderpriority
@@ -508,15 +512,15 @@ def sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         F.expr("s1 div n").cast("bigint").alias("mean_ret_ppm"),
-        F.round(
-            F.expr(
-                "CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
-            ),
-            6,
-        ).alias("sharpe"),
-        F.round(
-            F.expr("CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * sneg2)"), 6
-        ).alias("sortino"),
+        F.expr(
+            "CAST(floor(CAST(s1 AS DOUBLE)"
+            " / sqrt(CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)"
+            " * 1e6) AS BIGINT)"
+        ).alias("sharpe_mu"),
+        F.expr(
+            "CAST(floor(CAST(s1 AS DOUBLE) / sqrt(CAST(n AS DOUBLE) * sneg2)"
+            " * 1e6) AS BIGINT)"
+        ).alias("sortino_mu"),
         F.expr(
             "CAST(floor(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)) / n) AS BIGINT)"
         ).alias("vol_ppm"),

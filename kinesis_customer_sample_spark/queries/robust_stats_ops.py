@@ -21,7 +21,7 @@ Cross-engine determinism (registry parity rules):
   per distinct cell), and U is the ratio of two identically-scaled
   integer sums — the N·10⁶ scale cancels exactly;
 - Yule–Walker is closed-form double algebra over q442-style integer
-  sums, rounded in-query.
+  sums, floor-quantized to µ-units in-query (round-on-quotient ban).
 
 Scale posture (100 TB):
 - every query is one codegen hash-agg to a small grid (segment/nation/
@@ -78,7 +78,7 @@ _LORENZ_NTILES = 10
         ON b.nation = a.nation AND b.m > a.m
     )
     SELECT nation, count(*)::BIGINT AS n_pairs,
-           round(median(slope), 6) AS ts_slope_cents
+           CAST(floor(median(slope) * 1e6) AS BIGINT) AS ts_slope_cents_mu
     FROM slopes GROUP BY nation ORDER BY nation
     """,
     tags=("robust-stats", "theil-sen", "trend"),
@@ -134,7 +134,10 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slopes.groupBy("nation")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("ts_slope_cents"),
+            # floor-µ output (SCALE.md round-on-quotient ban)
+            F.floor(F.expr("percentile(slope, 0.5)") * 1e6)
+            .cast("bigint")
+            .alias("ts_slope_cents_mu"),
         )
         .orderBy("nation")
     )
@@ -187,9 +190,9 @@ def _huber_step_sql(prev: str, i: int) -> str:
     {_huber_step_sql('mu1', 2)},
     {_huber_step_sql('mu2', 3)}
     SELECT g.seg AS segment, g.n,
-           round(g.mu_start, 6) AS mean_cents,
-           round(g.tau, 6) AS tau_cents,
-           round(m.mu, 6) AS huber_cents
+           CAST(floor(g.mu_start * 1e6) AS BIGINT) AS mean_cents_mu,
+           CAST(floor(g.tau * 1e6) AS BIGINT) AS tau_cents_mu,
+           CAST(floor(m.mu * 1e6) AS BIGINT) AS huber_cents_mu
     FROM grid g JOIN mu{_HUBER_STEPS} m ON m.seg = g.seg
     ORDER BY segment
     """,
@@ -268,9 +271,9 @@ def huber_location(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("seg").alias("segment"),
             "n",
-            F.round("mu_start", 6).alias("mean_cents"),
-            F.round("tau", 6).alias("tau_cents"),
-            F.round("huber", 6).alias("huber_cents"),
+            F.floor(F.col("mu_start") * 1e6).cast("bigint").alias("mean_cents_mu"),
+            F.floor(F.col("tau") * 1e6).cast("bigint").alias("tau_cents_mu"),
+            F.floor(F.col("huber") * 1e6).cast("bigint").alias("huber_cents_mu"),
         )
         .orderBy("segment")
     )
@@ -309,10 +312,11 @@ _LN6 = "CAST(floor(1000000.0 * ln(CAST({arg} AS DOUBLE))) AS BIGINT)"
     )
     SELECT (SELECT count(*) FROM cells)::BIGINT AS n_cells,
            (SELECT n FROM tot) AS n_rows,
-           round(CAST(mi.mi_micro AS DOUBLE)
-                 / CAST((SELECT n FROM tot) AS DOUBLE) / 1e6, 6) AS mi_nats,
-           round(CAST(mi.mi_micro AS DOUBLE) / CAST(hx.hx_micro AS DOUBLE), 6)
-             AS theil_u
+           CAST(floor(CAST(mi.mi_micro AS DOUBLE)
+                 / CAST((SELECT n FROM tot) AS DOUBLE)) AS BIGINT)
+             AS mi_micronats,
+           CAST(floor(CAST(mi.mi_micro AS DOUBLE) / CAST(hx.hx_micro AS DOUBLE)
+                 * 1e6) AS BIGINT) AS theil_u_mu
     FROM mi CROSS JOIN hx
     """,
     tags=("robust-stats", "mutual-information", "theil-u", "association"),
@@ -378,12 +382,19 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_cells",
             F.col("n").alias("n_rows"),
-            F.round(
-                F.col("mi_micro").cast("double") / F.col("n").cast("double") / 1e6, 6
-            ).alias("mi_nats"),
-            F.round(
-                F.col("mi_micro").cast("double") / F.col("hx_micro").cast("double"), 6
-            ).alias("theil_u"),
+            # floor-µ outputs (SCALE.md round-on-quotient ban); the double
+            # floor (not integer div) keeps negative floor semantics
+            # identical across engines
+            F.floor(F.col("mi_micro").cast("double") / F.col("n").cast("double"))
+            .cast("bigint")
+            .alias("mi_micronats"),
+            F.floor(
+                F.col("mi_micro").cast("double")
+                / F.col("hx_micro").cast("double")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("theil_u_mu"),
         )
     )
 
@@ -418,8 +429,8 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d
     )
     SELECT region, decile, cum_pop, cum_wealth,
-           round(CAST(cum_wealth AS DOUBLE) / CAST(tot_wealth AS DOUBLE), 6)
-             AS wealth_share
+           CAST(floor(CAST(cum_wealth AS DOUBLE) / CAST(tot_wealth AS DOUBLE)
+                 * 1e6) AS BIGINT) AS wealth_share_mu
     FROM c ORDER BY region, decile
     """,
     tags=("robust-stats", "lorenz", "inequality", "window"),
@@ -477,10 +488,15 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             "cum_pop",
             "cum_wealth",
-            F.round(
-                F.col("cum_wealth").cast("double") / F.col("tot_wealth").cast("double"),
-                6,
-            ).alias("wealth_share"),
+            # floor-µ (SCALE.md round-on-quotient ban); double floor keeps
+            # the below-zero left tail's negative semantics engine-identical
+            F.floor(
+                F.col("cum_wealth").cast("double")
+                / F.col("tot_wealth").cast("double")
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("wealth_share_mu"),
         )
         .orderBy("region", "decile")
     )
@@ -515,9 +531,10 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r GROUP BY event_type
     )
     SELECT event_type,
-           round(r1, 6) AS r1, round(r2, 6) AS r2,
-           round(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi1,
-           round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2
+           CAST(floor(r1 * 1e6) AS BIGINT) AS r1_mu,
+           CAST(floor(r2 * 1e6) AS BIGINT) AS r2_mu,
+           CAST(floor(r1 * (1 - r2) / (1 - r1 * r1) * 1e6) AS BIGINT) AS phi1_mu,
+           CAST(floor((r2 - r1 * r1) / (1 - r1 * r1) * 1e6) AS BIGINT) AS phi2_mu
     FROM wide ORDER BY event_type
     """,
     tags=("robust-stats", "yule-walker", "ar2", "timeseries"),
@@ -532,7 +549,7 @@ def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: r₁/r₂ are the q442 integer-sum Pearson form (exact
     integers + correctly-rounded sqrt), so both engines hold identical
     doubles; the closed-form φ algebra is the same IEEE expression,
-    rounded in-query.
+    floor-quantized to µ-units in-query (SCALE.md round-on-quotient ban).
 
     Scale: reuses the (type, day) grid pass; the lag dimension is a
     broadcast 2-row table; the pivot to (r1, r2) is a 2-row-per-type
@@ -567,16 +584,22 @@ def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
         F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
     )
+    # floor-µ outputs (SCALE.md round-on-quotient ban): r1/r2 are
+    # engine-identical doubles; quantize by floor, never round
     return wide.select(
         "event_type",
-        F.round("r1", 6).alias("r1"),
-        F.round("r2", 6).alias("r2"),
-        F.round(
-            F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1")), 6
-        ).alias("phi1"),
-        F.round(
+        F.floor(F.col("r1") * 1e6).cast("bigint").alias("r1_mu"),
+        F.floor(F.col("r2") * 1e6).cast("bigint").alias("r2_mu"),
+        F.floor(
+            F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1")) * 1e6
+        )
+        .cast("bigint")
+        .alias("phi1_mu"),
+        F.floor(
             (F.col("r2") - F.col("r1") * F.col("r1"))
-            / (1 - F.col("r1") * F.col("r1")),
-            6,
-        ).alias("phi2"),
+            / (1 - F.col("r1") * F.col("r1"))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("phi2_mu"),
     ).orderBy("event_type")

@@ -1266,7 +1266,7 @@ _AC1_EXPR = (
       FROM items GROUP BY source
     )
     SELECT source, n_items,
-           round({_AC1_EXPR}, 6) AS gwet_ac1
+           CAST(floor(({_AC1_EXPR}) * 1e6) AS BIGINT) AS gwet_ac1_mu
     FROM agg ORDER BY source
     """,
     tags=("stats", "gwet-ac1", "agreement", "multi-rater"),
@@ -1319,5 +1319,5 @@ def gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "source",
         "n_items",
-        F.round(F.expr(_AC1_EXPR), 6).alias("gwet_ac1"),
+        F.expr(f"CAST(floor(({_AC1_EXPR}) * 1e6) AS BIGINT)").alias("gwet_ac1_mu"),
     ).orderBy("source")

@@ -274,9 +274,9 @@ def kn_bigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT src_a, src_b, n_words,
-           round(CAST(delta_mu_sum AS DOUBLE) / n_words / 1e6, 6) AS delta
+           (delta_mu_sum // n_words)::BIGINT AS delta_mu
     FROM delta
-    ORDER BY delta, src_a, src_b
+    ORDER BY delta_mu, src_a, src_b
     LIMIT {_BD_TOPK}
     """,
     tags=("text", "stylometry", "burrows-delta", "authorship"),
@@ -351,16 +351,16 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta_mu_sum"),
         )
     )
+    # exact integer rational in µ-units (non-negative operands, truncating
+    # div both engines) — no float quotient (SCALE.md round-on-quotient ban)
     return (
         delta.select(
             "src_a",
             "src_b",
             "n_words",
-            F.round(
-                F.col("delta_mu_sum").cast("double") / F.col("n_words") / 1e6, 6
-            ).alias("delta"),
+            F.expr("CAST(delta_mu_sum div n_words AS BIGINT)").alias("delta_mu"),
         )
-        .orderBy("delta", "src_a", "src_b")
+        .orderBy("delta_mu", "src_a", "src_b")
         .limit(_BD_TOPK)
     )
 

@@ -1100,10 +1100,11 @@ _DFT_C = " + ".join(
       FROM daily GROUP BY event_type
     )
     SELECT event_type, n AS n_days,
-           round({_DFT_S}, 6) AS s_proj,
-           round({_DFT_C}, 6) AS c_proj,
-           round(2.0 * (({_DFT_S}) * ({_DFT_S}) + ({_DFT_C}) * ({_DFT_C})) * n
-                 / CAST(n * syy - sy * sy AS DOUBLE), 6) AS weekly_share
+           CAST(floor(({_DFT_S}) * 1e6) AS BIGINT) AS s_proj_mu,
+           CAST(floor(({_DFT_C}) * 1e6) AS BIGINT) AS c_proj_mu,
+           CAST(floor(2.0 * (({_DFT_S}) * ({_DFT_S}) + ({_DFT_C}) * ({_DFT_C})) * n
+                 / CAST(n * syy - sy * sy AS DOUBLE) * 1e6) AS BIGINT)
+             AS weekly_share_mu
     FROM phased ORDER BY event_type
     """,
     tags=("timeseries", "spectral", "dft", "seasonality"),
@@ -1146,15 +1147,12 @@ def weekly_spectral_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phased.select(
         "event_type",
         F.col("n").alias("n_days"),
-        F.round(F.expr(_DFT_S), 6).alias("s_proj"),
-        F.round(F.expr(_DFT_C), 6).alias("c_proj"),
-        F.round(
-            F.expr(
-                f"2.0 * (({_DFT_S}) * ({_DFT_S}) + ({_DFT_C}) * ({_DFT_C})) * n"
-                " / CAST(n * syy - sy * sy AS DOUBLE)"
-            ),
-            6,
-        ).alias("weekly_share"),
+        F.expr(f"CAST(floor(({_DFT_S}) * 1e6) AS BIGINT)").alias("s_proj_mu"),
+        F.expr(f"CAST(floor(({_DFT_C}) * 1e6) AS BIGINT)").alias("c_proj_mu"),
+        F.expr(
+            f"CAST(floor(2.0 * (({_DFT_S}) * ({_DFT_S}) + ({_DFT_C}) * ({_DFT_C})) * n"
+            " / CAST(n * syy - sy * sy AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("weekly_share_mu"),
     ).orderBy("event_type")
 
 

@@ -540,11 +540,12 @@ def _hw_s_cols(update: bool) -> str:
       WHERE r.t + 1 < {_HW_DAYS}
     )
     SELECT r.user_id::BIGINT AS user_id,
-           round(r.l, 6) AS level,
-           round(r.b, 6) AS trend,
-           round(r.l + r.b + CASE
+           CAST(floor(r.l * 1e6) AS BIGINT) AS level_mu,
+           CAST(floor(r.b * 1e6) AS BIGINT) AS trend_mu,
+           CAST(floor((r.l + r.b + CASE
              {" ".join(f"WHEN {_HW_DAYS} % {_HW_M} = {j} THEN r.s{j}"
-                       for j in range(_HW_M))} END, 6) AS next_day_forecast
+                       for j in range(_HW_M))} END) * 1e6) AS BIGINT)
+             AS next_day_forecast_mu
     FROM rec r WHERE r.t = {_HW_DAYS - 1}
     ORDER BY user_id
     """,
@@ -640,11 +641,15 @@ def holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id bigint, level double, trend double, next_day_forecast double",
         )
     )
+    # floor-µ outputs (SCALE.md round-on-quotient ban): the recursion
+    # doubles are engine-identical; quantize by floor, never round
     return out.select(
         "user_id",
-        F.round("level", 6).alias("level"),
-        F.round("trend", 6).alias("trend"),
-        F.round("next_day_forecast", 6).alias("next_day_forecast"),
+        F.floor(F.col("level") * 1e6).cast("bigint").alias("level_mu"),
+        F.floor(F.col("trend") * 1e6).cast("bigint").alias("trend_mu"),
+        F.floor(F.col("next_day_forecast") * 1e6)
+        .cast("bigint")
+        .alias("next_day_forecast_mu"),
     ).orderBy("user_id")
 
 
@@ -739,10 +744,10 @@ def kalman_over(daily: DataFrame) -> DataFrame:
       JOIN obs o ON o.event_type = r.event_type AND o.t = r.t + 1
     )
     SELECT r.event_type, nn.n::BIGINT AS n_days,
-           round(r.l, 6) AS level,
-           round(r.k, 6) AS kalman_gain,
-           round(r.p, 6) AS pvar,
-           round(r.sse, 6) AS innov_sse
+           CAST(floor(r.l * 1e6) AS BIGINT) AS level_mu,
+           CAST(floor(r.k * 1e6) AS BIGINT) AS kalman_gain_mu,
+           CAST(floor(r.p * 1e6) AS BIGINT) AS pvar_mu,
+           CAST(floor(r.sse * 1e6) AS BIGINT) AS innov_sse_mu
     FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.t = nn.n
     ORDER BY r.event_type
     """,
@@ -775,13 +780,14 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("y"))
     )
     out = kalman_over(daily)
+    # floor-µ outputs (SCALE.md round-on-quotient ban)
     return out.select(
         "event_type",
         "n_days",
-        F.round("level", 6).alias("level"),
-        F.round("kalman_gain", 6).alias("kalman_gain"),
-        F.round("pvar", 6).alias("pvar"),
-        F.round("innov_sse", 6).alias("innov_sse"),
+        F.floor(F.col("level") * 1e6).cast("bigint").alias("level_mu"),
+        F.floor(F.col("kalman_gain") * 1e6).cast("bigint").alias("kalman_gain_mu"),
+        F.floor(F.col("pvar") * 1e6).cast("bigint").alias("pvar_mu"),
+        F.floor(F.col("innov_sse") * 1e6).cast("bigint").alias("innov_sse_mu"),
     ).orderBy("event_type")
 
 

@@ -2485,12 +2485,22 @@ def test_ivf_probe_prunes_candidates(spark, sf_dir):
         .select("qid", "cid")
     )
     n_corpus = assign.count()
-    n_candidates = probes.join(assign, "cid").count()  # rows reranked by q430
+    cand_pairs = {
+        (r["qid"], r["vec_id"])
+        for r in probes.join(assign, "cid").select("qid", "vec_id").collect()
+    }
     assert n_corpus > 0
     bound = _IVF_NQ * n_corpus * (_IVF_NPROBE / _IVF_NCELLS) * 3
-    assert n_candidates < bound, (n_candidates, bound)
-    # and pruning is real: strictly fewer than the brute-force scan
-    assert n_candidates < _IVF_NQ * n_corpus
+    assert len(cand_pairs) < bound, (len(cand_pairs), bound)
+    # and tie the measurement to q430 ITSELF: every (qid, vec_id) the query
+    # returns must come from the probed-cell candidate set — a q430 whose
+    # probe restriction regressed to scanning unprobed cells would surface
+    # a nearer out-of-cell neighbor here
+    returned = REGISTRY["q430_ivf_nprobe_ann"].fn(spark, sf_dir)
+    for r in returned.select("qid", "vec_id").collect():
+        assert (r["qid"], r["vec_id"]) in cand_pairs, (
+            f"q430 returned ({r['qid']}, {r['vec_id']}) from an unprobed cell"
+        )
 
 
 def test_jw_blocked_pairs_broadcast_topk(spark, sf_dir):

@@ -101,7 +101,7 @@ NO_CARTESIAN = [
     "q75_ivf_probe_search",
     "q90_dedup_clusters",
     "q99_ann_multiprobe_lsh",
-    "q144_customer_distribution",
+    # (q144 lives in PARTIAL_AGG, whose test already asserts no-cartesian)
     "q162_schema_evolution_union",
     "q167_lang_confusion_matrix",
     "q173_keeper_longest_doc",
