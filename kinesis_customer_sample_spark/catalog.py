@@ -17,8 +17,6 @@ plain cast. Either way the result matches DuckDB's read of the same file.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,27 +40,33 @@ TABLES = (
 # inference round trip (file listing + footer read) EVERY call — a catalog
 # metastore would pay it once and cache the FileIndex (that is what
 # spark.table() against a real catalog does via the relation cache).
-# Keyed per SparkSession OBJECT (WeakKeyDictionary), not per applicationId:
-# spark.newSession() clones share one appId but have separate catalogs, and
-# a DataFrame is bound to the session that built it — an appId key would
-# hand session B a relation whose temp-view registrations land in session
-# A's catalog. The weak keying also means entries die with their session,
-# so stopped/replaced sessions cannot accumulate. DataFrames are immutable
-# plans, so sharing one scan relation within a session is free. Measured:
-# q35's build cost (register_views over 10 tables per execution) drops
+# Stored ON the SparkSession object itself (a private attribute), not in a
+# module-global map keyed by applicationId or by the session:
+# - an appId key would be wrong for spark.newSession() clones (one appId,
+#   separate catalogs — a DataFrame is bound to the session that built it,
+#   so session B would register temp views into session A's catalog);
+# - a module-global keyed by the session (even a WeakKeyDictionary) would
+#   never evict, because the cached DataFrames strongly reference their
+#   session, keeping the key alive.
+# As an instance attribute, the memo's lifetime IS the session's lifetime:
+# when the session becomes unreachable, the memo (and its DataFrames) go
+# with it — nothing global pins either. DataFrames are immutable plans, so
+# sharing one scan relation within a session is free. Measured: q35's
+# build cost (register_views over 10 tables per execution) drops
 # ~0.8 s → ~0 on re-execution, and the 514-query parity sweep saves the
 # footer re-reads wholesale. Fixture directories are read-only, so the
 # cached file listing cannot go stale; clear_table_memo() exists for code
 # that rewrites a fixture path in place (none in-repo today).
-_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+_MEMO_ATTR = "_kcss_table_memo"
 
 
-def clear_table_memo() -> None:
-    """Drop all memoized scan relations (use after rewriting a fixture
-    path in place, which nothing in-repo currently does)."""
-    _TABLE_MEMO.clear()
+def clear_table_memo(spark: SparkSession | None = None) -> None:
+    """Drop memoized scan relations (use after rewriting a fixture path
+    in place, which nothing in-repo currently does). With no argument the
+    active session's memo (if any) is cleared."""
+    target = spark or SparkSession.getActiveSession()
+    if target is not None and hasattr(target, _MEMO_ATTR):
+        getattr(target, _MEMO_ATTR).clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,7 +74,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     ensure_engine_conf(spark)
-    per_session = _TABLE_MEMO.setdefault(spark, {})
+    per_session = getattr(spark, _MEMO_ATTR, None)
+    if per_session is None:
+        per_session = {}
+        setattr(spark, _MEMO_ATTR, per_session)
     hit = per_session.get((sf_dir, name))
     if hit is not None:
         return hit

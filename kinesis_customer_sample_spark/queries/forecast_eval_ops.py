@@ -103,7 +103,9 @@ _DUCK_DAILY = """
       GROUP BY 1
     )
     SELECT s.event_type, s.c_f AS n_eval,
-           (s.s_f * n.c_n * 1000000 // (s.c_f * n.s_n))::BIGINT AS mase_mu,
+           CAST(floor(CAST(s.s_f AS DOUBLE) * n.c_n
+                      / (CAST(s.c_f AS DOUBLE) * n.s_n) * 1e6) AS BIGINT)
+             AS mase_mu,
            (s.smape_micro // s.c_f)::BIGINT AS smape_mu
     FROM seas s JOIN naive n ON n.event_type = s.event_type
     ORDER BY s.event_type
@@ -117,9 +119,12 @@ def mase_smape_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     walk — the Hyndman & Koehler scale-free standard) and sMAPE (mean
     of 2|f−y|/(f+y)).
 
-    Determinism: counts are integers; MASE is the single rational
-    (S_f·C_n)/(C_f·S_n); sMAPE accumulates integer micro-units per term
-    (2·10⁶·|f−y| div (f+y)) so the aggregate never sums floats.
+    Determinism: counts are integers; MASE is the single quotient
+    (S_f·C_n)/(C_f·S_n) of four exact integer sums, floor-quantized to
+    µ via the shared double expression (the all-integer µ form would
+    overflow int64 at large SF); sMAPE accumulates integer micro-units
+    per term (2·10⁶·|f−y| div (f+y)) so the aggregate never sums
+    floats.
 
     Scale: one codegen hash-agg to the (type, day) grid; both lag
     alignments are integer equi-joins on the grid (day−1 / day−7), so
@@ -160,11 +165,13 @@ def mase_smape_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("c_f").alias("n_eval"),
-            # exact integer rationals in µ-units — no float quotient, no
-            # round (SCALE.md round-on-quotient ban)
-            F.expr("CAST(s_f * c_n * 1000000 div (c_f * s_n) AS BIGINT)").alias(
-                "mase_mu"
-            ),
+            # floor-µ via the shared double expression: the integer form
+            # s_f*c_n*10^6 overflows int64 at large SF (r8 review); the
+            # double sequence is identical in both engines
+            F.expr(
+                "CAST(floor(CAST(s_f AS DOUBLE) * c_n"
+                " / (CAST(c_f AS DOUBLE) * s_n) * 1e6) AS BIGINT)"
+            ).alias("mase_mu"),
             F.expr("CAST(smape_micro div c_f AS BIGINT)").alias("smape_mu"),
         )
         .orderBy("event_type")
@@ -600,7 +607,9 @@ _WF_FOLDS = (9, 16, 23)
     )
     SELECT t.event_type, t.e AS train_end_day,
            n.c_n + 1 AS train_days, t.c_f AS n_eval,
-           (t.s_f * n.c_n * 1000000 // (t.c_f * n.s_n))::BIGINT AS mase_mu
+           CAST(floor(CAST(t.s_f AS DOUBLE) * n.c_n
+                      / (CAST(t.c_f AS DOUBLE) * n.s_n) * 1e6) AS BIGINT)
+             AS mase_mu
     FROM test t JOIN train_naive n
       ON n.e = t.e AND n.event_type = t.event_type
     ORDER BY t.event_type, t.e
@@ -664,11 +673,12 @@ def walk_forward_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").cast("int").alias("train_end_day"),
             (F.col("c_n") + 1).alias("train_days"),
             F.col("c_f").alias("n_eval"),
-            # exact integer rational in µ-units (SCALE.md ban on
-            # round-on-quotient outputs)
-            F.expr("CAST(s_f * c_n * 1000000 div (c_f * s_n) AS BIGINT)").alias(
-                "mase_mu"
-            ),
+            # floor-µ via the shared double expression (int64-safe at any
+            # SF; identical IEEE sequence both engines)
+            F.expr(
+                "CAST(floor(CAST(s_f AS DOUBLE) * c_n"
+                " / (CAST(c_f AS DOUBLE) * s_n) * 1e6) AS BIGINT)"
+            ).alias("mase_mu"),
         )
         .orderBy("event_type", "train_end_day")
     )

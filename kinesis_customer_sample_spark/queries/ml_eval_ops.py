@@ -1165,10 +1165,11 @@ def qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM terms
     )
     SELECT n_event_days, o1, e1_mu_sum, v_mu_sum,
-           CAST(floor((CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
+           CAST(floor(least(greatest(
+                 (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
                  * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
-                 / (CAST(v_mu_sum AS DOUBLE) / 1000000.0) * 1e6) AS BIGINT)
-             AS chi2_mu,
+                 / (CAST(v_mu_sum AS DOUBLE) / 1000000.0) * 1e6,
+                 -9.0e18), 9.0e18)) AS BIGINT) AS chi2_mu,
            CASE WHEN (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
                      * (CAST(o1 * 1000000 - e1_mu_sum AS DOUBLE) / 1000000.0)
                      / (CAST(v_mu_sum AS DOUBLE) / 1000000.0) > 3.841459
@@ -1265,8 +1266,12 @@ def logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o1",
         "e1_mu_sum",
         "v_mu_sum",
-        # floor-µ output (SCALE.md round-on-quotient ban)
-        F.expr(f"CAST(floor({chi2} * 1e6) AS BIGINT)").alias("chi2_mu"),
+        # floor-µ output, clamped before the cast (degenerate variance
+        # sends the quotient past int64: DuckDB errors, Spark saturates)
+        F.expr(
+            f"CAST(floor(least(greatest({chi2} * 1e6, -9.0e18), 9.0e18))"
+            " AS BIGINT)"
+        ).alias("chi2_mu"),
         F.expr(f"CASE WHEN {chi2} > 3.841459 THEN 1 ELSE 0 END").alias("reject_h0"),
     )
 
@@ -1432,7 +1437,7 @@ _PB_R = (
       SELECT dim::BIGINT AS dim, n1, n0,
              CAST(floor(({_PB_R}) * 1e6) AS BIGINT) AS r_pb_mu,
              row_number() OVER (
-               ORDER BY abs(CAST(floor(({_PB_R}) * 1e6) AS BIGINT)) DESC, dim)
+               ORDER BY CAST(floor(abs({_PB_R}) * 1e6) AS BIGINT) DESC, dim)
                AS rank
       FROM per_dim
     )
@@ -1482,13 +1487,16 @@ def point_biserial_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n0",
         # floor-µ output (SCALE.md round-on-quotient ban)
         F.expr(f"CAST(floor(({_PB_R}) * 1e6) AS BIGINT)").alias("r_pb_mu"),
+        # rank on floor(|r|·10⁶), not |floor(r·10⁶)|: flooring the signed
+        # value first would bias ties toward negative correlations
+        F.expr(f"CAST(floor(abs({_PB_R}) * 1e6) AS BIGINT)").alias("abs_mu"),
     ).select(
         "dim",
         "n1",
         "n0",
         "r_pb_mu",
         F.row_number()
-        .over(W.orderBy(F.abs(F.col("r_pb_mu")).desc(), "dim"))
+        .over(W.orderBy(F.col("abs_mu").desc(), "dim"))
         .cast("bigint")
         .alias("rank"),
     )

@@ -315,8 +315,9 @@ _LN6 = "CAST(floor(1000000.0 * ln(CAST({arg} AS DOUBLE))) AS BIGINT)"
            CAST(floor(CAST(mi.mi_micro AS DOUBLE)
                  / CAST((SELECT n FROM tot) AS DOUBLE)) AS BIGINT)
              AS mi_micronats,
-           CAST(floor(CAST(mi.mi_micro AS DOUBLE) / CAST(hx.hx_micro AS DOUBLE)
-                 * 1e6) AS BIGINT) AS theil_u_mu
+           CAST(floor(least(greatest(
+                 CAST(mi.mi_micro AS DOUBLE) / CAST(hx.hx_micro AS DOUBLE) * 1e6,
+                 -9.0e18), 9.0e18)) AS BIGINT) AS theil_u_mu
     FROM mi CROSS JOIN hx
     """,
     tags=("robust-stats", "mutual-information", "theil-u", "association"),
@@ -388,13 +389,11 @@ def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("mi_micro").cast("double") / F.col("n").cast("double"))
             .cast("bigint")
             .alias("mi_micronats"),
-            F.floor(
-                F.col("mi_micro").cast("double")
-                / F.col("hx_micro").cast("double")
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("theil_u_mu"),
+            F.expr(
+                "CAST(floor(least(greatest(CAST(mi_micro AS DOUBLE)"
+                " / CAST(hx_micro AS DOUBLE) * 1e6, -9.0e18), 9.0e18))"
+                " AS BIGINT)"
+            ).alias("theil_u_mu"),
         )
     )
 
@@ -533,8 +532,10 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(floor(r1 * 1e6) AS BIGINT) AS r1_mu,
            CAST(floor(r2 * 1e6) AS BIGINT) AS r2_mu,
-           CAST(floor(r1 * (1 - r2) / (1 - r1 * r1) * 1e6) AS BIGINT) AS phi1_mu,
-           CAST(floor((r2 - r1 * r1) / (1 - r1 * r1) * 1e6) AS BIGINT) AS phi2_mu
+           CAST(floor(least(greatest(r1 * (1 - r2) / (1 - r1 * r1) * 1e6,
+                                     -9.0e18), 9.0e18)) AS BIGINT) AS phi1_mu,
+           CAST(floor(least(greatest((r2 - r1 * r1) / (1 - r1 * r1) * 1e6,
+                                     -9.0e18), 9.0e18)) AS BIGINT) AS phi2_mu
     FROM wide ORDER BY event_type
     """,
     tags=("robust-stats", "yule-walker", "ar2", "timeseries"),
@@ -590,16 +591,15 @@ def yule_walker_ar2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("r1") * 1e6).cast("bigint").alias("r1_mu"),
         F.floor(F.col("r2") * 1e6).cast("bigint").alias("r2_mu"),
-        F.floor(
-            F.col("r1") * (1 - F.col("r2")) / (1 - F.col("r1") * F.col("r1")) * 1e6
-        )
-        .cast("bigint")
-        .alias("phi1_mu"),
-        F.floor(
-            (F.col("r2") - F.col("r1") * F.col("r1"))
-            / (1 - F.col("r1") * F.col("r1"))
-            * 1e6
-        )
-        .cast("bigint")
-        .alias("phi2_mu"),
+        # clamp before the cast: a near-unit r1 sends the quotient past
+        # int64, where DuckDB's cast errors but Spark's saturates (r8
+        # review); least/greatest on doubles is engine-identical
+        F.expr(
+            "CAST(floor(least(greatest(r1 * (1 - r2) / (1 - r1 * r1) * 1e6,"
+            " -9.0e18), 9.0e18)) AS BIGINT)"
+        ).alias("phi1_mu"),
+        F.expr(
+            "CAST(floor(least(greatest((r2 - r1 * r1) / (1 - r1 * r1) * 1e6,"
+            " -9.0e18), 9.0e18)) AS BIGINT)"
+        ).alias("phi2_mu"),
     ).orderBy("event_type")
