@@ -57,3 +57,27 @@ def test_catalog_normalizes_both_ts_encodings(spark, tmp_path, encoding):
         .collect()
     ]
     assert got == _US
+
+
+def test_scan_memo_is_per_session_and_hit_on_repeat(spark, sf_dir):
+    """The scan-relation memo lives ON the SparkSession instance: the
+    same (session, sf_dir, table) returns the identical DataFrame object
+    (no second footer read), while a spark.newSession() clone — same
+    applicationId, separate catalog — builds its OWN relation, so its
+    temp-view registrations can never land in the parent session's
+    catalog (r8 review finding)."""
+    a1 = table(spark, sf_dir, "nation")
+    a2 = table(spark, sf_dir, "nation")
+    assert a1 is a2  # memo hit within the session
+    clone = spark.newSession()
+    try:
+        b = table(clone, sf_dir, "nation")
+        assert b is not a1  # clone gets its own session-bound relation
+        assert b.sparkSession is clone
+        # the clone's registration must resolve in the clone's catalog
+        b.createOrReplaceTempView("kcss_memo_probe")
+        assert clone.sql("SELECT count(*) AS c FROM kcss_memo_probe").collect()[0][
+            "c"
+        ] == b.count()
+    finally:
+        clone.catalog.dropTempView("kcss_memo_probe")
