@@ -1,0 +1,117 @@
+"""Partition-invariance sweep: every registered query must produce the
+IDENTICAL canonical row set when the physical partitioning is perturbed.
+
+Why this gate exists: the one class of nondeterminism the DuckDB oracle
+sweep CANNOT catch by construction is partition-order dependence that
+happens to agree with the oracle on the default layout — float aggregates
+whose partial-sum order varies with the shuffle fan-in, partition-local
+logic (spark_partition_id two-phase top-k, mapInPandas carry-state)
+whose merge step silently assumes a layout. The repo's discipline is
+"no float ever enters an aggregate" (SCALE.md); this sweep PROVES it per
+query by running each query twice in one session —
+
+  run A: the engine defaults (spark.sql.shuffle.partitions = 32,
+         spark.sql.files.maxPartitionBytes = 128m), and
+  run B: a hostile layout (shuffle.partitions = 7, maxPartitionBytes =
+         1m — many small scan splits, different reduce fan-in)
+
+— and diffing the canonical sorted row tuples (compare.py's exact
+comparator, NULL-vs-NaN-faithful, no float widening).
+
+Usage: PYTHONPATH=/root/repo python scripts/check_partition_invariance.py [prefix...]
+Env:   PARITY_SF_DIR (default /root/testdata/sf0.01)
+
+Prints one line per query and a CHECK FAILED summary, mirroring
+scripts/check_parity.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from kinesis_customer_sample_spark.compare import _arrow_rows  # noqa: E402
+from kinesis_customer_sample_spark.registry import load_registry  # noqa: E402
+from kinesis_customer_sample_spark.session import get_spark  # noqa: E402
+
+_PERTURBED = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "1m",
+}
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "128m",
+}
+
+
+def _rows(spark, q, sf_dir):
+    spark.catalog.clearCache()
+    return _arrow_rows(q.fn(spark, sf_dir).toArrow())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    prefixes = sys.argv[1:]
+    reg = load_registry()
+    names = [
+        n
+        for n in reg
+        if not prefixes or any(n.startswith(p) or p in n for p in prefixes)
+    ]
+    spark = get_spark(app_name="kcss-partition-invariance")
+    failed: list[str] = []
+    timings: list[tuple[str, float]] = []
+    t_all = time.perf_counter()
+    for name in names:
+        q = reg[name]
+        t0 = time.perf_counter()
+        try:
+            for k, v in _DEFAULTS.items():
+                spark.conf.set(k, v)
+            cols_a, rows_a = _rows(spark, q, sf_dir)
+            for k, v in _PERTURBED.items():
+                spark.conf.set(k, v)
+            cols_b, rows_b = _rows(spark, q, sf_dir)
+            for k, v in _DEFAULTS.items():
+                spark.conf.set(k, v)
+            dt = time.perf_counter() - t0
+            timings.append((name, dt))
+            if cols_a != cols_b:
+                failed.append(name)
+                print(f"INVAR [FAIL] {name}: schema drift {cols_a} vs {cols_b}")
+            elif rows_a != rows_b:
+                failed.append(name)
+                n_diff = sum(1 for a, b in zip(rows_a, rows_b) if a != b) + abs(
+                    len(rows_a) - len(rows_b)
+                )
+                print(
+                    f"INVAR [FAIL] {name}: {n_diff} rows differ under perturbed"
+                    f" partitioning ({len(rows_a)} vs {len(rows_b)} rows)"
+                )
+                for a, b in list(zip(rows_a, rows_b))[:3]:
+                    if a != b:
+                        print(f"    A={a!r}\n    B={b!r}")
+            else:
+                print(
+                    f"INVAR [OK] {name}: {len(rows_a)} rows invariant ({dt:.2f}s)"
+                )
+        except Exception as ex:  # noqa: BLE001 — isolate, report, continue
+            failed.append(name)
+            print(f"INVAR [ERR] {name}: {type(ex).__name__}: {str(ex)[:160]}")
+        sys.stdout.flush()
+    total = time.perf_counter() - t_all
+    timings.sort(key=lambda kv: -kv[1])
+    print(f"INVAR TOTAL: {total:.1f}s over {len(names)} queries")
+    print(f"INVAR SLOWEST: {[(n, round(t, 2)) for n, t in timings[:10]]}")
+    print(f"INVAR FAILED: {failed}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
