@@ -42,10 +42,14 @@ from kinesis_customer_sample_spark.session import get_spark  # noqa: E402
 _PERTURBED = {
     "spark.sql.shuffle.partitions": "7",
     "spark.sql.files.maxPartitionBytes": "1m",
+    # also flip AQE off: coalesced-partition and runtime-replan effects are
+    # a second layout axis the default run exercises and this one removes
+    "spark.sql.adaptive.enabled": "false",
 }
 _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "128m",
+    "spark.sql.adaptive.enabled": "true",
 }
 
 
