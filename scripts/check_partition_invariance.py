@@ -23,10 +23,22 @@ Env:   PARITY_SF_DIR (default /root/testdata/sf0.01)
 
 Prints one line per query and a CHECK FAILED summary, mirroring
 scripts/check_parity.py.
+
+Cross-process mode — executor-count independence (spark.range fixtures
+partition by defaultParallelism = local[N] cores, so N is a layout axis
+only a separate JVM can vary):
+
+  SPARK_GRAFT_CPUS=32 ... check_partition_invariance.py --dump /tmp/h32.json
+  SPARK_GRAFT_CPUS=4  ... check_partition_invariance.py --compare /tmp/h32.json
+
+--dump writes one sha256 of each query's canonical rows (single run,
+default confs); --compare recomputes and diffs against the dump.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
 import sys
 import time
@@ -58,9 +70,60 @@ def _rows(spark, q, sf_dir):
     return _arrow_rows(q.fn(spark, sf_dir).toArrow())
 
 
+def _row_hash(cols, rows) -> str:
+    h = hashlib.sha256()
+    h.update(repr(cols).encode())
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
+def _cross_process(mode: str, path: str, prefixes: list[str]) -> None:
+    """--dump / --compare: canonical-row hashes across separate processes
+    (the executor-count axis — see module docstring)."""
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
+    reg = load_registry()
+    names = [
+        n
+        for n in reg
+        if not prefixes or any(n.startswith(p) or p in n for p in prefixes)
+    ]
+    spark = get_spark(app_name="kcss-cross-process-invariance")
+    hashes: dict[str, str] = {}
+    failed: list[str] = []
+    baseline = json.load(open(path)) if mode == "--compare" else {}
+    for name in names:
+        try:
+            cols, rows = _rows(spark, reg[name], sf_dir)
+            hashes[name] = _row_hash(cols, rows)
+            if mode == "--compare":
+                want = baseline.get(name)
+                if want is None:
+                    print(f"INVAR [ERR] {name}: not in baseline dump")
+                    failed.append(name)
+                elif want != hashes[name]:
+                    print(f"INVAR [FAIL] {name}: hash differs across processes")
+                    failed.append(name)
+                else:
+                    print(f"INVAR [OK] {name}: cross-process hash match")
+        except Exception as ex:  # noqa: BLE001
+            failed.append(name)
+            print(f"INVAR [ERR] {name}: {type(ex).__name__}: {str(ex)[:160]}")
+        sys.stdout.flush()
+    if mode == "--dump":
+        json.dump(hashes, open(path, "w"))
+        print(f"INVAR DUMPED: {len(hashes)} hashes -> {path}")
+    print(f"INVAR FAILED: {failed}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
     prefixes = sys.argv[1:]
+    if prefixes and prefixes[0] in ("--dump", "--compare"):
+        _cross_process(prefixes[0], prefixes[1], prefixes[2:])
+        return
     reg = load_registry()
     names = [
         n
