@@ -109,6 +109,10 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
         .crossJoin(qv)
         .select(F.col("vec_id").alias("doc_id"), rel_mu.alias("rel_mu"), "embedding")
+        # zero-norm embeddings make the cosine NULL; the distributed argmax
+        # ignored them (desc sort is nulls-last), so the driver-side greedy
+        # must exclude them too — int(None) would TypeError (r8 advice).
+        .filter(F.col("rel_mu").isNotNull())
         .orderBy(F.desc("rel_mu"), "doc_id")
         .limit(_N_CAND)
         .localCheckpoint()
@@ -120,7 +124,15 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_mu = F.expr(
         f"CAST(round({cosine_expr('ea', 'eb', dialect='spark', digits=9)} * 1000000) AS BIGINT)"
     )
-    sims = a.join(b, F.col("a") != F.col("b")).select("a", "b", sim_mu.alias("sim_mu"))
+    sims = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", sim_mu.alias("sim_mu"))
+        # candidates already have non-NULL rel_mu (non-degenerate vectors),
+        # so pairwise cosines are non-NULL by construction; keep the guard
+        # anyway so a fixture change degrades like the old F.max path
+        # (NULL pair ignored) instead of TypeError-ing in int().
+        .filter(F.col("sim_mu").isNotNull())
+    )
     # collect the constant-size operator state ONCE (20 candidate rows +
     # 380 pairwise sims — both bounded by _N_CAND, never corpus-sized) and
     # run the greedy argmax in the driver: 1 corpus job + 1 tiny sims job
@@ -139,7 +151,17 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             doc = min(
                 remaining,
                 key=lambda d: (
-                    -(_LAM7 * rel[d] - _LAM3 * max(sim[(d, s)] for s in selected)),
+                    # missing pair = NULL cosine filtered above; the old
+                    # distributed F.max ignored NULLs, so skip it here too
+                    # (default only fires if every pair was degenerate).
+                    -(
+                        _LAM7 * rel[d]
+                        - _LAM3
+                        * max(
+                            (sim[(d, s)] for s in selected if (d, s) in sim),
+                            default=0,
+                        )
+                    ),
                     d,
                 ),
             )

@@ -113,6 +113,18 @@ def _cross_process(mode: str, path: str, prefixes: list[str]) -> None:
     if mode == "--dump":
         json.dump(hashes, open(path, "w"))
         print(f"INVAR DUMPED: {len(hashes)} hashes -> {path}")
+    if mode == "--compare":
+        # Symmetric coverage check: baseline entries the current run never
+        # examined mean the registry shrank or a prefix filter was typo'd —
+        # the gate must not pass silently with reduced coverage (r8 advice).
+        unexamined = sorted(set(baseline) - set(names))
+        if unexamined:
+            print(
+                f"INVAR [ERR] baseline-only entries never examined "
+                f"({len(unexamined)}): {unexamined[:10]}"
+                f"{' ...' if len(unexamined) > 10 else ''}"
+            )
+            failed.extend(unexamined)
     print(f"INVAR FAILED: {failed}")
     spark.stop()
     sys.exit(1 if failed else 0)
