@@ -111,14 +111,26 @@ def l2sq64_expr(a: str, b: str, *, dialect: str) -> str:
     )
 
 
-def dot64_expr(a: str, b: str) -> str:
-    """Explicit 64-term dot product (Spark dialect): unrolled element_at
-    arithmetic stays inside whole-stage codegen, where zip_with/aggregate
-    lambdas are interpreted per element — the difference is 0.6 s vs
-    0.8-4.5 s (GC-sensitive) on ~1M pairs at sf0.1. Left-to-right addition
-    matches the fold order of the lambda form and DuckDB's accumulation,
-    so rounded results are identical."""
-    return " + ".join(
-        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
-        for i in range(1, 65)
-    )
+def dot64_expr(a: str, b: str, *, dialect: str = "spark") -> str:
+    """Explicit 64-term dot product: unrolled element_at arithmetic stays
+    inside whole-stage codegen, where zip_with/aggregate lambdas are
+    interpreted per element — the difference is 0.6 s vs 0.8-4.5 s
+    (GC-sensitive) on ~1M pairs at sf0.1. Left-to-right addition matches
+    the fold order of the lambda form. The duckdb dialect emits the SAME
+    left-assoc IEEE sequence over ::DOUBLE casts, so the two engines'
+    doubles are bit-equal (the l2sq64_expr argument) — which makes
+    floor-µ quantization of a cosine deterministic without any rounding
+    tolerance."""
+    if dialect == "spark":
+        elem = lambda v, i: f"CAST(element_at({v}, {i}) AS DOUBLE)"  # noqa: E731
+    else:
+        elem = lambda v, i: f"{v}[{i}]::DOUBLE"  # noqa: E731
+    return " + ".join(f"{elem(a, i)} * {elem(b, i)}" for i in range(1, 65))
+
+
+def norm64_expr(a: str, *, dialect: str = "spark") -> str:
+    """L2 norm of a 64-dim float array as the unrolled left-assoc sum of
+    squares under one sqrt — the bit-equal cross-dialect twin of
+    norm_expr's lambda fold (0.0 + v1² + v2² + … and v1² + v2² + … are
+    the identical IEEE sequence because 0.0 + x == x exactly)."""
+    return f"sqrt({dot64_expr(a, a, dialect=dialect)})"

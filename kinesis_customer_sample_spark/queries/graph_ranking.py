@@ -222,9 +222,10 @@ def bellman_ford_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ends
     )
     SELECT m2 // 2 AS n_edges,
-           round((m2 * sxy - sx * sy)::DOUBLE
+           CAST(floor((m2 * sxy - sx * sy)::DOUBLE
                  / sqrt((m2 * sxx - sx * sx)::DOUBLE
-                        * (m2 * syy - sy * sy)::DOUBLE), 6) AS assortativity
+                        * (m2 * syy - sy * sy)::DOUBLE) * 1e6) AS BIGINT)
+             AS assortativity_mu
     FROM s
     """,
     tags=("graph", "assortativity", "degree-correlation"),
@@ -238,7 +239,9 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-number summary of a graph's joint degree structure,
     complementing q180's clustering coefficient. All five sufficient
     statistics are exact integer sums; the only floats are the final
-    sqrt and division, identical IEEE on identical integers.
+    sqrt and division, identical IEEE on identical integers, and the
+    output is quantized with the shared floor-µ text (round-on-quotient
+    outputs are banned — SCALE.md, q288 post-mortem).
 
     Scale posture (100 TB): degree table via one hash agg over edge
     endpoints; degrees join back to edges by node key (two hash joins —
@@ -274,14 +277,19 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.expr("m2 div 2").cast("bigint").alias("n_edges"),
-        F.round(
+        # floor-µ, not round(x, 6): Newman's r is a true float quotient and
+        # round-on-quotient outputs are banned (SCALE.md, q288 post-mortem) —
+        # identical IEEE ×1e6 + exact floor agree across engines; round() does
+        # not. floor is also negative-safe (floor→−∞ both engines), which
+        # matters here because assortativity is signed.
+        F.floor(
             (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
             / F.sqrt(
                 (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
                 * (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-            ),
-            6,
-        ).alias("assortativity"),
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("assortativity_mu"),
     )
 
 
@@ -754,8 +762,9 @@ def brand_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT p.d AS degree, p.n_nodes,
-           round(CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE)
-                 / CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE), 6) AS alpha_slope,
+           CAST(floor(CAST(f.k * f.sxy - f.sx * f.sy AS DOUBLE)
+                 / CAST(f.k * f.sxx - f.sx * f.sx AS DOUBLE) * 1e6) AS BIGINT)
+             AS alpha_slope_mu,
            f.k AS n_fit_points
     FROM pts p CROSS JOIN fit f
     ORDER BY p.d
@@ -775,7 +784,8 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: degrees and the histogram are exact integers; the
     log-log points are floor-quantized micro-nats; the slope is one
     shared double expression over int64-safe sums (x, y <= ~3e7 even at
-    1e12 nodes — logs grow slowly).
+    1e12 nodes — logs grow slowly), floor-µ-quantized on output (signed
+    quotient; round-on-quotient outputs banned per SCALE.md).
 
     Scale posture (100 TB): reuses the materialized edge product; degree
     is one hash-agg, the histogram another (<= max-degree rows); the fit
@@ -814,12 +824,12 @@ def degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("d").alias("degree"),
             "n_nodes",
-            F.round(
-                F.expr(
-                    "CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE)"
-                ),
-                6,
-            ).alias("alpha_slope"),
+            # floor-µ, not round(x, 6): the slope is a signed float quotient
+            # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+            F.expr(
+                "CAST(floor(CAST(k * sxy - sx * sy AS DOUBLE)"
+                " / CAST(k * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)"
+            ).alias("alpha_slope_mu"),
             F.col("k").alias("n_fit_points"),
         )
         .orderBy("degree")

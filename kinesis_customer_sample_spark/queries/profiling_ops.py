@@ -1008,14 +1008,14 @@ _RC_SPLIT = "1998-01-01"
            (r.xb - r.xa)::BIGINT AS delta_cents,
            ((10000 * r.xb) // t.tb - (10000 * r.xa) // t.ta)::BIGINT
              AS share_shift_bp,
-           round(
+           CAST(floor(
              (CAST(r.xa AS DOUBLE) / t.ta
                 * (ln(2.0 * r.xa * t.tb) - ln(CAST(r.xa AS DOUBLE) * t.tb
                               + CAST(r.xb AS DOUBLE) * t.ta))
               + CAST(r.xb AS DOUBLE) / t.tb
                 * (ln(2.0 * r.xb * t.ta) - ln(CAST(r.xa AS DOUBLE) * t.tb
                               + CAST(r.xb AS DOUBLE) * t.ta))) / 2.0
-                / 0.693147180559945, 6) AS surprise
+                / 0.693147180559945 * 1e6) AS BIGINT) AS surprise_mu
     FROM rev r CROSS JOIN tot t
     ORDER BY abs(delta_cents) DESC, r.nation
     LIMIT 10
@@ -1079,16 +1079,17 @@ def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * xb) div tb - (10000 * xa) div ta").alias(
                 "share_shift_bp"
             ),
-            F.round(
-                F.expr(
-                    "(CAST(xa AS DOUBLE) / ta"
-                    " * (ln(2.0 * xa * tb) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta))"
-                    " + CAST(xb AS DOUBLE) / tb"
-                    " * (ln(2.0 * xb * ta) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta)))"
-                    " / 2.0 / 0.693147180559945"
-                ),
-                6,
-            ).alias("surprise"),
+            # floor-µ, not round(x, 6): surprise is a float ln/quotient
+            # expression (round-on-quotient outputs banned, SCALE.md
+            # q288 post-mortem); the inner text is unchanged so both
+            # engines still compute the identical double first
+            F.expr(
+                "CAST(floor((CAST(xa AS DOUBLE) / ta"
+                " * (ln(2.0 * xa * tb) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta))"
+                " + CAST(xb AS DOUBLE) / tb"
+                " * (ln(2.0 * xb * ta) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta)))"
+                " / 2.0 / 0.693147180559945 * 1e6) AS BIGINT)"
+            ).alias("surprise_mu"),
         )
         .orderBy(F.abs(F.col("delta_cents")).desc(), "nation")
         .limit(10)
@@ -1125,11 +1126,12 @@ def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts
     )
     SELECT n AS n_points,
-           round(-(CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)), 6) AS alpha,
-           round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n / 1e6, 6)
-             AS ln_c
+           CAST(floor(-(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * 1e6) AS BIGINT)
+             AS alpha_mu,
+           CAST(floor((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n) AS BIGINT)
+             AS ln_c_mu
     FROM s
     """,
     tags=("profiling", "retention", "power-law", "ols"),
@@ -1143,7 +1145,8 @@ def powerlaw_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: both OLS coordinates are ⌊10⁶ln(integer)⌋ micro-nats
     (the q151 discipline), so the regression's sufficient statistics
     are exact integer sums; slope and intercept are closed-form double
-    ratios of those integers, rounded in-query.
+    ratios of those integers, floor-µ-quantized on output
+    (round-on-quotient outputs banned per SCALE.md).
 
     Scale: one distinct-user day-0 pass (hash semi-join), one
     per-day distinct hash-agg to the 29-row grid, and a 1-row OLS
@@ -1179,20 +1182,23 @@ def powerlaw_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").alias("n_points"),
-        F.round(
+        # floor-µ, not round(x, 6): slope/intercept are signed float
+        # quotients (round-on-quotient outputs banned, SCALE.md q288
+        # post-mortem). The intercept's sufficient statistics are already
+        # µ-scaled, so dividing by n alone IS the µ value.
+        F.floor(
             -(
                 F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
                 / F.expr("CAST(n * sxx - sx * sx AS DOUBLE)")
-            ),
-            6,
-        ).alias("alpha"),
-        F.round(
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("alpha_mu"),
+        F.floor(
             F.expr(
                 "(CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
-                " / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n / 1e6"
-            ),
-            6,
-        ).alias("ln_c"),
+                " / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n"
+            )
+        ).cast("bigint").alias("ln_c_mu"),
     )
 
 

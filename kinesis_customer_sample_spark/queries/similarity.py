@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from kinesis_customer_sample_spark.catalog import table
 from kinesis_customer_sample_spark.functions import MOD_P, cosine_expr
-from kinesis_customer_sample_spark.functions.porthash import dot64_expr, norm_expr
+from kinesis_customer_sample_spark.functions.porthash import (
+    dot64_expr,
+    norm64_expr,
+    norm_expr,
+)
 from kinesis_customer_sample_spark.registry import query
 
 _QUERY_VEC_ID = 0  # the fixed "query vector" for top-k demos
@@ -1124,21 +1128,23 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT vec_id, embedding,
-             {_hyperplane_bucket("embedding", dialect="duckdb")} AS bucket
+             {_hyperplane_bucket("embedding", dialect="duckdb")} AS bucket,
+             {norm64_expr("embedding", dialect="duckdb")} AS en
       FROM embeddings
     ),
     pairs AS (
       SELECT a.bucket, a.vec_id AS src, c.vec_id AS dst,
-             {cosine_expr("a.embedding", "c.embedding", dialect="duckdb")} AS cos
+             CAST(floor(({dot64_expr("a.embedding", "c.embedding", dialect="duckdb")})
+                   / (a.en * c.en) * 1e6) AS BIGINT) AS cos_mu
       FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id != a.vec_id
     ),
     best AS (
-      SELECT bucket, src, dst, cos,
-             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+      SELECT bucket, src, dst, cos_mu,
+             row_number() OVER (PARTITION BY src ORDER BY cos_mu DESC, dst) AS rk
       FROM pairs
     )
     SELECT m1.src AS vec_a, m1.dst AS vec_b, m1.bucket,
-           m1.cos AS cosine
+           m1.cos_mu AS cosine_mu
     FROM best m1 JOIN best m2
       ON m2.src = m1.dst AND m2.dst = m1.src AND m2.rk = 1
     WHERE m1.rk = 1 AND m1.src < m1.dst
@@ -1157,9 +1163,11 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering (q90) or richer scoring (q453 Fellegi-Sunter).
 
     Determinism: candidates are bucket-local (the q73/q153 hyperplane-LSH
-    bucket, integer weights); per-pair cosine is the shared fold order
-    rounded to 6 dp; the best neighbor is row_number with the (cos DESC,
-    vec_id) total tiebreak, so the argmax cannot diverge cross-engine.
+    bucket, integer weights); per-pair cosine is the bit-equal unrolled
+    dot/norm sequence in BOTH dialects, floor-µ-quantized (no rounding
+    tolerance needed — the doubles are identical); the best neighbor is
+    row_number with the (cos_mu DESC, vec_id) total tiebreak, so the
+    argmax cannot diverge cross-engine.
 
     Scale posture (100 TB): pairwise work is BUCKET-LOCAL all-pairs,
     never corpus all-pairs (more planes at larger corpora keep buckets
@@ -1189,29 +1197,37 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score each UNORDERED pair once (src < dst), then mirror the scored
     # row for the other direction — halves the 64-term dot-product work
     # (cos is symmetric; the rank-1 window still needs both directions)
+    # floor-µ over a BIT-EQUAL cross-engine double: both dialects compute
+    # the identical unrolled left-assoc dot and norm sequences
+    # (dot64_expr/norm64_expr), so the quotient is the same IEEE double in
+    # Spark and DuckDB and floor-µ cannot flip — this replaced the old
+    # round(cos, 6) agreement tolerance between dot/norm and DuckDB's
+    # native list_cosine_similarity (round-on-quotient outputs are banned,
+    # SCALE.md q288 post-mortem).
     half = a.join(c, "bucket").filter(F.col("src") < F.col("dst")).select(
         "bucket",
         "src",
         "dst",
-        F.round(
-            F.expr(dot64_expr("emb_a", "emb_b")) / (F.col("na") * F.col("nb")), 6
-        ).alias("cos"),
+        F.floor(
+            F.expr(dot64_expr("emb_a", "emb_b")) / (F.col("na") * F.col("nb"))
+            * F.lit(1e6)
+        ).cast("bigint").alias("cos_mu"),
     ).localCheckpoint(eager=False)
     pairs = half.unionByName(
         half.select(
             "bucket",
             F.col("dst").alias("src"),
             F.col("src").alias("dst"),
-            "cos",
+            "cos_mu",
         )
     )
     best = pairs.select(
         "bucket",
         "src",
         "dst",
-        "cos",
+        "cos_mu",
         F.row_number()
-        .over(W.partitionBy("src").orderBy(F.col("cos").desc(), "dst"))
+        .over(W.partitionBy("src").orderBy(F.col("cos_mu").desc(), "dst"))
         .alias("rk"),
     ).filter(F.col("rk") == 1)
     m2 = best.select(
@@ -1224,7 +1240,7 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("vec_a"),
             F.col("dst").alias("vec_b"),
             "bucket",
-            F.col("cos").alias("cosine"),
+            F.col("cos_mu").alias("cosine_mu"),
         )
         .orderBy("vec_a")
     )

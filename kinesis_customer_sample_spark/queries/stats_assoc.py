@@ -122,10 +122,10 @@ def _rank2_grid(grid: DataFrame, gcols: list[str], vcol: str, bucket: int) -> Da
       FROM ranked GROUP BY 1
     )
     SELECT grp, n,
-           round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           CAST(floor((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
                  / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)),
-                 6) AS rho
+                        * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))
+                 * 1e6) AS BIGINT) AS rho_mu
     FROM s ORDER BY grp
     """,
     tags=("stats", "association", "spearman", "rank"),
@@ -180,14 +180,16 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "grp",
         "n",
-        F.round(
+        # floor-µ, not round(x, 6): rho is a signed float quotient
+        # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+        F.floor(
             (d("n") * d("sxy") - d("sx") * d("sy"))
             / F.sqrt(
                 (d("n") * d("sxx") - d("sx") * d("sx"))
                 * (d("n") * d("syy") - d("sy") * d("sy"))
-            ),
-            6,
-        ).alias("rho"),
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("rho_mu"),
     ).orderBy("grp")
 
 
@@ -221,10 +223,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n_ AS (SELECT grp, count(*)::BIGINT AS n FROM r GROUP BY 1)
     SELECT n_.grp, n_.n, p.nc AS n_conc, p.nd AS n_disc,
-           round((p.nc - p.nd)::DOUBLE
+           CAST(floor((p.nc - p.nd)::DOUBLE
                  / sqrt((n_.n * (n_.n - 1) / 2 - tx.n1)::DOUBLE
-                        * (n_.n * (n_.n - 1) / 2 - ty.n2)::DOUBLE),
-                 6) AS tau_b
+                        * (n_.n * (n_.n - 1) / 2 - ty.n2)::DOUBLE)
+                 * 1e6) AS BIGINT) AS tau_b_mu
     FROM n_ JOIN pairs p ON p.grp = n_.grp
     JOIN tx ON tx.grp = n_.grp JOIN ty ON ty.grp = n_.grp
     ORDER BY n_.grp
@@ -296,14 +298,16 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.col("nc").alias("n_conc"),
             F.col("nd").alias("n_disc"),
-            F.round(
+            # floor-µ, not round(x, 6): tau_b is a signed float quotient
+            # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+            F.floor(
                 (F.col("nc") - F.col("nd")).cast("double")
                 / F.sqrt(
                     F.expr("CAST(n * (n - 1) / 2 - n1 AS DOUBLE)")
                     * F.expr("CAST(n * (n - 1) / 2 - n2 AS DOUBLE)")
-                ),
-                6,
-            ).alias("tau_b"),
+                )
+                * F.lit(1e6)
+            ).cast("bigint").alias("tau_b_mu"),
         )
         .orderBy("grp")
     )
@@ -337,9 +341,9 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
            (sfl - ((ss // nn) * ss + ((ss - (ss // nn) * nn) * ss) // nn))::BIGINT
              AS ss_between,
            (qq - sfl)::BIGINT AS ss_within,
-           round(((sfl - ((ss // nn) * ss + ((ss - (ss // nn) * nn) * ss) // nn))::DOUBLE
+           CAST(floor(((sfl - ((ss // nn) * ss + ((ss - (ss // nn) * nn) * ss) // nn))::DOUBLE
                   / (k - 1))
-                 / ((qq - sfl)::DOUBLE / (nn - k)), 6) AS f_stat
+                 / ((qq - sfl)::DOUBLE / (nn - k)) * 1e6) AS BIGINT) AS f_stat_mu
     FROM tot
     """,
     tags=("stats", "anova", "variance-decomposition"),
@@ -352,7 +356,8 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⌊s²/n⌋ is the EXACT two-step long division q·s + ⌊r·s/n⌋ (s² itself
     would overflow int64 — the division never materializes it). Flooring
     each term costs < k cents² of SS — deterministic and identical in
-    both engines; F is the one double expression, rounded 6dp.
+    both engines; F is the one double expression, floor-µ-quantized on
+    output (round-on-quotient outputs banned per SCALE.md).
 
     Scale posture: one map-side-combined hash-agg to the k-row group
     grid, then grid algebra — the same shape at 60k rows and 100 TB.
@@ -385,14 +390,13 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("ss_between"),
         (F.col("qq") - F.col("sfl")).cast("bigint").alias("ss_within"),
-        F.round(
-            F.expr(
-                "(CAST(sfl - ((ss div nn) * ss + ((ss - (ss div nn) * nn) * ss)"
-                " div nn) AS DOUBLE) / (k - 1))"
-                " / (CAST(qq - sfl AS DOUBLE) / (nn - k))"
-            ),
-            6,
-        ).alias("f_stat"),
+        # floor-µ, not round(x, 6): F is a float quotient
+        # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+        F.expr(
+            "CAST(floor((CAST(sfl - ((ss div nn) * ss + ((ss - (ss div nn) * nn) * ss)"
+            " div nn) AS DOUBLE) / (k - 1))"
+            " / (CAST(qq - sfl AS DOUBLE) / (nn - k)) * 1e6) AS BIGINT)"
+        ).alias("f_stat_mu"),
     )
 
 
@@ -423,8 +427,9 @@ def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT sum(term_bp) FROM terms)::BIGINT AS chi2_bp
     )
     SELECT n, nr AS n_rows_dim, nc AS n_cols_dim, chi2_bp,
-           round(sqrt((chi2_bp::DOUBLE / 10000)
-                      / (n::DOUBLE * least(nr - 1, nc - 1))), 6) AS cramers_v
+           CAST(floor(sqrt((chi2_bp::DOUBLE / 10000)
+                      / (n::DOUBLE * least(nr - 1, nc - 1))) * 1e6) AS BIGINT)
+             AS cramers_v_mu
     FROM dims
     """,
     tags=("stats", "association", "chi-square", "categorical"),
@@ -485,13 +490,15 @@ def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_rows_dim"),
         F.col("nc").alias("n_cols_dim"),
         "chi2_bp",
-        F.round(
+        # floor-µ, not round(x, 6): V is a float sqrt-of-quotient
+        # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+        F.floor(
             F.sqrt(
                 (F.col("chi2_bp").cast("double") / 10000)
                 / (F.col("n").cast("double") * F.least(F.col("nr") - 1, F.col("nc") - 1))
-            ),
-            6,
-        ).alias("cramers_v"),
+            )
+            * F.lit(1e6)
+        ).cast("bigint").alias("cramers_v_mu"),
     )
 
 

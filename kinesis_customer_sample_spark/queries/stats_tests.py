@@ -1035,12 +1035,12 @@ _FL_R3 = (
       FROM items GROUP BY source
     )
     SELECT source, n_items, s2_sum, c0, c1, c2,
-           round((CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items)
+           CAST(floor((CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items)
                   - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
                      + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))
                  / (1.0 - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1
-                           + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items)),
-                 6) AS fleiss_kappa
+                           + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))
+                 * 1e6) AS BIGINT) AS fleiss_kappa_mu
     FROM agg ORDER BY source
     """,
     tags=("stats", "fleiss-kappa", "agreement", "multi-rater"),
@@ -1059,8 +1059,8 @@ def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares are in {{0,1,4,9}}); the per-source sufficient statistics
     (N, sum n_ij^2, column marginals c_j) are exact int64 hash-agg
     outputs; kappa is ONE shared double expression over those five
-    integers, rounded in-query — the q456 sufficient-statistics
-    discipline. c_j <= 3N keeps every aggregate int64-safe at any scale;
+    integers, floor-µ-quantized on output (round-on-quotient outputs
+    banned per SCALE.md) — the q456 sufficient-statistics discipline. c_j <= 3N keeps every aggregate int64-safe at any scale;
     only the final double expression squares them.
 
     Scale posture (100 TB): single map-side-combined hash-agg from the
@@ -1101,16 +1101,16 @@ def fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c0",
         "c1",
         "c2",
-        F.round(
-            F.expr(
-                "(CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items)"
-                " - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1"
-                "    + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))"
-                " / (1.0 - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1"
-                "           + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))"
-            ),
-            6,
-        ).alias("fleiss_kappa"),
+        # floor-µ, not round(x, 6): kappa is a signed float quotient
+        # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+        F.expr(
+            "CAST(floor(((CAST(s2_sum - 3 * n_items AS DOUBLE) / (6.0 * n_items)"
+            " - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1"
+            "    + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items))"
+            " / (1.0 - (CAST(c0 AS DOUBLE) * c0 + CAST(c1 AS DOUBLE) * c1"
+            "           + CAST(c2 AS DOUBLE) * c2) / (9.0 * n_items * n_items)))"
+            " * 1e6) AS BIGINT)"
+        ).alias("fleiss_kappa_mu"),
     ).orderBy("source")
 
 

@@ -1397,10 +1397,10 @@ _PSI_LN6 = "CAST(floor(1000000.0 * ln(CAST({a} AS DOUBLE))) AS BIGINT)"
     SELECT d.event_type,
            (t.rr - 20)::BIGINT AS n_ref,
            (t.aa - 20)::BIGINT AS n_cur,
-           round(CAST(sum((d.a * t.rr - d.r * t.aa)
+           (sum((d.a * t.rr - d.r * t.aa)
                  * ({_PSI_LN6.format(a='d.a * t.rr')}
-                    - {_PSI_LN6.format(a='d.r * t.aa')}))::BIGINT AS DOUBLE)
-                 / CAST(t.aa * t.rr AS DOUBLE) / 1e6, 6) AS psi
+                    - {_PSI_LN6.format(a='d.r * t.aa')}))::BIGINT
+             // (t.aa * t.rr))::BIGINT AS psi_mu
     FROM dense d JOIN tot t ON t.event_type = d.event_type
     GROUP BY d.event_type, t.rr, t.aa
     ORDER BY d.event_type
@@ -1470,12 +1470,11 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_ref",
             "n_cur",
-            F.round(
-                F.col("psi_sum").cast("double")
-                / (F.col("aa") * F.col("rr")).cast("double")
-                / 1e6,
-                6,
-            ).alias("psi"),
+            # exact integer µ-PSI: psi_sum/(aa·rr)/1e6 rounded 6dp WAS the
+            # banned round-on-quotient shape; psi_sum div (aa·rr) is the
+            # identical µ-quantity with zero float arithmetic (both terms
+            # non-negative, so truncating div == floor div on both engines)
+            F.expr("psi_sum div (aa * rr)").cast("bigint").alias("psi_mu"),
         )
         .orderBy("event_type")
     )

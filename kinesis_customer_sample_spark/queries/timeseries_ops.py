@@ -871,10 +871,11 @@ _SAX_WORD = 3  # motif word length, days
     )
     SELECT CAST(h AS TIMESTAMP) AS hour_ts, sx::BIGINT AS sum_x_c, sy::BIGINT AS sum_y_c,
            CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+                THEN CAST(floor((n::DOUBLE * sxy - sx::DOUBLE * sy)
                            / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx)
-                                  * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
-                END AS corr24
+                                  * (n::DOUBLE * syy - sy::DOUBLE * sy))
+                           * 1e6) AS BIGINT)
+                END AS corr24_mu
     FROM roll WHERE n = {_RC_WIN}
     ORDER BY hour_ts
     """,
@@ -889,7 +890,8 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines see the identical dense grid); all six rolling sufficient
     statistics are INTEGER window sums over cents, and the correlation
     is the one guarded double expression (degenerate zero-variance
-    windows emit NULL on both sides, never NaN).
+    windows emit NULL on both sides, never NaN), floor-µ-quantized on
+    output (round-on-quotient outputs banned per SCALE.md).
 
     Scale posture: the heavy input collapses to the calendar-bounded
     hourly grid first (one map-side-combined agg; ≤ 24·days rows by
@@ -946,18 +948,21 @@ def rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").alias("hour_ts"),
             F.col("sx").alias("sum_x_c"),
             F.col("sy").alias("sum_y_c"),
+            # floor-µ, not round(x, 6): the correlation is a signed float
+            # quotient (round-on-quotient outputs banned, SCALE.md q288
+            # post-mortem); the zero-variance guard still emits NULL
             F.when(
                 (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
                 & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
-                F.round(
+                F.floor(
                     (d("n") * d("sxy") - d("sx") * d("sy"))
                     / F.sqrt(
                         (d("n") * d("sxx") - d("sx") * d("sx"))
                         * (d("n") * d("syy") - d("sy") * d("sy"))
-                    ),
-                    6,
-                ),
-            ).alias("corr24"),
+                    )
+                    * F.lit(1e6)
+                ).cast("bigint"),
+            ).alias("corr24_mu"),
         )
         .orderBy("hour_ts")
     )

@@ -1107,14 +1107,14 @@ def spc_residual_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM comp GROUP BY event_type
     )
     SELECT event_type, n,
-           round(greatest(0.0,
+           CAST(floor(greatest(0.0,
              1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)
-                   / (CAST(n AS DOUBLE) * ss_sr - CAST(s_sr AS DOUBLE) * s_sr)), 6)
-             AS seasonal_strength,
-           round(greatest(0.0,
+                   / (CAST(n AS DOUBLE) * ss_sr - CAST(s_sr AS DOUBLE) * s_sr))
+             * 1e6) AS BIGINT) AS seasonal_strength_mu,
+           CAST(floor(greatest(0.0,
              1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)
-                   / (CAST(n AS DOUBLE) * ss_tr - CAST(s_tr AS DOUBLE) * s_tr)), 6)
-             AS trend_strength
+                   / (CAST(n AS DOUBLE) * ss_tr - CAST(s_tr AS DOUBLE) * s_tr))
+             * 1e6) AS BIGINT) AS trend_strength_mu
     FROM mom ORDER BY event_type
     """,
     tags=("timeseries", "decomposition", "strength", "stl"),
@@ -1187,18 +1187,16 @@ def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         "event_type",
         "n",
-        F.round(
-            F.expr(
-                "greatest(0.0, 1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)"
-                " / (CAST(n AS DOUBLE) * ss_sr - CAST(s_sr AS DOUBLE) * s_sr))"
-            ),
-            6,
-        ).alias("seasonal_strength"),
-        F.round(
-            F.expr(
-                "greatest(0.0, 1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)"
-                " / (CAST(n AS DOUBLE) * ss_tr - CAST(s_tr AS DOUBLE) * s_tr))"
-            ),
-            6,
-        ).alias("trend_strength"),
+        # floor-µ, not round(x, 6): both strengths are float quotients
+        # (round-on-quotient outputs banned, SCALE.md q288 post-mortem)
+        F.expr(
+            "CAST(floor(greatest(0.0, 1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)"
+            " / (CAST(n AS DOUBLE) * ss_sr - CAST(s_sr AS DOUBLE) * s_sr))"
+            " * 1e6) AS BIGINT)"
+        ).alias("seasonal_strength_mu"),
+        F.expr(
+            "CAST(floor(greatest(0.0, 1.0 - (CAST(n AS DOUBLE) * ss_r - CAST(s_r AS DOUBLE) * s_r)"
+            " / (CAST(n AS DOUBLE) * ss_tr - CAST(s_tr AS DOUBLE) * s_tr))"
+            " * 1e6) AS BIGINT)"
+        ).alias("trend_strength_mu"),
     ).orderBy("event_type")

@@ -874,7 +874,12 @@ def test_rbm_pairs_form_a_matching(spark, sf_dir):
     )
     assert members.count() == members.distinct().count()
     assert out.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
-    assert out.filter((F.col("cosine") < -1.0) | (F.col("cosine") > 1.0)).count() == 0
+    assert (
+        out.filter(
+            (F.col("cosine_mu") < -1_000_000) | (F.col("cosine_mu") > 1_000_000)
+        ).count()
+        == 0
+    )
     out.unpersist()
 
 
