@@ -673,3 +673,66 @@ def test_transform_with_state_v2_availability_probe():
         "likely unblocked; port q245 or q339 to the v2 API and update "
         "SURVEY.md's environment-blocked row"
     )
+
+
+def test_stream_join_family_microbatch_invariance(spark, sf_dir, monkeypatch, tmp_path):
+    """Micro-batch-boundary invariance for the stream-stream join family
+    (q348 semi / q364 full outer / q374 anti): the final output must be
+    IDENTICAL whether the replay arrives as one availableNow batch (the
+    default single-file source) or as three strictly time-ordered
+    micro-batches. Between batches the watermark advances and evicts
+    join state, so this is the one axis the batch oracle cannot see: a
+    too-tight state-retention bound or a mis-gated outer emission drops
+    or duplicates rows ONLY under incremental arrival (the q364
+    docstring's '67 rows short' bug class). Streaming analog of the
+    partition-invariance gate."""
+    from pyspark.sql import functions as F
+
+    import kinesis_customer_sample_spark.queries.streaming_queries as sq
+    import kinesis_customer_sample_spark.streaming.replay as replay
+    from kinesis_customer_sample_spark.catalog import table as cat_table
+    from kinesis_customer_sample_spark.compare import _arrow_rows
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    ev = cat_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    lo, hi = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    third = (hi - lo) // 3 + 1
+    sliced = ev.withColumn(
+        "batch_id", ((F.unix_micros("ts") - F.lit(lo)) / F.lit(third)).cast("long")
+    )
+    src = str(tmp_path / "events_sliced")
+    replay.write_ordered_shards(sliced, src, 3, "batch_id")
+    schema = spark.read.parquet(src).schema  # metadata-only, replay's pattern
+
+    real = replay.events_stream
+
+    def sliced_events_stream(sp, sfd, max_files_per_trigger=None):
+        return (
+            sp.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    reg = load_registry()
+    for name in (
+        "q348_stream_stream_semi_join",
+        "q364_stream_full_outer_join",
+        "q374_stream_anti_join",
+    ):
+        monkeypatch.setattr(replay, "events_stream", real)
+        monkeypatch.setattr(sq, "events_stream", real)
+        base_cols, base_rows = _arrow_rows(reg[name].fn(spark, sf_dir).toArrow())
+        monkeypatch.setattr(replay, "events_stream", sliced_events_stream)
+        monkeypatch.setattr(sq, "events_stream", sliced_events_stream)
+        got_cols, got_rows = _arrow_rows(reg[name].fn(spark, sf_dir).toArrow())
+        assert got_cols == base_cols, name
+        assert got_rows == base_rows, (
+            f"{name}: output depends on micro-batch slicing "
+            f"({len(got_rows)} vs {len(base_rows)} rows)"
+        )
