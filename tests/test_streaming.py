@@ -8,6 +8,7 @@ import os
 import tempfile
 
 import pandas as pd
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -675,24 +676,40 @@ def test_transform_with_state_v2_availability_probe():
     )
 
 
-def test_stream_join_family_microbatch_invariance(spark, sf_dir, monkeypatch, tmp_path):
-    """Micro-batch-boundary invariance for the stream-stream join family
-    (q348 semi / q364 full outer / q374 anti): the final output must be
-    IDENTICAL whether the replay arrives as one availableNow batch (the
-    default single-file source) or as three strictly time-ordered
-    micro-batches. Between batches the watermark advances and evicts
-    join state, so this is the one axis the batch oracle cannot see: a
-    too-tight state-retention bound or a mis-gated outer emission drops
-    or duplicates rows ONLY under incremental arrival (the q364
-    docstring's '67 rows short' bug class). Streaming analog of the
-    partition-invariance gate."""
+# ---- micro-batch-boundary invariance (streaming analog of the partition-
+# invariance gate) --------------------------------------------------------
+
+_MB_INVARIANT_QUERIES = (
+    # stream-stream joins: watermark advancement between batches evicts
+    # join state; a too-tight retention bound or mis-gated outer emission
+    # only misbehaves under incremental arrival (q364's '67 rows short'
+    # bug class)
+    "q348_stream_stream_semi_join",
+    "q364_stream_full_outer_join",
+    "q374_stream_anti_join",
+    "q111_stream_stream_join",
+    "q183_stream_outer_join",
+    # watermarked dedup + window aggs: state expiry mid-replay
+    "q117_stream_dedup_watermark",
+    "q52_stream_sliding_window",
+    # applyInPandasWithState carriers: per-key state must fold across
+    # batch boundaries (commutative/associative state discipline)
+    "q213_stream_ewma_stateful",
+    "q222_stream_ohlc",
+    "q267_stream_heavy_hitters",
+    "q408_stream_twap_stateful",
+)
+
+
+@pytest.fixture(scope="module")
+def sliced_events_source(spark, sf_dir, tmp_path_factory):
+    """The events table materialized as THREE strictly time-ordered
+    arrival shards (mtime-ordered single files), so a file stream with
+    maxFilesPerTrigger=1 replays them as three ordered micro-batches."""
     from pyspark.sql import functions as F
 
-    import kinesis_customer_sample_spark.queries.streaming_queries as sq
-    import kinesis_customer_sample_spark.streaming.replay as replay
     from kinesis_customer_sample_spark.catalog import table as cat_table
-    from kinesis_customer_sample_spark.compare import _arrow_rows
-    from kinesis_customer_sample_spark.registry import load_registry
+    from kinesis_customer_sample_spark.streaming import replay
 
     ev = cat_table(spark, sf_dir, "events").select(
         "event_type",
@@ -706,10 +723,23 @@ def test_stream_join_family_microbatch_invariance(spark, sf_dir, monkeypatch, tm
     sliced = ev.withColumn(
         "batch_id", ((F.unix_micros("ts") - F.lit(lo)) / F.lit(third)).cast("long")
     )
-    src = str(tmp_path / "events_sliced")
+    src = str(tmp_path_factory.mktemp("mb_invar") / "events_sliced")
     replay.write_ordered_shards(sliced, src, 3, "batch_id")
-    schema = spark.read.parquet(src).schema  # metadata-only, replay's pattern
+    return src, spark.read.parquet(src).schema  # metadata-only schema read
 
+
+@pytest.mark.parametrize("name", _MB_INVARIANT_QUERIES)
+def test_streaming_microbatch_invariance(spark, sf_dir, monkeypatch, sliced_events_source, name):
+    """The query's final output must be IDENTICAL whether the replay
+    arrives as one availableNow batch (the default single-file source)
+    or as three strictly time-ordered micro-batches — the one axis the
+    batch oracle cannot observe."""
+    import kinesis_customer_sample_spark.queries.streaming_queries as sq
+    from kinesis_customer_sample_spark.compare import _arrow_rows
+    from kinesis_customer_sample_spark.registry import load_registry
+    from kinesis_customer_sample_spark.streaming import replay
+
+    src, schema = sliced_events_source
     real = replay.events_stream
 
     def sliced_events_stream(sp, sfd, max_files_per_trigger=None):
@@ -720,19 +750,14 @@ def test_stream_join_family_microbatch_invariance(spark, sf_dir, monkeypatch, tm
         )
 
     reg = load_registry()
-    for name in (
-        "q348_stream_stream_semi_join",
-        "q364_stream_full_outer_join",
-        "q374_stream_anti_join",
-    ):
-        monkeypatch.setattr(replay, "events_stream", real)
-        monkeypatch.setattr(sq, "events_stream", real)
-        base_cols, base_rows = _arrow_rows(reg[name].fn(spark, sf_dir).toArrow())
-        monkeypatch.setattr(replay, "events_stream", sliced_events_stream)
-        monkeypatch.setattr(sq, "events_stream", sliced_events_stream)
-        got_cols, got_rows = _arrow_rows(reg[name].fn(spark, sf_dir).toArrow())
-        assert got_cols == base_cols, name
-        assert got_rows == base_rows, (
-            f"{name}: output depends on micro-batch slicing "
-            f"({len(got_rows)} vs {len(base_rows)} rows)"
-        )
+    monkeypatch.setattr(replay, "events_stream", real)
+    monkeypatch.setattr(sq, "events_stream", real)
+    base_cols, base_rows = _arrow_rows(reg[name].fn(spark, sf_dir).toArrow())
+    monkeypatch.setattr(replay, "events_stream", sliced_events_stream)
+    monkeypatch.setattr(sq, "events_stream", sliced_events_stream)
+    got_cols, got_rows = _arrow_rows(reg[name].fn(spark, sf_dir).toArrow())
+    assert got_cols == base_cols, name
+    assert got_rows == base_rows, (
+        f"{name}: output depends on micro-batch slicing "
+        f"({len(got_rows)} vs {len(base_rows)} rows)"
+    )
