@@ -761,3 +761,47 @@ def test_streaming_microbatch_invariance(spark, sf_dir, monkeypatch, sliced_even
         f"{name}: output depends on micro-batch slicing "
         f"({len(got_rows)} vs {len(base_rows)} rows)"
     )
+
+
+def test_corpus_ingest_microbatch_invariance(spark, sf_dir, monkeypatch, tmp_path):
+    """q150's exactly-once restoration (dropDuplicates over an
+    at-least-once doubled replay) must hold when the duplicates arrive
+    in DIFFERENT micro-batches: slice documents into three arrival
+    shards so the second delivery of a doc_id can land batches after
+    the first — the dedup state has to persist across batch boundaries,
+    not just within one availableNow batch."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table as cat_table
+    from kinesis_customer_sample_spark.compare import _arrow_rows
+    from kinesis_customer_sample_spark.registry import load_registry
+    from kinesis_customer_sample_spark.streaming import replay
+
+    docs = cat_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    sliced = docs.withColumn("batch_id", F.col("doc_id") % 3)
+    src = str(tmp_path / "documents_sliced")
+    replay.write_ordered_shards(sliced, src, 3, "batch_id")
+    schema = spark.read.parquet(src).schema
+
+    def sliced_documents_stream(sp, sfd, max_files_per_trigger=None):
+        return (
+            sp.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    reg = load_registry()
+    base_cols, base_rows = _arrow_rows(
+        reg["q150_stream_corpus_ingest"].fn(spark, sf_dir).toArrow()
+    )
+    monkeypatch.setattr(replay, "documents_stream", sliced_documents_stream)
+    got_cols, got_rows = _arrow_rows(
+        reg["q150_stream_corpus_ingest"].fn(spark, sf_dir).toArrow()
+    )
+    assert got_cols == base_cols
+    assert got_rows == base_rows, (
+        f"dedup state lost across micro-batches "
+        f"({len(got_rows)} vs {len(base_rows)} rows)"
+    )
