@@ -1082,7 +1082,17 @@ def contribution_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor-µ, not round(x, 6): surprise is a float ln/quotient
             # expression (round-on-quotient outputs banned, SCALE.md
             # q288 post-mortem); the inner text is unchanged so both
-            # engines still compute the identical double first
+            # engines still compute the identical double first.
+            # KNOWN LN EXCEPTION (SCALE.md hazards, r9 advice): unlike
+            # the div/sqrt-only floor-µ sites, ln is NOT IEEE
+            # correctly-rounded — JVM Math.log guarantees 1-ulp, so the
+            # cross-engine bit-equality argument is scoped to the
+            # correctly-rounded ops and a 1-ulp ln divergence landing a
+            # sum exactly on an integer-µ boundary could still flip the
+            # floor. Every ln input here is an integer-valued double
+            # (cents products), which keeps the inputs bit-identical;
+            # the residual ln-rounding risk is the documented accepted
+            # one, same class as the ⌊1e6·ln(int)⌋ µ-nats sites.
             F.expr(
                 "CAST(floor((CAST(xa AS DOUBLE) / ta"
                 " * (ln(2.0 * xa * tb) - ln(CAST(xa AS DOUBLE) * tb + CAST(xb AS DOUBLE) * ta))"

@@ -66,6 +66,12 @@ def _duck_round(i: int) -> str:
              e.embedding AS emb
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id != {_QUERY_VEC_ID}
+        -- zero-norm guard, mirroring the Spark body's rel_mu IS NOT NULL
+        -- filter: Spark's cosine is NULL on a zero vector (x/0 -> NULL)
+        -- while DuckDB's list_cosine_similarity returns a finite value,
+        -- so a degenerate fixture vector would diverge without this
+        AND list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+        AND list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]) > 0
     ),
     cand AS (
       SELECT doc_id, rel_mu, emb FROM scored

@@ -117,7 +117,16 @@ def _cross_process(mode: str, path: str, prefixes: list[str]) -> None:
         # Symmetric coverage check: baseline entries the current run never
         # examined mean the registry shrank or a prefix filter was typo'd —
         # the gate must not pass silently with reduced coverage (r8 advice).
-        unexamined = sorted(set(baseline) - set(names))
+        # Scope the check to the same prefix filter as the run itself: a
+        # prefix-scoped --compare against a full --dump is a documented
+        # workflow and must not fail on the baseline's out-of-scope keys
+        # (r9 advice).
+        in_scope = {
+            n
+            for n in baseline
+            if not prefixes or any(n.startswith(p) or p in n for p in prefixes)
+        }
+        unexamined = sorted(in_scope - set(names))
         if unexamined:
             print(
                 f"INVAR [ERR] baseline-only entries never examined "

@@ -68,9 +68,28 @@ _LEGACY_ALLOWED = {
     "q473_cluster_validity",
     # bucket-feeding intermediates, outputs already integer (SCALE.md r9):
     "q492_minhash_accuracy_audit", "q513_dedup_ensemble_venn",
+    # Round-10 hazard extension (r9 ADVICE): native ratio functions —
+    # round(list_cosine_similarity(...)) etc. — are the same quotient
+    # hazard with the division hidden inside the engine builtin, so the
+    # detector now flags them. The sites below predate the extension and
+    # are DRIVER-CERTIFIED (hashes pinned; migrate on contact only per the
+    # SCALE.md ledger recipe) — except q431, whose round IS the documented
+    # cross-implementation tolerance (Spark vs DuckDB Jaro-Winkler are
+    # independent implementations; 1e-6 quantization is the contract).
+    "q71_embedding_near_dup", "q72_cosine_topk_brute",
+    "q73_ann_lsh_bucketed", "q99_ann_multiprobe_lsh",
+    "q121_sq8_ann_rerank", "q199_hybrid_search_rrf",
+    "q236_rbo_rank_agreement", "q244_mmr_rerank",
+    "q431_jaro_winkler_linkage",
 }
 
-_HAZARD = re.compile(r"/|sqrt|\bln\s*\(|\blog\s*\(|\bexp\s*\(", re.I)
+_HAZARD = re.compile(
+    r"/|sqrt|\bln\s*\(|\blog\s*\(|\bexp\s*\("
+    # engine-native ratio/similarity builtins: the quotient is inside the
+    # function, so a plain operator scan can't see it (r9 ADVICE)
+    r"|cosine|jaccard|jaro|levenshtein|list_distance|list_inner_product",
+    re.I,
+)
 
 
 def _round_spans(txt: str):
@@ -117,3 +136,59 @@ def test_legacy_allowlist_only_shrinks():
     reg = load_registry()
     stale = sorted(n for n in _LEGACY_ALLOWED if n not in reg)
     assert not stale, f"stale allowlist entries (renamed/removed?): {stale}"
+
+
+# Frozen round-10 snapshot of the allowlist (r9 ADVICE: nothing mechanically
+# enforced the no-growth rule). The live set must stay a SUBSET of this
+# tuple: removing a migrated-on-contact query passes, adding a name fails
+# loudly. Extending the snapshot itself is reserved for the one legitimate
+# case — a detector broadened to catch previously-invisible hazards whose
+# carriers are already driver-certified (how the round-10 batch got here) —
+# and must be justified in the commit that does it.
+_FROZEN_R10 = (
+    "q01_pricing_summary", "q04_conditional_case", "q06_join_broadcast_dims",
+    "q102_volume_shipping", "q107_market_share", "q108_sessionize_batch",
+    "q109_corpus_curation", "q111_stream_stream_join",
+    "q113_small_quantity_revenue", "q114_histogram", "q121_sq8_ann_rerank",
+    "q127_unpivot_measures", "q128_iqr_outlier_fences", "q129_salted_skew_join",
+    "q12_join_range", "q138_repetition_filter", "q148_training_pipeline",
+    "q152_hard_negative_mining", "q153_semantic_dedup",
+    "q156_embedding_outliers", "q15_agg_groupby_basic", "q165_lsh_recall_eval",
+    "q18_agg_rollup", "q192_containment_pairs", "q199_hybrid_search_rrf",
+    "q19_agg_cube", "q20_agg_filtered", "q215_prefix_filter_jaccard",
+    "q223_linear_interpolation", "q228_groupwise_ols_trend",
+    "q230_chisq_independence", "q236_rbo_rank_agreement", "q238_trimmed_mean",
+    "q23_agg_global", "q244_mmr_rerank", "q249_wilson_intervals",
+    "q258_ks_two_sample", "q259_mann_whitney_u", "q25_win_lag_lead",
+    "q260_poisson_bootstrap_ci", "q261_ab_test_analysis",
+    "q262_hysteresis_alert_state", "q263_twap_interval_weighted",
+    "q26_win_frames", "q271_kmv_theta_set_ops", "q272_interpolated_quantiles",
+    "q276_stream_hysteresis_alerts", "q279_calibration_bins",
+    "q280_stream_kmv_distinct", "q281_auc_roc", "q282_kaplan_meier",
+    "q284_k_anonymity_audit", "q286_link_prediction_jaccard",
+    "q288_sql_pipe_syntax", "q298_decayed_engagement", "q299_cohens_kappa",
+    "q305_stream_minibatch_kmeans", "q307_point_in_polygon",
+    "q308_association_rules", "q311_embedding_gramian", "q312_deadline_funnel",
+    "q322_neyman_stratified_sample", "q323_lag1_autocorrelation",
+    "q35_sql_shipping_priority", "q38_fn_math", "q431_jaro_winkler_linkage",
+    "q473_cluster_validity", "q492_minhash_accuracy_audit",
+    "q513_dedup_ensemble_venn", "q51_stream_tumbling_window",
+    "q57_stream_static_join", "q62_tfidf_top_terms", "q64_quality_score",
+    "q68_ngram_jaccard_pairs", "q69_minhash_lsh_pairs",
+    "q71_embedding_near_dup", "q72_cosine_topk_brute", "q73_ann_lsh_bucketed",
+    "q74_knn_vote", "q75_ivf_probe_search", "q76_timeseries_similarity",
+    "q82_parquet_sink_roundtrip", "q86_salted_skew_agg",
+    "q94_time_hierarchy_rollup", "q97_local_supplier_revenue",
+    "q98_returned_item_report", "q99_ann_multiprobe_lsh",
+)
+
+
+def test_legacy_allowlist_never_grows():
+    """Mechanical no-growth pin (r9 ADVICE item): the live allowlist must be
+    a subset of the frozen round-10 snapshot — removals (ledger queries
+    migrated on contact) pass, any addition fails this test by name."""
+    added = sorted(_LEGACY_ALLOWED - set(_FROZEN_R10))
+    assert not added, (
+        "new names added to _LEGACY_ALLOWED — the allowlist only shrinks; "
+        f"migrate these to floor-µ instead: {added}"
+    )
