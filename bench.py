@@ -388,6 +388,18 @@ def main() -> None:
     spark.range(100_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # One untimed REGISTRY query before the timed loop (r9 verdict task #4):
+    # the synthetic warm-ups above exercise shuffle + the Python pool but
+    # not the catalog/parquet-scan path or a realistic codegen compile, so
+    # the suite's first query kept billing that session cost and minting
+    # single-shot false alarms in the driver's recorded bench.
+    try:
+        registry[names[0]].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001 — warm-up must never kill the bench
+        pass
 
     # Three executions per query, report the min: single-JVM timings here
     # show multi-second transient stalls (GC / JIT deopt) that land on

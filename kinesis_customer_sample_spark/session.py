@@ -39,6 +39,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # The JVM's default 240 MB reserved code cache fills after a few
+        # hundred whole-stage-codegen compiles; HotSpot then DISABLES the
+        # JIT ("CodeCache is full. Compiler has been disabled.") and every
+        # later query in a long session runs interpreted — the mechanism
+        # behind late-suite bench readings 7-14× their isolated numbers
+        # (r9 q462: 17 s in the 276-query suite, 1.2 s isolated).
+        # UseCodeCacheFlushing additionally lets HotSpot evict cold
+        # compiled methods instead of giving up. Local mode: driver JVM ==
+        # executor JVM, so the driver option covers both.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # events.parquet carries ns-precision timestamps Spark can't map
         # natively; read as long and convert in the catalog (catalog.py).
