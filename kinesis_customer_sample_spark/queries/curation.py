@@ -1669,7 +1669,7 @@ _ES_K = 50  # sample size for the weighted without-replacement draw
     )
     SELECT row_number() OVER (ORDER BY key_nano DESC, o_orderkey) AS draw_rank,
            o_orderkey,
-           round(o_totalprice, 2) AS weight,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS weight_cents,
            key_nano
     FROM keyed
     ORDER BY key_nano DESC, o_orderkey
@@ -1711,7 +1711,11 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("key_nano").desc(), "o_orderkey"))
         .alias("draw_rank"),
         "o_orderkey",
-        F.round("o_totalprice", 2).alias("weight"),
+        # exact integer cents, not round(x, 2): the weight was the last
+        # float-typed output column among the never-walked queries —
+        # migrated to the house integer discipline while the hash is
+        # still unpinned (round-10 pre-pin audit)
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("weight_cents"),
         "key_nano",
     )
 

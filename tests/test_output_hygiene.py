@@ -9,8 +9,9 @@ the shared floor-µ recipe (`CAST(floor(expr * 1e6) AS BIGINT)`); what
 remains is the frozen set of DRIVER-CERTIFIED legacy sites whose hashes
 are pinned (SCALE.md latent-hash ledger — migrating a green row risks a
 red row today for a hazard that only fires on a driver-env change) plus
-the documented exemptions (q431 cross-implementation tolerance, q471
-identity quantization, q492/q513 bucket-feeding intermediates).
+the documented exemptions (q431 cross-implementation tolerance,
+q492/q513 bucket-feeding intermediates; q471's former identity
+quantization migrated to integer cents in round 10 while unpinned).
 
 This test freezes that set. A NEW query — or an edit to an existing one —
 that introduces a round( span containing a division, sqrt, ln, log or exp

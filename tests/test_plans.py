@@ -2711,11 +2711,15 @@ def test_soundex_runs_on_vocabulary_not_corpus(spark, sf_dir):
 
 
 def test_fs_pairs_blocked_weights_broadcast(spark, sf_dir):
-    """q453: candidate pairs come from the lang equi-join block (never a
-    cartesian); the 1-row pivoted weight table broadcasts back to the
+    """q453: candidate pairs come from the COMPOSITE (lang, len_band)
+    equi-join block (never a cartesian, never lang-only — r9 verdict:
+    lang-only leaves the dominant-language block quadratic at corpus
+    scale); the 1-row pivoted weight table broadcasts back to the
     scoring pass; top-k is TakeOrderedAndProject."""
     facts = audit_of(spark, sf_dir, "q453_fellegi_sunter")
     assert not facts.has_cartesian
+    # the pair join's equi-key must include BOTH block components
+    assert re.search(r"Left keys \[2\]: \[lang#\d+, len_band#\d+L?\]", facts.text)
     assert "BroadcastNestedLoopJoin" in facts.text
     assert "TakeOrderedAndProject" in facts.text
 
