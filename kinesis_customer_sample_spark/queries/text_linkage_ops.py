@@ -58,11 +58,13 @@ _BD_TOPK = 50
 # q453: near-dup label threshold (Jaccard ‰) and length-agreement band
 _FS_MATCH_PERMILLE = 500
 _FS_LEN_TOL = 20
-# Candidate-blocking band width (chars). MUST stay >= _FS_LEN_TOL so the
-# f_len agreement feature is only ever decided within or across ADJACENT
-# bands; pairs the block drops are all f_len=0 disagreements by
-# construction. Blocking on (lang, n_chars div band) bounds the pair join
-# to block-local quadratics instead of lang-local (round-9 verdict fix).
+# Candidate-blocking band width (chars). Keep >= _FS_LEN_TOL: then any
+# dropped pair either disagrees on length (f_len=0) or straddles one band
+# boundary with |Δn_chars| <= tol — the bounded recall loss every length
+# block trades for killing the in-language quadratic (widen the band or
+# add an adjacent-band join leg to recover those, at more candidates).
+# Blocking on (lang, n_chars div band) bounds the pair join to
+# block-local quadratics instead of lang-local (round-9 verdict fix).
 _FS_LEN_BAND = 50
 _FS_TOPK = 30
 # q454: top novel vectors reported
@@ -508,9 +510,11 @@ def fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, n_chars div band) equi-join block, so the pair join is
     quadratic only inside each block, never inside a whole language
     (lang-only blocking left the dominant-language block n² at corpus
-    scale — round-9 verdict). The band width stays ≥ the f_len
-    tolerance, so every pair the block drops is an f_len=0
-    disagreement; tightening the band is the standard
+    scale — round-9 verdict). With band ≥ the f_len tolerance, a
+    dropped pair either disagrees on length or straddles one band
+    boundary within tolerance — the bounded recall loss all length
+    blocking trades for candidate count (recoverable with an
+    adjacent-band join leg); the band width is the standard
     recall-vs-candidate-count blocking knob. The m/u estimation is
     one unpivoted hash-agg over the pairs; the 3-row weight table
     broadcasts back to the scoring pass."""

@@ -1287,3 +1287,36 @@ def test_behavior_entropy_bounds_at_5m_rows(spark):
         | ((F.col("n_types") == 1) & (F.col("h_mu") > 1))
     ).count()
     assert bad == 0
+
+def test_fs_composite_block_bounds_pairs_at_1m_docs(spark):
+    """q453's (lang, length-band) candidate blocking at 1M docs in ONE
+    language — the case where round 9's lang-only block went quadratic
+    (5×10¹¹ pairs). The composite equi-join must produce EXACTLY
+    Σ_block n_b·(n_b−1)/2 candidates (blocking semantics conserved) and
+    cut the in-language quadratic by ~the band count."""
+    n, band, spread = 1_000_000, 50, 100_000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        (F.lit(40) + (F.col("id") * 37) % spread).alias("n_chars"),
+    ).withColumn("len_band", F.expr(f"n_chars div {band}"))
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("b.lang") == F.col("a.lang"))
+            & (F.col("b.len_band") == F.col("a.len_band"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .count()
+    )
+    expected = (
+        d.groupBy("lang", "len_band")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")))
+        .collect()[0][0]
+    )
+    assert pairs == expected
+    # ~2000 equal bands cut the quadratic ~2000x; assert a 100x margin
+    # so band-occupancy skew in the synthetic stream cannot flake it
+    assert pairs < (n * (n - 1) // 2) // 100
