@@ -55,6 +55,11 @@ _KN_HELDOUT = "src0"
 # q451: ppb quantization for relative token frequencies
 _BD_PPB = 1_000_000_000
 _BD_TOPK = 50
+# q451: the marker-word list is the top-K corpus-frequency band (classic
+# Burrows uses 150; 25 binds on the ~31-word fixture vocabulary so the cap's
+# selection ordering is itself cross-engine-tested). Tie-break (count DESC,
+# word ASC) is exact-integer deterministic in both engines.
+_BD_VOCAB_K = 25
 # q453: near-dup label threshold (Jaccard ‰) and length-agreement band
 _FS_MATCH_PERMILLE = 500
 _FS_LEN_TOL = 20
@@ -254,12 +259,20 @@ def kn_bigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (SELECT source, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
     tot AS (SELECT source, sum(c)::BIGINT AS t FROM cnt GROUP BY 1),
+    -- marker words: the top-{_BD_VOCAB_K} corpus-frequency band (count DESC,
+    -- word ASC tie-break) — the Burrows word-list cap that bounds the grid
+    wd AS (
+      SELECT w FROM (
+        SELECT w, sum(c)::BIGINT AS tc FROM cnt GROUP BY w
+        ORDER BY tc DESC, w LIMIT {_BD_VOCAB_K}
+      )
+    ),
     -- dense (source × word) grid: absent words get frequency 0
     grid AS (
       SELECT s.source, wd.w,
              coalesce(c.c, 0) * {_BD_PPB} // s.t AS f
       FROM tot s
-      CROSS JOIN (SELECT DISTINCT w FROM cnt) wd
+      CROSS JOIN wd
       LEFT JOIN cnt c ON c.source = s.source AND c.w = wd.w
     ),
     stats AS (
@@ -296,16 +309,20 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     most stylistically similar source pairs. The classic authorship /
     style-drift measure over the corpus's most-frequent-word profile.
 
-    Determinism: frequencies quantize to integer ppb (c·10⁹ div t) on
-    a DENSE source×word grid (absent = 0); the z-score uses the exact
-    n·Σf² − (Σf)² integer expansion with one sqrt; each |Δz| floors to
-    integer micro-units BEFORE the cross-word sum, so aggregates only
-    ever see integers.
+    Determinism: the marker-word list is the top-_BD_VOCAB_K corpus-
+    frequency band with the exact-integer (count DESC, word ASC)
+    tie-break — no float enters the selection; frequencies quantize to integer ppb
+    (c·10⁹ div t) on a DENSE source×word grid (absent = 0); the z-score
+    uses the exact n·Σf² − (Σf)² integer expansion with one sqrt; each
+    |Δz| floors to integer micro-units BEFORE the cross-word sum, so
+    aggregates only ever see integers.
 
-    Scale: token pass → (source, word) counts is one hash-agg; the
-    dense grid is |sources|·|vocab| (broadcast-sized by construction —
-    stylometry caps the word list at the top-frequency band); the pair
-    join is grid², bounded by the same cap."""
+    Scale: token pass → (source, word) counts is one hash-agg; the word
+    list is CAPPED at the top-_BD_VOCAB_K frequency band (one
+    vocabulary hash-agg + TakeOrderedAndProject — never the raw
+    distinct vocabulary, which is corpus-sized and would blow the
+    broadcast at 100 TB); the dense grid is |sources|·K and the pair
+    join grid², both bounded by the cap regardless of corpus size."""
     tok = _docs_with_tokens(spark, sf_dir)
     cnt = (
         tok.select("source", F.explode("toks").alias("w"))
@@ -314,7 +331,13 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
-    words = cnt.select("w").distinct()
+    words = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(_BD_VOCAB_K)
+        .select("w")
+    )
     grid = (
         tot.crossJoin(F.broadcast(words))
         .join(cnt, ["source", "w"], "left")

@@ -2692,12 +2692,15 @@ def test_kn_model_tables_are_build_sides(spark, sf_dir):
 
 
 def test_burrows_dense_grid_integer_sums(spark, sf_dir):
-    """q451: the dense source×word grid comes from a broadcast word dim;
+    """q451: the dense source×word grid comes from a broadcast word dim
+    CAPPED at the top-frequency band (its own TakeOrderedAndProject —
+    never the raw corpus-sized distinct vocabulary: r10 pre-pin audit);
     the z-score stats and pair deltas are hash-aggs (no window)."""
     facts = audit_of(spark, sf_dir, "q451_burrows_delta")
     assert facts.has_partial_agg
     assert "Window" not in facts.text
-    assert "TakeOrderedAndProject" in facts.text
+    # two top-k operators: the vocab cap and the final delta top-k
+    assert facts.text.count("TakeOrderedAndProject") >= 2
 
 
 def test_soundex_runs_on_vocabulary_not_corpus(spark, sf_dir):
