@@ -1320,3 +1320,35 @@ def test_fs_composite_block_bounds_pairs_at_1m_docs(spark):
     # ~2000 equal bands cut the quadratic ~2000x; assert a 100x margin
     # so band-occupancy skew in the synthetic stream cannot flake it
     assert pairs < (n * (n - 1) // 2) // 100
+
+
+def test_burrows_vocab_cap_bounds_grid_at_200k_words(spark):
+    """q451's marker-word cap on a 200k-word synthetic vocabulary — the
+    case the round-10 pre-pin audit fixed (the uncapped distinct
+    vocabulary made the broadcast word dim and the dense source x word
+    grid corpus-sized). The top-K band must select EXACTLY the K
+    highest-total words (count DESC, word ASC — here totals are unique
+    by construction, so the winners are words 0..K-1) and the dense
+    grid must be exactly |sources| * K rows no matter the vocabulary."""
+    from kinesis_customer_sample_spark.queries.text_linkage_ops import _BD_VOCAB_K
+
+    n_words, n_sources = 200_000, 20
+    # (source, word, count): word w has total count ~ (n_words - w) * 2,
+    # strictly decreasing in w, spread across two sources per word
+    cnt = spark.range(n_words * 2).select(
+        (F.col("id") % n_sources).alias("source"),
+        F.expr("id div 2").alias("w"),
+        (F.lit(n_words) - F.expr("id div 2")).alias("c"),
+    )
+    words = (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(_BD_VOCAB_K)
+        .select("w")
+    )
+    got = sorted(r.w for r in words.collect())
+    assert got == list(range(_BD_VOCAB_K))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    grid = tot.crossJoin(F.broadcast(words))
+    assert grid.count() == n_sources * _BD_VOCAB_K
