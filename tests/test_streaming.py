@@ -698,6 +698,16 @@ _MB_INVARIANT_QUERIES = (
     "q222_stream_ohlc",
     "q267_stream_heavy_hitters",
     "q408_stream_twap_stateful",
+    # r10 pre-pin extension: the two sketch-state carriers (20-bin
+    # histogram / ref+cur histogram pair) — vector addition must fold
+    # identically across batch boundaries before their hashes pin
+    "q439_stream_histogram_quantiles",
+    "q457_stream_psi_drift",
+    # r10 extension: the remaining events_stream readers — watermarked
+    # tumbling window (state expiry mid-replay) and the split router
+    # (per-branch watermark aggs must agree under incremental arrival)
+    "q51_stream_tumbling_window",
+    "q285_stream_split_router",
 )
 
 
