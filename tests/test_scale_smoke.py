@@ -1352,3 +1352,30 @@ def test_burrows_vocab_cap_bounds_grid_at_200k_words(spark):
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
     grid = tot.crossJoin(F.broadcast(words))
     assert grid.count() == n_sources * _BD_VOCAB_K
+
+
+def test_holt_winters_state_survives_batch_splits(spark, sf_dir):
+    """q463's secondary-sort Holt-Winters recursion carries 9 state
+    variables per user across Arrow batch boundaries (the q441/q474
+    carry-state discipline). A 64-row Arrow batch size splits every
+    user's 30-day series mid-key, so the output must be IDENTICAL to
+    the default batch size — a dropped or double-flushed key diverges
+    loudly."""
+    from kinesis_customer_sample_spark.queries.trend_ops import (
+        holt_winters_additive,
+    )
+
+    def rows():
+        return sorted(
+            tuple(r) for r in holt_winters_additive(spark, sf_dir).collect()
+        )
+
+    base = rows()
+    assert base, "fixture produced no users"
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        split = rows()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert split == base
