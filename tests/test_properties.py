@@ -965,3 +965,23 @@ def test_selfcert_scorecard_all_green(spark, sf_dir):
     out = load_registry()["q517_selfcert_scorecard"].fn(spark, sf_dir)
     assert out.filter(F.col("all_green") != 1).count() == 0
     assert out.count() == 4
+
+
+@given(st.lists(st.integers(-100, 100), min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_clamped_balance_closed_form_identity(deltas):
+    """q405's windowed closed form S_t = P_t - min(0, min_{j<=t} P_j)
+    must equal the direct nonlinear fold S_t = max(0, S_{t-1} + x_t)
+    on ANY integer delta sequence — the algebraic identity that keeps
+    the recurrence out of applyInPandas."""
+    s = 0
+    direct = []
+    for x in deltas:
+        s = max(0, s + x)
+        direct.append(s)
+    p, run_min, closed = 0, 0, []
+    for x in deltas:
+        p += x
+        run_min = min(run_min, p)
+        closed.append(p - min(0, run_min))
+    assert closed == direct
