@@ -60,6 +60,23 @@ _BD_TOPK = 50
 # selection ordering is itself cross-engine-tested). Tie-break (count DESC,
 # word ASC) is exact-integer deterministic in both engines.
 _BD_VOCAB_K = 25
+
+
+def _burrows_marker_words(cnt: DataFrame) -> DataFrame:
+    """q451's marker-word cap: the top-_BD_VOCAB_K corpus-frequency band
+    from a (source, w, c) per-source count table, exact-integer
+    (count DESC, word ASC) tie-break. This IS the 100 TB guard — the
+    broadcast word dim and the dense source×word grid are bounded by K,
+    never by the corpus's distinct vocabulary. Shared by the query body
+    and the 200k-word scale smoke so the pin tests the shipped cap, not
+    a copy of it."""
+    return (
+        cnt.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.col("tc").desc(), "w")
+        .limit(_BD_VOCAB_K)
+        .select("w")
+    )
 # q453: near-dup label threshold (Jaccard ‰) and length-agreement band
 _FS_MATCH_PERMILLE = 500
 _FS_LEN_TOL = 20
@@ -331,13 +348,7 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
-    words = (
-        cnt.groupBy("w")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy(F.col("tc").desc(), "w")
-        .limit(_BD_VOCAB_K)
-        .select("w")
-    )
+    words = _burrows_marker_words(cnt)
     grid = (
         tot.crossJoin(F.broadcast(words))
         .join(cnt, ["source", "w"], "left")

@@ -2701,6 +2701,16 @@ def test_burrows_dense_grid_integer_sums(spark, sf_dir):
     assert "Window" not in facts.text
     # two top-k operators: the vocab cap and the final delta top-k
     assert facts.text.count("TakeOrderedAndProject") >= 2
+    # anchor the VOCAB CAP itself (r10 ADVICE: a bare count can't tell
+    # the cap from the final delta top-k): a top-K limited exactly to
+    # _BD_VOCAB_K whose leading sort key is the corpus-frequency column
+    from kinesis_customer_sample_spark.queries.text_linkage_ops import _BD_VOCAB_K
+
+    assert re.search(
+        rf"TakeOrderedAndProject\nInput \[2\]: \[w#\d+, tc#\d+L?\]\n"
+        rf"Arguments: {_BD_VOCAB_K}, \[tc#\d+L? DESC",
+        facts.text,
+    ), "vocab-cap TakeOrderedAndProject on tc missing from plan"
 
 
 def test_soundex_runs_on_vocabulary_not_corpus(spark, sf_dir):

@@ -1329,8 +1329,14 @@ def test_burrows_vocab_cap_bounds_grid_at_200k_words(spark):
     grid corpus-sized). The top-K band must select EXACTLY the K
     highest-total words (count DESC, word ASC — here totals are unique
     by construction, so the winners are words 0..K-1) and the dense
-    grid must be exactly |sources| * K rows no matter the vocabulary."""
-    from kinesis_customer_sample_spark.queries.text_linkage_ops import _BD_VOCAB_K
+    grid must be exactly |sources| * K rows no matter the vocabulary.
+    Uses the SHIPPED _burrows_marker_words helper (r10 ADVICE: an
+    inline re-implementation here would keep passing if the production
+    cap drifted)."""
+    from kinesis_customer_sample_spark.queries.text_linkage_ops import (
+        _BD_VOCAB_K,
+        _burrows_marker_words,
+    )
 
     n_words, n_sources = 200_000, 20
     # (source, word, count): word w has total count ~ (n_words - w) * 2,
@@ -1340,13 +1346,7 @@ def test_burrows_vocab_cap_bounds_grid_at_200k_words(spark):
         F.expr("id div 2").alias("w"),
         (F.lit(n_words) - F.expr("id div 2")).alias("c"),
     )
-    words = (
-        cnt.groupBy("w")
-        .agg(F.sum("c").alias("tc"))
-        .orderBy(F.col("tc").desc(), "w")
-        .limit(_BD_VOCAB_K)
-        .select("w")
-    )
+    words = _burrows_marker_words(cnt)
     got = sorted(r.w for r in words.collect())
     assert got == list(range(_BD_VOCAB_K))
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
@@ -1357,11 +1357,15 @@ def test_burrows_vocab_cap_bounds_grid_at_200k_words(spark):
 def test_holt_winters_state_survives_batch_splits(spark, sf_dir):
     """q463's secondary-sort Holt-Winters recursion carries 9 state
     variables per user across Arrow batch boundaries (the q441/q474
-    carry-state discipline). A 64-row Arrow batch size splits every
-    user's 30-day series mid-key, so the output must be IDENTICAL to
-    the default batch size — a dropped or double-flushed key diverges
+    carry-state discipline). The batch size is chosen BELOW the fixed
+    per-user series length (_HW_DAYS dense-grid rows per user), so
+    every user's series is guaranteed to split mid-key — the r10
+    ADVICE caught that a 64-row batch only splits when a partition
+    happens to hold >= 3 users. Output must be IDENTICAL to the
+    default batch size — a dropped or double-flushed key diverges
     loudly."""
     from kinesis_customer_sample_spark.queries.trend_ops import (
+        _HW_DAYS,
         holt_winters_additive,
     )
 
@@ -1372,9 +1376,14 @@ def test_holt_winters_state_survives_batch_splits(spark, sf_dir):
 
     base = rows()
     assert base, "fixture produced no users"
+    batch = 16
+    assert _HW_DAYS > batch, (
+        "batch size must undercut the per-user series length or the "
+        "split condition never binds"
+    )
     old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     try:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
         split = rows()
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
