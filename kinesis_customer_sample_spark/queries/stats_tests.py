@@ -1284,7 +1284,7 @@ def gwet_ac1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: identical integer sufficient statistics to q478 (exact
     int64 hash-agg outputs); AC1 is one shared double expression over
-    those five integers, rounded in-query.
+    those five integers, floor-quantized to integer µ in-query.
 
     Scale posture (100 TB): single map-side-combined hash-agg from the
     document scan to a |sources|-row table — the q477/q478 shape."""

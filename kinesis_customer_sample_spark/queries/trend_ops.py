@@ -797,8 +797,9 @@ def kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 def classical_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day detrended/seasonal components of the classical additive
     decomposition — the reusable core of q479, shared with the q496
-    SPC-on-residuals capstone. Returns (event_type, day, wd, detr_mu,
-    seasonal_mu) for every day with a FULL centered MA-7 window."""
+    SPC-on-residuals capstone and the q520 strength indices. Returns
+    (event_type, day, wd, y_mu, detr_mu, n_obs, seasonal_mu) for every
+    day with a FULL centered MA-7 window."""
     daily = (
         table(spark, sf_dir, "events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
@@ -816,6 +817,7 @@ def classical_detrended(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         (F.weekday("day") + 1).alias("wd"),  # ISO 1=Mon..7=Sun (q329 pattern)
+        F.expr("x * 1000000").alias("y_mu"),
         F.expr("x * 1000000 - (sum7 * 1000000 div 7)").alias("detr_mu"),
     )
     sraw = detr.groupBy("event_type", "wd").agg(
@@ -1130,50 +1132,21 @@ def decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     the residuals, this scores the decomposition itself.
 
     Determinism: all three component series are exact integer mu-units
-    (q479's build verbatim); variance numerators n*Sxx - Sx^2 accumulate
-    squares in HUGEINT/DECIMAL(38,0); each strength is one shared
-    double expression over those integers with the greatest(0, .) clamp,
-    rounded 6dp.
+    (the shared classical_detrended builder — the same frame q479/q496
+    consume, so the decomposition can never drift between the three);
+    variance numerators n*Sxx - Sx^2 accumulate squares in
+    HUGEINT/DECIMAL(38,0); each strength is one shared double
+    expression over those integers with the greatest(0, .) clamp,
+    floor-quantized to integer µ (round-on-quotient banned).
 
     Scale posture (100 TB): identical to q479 — bounded (series, day)
     grid windows, broadcast seasonal joins, one moment hash-agg per
     series."""
-    daily = (
-        table(spark, sf_dir, "events")
-        .groupBy("event_type", F.to_date("ts").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-    )
-    w7 = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-    comp0 = (
-        daily.select(
-            "event_type",
-            "day",
-            "x",
-            F.sum("x").over(w7).alias("sum7"),
-            F.count(F.lit(1)).over(w7).alias("cnt7"),
-        )
-        .filter(F.col("cnt7") == 7)
-        .select(
-            "event_type",
-            (F.weekday("day") + 1).alias("wd"),
-            F.expr("x * 1000000").alias("y_mu"),
-            F.expr("x * 1000000 - (sum7 * 1000000 div 7)").alias("detr_mu"),
-        )
-    )
-    sraw = comp0.groupBy("event_type", "wd").agg(
-        F.expr("sum(detr_mu) div count(1)").alias("s_raw_mu")
-    )
-    adj = sraw.groupBy("event_type").agg(
-        F.expr("sum(s_raw_mu) div 7").alias("adj_mu")
-    )
-    seas = sraw.join(F.broadcast(adj), "event_type").select(
-        "event_type", "wd", (F.col("s_raw_mu") - F.col("adj_mu")).alias("s_adj_mu")
-    )
-    comp = comp0.join(F.broadcast(seas), ["event_type", "wd"]).select(
+    comp = classical_detrended(spark, sf_dir).select(
         "event_type",
-        (F.col("detr_mu") - F.col("s_adj_mu")).alias("r_mu"),
+        (F.col("detr_mu") - F.col("seasonal_mu")).alias("r_mu"),
         F.col("detr_mu").alias("sr_mu"),
-        (F.col("y_mu") - F.col("s_adj_mu")).alias("tr_mu"),
+        (F.col("y_mu") - F.col("seasonal_mu")).alias("tr_mu"),
     )
     mom = comp.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
