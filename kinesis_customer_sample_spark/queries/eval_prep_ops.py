@@ -861,14 +861,13 @@ def source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*)::BIGINT AS n_k,
              sum(p_bp)::BIGINT AS sp,
              sum(p_bp::HUGEINT * p_bp) AS spp,
-             sum(y)::BIGINT AS sy
+             sum(y)::BIGINT AS sy,
+             sum(CASE WHEN y = 1 THEN p_bp ELSE 0 END)::BIGINT AS spy
       FROM scored GROUP BY 1
     ),
     tot AS (
       SELECT sum(n_k)::BIGINT AS n, sum(sy)::BIGINT AS yy,
-             sum(sp)::BIGINT AS sp_tot, sum(spp) AS spp_tot,
-             (SELECT sum(CASE WHEN y = 1 THEN p_bp ELSE 0 END)::BIGINT
-              FROM scored) AS spy_tot
+             sum(spp) AS spp_tot, sum(spy)::BIGINT AS spy_tot
       FROM bins
     )
     SELECT t.n,
@@ -886,21 +885,31 @@ def source_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (CAST(t.n AS DOUBLE) * t.n) / 1e8 * 1e6) AS BIGINT) AS uncertainty_mu,
            CAST(floor((SELECT sum(CAST(b.spp AS DOUBLE)
                              - CAST(b.sp AS DOUBLE) * b.sp / b.n_k)
-                  FROM bins b) / t.n / 1e8 * 1e6) AS BIGINT) AS within_bin_var_mu
+                  FROM bins b) / t.n / 1e8 * 1e6) AS BIGINT) AS within_bin_var_mu,
+           CAST(floor((SELECT sum(10000.0 * (CAST(b.spy AS DOUBLE)
+                             - CAST(b.sp AS DOUBLE) * b.sy / b.n_k))
+                  FROM bins b) / t.n / 1e8 * 1e6) AS BIGINT) AS within_bin_cov_mu
     FROM tot t
     """,
     tags=("eval", "brier", "murphy-decomposition", "calibration"),
 )
 def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Murphy decomposition of the Brier score — BS = reliability -
-    resolution + uncertainty + within-bin variance (exact once the
-    within-bin spread term is kept): reliability is what calibration
-    (q304/q421) can fix, resolution is the model's actual skill,
-    uncertainty is the task's irreducible floor. q378 plots the
-    reliability DIAGRAM; this emits the decomposition that says whether
-    retraining (resolution) or recalibrating (reliability) is the right
-    spend. Same deterministic synthetic scorer as q378, so the two
-    reports reconcile bin for bin.
+    """GENERALIZED Murphy decomposition of the Brier score — BS =
+    reliability - resolution + uncertainty + within-bin variance -
+    2 x within-bin covariance (the Stephenson-style exact form: the
+    classic three-term Murphy identity only closes when forecasts are
+    CONSTANT within each bin; with continuous scores binned into
+    deciles, the within-bin spread AND the within-bin forecast-outcome
+    covariance terms are both required — the r11 pre-pin identity test
+    measured the covariance gap at 1934 µ on the fixture before this
+    term was added): reliability is what calibration (q304/q421) can
+    fix, resolution is the model's actual skill, uncertainty is the
+    task's irreducible floor. q378 plots the reliability DIAGRAM; this
+    emits the decomposition that says whether retraining (resolution)
+    or recalibrating (reliability) is the right spend. Same
+    deterministic synthetic scorer as q378, so the two reports
+    reconcile bin for bin. The recomposition identity is pinned by
+    tests/test_properties.py::test_murphy_decomposition_identity.
 
     Determinism: per-bin sufficient statistics (n, sum p, sum p^2 in
     HUGEINT/DECIMAL, sum y, sum py) are exact integers; each component
@@ -909,8 +918,9 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a true quotient is the banned round-on-quotient shape).
 
     Scale posture (100 TB): one map + ONE hash-agg to the 10-bin grid
-    (plus one global pair for sum py); every component is grid algebra
-    over 10 rows."""
+    (sum py now lives in the same per-bin statistics, so the former
+    second global scan is gone); every component is grid algebra over
+    10 rows."""
     scored = table(spark, sf_dir, "embeddings").select(
         (F.col("label") % 2).cast("bigint").alias("y"),
         F.expr(
@@ -925,17 +935,16 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_bp").cast("bigint").alias("sp"),
         F.sum(F.expr("CAST(p_bp AS DECIMAL(38,0)) * p_bp")).alias("spp"),
         F.sum("y").cast("bigint").alias("sy"),
-    )
-    spy = scored.agg(
         F.sum(F.expr("CASE WHEN y = 1 THEN p_bp ELSE 0 END"))
         .cast("bigint")
-        .alias("spy_tot")
+        .alias("spy"),
     )
     tot = bins.agg(
         F.sum("n_k").cast("bigint").alias("n"),
         F.sum("sy").cast("bigint").alias("yy"),
         F.sum("spp").alias("spp_tot"),
-    ).crossJoin(F.broadcast(spy))
+        F.sum("spy").cast("bigint").alias("spy_tot"),
+    )
     comp = bins.crossJoin(F.broadcast(tot)).agg(
         F.first("n").alias("n"),
         F.first("yy").alias("yy"),
@@ -957,6 +966,9 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.expr("CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n_k")
         ).alias("wbv_num"),
+        F.sum(
+            F.expr("10000.0 * (CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE) * sy / n_k)")
+        ).alias("wcov_num"),
     )
     return comp.select(
         "n",
@@ -976,5 +988,8 @@ def brier_murphy_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uncertainty_mu"),
         F.expr("CAST(floor(wbv_num / n / 1e8 * 1e6) AS BIGINT)").alias(
             "within_bin_var_mu"
+        ),
+        F.expr("CAST(floor(wcov_num / n / 1e8 * 1e6) AS BIGINT)").alias(
+            "within_bin_cov_mu"
         ),
     )

@@ -3285,6 +3285,17 @@ def test_murphy_decomposition_bin_grid(spark, sf_dir):
     assert facts.has_partial_agg
 
 
+def test_selfcert_scorecard_composes_clean(spark, sf_dir):
+    # q517 composes four registered audits; the union must inherit their
+    # postures — zero cartesian anywhere in the combined plan, and the
+    # only nested-loop legs are 1-row aggregate broadcasts (the r11
+    # pre-pin audit's mechanical scan, made durable)
+    facts = audit_of(spark, sf_dir, "q517_selfcert_scorecard")
+    assert not facts.has_cartesian
+    assert "BatchEvalPython" not in facts.text
+    assert facts.has_partial_agg
+
+
 def test_decomposition_strength_grid_moments(spark, sf_dir):
     facts = audit_of(spark, sf_dir, "q520_decomposition_strength")
     assert not facts.has_cartesian

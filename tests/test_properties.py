@@ -955,6 +955,32 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_murphy_decomposition_identity(spark, sf_dir):
+    """q519's algebraic contract: the GENERALIZED Murphy identity
+    BS = REL - RES + UNC + WBV - 2*WCOV holds exactly in the reals (the
+    three-term classic only closes for bin-constant forecasts; this
+    test, run against the pre-fix output, measured the missing
+    covariance term at 1934 µ). The six independently-floored µ outputs
+    must agree within the quantization corridor: five floors at < 1 µ
+    each plus the doubled covariance floor at < 2 µ → |Δ| < 7. A larger
+    gap means a component formula drifted, not rounding."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    row = (
+        load_registry()["q519_brier_murphy_decomposition"]
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    recomposed = (
+        row["reliability_mu"]
+        - row["resolution_mu"]
+        + row["uncertainty_mu"]
+        + row["within_bin_var_mu"]
+        - 2 * row["within_bin_cov_mu"]
+    )
+    assert abs(row["brier_mu"] - recomposed) < 7
+
+
 def test_selfcert_scorecard_all_green(spark, sf_dir):
     """q517: every self-certifying audit must be all-green on the fixture
     — a red row means an internal engine invariant broke."""
