@@ -444,7 +444,8 @@ def lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: cents are integers; ntile over a total order is
     engine-identical; cumulative pops/wealths are integer window sums;
-    the share is one double division per decile row, rounded.
+    the share is one double division per decile row, floor-quantized
+    to integer µ.
 
     Scale: the only row-level window is the per-region ntile (a sort
     within the region partition — the same cost class as any ranked

@@ -955,6 +955,145 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_deadline_funnel_conserves_population(spark, sf_dir):
+    """q312's conservation claim: 'stage counts are disjoint (a user
+    lands in their furthest stage), so stages sum to the view-user
+    population' — pinned against an independent count of distinct
+    users with at least one view event."""
+    from pyspark.sql import functions as F
+
+    from kinesis_customer_sample_spark.catalog import table
+    from kinesis_customer_sample_spark.queries.sequence_ops import _FUN_S1
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q312_deadline_funnel"].fn(spark, sf_dir).collect()
+    staged_total = sum(r["n_users"] for r in rows)
+    viewers = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == _FUN_S1)
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert staged_total == viewers
+
+
+def test_theil_between_group_nonnegative(spark, sf_dir):
+    """q412's decomposability claim: T_total = Σ share_g·T_g + T_between
+    with T_between >= 0 (Theil's defining advantage over Gini; 'every
+    input to it is in the output'). Recomposed exactly in scaled
+    integers: between·1e4 = T_all_mu·1e4 − Σ share_bp·T_g_mu. The floor
+    quantizations (share_bp and T_g_mu truncate down) can only push the
+    recomposed between UP; only T_all_mu's own floor (< 1 µ) pushes it
+    down — so anything below −2e4 in the scaled units is a formula
+    defect, not rounding. Also pins the ALL row's aggregation identity
+    (n, cents, share sum to the segment totals)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q412_theil_decomposition"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    all_row = next(r for r in rows if r["segment"] == "ALL")
+    segs = [r for r in rows if r["segment"] != "ALL"]
+    assert segs
+    assert all_row["share_bp"] == 10000
+    assert all_row["n"] == sum(r["n"] for r in segs)
+    assert all_row["total_cents"] == sum(r["total_cents"] for r in segs)
+    within_scaled = sum(r["share_bp"] * r["theil_mu"] for r in segs)
+    between_scaled = all_row["theil_mu"] * 10000 - within_scaled
+    assert between_scaled >= -2 * 10000, between_scaled
+
+
+def test_seasonal_indices_recenter_to_zero(spark, sf_dir):
+    """q479's claimed normalization: the seven weekday seasonal indices
+    are RE-CENTERED so they sum to ~0 per series. With the integer-div
+    adjustment (adj = sum div 7) the exact residue is (sum s_raw) mod 7,
+    so |sum of the published indices| < 7 µ per event_type — anything
+    larger means the centering step was dropped or re-ordered."""
+    from collections import defaultdict
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q479_classical_decomposition"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    per_series = defaultdict(int)
+    for r in rows:
+        per_series[r["event_type"]] += r["seasonal_mu"]
+    assert per_series and all(abs(s) < 7 for s in per_series.values()), per_series
+
+
+def test_lorenz_curve_convex_and_terminates_at_one(spark, sf_dir):
+    """q448's Lorenz contract: customers are ascending-sorted before the
+    ntile split, so every balance in decile k is <= every balance in
+    decile k+1 — the PER-CAPITA tile means must be nondecreasing
+    (checked exactly by integer cross-multiplication on the cum diffs;
+    raw per-tile sums are NOT comparable because ntile hands the early
+    tiles the remainder rows), and decile {last} lands at exactly 1e6 µ
+    (the whole population owns the whole wealth; the left tail may dip
+    negative on negative balances)."""
+    from collections import defaultdict
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q448_lorenz_curve"].fn(spark, sf_dir).collect()
+    )
+    by_region = defaultdict(list)
+    for r in rows:
+        by_region[r["region"]].append(
+            (r["decile"], r["cum_pop"], r["cum_wealth"], r["wealth_share_mu"])
+        )
+    assert by_region
+    for region, pts in by_region.items():
+        pts.sort()
+        assert pts[-1][3] == 1_000_000, (region, pts[-1])
+        tiles = []
+        prev_pop = prev_w = 0
+        for _, cp, cw, _ in pts:
+            tiles.append((cp - prev_pop, cw - prev_w))
+            prev_pop, prev_w = cp, cw
+        for (pa, wa), (pb, wb) in zip(tiles, tiles[1:]):
+            assert pa > 0 and pb > 0, (region, tiles)
+            assert wa * pb <= wb * pa, (region, (pa, wa), (pb, wb))
+
+
+def test_waterfill_feasible_and_exhausts_budget(spark, sf_dir):
+    """q461's allocator contract, pinned as an identity test (the q519
+    lesson): (1) feasibility — no source is allocated past its cap, and
+    is_capped = 1 exactly when the allocation equals the cap; (2)
+    optimality's budget face — the total allocation reaches the budget
+    B = (2*total_cap) div 5 up to the per-uncapped-source truncation
+    (each uncapped source's floor division loses < 1 token), unless
+    every source saturated (then the total equals total cap)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q461_source_mix_waterfill"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    total_cap = sum(r["cap_tokens"] for r in rows)
+    budget = (2 * total_cap) // 5
+    alloc = sum(r["alloc_tokens"] for r in rows)
+    n_uncapped = sum(1 for r in rows if r["is_capped"] == 0)
+    for r in rows:
+        assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
+        assert (r["is_capped"] == 1) == (r["alloc_tokens"] == r["cap_tokens"]) or (
+            r["is_capped"] == 0 and r["alloc_tokens"] == r["cap_tokens"]
+        )  # an uncapped source may coincidentally land exactly on cap
+    if n_uncapped:
+        assert alloc <= budget
+        assert budget - alloc < n_uncapped
+    else:
+        assert alloc == total_cap
+
+
 def test_murphy_decomposition_identity(spark, sf_dir):
     """q519's algebraic contract: the GENERALIZED Murphy identity
     BS = REL - RES + UNC + WBV - 2*WCOV holds exactly in the reals (the
