@@ -955,6 +955,105 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_mutual_information_nonnegative_bounds(spark, sf_dir):
+    """q447's information-theoretic bounds: MI >= 0 (up to the integer
+    micro-nat quantization corridor — each of the <= n_cells c*ln(c)
+    floors loses < 1 µ-nat) and the Theil uncertainty coefficient
+    U = MI/H(Y) lives in [0, 1e6] with the same slack."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    row = (
+        load_registry()["q447_mutual_information"].fn(spark, sf_dir).collect()[0]
+    )
+    slack = row["n_cells"] + 2
+    assert row["mi_micronats"] >= -slack, row
+    assert -slack <= row["theil_u_mu"] <= 1_000_000 + slack, row
+
+
+def test_pr_curve_rates_recompose_from_counts(spark, sf_dir):
+    """q504's emitted rates must recompose exactly from its own emitted
+    integer counts (precision = tp*1e4 div (tp+fp), recall over
+    tp+fn, F1 = 2tp*1e4 div (2tp+fp+fn)) — protects the five columns
+    from drifting apart under future edits, and pins the -1 sentinel
+    for the empty-prediction bucket."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q504_pr_curve_f1"].fn(spark, sf_dir).collect()
+    assert rows
+    n_pos = rows[0]["tp"] + rows[0]["fn"]
+    best = [r for r in rows if r["is_best_f1"] == 1]
+    assert len(best) == 1
+    for r in rows:
+        tp, fp, fn = r["tp"], r["fp"], r["fn"]
+        assert tp + fn == n_pos, r  # positives conserved along the sweep
+        if tp + fp == 0:
+            assert r["precision_bp"] == -1, r
+        else:
+            assert r["precision_bp"] == tp * 10000 // (tp + fp), r
+        assert r["recall_bp"] == tp * 10000 // n_pos, r
+        expected_f1 = 0 if tp == 0 else 2 * tp * 10000 // (2 * tp + fp + fn)
+        assert r["f1_bp"] == expected_f1, r
+
+
+def test_expected_shortfall_dominates_var(spark, sf_dir):
+    """q455's defining risk inequality: ES(alpha) is the mean of the
+    losses at or beyond VaR(alpha), so es >= var in every segment —
+    units aligned (es is in micro-cents, var in cents). A violation
+    means the tail selection and the threshold disagree."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q455_expected_shortfall"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["es_cents_mu"] >= r["var_cents"] * 1_000_000, r
+
+
+def test_nelson_aalen_monotone_with_exact_increments(spark, sf_dir):
+    """q459's estimator contract: the cumulative hazard and its variance
+    are running sums of nonnegative per-day terms (monotone
+    nondecreasing), and each hazard increment is EXACTLY the published
+    (1e6 * d_events) div n_risk of its own row — the two emitted
+    columns must recompose."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["q459_nelson_aalen"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day_t"],
+    )
+    assert rows
+    prev_h = prev_v = 0
+    for r in rows:
+        inc = r["cum_hazard_mu"] - prev_h
+        assert inc == (1_000_000 * r["d_events"]) // r["n_risk"], r
+        assert r["var_pico"] >= prev_v, r
+        prev_h, prev_v = r["cum_hazard_mu"], r["var_pico"]
+
+
+def test_cohort_ltv_curve_recomposes(spark, sf_dir):
+    """q433's in-output identities: cum_rev_c is the running sum of
+    rev_c within each cohort (age order) and ltv_per_user_c is exactly
+    cum_rev_c div n_users — so the curve is monotone nondecreasing for
+    nonnegative weekly revenue."""
+    from collections import defaultdict
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q433_cohort_ltv_curve"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort_week"]].append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_week"])
+        running = 0
+        for r in rs:
+            running += r["rev_c"]
+            assert r["cum_rev_c"] == running, (cohort, r)
+            assert r["ltv_per_user_c"] == r["cum_rev_c"] // r["n_users"], r
+
+
 def test_deadline_funnel_conserves_population(spark, sf_dir):
     """q312's conservation claim: 'stage counts are disjoint (a user
     lands in their furthest stage), so stages sum to the view-user
