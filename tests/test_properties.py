@@ -955,6 +955,64 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_candidate_key_lattice_monotone(spark, sf_dir):
+    """q502's lattice law: adding a column to a key combo can only
+    refine groups, so n_distinct is monotone under set inclusion of
+    key_columns; the per-row bookkeeping (n_dup = n_rows - n_distinct,
+    uniqueness_bp and is_unique_key derived from the same counts) must
+    recompose exactly."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q502_candidate_key_discovery"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    combos = {frozenset(r["key_columns"].split("+")): r for r in rows}
+    for r in rows:
+        assert r["n_dup_rows"] == r["n_rows"] - r["n_distinct"], r
+        assert r["uniqueness_bp"] == r["n_distinct"] * 10000 // r["n_rows"], r
+        assert r["is_unique_key"] == (1 if r["n_distinct"] == r["n_rows"] else 0), r
+    for a, ra in combos.items():
+        for b, rb in combos.items():
+            if a < b:
+                assert ra["n_distinct"] <= rb["n_distinct"], (a, b)
+
+
+def test_dedup_venn_has_no_empty_region(spark, sf_dir):
+    """q513's construction law: the Venn overlay starts from the UNION
+    of the three finders' pair sets, so every emitted region carries at
+    least one membership flag — an all-zero region row means the union
+    or a flag join broke."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q513_dedup_ensemble_venn"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["in_exact"] + r["in_minhash"] + r["in_simhash"] >= 1, r
+
+
+def test_heaps_growth_curve_monotone(spark, sf_dir):
+    """q490's cumulative contract: both the document count and the
+    vocabulary size are running totals over the checkpoint grid, so
+    each is nondecreasing in k and ends at the full corpus figures
+    (every doc and every token's first occurrence lands in SOME
+    checkpoint)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["q490_heaps_vocabulary_growth"]
+        .fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["k"],
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_docs"] >= a["n_docs"] and b["vocab"] >= a["vocab"], (a, b)
+    assert rows[-1]["n_docs"] > 0 and rows[-1]["vocab"] > 0
+
+
 def test_mutual_information_nonnegative_bounds(spark, sf_dir):
     """q447's information-theoretic bounds: MI >= 0 (up to the integer
     micro-nat quantization corridor — each of the <= n_cells c*ln(c)
