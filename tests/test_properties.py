@@ -955,6 +955,121 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_selfcert_legs_match_sources(spark, sf_dir):
+    """q517's splice contract value-for-value: each scorecard leg must
+    equal the same reduction of its standalone source audit (mv_rewrite
+    ← q483 rows/Σ rewrite_ok, luhn_contract ← q495 rows/Σ audit_exact,
+    littles_law ← q507 rows/Σ identity_ok, clustering_depth_dominance ←
+    q485's range-vs-hash max-depth comparison)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    card = {
+        r["audit"]: (r["n_rows"], r["n_pass"])
+        for r in reg["q517_selfcert_scorecard"].fn(spark, sf_dir).collect()
+    }
+    mv = reg["q483_mv_rewrite_audit"].fn(spark, sf_dir).collect()
+    assert card["mv_rewrite"] == (len(mv), sum(r["rewrite_ok"] for r in mv))
+    luhn = reg["q495_luhn_checksum_audit"].fn(spark, sf_dir).collect()
+    assert card["luhn_contract"] == (len(luhn), sum(r["audit_exact"] for r in luhn))
+    little = reg["q507_littles_law_audit"].fn(spark, sf_dir).collect()
+    assert card["littles_law"] == (len(little), sum(r["identity_ok"] for r in little))
+    depth = {
+        r["layout"]: r["max_overlap_depth"]
+        for r in reg["q485_clustering_depth_audit"].fn(spark, sf_dir).collect()
+    }
+    assert card["clustering_depth_dominance"] == (
+        1,
+        1 if depth["range"] <= depth["hash"] else 0,
+    )
+
+
+def test_release_gate_conserves_counts(spark, sf_dir):
+    """q409's gate algebra: a doc is released only by passing ALL three
+    screens, so n_released <= each per-screen pass count, every pass
+    count <= n_docs, and release_bp recomposes exactly from the row's
+    own counts."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q409_release_gate_capstone"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        for leg in ("n_pass_strip", "n_pass_read", "n_pass_entropy"):
+            assert 0 <= r["n_released"] <= r[leg] <= r["n_docs"], (leg, r)
+        assert r["release_bp"] == r["n_released"] * 10000 // r["n_docs"], r
+
+
+def test_model_scorecard_legs_match_sources(spark, sf_dir):
+    """q458's splice contract, checked value-for-value: each scorecard
+    row must equal the SAME reduction of its standalone source query
+    (retrieval ← q420 ap_mu div 100, calibration ← q421 ece_bp,
+    sequence ← q437's ALL row, forecast ← q440's worst-series MASE) —
+    a column-mapping drift in the capstone would survive the oracle
+    match because both capstone texts share it."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    card = {
+        r["domain"]: (r["n_units"], r["headline_bp"])
+        for r in reg["q458_model_eval_scorecard"].fn(spark, sf_dir).collect()
+    }
+    ap = reg["q420_average_precision"].fn(spark, sf_dir).collect()[0]
+    assert card["retrieval"] == (ap["n_scored"], ap["ap_mu"] // 100)
+    ece = reg["q421_expected_calibration_error"].fn(spark, sf_dir).collect()[0]
+    assert card["calibration"] == (ece["n_scored"], ece["ece_bp"])
+    mk = next(
+        r
+        for r in reg["q437_markov_next_event_accuracy"].fn(spark, sf_dir).collect()
+        if r["src"] == "ALL"
+    )
+    assert card["sequence"] == (mk["n"], mk["accuracy_bp"])
+    ms = reg["q440_mase_smape_scorecard"].fn(spark, sf_dir).collect()
+    assert card["forecast"] == (
+        sum(r["n_eval"] for r in ms),
+        max(r["mase_mu"] for r in ms) // 100,
+    )
+
+
+def test_minhash_audit_conserves_q69_pairs(spark, sf_dir):
+    """q492's splice-conservation law: the audit histograms EXACTLY
+    q69's pair set (its docstring contract — 'the audited estimator can
+    never drift from the one shipped'), so the histogram's pair total
+    must equal q69's row count, and every bucket's mean <= max."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    hist = reg["q492_minhash_accuracy_audit"].fn(spark, sf_dir).collect()
+    n_pairs_src = reg["q69_minhash_lsh_pairs"].fn(spark, sf_dir).count()
+    assert hist
+    assert sum(r["n_pairs"] for r in hist) == n_pairs_src
+    for r in hist:
+        assert r["mean_err_bp"] <= r["max_err_bp"], r
+
+
+def test_dedup_venn_margins_match_finders(spark, sf_dir):
+    """q513's splice-conservation law: each membership flag's margin
+    (the sum of region counts where the flag is 1) must equal that
+    finder's own distinct-pair count — the Venn overlay neither invents
+    nor drops pairs from any leg."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    regions = reg["q513_dedup_ensemble_venn"].fn(spark, sf_dir).collect()
+    margins = {
+        "in_exact": "q68_ngram_jaccard_pairs",
+        "in_minhash": "q69_minhash_lsh_pairs",
+        "in_simhash": "q70_simhash_pairs",
+    }
+    for flag, src in margins.items():
+        margin = sum(r["n_pairs"] for r in regions if r[flag] == 1)
+        src_pairs = (
+            reg[src].fn(spark, sf_dir).select("doc_a", "doc_b").distinct().count()
+        )
+        assert margin == src_pairs, (flag, margin, src_pairs)
+
+
 def test_candidate_key_lattice_monotone(spark, sf_dir):
     """q502's lattice law: adding a column to a key combo can only
     refine groups, so n_distinct is monotone under set inclusion of
