@@ -955,6 +955,59 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_lsh_planner_scurve_monotone_single_pick(spark, sf_dir):
+    """q493's planner contract: 1-(1-s^r)^b is strictly increasing in s
+    for fixed (bands, rows), so each combo's curve must be nondecreasing
+    along the similarity grid; the recommendation marks EXACTLY ONE
+    (bands, rows) combo (the fewest-bands qualifier) whose p at tau
+    clears the recall floor, and every row of a combo carries the same
+    flag."""
+    from collections import defaultdict
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q493_lsh_parameter_planner"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    curves = defaultdict(list)
+    for r in rows:
+        curves[(r["bands"], r["rows_per_band"])].append(r)
+    recommended = set()
+    for combo, pts in curves.items():
+        pts.sort(key=lambda r: r["s_bp"])
+        assert all(
+            b["p_micro"] >= a["p_micro"] for a, b in zip(pts, pts[1:])
+        ), combo
+        flags = {r["recommended"] for r in pts}
+        assert len(flags) == 1, combo  # flag is per-combo, not per-row
+        if flags == {1}:
+            recommended.add(combo)
+    assert len(recommended) == 1, recommended
+
+
+def test_good_turing_mass_bounded(spark, sf_dir):
+    """q489's probability bookkeeping: the GT mass assigned to count
+    classes 0..CMAX is a subset of the full distribution, so the
+    emitted basis points sum to <= 10000; the c = 0 row's mass is
+    N_1/T (nonnegative), and adjusted counts carry the -1 sentinel
+    exactly where N_c = 0 (or c = 0)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["q489_good_turing"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["c"],
+    )
+    assert rows and rows[0]["c"] == 0
+    assert sum(r["mass_bp"] for r in rows) <= 10000
+    for r in rows:
+        assert r["mass_bp"] >= 0, r
+        if r["c"] == 0 or r["n_c"] == 0:
+            assert r["c_star_milli"] == -1, r
+        else:
+            assert r["c_star_milli"] == 1000 * (r["c"] + 1) * r["n_next"] // r["n_c"], r
+
+
 def test_selfcert_legs_match_sources(spark, sf_dir):
     """q517's splice contract value-for-value: each scorecard leg must
     equal the same reduction of its standalone source audit (mv_rewrite
