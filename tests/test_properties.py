@@ -955,6 +955,53 @@ def test_littles_law_identity_holds(spark, sf_dir):
     assert row["integral_us"] == row["total_dur_us"]
 
 
+def test_metric_bounds_catalog(spark, sf_dir):
+    """Range contracts for bounded metrics, pinned in one catalog: a
+    correlation outside [-1, 1], a probability-like rate outside
+    [0, 1e4], or an index outside its defining interval is a formula
+    bug regardless of what the oracle says (both texts would share it —
+    the q519 class). Small slack only where integer floor quantization
+    is one-sided."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    catalog = {
+        "q414_spearman_rank_corr": [("rho_mu", -1_000_000, 1_000_000)],
+        "q415_kendall_tau_b": [("tau_b_mu", -1_000_000, 1_000_000)],
+        "q417_cramers_v": [("cramers_v_mu", 0, 1_000_000)],
+        "q420_average_precision": [
+            ("ap_mu", 0, 1_000_000),
+            ("p_at_10_bp", 0, 10_000),
+        ],
+        "q421_expected_calibration_error": [
+            ("ece_bp", 0, 10_000),
+            ("mce_bp", 0, 10_000),
+        ],
+        "q426_rolling_correlation": [("corr24_mu", -1_000_000, 1_000_000)],
+        "q429_hhi_concentration": [("hhi", 0, 10_000)],
+        "q437_markov_next_event_accuracy": [("accuracy_bp", 0, 10_000)],
+    }
+    for name, specs in catalog.items():
+        rows = reg[name].fn(spark, sf_dir).collect()
+        assert rows, name
+        for col, lo, hi in specs:
+            for r in rows:
+                if r[col] is None:
+                    continue
+                assert lo <= r[col] <= hi, (name, col, r[col])
+    # ECE <= MCE by definition (mean of bin gaps <= the max bin gap)
+    ece_row = reg["q421_expected_calibration_error"].fn(spark, sf_dir).collect()[0]
+    assert ece_row["ece_bp"] <= ece_row["mce_bp"]
+    # q435: every part gets exactly one ABC class and the cumulative
+    # share is monotone, ending at 10000 bp
+    abc = sorted(
+        reg["q435_abc_xyz_classification"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["cum_share_bp"],
+    )
+    assert abc and abc[-1]["cum_share_bp"] == 10_000
+    assert all(r["abc"] in ("A", "B", "C") for r in abc)
+
+
 def test_lsh_planner_scurve_monotone_single_pick(spark, sf_dir):
     """q493's planner contract: 1-(1-s^r)^b is strictly increasing in s
     for fixed (bands, rows), so each combo's curve must be nondecreasing
