@@ -1002,6 +1002,45 @@ def test_metric_bounds_catalog(spark, sf_dir):
     assert all(r["abc"] in ("A", "B", "C") for r in abc)
 
 
+def test_metric_bounds_catalog_2(spark, sf_dir):
+    """Second bounds tranche: cross-correlations and silhouettes in
+    [-1, 1], agreement coefficients <= 1, p-values in [0, 1000] milli,
+    chi-square >= 0, break/impact rates in [0, 1e4] — plus q516's
+    ordering contract, the one the Wilson interval exists for:
+    lo <= point rate <= hi on every funnel step."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    catalog = {
+        "q443_leadlag_crosscorr": [("r_mu", -1_000_000, 1_000_000)],
+        "q473_cluster_validity": [("mean_silhouette_mu", -1_000_000, 1_000_000)],
+        "q478_fleiss_kappa": [("fleiss_kappa_mu", -1_000_001, 1_000_000)],
+        "q500_gwet_ac1": [("gwet_ac1_mu", -2_000_000, 1_000_000)],
+        "q487_signflip_permutation_test": [("p_milli", 0, 1_000)],
+        "q491_logrank_test": [("chi2_mu", 0, None), ("reject_h0", 0, 1)],
+        "q497_session_gap_sensitivity": [("break_rate_bp", 0, 10_000)],
+        "q505_disparate_impact_audit": [
+            ("impact_ratio_bp", 0, 10_000),
+            ("four_fifths_violation", 0, 1),
+        ],
+    }
+    for name, specs in catalog.items():
+        rows = reg[name].fn(spark, sf_dir).collect()
+        assert rows, name
+        for col, lo, hi in specs:
+            for r in rows:
+                if r[col] is None:
+                    continue
+                assert lo <= r[col], (name, col, r[col])
+                if hi is not None:
+                    assert r[col] <= hi, (name, col, r[col])
+    # q516: the Wilson interval must bracket the point estimate on every
+    # step (rate in bp -> µ via *100), and lo <= hi by construction
+    for r in reg["q516_funnel_wilson"].fn(spark, sf_dir).collect():
+        assert r["wilson_lo_mu"] <= r["rate_bp"] * 100 <= r["wilson_hi_mu"], r
+        assert 0 <= r["wilson_lo_mu"] <= r["wilson_hi_mu"] <= 1_000_000, r
+
+
 def test_lsh_planner_scurve_monotone_single_pick(spark, sf_dir):
     """q493's planner contract: 1-(1-s^r)^b is strictly increasing in s
     for fixed (bands, rows), so each combo's curve must be nondecreasing
