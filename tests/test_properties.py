@@ -1002,6 +1002,102 @@ def test_metric_bounds_catalog(spark, sf_dir):
     assert all(r["abc"] in ("A", "B", "C") for r in abc)
 
 
+def test_topk_with_ties_semantics(spark, sf_dir):
+    """q509's WITH TIES contract, checked per month from the output
+    alone: ranks form a gap-ordered prefix (every kept row's rank <=
+    the cutoff), the plain-top-k subset has at most K members, every
+    kept row NOT in the plain top-k ties the cutoff rank (that is the
+    spillover WITH TIES exists to keep), and no month keeps fewer rows
+    than its plain top-k."""
+    from collections import defaultdict
+
+    from kinesis_customer_sample_spark.queries.setops import _WT_K
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q509_topk_with_ties"].fn(spark, sf_dir).collect()
+    assert rows
+    months = defaultdict(list)
+    for r in rows:
+        months[r["month"]].append(r)
+    for month, rs in months.items():
+        plain = [r for r in rs if r["in_plain_topk"] == 1]
+        assert len(plain) <= _WT_K, month
+        assert len(rs) >= len(plain), month
+        cutoff = max(r["rank"] for r in rs)
+        qty_at_cutoff = {r["qty"] for r in rs if r["rank"] == cutoff}
+        for r in rs:
+            assert r["rank"] <= cutoff, (month, r)
+            if r["in_plain_topk"] == 0:
+                # spillover rows tie the cutoff rank's quantity
+                assert r["rank"] == cutoff and r["qty"] in qty_at_cutoff, (month, r)
+
+
+def test_borda_fusion_recomposes(spark, sf_dir):
+    """q481's fusion algebra from its own output: borda_score is the
+    exact classic Borda points sum Σ (n − rank_m) over the three
+    published per-metric ranks, rank_spread is their exact max-min, and
+    final_rank is a permutation of 1..n."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q481_borda_rank_fusion"].fn(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    for r in rows:
+        ranks = (r["rank_revenue"], r["rank_quantity"], r["rank_orders"])
+        assert r["borda_score"] == 3 * n - sum(ranks), r
+        assert r["rank_spread"] == max(ranks) - min(ranks), r
+    assert sorted(r["final_rank"] for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_modularity_contributions_bounded(spark, sf_dir):
+    """q472's per-community bookkeeping: intra-edge counts cannot exceed
+    the graph total, degree sums are nonnegative, and each published
+    contribution e_c/m - (d_c/2m)^2 is <= 1e6 µ and recomposes (floor-µ)
+    from the row's own integer columns."""
+    import math
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q472_brand_modularity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["intra_edges"] <= r["m_edges"], r
+        assert r["deg_sum"] >= 0, r
+        expected = math.floor(
+            (
+                r["intra_edges"] / r["m_edges"]
+                - (r["deg_sum"] / (2.0 * r["m_edges"])) ** 2
+            )
+            * 1e6
+        )
+        assert abs(r["q_contrib_mu"] - expected) <= 1, r
+        assert r["q_contrib_mu"] <= 1_000_000, r
+
+
+def test_forecast_scorecard_nonnegative_smape_capped(spark, sf_dir):
+    """q440's metric ranges: MASE and sMAPE are ratios of absolute
+    quantities (>= 0), and sMAPE is bounded by 2 (2e6 µ) by
+    construction of its denominator."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q440_mase_smape_scorecard"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["mase_mu"] >= 0, r
+        assert 0 <= r["smape_mu"] <= 2_000_000, r
+
+
+def test_max_drawdown_within_peak(spark, sf_dir):
+    """q444's definitional bounds: a drawdown is a fall from a running
+    peak, so 0 <= max_drawdown <= peak on every segment."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = load_registry()["q444_max_drawdown"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["max_drawdown_cents"] <= r["peak_cents"], r
+
+
 def test_metric_bounds_catalog_2(spark, sf_dir):
     """Second bounds tranche: cross-correlations and silhouettes in
     [-1, 1], agreement coefficients <= 1, p-values in [0, 1000] milli,
