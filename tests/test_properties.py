@@ -1002,6 +1002,71 @@ def test_metric_bounds_catalog(spark, sf_dir):
     assert all(r["abc"] in ("A", "B", "C") for r in abc)
 
 
+def test_pagerank_mass_conserved_one_sided(spark, sf_dir):
+    """q159's mass bookkeeping: in the average-rank-1 convention total
+    mass is n·1e6 µ; every per-edge contribution and damping product
+    truncates DOWN, and the teleport term is exact — so mass can only
+    LEAK, never grow. Pins 0 <= leak and a 0.1% sanity ceiling (the
+    fixture leaks ~1e-4 of total over 3 iterations)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q159_pagerank_power_iteration"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows
+    n = len(rows)
+    leak = n * 1_000_000 - sum(r["rank_mu"] for r in rows)
+    assert 0 <= leak <= n * 1_000, leak
+
+
+def test_skyline_has_no_dominated_point(spark, sf_dir):
+    """q227's defining output property: within each p_type group no
+    emitted point is dominated (another point at most as expensive AND
+    at least as large, strictly better in one) — checked pairwise on
+    the Pareto front itself, which is small by construction."""
+    from collections import defaultdict
+
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = (
+        load_registry()["q227_skyline_pareto_front"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["p_type"]].append((r["price_cents"], r["size"]))
+    for ptype, pts in groups.items():
+        for a in pts:
+            for b in pts:
+                dominated = (
+                    b[0] <= a[0]
+                    and b[1] >= a[1]
+                    and (b[0] < a[0] or b[1] > a[1])
+                )
+                assert not dominated, (ptype, a, "dominated by", b)
+
+
+def test_merged_quantiles_monotone(spark, sf_dir):
+    """q211's quantile semantics: estimates from the merged histogram
+    must be nondecreasing in the requested quantile — bin index and
+    upper edge both."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    rows = sorted(
+        load_registry()["q211_histogram_merge_quantiles"]
+        .fn(spark, sf_dir)
+        .collect(),
+        key=lambda r: r["q_bp"],
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["est_bin"] >= a["est_bin"], (a, b)
+        assert b["est_upper_edge"] >= a["est_upper_edge"], (a, b)
+        assert b["total_n"] == a["total_n"]
+
+
 def test_topk_with_ties_semantics(spark, sf_dir):
     """q509's WITH TIES contract, checked per month from the output
     alone: ranks form a gap-ordered prefix (every kept row's rank <=
