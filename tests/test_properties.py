@@ -1002,6 +1002,35 @@ def test_metric_bounds_catalog(spark, sf_dir):
     assert all(r["abc"] in ("A", "B", "C") for r in abc)
 
 
+def test_metric_bounds_catalog_3(spark, sf_dir):
+    """Third bounds tranche over the certified tail: JSD in
+    [0, ln 2 ~= 693147 µ] with JSD <= (KL_a + KL_b)/2 by definition,
+    PSI >= 0, global clustering coefficient in [0, 1e6], cohort
+    retention never exceeds its cohort (and week 0 is the cohort
+    itself), and the data profile's null/distinct accounting never
+    exceeds the row count."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    js = reg["q418_js_divergence"].fn(spark, sf_dir).collect()[0]
+    # quantization corridor: the µ-nat floors are per-token one-sided
+    assert -2 <= js["jsd_mu"] <= 693_148, js
+    assert js["jsd_mu"] * 2 <= js["kl_a_mu"] + js["kl_b_mu"] + 4, js
+    for r in reg["q419_psi_drift"].fn(spark, sf_dir).collect():
+        assert r["psi_mu"] >= -2, r
+    tri = reg["q180_triangle_count"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= tri["clustering_mu"] <= 1_000_000, tri
+    assert tri["n_triangles"] >= 0 and tri["n_edges"] >= 0
+    for r in reg["q131_cohort_retention"].fn(spark, sf_dir).collect():
+        assert 0 <= r["n_active"] <= r["cohort_size"], r
+        if r["weeks_since"] == 0:
+            assert r["n_active"] == r["cohort_size"], r
+        assert 0 <= r["retention_micro"] <= 1_000_000, r
+    for r in reg["q115_data_profile"].fn(spark, sf_dir).collect():
+        assert 0 <= r["n_nulls"] <= r["n_rows"], r
+        assert 0 <= r["n_distinct"] <= r["n_rows"], r
+
+
 def test_pagerank_mass_conserved_one_sided(spark, sf_dir):
     """q159's mass bookkeeping: in the average-rank-1 convention total
     mass is n·1e6 µ; every per-edge contribution and damping product
