@@ -13,6 +13,7 @@ import json
 import os
 import re
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -447,10 +448,18 @@ def main() -> None:
     print(json.dumps(payload))
     # The driver byte-truncates BENCH_rN.json's tail (r4 lost the headline
     # total and the first ~36 per-query numbers to it); persist the full
-    # parsed payload to a repo file so every judge can diff complete data
-    # (VERDICT r4 task 6).
+    # parsed payload so every judge can diff complete data (VERDICT r4
+    # task 6). The committed BENCH_LOCAL.json is the sf0.1 quiet-box
+    # reference — only the driver's sf0.1 run may refresh it; any other
+    # SF (local sf0.01 iteration) lands in a scratch file instead, so the
+    # reference can't be clobbered by a dev loop (VERDICT r11 task 5).
+    out_path = (
+        os.path.join(REPO, "BENCH_LOCAL.json")
+        if sf == 0.1
+        else os.path.join(tempfile.gettempdir(), f"BENCH_LOCAL_sf{sf}.json")
+    )
     try:
-        with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:

@@ -83,96 +83,75 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
 
 from kinesis_customer_sample_spark.registry import reorder_registry
 
-# Round-11 driver-walk priority (the driver walks exactly the FIRST 50
+# Round-12 driver-walk priority (the driver walks exactly the FIRST 50
 # registry entries per round; the first 50 slots are the round's
-# verification budget). Round 10 was 50/50 green, certifying q389-q438
-# (433/514 distinct certified). Slots 1-50 are now the oldest
-# never-driver-checked queries (q439..q488); the remaining 31 never-checked
-# entries (q489..q520) follow in registration-age order so round 12 inherits
-# the age sort, and all certified queries fall to the tail in registration
-# order. Regenerate with scripts/next_priority.py.
+# verification budget). Round 11 was 50/50 green, certifying q439-q488
+# (483/514 distinct certified). Slots 1-31 are the final never-driver-checked
+# band (q489..q520 — the freeze's endgame); slots 32-50 are the 19
+# oldest-certified queries due a re-check (q01..q19, last walked r1/r2).
+# All other certified queries fall to the tail in registration order.
+# Regenerate with scripts/next_priority.py.
 reorder_registry(
     [
-        "q439_stream_histogram_quantiles",  # 1 NEW
-        "q440_mase_smape_scorecard",  # 2 NEW
-        "q441_croston_intermittent",  # 3 NEW
-        "q442_acf_profile",  # 4 NEW
-        "q443_leadlag_crosscorr",  # 5 NEW
-        "q444_max_drawdown",  # 6 NEW
-        "q445_theil_sen_slope",  # 7 NEW
-        "q446_huber_location",  # 8 NEW
-        "q447_mutual_information",  # 9 NEW
-        "q448_lorenz_curve",  # 10 NEW
-        "q449_yule_walker_ar2",  # 11 NEW
-        "q450_kn_bigram_heldout",  # 12 NEW
-        "q451_burrows_delta",  # 13 NEW
-        "q452_soundex_blocking",  # 14 NEW
-        "q453_fellegi_sunter",  # 15 NEW
-        "q454_embedding_novelty",  # 16 NEW
-        "q455_expected_shortfall",  # 17 NEW
-        "q456_logistic_newton",  # 18 NEW
-        "q457_stream_psi_drift",  # 19 NEW
-        "q458_model_eval_scorecard",  # 20 NEW
-        "q459_nelson_aalen",  # 21 NEW
-        "q460_walk_forward_backtest",  # 22 NEW
-        "q461_source_mix_waterfill",  # 23 NEW
-        "q462_ktruss_peel",  # 24 NEW
-        "q463_holt_winters_additive",  # 25 NEW
-        "q464_grid_dbscan",  # 26 NEW
-        "q465_recsys_coverage_diversity",  # 27 NEW
-        "q466_contribution_analysis",  # 28 NEW
-        "q467_powerlaw_retention_fit",  # 29 NEW
-        "q468_weekly_spectral_power",  # 30 NEW
-        "q469_hierarchical_reconciliation",  # 31 NEW
-        "q470_skew_salting_advisor",  # 32 NEW
-        "q471_weighted_sample_es",  # 33 NEW
-        "q472_brand_modularity",  # 34 NEW
-        "q473_cluster_validity",  # 35 NEW
-        "q474_kalman_local_level",  # 36 NEW
-        "q475_newsvendor_stock",  # 37 NEW
-        "q476_sharpe_sortino",  # 38 NEW
-        "q477_mcnemar_paired_test",  # 39 NEW
-        "q478_fleiss_kappa",  # 40 NEW
-        "q479_classical_decomposition",  # 41 NEW
-        "q480_western_electric_rules",  # 42 NEW
-        "q481_borda_rank_fusion",  # 43 NEW
-        "q482_reciprocal_best_match",  # 44 NEW
-        "q483_mv_rewrite_audit",  # 45 NEW
-        "q484_qini_uplift_curve",  # 46 NEW
-        "q485_clustering_depth_audit",  # 47 NEW
-        "q486_theta_forecast",  # 48 NEW
-        "q487_signflip_permutation_test",  # 49 NEW
-        "q488_capture_recapture",  # 50 NEW <-- driver walk cap
-        "q489_good_turing",  # 51 NEW
-        "q490_heaps_vocabulary_growth",  # 52 NEW
-        "q491_logrank_test",  # 53 NEW
-        "q492_minhash_accuracy_audit",  # 54 NEW
-        "q493_lsh_parameter_planner",  # 55 NEW
-        "q494_sq8_distortion_audit",  # 56 NEW
-        "q495_luhn_checksum_audit",  # 57 NEW
-        "q496_spc_residual_capstone",  # 58 NEW
-        "q497_session_gap_sensitivity",  # 59 NEW
-        "q498_cv_stump_eval",  # 60 NEW
-        "q499_audience_overlap",  # 61 NEW
-        "q500_gwet_ac1",  # 62 NEW
-        "q501_degree_powerlaw_fit",  # 63 NEW
-        "q502_candidate_key_discovery",  # 64 NEW
-        "q503_point_biserial_screen",  # 65 NEW
-        "q504_pr_curve_f1",  # 66 NEW
-        "q505_disparate_impact_audit",  # 67 NEW
-        "q506_markov_stationary",  # 68 NEW
-        "q507_littles_law_audit",  # 69 NEW
-        "q508_financial_reconciliation",  # 70 NEW
-        "q509_topk_with_ties",  # 71 NEW
-        "q510_duplicate_payment_scan",  # 72 NEW
-        "q511_semimarkov_holding_times",  # 73 NEW
-        "q512_behavior_entropy",  # 74 NEW
-        "q513_dedup_ensemble_venn",  # 75 NEW
-        "q514_subject_access_report",  # 76 NEW
-        "q515_asof_snapshot_matrix",  # 77 NEW
-        "q516_funnel_wilson",  # 78 NEW
-        "q517_selfcert_scorecard",  # 79 NEW
-        "q519_brier_murphy_decomposition",  # 80 NEW
-        "q520_decomposition_strength",  # 81 NEW
+        "q489_good_turing",  # 1 NEW
+        "q490_heaps_vocabulary_growth",  # 2 NEW
+        "q491_logrank_test",  # 3 NEW
+        "q492_minhash_accuracy_audit",  # 4 NEW
+        "q493_lsh_parameter_planner",  # 5 NEW
+        "q494_sq8_distortion_audit",  # 6 NEW
+        "q495_luhn_checksum_audit",  # 7 NEW
+        "q496_spc_residual_capstone",  # 8 NEW
+        "q497_session_gap_sensitivity",  # 9 NEW
+        "q498_cv_stump_eval",  # 10 NEW
+        "q499_audience_overlap",  # 11 NEW
+        "q500_gwet_ac1",  # 12 NEW
+        "q501_degree_powerlaw_fit",  # 13 NEW
+        "q502_candidate_key_discovery",  # 14 NEW
+        "q503_point_biserial_screen",  # 15 NEW
+        "q504_pr_curve_f1",  # 16 NEW
+        "q505_disparate_impact_audit",  # 17 NEW
+        "q506_markov_stationary",  # 18 NEW
+        "q507_littles_law_audit",  # 19 NEW
+        "q508_financial_reconciliation",  # 20 NEW
+        "q509_topk_with_ties",  # 21 NEW
+        "q510_duplicate_payment_scan",  # 22 NEW
+        "q511_semimarkov_holding_times",  # 23 NEW
+        "q512_behavior_entropy",  # 24 NEW
+        "q513_dedup_ensemble_venn",  # 25 NEW
+        "q514_subject_access_report",  # 26 NEW
+        "q515_asof_snapshot_matrix",  # 27 NEW
+        "q516_funnel_wilson",  # 28 NEW
+        "q517_selfcert_scorecard",  # 29 NEW
+        "q519_brier_murphy_decomposition",  # 30 NEW
+        "q520_decomposition_strength",  # 31 NEW
+        "q01_pricing_summary",  # 32 recheck
+        "q02_projection_compute",  # 33 recheck
+        "q03_filter_predicates",  # 34 recheck
+        "q04_conditional_case",  # 35 recheck
+        "q05_join_inner",  # 36 recheck
+        "q06_join_broadcast_dims",  # 37 recheck
+        "q07_join_left_outer",  # 38 recheck
+        "q08_join_full_outer",  # 39 recheck
+        "q09_join_semi",  # 40 recheck
+        "q10_join_anti",  # 41 recheck
+        "q11_join_cross_theta",  # 42 recheck
+        "q12_join_range",  # 43 recheck
+        "q13_join_asof",  # 44 recheck
+        "q14_join_self",  # 45 recheck
+        "q15_agg_groupby_basic",  # 46 recheck
+        "q16_agg_distinct",  # 47 recheck
+        "q17_agg_approx_distinct",  # 48 recheck
+        "q18_agg_rollup",  # 49 recheck
+        "q19_agg_cube",  # 50 recheck <-- cap
+        "q20_agg_filtered",  # 51 recheck
+        "q21_agg_collect",  # 52 recheck
+        "q22_agg_stats",  # 53 recheck
+        "q23_agg_global",  # 54 recheck
+        "q24_win_ranking",  # 55 recheck
+        "q25_win_lag_lead",  # 56 recheck
+        "q26_win_frames",  # 57 recheck
+        "q27_win_latest_state",  # 58 recheck
+        "q28_win_topk_per_group",  # 59 recheck
+        "q29_sort_nulls_limit",  # 60 recheck
     ]
 )

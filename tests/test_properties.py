@@ -1685,9 +1685,12 @@ def test_waterfill_feasible_and_exhausts_budget(spark, sf_dir):
     n_uncapped = sum(1 for r in rows if r["is_capped"] == 0)
     for r in rows:
         assert 0 <= r["alloc_tokens"] <= r["cap_tokens"]
-        assert (r["is_capped"] == 1) == (r["alloc_tokens"] == r["cap_tokens"]) or (
-            r["is_capped"] == 0 and r["alloc_tokens"] == r["cap_tokens"]
-        )  # an uncapped source may coincidentally land exactly on cap
+        # One-directional by intent: capped implies alloc == cap. The
+        # reverse is unchecked because an uncapped source's floored
+        # water-level share may coincidentally land exactly on its cap
+        # (r11 ADVICE: state the contract directly).
+        if r["is_capped"] == 1:
+            assert r["alloc_tokens"] == r["cap_tokens"]
     if n_uncapped:
         assert alloc <= budget
         assert budget - alloc < n_uncapped
