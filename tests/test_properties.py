@@ -1736,6 +1736,83 @@ def test_selfcert_scorecard_all_green(spark, sf_dir):
     assert out.count() == 4
 
 
+def test_recursive_cte_matches_bfs_prefix(spark, sf_dir):
+    """q168's docstring claim, pinned per the standing identity-test rule:
+    the recursive-CTE ≤2-hop min-hop reachability equals q120's iterative
+    BFS truncated to its first two rounds — walk enumeration + min(hops)
+    and frontier-dedup first-visit distance are the same function on the
+    same graph. Precondition checked first: both roots coincide (q120
+    seeds at min(l_partkey) over the table, q168 at min(src) over the
+    edge list — equal whenever the global min part appears in some
+    co-purchase pair, which the fixture satisfies; a failure HERE means
+    the fixture changed, not that the identity broke)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    bfs_rows = reg["q120_copurchase_bfs"].fn(spark, sf_dir).collect()
+    cte_rows = (
+        reg["q168_recursive_cte_reachability"].fn(spark, sf_dir).collect()
+    )
+    bfs_root = min(r["part_key"] for r in bfs_rows if r["hops"] == 0)
+    cte_root = min(r["part_key"] for r in cte_rows if r["hops"] == 0)
+    assert bfs_root == cte_root, "fixture no longer satisfies the common-root precondition"
+    bfs_prefix = {(r["part_key"], r["hops"]) for r in bfs_rows if r["hops"] <= 2}
+    cte = {(r["part_key"], r["hops"]) for r in cte_rows}
+    assert bfs_prefix == cte
+
+
+def test_python_stream_source_matches_file_replay(spark, sf_dir):
+    """q248's docstring claim, pinned: swapping the file-replay micro-batch
+    source (q233) for the custom offset-managed Python streaming
+    DataSource changes NOTHING downstream — the wire→analytics pipeline
+    is source-agnostic. Their oracles are near- but not byte-identical,
+    so oracle transitivity alone does not prove equality; this compares
+    the two engine outputs row-for-row."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    a = sorted(
+        map(tuple, reg["q233_contentops_streaming_e2e"].fn(spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, reg["q248_python_stream_source_e2e"].fn(spark, sf_dir).collect())
+    )
+    assert a and a == b
+
+
+def test_stream_sprt_matches_batch(spark, sf_dir):
+    """q339's docstring promise, pinned: the applyInPandasWithState SPRT
+    (integer LLR walks fed by a two-shard time-ordered replay) reaches
+    the SAME per-arm decisions, at the same sample counts and LLR values,
+    as q317's batch window-function form."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    reg = load_registry()
+    batch = sorted(
+        map(tuple, reg["q317_sprt_sequential_test"].fn(spark, sf_dir).collect())
+    )
+    stream = sorted(
+        map(tuple, reg["q339_stream_sprt_sequential"].fn(spark, sf_dir).collect())
+    )
+    assert batch and batch == stream
+
+
+def test_bpe_accounting_recomposes(spark, sf_dir):
+    """q226's cross-column contract: saved_bp is exactly the integer-bp
+    recomposition of the two symbol counters, compression never inflates
+    (merges only concatenate: syms_after <= syms_before), and every word
+    contributes at least one symbol (syms_after >= corpus_tokens). Both
+    engine and oracle share the saved_bp formula, so only a recomposition
+    test can catch it drifting from the counters it claims to summarize
+    (the q519 lesson)."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    [r] = load_registry()["q226_bpe_apply_accounting"].fn(spark, sf_dir).collect()
+    assert r["saved_bp"] == (r["syms_before"] - r["syms_after"]) * 10000 // r["syms_before"]
+    assert r["syms_after"] <= r["syms_before"]
+    assert r["syms_after"] >= r["corpus_tokens"] >= r["n_words"] > 0
+
+
 @given(st.lists(st.integers(-100, 100), min_size=1, max_size=60))
 @settings(max_examples=100, deadline=None)
 def test_clamped_balance_closed_form_identity(deltas):
