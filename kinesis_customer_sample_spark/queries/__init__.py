@@ -88,8 +88,10 @@ from kinesis_customer_sample_spark.registry import reorder_registry
 # verification budget). Round 11 was 50/50 green, certifying q439-q488
 # (483/514 distinct certified). Slots 1-31 are the final never-driver-checked
 # band (q489..q520 — the freeze's endgame); slots 32-50 are the 19
-# oldest-certified queries due a re-check (q01..q19, last walked r1/r2).
-# All other certified queries fall to the tail in registration order.
+# STALEST-certified queries due a re-check (oldest green CORRECTNESS
+# round first — q01/q02/q15-q23/q36-q43 are r1-certified; the rest of
+# the registry follows in (last-green-round, registration-age) order, so
+# the round-13 rotation inherits the correct horizon automatically).
 # Regenerate with scripts/next_priority.py.
 reorder_registry(
     [
@@ -126,32 +128,32 @@ reorder_registry(
         "q520_decomposition_strength",  # 31 NEW
         "q01_pricing_summary",  # 32 recheck
         "q02_projection_compute",  # 33 recheck
-        "q03_filter_predicates",  # 34 recheck
-        "q04_conditional_case",  # 35 recheck
-        "q05_join_inner",  # 36 recheck
-        "q06_join_broadcast_dims",  # 37 recheck
-        "q07_join_left_outer",  # 38 recheck
-        "q08_join_full_outer",  # 39 recheck
-        "q09_join_semi",  # 40 recheck
-        "q10_join_anti",  # 41 recheck
-        "q11_join_cross_theta",  # 42 recheck
-        "q12_join_range",  # 43 recheck
-        "q13_join_asof",  # 44 recheck
-        "q14_join_self",  # 45 recheck
-        "q15_agg_groupby_basic",  # 46 recheck
-        "q16_agg_distinct",  # 47 recheck
-        "q17_agg_approx_distinct",  # 48 recheck
-        "q18_agg_rollup",  # 49 recheck
-        "q19_agg_cube",  # 50 recheck <-- cap
-        "q20_agg_filtered",  # 51 recheck
-        "q21_agg_collect",  # 52 recheck
-        "q22_agg_stats",  # 53 recheck
-        "q23_agg_global",  # 54 recheck
-        "q24_win_ranking",  # 55 recheck
-        "q25_win_lag_lead",  # 56 recheck
-        "q26_win_frames",  # 57 recheck
-        "q27_win_latest_state",  # 58 recheck
-        "q28_win_topk_per_group",  # 59 recheck
-        "q29_sort_nulls_limit",  # 60 recheck
+        "q15_agg_groupby_basic",  # 34 recheck
+        "q16_agg_distinct",  # 35 recheck
+        "q17_agg_approx_distinct",  # 36 recheck
+        "q18_agg_rollup",  # 37 recheck
+        "q19_agg_cube",  # 38 recheck
+        "q20_agg_filtered",  # 39 recheck
+        "q21_agg_collect",  # 40 recheck
+        "q22_agg_stats",  # 41 recheck
+        "q23_agg_global",  # 42 recheck
+        "q36_fn_string",  # 43 recheck
+        "q37_fn_datetime",  # 44 recheck
+        "q38_fn_math",  # 45 recheck
+        "q39_fn_array_higher_order",  # 46 recheck
+        "q40_fn_json",  # 47 recheck
+        "q41_fn_null_handling",  # 48 recheck
+        "q42_fn_hash_portable",  # 49 recheck
+        "q43_fn_hash_native",  # 50 recheck <-- cap
+        "q44_fn_explode",  # 51 recheck
+        "q45_fn_map_struct",  # 52 recheck
+        "q47_contentops_latest_state",  # 53 recheck
+        "q48_contentops_publish_events",  # 54 recheck
+        "q49_contentops_provenance",  # 55 recheck
+        "q50_contentops_analytics",  # 56 recheck
+        "q60_text_tokenize",  # 57 recheck
+        "q61_term_frequency",  # 58 recheck
+        "q62_tfidf_top_terms",  # 59 recheck
+        "q64_quality_score",  # 60 recheck
     ]
 )

@@ -45,12 +45,15 @@ def main() -> None:
 
     results: dict[str, dict] = {}  # name -> latest row
     green_ever: set[str] = set()
+    last_green: dict[str, int] = {}  # name -> latest round with a green row
     for path in rounds:
+        rnum = int(re.search(r"r(\d+)", path).group(1))
         data = json.load(open(path))
         for name, row in data.items():
             results[name] = row
             if row_ok(row):
                 green_ever.add(name)
+                last_green[name] = rnum
     latest = json.load(open(rounds[-1])) if rounds else {}
 
     reg = load_registry()
@@ -65,9 +68,14 @@ def main() -> None:
 
     regressions = [n for n in reg if n in latest and not row_ok(latest[n])]
     never = sorted((n for n in reg if n not in results), key=age_key)
+    # Post-freeze rotation: certified queries re-walk OLDEST CERTIFICATION
+    # first (the SURVEY §7l ~10-round re-check horizon), not registration
+    # age — sorting by age alone would re-walk the lowest-numbered 50
+    # forever once they re-certify, and the rest of the registry would
+    # never rotate back through the driver's gate.
     rest = sorted(
         (n for n in reg if n not in regressions and n not in set(never)),
-        key=age_key,
+        key=lambda n: (last_green.get(n, 0), age_key(n)),
     )
 
     ordered = regressions + never + rest
