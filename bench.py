@@ -450,20 +450,46 @@ def main() -> None:
     # total and the first ~36 per-query numbers to it); persist the full
     # parsed payload so every judge can diff complete data (VERDICT r4
     # task 6). The committed BENCH_LOCAL.json is the sf0.1 quiet-box
-    # reference — only the driver's sf0.1 run may refresh it; any other
-    # SF (local sf0.01 iteration) lands in a scratch file instead, so the
-    # reference can't be clobbered by a dev loop (VERDICT r11 task 5).
+    # reference — refreshing it now requires BOTH sf==0.1 AND an explicit
+    # SPARK_GRAFT_BENCH_COMMIT=1, so the driver's per-round sf0.1 run no
+    # longer dirties the tree every round (VERDICT r12 task 2); every
+    # non-commit run lands in a scratch file. The chosen path is printed
+    # to stderr either way, so an intended reference refresh that misses
+    # the gate is visible instead of silent (r12 advice).
+    commit_ref = sf == 0.1 and os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
     out_path = (
         os.path.join(REPO, "BENCH_LOCAL.json")
-        if sf == 0.1
+        if commit_ref
         else os.path.join(tempfile.gettempdir(), f"BENCH_LOCAL_sf{sf}.json")
     )
     try:
         with open(out_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
+        sys.stderr.write(
+            f"bench: full payload -> {out_path}"
+            + ("" if commit_ref else " (scratch; set SPARK_GRAFT_BENCH_COMMIT=1 "
+               "on an sf0.1 run to refresh the committed reference)")
+            + "\n"
+        )
     except OSError:
         pass  # read-only checkout — the stdout line is still the contract
+    # Per-round full archive (VERDICT r12 task 2): the driver byte-truncates
+    # BENCH_rN.json to ~58 of 276 per-query numbers, which limits the judge's
+    # cross-round comparison. The builder sets SPARK_GRAFT_BENCH_ROUND=N on
+    # one sf0.1 run per round to commit the complete payload as
+    # BENCH_rN_full.json; the driver never sets it, so its runs stay
+    # tree-clean.
+    rnd = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if rnd and rnd.isdigit():
+        full_path = os.path.join(REPO, f"BENCH_r{int(rnd):02d}_full.json")
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            sys.stderr.write(f"bench: round archive -> {full_path}\n")
+        except OSError:
+            pass
     if errors:
         sys.stderr.write(f"bench: {len(errors)} queries errored: {sorted(errors)}\n")
     spark.stop()

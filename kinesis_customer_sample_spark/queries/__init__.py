@@ -83,77 +83,79 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
 
 from kinesis_customer_sample_spark.registry import reorder_registry
 
-# Round-12 driver-walk priority (the driver walks exactly the FIRST 50
+# Round-13 driver-walk priority (the driver walks exactly the FIRST 50
 # registry entries per round; the first 50 slots are the round's
-# verification budget). Round 11 was 50/50 green, certifying q439-q488
-# (483/514 distinct certified). Slots 1-31 are the final never-driver-checked
-# band (q489..q520 — the freeze's endgame); slots 32-50 are the 19
-# STALEST-certified queries due a re-check (oldest green CORRECTNESS
-# round first — q01/q02/q15-q23/q36-q43 are r1-certified; the rest of
-# the registry follows in (last-green-round, registration-age) order, so
-# the round-13 rotation inherits the correct horizon automatically).
+# verification budget). Round 12 was 50/50 green, certifying the final
+# never-walked band q489-q520 — every one of the 514 registered queries
+# now has a green driver CORRECTNESS row, and this is the first pure
+# rotation round (SURVEY §7l maintenance mode): all 50 slots are
+# re-checks of the STALEST-certified queries, ordered by
+# (last-green-round, registration-age) via the FIXED next_priority.py
+# (789ccdc sorts by last-green-round, not registration age). Slots 1-24
+# are r1-certified queries not re-walked since round 1 (q44..q96 band);
+# slots 25-50 are the oldest r2-certified band (q03..q73).
 # Regenerate with scripts/next_priority.py.
 reorder_registry(
     [
-        "q489_good_turing",  # 1 NEW
-        "q490_heaps_vocabulary_growth",  # 2 NEW
-        "q491_logrank_test",  # 3 NEW
-        "q492_minhash_accuracy_audit",  # 4 NEW
-        "q493_lsh_parameter_planner",  # 5 NEW
-        "q494_sq8_distortion_audit",  # 6 NEW
-        "q495_luhn_checksum_audit",  # 7 NEW
-        "q496_spc_residual_capstone",  # 8 NEW
-        "q497_session_gap_sensitivity",  # 9 NEW
-        "q498_cv_stump_eval",  # 10 NEW
-        "q499_audience_overlap",  # 11 NEW
-        "q500_gwet_ac1",  # 12 NEW
-        "q501_degree_powerlaw_fit",  # 13 NEW
-        "q502_candidate_key_discovery",  # 14 NEW
-        "q503_point_biserial_screen",  # 15 NEW
-        "q504_pr_curve_f1",  # 16 NEW
-        "q505_disparate_impact_audit",  # 17 NEW
-        "q506_markov_stationary",  # 18 NEW
-        "q507_littles_law_audit",  # 19 NEW
-        "q508_financial_reconciliation",  # 20 NEW
-        "q509_topk_with_ties",  # 21 NEW
-        "q510_duplicate_payment_scan",  # 22 NEW
-        "q511_semimarkov_holding_times",  # 23 NEW
-        "q512_behavior_entropy",  # 24 NEW
-        "q513_dedup_ensemble_venn",  # 25 NEW
-        "q514_subject_access_report",  # 26 NEW
-        "q515_asof_snapshot_matrix",  # 27 NEW
-        "q516_funnel_wilson",  # 28 NEW
-        "q517_selfcert_scorecard",  # 29 NEW
-        "q519_brier_murphy_decomposition",  # 30 NEW
-        "q520_decomposition_strength",  # 31 NEW
-        "q01_pricing_summary",  # 32 recheck
-        "q02_projection_compute",  # 33 recheck
-        "q15_agg_groupby_basic",  # 34 recheck
-        "q16_agg_distinct",  # 35 recheck
-        "q17_agg_approx_distinct",  # 36 recheck
-        "q18_agg_rollup",  # 37 recheck
-        "q19_agg_cube",  # 38 recheck
-        "q20_agg_filtered",  # 39 recheck
-        "q21_agg_collect",  # 40 recheck
-        "q22_agg_stats",  # 41 recheck
-        "q23_agg_global",  # 42 recheck
-        "q36_fn_string",  # 43 recheck
-        "q37_fn_datetime",  # 44 recheck
-        "q38_fn_math",  # 45 recheck
-        "q39_fn_array_higher_order",  # 46 recheck
-        "q40_fn_json",  # 47 recheck
-        "q41_fn_null_handling",  # 48 recheck
-        "q42_fn_hash_portable",  # 49 recheck
-        "q43_fn_hash_native",  # 50 recheck <-- cap
-        "q44_fn_explode",  # 51 recheck
-        "q45_fn_map_struct",  # 52 recheck
-        "q47_contentops_latest_state",  # 53 recheck
-        "q48_contentops_publish_events",  # 54 recheck
-        "q49_contentops_provenance",  # 55 recheck
-        "q50_contentops_analytics",  # 56 recheck
-        "q60_text_tokenize",  # 57 recheck
-        "q61_term_frequency",  # 58 recheck
-        "q62_tfidf_top_terms",  # 59 recheck
-        "q64_quality_score",  # 60 recheck
+        "q44_fn_explode",  # 1 recheck (r1)
+        "q45_fn_map_struct",  # 2 recheck (r1)
+        "q47_contentops_latest_state",  # 3 recheck (r1)
+        "q48_contentops_publish_events",  # 4 recheck (r1)
+        "q49_contentops_provenance",  # 5 recheck (r1)
+        "q50_contentops_analytics",  # 6 recheck (r1)
+        "q60_text_tokenize",  # 7 recheck (r1)
+        "q61_term_frequency",  # 8 recheck (r1)
+        "q62_tfidf_top_terms",  # 9 recheck (r1)
+        "q64_quality_score",  # 10 recheck (r1)
+        "q65_token_count_regex",  # 11 recheck (r1)
+        "q66_doc_fingerprint",  # 12 recheck (r1)
+        "q67_exact_dedup",  # 13 recheck (r1)
+        "q68_ngram_jaccard_pairs",  # 14 recheck (r1)
+        "q69_minhash_lsh_pairs",  # 15 recheck (r1)
+        "q71_embedding_near_dup",  # 16 recheck (r1)
+        "q77_multimodal_assembly",  # 17 recheck (r1)
+        "q78_media_feature_extract",  # 18 recheck (r1)
+        "q79_media_frame_sample",  # 19 recheck (r1)
+        "q84_pandas_centroid_udaf",  # 20 recheck (r1)
+        "q89_fn_map_json_zip",  # 21 recheck (r1)
+        "q90_dedup_clusters",  # 22 recheck (r1)
+        "q91_deterministic_split",  # 23 recheck (r1)
+        "q96_wire_decode_roundtrip",  # 24 recheck (r1)
+        "q03_filter_predicates",  # 25 recheck (r2)
+        "q04_conditional_case",  # 26 recheck (r2)
+        "q05_join_inner",  # 27 recheck (r2)
+        "q06_join_broadcast_dims",  # 28 recheck (r2)
+        "q07_join_left_outer",  # 29 recheck (r2)
+        "q08_join_full_outer",  # 30 recheck (r2)
+        "q09_join_semi",  # 31 recheck (r2)
+        "q10_join_anti",  # 32 recheck (r2)
+        "q11_join_cross_theta",  # 33 recheck (r2)
+        "q14_join_self",  # 34 recheck (r2)
+        "q24_win_ranking",  # 35 recheck (r2)
+        "q26_win_frames",  # 36 recheck (r2)
+        "q27_win_latest_state",  # 37 recheck (r2)
+        "q28_win_topk_per_group",  # 38 recheck (r2)
+        "q29_sort_nulls_limit",  # 39 recheck (r2)
+        "q30_topk_global",  # 40 recheck (r2)
+        "q31_union_all",  # 41 recheck (r2)
+        "q32_union_distinct",  # 42 recheck (r2)
+        "q33_intersect",  # 43 recheck (r2)
+        "q34_except",  # 44 recheck (r2)
+        "q56_contentops_publish_exact",  # 45 recheck (r2)
+        "q57_stream_static_join",  # 46 recheck (r2)
+        "q63_lang_id_heuristic",  # 47 recheck (r2)
+        "q70_simhash_pairs",  # 48 recheck (r2)
+        "q72_cosine_topk_brute",  # 49 recheck (r2)
+        "q73_ann_lsh_bucketed",  # 50 recheck (r2) <-- cap
+        "q74_knn_vote",  # 51 recheck (r2)
+        "q75_ivf_probe_search",  # 52 recheck (r2)
+        "q80_csv_scan",  # 53 recheck (r2)
+        "q81_jsonl_scan",  # 54 recheck (r2)
+        "q82_parquet_sink_roundtrip",  # 55 recheck (r2)
+        "q83_lexicon_sentiment",  # 56 recheck (r2)
+        "q87_setops_all_variants",  # 57 recheck (r2)
+        "q88_except_all",  # 58 recheck (r2)
+        "q92_token_budget_packing",  # 59 recheck (r2)
+        "q93_text_stats_breakdown",  # 60 recheck (r2)
     ]
 )

@@ -26,9 +26,15 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # Round number parse is anchored to the FILENAME, not the full path: a
+    # repo living under e.g. /srv/runner1/... would otherwise have the first
+    # r\d+ match win and silently corrupt the rotation order (r12 advice).
+    def round_of(path: str) -> int:
+        return int(re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path)).group(1))
+
     rounds = sorted(
         glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        key=round_of,
     )
     def row_ok(row: dict) -> bool:
         # Green = hash-match (or rows-match when the driver hashed nothing),
@@ -47,7 +53,7 @@ def main() -> None:
     green_ever: set[str] = set()
     last_green: dict[str, int] = {}  # name -> latest round with a green row
     for path in rounds:
-        rnum = int(re.search(r"r(\d+)", path).group(1))
+        rnum = round_of(path)
         data = json.load(open(path))
         for name, row in data.items():
             results[name] = row

@@ -1808,9 +1808,11 @@ def test_bpe_accounting_recomposes(spark, sf_dir):
     from kinesis_customer_sample_spark.registry import load_registry
 
     [r] = load_registry()["q226_bpe_apply_accounting"].fn(spark, sf_dir).collect()
-    assert r["saved_bp"] == (r["syms_before"] - r["syms_after"]) * 10000 // r["syms_before"]
-    assert r["syms_after"] <= r["syms_before"]
+    # Positivity first: an empty-corpus regression must fail this assertion,
+    # not surface as ZeroDivisionError in the recomposition below (r12 advice).
     assert r["syms_after"] >= r["corpus_tokens"] >= r["n_words"] > 0
+    assert r["syms_after"] <= r["syms_before"]
+    assert r["saved_bp"] == (r["syms_before"] - r["syms_after"]) * 10000 // r["syms_before"]
 
 
 @given(st.lists(st.integers(-100, 100), min_size=1, max_size=60))
