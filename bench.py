@@ -487,9 +487,13 @@ def main() -> None:
             with open(full_path, "w") as fh:
                 json.dump(payload, fh, indent=1, sort_keys=True)
                 fh.write("\n")
+        except OSError as exc:
+            # Unlike the best-effort reference write above, the round archive
+            # was EXPLICITLY requested via SPARK_GRAFT_BENCH_ROUND — a lost
+            # archive must be visible, not silent (r13 advice).
+            sys.stderr.write(f"bench: round archive FAILED ({full_path}): {exc}\n")
+        else:
             sys.stderr.write(f"bench: round archive -> {full_path}\n")
-        except OSError:
-            pass
     if errors:
         sys.stderr.write(f"bench: {len(errors)} queries errored: {sorted(errors)}\n")
     spark.stop()

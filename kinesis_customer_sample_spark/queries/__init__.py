@@ -83,79 +83,68 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
 
 from kinesis_customer_sample_spark.registry import reorder_registry
 
-# Round-13 driver-walk priority (the driver walks exactly the FIRST 50
+# Round-14 driver-walk priority (the driver walks exactly the FIRST 50
 # registry entries per round; the first 50 slots are the round's
-# verification budget). Round 12 was 50/50 green, certifying the final
-# never-walked band q489-q520 — every one of the 514 registered queries
-# now has a green driver CORRECTNESS row, and this is the first pure
-# rotation round (SURVEY §7l maintenance mode): all 50 slots are
+# verification budget). Round 13 was 50/50 green -- the first pure
+# rotation round -- so round 14 is the second: all 50 slots are
 # re-checks of the STALEST-certified queries, ordered by
-# (last-green-round, registration-age) via the FIXED next_priority.py
-# (789ccdc sorts by last-green-round, not registration age). Slots 1-24
-# are r1-certified queries not re-walked since round 1 (q44..q96 band);
-# slots 25-50 are the oldest r2-certified band (q03..q73).
+# (last-green-round, registration-age) via next_priority.py. Slots
+# 1-15 are the remaining r2-certified band (q74..q101); slots 16-50
+# are the oldest r3-certified band (q12..q128). Zero overlap with
+# r13's front-50 (the rotation keeps rotating); this band was
+# pre-validated by round 13's synthetic simulation (SCALE.md).
 # Regenerate with scripts/next_priority.py.
 reorder_registry(
     [
-        "q44_fn_explode",  # 1 recheck (r1)
-        "q45_fn_map_struct",  # 2 recheck (r1)
-        "q47_contentops_latest_state",  # 3 recheck (r1)
-        "q48_contentops_publish_events",  # 4 recheck (r1)
-        "q49_contentops_provenance",  # 5 recheck (r1)
-        "q50_contentops_analytics",  # 6 recheck (r1)
-        "q60_text_tokenize",  # 7 recheck (r1)
-        "q61_term_frequency",  # 8 recheck (r1)
-        "q62_tfidf_top_terms",  # 9 recheck (r1)
-        "q64_quality_score",  # 10 recheck (r1)
-        "q65_token_count_regex",  # 11 recheck (r1)
-        "q66_doc_fingerprint",  # 12 recheck (r1)
-        "q67_exact_dedup",  # 13 recheck (r1)
-        "q68_ngram_jaccard_pairs",  # 14 recheck (r1)
-        "q69_minhash_lsh_pairs",  # 15 recheck (r1)
-        "q71_embedding_near_dup",  # 16 recheck (r1)
-        "q77_multimodal_assembly",  # 17 recheck (r1)
-        "q78_media_feature_extract",  # 18 recheck (r1)
-        "q79_media_frame_sample",  # 19 recheck (r1)
-        "q84_pandas_centroid_udaf",  # 20 recheck (r1)
-        "q89_fn_map_json_zip",  # 21 recheck (r1)
-        "q90_dedup_clusters",  # 22 recheck (r1)
-        "q91_deterministic_split",  # 23 recheck (r1)
-        "q96_wire_decode_roundtrip",  # 24 recheck (r1)
-        "q03_filter_predicates",  # 25 recheck (r2)
-        "q04_conditional_case",  # 26 recheck (r2)
-        "q05_join_inner",  # 27 recheck (r2)
-        "q06_join_broadcast_dims",  # 28 recheck (r2)
-        "q07_join_left_outer",  # 29 recheck (r2)
-        "q08_join_full_outer",  # 30 recheck (r2)
-        "q09_join_semi",  # 31 recheck (r2)
-        "q10_join_anti",  # 32 recheck (r2)
-        "q11_join_cross_theta",  # 33 recheck (r2)
-        "q14_join_self",  # 34 recheck (r2)
-        "q24_win_ranking",  # 35 recheck (r2)
-        "q26_win_frames",  # 36 recheck (r2)
-        "q27_win_latest_state",  # 37 recheck (r2)
-        "q28_win_topk_per_group",  # 38 recheck (r2)
-        "q29_sort_nulls_limit",  # 39 recheck (r2)
-        "q30_topk_global",  # 40 recheck (r2)
-        "q31_union_all",  # 41 recheck (r2)
-        "q32_union_distinct",  # 42 recheck (r2)
-        "q33_intersect",  # 43 recheck (r2)
-        "q34_except",  # 44 recheck (r2)
-        "q56_contentops_publish_exact",  # 45 recheck (r2)
-        "q57_stream_static_join",  # 46 recheck (r2)
-        "q63_lang_id_heuristic",  # 47 recheck (r2)
-        "q70_simhash_pairs",  # 48 recheck (r2)
-        "q72_cosine_topk_brute",  # 49 recheck (r2)
-        "q73_ann_lsh_bucketed",  # 50 recheck (r2) <-- cap
-        "q74_knn_vote",  # 51 recheck (r2)
-        "q75_ivf_probe_search",  # 52 recheck (r2)
-        "q80_csv_scan",  # 53 recheck (r2)
-        "q81_jsonl_scan",  # 54 recheck (r2)
-        "q82_parquet_sink_roundtrip",  # 55 recheck (r2)
-        "q83_lexicon_sentiment",  # 56 recheck (r2)
-        "q87_setops_all_variants",  # 57 recheck (r2)
-        "q88_except_all",  # 58 recheck (r2)
-        "q92_token_budget_packing",  # 59 recheck (r2)
-        "q93_text_stats_breakdown",  # 60 recheck (r2)
+        "q74_knn_vote",  # 1 recheck (r2)
+        "q75_ivf_probe_search",  # 2 recheck (r2)
+        "q80_csv_scan",  # 3 recheck (r2)
+        "q81_jsonl_scan",  # 4 recheck (r2)
+        "q82_parquet_sink_roundtrip",  # 5 recheck (r2)
+        "q83_lexicon_sentiment",  # 6 recheck (r2)
+        "q87_setops_all_variants",  # 7 recheck (r2)
+        "q88_except_all",  # 8 recheck (r2)
+        "q92_token_budget_packing",  # 9 recheck (r2)
+        "q93_text_stats_breakdown",  # 10 recheck (r2)
+        "q97_local_supplier_revenue",  # 11 recheck (r2)
+        "q98_returned_item_report",  # 12 recheck (r2)
+        "q99_ann_multiprobe_lsh",  # 13 recheck (r2)
+        "q100_stratified_sample",  # 14 recheck (r2)
+        "q101_priority_routing",  # 15 recheck (r2)
+        "q12_join_range",  # 16 recheck (r3)
+        "q13_join_asof",  # 17 recheck (r3)
+        "q25_win_lag_lead",  # 18 recheck (r3)
+        "q35_sql_shipping_priority",  # 19 recheck (r3)
+        "q51_stream_tumbling_window",  # 20 recheck (r3)
+        "q52_stream_sliding_window",  # 21 recheck (r3)
+        "q53_session_window",  # 22 recheck (r3)
+        "q76_timeseries_similarity",  # 23 recheck (r3)
+        "q85_variant_json",  # 24 recheck (r3)
+        "q86_salted_skew_agg",  # 25 recheck (r3)
+        "q94_time_hierarchy_rollup",  # 26 recheck (r3)
+        "q95_pivot",  # 27 recheck (r3)
+        "q104_weighted_priority_sample",  # 28 recheck (r3)
+        "q105_orc_sink_roundtrip",  # 29 recheck (r3)
+        "q106_dedup_clusters_altstar",  # 30 recheck (r3)
+        "q107_market_share",  # 31 recheck (r3)
+        "q108_sessionize_batch",  # 32 recheck (r3)
+        "q109_corpus_curation",  # 33 recheck (r3)
+        "q110_zorder_clustering",  # 34 recheck (r3)
+        "q111_stream_stream_join",  # 35 recheck (r3)
+        "q114_histogram",  # 36 recheck (r3)
+        "q115_data_profile",  # 37 recheck (r3)
+        "q116_table_checksum",  # 38 recheck (r3)
+        "q117_stream_dedup_watermark",  # 39 recheck (r3)
+        "q118_scd2_history",  # 40 recheck (r3)
+        "q119_fuzzy_join_levenshtein",  # 41 recheck (r3)
+        "q120_copurchase_bfs",  # 42 recheck (r3)
+        "q121_sq8_ann_rerank",  # 43 recheck (r3)
+        "q122_token_pair_lift",  # 44 recheck (r3)
+        "q123_cascaded_rollup",  # 45 recheck (r3)
+        "q124_stream_update_upsert",  # 46 recheck (r3)
+        "q125_table_diff",  # 47 recheck (r3)
+        "q126_gap_fill_locf",  # 48 recheck (r3)
+        "q127_unpivot_measures",  # 49 recheck (r3)
+        "q128_iqr_outlier_fences",  # 50 recheck (r3) <-- cap
     ]
 )

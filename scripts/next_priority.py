@@ -29,11 +29,16 @@ def main() -> None:
     # Round number parse is anchored to the FILENAME, not the full path: a
     # repo living under e.g. /srv/runner1/... would otherwise have the first
     # r\d+ match win and silently corrupt the rotation order (r12 advice).
-    def round_of(path: str) -> int:
-        return int(re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path)).group(1))
+    # Files the glob matches but the anchored regex does not (e.g. a future
+    # CORRECTNESS_rNN_full.json, mirroring the BENCH_rNN_full.json archive
+    # convention) are skipped, not crashed on (r13 advice).
+    def round_of(path: str) -> int | None:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else None
 
     rounds = sorted(
-        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")),
+        (p for p in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+         if round_of(p) is not None),
         key=round_of,
     )
     def row_ok(row: dict) -> bool:
