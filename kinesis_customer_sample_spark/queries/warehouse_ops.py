@@ -1695,7 +1695,15 @@ def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the current ancestor (edges table is part-dim-sized and reusable —
     persisted once); intermediate multiplicities stay ≤ 3^depth (int64-
     safe to depth 40). Assembly DAG depth in practice is ≤ ~12 — the
-    iteration count is structural, not data-scaled."""
+    iteration count is structural, not data-scaled. The loop runs exactly
+    `depth` iterations LAZILY — no per-level isEmpty() action: the depth
+    bound is already sufficient (a d-digit key reaches its root in d-1
+    divisions, and depth ≥ d-1 by construction), so trailing iterations
+    join an empty frontier and contribute nothing. The r13→r14 bench
+    ledger profiled the per-level early-exit actions at ~0.1-0.2 s of
+    driver-job overhead EACH at sf0.1 (isolated min-of-3 1.208 s → 0.956 s
+    after removal); on a 1000-executor cluster each would be a full
+    driver barrier per BOM level."""
     import math
 
     part = table(spark, sf_dir, "part")
@@ -1732,8 +1740,6 @@ def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("mult") * F.col("nxt_qty")).alias("mult"),
             )
         )
-        if nxt.isEmpty():
-            break
         walk = walk.unionByName(nxt)
         frontier = nxt
     return (
