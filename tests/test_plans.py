@@ -1818,6 +1818,34 @@ def test_bom_walk_is_hash_joins(spark, sf_dir):
     assert facts.has_partial_agg
 
 
+def test_bom_build_runs_exactly_one_job(spark, sf_dir):
+    """q369 r14 regression pin: CONSTRUCTING the walk must trigger exactly
+    one driver job (the bounded max-key scalar) — the r13/r14 bench
+    ledger traced the query's slowdown to one isEmpty() action per BOM
+    level (a driver barrier per level at cluster scale); the fix runs the
+    exact structural depth lazily. A second job appearing here means a
+    per-iteration action crept back in."""
+    from kinesis_customer_sample_spark.registry import load_registry
+
+    sc = spark.sparkContext
+    fn = load_registry()["q369_bom_explosion"].fn
+    fn(spark, sf_dir)  # warm-up: first-contact parquet listing jobs
+    group = "q369-build-job-audit"
+    sc.setJobGroup(group, "q369 construction job count", False)
+    try:
+        fn(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None, False)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    # Warm construction = one parquet scan-planning job + the max-key
+    # collect. The pre-r14 shape ran depth more (one isEmpty per level:
+    # 3 at sf0.001, 5 at sf0.1), so the bound also guards depth-scaling.
+    assert len(jobs) <= 2, (
+        f"q369 construction ran {len(jobs)} jobs {jobs}; expected <= 2 "
+        "(scan planning + max-key collect) — a per-level driver action is back"
+    )
+
+
 def test_rfm_base_is_hash_agg(spark, sf_dir):
     """q370: the RFM base reduces orders to customer grain BEFORE any
     window; ntile windows run over the reduced dim (plan prints the

@@ -984,9 +984,12 @@ def test_priority_sampling_estimator_at_5m_rows(spark):
 
 def test_bom_fixpoint_converges_on_2m_node_tree(spark):
     """q369's multiplicative walk on a 2M-node 10-ary tree (depth 7):
-    the fixpoint must close in depth iterations and conserve every
-    non-root node into exactly one root's descendant count."""
+    the exact-depth LAZY unroll (the shipped r14 shape — no per-level
+    isEmpty() action; trailing iterations join an empty frontier) must
+    conserve every non-root node into exactly one root's descendant
+    count in a single action."""
     n = 2_000_000
+    depth = 7  # ceil(log10(2M)); a d-digit key roots in d-1 <= depth hops
     edges = spark.range(10, n).select(
         F.col("id").alias("child"),
         F.expr("id div 10").alias("parent"),
@@ -997,7 +1000,7 @@ def test_bom_fixpoint_converges_on_2m_node_tree(spark):
         F.col("qty").alias("mult"),
     )
     frontier = walk
-    for _ in range(8):
+    for _ in range(depth):
         nxt = frontier.join(
             edges.select(
                 F.col("child").alias("anc"), F.col("parent").alias("nxt_anc"),
@@ -1008,8 +1011,6 @@ def test_bom_fixpoint_converges_on_2m_node_tree(spark):
             "node", F.col("nxt_anc").alias("anc"),
             (F.col("mult") * F.col("nxt_qty")).alias("mult"),
         )
-        if nxt.isEmpty():
-            break
         walk = walk.unionByName(nxt)
         frontier = nxt
     rolled = walk.filter(F.col("anc") < 10).groupBy("anc").agg(
