@@ -1,0 +1,255 @@
+"""One-off scale-escalation runs of the headline operator shapes.
+
+The standing suite (`tests/test_scale_smoke.py`) proves these shapes at
+2M–20M rows inside the pytest budget; this script re-runs the same
+shapes with the same EXACT invariants at 10×–40× that, as recorded in
+SCALE.md's "Round-14 one-off scale escalation" ledger entries. It is
+deliberately NOT a test: a full pass takes ~3 minutes on local[32] and
+belongs in a round's strong-record battery, not in every pytest run.
+
+Usage: PYTHONPATH=/root/repo python scripts/scale_escalation.py [shape ...]
+Shapes: sessionize salted_join rollup_cascade stream_stream semantic_dedup
+        (default: all, at the SCALE.md-recorded sizes)
+
+Each run prints one line: SHAPE <name> <size>: <invariant>=OK|FAIL (<sec>s).
+Exit code is non-zero if any invariant fails.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kinesis_customer_sample_spark.session import get_spark
+
+
+def _synth_events(spark, n: int, n_users: int):
+    return spark.range(n).select(
+        (F.col("id") % n_users).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 977) * 3600 + F.col("id") % 59
+        ).alias("ts"),
+        ((F.col("id") * 7) % 100).cast("double").alias("value"),
+    )
+
+
+def sessionize(spark, n: int = 200_000_000, n_users: int = 2_000_000) -> bool:
+    """q108's gaps-and-islands shape: every event lands in exactly one
+    session (one user_id shuffle, linear in rows)."""
+    ev = _synth_events(spark, n, n_users)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - F.unix_micros(prev)) > 12 * 3600 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sess.agg(F.sum("n")).collect()[0][0] == n
+
+
+def salted_join(spark, n: int = 50_000_000) -> bool:
+    """q129's salting on a pathological hot key (80% of probes on one
+    key, broadcast disabled): salted(16) aggregate == plain aggregate."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        S = 16
+        probe = spark.range(n).select(
+            F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            (F.col("id") % 97).alias("v"),
+        )
+        build = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("w")
+        )
+        plain = (
+            probe.join(build, "k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+            .collect()[0]
+        )
+        sp = probe.withColumn("salt", (F.xxhash64("v") % S + S) % S).alias("p")
+        rep = build.withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {S - 1})"))
+        ).alias("b")
+        salted = (
+            sp.join(
+                rep,
+                (F.col("p.k") == F.col("b.k")) & (F.col("p.salt") == F.col("b.salt")),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v") + F.col("w")).alias("s"))
+            .collect()[0]
+        )
+        return (plain.n, plain.s) == (salted.n, salted.s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def rollup_cascade(spark, n: int = 50_000_000, n_users: int = 500_000) -> bool:
+    """q123's cascade: hour→day→month re-aggregation equals the direct
+    monthly aggregate exactly (fixed-point integer measures)."""
+    ev = _synth_events(spark, n, n_users)
+    v_us = F.floor(F.col("value") * 1_000_000 + 0.5).cast("bigint")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v_us).alias("v")
+    )
+    cascade = (
+        hourly.groupBy(F.date_trunc("day", "h").alias("d"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+        .groupBy(F.date_trunc("month", "d").alias("m"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    )
+    direct = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v_us).alias("v")
+    )
+    got = {r.m: (r.n, r.v) for r in cascade.collect()}
+    want = {r.m: (r.n, r.v) for r in direct.collect()}
+    return got == want and len(want) > 0
+
+
+def stream_stream(spark, n: int = 20_000_000, n_users: int = 100_000) -> bool:
+    """q111's stream-stream interval join replayed over time-ordered
+    files: streamed pair count == batch self-join exactly."""
+    tmp = tempfile.mkdtemp()
+    try:
+        src = os.path.join(tmp, "ss_events")
+        ev = spark.range(n).select(
+            (F.col("id") % n_users).alias("user_id"),
+            F.col("id").alias("event_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") / n_users).cast("long") * 31
+            ).alias("ts"),
+            F.when(F.col("id") % 11 == 0, "purchase").otherwise("click").alias(
+                "event_type"
+            ),
+        )
+        # replay files must be time-ordered, else the watermark correctly
+        # drops late files (watermark semantics, not the equivalence here)
+        ev.repartitionByRange(400, "ts").sortWithinPartitions("ts").write.mode(
+            "overwrite"
+        ).parquet(src)
+        batch = spark.read.parquet(src)
+        clicks_b = batch.filter("event_type = 'click'").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+        )
+        purch_b = batch.filter("event_type = 'purchase'").select(
+            "user_id", "event_id", F.col("ts").alias("purchase_ts")
+        )
+        cond = (
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+        )
+        expected = purch_b.join(clicks_b, cond).count()
+        stream = spark.readStream.schema(batch.schema).option(
+            "maxFilesPerTrigger", "40"
+        ).parquet(src)
+        clicks_s = (
+            stream.filter("event_type = 'click'")
+            .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purch_s = (
+            stream.filter("event_type = 'purchase'")
+            .select("user_id", "event_id", F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        out_dir = os.path.join(tmp, "out")
+        q = (
+            purch_s.join(clicks_s, cond, "inner")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).count() == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def semantic_dedup(spark, n: int = 5_000_000) -> bool:
+    """q153's bucket → representative → broadcast-join-back shape: every
+    vector joins exactly one representative; reps self-score cos ≈ 1."""
+    from kinesis_customer_sample_spark.functions.porthash import dot64_expr, norm_expr
+    from kinesis_customer_sample_spark.queries.similarity import _hyperplane_bucket
+
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), "
+            "d -> CAST((id * 31 + d * 17) % 97 - 48 AS FLOAT) / 48.0)"
+        ).alias("embedding"),
+    )
+    e = (
+        vecs.repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
+        .withColumn("en", F.expr(norm_expr("embedding")))
+    )
+    reps = F.broadcast(
+        e.groupBy("bucket")
+        .agg(
+            F.min("vec_id").alias("rep_id"),
+            F.min_by("embedding", "vec_id").alias("rep_emb"),
+        )
+        .withColumn("rep_n", F.expr(norm_expr("rep_emb")))
+    )
+    cos = F.round(
+        F.expr(dot64_expr("embedding", "rep_emb")) / (F.col("en") * F.col("rep_n")), 6
+    )
+    out = e.join(reps, "bucket").select(
+        "vec_id",
+        (F.col("vec_id") == F.col("rep_id")).alias("is_rep"),
+        cos.alias("c"),
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("is_rep") & (F.col("c") < 0.999999), 1).otherwise(0)).alias(
+            "bad_rep"
+        ),
+    ).collect()[0]
+    return agg["n"] == n and agg["bad_rep"] == 0
+
+
+SHAPES = {
+    "sessionize": (sessionize, "200M rows / 2M users"),
+    "salted_join": (salted_join, "50M probe rows, hot key"),
+    "rollup_cascade": (rollup_cascade, "50M rows"),
+    "stream_stream": (stream_stream, "20M events"),
+    "semantic_dedup": (semantic_dedup, "5M x 64d vectors"),
+}
+
+
+def main() -> int:
+    names = sys.argv[1:] or list(SHAPES)
+    spark = get_spark()
+    failed = []
+    for name in names:
+        fn, size = SHAPES[name]
+        t0 = time.perf_counter()
+        ok = fn(spark)
+        dt = time.perf_counter() - t0
+        print(f"SHAPE {name} {size}: {'OK' if ok else 'FAIL'} ({dt:.1f}s)", flush=True)
+        if not ok:
+            failed.append(name)
+    spark.stop()
+    if failed:
+        print(f"SHAPES FAILED: {failed}")
+        return 1
+    print("SHAPES FAILED: []")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
