@@ -9,6 +9,7 @@ belongs in a round's strong-record battery, not in every pytest run.
 
 Usage: PYTHONPATH=/root/repo python scripts/scale_escalation.py [shape ...]
 Shapes: sessionize salted_join rollup_cascade stream_stream semantic_dedup
+        cc_chains bom_walk minhash_band
         (default: all, at the SCALE.md-recorded sizes)
 
 Each run prints one line: SHAPE <name> <size>: <invariant>=OK|FAIL (<sec>s).
@@ -222,12 +223,131 @@ def semantic_dedup(spark, n: int = 5_000_000) -> bool:
     return agg["n"] == n and agg["bad_rep"] == 0
 
 
+def cc_chains(spark, n: int = 10_000_000, chain: int = 8) -> bool:
+    """q292's hash-min connected components on disjoint 8-node chains
+    (diameter 7 forces multi-round propagation): every label must equal
+    the chain head, and the component count must be exact."""
+    from kinesis_customer_sample_spark.queries.graph_components import (
+        hash_min_components,
+    )
+
+    e0 = (
+        spark.range(n)
+        .filter((F.col("id") % chain) != chain - 1)
+        .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    )
+    labels = hash_min_components(e0)
+    bad = labels.filter(
+        F.col("lab") != (F.col("node") - (F.col("node") % chain))
+    ).count()
+    return bad == 0 and labels.select("lab").distinct().count() == n // chain
+
+
+def bom_walk(spark, n: int = 20_000_000) -> bool:
+    """q369's exact-depth lazy multiplicative walk (the shipped r14
+    shape) on a 20M-node 10-ary tree: every non-root node lands in
+    exactly one root's descendant count, in a single action."""
+    import math
+
+    edges = spark.range(10, n).select(
+        F.col("id").alias("child"),
+        F.expr("id div 10").alias("parent"),
+        (F.col("id") % 3 + 1).alias("qty"),
+    ).persist()
+    depth = max(1, math.ceil(math.log10(n)))
+    walk = edges.select(
+        F.col("child").alias("node"), F.col("parent").alias("anc"),
+        F.col("qty").alias("mult"),
+    )
+    frontier = walk
+    for _ in range(depth):
+        nxt = frontier.join(
+            edges.select(
+                F.col("child").alias("anc"), F.col("parent").alias("nxt_anc"),
+                F.col("qty").alias("nxt_qty"),
+            ),
+            "anc",
+        ).select(
+            "node", F.col("nxt_anc").alias("anc"),
+            (F.col("mult") * F.col("nxt_qty")).alias("mult"),
+        )
+        walk = walk.unionByName(nxt)
+        frontier = nxt
+    total = (
+        walk.filter(F.col("anc") < 10)
+        .groupBy("anc").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    edges.unpersist()
+    return total == n - 10
+
+
+def minhash_band(spark, n_docs: int = 2_500_000) -> bool:
+    """q69's MinHash banding shuffle core at n_docs x 20 shingle
+    postings: 1000 planted exact-duplicate pairs must all collide
+    (recall 1.0), and the candidate set must stay bucket-blocked."""
+    n_sh, mod_p, planted = 20, 1_000_000_007, 1000
+    base = (
+        f"CASE WHEN id < {2 * planted} THEN CAST(id DIV 2 AS BIGINT) "
+        f"ELSE CAST(id AS BIGINT) + {10 * planted} END"
+    )
+    postings = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_sh - 1}), "
+                f"j -> (({base}) * 524287 + CAST(j AS BIGINT) * 2654435761) % {mod_p})"
+            )
+        ).alias("h"),
+    )
+    mins = postings.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"(h * (17 + 2 * {i}) + CAST({i} AS BIGINT) * 97) % {mod_p}")
+            ).alias(f"mh{i}")
+            for i in range(16)
+        ]
+    )
+    band_cols = []
+    for b in range(4):
+        acc = "7"
+        for j in range(4):
+            acc = f"(({acc}) * 31 + (mh{4 * b + j})) % {mod_p}"
+        band_cols.append(F.expr(acc).alias(f"bh{b}"))
+    bands = mins.select("doc_id", *band_cols).selectExpr(
+        "doc_id", "stack(4, 0, bh0, 1, bh1, 2, bh2, 3, bh3) AS (b, bh)"
+    )
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    n_cand = cand.count()
+    n_found = cand.filter(
+        (F.col("doc_a") % 2 == 0)
+        & (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_a") < 2 * planted)
+    ).count()
+    cand.unpersist()
+    return n_found == planted and n_cand < 200_000
+
+
 SHAPES = {
     "sessionize": (sessionize, "200M rows / 2M users"),
     "salted_join": (salted_join, "50M probe rows, hot key"),
     "rollup_cascade": (rollup_cascade, "50M rows"),
     "stream_stream": (stream_stream, "20M events"),
     "semantic_dedup": (semantic_dedup, "5M x 64d vectors"),
+    "cc_chains": (cc_chains, "10M nodes, 1.25M chains"),
+    "bom_walk": (bom_walk, "20M-node 10-ary tree"),
+    "minhash_band": (minhash_band, "50M postings / 2.5M docs"),
 }
 
 
