@@ -12,6 +12,14 @@ different tokens and can never compare equal, which is exactly the
 distinction the driver's value hash makes (DuckDB HUGEINT aggregates that
 surface as float64 caused 6 driver hash-fails in round 1 while the old
 numeric-equality comparator passed them locally).
+
+Decimal policy (r14/q35 lesson): Spark outputs must never contain
+DecimalType (compare_query flags it), and oracle SQL must cast decimal
+literals to DOUBLE (DuckDB types bare list/decimal literals as DECIMAL —
+q272's unnest([0.5, …]) rendered '0.50' and tripped the strict comparator).
+The driver's own DuckDB→pandas path collapses oracle-side decimals to
+float64, so the strict-on-both-sides rule here is never weaker than the
+driver; on the Spark side it is exactly the driver's rendering.
 """
 
 from __future__ import annotations
@@ -45,9 +53,14 @@ def _norm_value(v):
     float (repr-canonical, NaN sentinel, -0.0 collapsed), s=str, y=bytes,
     t=temporal ISO string, plus recursive tuples for lists/structs/maps.
     A float NEVER equals an int of the same magnitude — that is the point.
-    Decimal is tagged 'f' via float() (both engines surface fixed-point
-    aggregates as decimal or double interchangeably; collapsing them is safe
-    because the queries round decimals explicitly).
+
+    Decimal is rendered scale-preserving (``format(v, "f")`` keeps trailing
+    zeros: Decimal('381126.20') → "381126.20") under the 'f' kind, mirroring
+    the driver's canonical value rendering exactly. The r14 lesson (q35):
+    the old ``float(v)`` collapse made Decimal('381126.20') equal float
+    381126.2 locally while the driver's hash — which renders the scale —
+    failed it. Eleven rounds of 514/514 local sweeps were blind to the class;
+    this rendering makes the local gate at least as strict as the driver's.
     """
     if v is None:
         return None
@@ -62,8 +75,11 @@ def _norm_value(v):
             return ("f", "0.0")
         return ("f", repr(v))
     if isinstance(v, Decimal):
-        f = float(v)
-        return ("f", "0.0" if f == 0.0 else repr(f))
+        if v.is_nan():
+            return ("f", "NaN")
+        # scale-preserving, non-exponent rendering — '381126.20' stays
+        # '381126.20' and can only equal a float that renders identically
+        return ("f", format(v, "f"))
     if isinstance(v, str):
         return ("s", v)
     if isinstance(v, bytes):
@@ -83,6 +99,20 @@ def _norm_value(v):
     if isinstance(v, dict):
         return tuple(sorted((k, _norm_value(x)) for k, x in v.items()))
     return ("?", repr(v))
+
+
+def _decimal_columns(schema) -> list[str]:
+    """Names of top-level columns whose type contains a decimal anywhere.
+
+    Policy guard (r14/q35): no registry query may EMIT DecimalType from the
+    Spark side — Spark renders the scale ('381126.20') while DuckDB's DOUBLE
+    doesn't ('381126.2'), so even cent-identical values fail the driver hash.
+    Queries must cast fixed-point results to DOUBLE (or keep floor-µ BIGINTs).
+    """
+    # Arrow renders nested types with their children ('list<item: decimal128
+    # (24, 2)>'), so a string scan covers arbitrary nesting without walking
+    # every container type by hand.
+    return [f.name for f in schema if "decimal" in str(f.type)]
 
 
 def _arrow_rows(tbl) -> tuple[list[str], list[tuple]]:
@@ -131,6 +161,14 @@ def compare_query(spark, q: Query, sf_dir: str, con=None) -> CompareResult:
     s_cols, s_rows = _arrow_rows(spark_tbl)
     d_cols, d_rows = _arrow_rows(duck_tbl)
     res = CompareResult(q.name, True, len(s_rows), len(d_rows))
+
+    dec_cols = _decimal_columns(spark_tbl.schema)
+    if dec_cols:
+        res.ok = False
+        res.mismatches.append(
+            f"spark output emits DecimalType column(s) {dec_cols} — banned "
+            "(r14/q35 class): cast to DOUBLE or emit floor-µ BIGINT"
+        )
 
     if s_cols != d_cols:
         res.ok = False

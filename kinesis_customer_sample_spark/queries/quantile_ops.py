@@ -94,7 +94,7 @@ def _grid_cumulative(df: DataFrame, group: str, width: int) -> DataFrame:
              floor(p.p * (n - 1))::BIGINT AS lo,
              ceil(p.p * (n - 1))::BIGINT AS hi,
              p.p * (n - 1) - floor(p.p * (n - 1)) AS frac
-      FROM grid, (SELECT unnest([{", ".join(str(p) for p in _Q_FRACTIONS)}]) AS p) p
+      FROM grid, (SELECT unnest([{", ".join(f"CAST({p} AS DOUBLE)" for p in _Q_FRACTIONS)}]) AS p) p
     )
     SELECT t.event_type, t.p, any_value(t.n)::BIGINT AS n,
            round((min(CASE WHEN g.c >= t.lo + 1 THEN g.v END)

@@ -169,13 +169,20 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping-priority query (TPC-H Q3 shape) via the spark.sql entry point
-    over registered views — same Catalyst plan as the DataFrame API."""
+    over registered views — same Catalyst plan as the DataFrame API.
+
+    The revenue column is CAST to DOUBLE: in Spark SQL the literal ``10000.0``
+    parses as DECIMAL, so without the cast the division yields decimal(24,2)
+    while DuckDB's ``/`` yields DOUBLE — numerically identical to the cent but
+    rendered differently (``381126.20`` vs ``381126.2``), which fails the
+    driver's value hash (the r14 red row). DataFrame-API queries are immune:
+    Python float literals lower to DoubleType."""
     register_views(spark, sf_dir, only=("customer", "orders", "lineitem"))
     return spark.sql(
         """
         SELECT o_orderkey,
-               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
-                 / 10000.0, 2) AS revenue,
+               CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / 10000.0, 2) AS DOUBLE) AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
