@@ -353,6 +353,10 @@ SHAPES = {
 
 def main() -> int:
     names = sys.argv[1:] or list(SHAPES)
+    unknown = [n for n in names if n not in SHAPES]
+    if unknown:
+        print(f"unknown shape(s) {unknown}; valid: {', '.join(SHAPES)}")
+        return 2
     spark = get_spark()
     failed = []
     for name in names:
