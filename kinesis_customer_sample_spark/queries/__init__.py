@@ -83,68 +83,67 @@ from kinesis_customer_sample_spark.queries import (  # noqa: F401
 
 from kinesis_customer_sample_spark.registry import reorder_registry
 
-# Round-14 driver-walk priority (the driver walks exactly the FIRST 50
+# Round-15 driver-walk priority (the driver walks exactly the FIRST 50
 # registry entries per round; the first 50 slots are the round's
-# verification budget). Round 13 was 50/50 green -- the first pure
-# rotation round -- so round 14 is the second: all 50 slots are
-# re-checks of the STALEST-certified queries, ordered by
-# (last-green-round, registration-age) via next_priority.py. Slots
-# 1-15 are the remaining r2-certified band (q74..q101); slots 16-50
-# are the oldest r3-certified band (q12..q128). Zero overlap with
-# r13's front-50 (the rotation keeps rotating); this band was
-# pre-validated by round 13's synthetic simulation (SCALE.md).
+# verification budget). Slot 1 is q35_sql_shipping_priority -- the r14
+# driver hash-FAIL (DECIMAL-vs-DOUBLE rendering drift, fixed this round
+# with CAST AS DOUBLE + the Decimal-strict comparator) -- regressions
+# always front-load. Slots 2-50 are the stalest-certified rotation band
+# (r3/r4: q129..q196), ordered by (last-green-round, registration-age)
+# via next_priority.py; this is round 14's pre-validated r15 band
+# (SCALE.md) shifted by one slot (q197 drops to slot 51 for r16).
 # Regenerate with scripts/next_priority.py.
 reorder_registry(
     [
-        "q74_knn_vote",  # 1 recheck (r2)
-        "q75_ivf_probe_search",  # 2 recheck (r2)
-        "q80_csv_scan",  # 3 recheck (r2)
-        "q81_jsonl_scan",  # 4 recheck (r2)
-        "q82_parquet_sink_roundtrip",  # 5 recheck (r2)
-        "q83_lexicon_sentiment",  # 6 recheck (r2)
-        "q87_setops_all_variants",  # 7 recheck (r2)
-        "q88_except_all",  # 8 recheck (r2)
-        "q92_token_budget_packing",  # 9 recheck (r2)
-        "q93_text_stats_breakdown",  # 10 recheck (r2)
-        "q97_local_supplier_revenue",  # 11 recheck (r2)
-        "q98_returned_item_report",  # 12 recheck (r2)
-        "q99_ann_multiprobe_lsh",  # 13 recheck (r2)
-        "q100_stratified_sample",  # 14 recheck (r2)
-        "q101_priority_routing",  # 15 recheck (r2)
-        "q12_join_range",  # 16 recheck (r3)
-        "q13_join_asof",  # 17 recheck (r3)
-        "q25_win_lag_lead",  # 18 recheck (r3)
-        "q35_sql_shipping_priority",  # 19 recheck (r3)
-        "q51_stream_tumbling_window",  # 20 recheck (r3)
-        "q52_stream_sliding_window",  # 21 recheck (r3)
-        "q53_session_window",  # 22 recheck (r3)
-        "q76_timeseries_similarity",  # 23 recheck (r3)
-        "q85_variant_json",  # 24 recheck (r3)
-        "q86_salted_skew_agg",  # 25 recheck (r3)
-        "q94_time_hierarchy_rollup",  # 26 recheck (r3)
-        "q95_pivot",  # 27 recheck (r3)
-        "q104_weighted_priority_sample",  # 28 recheck (r3)
-        "q105_orc_sink_roundtrip",  # 29 recheck (r3)
-        "q106_dedup_clusters_altstar",  # 30 recheck (r3)
-        "q107_market_share",  # 31 recheck (r3)
-        "q108_sessionize_batch",  # 32 recheck (r3)
-        "q109_corpus_curation",  # 33 recheck (r3)
-        "q110_zorder_clustering",  # 34 recheck (r3)
-        "q111_stream_stream_join",  # 35 recheck (r3)
-        "q114_histogram",  # 36 recheck (r3)
-        "q115_data_profile",  # 37 recheck (r3)
-        "q116_table_checksum",  # 38 recheck (r3)
-        "q117_stream_dedup_watermark",  # 39 recheck (r3)
-        "q118_scd2_history",  # 40 recheck (r3)
-        "q119_fuzzy_join_levenshtein",  # 41 recheck (r3)
-        "q120_copurchase_bfs",  # 42 recheck (r3)
-        "q121_sq8_ann_rerank",  # 43 recheck (r3)
-        "q122_token_pair_lift",  # 44 recheck (r3)
-        "q123_cascaded_rollup",  # 45 recheck (r3)
-        "q124_stream_update_upsert",  # 46 recheck (r3)
-        "q125_table_diff",  # 47 recheck (r3)
-        "q126_gap_fill_locf",  # 48 recheck (r3)
-        "q127_unpivot_measures",  # 49 recheck (r3)
-        "q128_iqr_outlier_fences",  # 50 recheck (r3) <-- cap
+        "q35_sql_shipping_priority",  # 1 REGRESSION
+        "q129_salted_skew_join",  # 2 recheck
+        "q130_win_distribution",  # 3 recheck
+        "q131_cohort_retention",  # 4 recheck
+        "q132_funnel_analysis",  # 5 recheck
+        "q133_equal_freq_binning",  # 6 recheck
+        "q134_try_arithmetic",  # 7 recheck
+        "q137_decontamination",  # 8 recheck
+        "q138_repetition_filter",  # 9 recheck
+        "q139_pii_redaction",  # 10 recheck
+        "q140_domain_mixing",  # 11 recheck
+        "q141_global_shuffle",  # 12 recheck
+        "q142_chunk_dedup",  # 13 recheck
+        "q148_training_pipeline",  # 14 recheck
+        "q149_kmeans_assign_update",  # 15 recheck
+        "q150_stream_corpus_ingest",  # 16 recheck
+        "q46_contentops_decode",  # 17 recheck
+        "q102_volume_shipping",  # 18 recheck
+        "q103_waiting_suppliers",  # 19 recheck
+        "q112_large_volume_customers",  # 20 recheck
+        "q113_small_quantity_revenue",  # 21 recheck
+        "q135_waiting_customers",  # 22 recheck
+        "q136_rolling_active_users",  # 23 recheck
+        "q143_order_priority_check",  # 24 recheck
+        "q144_customer_distribution",  # 25 recheck
+        "q145_top_supplier",  # 26 recheck
+        "q146_supplier_variety",  # 27 recheck
+        "q147_margin_by_nation",  # 28 recheck
+        "q175_bloom_prefilter_join",  # 29 recheck
+        "q176_bm25_search",  # 30 recheck
+        "q177_last_touch_attribution",  # 31 recheck
+        "q178_cms_frequency_estimate",  # 32 recheck
+        "q179_leakage_safe_split",  # 33 recheck
+        "q180_triangle_count",  # 34 recheck
+        "q181_markov_transitions",  # 35 recheck
+        "q182_referential_integrity",  # 36 recheck
+        "q183_stream_outer_join",  # 37 recheck
+        "q184_entity_resolution",  # 38 recheck
+        "q185_group_cap_sample",  # 39 recheck
+        "q186_media_blob_dedup",  # 40 recheck
+        "q187_compaction_roundtrip",  # 41 recheck
+        "q188_pit_scd2_join",  # 42 recheck
+        "q189_asof_forward_join",  # 43 recheck
+        "q190_session_conversion",  # 44 recheck
+        "q191_hll_sketch_merge",  # 45 recheck
+        "q192_containment_pairs",  # 46 recheck
+        "q193_url_canonical_dedup",  # 47 recheck
+        "q194_distribution_drift",  # 48 recheck
+        "q195_golden_record_merge",  # 49 recheck
+        "q196_order_displacement",  # 50 recheck  <-- cap
     ]
 )
