@@ -433,3 +433,149 @@ def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jw"), "a_doc", "b_doc")
         .limit(_JW_TOPK)
     )
+
+
+# q518 (round 15): the skew-robust candidate-generation variant the
+# q431 docstring designs — same Jaro-Winkler metric (the shared
+# _jw_pandas UDF), q316's sorted-neighborhood blocking instead of
+# first-two-token equi-blocks. Carried r13→r15 verdict watch item
+# ("q431's two-token blocking skew-fragility"), closed here as a new
+# certified query rather than an edit to the driver-green q431.
+_JWSN_WINDOW = 3
+_JW_THRESH_MICRO = int(_JW_THRESH * 1_000_000)  # 0.9 → 900000
+
+
+@query(
+    "q518_jw_sorted_neighborhood",
+    oracle=f"""
+    WITH titles AS (
+      SELECT doc_id,
+             array_to_string((list_filter(string_split(regexp_replace(lower(text),
+                '[^a-z ]', '', 'g'), ' '), t -> t != ''))[1:{_JW_TITLE_TOKS}], ' ')
+               AS title
+      FROM documents
+    ),
+    t AS (SELECT doc_id, title FROM titles WHERE title != ''),
+    nb AS (
+      SELECT doc_id AS doc_a, title AS title_a,
+             {", ".join(
+                 f"lead(doc_id, {j}) OVER w AS nb{j}, lead(title, {j}) OVER w AS nbt{j}"
+                 for j in range(1, _JWSN_WINDOW + 1)
+             )}
+      FROM t
+      WINDOW w AS (PARTITION BY substring(title, 1, 1) ORDER BY title, doc_id)
+    ),
+    cand AS (
+      SELECT doc_a, title_a, nb, nbt, off
+      FROM (
+        {" UNION ALL ".join(
+            f"SELECT doc_a, title_a, nb{j} AS nb, nbt{j} AS nbt, "
+            f"{j}::BIGINT AS off FROM nb"
+            for j in range(1, _JWSN_WINDOW + 1)
+        )}
+      )
+      WHERE nb IS NOT NULL
+        AND least(length(title_a), length(nbt)) * 2
+              >= greatest(length(title_a), length(nbt))
+    )
+    SELECT least(doc_a, nb) AS a_doc, greatest(doc_a, nb) AS b_doc, off,
+           CAST(floor(jaro_winkler_similarity(title_a, nbt) * 1e6) AS BIGINT)
+             AS jw_micro
+    FROM cand
+    WHERE CAST(floor(jaro_winkler_similarity(title_a, nbt) * 1e6) AS BIGINT)
+            >= {_JW_THRESH_MICRO}
+    ORDER BY jw_micro DESC, a_doc, b_doc
+    LIMIT {_JW_TOPK}
+    """,
+    tags=("entity-resolution", "jaro-winkler", "sorted-neighborhood", "pandas-udf"),
+)
+def jw_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler title linkage over SORTED-NEIGHBORHOOD candidates —
+    q431's metric with q316's blocking, the skew-robust variant q431's
+    own docstring designs: titles sort inside (first-char) blocks and
+    each title is compared only to its next w={w} neighbors in sort
+    order, so candidate volume is exactly w·N REGARDLESS of token-value
+    skew (q431's first-two-token equi-blocks degrade to block² pairs on
+    a hot token — on this synthetic vocabulary one-token blocking is
+    417k pairs where SN stays {w}·N). The metric is the SAME shared
+    _jw_pandas vectorized UDF q431 certifies bit-exact against DuckDB's
+    native jaro_winkler_similarity, so no new cross-implementation
+    surface opens; the score is emitted floor-µ (⌊jw·10⁶⌋ as BIGINT,
+    threshold {th_micro} µ = JW ≥ {th}) per the output-hygiene policy —
+    no round-on-quotient in either dialect.
+
+    Candidate contract (blocked-SN semantics, stated as in q316): pairs
+    straddling a first-char block boundary or farther than w apart in
+    sort order are out of scope by design; empty titles never link.
+    q431's lossless length-ratio prune (JW ≥ {th} forces
+    min_len·2 ≥ max_len under prefix boost ≤ 4) runs JVM-side before
+    the Python hop.
+
+    Scale posture (100 TB): one shuffle on the block key + per-block
+    sort + w lead columns (linear candidates, no self-join anywhere),
+    then a round-robin repartition so the Arrow-batched UDF stage is
+    load-balanced across executors instead of inheriting the skewed
+    first-char block sizes (the q431 single-task lesson); top-{top} via
+    TakeOrderedAndProject. At cluster scale the first-char block is a
+    range partition of the sort key with w-row boundary replication —
+    q316's posture, unchanged by the heavier verifier.""".format(
+        w=_JWSN_WINDOW, th=_JW_THRESH, th_micro=_JW_THRESH_MICRO, top=_JW_TOPK
+    )
+    from pyspark.sql import types as T
+
+    # asNondeterministic is PLACEMENT control, not semantics: _jw_pandas is
+    # pure, but a deterministic pandas UDF gets its threshold filter pushed
+    # below the balancing exchange (scoring all candidates inside the
+    # skew-prone first-char block partitions, then re-evaluating survivors
+    # above it — the plan audit showed two ArrowEvalPython nodes). Flagged
+    # nondeterministic, the UDF evaluates exactly once, after the
+    # round-robin repartition, load-balanced.
+    jw_udf = F.pandas_udf(_jw_pandas, T.DoubleType()).asNondeterministic()
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(slice(filter(split(regexp_replace(lower(text),"
+                f" '[^a-z ]', ''), ' '), t -> t != ''), 1, {_JW_TITLE_TOKS}), ' ')"
+            ).alias("title"),
+        )
+        .filter(F.col("title") != "")
+    )
+    w = W.partitionBy(F.substring("title", 1, 1)).orderBy("title", "doc_id")
+    nb = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("title").alias("title_a"),
+        *[F.lead("doc_id", j).over(w).alias(f"nb{j}") for j in range(1, _JWSN_WINDOW + 1)],
+        *[F.lead("title", j).over(w).alias(f"nbt{j}") for j in range(1, _JWSN_WINDOW + 1)],
+    )
+    stacked = nb.select(
+        "doc_a",
+        "title_a",
+        F.expr(
+            "stack({n}, {args}) AS (off, nb, nbt)".format(
+                n=_JWSN_WINDOW,
+                args=", ".join(
+                    f"CAST({j} AS BIGINT), nb{j}, nbt{j}"
+                    for j in range(1, _JWSN_WINDOW + 1)
+                ),
+            )
+        ),
+    ).filter(F.col("nb").isNotNull())
+    cand = stacked.filter(
+        F.least(F.length("title_a"), F.length("nbt")) * 2
+        >= F.greatest(F.length("title_a"), F.length("nbt"))
+    ).repartition(spark.sparkContext.defaultParallelism)
+    scored = cand.select(
+        F.least("doc_a", "nb").alias("a_doc"),
+        F.greatest("doc_a", "nb").alias("b_doc"),
+        "off",
+        F.floor(jw_udf(F.col("title_a"), F.col("nbt")) * F.lit(1_000_000.0))
+        .cast("bigint")
+        .alias("jw_micro"),
+    )
+    return (
+        scored.filter(F.col("jw_micro") >= _JW_THRESH_MICRO)
+        .orderBy(F.desc("jw_micro"), "a_doc", "b_doc")
+        .limit(_JW_TOPK)
+    )

@@ -1,7 +1,7 @@
 """Per-commit guard for the partition-invariance property (the full
-514-query sweep lives in scripts/check_partition_invariance.py and runs
-per round; this samples the highest-risk families so a regression is
-caught by pytest, not the round gate).
+registry-wide sweep lives in scripts/check_partition_invariance.py and
+runs per round; this samples the highest-risk families so a regression
+is caught by pytest, not the round gate).
 
 Selection rationale — one representative per risk class:
 - float-expression aggregates quantized late (q440 MASE, q476 Sharpe);

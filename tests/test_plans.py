@@ -3339,3 +3339,27 @@ def test_decomposition_strength_grid_moments(spark, sf_dir):
     assert not facts.has_cartesian
     assert "No Partition Defined" not in facts.text
     assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+
+
+def test_jw_sn_no_selfjoin_single_balanced_udf(spark, sf_dir):
+    """q518: sorted-neighborhood candidates come from ONE block-partitioned
+    window (lead/stack) — no self-join of any kind — and the Jaro-Winkler
+    pandas UDF evaluates exactly ONCE, above the round-robin balancing
+    exchange (the asNondeterministic placement pin: a deterministic UDF got
+    its threshold filter pushed below the exchange, scoring candidates
+    inside the skew-prone first-char block partitions and re-evaluating
+    survivors above — two ArrowEvalPython nodes). Top-k must be
+    TakeOrderedAndProject, never a global sort."""
+    facts = audit_of(spark, sf_dir, "q518_jw_sorted_neighborhood")
+    assert not facts.has_cartesian
+    assert not facts.join_strategies, f"unexpected joins: {facts.join_strategies}"
+    assert facts.text.count("ArrowEvalPython (") == 1
+    # the window is block-partitioned, not global
+    assert re.search(r"windowspecdefinition\(_w\d+", facts.text)
+    assert "TakeOrderedAndProject" in facts.text
+    # the balancing exchange sits between the candidate generator and the
+    # UDF: plan prints bottom-up, so Generate (stack) must appear BELOW
+    # (= later in text than) the single ArrowEvalPython node
+    udf_pos = facts.text.index("ArrowEvalPython (")
+    gen_pos = facts.text.index("Generate (")
+    assert gen_pos > udf_pos, "stack should feed the UDF through the exchange"
