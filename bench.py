@@ -342,6 +342,7 @@ HEADLINE = [
     "q514_subject_access_report",
     "q515_asof_snapshot_matrix",
     "q516_funnel_wilson",
+    "q518_jw_sorted_neighborhood",
     "q519_brier_murphy_decomposition",
     "q520_decomposition_strength",
     # (q506 Markov stationary joins the iterative family below: its cost
