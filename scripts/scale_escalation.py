@@ -9,7 +9,7 @@ belongs in a round's strong-record battery, not in every pytest run.
 
 Usage: PYTHONPATH=/root/repo python scripts/scale_escalation.py [shape ...]
 Shapes: sessionize salted_join rollup_cascade stream_stream semantic_dedup
-        cc_chains bom_walk minhash_band
+        cc_chains bom_walk minhash_band sorted_neighborhood
         (default: all, at the SCALE.md-recorded sizes)
 
 Each run prints one line: SHAPE <name> <size>: <invariant>=OK|FAIL (<sec>s).
@@ -339,6 +339,105 @@ def minhash_band(spark, n_docs: int = 2_500_000) -> bool:
     return n_found == planted and n_cand < 200_000
 
 
+def sorted_neighborhood(
+    spark, n: int = 20_000_000, wsize: int = 3, planted: int = 100_000
+) -> bool:
+    """q518's sorted-neighborhood candidate generation at 20M titles with
+    80% of rows in ONE first-char block — the exact token-value skew
+    q431's equi-blocking squares on, and ALSO the case where q518's
+    small-block window form would serialize the hot block into a single
+    task. This runs the cluster posture q518's docstring states instead
+    (range-partition the sort key; w-row adjacency recovered by a
+    uniform equi-join on a global rank, which replicates block
+    boundaries implicitly), and proves it EXACT: candidates ==
+    sum_i sum_{j=1..w} max(0, B_i - j) (the blocked-SN formula, computed
+    independently from the block histogram — linear, never block²), all
+    planted duplicate pairs surface as offset-1 candidates, and no
+    equal-title candidate exists beyond the planted ones.
+
+    The global per-block rank is built scalably: repartitionByRange on
+    (block, title, doc_id) → per-PARTITION row_number (each range
+    partition is its own window group, so the hot block parallelizes
+    across partitions instead of landing in one task) + cumulative
+    partition-count offsets (a partition-count-sized collect, not data).
+    """
+    uid = f"CASE WHEN id < {2 * planted} THEN (id DIV 2) * 2 ELSE id END"
+    titles = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat(CASE WHEN ({uid}) % 10 < 8 THEN 'a' "
+        f"ELSE char(98 + ({uid}) % 19) END, "
+        f"format_string('%012d', {uid})) AS title",
+    )
+    d = (
+        titles.withColumn("blk", F.substring("title", 1, 1))
+        .repartitionByRange(64, "blk", "title", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # Global rank within sort order: per-partition row_number (parallel —
+    # one window group per range partition) + broadcast cumulative offsets.
+    wp = W.partitionBy("pid").orderBy("title", "doc_id")
+    local = d.withColumn("rn", F.row_number().over(wp)).persist()
+    sizes = sorted(local.groupBy("pid").count().collect())  # ≤ 64 rows
+    offs, acc = {}, 0
+    for pid, cnt in sizes:
+        offs[pid] = acc
+        acc += cnt
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offs.items()], "pid int, off long"
+        )
+    )
+    ranked = local.join(off_df, "pid").select(
+        "doc_id", "title", "blk", (F.col("rn") + F.col("off")).alias("gidx")
+    )
+    # Neighbor recovery: uniform equi-join on gidx (+1..+w), block-gated.
+    # No per-block window anywhere — the hot block never concentrates.
+    left = ranked.selectExpr(
+        "doc_id", "title", "blk",
+        f"explode(sequence(1, {wsize})) AS off", "gidx",
+    ).withColumn("nb_gidx", F.col("gidx") + F.col("off"))
+    right = ranked.select(
+        F.col("gidx").alias("nb_gidx"),
+        F.col("doc_id").alias("nb"),
+        F.col("title").alias("nbt"),
+        F.col("blk").alias("nb_blk"),
+    )
+    cand = (
+        left.join(right, "nb_gidx")
+        .filter(F.col("blk") == F.col("nb_blk"))
+        .select("doc_id", "title", "off", "nb", "nbt")
+        .persist()
+    )
+    n_cand = cand.count()
+    expected = (
+        titles.groupBy(F.substring("title", 1, 1).alias("blk"))
+        .agg(F.count(F.lit(1)).alias("b"))
+        .selectExpr(
+            f"aggregate(sequence(1, {wsize}), 0L, "
+            "(acc, j) -> acc + greatest(b - j, 0L)) AS c"
+        )
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    dups = cand.filter(F.col("title") == F.col("nbt")).persist()
+    n_dup = dups.count()
+    n_planted_ok = dups.filter(
+        (F.col("off") == 1)
+        & (F.col("doc_id") % 2 == 0)
+        & (F.col("nb") == F.col("doc_id") + 1)
+        & (F.col("doc_id") < 2 * planted)
+    ).count()
+    dups.unpersist()
+    cand.unpersist()
+    local.unpersist()
+    return (
+        n_cand == expected
+        and n_cand <= wsize * n
+        and n_dup == planted
+        and n_planted_ok == planted
+    )
+
+
 SHAPES = {
     "sessionize": (sessionize, "200M rows / 2M users"),
     "salted_join": (salted_join, "50M probe rows, hot key"),
@@ -348,6 +447,7 @@ SHAPES = {
     "cc_chains": (cc_chains, "10M nodes, 1.25M chains"),
     "bom_walk": (bom_walk, "20M-node 10-ary tree"),
     "minhash_band": (minhash_band, "50M postings / 2.5M docs"),
+    "sorted_neighborhood": (sorted_neighborhood, "20M titles, 80% hot block"),
 }
 
 
