@@ -370,10 +370,34 @@ HEADLINE = [
 ]
 
 
+def _calibrate(dur: float = 0.5) -> int:
+    """Single-thread spin rate (loops/sec) — a fixed CPU probe.
+
+    Round 15 spent three full suite runs + isolated re-measures
+    adjudicating whether a 169.5→195.9 s aggregate swing (four same-day
+    runs, identical code) was regression or box contention. This probe
+    answers that instantly in future payloads: the spin rate drops in
+    proportion to external CPU contention / frequency throttling, so two
+    runs' "box" blocks are directly comparable before any per-query
+    triage starts.
+    """
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < dur:
+        for _ in range(10_000):
+            pass
+        n += 1
+    return round(n * 10_000 / (time.perf_counter() - t0))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    box = {
+        "loadavg1_start": round(os.getloadavg()[0], 2),
+        "calib_start": _calibrate(),
+    }
     registry = load_registry()
     names = [n for n in HEADLINE if n in registry]
 
@@ -438,12 +462,18 @@ def main() -> None:
     spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    box["loadavg1_end"] = round(os.getloadavg()[0], 2)
+    box["calib_end"] = _calibrate()
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Additive key (like "errors"): box-contention telemetry so a
+        # cross-run aggregate swing can be attributed to the box without
+        # re-running — see _calibrate's docstring.
+        "box": box,
         **({"errors": errors} if errors else {}),
     }
     print(json.dumps(payload))
