@@ -230,19 +230,34 @@ def data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-contract validation (the dbt-test / Great-
     Expectations shape as one query): positivity, range, enum-membership,
     nullability, and key-uniqueness rules per table, reported as
-    (check, rows, violations). Each check is a conditional global agg;
-    checks over the same table share one scan (Catalyst collapses the
-    aggregates), and the report is |checks| rows whatever the data
-    volume — the contract gate a 100 TB ingest runs before publishing a
-    partition. Composes with q182 (referential integrity) for the full
-    pre-publish audit."""
+    (check, rows, violations). ALL checks over one table run inside ONE
+    aggregate over ONE scan — a violation counter per check as parallel
+    agg columns, then `stack` unpivots the single agg row to the
+    per-check report rows. (The original shape unioned one agg per
+    check and trusted Catalyst to share the scan; the round-15 plan
+    audit showed it does not — union branches don't CSE, so orders and
+    lineitem were each scanned twice. One-agg-per-table makes the
+    sharing true by construction; a plan test pins scans-per-table
+    == 1.) The report is |checks| rows whatever the data volume — the
+    contract gate a 100 TB ingest runs before publishing a partition.
+    Composes with q182 (referential integrity) for the full pre-publish
+    audit."""
 
-    def check(name: str, df: DataFrame, viol) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("check_name"),
+    def check_table(df: DataFrame, checks: list) -> DataFrame:
+        # One scan, one agg: n_rows + one conditional counter per check,
+        # unpivoted to (check_name, n_rows, n_violations) rows.
+        agg = df.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.count(F.when(viol, 1)).cast("long").alias("n_violations"),
+            *[
+                expr.cast("long").alias(f"v{i}")
+                for i, (_, expr) in enumerate(checks)
+            ],
         )
+        stack = ", ".join(f"'{name}', v{i}" for i, (name, _) in enumerate(checks))
+        return agg.selectExpr(
+            f"stack({len(checks)}, {stack}) AS (check_name, n_violations)",
+            "n_rows",
+        ).select("check_name", "n_rows", "n_violations")
 
     orders = table(spark, sf_dir, "orders")
     lineitem = table(spark, sf_dir, "lineitem")
@@ -250,45 +265,85 @@ def data_contract_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = table(spark, sf_dir, "documents")
     prio = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     etypes = ["click", "view", "purchase", "signup", "error"]
-    checks = [
-        check(
-            "orders.o_totalprice_positive",
+    parts = [
+        check_table(
             orders,
-            (F.col("o_totalprice") <= 0) | F.col("o_totalprice").isNull(),
+            [
+                (
+                    "orders.o_totalprice_positive",
+                    F.count(
+                        F.when(
+                            (F.col("o_totalprice") <= 0)
+                            | F.col("o_totalprice").isNull(),
+                            1,
+                        )
+                    ),
+                ),
+                (
+                    "orders.o_orderpriority_enum",
+                    F.count(
+                        F.when(
+                            ~F.col("o_orderpriority").isin(prio)
+                            | F.col("o_orderpriority").isNull(),
+                            1,
+                        )
+                    ),
+                ),
+            ],
         ),
-        check(
-            "orders.o_orderpriority_enum",
-            orders,
-            ~F.col("o_orderpriority").isin(prio)
-            | F.col("o_orderpriority").isNull(),
-        ),
-        check(
-            "lineitem.l_discount_range",
+        check_table(
             lineitem,
-            (F.col("l_discount") < 0)
-            | (F.col("l_discount") > 1)
-            | F.col("l_discount").isNull(),
+            [
+                (
+                    "lineitem.l_discount_range",
+                    F.count(
+                        F.when(
+                            (F.col("l_discount") < 0)
+                            | (F.col("l_discount") > 1)
+                            | F.col("l_discount").isNull(),
+                            1,
+                        )
+                    ),
+                ),
+                (
+                    "lineitem.l_quantity_positive",
+                    F.count(
+                        F.when(
+                            (F.col("l_quantity") <= 0)
+                            | F.col("l_quantity").isNull(),
+                            1,
+                        )
+                    ),
+                ),
+            ],
         ),
-        check(
-            "lineitem.l_quantity_positive",
-            lineitem,
-            (F.col("l_quantity") <= 0) | F.col("l_quantity").isNull(),
-        ),
-        check(
-            "events.event_type_enum",
+        check_table(
             events,
-            ~F.col("event_type").isin(etypes) | F.col("event_type").isNull(),
+            [
+                (
+                    "events.event_type_enum",
+                    F.count(
+                        F.when(
+                            ~F.col("event_type").isin(etypes)
+                            | F.col("event_type").isNull(),
+                            1,
+                        )
+                    ),
+                ),
+            ],
         ),
-        documents.agg(
-            F.lit("documents.doc_id_unique").alias("check_name"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            (F.count(F.lit(1)) - F.countDistinct("doc_id"))
-            .cast("long")
-            .alias("n_violations"),
+        check_table(
+            documents,
+            [
+                (
+                    "documents.doc_id_unique",
+                    F.count(F.lit(1)) - F.countDistinct("doc_id"),
+                ),
+            ],
         ),
     ]
-    out = checks[0]
-    for c in checks[1:]:
+    out = parts[0]
+    for c in parts[1:]:
         out = out.unionByName(c)
     return out
 

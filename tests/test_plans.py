@@ -3363,3 +3363,19 @@ def test_jw_sn_no_selfjoin_single_balanced_udf(spark, sf_dir):
     udf_pos = facts.text.index("ArrowEvalPython (")
     gen_pos = facts.text.index("Generate (")
     assert gen_pos > udf_pos, "stack should feed the UDF through the exchange"
+
+
+def test_q198_one_scan_per_table(spark, sf_dir):
+    """q198: ALL contract checks over one table must run inside ONE
+    aggregate over ONE scan. The original shape unioned one agg per
+    check and claimed Catalyst would share the scan; the round-15 plan
+    audit showed union branches don't CSE — orders and lineitem were
+    each scanned twice (doubled scan cost on the two biggest tables at
+    100 TB). One-agg-per-table + stack unpivot makes sharing structural;
+    this pins scans-per-table == 1 so the regression class can't
+    reopen."""
+    facts = audit_of(spark, sf_dir, "q198_data_contract_checks")
+    # formatted plans print each scan's source as a "Location: ..." line
+    for t in ("orders", "lineitem", "events", "documents"):
+        n = len(re.findall(rf"Location.*[/_]{t}\.parquet", facts.text))
+        assert n == 1, f"{t}: {n} scans (want 1)\n{facts.text[:1500]}"
