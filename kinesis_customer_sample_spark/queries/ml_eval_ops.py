@@ -1714,7 +1714,13 @@ def disparate_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (100 TB): the scorer is the broadcast zip_with
     map pass; rates are one hash-agg to |groups| rows; the max is a
-    1-row broadcast. The audit costs one scan."""
+    global window over that |groups|-row aggregate (bounded input — the
+    q503/q504 grid-window precedent), NOT a re-derived broadcast
+    aggregate: the broadcast shape re-computed the rates subtree and
+    ran the corpus-sized scorer pass TWICE (the round-15 scan census
+    measured four scans; `test_q505_single_corpus_scan` now pins the
+    corpus pass to 1 — two file scans total, the second being the
+    pushdown-pruned 1-row weight fetch)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -1742,9 +1748,13 @@ def disparate_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("n_pos"),
         F.expr("sum(pos) * 10000 div count(1)").cast("bigint").alias("pos_rate_bp"),
     )
-    mx = F.broadcast(rates.agg(F.max("pos_rate_bp").alias("max_rate_bp")))
+    # max over the bounded |groups|-row aggregate via a global window —
+    # a broadcast agg here would re-derive rates and re-run the
+    # corpus-sized scorer pass a second time
     return (
-        rates.crossJoin(mx)
+        rates.withColumn(
+            "max_rate_bp", F.max("pos_rate_bp").over(W.partitionBy())
+        )
         .select(
             F.col("grp").cast("bigint").alias("grp"),
             "n",

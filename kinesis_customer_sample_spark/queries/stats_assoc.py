@@ -655,11 +655,18 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (ca·Nb − cb·Na)·(⌊10⁶ln(ca·Nb)⌋ − ⌊10⁶ln(cb·Na)⌋) / (Na·Nb)
     — ln sees only integer products, sums are integer µ-nats.
 
-    Scale posture: one pass over the fact with a map-side band/period
-    classification, one hash-agg to the (type × 10-band) grid, and the
-    complete-grid LEFT join runs grid-vs-grid (the fact is already
-    aggregated). PSI > 0.2 is the conventional repartition-your-model
-    alarm; emitting µ-nats keeps the gate integer."""
+    Scale posture: ONE pass over the fact with a map-side band/period
+    classification and one hash-agg to the (type × 10-band) grid;
+    everything downstream runs on that bounded grid — each type's band
+    counts roll into a ≤10-entry map so the complete 0..9 grid explodes
+    from ONE reference to the aggregate (the original distinct-types +
+    LEFT-join shape referenced the fact subtree twice), and the per-type
+    totals are a window over the grid partitioned by event_type (not a
+    re-derived broadcast aggregate, which re-ran the whole fact subtree
+    — the round-15 scan census measured the original shape at FOUR fact
+    scans; `test_q419_single_fact_scan` now pins 1). PSI > 0.2 is the
+    conventional repartition-your-model alarm; emitting µ-nats keeps
+    the gate integer."""
     e = table(spark, sf_dir, "events").select(
         "event_type",
         F.least(
@@ -672,23 +679,42 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("ra"),
         F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("rb"),
     )
-    types = e.select("event_type").distinct()
-    grid = types.crossJoin(
-        F.broadcast(
-            e.sparkSession.range(_PSI_NBANDS).select(F.col("id").alias("band"))
-        )
+    # complete-grid construction WITHOUT a second reference to the fact
+    # subtree: roll the (≤10-row) band counts of each type into a map,
+    # then explode the full 0..9 band range against it — the aggregate
+    # is consumed exactly once, so the plan carries exactly one fact scan
+    per_type = agg.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("band", F.struct("ra", "rb")))
+        ).alias("m")
     )
-    cnt = grid.join(agg, ["event_type", "band"], "left").select(
+    cnt = per_type.select(
+        "event_type",
+        "m",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.lit(_PSI_NBANDS - 1).cast("bigint"))
+        ).alias("band"),
+    ).select(
         "event_type",
         "band",
-        (F.coalesce(F.col("ra"), F.lit(0)) + 1).cast("bigint").alias("ca"),
-        (F.coalesce(F.col("rb"), F.lit(0)) + 1).cast("bigint").alias("cb"),
+        (F.coalesce(F.col("m")[F.col("band")]["ra"], F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("ca"),
+        (F.coalesce(F.col("m")[F.col("band")]["rb"], F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("cb"),
     )
-    tot = cnt.groupBy("event_type").agg(
-        F.sum("ca").cast("bigint").alias("na"),
-        F.sum("cb").cast("bigint").alias("nb"),
-    )
-    terms = cnt.join(F.broadcast(tot), "event_type").select(
+    # per-type totals via a window over the bounded grid (types × 10 rows),
+    # partitioned by event_type — a groupBy + broadcast-join-back would
+    # re-derive cnt's entire subtree a second time
+    wt = W.partitionBy("event_type")
+    terms = cnt.select(
+        "event_type",
+        F.sum("ca").over(wt).cast("bigint").alias("na"),
+        F.sum("cb").over(wt).cast("bigint").alias("nb"),
+        "ca",
+        "cb",
+    ).select(
         "event_type",
         "na",
         "nb",

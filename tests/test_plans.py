@@ -3379,3 +3379,28 @@ def test_q198_one_scan_per_table(spark, sf_dir):
     for t in ("orders", "lineitem", "events", "documents"):
         n = len(re.findall(rf"Location.*[/_]{t}\.parquet", facts.text))
         assert n == 1, f"{t}: {n} scans (want 1)\n{facts.text[:1500]}"
+
+
+def test_q419_single_fact_scan(spark, sf_dir):
+    """q419's docstring promises ONE pass over the fact; the round-15
+    scan census measured FOUR (a distinct-types re-scan, then the
+    broadcast per-type totals re-deriving the whole subtree). The fix
+    rolls band counts into a ≤10-entry map per type (one reference to
+    the aggregate) and takes totals as a window over the bounded grid.
+    Pin the invariant: exactly one events scan in the plan."""
+    facts = audit_of(spark, sf_dir, "q419_psi_drift")
+    n = len(re.findall(r"Location.*[/_]events\.parquet", facts.text))
+    assert n == 1, f"events: {n} scans (want 1)"
+
+
+def test_q505_single_corpus_scan(spark, sf_dir):
+    """q505's broadcast-max shape re-derived the rates subtree and ran
+    the corpus-sized scorer pass TWICE (round-15 scan census: four
+    embeddings scans). The max now comes from a global window over the
+    |groups|-row aggregate, so the plan carries exactly two embeddings
+    scans: ONE corpus scorer pass plus the pushdown-pruned 1-row weight
+    fetch (whose scan must push the vec_id filter)."""
+    facts = audit_of(spark, sf_dir, "q505_disparate_impact_audit")
+    n = len(re.findall(r"Location.*[/_]embeddings\.parquet", facts.text))
+    assert n == 2, f"embeddings: {n} scans (want 2)"
+    assert any("vec_id" in f for f in facts.pushed_filters)
