@@ -1432,9 +1432,14 @@ def release_gate_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL spliced), so gate and report cannot drift.
 
     Scale posture (100 TB): three map-heavy per-doc screens (each
-    documented at its own query) joined on the document key — at scale
-    these share one scan via the persisted token/text table — and one
-    grid rollup by source."""
+    documented at its own query) joined on the document key, then one
+    grid rollup by source. AS WRITTEN each screen pays its own
+    documents scan (four scans incl. the source column) — the price of
+    composing the registered definitions verbatim so gate and report
+    cannot drift; a deployment amortizes them by persisting the
+    token/text table first (the q194 cache discipline), which this
+    fixture-sized capstone deliberately does not do — caching here
+    would hide the screens' own scan posture from their plan tests."""
     from kinesis_customer_sample_spark.registry import REGISTRY
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")

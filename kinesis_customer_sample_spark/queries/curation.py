@@ -1614,28 +1614,45 @@ def forget_me_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast semi joins against the cohort) is EXACTLY the shape the
     actual delete job uses — audit and execution share one definition.
 
-    Scale posture (100 TB): the cohort is request-queue-sized and
-    broadcasts; each table contributes one scan with a broadcast
-    semi/inner join — no shuffle of fact data; counts combine
-    map-side. The q375 vacuum pattern then reclaims the rewritten
-    files."""
+    Scale posture (100 TB): the cohort is request-queue-sized,
+    persisted (its four plan references — the subject count plus three
+    broadcast legs — must not re-derive the cohort build), and
+    broadcasts; each audited table contributes EXACTLY one scan — a
+    broadcast LEFT join against the flagged cohort (distinct keys, so
+    no fanout) feeding one conditional aggregate that counts total and
+    affected rows together — no shuffle of fact data; counts combine
+    map-side. (The original shape paid two scans per table — separate
+    semi-join-count and total-count aggregates — and re-derived the
+    cohort four times: the round-15 scan census measured six events
+    scans against this docstring; `test_q411_one_scan_per_audited_table`
+    now pins the counts.) The q375 vacuum pattern then reclaims the
+    rewritten files."""
     ev = table(spark, sf_dir, "events")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    del_ = ev.filter(F.col("user_id") % _RTBF_MOD == 0).select("user_id").distinct()
+    del_ = (
+        ev.filter(F.col("user_id") % _RTBF_MOD == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+        .persist()
+    )
     n_subjects = F.broadcast(del_.agg(F.count(F.lit(1)).alias("n_subjects")))
 
     def audit_tbl(df: DataFrame, keycol: str, tag: str) -> DataFrame:
-        affected = df.join(
-            F.broadcast(del_.withColumnRenamed("user_id", keycol)), keycol, "left_semi"
-        ).agg(F.count(F.lit(1)).alias("n_affected"))
-        total = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        # one scan: broadcast left join adds a match flag (cohort keys are
+        # distinct — row multiplicity preserved), one conditional agg
+        # counts rows and affected rows together
         return (
-            total.crossJoin(affected)
-            .select(
+            df.join(
+                F.broadcast(del_.withColumnRenamed("user_id", keycol)),
+                keycol,
+                "left",
+            )
+            .agg(
                 F.lit(tag).alias("tbl"),
-                "n_rows",
-                "n_affected",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("_hit") == 1, 1)).alias("n_affected"),
             )
         )
 

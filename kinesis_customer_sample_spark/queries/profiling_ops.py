@@ -946,24 +946,23 @@ def bloom_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key — the number that decides whether the filter is worth
     writing at all.
 
-    Scale posture (100 TB): three count-distincts over one scan (Spark
-    plans them as one expand + agg); at production scale the NDV input
-    would be the q380 KMV estimate instead of the exact count — the
-    advisor itself is grid-sized either way."""
+    Scale posture (100 TB): three count-distincts over one scan — all
+    three in ONE aggregate, which Spark plans as one Expand + agg, then
+    a `stack` unpivot to the per-column rows. (The original shape
+    unioned one agg per column and paid one full scan each — the
+    round-15 scan census measured three orders scans against this very
+    claim; `test_q386_single_scan_expand` now pins 1 scan + Expand.)
+    At production scale the NDV input would be the q380 KMV estimate
+    instead of the exact count — the advisor itself is grid-sized
+    either way."""
     o = table(spark, sf_dir, "orders")
-    ndv = (
-        o.agg(F.countDistinct("o_custkey").alias("n"))
-        .select(F.lit("o_custkey").alias("col"), "n")
-        .unionByName(
-            o.agg(F.countDistinct("o_orderkey").alias("n")).select(
-                F.lit("o_orderkey").alias("col"), "n"
-            )
-        )
-        .unionByName(
-            o.agg(F.countDistinct("o_orderpriority").alias("n")).select(
-                F.lit("o_orderpriority").alias("col"), "n"
-            )
-        )
+    ndv = o.agg(
+        F.countDistinct("o_custkey").alias("n1"),
+        F.countDistinct("o_orderkey").alias("n2"),
+        F.countDistinct("o_orderpriority").alias("n3"),
+    ).selectExpr(
+        "stack(3, 'o_custkey', n1, 'o_orderkey', n2, 'o_orderpriority', n3)"
+        " AS (col, n)"
     )
     m_bits = F.expr(f"(n * {_BLOOM_M_PER_N_E4} + 9999) div 10000")
     return ndv.select(

@@ -288,8 +288,14 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic after the binning floor — no float shares to
     drift across engines. Scale: two hash aggs keyed (day, bin) — a few
     hundred cells per day regardless of event volume — and the pair
-    join is cell-count sized, so the monitor costs one scan plus
-    negligible shuffles at any scale."""
+    join is cell-count sized, so the monitor costs ONE scan plus
+    negligible shuffles at any scale. The one-scan claim is structural:
+    the cell-count-sized shares table is persisted (q69's
+    signature-table discipline) because the plan references it three
+    times (cur leg, prev leg, bounds), and without the cache each
+    reference re-derives the whole fact subtree — the round-15 scan
+    census measured exactly that, three events scans against this
+    docstring; `test_q194_single_fact_scan` now pins 1."""
     ev = table(spark, sf_dir, "events")
     binned = ev.select(
         F.col("ts").cast("date").alias("day"),
@@ -307,8 +313,11 @@ def distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("share_bp"),
         )
+        .persist()
     )
-    bounds = binned.agg(
+    # bounds from the (cached, cell-count-sized) aggregate — the day set
+    # with ≥1 event is identical pre- and post-aggregation
+    bounds = shares.agg(
         F.min("day").alias("min_day"), F.max("day").alias("max_day")
     )
     cur = shares.alias("cur")

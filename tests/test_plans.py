@@ -3404,3 +3404,39 @@ def test_q505_single_corpus_scan(spark, sf_dir):
     n = len(re.findall(r"Location.*[/_]embeddings\.parquet", facts.text))
     assert n == 2, f"embeddings: {n} scans (want 2)"
     assert any("vec_id" in f for f in facts.pushed_filters)
+
+
+def test_q386_single_scan_expand(spark, sf_dir):
+    """q386 claims its three count-distincts run over one scan as one
+    Expand + agg; the original unioned three separate aggregates (three
+    orders scans — round-15 census). Pin the claim: one orders scan and
+    an Expand node in the plan."""
+    facts = audit_of(spark, sf_dir, "q386_bloom_sizing_advisor")
+    n = len(re.findall(r"Location.*[/_]orders\.parquet", facts.text))
+    assert n == 1, f"orders: {n} scans (want 1)"
+    assert "Expand" in facts.text
+
+
+def test_q194_single_fact_scan(spark, sf_dir):
+    """q194 claims the drift monitor costs one scan; its cell-count-sized
+    shares table is referenced three times (cur/prev legs + bounds) and
+    without the persist each reference re-derived the fact subtree
+    (three events scans — round-15 census). Pin: one events scan, with
+    the cached aggregate serving the other references."""
+    facts = audit_of(spark, sf_dir, "q194_distribution_drift")
+    n = len(re.findall(r"Location.*[/_]events\.parquet", facts.text))
+    assert n == 1, f"events: {n} scans (want 1)"
+    assert "InMemoryTableScan" in facts.text
+
+
+def test_q411_one_scan_per_audited_table(spark, sf_dir):
+    """q411 claims each audited table contributes one scan; the original
+    paid two per table (separate affected/total aggregates) and
+    re-derived the cohort four times (six events scans — round-15
+    census). Pin: one scan per audited table, plus exactly one more
+    events scan for the (persisted) fixture cohort build."""
+    facts = audit_of(spark, sf_dir, "q411_forget_me_propagation")
+    for tb, want in (("events", 2), ("orders", 1), ("customer", 1)):
+        n = len(re.findall(rf"Location.*[/_]{tb}\.parquet", facts.text))
+        assert n == want, f"{tb}: {n} scans (want {want})"
+    assert "InMemoryTableScan" in facts.text
