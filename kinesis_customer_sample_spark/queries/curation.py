@@ -1112,6 +1112,7 @@ def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked: list[str] = []
     rows: list[tuple] = []
+    n_covered = 0
     for step in range(1, _SC_ROUNDS + 1):
         remaining = src_tok.filter(~F.col("source").isin(picked)) if picked else src_tok
         if picked:
@@ -1124,13 +1125,14 @@ def greedy_set_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         best = gains.orderBy(F.col("n").desc(), F.col("source")).limit(1).collect()[0]
         picked.append(best["source"])
-        n_covered = (
-            src_tok.filter(F.col("source").isin(picked))
-            .select("tok")
-            .distinct()
-            .count()
-        )
-        rows.append((step, best["source"], int(best["n"]), int(n_covered)))
+        # |covered| after a pick == |covered before| + the pick's gain
+        # (the gain IS the count of newly covered tokens, by the greedy's
+        # definition), so the per-round distinct+count action the original
+        # ran here — a second full pass over the persisted incidence per
+        # round — is a running sum on the driver (optimization r15,
+        # guide §1.2: don't compute what algebra already gives you).
+        n_covered += int(best["n"])
+        rows.append((step, best["source"], int(best["n"]), n_covered))
     return spark.createDataFrame(
         rows, "step bigint, source string, n_new bigint, n_covered bigint"
     )

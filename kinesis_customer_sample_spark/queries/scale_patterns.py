@@ -328,41 +328,52 @@ def consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer mix.
 
     Scale posture (100 TB): the ring is {(_CH_SERVERS + 1) * _CH_VNODES}
-    literal rows (broadcast); each key fans out ring-width map-side and
-    reduces immediately — one pass, no row-scale join or window. This is
-    also the routing layer q86/q129's salting strategies assume."""
+    points of pure literal integer arithmetic, so it is embedded as a
+    SORTED ARRAY LITERAL and each key's successor lookup is one map-side
+    `filter(ring, x -> x.p >= h)[1]` — zero joins, zero key-grain
+    aggregation. (The original fanned every key out ring-width through a
+    BroadcastNestedLoopJoin into a key-grain hash agg: |keys|·ring rows
+    shuffled into |keys| groups to compute what a per-row expression
+    answers — optimization r15, guide §2.4/§2.3: the placement decision
+    needs only row-local data.) This is also the routing layer
+    q86/q129's salting strategies assume."""
     keys = table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         ((F.col("o_orderkey") * _CH_MIX) % _CH_P).alias("h"),
     )
     n_ring = (_CH_SERVERS + 1) * _CH_VNODES
-    ring = F.broadcast(
-        keys.sparkSession.range(n_ring).select(
-            (F.col("id") % (_CH_SERVERS + 1)).alias("server"),
-            F.expr(f"((id * 48271 + 11) * {_CH_MIX}) % {_CH_P}").alias("p"),
-            (F.col("id") % (_CH_SERVERS + 1) < _CH_SERVERS).alias("in_before"),
+    # the ring is deterministic literal arithmetic — materialize it in
+    # Python, sorted by point, exactly as the oracle's generate_series
+    # derivation does
+    ring_pts = [
+        (((i * 48271 + 11) * _CH_MIX) % _CH_P, i % (_CH_SERVERS + 1))
+        for i in range(n_ring)
+    ]
+    assert len({p for p, _ in ring_pts}) == n_ring  # unique ⇒ min_by total
+    before_pts = sorted((p, s) for p, s in ring_pts if s < _CH_SERVERS)
+    all_pts = sorted(ring_pts)
+
+    def _arr(pts: list) -> str:
+        return (
+            "array("
+            + ", ".join(f"named_struct('p', {p}L, 's', {s}L)" for p, s in pts)
+            + ")"
         )
-    )
-    wrap_before = F.broadcast(
-        ring.filter("in_before").agg(F.expr("min_by(server, p)").alias("wb"))
-    )
-    wrap_after = F.broadcast(ring.agg(F.expr("min_by(server, p)").alias("wa")))
-    assigned = (
-        keys.join(ring, how="cross")
-        .groupBy("k", "h")
-        .agg(
-            F.expr(
-                "min_by(server, CASE WHEN in_before AND p >= h THEN p END)"
-            ).alias("sb"),
-            F.expr("min_by(server, CASE WHEN p >= h THEN p END)").alias("sa"),
+
+    def _lookup(pts: list) -> str:
+        # first ring point clockwise (p >= h), wrapping to the global min;
+        # the array is sorted by p so element 1 of the filter IS min_by
+        # try_element_at: an empty filter result (h beyond the last ring
+        # point) must yield NULL → coalesce to the wrap-around server
+        return (
+            f"coalesce(try_element_at(filter({_arr(pts)}, x -> x.p >= h), 1).s, "
+            f"{pts[0][1]}L)"
         )
-        .crossJoin(wrap_before)
-        .crossJoin(wrap_after)
-        .select(
-            "k",
-            F.coalesce("sb", "wb").alias("server_before"),
-            F.coalesce("sa", "wa").alias("server_after"),
-        )
+
+    assigned = keys.select(
+        "k",
+        F.expr(_lookup(before_pts)).alias("server_before"),
+        F.expr(_lookup(all_pts)).alias("server_after"),
     )
     return assigned.groupBy(F.col("server_before").cast("bigint")).agg(
         F.count(F.lit(1)).alias("n_keys"),

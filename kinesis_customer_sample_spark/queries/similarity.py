@@ -1059,8 +1059,10 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra.
 
     Scale: one hash-agg to the cell grid (≪ points); adjacency is a
-    self-join on the bounded dense-cell set; each label round is one
-    grid-sized join+agg. Points are never pairwise compared."""
+    9-stencil EQUI-join on exact (cx, cy) over the bounded dense-cell
+    set (each cell probes its shifted coords — never a nested-loop
+    |Δ|<=1 theta join); each label round is one grid-sized join+agg.
+    Points are never pairwise compared."""
     e = table(spark, sf_dir, "embeddings")
     pts = e.select(
         "vec_id",
@@ -1077,19 +1079,41 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.col("cx") * 1000 + F.col("cy")
     )
     dense = cells.filter(F.col("n_pts") >= _GDB_MINPTS).persist()
+    # 9-stencil adjacency as an EQUI-join (guide §3.1): each dense cell
+    # emits its 3×3 shifted coordinates and hash-joins back on the exact
+    # (cx, cy) pair. The former |Δcx|<=1 AND |Δcy|<=1 theta predicate
+    # could only plan as a BroadcastNestedLoopJoin — O(dense²) predicate
+    # evaluations; the stencil is O(9·dense) hash probes and keeps the
+    # identical pair set (a is within 1 of b ⟺ a sits on one of b's 9
+    # shifted coords).
+    probe = dense.select(
+        F.col("cell").alias("nbr"),
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct(cx + ({dx}) AS cx, cy + ({dy}) AS cy)"
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                )
+                + ")"
+            )
+        ).alias("nb"),
+    ).select("nbr", F.col("nb.cx").alias("cx"), F.col("nb.cy").alias("cy"))
     adj = (
-        dense.alias("a")
-        .join(
-            dense.alias("b"),
-            (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-            & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-            & (F.col("a.cell") != F.col("b.cell")),
-        )
-        .select(F.col("a.cell").alias("cell"), F.col("b.cell").alias("nbr"))
+        dense.join(probe, ["cx", "cy"])
+        .filter(F.col("cell") != F.col("nbr"))
+        .select("cell", "nbr")
         .persist()
     )
     lab = dense.select("cell", F.col("cell").alias("lab"))
     for _ in range(_GDB_ROUNDS):
+        # each round references lab TWICE (neighbor-min probe + the outer
+        # left join), so without a barrier the lab plan DOUBLES per round
+        # — 2^rounds copies of the whole grid subtree (the r15 profile
+        # measured 210 Exchanges / 157 scans in the final plan). Persist
+        # the bounded grid-sized label table each round (guide §5).
+        lab = lab.persist()
         nbr_min = (
             adj.join(lab.withColumnRenamed("cell", "nbr"), "nbr")
             .groupBy("cell")

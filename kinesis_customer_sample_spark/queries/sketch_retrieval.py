@@ -1133,36 +1133,31 @@ def trigram_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. The oracle is the brute LIKE scan; equality is the
     covering-set theorem, not luck.
 
-    Scale posture: the posting build (explode of per-doc DISTINCT
-    trigrams) is the one heavy pass and at 100 TB is a MATERIALIZED
-    index partitioned by trigram — the probe then reads only the
-    needle's ~13 trigram partitions (modeled here by the trigram IN
-    filter sitting directly on the generate output, before any shuffle).
-    The covering check is one hash-agg with a literal-count HAVING; the
-    verify touches candidate docs only, joined back by doc_id."""
+    Scale posture: at 100 TB the posting set is a MATERIALIZED index
+    partitioned by trigram and the probe reads only the needle's ~13
+    trigram partitions; recomputing postings per query is NOT that plan,
+    so the ad-hoc form keeps the covering check but runs it ROW-LOCAL:
+    a doc covers the needle's trigram set iff it `contains` every
+    needle trigram — ~13 map-side substring probes — and only covering
+    docs pay the exact full-needle `contains` verify. Zero shuffles
+    before the output sort. (The former explode → posting shuffle →
+    covering hash-agg → broadcast-join-back shape shuffled a posting
+    row per (doc, needle-trigram) hit and scanned the persisted doc
+    text twice; an r15 variant that materialized the doc's trigram
+    ARRAY per row for an array_intersect covering test measured 3×
+    slower than the explode shape — allocation-bound — while the
+    contains form is allocation-free. Guide §2.4: the covering decision
+    is doc-local, so no exchange is fundamentally required.)"""
     tris = sorted({_TRI_NEEDLE[i : i + 3] for i in range(len(_TRI_NEEDLE) - 2)})
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.lower(F.col("text")).alias("t"), "n_chars")
-        .persist()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("t"), "n_chars"
     )
-    tri_lit = ", ".join("'" + t.replace("'", "\\'") + "'" for t in tris)
-    postings = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-            )
-        ).alias("tri"),
-    ).filter(F.expr(f"tri IN ({tri_lit})"))
-    cand = (
-        postings.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .filter(F.col("hits") == len(tris))
-        .select("doc_id")
-    )
+    covering = None
+    for t in tris:
+        probe = F.expr("contains(t, '" + t.replace("'", "\\'") + "')")
+        covering = probe if covering is None else (covering & probe)
     return (
-        docs.join(F.broadcast(cand), "doc_id")
+        docs.filter(covering)
         .filter(F.expr(f"contains(t, '{_TRI_NEEDLE}')"))
         .select("doc_id", "n_chars")
         .orderBy("doc_id")

@@ -1438,7 +1438,12 @@ def dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
     )
     fact_path = os.path.join(base, "fact")
-    li.write.partitionBy("ship_month").parquet(fact_path)
+    # hash-cluster by the partition column before the partitioned write
+    # (guide §6 / Iceberg write.distribution-mode=hash): without it every
+    # scan task opens a writer per month it touches — cores × months tiny
+    # files, paid again at listing/scan time on the read side; with it,
+    # one file per month
+    li.repartition("ship_month").write.partitionBy("ship_month").parquet(fact_path)
     fact = spark.read.parquet(fact_path)
     months = (
         li.select("ship_month")
@@ -2180,6 +2185,12 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand = li.groupBy("l_partkey", "m").agg(
         F.sum("q").alias("q"), F.sum("r").alias("r")
     )
+    # per_part feeds the grand total, the bucketed local window and the
+    # bucket totals; its three plan references look like recompute in the
+    # printed plan, but ReuseExchange dedups the identical subtrees at
+    # runtime — an r15 persist() experiment here measured SLOWER (1.77 →
+    # 3.85 s isolated: cache write + fill races replaced free exchange
+    # reuse), so it stays unpersisted deliberately
     per_part = demand.groupBy("l_partkey").agg(
         F.sum("q").cast("bigint").alias("s"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
