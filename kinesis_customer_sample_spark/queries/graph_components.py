@@ -358,24 +358,32 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = e0.unionByName(e0.select(F.col("t").alias("s"), F.col("s").alias("t"))).persist()
     rows = []
 
-    def _summary(edges: DataFrame, rnd: int) -> DataFrame:
-        return edges.agg(
+    def _deg(edges: DataFrame) -> DataFrame:
+        return edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+
+    def _summary(deg: DataFrame, rnd: int) -> DataFrame:
+        # summaries read the NODE-sized degree table the peel builds
+        # anyway, not the edge list: n_nodes = degree rows, n_edges =
+        # Σdeg/2, checksum = Σs (s is unique per degree row, so this IS
+        # sum_distinct over edges). The former edge-level
+        # countDistinct/sum_distinct ran a distinct-Expand pass over the
+        # full symmetrized edge list once per round (optimization r15,
+        # guide §2.3: aggregate the already-aggregated).
+        return deg.agg(
             F.lit(rnd).cast("bigint").alias("round"),
-            F.countDistinct("s").cast("bigint").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
-            (F.sum_distinct(F.col("s")) % 1_000_000_007)
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            (F.sum("deg") / 2).cast("bigint").alias("n_edges"),
+            (F.sum(F.col("s")) % 1_000_000_007)
             .cast("bigint")
             .alias("node_checksum"),
         )
 
     cur = e
-    rows.append(_summary(cur, 0))
+    deg = _deg(cur)
+    rows.append(_summary(deg, 0))
     for rnd in range(1, _KCORE_ROUNDS + 1):
-        survivors = (
-            cur.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= _KCORE_K)
-            .select(F.col("s").alias("node"))
+        survivors = deg.filter(F.col("deg") >= _KCORE_K).select(
+            F.col("s").alias("node")
         )
         cur = (
             cur.join(survivors.withColumnRenamed("node", "s"), "s", "left_semi")
@@ -384,7 +392,8 @@ def kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-        rows.append(_summary(cur, rnd))
+        deg = _deg(cur)
+        rows.append(_summary(deg, rnd))
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)

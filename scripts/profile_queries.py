@@ -66,7 +66,10 @@ def main() -> int:
             missing.remove(m)
     if missing:
         print("UNKNOWN:", missing)
-    spark = get_spark(app_name="kcss-profile")
+    import json
+
+    extra = json.loads(os.environ.get("PROFILE_EXTRA_CONF", "{}"))
+    spark = get_spark(app_name="kcss-profile", extra_conf=extra or None)
     from pyspark.sql import functions as F
 
     spark.range(100_000).groupBy(F.col("id") % 7).count().write.format("noop").mode(
