@@ -464,9 +464,18 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e0 = shared_copurchase_edges(spark, sf_dir).select(
         F.col("a").alias("s"), F.col("b").alias("t")
     )
-    e = e0.unionByName(
-        e0.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    ).persist()
+    # hash-cluster the symmetrized edges by s ONCE before persisting: every
+    # round's groupBy(s) then reuses the cached partitioning (guide §2.4 —
+    # "two operations keyed the same way share one exchange"), and the
+    # per-round label join broadcasts the node-sized color table, so no
+    # round shuffles the edge list at all (node tables are dimension-
+    # bounded here — l_partkey ⊂ part; past broadcast reach this becomes
+    # the plain shuffle join the previous shape used)
+    e = (
+        e0.unionByName(e0.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .repartition(F.col("s"))
+        .persist()
+    )
     labels = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("lab")
     )
@@ -474,7 +483,11 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     for rnd in range(1, _WL_ROUNDS + 1):
         labels = (
             e.join(
-                labels.select(F.col("node").alias("t"), F.col("lab").alias("nlab")),
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("t"), F.col("lab").alias("nlab")
+                    )
+                ),
                 "t",
             )
             .groupBy(F.col("s").alias("node"))

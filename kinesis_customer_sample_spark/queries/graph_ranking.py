@@ -249,31 +249,48 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is one map-side-combined pass with a 1-row result. No
     windows, no iteration, never materializes anything larger than the
     edge list. Cites q180's edge derivation (graph_quality_ops._EDGES_SQL)
-    so graph statistics stay comparable across queries."""
+    so graph statistics stay comparable across queries.
+
+    The symmetrized edge-end pairs are never materialized: with
+    one-orientation sums m = count, q = Σ(dx+dy), p = Σ dx·dy,
+    r2 = Σ(dx²+dy²), the symmetrized statistics are exactly
+    m2 = 2m, sx = sy = q, sxy = 2p, sxx = syy = r2 (integer identities,
+    both orientations of an edge contribute the transposed term), so one
+    edge pass replaces the two-branch union (plan: 40 parquet scans /
+    38 Exchanges before, 12/16 after; repeated subtrees share work via
+    ReuseExchange — an explicit persist() of the edge list measured
+    SLOWER than the reuse, 3.9 vs 2.7 s, so the plan stays unpersisted)."""
     from kinesis_customer_sample_spark.queries.graph_quality_ops import (
         _copurchase_edges,
     )
 
     und = _copurchase_edges(spark, sf_dir)
     deg = (
-        und.select(F.col("a").alias("node"))
-        .unionAll(und.select(F.col("b").alias("node")))
+        und.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    # NOT broadcast: forcing broadcast(da)/broadcast(db) measured slower
+    # (2.98 vs 2.74 s) — the two broadcast exchanges are not plan-identical
+    # (different aliases), so each re-evaluates the degree aggregate and its
+    # edge build, while the shuffle-join shape shares those subtrees via
+    # ReuseExchange
     joined = und.join(da, "a").join(db, "b")
-    ends = joined.select(
-        F.col("dx").alias("x"), F.col("dy").alias("y")
-    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
-    s = ends.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m2"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
-        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
-        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+    one = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.expr("dx + dy")).cast("bigint").alias("q"),
+        F.sum(F.expr("dx * dy")).cast("bigint").alias("p"),
+        F.sum(F.expr("dx * dx + dy * dy")).cast("bigint").alias("r2"),
+    )
+    s = one.select(
+        (F.col("m") * 2).cast("bigint").alias("m2"),
+        F.col("q").cast("bigint").alias("sx"),
+        F.col("q").cast("bigint").alias("sy"),
+        (F.col("p") * 2).cast("bigint").alias("sxy"),
+        F.col("r2").cast("bigint").alias("sxx"),
+        F.col("r2").cast("bigint").alias("syy"),
     )
     return s.select(
         F.expr("m2 div 2").cast("bigint").alias("n_edges"),

@@ -1195,10 +1195,11 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture (100 TB): pairwise work is BUCKET-LOCAL all-pairs,
     never corpus all-pairs (more planes at larger corpora keep buckets
-    O(1)); the best-neighbor window partitions by source vector; the
-    mutuality check is an equi-join of the rank-1 table with itself on
-    the swapped key — one shuffle of a table that is <= one row per
-    vector."""
+    O(1)); the best neighbor per source is a max(struct) hash aggregate
+    (map-side partials, no sort — the row_number window this replaced
+    sorted the whole pair table); the mutuality check is a count==2
+    hash agg over the (min, max)-normalized rank-1 pairs — <= one row
+    per vector, no self-join."""
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -1245,27 +1246,49 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_mu",
         )
     )
-    best = pairs.select(
-        "bucket",
-        "src",
-        "dst",
-        "cos_mu",
-        F.row_number()
-        .over(W.partitionBy("src").orderBy(F.col("cos_mu").desc(), "dst"))
-        .alias("rk"),
-    ).filter(F.col("rk") == 1)
-    m2 = best.select(
-        F.col("src").alias("dst"), F.col("dst").alias("src")
+    # rank-1 per source as max(struct(cos_mu, -dst)) — the same winner as
+    # row_number over (cos_mu DESC, dst ASC), but a hash aggregate with
+    # map-side partials instead of a full sort of the pair table (guide
+    # §2.3 "aggregate before you shuffle"); mutuality is then a count==2
+    # over the (min, max)-normalized pair instead of a self-join on the
+    # swapped key — one tiny hash agg over a ≤1-row-per-vector table
+    best = (
+        pairs.groupBy("src")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos_mu"),
+                    (-F.col("dst")).alias("neg_dst"),
+                    F.col("dst"),
+                    F.col("bucket"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "src",
+            F.col("t.dst").alias("dst"),
+            F.col("t.bucket").alias("bucket"),
+            F.col("t.cos_mu").alias("cos_mu"),
+        )
     )
     return (
-        best.join(m2, ["src", "dst"])
-        .filter(F.col("src") < F.col("dst"))
-        .select(
-            F.col("src").alias("vec_a"),
-            F.col("dst").alias("vec_b"),
+        best.select(
+            F.least("src", "dst").alias("vec_a"),
+            F.greatest("src", "dst").alias("vec_b"),
             "bucket",
-            F.col("cos_mu").alias("cosine_mu"),
+            "cos_mu",
         )
+        .groupBy("vec_a", "vec_b")
+        # a mutual pair's two rows carry the identical (bucket, cos_mu) —
+        # cosine is symmetric and a vector has one bucket — so min() is
+        # just a deterministic pick, not a choice
+        .agg(
+            F.count(F.lit(1)).alias("n_dir"),
+            F.min("bucket").alias("bucket"),
+            F.min("cos_mu").alias("cosine_mu"),
+        )
+        .filter(F.col("n_dir") == 2)
+        .select("vec_a", "vec_b", "bucket", "cosine_mu")
         .orderBy("vec_a")
     )
 
