@@ -629,17 +629,40 @@ def ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [summary(e, 0)]
     cur = e
     for rnd in range(1, _KTRUSS_ROUNDS + 1):
-        u = cur.select(F.col("a").alias("s"), F.col("b").alias("t")).unionByName(
-            cur.select(F.col("b").alias("s"), F.col("a").alias("t"))
-        )
-        sup = (
+        # ORIENTED triangle enumeration (a < b < c, each triangle exactly
+        # once) instead of the symmetrized common-neighbor join: the old
+        # shape joined every edge against the 2|E| undirected adjacency on
+        # BOTH endpoints, an intermediate of Σ deg² rows; wedges from the
+        # ordered list are ~¼ of that, and per-edge support is recovered by
+        # exploding each triangle into its three edges and hash-aggregating
+        # (guide §2.3 — shuffle fewer rows into the same answer). An edge's
+        # support = |N(a) ∩ N(b)| is exactly the number of ordered
+        # triangles containing it, so the filter is unchanged.
+        wedges = (
             cur.alias("ab")
-            .join(u.alias("ac"), F.col("ac.s") == F.col("ab.a"))
-            .join(
-                u.alias("bc"),
-                (F.col("bc.s") == F.col("ab.b")) & (F.col("bc.t") == F.col("ac.t")),
+            .join(cur.alias("ac"), F.col("ac.a") == F.col("ab.a"))
+            .filter(F.col("ac.b") > F.col("ab.b"))
+            .select(
+                F.col("ab.a").alias("ta"),
+                F.col("ab.b").alias("tb"),
+                F.col("ac.b").alias("tc"),
             )
-            .groupBy(F.col("ab.a").alias("a"), F.col("ab.b").alias("b"))
+        )
+        tri = wedges.join(
+            cur.alias("bc"),
+            (F.col("tb") == F.col("bc.a")) & (F.col("tc") == F.col("bc.b")),
+        ).select("ta", "tb", "tc")
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("ta").alias("x"), F.col("tb").alias("y")),
+                        F.struct(F.col("ta").alias("x"), F.col("tc").alias("y")),
+                        F.struct(F.col("tb").alias("x"), F.col("tc").alias("y")),
+                    )
+                ).alias("edge")
+            )
+            .groupBy(F.col("edge.x").alias("a"), F.col("edge.y").alias("b"))
             .agg(F.count(F.lit(1)).alias("sup"))
         )
         cur = (
