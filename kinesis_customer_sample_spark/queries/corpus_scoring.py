@@ -183,22 +183,27 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, ties broken by neg_id for cross-engine determinism. Hot-path
     math follows q74's recipe: corpus spread across cores, norms
     precomputed per row, unrolled codegen dot per pair."""
-    e = (
-        table(spark, sf_dir, "embeddings")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
-        .withColumn("en", F.expr(norm_expr("embedding")))
+    base = table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
     )
+    e = base.withColumn(
+        "bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark"))
+    ).withColumn("en", F.expr(norm_expr("embedding")))
+    # TakeOrderedAndProject evaluates its projection for EVERY corpus row, so
+    # the query-batch branch selects raw columns only and computes the 8-plane
+    # bucket and the unrolled norm AFTER the limit, on the 64 survivors —
+    # identical values, one corpus-wide evaluation of both expressions
+    # instead of two (guide §1.2: don't compute things you throw away).
     qbatch = (
-        e.orderBy(F.expr(_HARDNEG_MIX), "vec_id")
+        base.orderBy(F.expr(_HARDNEG_MIX), "vec_id")
         .limit(_HARDNEG_K)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("label").alias("qlabel"),
             F.col("embedding").alias("qv"),
-            F.col("en").alias("qn"),
-            F.col("bucket").alias("qbucket"),
         )
+        .withColumn("qn", F.expr(norm_expr("qv")))
+        .withColumn("qbucket", F.expr(_hyperplane_bucket("qv", dialect="spark")))
     )
     # one row per (query, probe): a candidate has exactly one bucket, so each
     # (query, candidate) pair joins through at most one probe — no dedup step

@@ -42,14 +42,6 @@ _PQ_QUERY = 42
 _PQ_SHORTLIST = 50
 _PQ_TOPK = 10
 
-# per-(vector, centroid) array of M integer sub-distances, computed in one
-# codegen'd lambda over the two quantized arrays
-_SUBDISTS = (
-    f"transform(sequence(0, {_PQ_M - 1}), m -> "
-    f"aggregate(zip_with(slice(qi, m * {_PQ_SUB} + 1, {_PQ_SUB}), "
-    f"slice(cqi, m * {_PQ_SUB} + 1, {_PQ_SUB}), (x, y) -> (x - y) * (x - y)), "
-    f"CAST(0 AS BIGINT), (s, v) -> s + v))"
-)
 
 
 @query(
@@ -107,9 +99,20 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed table lookups (ADC), shortlist 50, and rerank the shortlist by
     exact integer L2. All distance math on milli-unit-quantized integers,
     so code assignment, ADC scores, and the final ranking hash-match the
-    oracle exactly. The corpus never shuffles for encoding (broadcast
-    codebook, map-side lambdas); the only ordered structures are the
-    50-row shortlist and 10-row answer (TakeOrderedAndProject)."""
+    oracle exactly.
+
+    The codebook is BOUNDED (16 centroids × 64 dims), so it is collected
+    once per run (quantization evaluated Spark-side — the integers are
+    the engine's own; q328's bounded-scalar-probe convention) and both
+    code assignment and the ADC lookup fold into ROW-LOCAL codegen
+    expressions with the centroid values as literals: per subspace the 16
+    integer sub-distances form an array, argmin-with-low-cid-ties is
+    array_position of array_min, and the query's lookup table is a
+    literal array indexed by that code. The corpus×16 interpreted-lambda
+    fan-out, the corpus×64 argmin shuffle, the lookup join and the rerank
+    joins of the relational form all disappear: the whole query is one
+    map pass + TakeOrderedAndProject(50) + a 50-row post-limit exact
+    rerank — zero joins, zero shuffles (guide §2.4, §4.2)."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -117,49 +120,62 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
         ).alias("qi"),
     )
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") < _PQ_K).select(
-            F.col("vec_id").alias("cid"), F.col("qi").alias("cqi")
-        )
+    cent_rows = e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "qi").collect()
+    cents = {int(r["vec_id"]): list(r["qi"]) for r in cent_rows}
+    qqi = list(
+        e.filter(F.col("vec_id") == _PQ_QUERY).select("qi").collect()[0]["qi"]
     )
-    # (vec, cid) → array of M sub-distances → (vec, m, cid, dist) rows
-    dists = (
-        e.crossJoin(cent)
+    # query ADC table: exact Python int math over the Spark-quantized values
+    # — identical to the engine-side sub-distances it replaces
+    qd = [
+        [
+            sum(
+                (qqi[m * _PQ_SUB + d] - cents[c][m * _PQ_SUB + d]) ** 2
+                for d in range(_PQ_SUB)
+            )
+            for c in range(_PQ_K)
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def _subdist(m: int, c: int) -> str:
+        return " + ".join(
+            f"(element_at(qi, {m * _PQ_SUB + d + 1}) - "
+            f"{cents[c][m * _PQ_SUB + d]}L) * "
+            f"(element_at(qi, {m * _PQ_SUB + d + 1}) - "
+            f"{cents[c][m * _PQ_SUB + d]}L)"
+            for d in range(_PQ_SUB)
+        )
+
+    approx_terms = []
+    for m in range(_PQ_M):
+        darr = "array(" + ", ".join(f"({_subdist(m, c)})" for c in range(_PQ_K)) + ")"
+        qd_arr = "array(" + ", ".join(f"{v}L" for v in qd[m]) + ")"
+        approx_terms.append(
+            f"element_at({qd_arr}, "
+            f"CAST(array_position({darr}, array_min({darr})) AS INT))"
+        )
+    exact_l2 = " + ".join(
+        f"(element_at(qi, {d + 1}) - {qqi[d]}L) * "
+        f"(element_at(qi, {d + 1}) - {qqi[d]}L)"
+        for d in range(_PQ_SUB * _PQ_M)
+    )
+    shortlist = (
+        e.filter(F.col("vec_id") != _PQ_QUERY)
         .select(
             "vec_id",
-            "cid",
-            F.posexplode(F.expr(_SUBDISTS)).alias("m", "dist"),
+            "label",
+            "qi",
+            F.expr(" + ".join(approx_terms)).cast("bigint").alias("approx_l2"),
         )
+        .orderBy("approx_l2", "vec_id")
+        .limit(_PQ_SHORTLIST)
     )
-    # argmin per (vec, m): min on (dist, cid) struct = tie-break to low cid
-    codes = (
-        dists.groupBy("vec_id", "m")
-        .agg(F.min(F.struct("dist", "cid")).alias("best"))
-        .select("vec_id", "m", F.col("best.cid").alias("cid"))
-    )
-    qd = F.broadcast(
-        dists.filter(F.col("vec_id") == _PQ_QUERY).select(
-            "m", "cid", F.col("dist").alias("qdist")
-        )
-    )
-    approx = (
-        codes.filter(F.col("vec_id") != _PQ_QUERY)
-        .join(qd, ["m", "cid"])
-        .groupBy("vec_id")
-        .agg(F.sum("qdist").cast("bigint").alias("approx_l2"))
-    )
-    shortlist = approx.orderBy("approx_l2", "vec_id").limit(_PQ_SHORTLIST)
-    qv = F.broadcast(
-        e.filter(F.col("vec_id") == _PQ_QUERY).select(F.col("qi").alias("qqi"))
-    )
-    exact_l2 = F.expr(
-        "aggregate(zip_with(qi, qqi, (x, y) -> (x - y) * (x - y)), "
-        "CAST(0 AS BIGINT), (s, v) -> s + v)"
-    )
+    # exact rerank rides ABOVE the limit: evaluated on the 50 survivors only
     return (
-        shortlist.join(e, "vec_id")
-        .crossJoin(qv)
-        .select("vec_id", "label", "approx_l2", exact_l2.alias("exact_l2"))
+        shortlist.select(
+            "vec_id", "label", "approx_l2", F.expr(exact_l2).alias("exact_l2")
+        )
         .orderBy("exact_l2", "vec_id")
         .limit(_PQ_TOPK)
     )

@@ -32,6 +32,8 @@ No Python UDFs anywhere; everything is whole-stage-codegen'd SQL.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -43,7 +45,6 @@ from kinesis_customer_sample_spark.functions import (
 )
 from kinesis_customer_sample_spark.queries.text_analysis import (
     _DUCK_TOKS,
-    _SPARK_TOKS,
     _docs_with_tokens,
 )
 from kinesis_customer_sample_spark.registry import query
@@ -172,6 +173,67 @@ def _bm25_score_expr(*, dialect: str) -> str:
     return floor_cast
 
 
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BM25 scorer (q176 + q199's lexical leg): one row per doc
+    matching ≥1 query term, with (bm25_mu, n_terms_matched) — computed
+    ROW-LOCALLY from the cached token arrays. dl = size(toks) and per-term
+    tf = size(toks) − size(array_remove(toks, term)) are codegen scalar
+    expressions, so the posting explode, the doc-grain tf/dl shuffles and
+    the tfs⋈dls join of the original shape all disappear (guide §2.4 /
+    §4.2): the only remaining agg is the broadcast 1-row corpus-stats pass
+    (N, Σdl, per-term df). Per-term scores stay the exact µ-unit integers
+    of `_bm25_score_expr` — the float tree is textually identical with the
+    leaf columns renamed, and the cross-term sum is integer arithmetic —
+    so results are bit-identical to the join form."""
+    terms = _BM25_TERMS
+    docs = _docs_with_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            (F.size("toks") - F.size(F.array_remove("toks", t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # one corpus pass for N (docs with ≥1 token — explode semantics), Σdl
+    # and the per-term document frequencies; broadcast as a 1-row table
+    stats = F.broadcast(
+        docs.agg(
+            F.count(F.when(F.col("dl") > 0, 1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+
+    def term_score(i: int) -> str:
+        s = _bm25_score_expr(dialect="spark")
+        s = re.sub(r"\btf\b", f"tf{i}", s)
+        s = re.sub(r"\bdf\b", f"df{i}", s)
+        # tf = 0 terms contribute nothing (the inner-join semantics of the
+        # posting form); the guard is explicit rather than relying on
+        # floor(idf · 0) == 0
+        return f"(CASE WHEN tf{i} > 0 THEN {s} ELSE CAST(0 AS BIGINT) END)"
+
+    idx = range(len(terms))
+    return (
+        docs.crossJoin(stats)
+        .filter(F.expr(" OR ".join(f"tf{i} > 0" for i in idx)))
+        .select(
+            "doc_id",
+            F.expr(" + ".join(term_score(i) for i in idx))
+            .cast("long")
+            .alias("bm25_mu"),
+            F.expr(" + ".join(f"CAST(tf{i} > 0 AS BIGINT)" for i in idx))
+            .cast("long")
+            .alias("n_terms_matched"),
+        )
+    )
+
+
 @query(
     "q176_bm25_search",
     oracle=f"""
@@ -202,42 +264,18 @@ def _bm25_score_expr(*, dialect: str) -> str:
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 full-text ranking: top-10 documents for the query terms
-    {spark, join, query}. One tokenize pass feeds document lengths, term
-    frequencies, and document frequencies; corpus stats (N, Σdl) and the
-    3-row df table are broadcast by construction. Docs containing none of
-    the terms never materialize (inner tf join) — at 100 TB the candidate
-    set is the posting-list union, not the corpus. Per-term scores are
+    {spark, join, query}. With a FIXED query, every per-doc input (dl,
+    per-term tf) is a row-local array expression over the cached token
+    arrays, so the whole query is two corpus map passes — one 1-row
+    stats/df aggregate (broadcast back) and one scoring pass — with no
+    posting explode, no doc-grain shuffle and no join
+    (`_bm25_doc_scores`). Docs containing none of the terms are filtered
+    map-side — at 100 TB the candidate set is still the posting-list
+    union, selected by predicate instead of join. Per-term scores are
     floored to integer micro-units before the cross-term sum, and the
     final top-k is TakeOrderedAndProject (no global sort)."""
-    tok = _docs_with_tokens(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("tok")
-    )
-    dls = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = F.broadcast(
-        dls.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-        )
-    )
-    tfs = (
-        tok.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = F.broadcast(tfs.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
-    parts = (
-        tfs.join(dfs, "tok")
-        .join(dls, "doc_id")
-        .crossJoin(stats)
-        .select(
-            "doc_id", F.expr(_bm25_score_expr(dialect="spark")).alias("score_mu")
-        )
-    )
     return (
-        parts.groupBy("doc_id")
-        .agg(
-            F.sum("score_mu").cast("long").alias("bm25_mu"),
-            F.count(F.lit(1)).alias("n_terms_matched"),
-        )
+        _bm25_doc_scores(spark, sf_dir)
         .orderBy(F.col("bm25_mu").desc(), "doc_id")
         .limit(_BM25_K)
     )
@@ -556,26 +594,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kinesis_customer_sample_spark.functions import cosine_expr
     from kinesis_customer_sample_spark.queries.similarity import _QUERY_VEC_ID
 
-    tok = _docs_with_tokens(spark, sf_dir).select(
-        "doc_id", F.explode("toks").alias("tok")
-    )
-    dls = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = F.broadcast(
-        dls.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
-    )
-    tfs = (
-        tok.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfs = F.broadcast(tfs.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
     bm25 = (
-        tfs.join(dfs, "tok")
-        .join(dls, "doc_id")
-        .crossJoin(stats)
-        .select("doc_id", F.expr(_bm25_score_expr(dialect="spark")).alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum("s").cast("long").alias("bm25_mu"))
+        _bm25_doc_scores(spark, sf_dir)
+        .select("doc_id", "bm25_mu")
         .orderBy(F.col("bm25_mu").desc(), "doc_id")
         .limit(_RRF_LEG_N)
     )
@@ -991,50 +1012,54 @@ def positional_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the match is an equi-join on (doc, pos+1 = pos). The probed phrase
     is data-derived (the corpus' most frequent bigram, ties broken
     lexicographically — deterministic) and emitted alongside each hit
-    so the result is self-describing. Per-doc occurrence counts and
-    first position come from one keyed aggregation over the adjacency
-    join.
+    so the result is self-describing.
 
-    Scale posture (100 TB): a real engine stores postings partitioned
-    BY TERM, so a phrase probe touches two postings lists; here both
-    sides are term-filtered before the join (pushed predicates), and
-    the adjacency join keys on doc_id — the position test rides as a
-    join-level predicate, never a cartesian. The bigram-mining step is
-    the q122 collocation shape (posexplode + self-join keyed on doc)
-    and exists to pick the probe; a production system would take the
-    phrase as a parameter."""
-    post = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(F.expr(_SPARK_TOKS)).alias("pos0", "tok"))
-        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    Adjacency is a ROW-LOCAL property, so neither phase needs the
+    positional-posting self-join of the oracle form: the per-doc bigram
+    list is the token array zipped against itself shifted by one
+    (arrays_zip of two slices — pure codegen), mining is one
+    explode + hash-agg over that, and the probe phase is map-only —
+    per-doc occurrence count via array_remove and first position via
+    array_position on the same bigram array, no Generate, no join, no
+    shuffle (guide §2.4: the cheapest shuffle is the one you don't do).
+    The pair multiset equals the (pos, pos+1) adjacency join's by
+    construction, and first_pos = the array_position of the first match.
+
+    Scale posture (100 TB): bigram mining is one map pass + one
+    count-shuffle at bigram grain (map-side combined); the probe phase
+    is embarrassingly parallel. A term-partitioned postings engine
+    would answer the probe from two lists; with the corpus already
+    columnar, the row-local form touches each doc exactly once
+    instead of shuffling two posting lists into a join."""
+    docs = _docs_with_tokens(spark, sf_dir)
+    bgs = F.arrays_zip(
+        F.expr("slice(toks, 1, size(toks) - 1)").alias("w1"),
+        F.expr("slice(toks, 2, size(toks) - 1)").alias("w2"),
     )
-    a, b = post.alias("a"), post.alias("b")
     big = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") == F.col("a.pos") + 1),
-        )
-        .groupBy(F.col("a.tok").alias("w1"), F.col("b.tok").alias("w2"))
+        docs.filter(F.size("toks") >= 2)
+        .select(F.explode(bgs).alias("bg"))
+        .groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "w1", "w2")
         .limit(1)
     )
     probe = big.first()  # bounded scalar probe (one job)
     w1, w2 = probe["w1"], probe["w2"]
-    p1 = post.filter(F.col("tok") == w1).alias("p1")
-    p2 = post.filter(F.col("tok") == w2).alias("p2")
+    # tokens are [a-z]+ by the tokenizer's alphabet, safe as SQL literals
+    target = f"named_struct('w1', '{w1}', 'w2', '{w2}')"
     return (
-        p1.join(
-            p2,
-            (F.col("p1.doc_id") == F.col("p2.doc_id"))
-            & (F.col("p2.pos") == F.col("p1.pos") + 1),
+        docs.select("doc_id", bgs.alias("bgs"))
+        .select(
+            "doc_id",
+            F.expr(f"size(bgs) - size(array_remove(bgs, {target}))")
+            .cast("long")
+            .alias("n_occurrences"),
+            F.expr(f"array_position(bgs, {target})")
+            .cast("long")
+            .alias("first_pos"),
         )
-        .groupBy(F.col("p1.doc_id").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            F.min("p1.pos").cast("long").alias("first_pos"),
-        )
+        .filter(F.col("n_occurrences") > 0)
         .select(
             "doc_id",
             F.lit(w1).alias("w1"),

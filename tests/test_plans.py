@@ -725,11 +725,17 @@ def test_q175_bloom_probe_is_map_side(spark, sf_dir):
 
 
 def test_q176_bm25_topk_and_broadcasts(spark, sf_dir):
-    """BM25's top-k must be TakeOrderedAndProject; corpus stats and the
-    3-row df table must broadcast (no sort-merge join of postings)."""
+    """BM25's top-k must be TakeOrderedAndProject and the corpus
+    stats/df row must attach by broadcast. Since the row-local rewrite
+    (dl = size(toks), tf via array_remove) the plan must also stay free
+    of posting explodes (no Generate) and of any doc-grain join (the
+    only join is the broadcast 1-row stats nested loop)."""
     facts = audit_of(spark, sf_dir, "q176_bm25_search")
     assert "TakeOrderedAndProject" in facts.text
-    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 1
+    assert facts.join_strategies.get("BroadcastNestedLoopJoin", 0) >= 1
+    assert facts.join_strategies.get("SortMergeJoin", 0) == 0
+    assert facts.join_strategies.get("ShuffledHashJoin", 0) == 0
+    assert "Generate" not in facts.text
     assert not facts.has_cartesian
     assert facts.has_partial_agg
 
@@ -901,14 +907,16 @@ def test_bootstrap_is_mapside_fanout(spark, sf_dir):
 
 
 def test_pq_codebook_broadcast_and_topk(spark, sf_dir):
-    """q265: the 16-row codebook and the 64-row ADC lookup table must
-    broadcast (never shuffle the corpus against them), and both ordered
-    reductions must be TakeOrderedAndProject."""
+    """q265: since the row-local rewrite, the bounded codebook and the
+    query's ADC table are collected once per run and folded into the
+    corpus scan as literals — the returned plan must have NO joins and
+    no shuffle at all; both ordered reductions stay
+    TakeOrderedAndProject."""
     facts = audit_of(spark, sf_dir, "q265_pq_adc_ann")
-    assert facts.join_strategies.get("BroadcastHashJoin", 0) >= 2
+    assert facts.join_strategies == {}
     assert facts.text.count("TakeOrderedAndProject") >= 2
-    # corpus×codebook and shortlist×query attach broadcast, never cartesian
     assert not facts.has_cartesian
+    assert facts.n_exchanges == 0
 
 
 def test_dsir_feature_table_broadcast(spark, sf_dir):
@@ -1407,16 +1415,15 @@ def test_emd_bounded_grid(spark, sf_dir):
 
 
 def test_phrase_search_term_filtered_postings(spark, sf_dir):
-    """q328: the phrase probe joins two TERM-FILTERED postings lists
-    keyed on doc_id — an equi-join, never a cartesian; position
-    adjacency rides as a join predicate."""
+    """q328: since the row-local rewrite the probe phase is MAP-ONLY —
+    per-doc occurrences and first position come from array_remove /
+    array_position over the zipped bigram array, so the returned plan
+    must have no join of any kind and no Generate (the mining phase's
+    explode+agg runs inside the bounded `.first()` probe, not here)."""
     facts = audit_of(spark, sf_dir, "q328_positional_phrase_search")
     assert not facts.has_cartesian
-    n_equi = sum(
-        facts.join_strategies.get(k, 0)
-        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-    )
-    assert n_equi >= 1
+    assert facts.join_strategies == {}
+    assert "Generate" not in facts.text
 
 
 def test_seasonal_adjust_broadcast_season(spark, sf_dir):

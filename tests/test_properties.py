@@ -1833,3 +1833,19 @@ def test_clamped_balance_closed_form_identity(deltas):
         run_min = min(run_min, p)
         closed.append(p - min(0, run_min))
     assert closed == direct
+
+
+@given(
+    st.lists(st.integers(0, 50), min_size=2, max_size=16),
+)
+@settings(max_examples=60, deadline=None)
+def test_pq_rowlocal_argmin_ties_to_low_cid(spark, dists):
+    """q265's row-local code assignment: array_position(arr,
+    array_min(arr)) must pick the FIRST (lowest-cid) slot on ties — the
+    same winner as the relational min(struct(dist, cid)) argmin it
+    replaced."""
+    arr = "array(" + ", ".join(f"{d}L" for d in dists) + ")"
+    got = spark.sql(
+        f"SELECT CAST(array_position({arr}, array_min({arr})) AS INT) AS p"
+    ).collect()[0].p
+    assert got == dists.index(min(dists)) + 1
