@@ -367,7 +367,11 @@ def schema_drift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     ).limit(100).write.mode("overwrite").parquet(v1_path)
-    o.select(
+    # bound the scratch fixture BEFORE the rank window: only the written
+    # FOOTER feeds the result (the diff reads schemas, never data), and a
+    # post-window limit would sort the whole table through one task for
+    # 100 unordered keeper rows (guide §2.2 — the global-window trap)
+    o.limit(100).select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
@@ -377,7 +381,7 @@ def schema_drift_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy("o_orderpriority"))
         .cast("int")
         .alias("priority_rank"),
-    ).limit(100).write.mode("overwrite").parquet(v2_path)
+    ).write.mode("overwrite").parquet(v2_path)
 
     def schema_df(path: str, tag: str) -> DataFrame:
         fields = [
