@@ -275,19 +275,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-pair cosine is the unrolled codegen dot (dot64_expr) rather than
     the interpreted zip_with lambda — same fold order, identical rounded
     values."""
+    # The representative is elected with a plain hash-agg min (map-side
+    # partials) and its embedding fetched by joining back on the unique
+    # vec_id: the array-valued min_by forced a two-phase SortAggregate that
+    # sorted the whole corpus by bucket and shuffled the embedding arrays
+    # into the aggregate; now only (bucket, min vec_id) partials cross the
+    # exchange and the join-back scan prunes to ≤|buckets| rows before any
+    # norm math (guide §2.3 — shuffle keys, not payloads). An explicit
+    # .persist() of the bucketed corpus measured 8.6 vs 3.0 s here: the
+    # broadcast subtree races the cache materialization (the q414 trap).
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
         .withColumn("en", F.expr(norm_expr("embedding")))
     )
+    rep_ids = e.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
     reps = F.broadcast(
-        e.groupBy("bucket")
-        .agg(
-            F.min("vec_id").alias("rep_id"),
-            F.min_by("embedding", "vec_id").alias("rep_emb"),
-        )
-        .withColumn("rep_n", F.expr(norm_expr("rep_emb")))
+        rep_ids.join(
+            table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("rep_id"),
+                F.col("embedding").alias("rep_emb"),
+            ),
+            "rep_id",
+        ).withColumn("rep_n", F.expr(norm_expr("rep_emb")))
     )
     cos = F.round(
         F.expr(dot64_expr("embedding", "rep_emb")) / (F.col("en") * F.col("rep_n")), 6
@@ -1811,13 +1822,17 @@ def heaps_vocabulary_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
         )
     )
+    # pts is the K-row curve yet feeds BOTH the fit aggregate and the final
+    # projection; unmaterialized, the second reference re-ran the whole
+    # tokenize → distinct → first-occurrence chain (38-Exchange plan).
+    # localCheckpoint pins the K rows once (q473/q299 convention).
     pts = curve.select(
         "k",
         "n_docs",
         "vocab",
         F.expr("CAST(floor(ln(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)").alias("x"),
         F.expr("CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT)").alias("y"),
-    )
+    ).localCheckpoint()
     fit = F.broadcast(
         pts.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -890,6 +890,11 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdim = expl.groupBy("label", "dim").agg(
         F.sum("v").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    # cent is k rows but feeds THREE broadcast subtrees (point scoring +
+    # both sides of the centroid-distance cross); broadcast branches don't
+    # share plans, so unmaterialized each one re-ran the corpus explode +
+    # grid agg (16-scan / 6-SMJ plan). localCheckpoint pins the k rows
+    # once (the q299/q304 bounded-intermediate convention, guide §1.2).
     cent = (
         cdim.select(
             F.col("label").alias("clabel"),
@@ -902,6 +907,7 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(array_sort(collect_list(struct(dim, c))), x -> x.c)").alias("cmu"),
             F.first("n").alias("n"),
         )
+        .localCheckpoint()
     )
     d2 = pt.crossJoin(F.broadcast(cent.select("clabel", "cmu"))).select(
         "vec_id",
@@ -930,9 +936,12 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("own_dist_mu_sum"),
     )
+    # sigma: k rows referenced three times (both DB-join sides + the final
+    # join); each unmaterialized reference re-ran the whole N·k scoring
+    # chain — same localCheckpoint treatment as cent above.
     sigma = sil.select(
         "label", "n", "s_mu_sum", F.expr("own_dist_mu_sum div n").alias("sigma_mu")
-    )
+    ).localCheckpoint()
     cent_b = F.broadcast(cent.select("clabel", "cmu"))
     cdist = (
         cent_b.alias("ci")
@@ -947,11 +956,17 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cd"),
         )
     )
+    # checkpointed RDDs carry no size stats — hint the k-row sides or the
+    # planner sort-merges 5-row joins
     db = (
         sigma.alias("i")
-        .join(cdist, F.col("i.label") == F.col("li"))
+        .join(F.broadcast(cdist), F.col("i.label") == F.col("li"))
         .join(
-            sigma.select(F.col("label").alias("lj"), F.col("sigma_mu").alias("sigma_mu_j")),
+            F.broadcast(
+                sigma.select(
+                    F.col("label").alias("lj"), F.col("sigma_mu").alias("sigma_mu_j")
+                )
+            ),
             "lj",
         )
         .groupBy(F.col("i.label").alias("label"))
@@ -962,7 +977,7 @@ def cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sigma.join(db, "label")
+        sigma.join(F.broadcast(db), "label")
         .select(
             "label",
             "n",

@@ -2615,16 +2615,27 @@ def clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").alias("min_day"), F.max("day").alias("max_day"))
         .select(F.lit("range").alias("layout"), "file_id", "min_day", "max_day")
     )
-    files = hash_files.unionByName(range_files)
+    # files is 2·|files| = 32 rows yet feeds every downstream branch —
+    # unpersisted, each reference re-derived BOTH layout aggregates from
+    # fresh orders scans (30-scan / 52-Exchange plan); persist the bounded
+    # table once (guide §1.2). The open/close boundary pair is emitted
+    # row-locally (explode of a 2-struct array) instead of a two-branch
+    # union (union branches don't CSE — the q198 lesson), and the two
+    # depth statistics share one conditional aggregate (the q411 pattern;
+    # max(d) is attained where d > 0, so one filtered-agg pass is exact).
+    files = hash_files.unionByName(range_files).persist()
     bounds = files.select(
-        "layout", F.col("min_day").alias("b"), F.lit(1).alias("delta")
-    ).unionByName(
-        files.select(
-            "layout",
-            F.expr("max_day + INTERVAL 1 DAY").alias("b"),
-            F.lit(-1).alias("delta"),
-        )
-    )
+        "layout",
+        F.explode(
+            F.array(
+                F.struct(F.col("min_day").alias("b"), F.lit(1).alias("delta")),
+                F.struct(
+                    F.expr("max_day + INTERVAL 1 DAY").alias("b"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("bd"),
+    ).select("layout", "bd.b", "bd.delta")
     depth = (
         bounds.groupBy("layout", "b")
         .agg(F.sum("delta").alias("dd"))
@@ -2634,11 +2645,12 @@ def clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dd").over(W.partitionBy("layout").orderBy("b")).cast("bigint").alias("d"),
         )
     )
-    depth_stats = depth.filter(F.col("d") > 0).groupBy("layout").agg(
-        F.max("d").alias("max_overlap_depth_pos"),
-        F.expr("sum(d) div count(1)").cast("bigint").alias("mean_overlap_depth"),
+    depth_stats = depth.groupBy("layout").agg(
+        F.max("d").alias("max_overlap_depth"),
+        F.expr("sum(CASE WHEN d > 0 THEN d END) div count(CASE WHEN d > 0 THEN d END)")
+        .cast("bigint")
+        .alias("mean_overlap_depth"),
     )
-    depth_max = depth.groupBy("layout").agg(F.max("d").alias("max_overlap_depth"))
     return (
         files.groupBy("layout")
         .agg(
@@ -2647,8 +2659,7 @@ def clustering_depth_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("total_span_days"),
         )
-        .join(depth_max, "layout")
-        .join(depth_stats.select("layout", "mean_overlap_depth"), "layout")
+        .join(depth_stats, "layout")
         .select(
             "layout",
             "n_files",

@@ -75,8 +75,9 @@ def foreach_batch_split_router(base_dir: str, pred_sql: str):
         manifest = os.path.join(base_dir, "_manifests", f"{epoch_id}.json")
         if os.path.exists(manifest):
             return  # replayed, already fully committed — idempotent skip
-        valid_dir = os.path.join(base_dir, "valid", f"epoch={epoch_id}")
-        quar_dir = os.path.join(base_dir, "quarantine", f"epoch={epoch_id}")
+        epoch_dir = os.path.join(base_dir, f"epoch={epoch_id}")
+        valid_dir = os.path.join(epoch_dir, "route=valid")
+        quar_dir = os.path.join(epoch_dir, "route=quarantine")
         # Route the COMPLEMENT, not the negation: a NULL predicate (malformed
         # input — exactly what a dead-letter router exists for) is false under
         # both `pred` and `NOT pred`, which would drop the row from BOTH
@@ -85,10 +86,27 @@ def foreach_batch_split_router(base_dir: str, pred_sql: str):
         ok = f"coalesce(({pred_sql}), false)"
         batch_df.persist()
         try:
-            n_valid = batch_df.filter(ok).count()
-            n_quar = batch_df.filter(f"NOT {ok}").count()
-            batch_df.filter(ok).write.mode("overwrite").parquet(valid_dir)
-            batch_df.filter(f"NOT {ok}").write.mode("overwrite").parquet(quar_dir)
+            # one pass for both manifest counts, one route-partitioned write
+            # for both sinks (was 2 counts + 2 filtered writes = 4 jobs per
+            # epoch; guide §1.2 — don't re-run the batch per output). The
+            # dynamic partition column routes each row to exactly one leaf
+            # directory; both leaves still commit atomically via the single
+            # manifest rename below.
+            counts = batch_df.agg(
+                F.sum(F.expr(f"CASE WHEN {ok} THEN 1 ELSE 0 END")).alias("nv"),
+                F.sum(F.expr(f"CASE WHEN {ok} THEN 0 ELSE 1 END")).alias("nq"),
+            ).first()
+            n_valid = int(counts["nv"] or 0)
+            n_quar = int(counts["nq"] or 0)
+            (
+                batch_df.withColumn(
+                    "route",
+                    F.expr(f"CASE WHEN {ok} THEN 'valid' ELSE 'quarantine' END"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("route")
+                .parquet(epoch_dir)
+            )
         finally:
             batch_df.unpersist()
         tmp = manifest + ".tmp"
