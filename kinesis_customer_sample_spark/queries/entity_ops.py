@@ -389,7 +389,12 @@ def jaro_winkler_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import types as T
 
-    jw_udf = F.pandas_udf(_jw_pandas, T.DoubleType())
+    # non-deterministic mark (guide §4.4, the q518 convention): the
+    # jw >= threshold filter references the UDF column, and the optimizer's
+    # pushed-down copy left TWO ArrowEvalPython nodes — every candidate
+    # pair paid the Python hop twice. The mark forbids the duplication
+    # (plan: 2 -> 1 PyEval); the metric is pure, so results are unchanged.
+    jw_udf = F.pandas_udf(_jw_pandas, T.DoubleType()).asNondeterministic()
     # spread the corpus before the blocked self-join: the single-file scan
     # would otherwise run the whole Arrow-batched UDF stage on one task
     # (the _docs_with_tokens rationale; measured 16.4 s -> ~2 s at sf0.1)

@@ -119,7 +119,13 @@ def decode_records(df: DataFrame, fetch: Fetch = http_fetch) -> DataFrame:
     unparsed JSON string. Invalid/undecodable records are dropped after the
     NULL-coercion stage (guide:36-39 → filter, guide:62-64 → type check).
     """
-    deref = make_deref_udf(fetch)
+    # non-deterministic mark (guide §4.4, the q431/q518 convention): the
+    # NULL-coercion filter below references the UDF output, and the
+    # optimizer's pushed-down copy left TWO fused gunzip→deref
+    # ArrowEvalPython nodes — every record was decompressed (and pointer
+    # payloads dereferenced) twice. The mark forbids the duplication
+    # (plan: 2 → 1 PyEval); decode is pure, so results are unchanged.
+    deref = make_deref_udf(fetch).asNondeterministic()
     payload = df.withColumn("_payload", deref(gunzip_text(F.col("data"))))
     parsed = payload.withColumn("op", F.from_json(F.col("_payload"), ENVELOPE_SCHEMA))
     return (

@@ -3453,3 +3453,15 @@ def test_q411_one_scan_per_audited_table(spark, sf_dir):
         n = len(re.findall(rf"Location.*[/_]{tb}\.parquet", facts.text))
         assert n == want, f"{tb}: {n} scans (want {want})"
     assert "InMemoryTableScan" in facts.text
+
+
+def test_python_udf_single_evaluation(spark, sf_dir):
+    """Filters that reference a Python-UDF column must not duplicate the
+    UDF evaluation (optimization guide §4.4): q431's JW threshold and the
+    decode path's NULL-coercion filter each left TWO ArrowEvalPython
+    nodes before the asNondeterministic mark — every row paid the Python
+    hop twice. Pin: exactly one Python-eval node in each plan."""
+    for name in ("q431_jaro_winkler_linkage", "q46_contentops_decode"):
+        facts = audit_of(spark, sf_dir, name)
+        n = len(re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython", facts.text))
+        assert n == 1, f"{name}: {n} Python-eval nodes (want 1)"
