@@ -582,10 +582,19 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(_SPARK_TOKS).alias("toks"),
     )
+    # keepers carries the tokenized corpus and feeds FIVE downstream
+    # chains (uni/bi quality metrics, the contamination probe, and the
+    # clean set's three derivations); unpersisted, each chain re-ran the
+    # tokenize + sha256 + dedup window from the parquet — a 90-scan /
+    # 276-Exchange plan at sf0.1 (guide §1.2). One cache materialization
+    # caps every re-reference at an in-memory scan. eval_sh still derives
+    # from pre-dedup `hashed` by spec (an eval doc stays held out even if
+    # its keeper twin lands in a train bucket).
     keepers = (
         hashed.withColumn("min_id", F.min("doc_id").over(W.partitionBy("h")))
         .filter(F.col("doc_id") == F.col("min_id"))
         .drop("min_id")
+        .persist()
     )
     # quality metrics: one posexplode of keeper tokens feeds both
     toks = keepers.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
@@ -626,11 +635,16 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+    # clean is three narrow columns at survivor grain yet feeds the mix
+    # rates AND both packing branches — each re-derivation re-ran the
+    # quality and contamination chains; localCheckpoint pins it once
+    # (q473 convention for bounded-width intermediates).
     clean = (
         keepers.filter(F.col("bucket") < _TRAIN_HI)
         .join(quality, "doc_id", "left_semi")
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", "n_chars")
+        .localCheckpoint()
     )
     # domain mixing over the survivor counts
     counts = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))

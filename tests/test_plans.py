@@ -3465,3 +3465,18 @@ def test_python_udf_single_evaluation(spark, sf_dir):
         facts = audit_of(spark, sf_dir, name)
         n = len(re.findall(r"\(\d+\) (?:Arrow|Batch)EvalPython", facts.text))
         assert n == 1, f"{name}: {n} Python-eval nodes (want 1)"
+
+
+def test_q148_pipeline_materializes_shared_stages(spark, sf_dir):
+    """q148 claims each pipeline stage runs once; unmaterialized, the
+    five consumers of the tokenized keeper set re-ran the tokenize +
+    sha256 + dedup window from parquet (90 scans / 276 Exchange at sf0.1
+    — round-15 census). Pin: the returned plan reads the cached keepers
+    (InMemoryTableScan) and the checkpointed clean set (ExistingRDD),
+    with no raw documents scan above them. (The keepers cache itself sits
+    below the checkpoint, so only the ExistingRDD barrier is visible in
+    the returned plan.)"""
+    facts = audit_of(spark, sf_dir, "q148_training_pipeline")
+    assert "ExistingRDD" in facts.text
+    n = len(re.findall(r"Location.*documents\.parquet", facts.text))
+    assert n == 0, f"documents: {n} raw scans above the barriers (want 0)"
