@@ -104,15 +104,23 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     The codebook is BOUNDED (16 centroids × 64 dims), so it is collected
     once per run (quantization evaluated Spark-side — the integers are
     the engine's own; q328's bounded-scalar-probe convention) and both
-    code assignment and the ADC lookup fold into ROW-LOCAL codegen
-    expressions with the centroid values as literals: per subspace the 16
-    integer sub-distances form an array, argmin-with-low-cid-ties is
-    array_position of array_min, and the query's lookup table is a
-    literal array indexed by that code. The corpus×16 interpreted-lambda
-    fan-out, the corpus×64 argmin shuffle, the lookup join and the rerank
-    joins of the relational form all disappear: the whole query is one
-    map pass + TakeOrderedAndProject(50) + a 50-row post-limit exact
-    rerank — zero joins, zero shuffles (guide §2.4, §4.2)."""
+    code assignment and the ADC lookup fold into ROW-LOCAL expressions
+    with the centroid values as literals: per subspace the 16 integer
+    sub-distances are ONE `transform` of the literal 16×16 centroid
+    array (`zip_with`/`aggregate` against the subspace slice of qi),
+    bound as a column so argmin-with-low-cid-ties (array_position of
+    array_min) reads it without re-evaluation, and the query's lookup
+    table is a literal array indexed by that code. The corpus×16
+    interpreted-lambda fan-out, the corpus×64 argmin shuffle, the lookup
+    join and the rerank joins of the relational form all disappear: the
+    whole query is one map pass + TakeOrderedAndProject(50) + a 50-row
+    post-limit exact rerank — zero joins, zero shuffles (guide §2.4,
+    §4.2). NOTE (r16): the first literal form inlined the 16×16×16-term
+    sub-distance arithmetic as ~8k flat expression nodes and re-stated
+    the array per argmin reference — past the JVM method-size limit, so
+    whole-stage codegen fell back to interpreted eval and the task
+    binary carried a 4.7 MiB plan; driver bench doubled. The compact
+    HOF-against-literal-array form restores a small expression tree."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
@@ -138,31 +146,41 @@ def pq_adc_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_PQ_M)
     ]
 
-    def _subdist(m: int, c: int) -> str:
-        return " + ".join(
-            f"(element_at(qi, {m * _PQ_SUB + d + 1}) - "
-            f"{cents[c][m * _PQ_SUB + d]}L) * "
-            f"(element_at(qi, {m * _PQ_SUB + d + 1}) - "
-            f"{cents[c][m * _PQ_SUB + d]}L)"
-            for d in range(_PQ_SUB)
+    # Per subspace: the 16 sub-distances as ONE transform over the literal
+    # 16x16 centroid array, bound as a column (_d{m}) so the argmin's two
+    # references (array_position + array_min) don't duplicate the work —
+    # CollapseProject keeps non-cheap multiply-referenced aliases in their
+    # own Project, so each _d{m} is evaluated exactly once per row.
+    proj = e.filter(F.col("vec_id") != _PQ_QUERY)
+    for m in range(_PQ_M):
+        cent_lit = ", ".join(
+            "array("
+            + ", ".join(f"{cents[c][m * _PQ_SUB + d]}L" for d in range(_PQ_SUB))
+            + ")"
+            for c in range(_PQ_K)
         )
-
+        proj = proj.withColumn(
+            f"_d{m}",
+            F.expr(
+                f"transform(array({cent_lit}), cv -> aggregate("
+                f"zip_with(slice(qi, {m * _PQ_SUB + 1}, {_PQ_SUB}), cv, "
+                f"(x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t))"
+            ),
+        )
     approx_terms = []
     for m in range(_PQ_M):
-        darr = "array(" + ", ".join(f"({_subdist(m, c)})" for c in range(_PQ_K)) + ")"
         qd_arr = "array(" + ", ".join(f"{v}L" for v in qd[m]) + ")"
         approx_terms.append(
             f"element_at({qd_arr}, "
-            f"CAST(array_position({darr}, array_min({darr})) AS INT))"
+            f"CAST(array_position(_d{m}, array_min(_d{m})) AS INT))"
         )
-    exact_l2 = " + ".join(
-        f"(element_at(qi, {d + 1}) - {qqi[d]}L) * "
-        f"(element_at(qi, {d + 1}) - {qqi[d]}L)"
-        for d in range(_PQ_SUB * _PQ_M)
+    qqi_lit = "array(" + ", ".join(f"{v}L" for v in qqi) + ")"
+    exact_l2 = (
+        f"aggregate(zip_with(qi, {qqi_lit}, (x, y) -> (x - y) * (x - y)), "
+        f"0L, (acc, t) -> acc + t)"
     )
     shortlist = (
-        e.filter(F.col("vec_id") != _PQ_QUERY)
-        .select(
+        proj.select(
             "vec_id",
             "label",
             "qi",
