@@ -35,6 +35,31 @@ def fixed_sum(col, scale: int = 2, out_scale: int = 2):
     return F.round(F.sum(fixed_units(col, scale)) / float(10 ** scale), out_scale)
 
 
+def broadcast_if_bounded(df, n_rows: int, row_cap: int | None = None):
+    """Broadcast-hint `df` only when its MEASURED row count is under the
+    cap; otherwise return it unhinted so AQE picks the join strategy from
+    runtime sizes.
+
+    An unconditional `F.broadcast()` on a table whose cardinality grows
+    with the fact tables (node-grain label tables, request-queue cohorts)
+    overrides AQE's size checks and becomes a driver-OOM at 100 TB — the
+    hint does NOT fall back to a shuffle join past broadcast reach
+    (VERDICT r15 item 3). Callers pass the count they already have (or can
+    take cheaply from a persisted intermediate); the cap is rows, not
+    bytes, sized for narrow two-column keys (~16 B data, ~50 B built):
+    the default 2M rows is ~100 MB of hash relation, comfortably inside
+    executor memory here and parameterised for production via
+    SPARK_GRAFT_BROADCAST_ROW_CAP.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    if row_cap is None:
+        row_cap = int(os.environ.get("SPARK_GRAFT_BROADCAST_ROW_CAP", "2000000"))
+    return F.broadcast(df) if n_rows <= row_cap else df
+
+
 def duck_fixed_sum(expr: str, scale: int = 2, out_scale: int = 2) -> str:
     """DuckDB SQL twin of fixed_sum — textually the same arithmetic, so
     engine and oracle agree bit-for-bit."""

@@ -1646,6 +1646,8 @@ def forget_me_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
+    from kinesis_customer_sample_spark.functions import broadcast_if_bounded
+
     del_ = (
         ev.filter(F.col("user_id") % _RTBF_MOD == 0)
         .select("user_id")
@@ -1653,6 +1655,11 @@ def forget_me_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_hit", F.lit(1))
         .persist()
     )
+    # the cohort is request-queue-sized at production but SF-scaled in the
+    # fixture (1/_RTBF_MOD of users), so the broadcast hint is gated on the
+    # measured count — which also eagerly materializes the persisted cohort
+    # before its four consumers race the lazy cache
+    n_del = del_.count()
     n_subjects = F.broadcast(del_.agg(F.count(F.lit(1)).alias("n_subjects")))
 
     def audit_tbl(df: DataFrame, keycol: str, tag: str) -> DataFrame:
@@ -1661,7 +1668,9 @@ def forget_me_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # counts rows and affected rows together
         return (
             df.join(
-                F.broadcast(del_.withColumnRenamed("user_id", keycol)),
+                broadcast_if_bounded(
+                    del_.withColumnRenamed("user_id", keycol), n_del
+                ),
                 keycol,
                 "left",
             )

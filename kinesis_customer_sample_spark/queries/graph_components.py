@@ -468,9 +468,13 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round's groupBy(s) then reuses the cached partitioning (guide §2.4 —
     # "two operations keyed the same way share one exchange"), and the
     # per-round label join broadcasts the node-sized color table, so no
-    # round shuffles the edge list at all (node tables are dimension-
-    # bounded here — l_partkey ⊂ part; past broadcast reach this becomes
-    # the plain shuffle join the previous shape used)
+    # round shuffles the edge list at all. The label table is node-grain
+    # (grows with SF), so the hint is SIZE-GATED on the measured node
+    # count — one job against the persisted edges, and the count is
+    # round-invariant (every node with an edge keeps a label each round);
+    # past the cap the rounds fall back to AQE-planned shuffle joins.
+    from kinesis_customer_sample_spark.functions import broadcast_if_bounded
+
     e = (
         e0.unionByName(e0.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .repartition(F.col("s"))
@@ -479,14 +483,16 @@ def wl_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = e.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("lab")
     )
+    n_nodes = labels.count()
     outs = []
     for rnd in range(1, _WL_ROUNDS + 1):
         labels = (
             e.join(
-                F.broadcast(
+                broadcast_if_bounded(
                     labels.select(
                         F.col("node").alias("t"), F.col("lab").alias("nlab")
-                    )
+                    ),
+                    n_nodes,
                 ),
                 "t",
             )

@@ -3467,6 +3467,27 @@ def test_python_udf_single_evaluation(spark, sf_dir):
         assert n == 1, f"{name}: {n} Python-eval nodes (want 1)"
 
 
+def test_no_duplicated_python_eval_registry_wide(spark, sf_dir):
+    """Registry-wide closure of the §4.4 class: no query's plan may
+    evaluate the same Python UDF call twice (a filter pushed below a
+    UDF-producing projection duplicates the eval node — the q431/decode
+    bug). Sweeps every registered query's formatted plan and compares
+    Python-eval node bodies with result expr-ids stripped: two nodes
+    with an identical normalized call signature mean every row pays the
+    Python hop twice."""
+    import re as _re
+
+    offenders = {}
+    for name, q in REGISTRY.items():
+        plan = audit(q.fn(spark, sf_dir)).text
+        calls = _re.findall(r"(?:Arrow|Batch)EvalPython \[([^\]]*)\]", plan)
+        sigs = [_re.sub(r"\)#\d+", ")", c) for c in calls]
+        dup = {s for s in sigs if sigs.count(s) > 1}
+        if dup:
+            offenders[name] = sorted(dup)
+    assert not offenders, f"duplicated Python eval: {offenders}"
+
+
 def test_q148_pipeline_materializes_shared_stages(spark, sf_dir):
     """q148 claims each pipeline stage runs once; unmaterialized, the
     five consumers of the tokenized keeper set re-ran the tokenize +
