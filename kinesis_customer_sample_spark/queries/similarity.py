@@ -1075,10 +1075,18 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + {_GDB_OFF}"
         ).alias("cy"),
     )
-    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_pts")).withColumn(
-        "cell", F.col("cx") * 1000 + F.col("cy")
+    # EAGER localCheckpoints instead of lazy persists (the q385/q462 fix,
+    # r16): the final clusters+noise union and each round's double lab
+    # reference raced the lazy caches and recomputed the grid subtrees
+    # per branch — measured 2.69/2.02 → 1.50/1.22 s back-to-back at
+    # sf0.1. All the checkpointed tables are grid-sized (≪ points).
+    cells = (
+        pts.groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n_pts"))
+        .withColumn("cell", F.col("cx") * 1000 + F.col("cy"))
+        .localCheckpoint()
     )
-    dense = cells.filter(F.col("n_pts") >= _GDB_MINPTS).persist()
+    dense = cells.filter(F.col("n_pts") >= _GDB_MINPTS).localCheckpoint()
     # 9-stencil adjacency as an EQUI-join (guide §3.1): each dense cell
     # emits its 3×3 shifted coordinates and hash-joins back on the exact
     # (cx, cy) pair. The former |Δcx|<=1 AND |Δcy|<=1 theta predicate
@@ -1104,16 +1112,16 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         dense.join(probe, ["cx", "cy"])
         .filter(F.col("cell") != F.col("nbr"))
         .select("cell", "nbr")
-        .persist()
+        .localCheckpoint()
     )
     lab = dense.select("cell", F.col("cell").alias("lab"))
     for _ in range(_GDB_ROUNDS):
         # each round references lab TWICE (neighbor-min probe + the outer
         # left join), so without a barrier the lab plan DOUBLES per round
         # — 2^rounds copies of the whole grid subtree (the r15 profile
-        # measured 210 Exchanges / 157 scans in the final plan). Persist
-        # the bounded grid-sized label table each round (guide §5).
-        lab = lab.persist()
+        # measured 210 Exchanges / 157 scans in the final plan). The
+        # bounded grid-sized label table is EAGERLY checkpointed per
+        # round (guide §5; the r16 race fix above).
         nbr_min = (
             adj.join(lab.withColumnRenamed("cell", "nbr"), "nbr")
             .groupBy("cell")
@@ -1127,6 +1135,7 @@ def grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lab"
                 ),
             )
+            .localCheckpoint()
         )
     clusters = (
         lab.join(dense.select("cell", "n_pts"), "cell")
