@@ -281,24 +281,31 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted the whole corpus by bucket and shuffled the embedding arrays
     # into the aggregate; now only (bucket, min vec_id) partials cross the
     # exchange and the join-back scan prunes to ≤|buckets| rows before any
-    # norm math (guide §2.3 — shuffle keys, not payloads). An explicit
-    # .persist() of the bucketed corpus measured 8.6 vs 3.0 s here: the
-    # broadcast subtree races the cache materialization (the q414 trap).
+    # norm math (guide §2.3 — shuffle keys, not payloads). The bucketed
+    # corpus is EAGERLY localCheckpoint'd (the q385/q462/q464 race fix,
+    # r16): a lazy .persist() measured 8.6 vs 3.0 s in r15 because the
+    # broadcast subtree races the cache materialization, but the eager
+    # barrier computes the bucket+norm pass ONCE and both the rep-election
+    # broadcast and the probe read it (1.32/1.36 → 1.05/1.18 s paired at
+    # sf0.1); the rep embedding/norm now also come from the checkpoint
+    # instead of a second parquet scan.
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
         .withColumn("en", F.expr(norm_expr("embedding")))
+        .localCheckpoint()
     )
     rep_ids = e.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
     reps = F.broadcast(
         rep_ids.join(
-            table(spark, sf_dir, "embeddings").select(
+            e.select(
                 F.col("vec_id").alias("rep_id"),
                 F.col("embedding").alias("rep_emb"),
+                F.col("en").alias("rep_n"),
             ),
             "rep_id",
-        ).withColumn("rep_n", F.expr(norm_expr("rep_emb")))
+        )
     )
     cos = F.round(
         F.expr(dot64_expr("embedding", "rep_emb")) / (F.col("en") * F.col("rep_n")), 6
