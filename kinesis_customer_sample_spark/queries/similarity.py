@@ -1209,12 +1209,18 @@ def reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted the whole pair table); the mutuality check is a count==2
     hash agg over the (min, max)-normalized rank-1 pairs — <= one row
     per vector, no self-join."""
+    # EAGER localCheckpoint (the q153/q385-class fix, r16): both self-join
+    # sides apply the 8-plane bucket expression and the unrolled norm
+    # above the reused round-robin exchange, so the corpus pass ran twice;
+    # the barrier computes it once for both sides (2.28/1.64 → 1.37/1.28 s
+    # paired min-of-3 at sf0.1).
     e = (
         table(spark, sf_dir, "embeddings")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("bucket", F.expr(_hyperplane_bucket("embedding", dialect="spark")))
         .withColumn("en", F.expr(norm_expr("embedding")))
         .select("vec_id", "embedding", "bucket", "en")
+        .localCheckpoint()
     )
     a = e.select(
         F.col("bucket"),
