@@ -974,6 +974,12 @@ def sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(
         table(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
     )
+    # EAGER localCheckpoint (r16): the weight table feeds three exchanges
+    # — by tok twice for the postings self-join (ReuseExchange shares
+    # those) and by doc_id for the norms, which is a DIFFERENT
+    # partitioning and re-derived the tf⋈df chain at runtime. The barrier
+    # computes w once for all three: 2.08/1.62 → 0.98/1.06 s paired
+    # min-of-3 at sf0.1.
     w = (
         tf.join(df, "tok")
         .crossJoin(n)
@@ -984,6 +990,7 @@ def sparse_cosine_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "tf * CAST(floor((ln(n_docs) - ln(df)) * 1000) AS BIGINT)"
             ).alias("w"),
         )
+        .localCheckpoint()
     )
     norm = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("w").alias("wa"))
