@@ -345,7 +345,7 @@ def burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.select("source", F.explode("toks").alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint()
     )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
     words = _burrows_marker_words(cnt)
