@@ -2186,16 +2186,19 @@ def abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("q"), F.sum("r").alias("r")
     )
     # per_part feeds the grand total, the bucketed local window and the
-    # bucket totals; its three plan references look like recompute in the
-    # printed plan, but ReuseExchange dedups the identical subtrees at
-    # runtime — an r15 persist() experiment here measured SLOWER (1.77 →
-    # 3.85 s isolated: cache write + fill races replaced free exchange
-    # reuse), so it stays unpersisted deliberately
+    # bucket totals — three consumers with DIFFERENT downstream keys, so
+    # exchange reuse could not share them all (the sf0.1 census read 10
+    # fact scans / 30 Exchange unmaterialized). A lazy persist() measured
+    # SLOWER in r15 (1.77 → 3.85 s: broadcast builds raced the cache);
+    # the r16 EAGER localCheckpoint is timing-neutral at sf0.1 (4 paired
+    # windows, gm 1.93 vs 1.92 s) and drops the plan to 2 scans /
+    # 14 Exchange — kept for the 5× fact re-scan it removes at scale
+    # (the q473 precedent)
     per_part = demand.groupBy("l_partkey").agg(
         F.sum("q").cast("bigint").alias("s"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
         F.sum("r").cast("bigint").alias("rev_c"),
-    )
+    ).localCheckpoint()
     tot = F.broadcast(per_part.agg(F.sum("rev_c").alias("total_rev")))
     # two-level cumulative over (rev DESC, part): bucket on negated revenue
     b = per_part.withColumn("bucket", F.expr(f"(-rev_c) div {_XYZ_BUCKET}"))
