@@ -477,6 +477,11 @@ def main() -> None:
         **({"errors": errors} if errors else {}),
     }
     print(json.dumps(payload))
+    # Additive diagnostics (r15 verdict item 9): the driver failed to parse
+    # round 14's bench stdout (prev_bench_ok=false) and the failure mode was
+    # undiagnosable from artifacts. Echo the payload head on stderr so any
+    # future stdout-mangling is attributable from the captured logs alone.
+    sys.stderr.write(f"bench: payload-head: {json.dumps(payload)[:200]}\n")
     # The driver byte-truncates BENCH_rN.json's tail (r4 lost the headline
     # total and the first ~36 per-query numbers to it); persist the full
     # parsed payload so every judge can diff complete data (VERDICT r4
