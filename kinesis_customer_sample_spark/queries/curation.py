@@ -590,6 +590,9 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # caps every re-reference at an in-memory scan. eval_sh still derives
     # from pre-dedup `hashed` by spec (an eval doc stays held out even if
     # its keeper twin lands in a train bucket).
+    # NOTE: this persist (like q431's) is never unpersisted — the bench
+    # harness clearCache()s between queries; long-lived sessions reusing
+    # these query functions should unpersist via their own cleanup hook.
     keepers = (
         hashed.withColumn("min_id", F.min("doc_id").over(W.partitionBy("h")))
         .filter(F.col("doc_id") == F.col("min_id"))

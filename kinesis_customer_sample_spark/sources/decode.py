@@ -92,6 +92,13 @@ def make_deref_udf(fetch: Fetch = http_fetch):
 
     Closure-captured `fetch` is pickled to executors — keep it
     self-contained (a dict-backed fake in tests, urllib in production).
+
+    PURITY REQUIREMENT: callers mark this UDF `asNondeterministic()` to
+    stop the optimizer duplicating the decode under pushed-down filters
+    (guide §4.4), which also means the optimizer may skip or reorder
+    evaluations — correctness then DEPENDS on `fetch` being a pure
+    function of the payload (no caching semantics, no side effects a
+    skipped call would lose). Keep any future fetch implementation pure.
     """
 
     @F.pandas_udf(T.StringType())

@@ -56,10 +56,12 @@ def foreach_batch_upsert(table_dir: str):
 
 def foreach_batch_split_router(base_dir: str, pred_sql: str):
     """Multi-sink ROUTER with one atomic commit for both outputs: each
-    micro-batch splits on `pred_sql` and writes the true-rows to
-    `<base>/valid/epoch=N` and the false-rows to `<base>/quarantine/
-    epoch=N`, then publishes ONE manifest for the epoch (tmp + atomic
-    rename) covering both directories. Readers consult manifests only, so
+    micro-batch splits on `pred_sql` and writes one route-partitioned
+    epoch directory — true-rows to `<base>/epoch=N/route=valid` and
+    false/NULL-rows to `<base>/epoch=N/route=quarantine` — then publishes
+    ONE manifest for the epoch (tmp + atomic rename) covering both
+    leaves; `read_routed`/the manifests are the sanctioned read path.
+    Readers consult manifests only, so
     a crash between the two writes — or a Structured Streaming batch
     RETRY after either write — can never surface a half-routed epoch: the
     replayed epoch sees its manifest missing, rewrites both directories
@@ -84,6 +86,12 @@ def foreach_batch_split_router(base_dir: str, pred_sql: str):
         # outputs. coalesce(pred, false) makes NULL land in quarantine, so
         # every input row reaches exactly one sink (no-record-lost contract).
         ok = f"coalesce(({pred_sql}), false)"
+        # the router writes its own `route` partition column; a stream that
+        # already carries one would be silently overwritten AND stripped
+        # from the data files by partitionBy — refuse loudly instead
+        assert "route" not in batch_df.columns, (
+            "split router: incoming batch already has a 'route' column"
+        )
         batch_df.persist()
         try:
             # one pass for both manifest counts, one route-partitioned write
